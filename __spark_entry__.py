@@ -1,38 +1,495 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship join+aggregate on sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+class from SURVEY.md §2, each checked against a DuckDB oracle at sf0.01.
+
+Cross-engine determinism rules used throughout (Spark vs DuckDB):
+
+- Money/metric sums: per-row ``CAST(x AS DECIMAL(18,6))`` (identical doubles
+  → identical decimals; decimal boundaries are not binary-representable so
+  rounding-mode differences cannot trigger), exact decimal SUM, then
+  ``CAST(ROUND(..., 2) AS DOUBLE)`` — bit-identical results independent of
+  partial-aggregation order.
+- Timestamps in output are formatted as strings (session-timezone pinned to
+  UTC) so Arrow/pandas localization differences cannot leak in.
+- Every computed column is aliased identically in the Spark plan and the SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and convert with integer division
+    (a double roundtrip would lose precision above 2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
+def _dec(col):
+    """Deterministic money/metric term: double → exact decimal."""
+    return col.cast("decimal(18,6)")
+
+
+def _money(sumcol, alias):
+    return F.round(sumcol.cast("double"), 2).alias(alias)
+
+
+def _fmt_ts(col, alias):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Queries.  Each function: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """A1/A2 analog (grouped totals fold → partial+final hash aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec(F.col("l_quantity"))), "sum_qty"),
+            _money(F.sum(_dec(F.col("l_extendedprice"))), "sum_base_price"),
+            _money(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                "sum_disc_price",
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_expr_find(spark, sf_dir):
+    """P1–P11: the boolexpr language compiled to native Columns, bound to a
+    renamed events frame (find-style selection; SURVEY.md §2.2)."""
+    from dudb_spark.functions.boolexpr import compile_expr
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("path"),
+        F.col("ts").alias("mtime"),
+        "value",
+    )
+    pred = compile_expr(
+        "(user=13 || user=7) && newer=2024-01-15T00:00:00 && re='^(pur|sig)'",
+        mode="prefix",
+    )
+    # prefix-mode binding: path/uid/mtime columns, name = basename(path)
+    return (
+        ev.where(pred)
+        .select("event_id", "uid", "path", "value")
+        .orderBy("event_id")
+    )
+
+
+def q03_top_orders(spark, sf_dir):
+    """A4/O1: bounded top-N — TakeOrderedAndProject, never a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q04_per_customer_topn(spark, sf_dir):
+    """A5: per-id top-N via ranking window (partition-parallel)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+def q05_region_revenue(spark, sf_dir):
+    """J3: broadcast-dim join chain + grouped revenue (TPC-H Q5 shape).
+    nation/region are tiny dims → explicit broadcast, no shuffle join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            _money(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q06_customers_without_orders(spark, sf_dir):
+    """J2/§2.7: anti-join (deletion-detection shape, analyze.go:383–424)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q07_hardlink_style_dedup(spark, sf_dir):
+    """A7 analog: deterministic canonical-row dedup by a link key, counting
+    duplicates — row_number over (device,inode)-style partitions."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_partkey", "l_suppkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_links", F.count(F.lit(1)).over(wc))
+        .where((F.col("rn") == 1) & (F.col("n_links") > 1))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_orderkey").alias("canonical_orderkey"),
+            "n_links",
+            (F.col("n_links") - 1).alias("n_hardlinks"),
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+def q08_block_storage_calc(spark, sf_dir):
+    """A8/F6: storage calculators as pure column expressions (block 4096)."""
+    li = _t(spark, sf_dir, "lineitem")
+    size = F.col("l_quantity") * 1000  # synthetic byte size
+    blocked = (F.ceil(size / 4096) * 4096).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(size.cast("long")).alias("bytes"),
+            F.sum(blocked).alias("storage_bytes"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q09_time_range_scan(spark, sf_dir):
+    """S8/F5: time-range scan with pushed-down predicates (logs/errors)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where(
+            (F.col("ts") >= "2024-01-10 00:00:00")
+            & (F.col("ts") < "2024-01-20 00:00:00")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value"))), "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q10_latest_event_per_user(spark, sf_dir):
+    """S8 LastLog analog: latest row per key via ranking window."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", _fmt_ts(F.col("ts"), "ts"), "event_type")
+        .orderBy("user_id")
+    )
+
+
+def q11_grouping_sets(spark, sf_dir):
+    """A2: one-pass multi-grain aggregation via GROUPING SETS."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               grouping(l_linestatus) AS is_flag_total,
+               count(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_qty
+        FROM _li
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag, is_flag_total, l_linestatus
+        """
+    )
+
+
+def q12_exact_dup_fingerprint(spark, sf_dir):
+    """Pipeline/dedup-exact: whitespace-normalized md5 fingerprint groups
+    (hash-groupBy exact dedup; also F2 document fingerprinting)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    return (
+        d.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+def q13_token_stats_by_lang(spark, sf_dir):
+    """Pipeline/text-analysis: token counting per language."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.withColumn("n_tokens", F.size(toks))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q14_doc_quality(spark, sf_dir):
+    """Pipeline/quality-scoring: per-doc lexical-diversity + length signals."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        uniq.alias("n_unique_tokens"),
+        F.round(uniq.cast("double") / n.cast("double"), 6).alias("ttr"),
+        F.round(F.col("n_chars").cast("double") / n.cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("doc_id")
+
+
+def q15_events_hourly(spark, sf_dir):
+    """§2.9 extension: tumbling-window aggregation (batch form of the
+    Structured Streaming rollup in dudb_spark.streaming)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value"))), "sum_value"),
+        )
+        .select(
+            _fmt_ts(F.col("hour_start"), "hour"), "event_type", "n_events", "sum_value"
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+QUERIES: dict[str, Callable] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_expr_find": q02_expr_find,
+    "q03_top_orders": q03_top_orders,
+    "q04_per_customer_topn": q04_per_customer_topn,
+    "q05_region_revenue": q05_region_revenue,
+    "q06_customers_without_orders": q06_customers_without_orders,
+    "q07_hardlink_style_dedup": q07_hardlink_style_dedup,
+    "q08_block_storage_calc": q08_block_storage_calc,
+    "q09_time_range_scan": q09_time_range_scan,
+    "q10_latest_event_per_user": q10_latest_event_per_user,
+    "q11_grouping_sets": q11_grouping_sets,
+    "q12_exact_dup_fingerprint": q12_exact_dup_fingerprint,
+    "q13_token_stats_by_lang": q13_token_stats_by_lang,
+    "q14_doc_quality": q14_doc_quality,
+    "q15_events_hourly": q15_events_hourly,
+}
+
+ORACLE: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_expr_find": """
+        SELECT event_id, user_id AS uid, event_type AS path, value
+        FROM events
+        WHERE (user_id = 13 OR user_id = 7)
+          AND ts > TIMESTAMP '2024-01-15 00:00:00'
+          AND regexp_matches(event_type, '^(pur|sig)')
+        ORDER BY event_id
+    """,
+    "q03_top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q04_per_customer_topn": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rank
+            FROM orders
+        ) WHERE rank <= 3
+        ORDER BY o_custkey, rank
+    """,
+    "q05_region_revenue": """
+        SELECT r_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    "q06_customers_without_orders": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """,
+    "q07_hardlink_style_dedup": """
+        SELECT l_partkey, l_suppkey, canonical_orderkey, n_links,
+               n_links - 1 AS n_hardlinks
+        FROM (
+            SELECT l_partkey, l_suppkey,
+                   l_orderkey AS canonical_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+                                      ORDER BY l_orderkey, l_linenumber) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_partkey, l_suppkey) AS n_links
+            FROM lineitem
+        )
+        WHERE rn = 1 AND n_links > 1
+        ORDER BY l_partkey, l_suppkey
+    """,
+    "q08_block_storage_calc": """
+        SELECT l_returnflag,
+               SUM(CAST(l_quantity * 1000 AS BIGINT)) AS bytes,
+               SUM(CAST(CEIL(l_quantity * 1000 / 4096) * 4096 AS BIGINT))
+                 AS storage_bytes
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q09_time_range_scan": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q10_latest_event_per_user": """
+        SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               event_type
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+    "q11_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_linestatus) AS is_flag_total,
+               COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag, is_flag_total, l_linestatus
+    """,
+    "q12_exact_dup_fingerprint": """
+        SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS canonical_doc_id
+        FROM documents
+        GROUP BY 1
+        ORDER BY canonical_doc_id
+    """,
+    "q13_token_stats_by_lang": """
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_tokens,
+               SUM(n_chars) AS total_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "q14_doc_quality": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS ttr,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS chars_per_token
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "q15_events_hourly": """
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+                 AS hour,
+               event_type, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour, event_type
+    """,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q05_region_revenue(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (same column names/order)."""
+    return dict(ORACLE)

@@ -1,0 +1,306 @@
+"""``stats compute`` — grouped totals + top-N rankings, Spark-native.
+
+Reference semantics (stats/totals.go:150–209 ComputeTotals, and
+internal/reports/report_stats.go:231–245 AllStats.Update):
+
+Per directory record, gated by ``Matcher.Prefix``:
+
+1. ``prefixes = 1`` for every matching directory.
+2. If the directory itself is a hardlink duplicate (same device+inode seen
+   before): ``hardlink_dirs = 1`` and **nothing else** — its own size and
+   all its entries are skipped (totals.go:157–160 early return), and no
+   per-user/per-group contribution is recorded (the per-id maps are built
+   after the early return).
+3. Otherwise its own size lands in ``bytes`` AND ``prefix_bytes`` (and the
+   calculator output in ``storage_bytes``), attributed to the *directory's*
+   uid/gid (totals.go:161–167).
+4. Each child entry gated by ``Matcher.Entry``:
+   - subdir → ``sub_prefixes += 1``, attributed to the **parent directory's**
+     uid/gid (totals.go:173–177: the outer ``xattr`` is in scope, not the
+     child's) — child sizes are NOT added.
+   - file that is a hardlink duplicate → ``hardlinks += 1`` only, attributed
+     to the entry's uid/gid (totals.go:179–183).
+   - other file → ``files += 1``, ``bytes += size``,
+     ``storage_bytes += calc(size, blocks)``, entry's uid/gid
+     (totals.go:185–189).
+
+Top-N (report_stats.go:58–95): five bounded heaps per scope — bytes,
+storage_bytes, prefix_bytes, files, and sub_prefixes ("Prefixes" heap is
+keyed on the children count) — globally, per-user, per-group, plus
+by-user/by-group heaps over per-id totals (Finalize, report_stats.go:222–229).
+
+Spark design
+------------
+One narrow **contribution** DataFrame unions the four sources above, then a
+single shuffle with ``GROUPING SETS ((prefix), (prefix,uid), (prefix,gid))``
+produces all three grains (partial aggregation happens map-side; the
+stream/fold/heap machinery of the reference collapses into Catalyst's
+partial+final HashAggregate).  Top-N never materialises a full sort:
+``orderBy(desc(metric)).limit(n)`` compiles to TakeOrderedAndProject, and
+per-id rankings use a ``row_number`` window over rows already pre-aggregated
+per (id, prefix) — the skew-mitigation noted in SURVEY.md §7.
+
+Hardlink canonicalisation: the reference counts the *walk-order* first
+sighting of a (device, inode) pair as the real file (internal/hardlinks/
+hardlinks.go:31–43).  Walk order is not a distributed concept, so this
+engine deterministically picks the lexicographically-first path as the
+canonical link (documented intentional divergence; counts match whenever a
+link set lives wholly inside the scanned subtree).  Directory hardlinks are
+deduped among directory records, file hardlinks among file entries of
+non-duplicate matching directories.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dudb_spark.functions.boolexpr import compile_expr
+from dudb_spark.functions.calculators import identity
+from dudb_spark.operators.find import subtree_pred
+
+METRICS = ("bytes", "storage_bytes", "prefix_bytes", "files", "sub_prefixes")
+
+_ZERO = {
+    "files": 0,
+    "prefixes": 0,
+    "sub_prefixes": 0,
+    "bytes": 0,
+    "storage_bytes": 0,
+    "prefix_bytes": 0,
+    "hardlinks": 0,
+    "hardlink_dirs": 0,
+}
+
+
+@dataclass
+class StatsOptions:
+    root: str = ""
+    expr: str = ""
+    calculator: Callable = identity
+    # config.go:29 `count_hardlinks_as_files`: when True every link counts as
+    # a full file and no dedup happens (stats.go:126 wires the inverse).
+    count_hardlinks_as_files: bool = False
+    compile_opts: dict = field(default_factory=dict)
+
+
+def _contribution(value_map: dict, df: DataFrame, prefix_col, uid_col, gid_col):
+    """Project a source DataFrame onto the narrow contribution schema."""
+    cols = [
+        prefix_col.alias("prefix"),
+        uid_col.cast("long").alias("uid"),
+        gid_col.cast("long").alias("gid"),
+    ]
+    for name in _ZERO:
+        expr = value_map.get(name, F.lit(_ZERO[name]))
+        if isinstance(expr, int):
+            expr = F.lit(expr)
+        cols.append(expr.cast("long").alias(name))
+    return df.select(*cols)
+
+
+def _dup_flag(df: DataFrame, enabled: bool, order_col: str = "path"):
+    """rows beyond the lexicographically-first path per (device,inode)."""
+    if not enabled:
+        return df.withColumn("_is_dup", F.lit(False))
+    w = Window.partitionBy("device", "inode").orderBy(order_col)
+    return df.withColumn("_is_dup", F.row_number().over(w) > 1)
+
+
+class StatsResult:
+    """Summary tables of one ``stats compute`` run (the Spark-native stand-in
+    for the gob ``.idustats`` snapshot, stats.go:31–36)."""
+
+    def __init__(self, per_prefix, per_user, per_group, meta: dict):
+        self.per_prefix = per_prefix  # prefix + 8 counters
+        self.per_user = per_user  # prefix, id + counters (id-visible rows)
+        self.per_group = per_group
+        self.meta = meta  # {root, expr, calculator, ...}
+
+    # --- global totals (Heaps.Total* fields) ---------------------------
+
+    def totals(self) -> DataFrame:
+        aggs = [F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in _ZERO]
+        return self.per_prefix.agg(*aggs)
+
+    def by_id(self, dim: str = "user") -> DataFrame:
+        """Per-id grand totals (AllStats.userTotals/groupTotals)."""
+        src = self.per_user if dim == "user" else self.per_group
+        aggs = [F.sum(c).alias(c) for c in _ZERO if c != "hardlink_dirs"]
+        return src.groupBy("id").agg(*aggs)
+
+    # --- top-N (bounded; TakeOrderedAndProject, never a full sort) ------
+
+    def top_prefixes(self, metric: str, n: int) -> DataFrame:
+        assert metric in METRICS, metric
+        return (
+            self.per_prefix.select("prefix", metric)
+            .orderBy(F.desc(metric), "prefix")
+            .limit(n)
+        )
+
+    def top_ids(self, metric: str, n: int, dim: str = "user") -> DataFrame:
+        """ByUser/ByGroup heaps (report_stats.go:222–229)."""
+        assert metric in METRICS, metric
+        return self.by_id(dim).select("id", metric).orderBy(F.desc(metric), "id").limit(n)
+
+    def per_id_top_prefixes(self, metric: str, n: int, dim: str = "user") -> DataFrame:
+        """PerIDStats.ByPrefix: top-N prefixes per user/group.  Input is
+        pre-aggregated per (id, prefix) so the window partition size is the
+        number of directories one id owns, not the number of files."""
+        assert metric in METRICS, metric
+        src = self.per_user if dim == "user" else self.per_group
+        w = Window.partitionBy("id").orderBy(F.desc(metric), "prefix")
+        return (
+            src.select("id", "prefix", metric)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n)
+        )
+
+    def merged_top(self, n: int) -> DataFrame:
+        """Heaps.Merge (report_stats.go:128–167): one row per prefix that
+        appears in ANY of the five top-N rankings — computed in one window
+        pass over the (already small) per-prefix summary."""
+        ranked = self.per_prefix
+        conds = []
+        for m in METRICS:
+            w = Window.orderBy(F.desc(m), "prefix")
+            ranked = ranked.withColumn(f"_r_{m}", F.row_number().over(w))
+            conds.append(F.col(f"_r_{m}") <= n)
+        keep = conds[0]
+        for c in conds[1:]:
+            keep = keep | c
+        return ranked.where(keep).select(
+            "prefix", *METRICS, "prefixes", "hardlinks", "hardlink_dirs"
+        )
+
+    def save(self, out_dir: str) -> None:
+        """Persist summary tables (S10 stand-in for the .idustats snapshot)."""
+        self.per_prefix.write.mode("overwrite").parquet(f"{out_dir}/per_prefix.parquet")
+        self.per_user.write.mode("overwrite").parquet(f"{out_dir}/per_user.parquet")
+        self.per_group.write.mode("overwrite").parquet(f"{out_dir}/per_group.parquet")
+
+
+def compute_stats(
+    prefixes: DataFrame, entries: DataFrame, opts: StatsOptions | None = None
+) -> StatsResult:
+    opts = opts or StatsOptions()
+    dedup = not opts.count_hardlinks_as_files
+    calc = opts.calculator
+
+    p_pred = compile_expr(
+        opts.expr, mode="prefix", empty_value=True, **opts.compile_opts
+    )
+    e_pred = compile_expr(opts.expr, mode="entry", empty_value=True, **opts.compile_opts)
+
+    # -- matching directory records, with dir-level hardlink dedup -------
+    pfx = prefixes.where(subtree_pred(F.col("path"), opts.root) & p_pred)
+    pfx = _dup_flag(pfx, dedup)
+
+    pfx_ok = pfx.where(~F.col("_is_dup"))
+    pfx_dup = pfx.where(F.col("_is_dup"))
+
+    # -- entries of surviving directories, gated by the entry predicate --
+    # (ComputeTotals evaluates entries only for matching, non-dup prefixes)
+    parent_side = pfx_ok.select(
+        F.col("path").alias("parent"),
+        F.col("uid").alias("_puid"),
+        F.col("gid").alias("_pgid"),
+    )
+    ent = entries.join(parent_side, "parent").where(e_pred)
+
+    ent_dirs = ent.where(F.col("is_dir"))
+    ent_files = _dup_flag(ent.where(~F.col("is_dir")), dedup)
+
+    storage = calc(F.col("size"), F.col("blocks"))
+
+    contribs = [
+        # 3. the directory's own size (attributed to the dir's owner)
+        _contribution(
+            {
+                "prefixes": 1,
+                "bytes": F.col("size"),
+                "storage_bytes": calc(F.col("size"), F.col("blocks")),
+                "prefix_bytes": F.col("size"),
+            },
+            pfx_ok,
+            F.col("path"),
+            F.col("uid"),
+            F.col("gid"),
+        ),
+        # 2. duplicate-dir records: prefix + hardlink_dirs only, no ids
+        _contribution(
+            {"prefixes": 1, "hardlink_dirs": 1},
+            pfx_dup,
+            F.col("path"),
+            F.lit(None),
+            F.lit(None),
+        ),
+        # 4a. subdirectory entries → sub_prefixes, parent-owner attribution
+        _contribution(
+            {"sub_prefixes": 1},
+            ent_dirs,
+            F.col("parent"),
+            F.col("_puid"),
+            F.col("_pgid"),
+        ),
+        # 4b. duplicate hardlinked files
+        _contribution(
+            {"hardlinks": 1},
+            ent_files.where(F.col("_is_dup")),
+            F.col("parent"),
+            F.col("uid"),
+            F.col("gid"),
+        ),
+        # 4c. regular files
+        _contribution(
+            {
+                "files": 1,
+                "bytes": F.col("size"),
+                "storage_bytes": storage,
+            },
+            ent_files.where(~F.col("_is_dup")),
+            F.col("parent"),
+            F.col("uid"),
+            F.col("gid"),
+        ),
+    ]
+    contrib = contribs[0]
+    for c in contribs[1:]:
+        contrib = contrib.unionByName(c)
+
+    # -- one shuffle, three grains ---------------------------------------
+    sums = ", ".join(f"sum({c}) AS {c}" for c in _ZERO)
+    contrib.createOrReplaceTempView("_dudb_contrib")
+    grains = contrib.sparkSession.sql(
+        f"""
+        SELECT prefix, uid, gid, grouping(uid) AS _gu, grouping(gid) AS _gg,
+               {sums}
+        FROM _dudb_contrib
+        GROUP BY GROUPING SETS ((prefix), (prefix, uid), (prefix, gid))
+        """
+    )
+
+    per_prefix = grains.where((F.col("_gu") == 1) & (F.col("_gg") == 1)).select(
+        "prefix", *_ZERO
+    )
+    # id grains: NULL ids are exactly the duplicate-dir rows — invisible to
+    # the per-id maps in the reference (totals.go:157–160 vs 164–167)
+    per_user = (
+        grains.where((F.col("_gu") == 0) & F.col("uid").isNotNull())
+        .select("prefix", F.col("uid").alias("id"), *_ZERO)
+    )
+    per_group = (
+        grains.where((F.col("_gg") == 0) & F.col("gid").isNotNull())
+        .select("prefix", F.col("gid").alias("id"), *_ZERO)
+    )
+
+    meta = {
+        "root": opts.root,
+        "expression": opts.expr,
+        "count_hardlinks_as_files": opts.count_hardlinks_as_files,
+    }
+    return StatsResult(per_prefix, per_user, per_group, meta)

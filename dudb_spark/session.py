@@ -1,0 +1,60 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The engine targets large clusters (100 TB inputs, ~1000 executors) but is
+developed and tested on ``local[N]``.  Every conf here is safe in both modes:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast conversion replace hand-tuned partition counts at scale.
+- ``spark.sql.shuffle.partitions`` is only an *initial* value under AQE; we
+  keep it modest locally, a real deployment would raise it (or rely on
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+- Arrow execution for the few Pandas-UDF paths (similarity search fallback,
+  multimodal decode) — JVM<->Python transfer is columnar, not per-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "dudb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    Parameters are overridable for tests; production deployments submit with
+    their own master/resource config and only inherit the SQL confs.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{_LOCAL_CPUS}]")
+        # --- adaptive execution: the scale story ------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing --------------------------------------------
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(_LOCAL_CPUS)),
+        )
+        # --- python interop --------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: parquet splits sized for executor memory ------
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- keep the driver UI off in tests/benchmarks -----------------
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        # timestamps in fixtures are naive; pin session TZ for determinism
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
