@@ -153,9 +153,11 @@ def q05_region_revenue(spark, sf_dir):
 
 
 def q06_customers_without_orders(spark, sf_dir):
-    """J2/§2.7: anti-join (deletion-detection shape, analyze.go:383–424)."""
+    """J2/§2.7: anti-join (deletion-detection shape, analyze.go:383–424).
+    Date-restricted so the result is non-trivial at every scale factor:
+    customers with no orders since 2000."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2000-01-01")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -317,6 +319,193 @@ def q15_events_hourly(spark, sf_dir):
     )
 
 
+def q16_minhash_dedup(spark, sf_dir):
+    """Pipeline/dedup: MinHash+LSH candidate pairs verified with exact
+    n-gram Jaccard (no oracle — the LSH banding depends on xxhash64, which
+    DuckDB cannot replicate; the driver records a rows-only check)."""
+    from dudb_spark.pipeline.dedup import minhash_candidates, ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    # strong candidates only (est ≥ 0.5) so the exact-Jaccard verification
+    # joins touch a tiny pair set, not every banding collision
+    cand = minhash_candidates(d, num_perm=32, bands=8).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    return (
+        ngram_jaccard(d, cand)
+        .where(F.col("jaccard") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q17_ann_cosine_topk(spark, sf_dir):
+    """Pipeline/similarity: exact brute-force top-10 by cosine against one
+    query vector (TakeOrderedAndProject — no full sort)."""
+    from dudb_spark.pipeline.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").collect()[0]["embedding"]
+    return brute_force_topk(emb.where("vec_id != 0"), q, k=10)
+
+
+def q18_ann_batch_topk(spark, sf_dir):
+    """Pipeline/similarity: batch k-NN — 20 query vectors broadcast against
+    the corpus, ranked per query by a partitioned window."""
+    from dudb_spark.pipeline.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("cv")
+    )
+    joined = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("cv"), F.col("qv"))), "vec_id"
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q19_simhash_near_dup(spark, sf_dir):
+    """Pipeline/dedup: SimHash Hamming-distance near-dup pairs via the
+    pigeonhole block join (rows-only: depends on xxhash64)."""
+    from dudb_spark.pipeline.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=7).orderBy("id_a", "id_b")
+
+
+def q20_language_id(spark, sf_dir):
+    """Pipeline/text: stopword-voting language ID per document."""
+    from dudb_spark.pipeline.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", language_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def q21_quality_score(spark, sf_dir):
+    """Pipeline/text: composite per-document quality score."""
+    from dudb_spark.pipeline.text import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries over the committed fs fixtures (fixtures/fs/):
+# the engine's own find/stats operators, oracle-checked value-exact.  The
+# DuckDB side reads the same Parquet via read_parquet on the absolute path.
+# ---------------------------------------------------------------------------
+
+FS_FIX = "/root/repo/fixtures/fs"
+
+
+def _fs(spark, table):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{FS_FIX}/{table}.parquet")
+
+
+def q22_fs_find(spark, sf_dir):
+    """§3.3 find: subtree restriction + compiled predicate, ordered."""
+    from dudb_spark.operators.find import find
+
+    return find(
+        _fs(spark, "prefixes"),
+        _fs(spark, "entries"),
+        root="/tree/d0-0",
+        expr="user=100 && (type=f || type=l) && name=f1-*",
+    ).select("path", "is_prefix")
+
+
+def q23_fs_stats_totals(spark, sf_dir):
+    """§3.2 stats compute: per-prefix totals incl. hardlink counters."""
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    return res.per_prefix.orderBy("prefix")
+
+
+def q24_fs_stats_per_user(spark, sf_dir):
+    """A2/A5: per-(prefix, uid) grouped totals."""
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    return res.per_user.select(
+        "prefix", "id", "files", "prefixes", "sub_prefixes", "bytes",
+        "storage_bytes", "prefix_bytes", "hardlinks",
+    ).orderBy("prefix", "id")
+
+
+def q25_fs_top_by_user(spark, sf_dir):
+    """A3/A4: by-user grand totals + global totals invariant surface."""
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    return res.by_id("user").select(
+        "id", "files", "bytes", "storage_bytes", "hardlinks"
+    ).orderBy("id")
+
+
+_FS_CONTRIB_SQL = f"""
+    WITH pfx AS (
+        SELECT * FROM read_parquet('{FS_FIX}/prefixes.parquet/*.parquet')
+    ), ent AS (
+        SELECT * FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+    ), pfx_m AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY device, inode ORDER BY path) > 1
+               AS is_dup
+        FROM pfx
+    ), ok AS (
+        SELECT * FROM pfx_m WHERE NOT is_dup
+    ), ent_m AS (
+        SELECT e.*, p.uid AS puid, p.gid AS pgid
+        FROM ent e JOIN ok p ON e.parent = p.path
+    ), files AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY device, inode ORDER BY path) > 1
+               AS is_dup
+        FROM ent_m WHERE NOT is_dir
+    ), contrib AS (
+        SELECT path AS prefix, uid AS cuid, 0 AS files, 1 AS prefixes,
+               0 AS sub_prefixes, size AS bytes, size AS storage_bytes,
+               size AS prefix_bytes, 0 AS hardlinks, 0 AS hardlink_dirs
+        FROM ok
+        UNION ALL
+        SELECT path, NULL, 0, 1, 0, 0, 0, 0, 0, 1 FROM pfx_m WHERE is_dup
+        UNION ALL
+        SELECT parent, puid, 0, 0, 1, 0, 0, 0, 0, 0 FROM ent_m WHERE is_dir
+        UNION ALL
+        SELECT parent, uid, 0, 0, 0, 0, 0, 0, 1, 0 FROM files WHERE is_dup
+        UNION ALL
+        SELECT parent, uid, 1, 0, 0, size, size, 0, 0, 0
+        FROM files WHERE NOT is_dup
+    )
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -333,6 +522,16 @@ QUERIES: dict[str, Callable] = {
     "q13_token_stats_by_lang": q13_token_stats_by_lang,
     "q14_doc_quality": q14_doc_quality,
     "q15_events_hourly": q15_events_hourly,
+    "q16_minhash_dedup": q16_minhash_dedup,
+    "q17_ann_cosine_topk": q17_ann_cosine_topk,
+    "q18_ann_batch_topk": q18_ann_batch_topk,
+    "q19_simhash_near_dup": q19_simhash_near_dup,
+    "q20_language_id": q20_language_id,
+    "q21_quality_score": q21_quality_score,
+    "q22_fs_find": q22_fs_find,
+    "q23_fs_stats_totals": q23_fs_stats_totals,
+    "q24_fs_stats_per_user": q24_fs_stats_per_user,
+    "q25_fs_top_by_user": q25_fs_top_by_user,
 }
 
 ORACLE: dict[str, str] = {
@@ -386,7 +585,10 @@ ORACLE: dict[str, str] = {
     "q06_customers_without_orders": """
         SELECT c_custkey, c_name
         FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        )
         ORDER BY c_custkey
     """,
     "q07_hardlink_style_dedup": """
@@ -476,6 +678,134 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
         ORDER BY hour, event_type
+    """,
+    # q16/q19 intentionally omitted: LSH banding and SimHash depend on
+    # xxhash64, which DuckDB cannot replicate → rows-only checks.
+    "q17_ann_cosine_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """,
+    "q18_ann_batch_topk": """
+        SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                                / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                                   * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) DESC,
+                                c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 20
+        )
+        WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+    "q20_language_id": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), hits AS (
+            SELECT doc_id,
+                   len(list_filter(t, x -> x IN ('der','die','und','das','ist','ein','nicht'))) AS h_de,
+                   len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it'))) AS h_en,
+                   len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es'))) AS h_es,
+                   len(list_filter(t, x -> x IN ('le','la','de','et','un','est','que','les'))) AS h_fr
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM hits
+        ORDER BY doc_id
+    """,
+    "q21_quality_score": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) AS alpha,
+                   CASE WHEN len(t) BETWEEN 20 AND 2000 THEN 1.0
+                        WHEN len(t) < 20 THEN CAST(len(t) AS DOUBLE) / 20
+                        ELSE 0.5 END AS len_band
+            FROM base
+        )
+        SELECT doc_id, n_tokens,
+               ROUND((ttr + alpha + len_band) / 3, 6) AS quality
+        FROM m
+        ORDER BY doc_id
+    """,
+    "q22_fs_find": f"""
+        WITH pfx AS (
+            SELECT * FROM read_parquet('{FS_FIX}/prefixes.parquet/*.parquet')
+        ), ent AS (
+            SELECT * FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+        )
+        -- prefix granularity: type=f is always false for a directory row,
+        -- type=l tests the symlink mode bit; no prefix rows qualify here
+        SELECT path, TRUE AS is_prefix FROM pfx
+        WHERE (path = '/tree/d0-0' OR path LIKE '/tree/d0-0/%')
+          AND uid = 100 AND (mode & 134217728) != 0
+          AND (regexp_matches(string_split(path, '/')[-1], '^f1-[^/]*$')
+               OR regexp_matches(path, '^f1-[^/]*$'))
+        UNION ALL
+        SELECT path, FALSE AS is_prefix FROM ent
+        WHERE (parent = '/tree/d0-0' OR parent LIKE '/tree/d0-0/%')
+          AND NOT is_dir AND uid = 100
+          AND ((NOT is_dir AND (mode & 134217728) = 0)
+               OR (mode & 134217728) != 0)
+          AND (regexp_matches(name, '^f1-[^/]*$')
+               OR regexp_matches(path, '^f1-[^/]*$'))
+        ORDER BY path
+    """,
+    "q23_fs_stats_totals": _FS_CONTRIB_SQL
+    + """
+        SELECT prefix,
+               SUM(files) AS files, SUM(prefixes) AS prefixes,
+               SUM(sub_prefixes) AS sub_prefixes, SUM(bytes) AS bytes,
+               SUM(storage_bytes) AS storage_bytes,
+               SUM(prefix_bytes) AS prefix_bytes,
+               SUM(hardlinks) AS hardlinks,
+               SUM(hardlink_dirs) AS hardlink_dirs
+        FROM contrib GROUP BY prefix ORDER BY prefix
+    """,
+    "q24_fs_stats_per_user": _FS_CONTRIB_SQL
+    + """
+        SELECT prefix, cuid AS id,
+               SUM(files) AS files, SUM(prefixes) AS prefixes,
+               SUM(sub_prefixes) AS sub_prefixes, SUM(bytes) AS bytes,
+               SUM(storage_bytes) AS storage_bytes,
+               SUM(prefix_bytes) AS prefix_bytes,
+               SUM(hardlinks) AS hardlinks
+        FROM contrib WHERE cuid IS NOT NULL
+        GROUP BY prefix, cuid ORDER BY prefix, id
+    """,
+    "q25_fs_top_by_user": _FS_CONTRIB_SQL
+    + """
+        SELECT cuid AS id, SUM(files) AS files, SUM(bytes) AS bytes,
+               SUM(storage_bytes) AS storage_bytes,
+               SUM(hardlinks) AS hardlinks
+        FROM contrib WHERE cuid IS NOT NULL
+        GROUP BY cuid ORDER BY id
     """,
 }
 

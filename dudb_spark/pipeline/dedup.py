@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point — these run on 100 TB corpora):
+
+- **Exact**: hash-groupBy on a normalized fingerprint.  One shuffle on the
+  16-byte hash; map-side partial aggregation collapses most groups early.
+- **MinHash+LSH**: signatures are computed scan-side with native
+  higher-order functions (xxhash64 + affine permutations — no Python, no
+  UDF).  Banding turns the quadratic all-pairs problem into an equi-join on
+  (band_idx, band_hash): candidate generation is ONE shuffle whose keys are
+  band buckets, and only bucket-mates are paired.  Bucket skew (a boilerplate
+  band shared by millions of docs) is the classic hazard — ``max_bucket``
+  caps pathological buckets (AQE skew-join handles moderate skew).
+- **SimHash**: 64-bit signature via per-bit majority vote, computed with
+  higher-order functions; near-dup = signatures within Hamming distance k,
+  found by the 4-block pigeonhole trick (equi-join per block, not a cross
+  join).
+- **n-gram Jaccard**: exact verification primitive used on LSH candidates —
+  never on all pairs.
+- **Embedding near-dup**: delegates to similarity.py's LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dudb_spark.pipeline.text import fingerprint, tokens
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus; keeps affine
+# permutation values positive in signed-64 arithmetic.
+_P = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup groups: one row per distinct normalized content with the
+    deterministic canonical id (min id) and copy count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of the text (token-level w-shingling)."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, num_perm: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature as an array<long> of length ``num_perm``.
+
+    Base hash = the low 32 bits of xxhash64(shingle); permutation i applies
+    a fixed affine map ``(a_i * h + b_i) mod P`` with 30-bit coefficients so
+    the product stays below 2^62 (Spark 4 runs ANSI mode — long overflow
+    throws, so operand widths are chosen to make overflow impossible).
+    All JVM-side.
+    """
+    base = F.transform(
+        shingle_col,
+        lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit(0xFFFFFFFF)),
+    )
+    import random
+
+    rnd = random.Random(seed)
+    mins = []
+    for _ in range(num_perm):
+        a = rnd.randrange(1, 1 << 30)
+        b = rnd.randrange(0, 1 << 30)
+        mins.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)),
+                )
+            )
+        )
+    return F.array(*mins)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    rows-per-band r = num_perm/bands; two docs collide iff some band of
+    their signatures is identical.  est_jaccard = matching signature
+    positions / num_perm, computed only for candidates.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_k), num_perm, seed).alias(
+            "sig"
+        ),
+    )
+
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # cap pathological buckets (boilerplate shingle sets) before pairing
+    bucket_sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    banded = banded.join(
+        bucket_sizes.where(F.col("_n") <= max_bucket), ["band", "bucket"]
+    )
+
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (two broadcast-friendly
+    joins back to the shingle sets; only candidates pay the set cost).
+    The shingle frame is semi-join-pruned to docs that appear in any pair,
+    so the expensive shingling runs over the candidate set, not the corpus."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(ids, "id", "left_semi")
+        .select("id", shingles(F.col(text_col), shingle_k).alias("sh"))
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash(text: Column, seed: int = 42, bits: int = 64) -> Column:
+    """64-bit SimHash as a signed long: per-bit majority vote over token
+    hashes, all with higher-order functions (no UDF, no explode).  The bit
+    index is a Python-side loop (shift amounts must be literals), so the
+    expression tree is ``bits`` fixed aggregates over the token-hash array.
+    """
+    t = tokens(text)
+    h = F.transform(t, lambda x: F.xxhash64(x, F.lit(seed)))
+
+    def vote_for_bit(i: int):
+        # factory closure: higher-order-function lambdas must take exactly
+        # (acc, v) — a defaulted third parameter trips the arity check
+        return F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc
+            + F.when(
+                F.shiftright(v, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = vote_for_bit(i)
+        # bit 63 of a signed long is the sign bit: its literal is min-long
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, using the pigeonhole
+    block trick: split the 64-bit signature into k+1 blocks; any pair within
+    distance k agrees exactly on ≥1 block → equi-join per block, then verify
+    the true Hamming distance with bit_count(xor)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+
+    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), seed).alias("sh"))
+    # shift amounts must be literals → build the block array Python-side
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.shiftright(F.col("sh"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
+        )
+        for b in range(nblocks)
+    ]
+    blocks = sig.select(
+        "id", "sh", F.explode(F.array(*block_structs)).alias("bv")
+    ).select("id", "sh", F.col("bv.block").alias("block"), F.col("bv.val").alias("val"))
+
+    a = blocks.select("block", "val", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = blocks.select("block", "val", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["block", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
+    )

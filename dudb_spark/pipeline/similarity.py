@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring what a 100 TB vector corpus needs:
+
+- **Brute-force top-k** (the exactness baseline): a single scan computing
+  cosine against a broadcast query vector with native higher-order
+  functions, then TakeOrderedAndProject for the top-k — no UDF, no
+  collect-side compute, no full sort.
+- **Random-hyperplane LSH bucketing** (the scale path): each vector gets a
+  b-bit signature from the signs of dot products with fixed random
+  hyperplanes; neighbour search only scans matching (or Hamming-adjacent)
+  buckets, turning O(N) per query into O(N / 2^b) expected.  The same
+  signature column doubles as the blocking key for embedding-cosine
+  near-dup joins (pairs within a bucket only).
+
+Dot products on 64-dim arrays stay JVM-side via zip_with/aggregate; for
+very wide vectors a vectorized Pandas-UDF path would amortize better, but
+64–1024 dims is comfortably in higher-order-function territory.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.  The query is a plan
+    literal (broadcast by construction); orderBy+limit compiles to
+    TakeOrderedAndProject, so only k rows per partition survive the scan."""
+    q = _lit_vec(query_vec)
+    emb = _as_double(F.col(vec_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(emb, q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column, dim: int, bits: int = 16, seed: int = 42
+) -> Column:
+    """b-bit random-hyperplane (SRP) signature as a long.  Hyperplane
+    coefficients are a deterministic function of the seed, so signatures are
+    stable across runs/engines."""
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    v = _as_double(vec_col)
+    bit_terms = [
+        F.when(dot(v, _lit_vec(p)) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i, p in enumerate(planes)
+    ]
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig.bitwiseOR(t)
+    return sig
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose SRP signature is within
+    ``max_hamming`` bits of the query's signature.  With a pre-materialized
+    signature column (and the table partitioned/bucketed by it) this prunes
+    the scan itself; here the filter still skips the cosine work for
+    non-matching rows."""
+    dim = len(query_vec)
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(bits * 0 + dim)] for _ in range(bits)]
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(px * float(qx) for px, qx in zip(p, query_vec)) >= 0:
+            qsig |= 1 << i
+
+    sig = hyperplane_signature(F.col(vec_col), dim, bits, seed)
+    near = F.bit_count(sig.bitwiseXOR(F.lit(qsig).cast("long"))) <= max_hamming
+    q = _lit_vec(query_vec)
+    emb = _as_double(F.col(vec_col))
+    return (
+        df.where(near)
+        .select(F.col(id_col), F.round(cosine(emb, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP blocking: only pairs
+    sharing a signature bucket are compared (one equi-join shuffle keyed by
+    the signature), then exact cosine filters by threshold."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), dim, bits, seed).alias("sig"),
+    )
+    a = sig.select("sig", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = sig.select("sig", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    cos = cosine(_as_double(F.col("v_a")), _as_double(F.col("v_b")))
+    return (
+        a.join(b, "sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,84 @@
+"""Streaming event rollups: the Structured-Streaming form of the engine's
+windowed aggregations.
+
+The reference has no streaming operators (SURVEY.md §2.9); its closest
+analogues are the progress-rate tracker (progress.go:235–316) and the
+incremental re-run.  This module is the idiomatic-Spark extension: the same
+tumbling-window aggregation the batch path runs (``q15_events_hourly``)
+expressed over ``readStream``, with a watermark bounding state for late
+data.  The aggregation plan is identical batch vs stream — Catalyst reuses
+the partial/final hash-aggregate physical strategy with streaming state
+backing — so correctness can be asserted by equality with the batch result
+(see tests/test_streaming.py).
+
+At scale: the watermark bounds state store size (one entry per open window ×
+event_type), and ``availableNow`` triggers give batch-sized reprocessing
+with streaming semantics (the modern replacement for incremental re-runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet/json drops —
+    the pattern for continuously-landing event data."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window × event_type counts and sums.  Works on both
+    batch and streaming frames; on a stream the watermark lets Spark expire
+    window state once event time passes window_end + watermark."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_rollup_to_memory(
+    spark, source_dir: str, query_name: str = "rollup", watermark: str = "2 hours"
+):
+    """Drive the streaming rollup over all currently-available files
+    (availableNow) into an in-memory sink; returns the StreamingQuery."""
+    stream = stream_events(spark, source_dir)
+    agg = hourly_rollup(stream, watermark)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,147 @@
+"""Crawler + incremental merge tests, modelled on the reference's e2e
+incremental suite (analyze_test.go:222–338): build a real tree, crawl it,
+verify records against live lstat; mutate; re-crawl; assert the
+added/changed/unchanged/deleted counters."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dudb_spark.model import ENTRIES_SCHEMA, PREFIXES_SCHEMA
+from dudb_spark.operators.ingest import merge_scan
+from dudb_spark.sources.crawler import crawl_distributed, crawl_local
+
+
+@pytest.fixture()
+def fs_tree(tmp_path):
+    """depth-2 tree with files, a symlink, and a hardlink pair."""
+    root = tmp_path / "tree"
+    for d in ["a", "a/sub", "b"]:
+        (root / d).mkdir(parents=True)
+    for p, content in [
+        ("f0.txt", "hello"),
+        ("a/f1.log", "log line"),
+        ("a/sub/f2.txt", "deep"),
+        ("b/f3.txt", "bee"),
+    ]:
+        (root / p).write_text(content)
+    os.symlink("f0.txt", root / "s0")
+    os.link(root / "f0.txt", root / "b" / "hard0")
+    return str(root)
+
+
+def test_crawl_local_matches_lstat(fs_tree):
+    prows, erows, errs = crawl_local(fs_tree)
+    assert errs == []
+    by_path = {r["path"]: r for r in prows}
+    assert set(by_path) == {
+        fs_tree,
+        f"{fs_tree}/a",
+        f"{fs_tree}/a/sub",
+        f"{fs_tree}/b",
+    }
+    # verify every entry against a live lstat (analyze_test.go:84–128)
+    for e in erows:
+        st = os.lstat(e["path"])
+        assert e["size"] == st.st_size
+        assert e["inode"] == st.st_ino
+        assert e["uid"] == st.st_uid
+    # hardlink pair shares (device, inode)
+    ent = {e["path"]: e for e in erows}
+    assert (
+        ent[f"{fs_tree}/f0.txt"]["inode"] == ent[f"{fs_tree}/b/hard0"]["inode"]
+    )
+    # symlink recorded, not descended; depth filled relative to root
+    assert any(e["name"] == "s0" for e in erows)
+    assert by_path[f"{fs_tree}/a/sub"]["depth"] == 2
+
+
+def test_crawl_distributed_equals_local(spark, fs_tree):
+    prows, erows, _ = crawl_local(fs_tree)
+    pdf, edf, errdf = crawl_distributed(spark, fs_tree)
+    assert sorted(r["path"] for r in pdf.collect()) == sorted(
+        r["path"] for r in prows
+    )
+    assert sorted((r["path"], r["size"]) for r in edf.collect()) == sorted(
+        (r["path"], r["size"]) for r in erows
+    )
+    assert errdf.count() == 0
+
+
+def test_crawl_exclusions(fs_tree):
+    prows, erows, _ = crawl_local(fs_tree, exclusions=[r"/a$", r"/a/"])
+    paths = {r["path"] for r in prows}
+    assert f"{fs_tree}/a" not in paths and f"{fs_tree}/a/sub" not in paths
+    assert all("/a/" not in e["path"] for e in erows)
+
+
+def _dfs(spark, rows_p, rows_e):
+    return (
+        spark.createDataFrame(rows_p, PREFIXES_SCHEMA),
+        spark.createDataFrame(rows_e, ENTRIES_SCHEMA),
+    )
+
+
+def test_incremental_merge(spark, fs_tree):
+    p0, e0, _ = crawl_local(fs_tree)
+    prev_p, prev_e = _dfs(spark, p0, e0)
+
+    # phase 2: add a file under b/, add a new dir c/, delete a/sub
+    with open(f"{fs_tree}/b/f4.txt", "w") as f:
+        f.write("new")
+    os.mkdir(f"{fs_tree}/c")
+    with open(f"{fs_tree}/c/f5.txt", "w") as f:
+        f.write("in c")
+    shutil.rmtree(f"{fs_tree}/a/sub")
+
+    p1, e1, _ = crawl_local(fs_tree)
+    new_p, new_e = _dfs(spark, p1, e1)
+
+    res = merge_scan(prev_p, prev_e, new_p, new_e, root=fs_tree)
+    s = res.summary
+    assert s["prefixes_added"] == 1  # c
+    assert s["prefixes_deleted"] == 1  # a/sub
+    # b and root changed (new child / removed child); a changed (rmdir
+    # updates a's mtime)
+    assert s["prefixes_changed"] >= 2
+    assert s["parent_unchanged"] >= 0
+
+    # merged snapshot equals the fresh crawl exactly (same tree state)
+    assert sorted(r["path"] for r in res.prefixes.collect()) == sorted(
+        r["path"] for r in p1
+    )
+    assert sorted(r["path"] for r in res.entries.collect()) == sorted(
+        r["path"] for r in e1
+    )
+    # deleted subtree is gone
+    assert res.prefixes.where(
+        F.col("path") == f"{fs_tree}/a/sub"
+    ).count() == 0
+
+
+def test_incremental_noop_rescan(spark, fs_tree):
+    p0, e0, _ = crawl_local(fs_tree)
+    prev_p, prev_e = _dfs(spark, p0, e0)
+    # identical re-scan: everything unchanged, nothing deleted/added
+    res = merge_scan(prev_p, prev_e, prev_p, prev_e, root=fs_tree)
+    s = res.summary
+    assert s["prefixes_added"] == 0
+    assert s["prefixes_deleted"] == 0
+    assert s["prefixes_changed"] == 0
+    assert s["parent_unchanged"] == len(p0)
+
+
+def test_merge_reuses_entries_of_unchanged_dirs(spark, fs_tree):
+    """Staged entries omit unchanged dirs' children (incremental scanners
+    don't re-stat them) — the merge must take them from the previous
+    snapshot."""
+    p0, e0, _ = crawl_local(fs_tree)
+    prev_p, prev_e = _dfs(spark, p0, e0)
+    staged_e = [e for e in e0 if e["parent"] == fs_tree]  # only root's own
+    new_p, new_e = _dfs(spark, p0, staged_e)
+    res = merge_scan(prev_p, prev_e, new_p, new_e, root=fs_tree)
+    assert res.entries.count() == len(e0)

@@ -1,0 +1,142 @@
+"""Tests for the LLM-pipeline operators (dedup, similarity, text,
+multimodal plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dudb_spark.pipeline import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (2, "a completely different document about spark query engines and scale"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (4, "der schnelle braune fuchs springt und die hunde sind nicht da"),
+        (5, "el rapido zorro marron salta y los perros no estan en la casa"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    res = {
+        r["canonical_id"]: r["n_copies"]
+        for r in dedup.exact_duplicates(docs).collect()
+    }
+    assert res[0] == 2  # docs 0 and 3 identical
+    assert res[1] == 1
+
+
+def test_minhash_finds_near_dups(docs):
+    cand = dedup.minhash_candidates(docs, num_perm=64, bands=32)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand.collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # identical docs
+    assert (0, 1) in pairs  # one-token difference
+    ver = dedup.ngram_jaccard(docs, cand)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ver.collect()}
+    assert j[(0, 3)] == 1.0
+    assert 0.5 < j[(0, 1)] < 1.0
+    # unrelated docs should not be candidate-paired with high estimate
+    assert pairs.get((0, 2), 0.0) < 0.3
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 3)) == 0  # identical → distance 0
+    assert (0, 1) in got  # near-identical → small distance
+    assert (0, 2) not in got and (2, 4) not in got
+
+
+def test_simhash_column_deterministic(docs):
+    a = docs.select(dedup.simhash(F.col("text")).alias("s")).collect()
+    b = docs.select(dedup.simhash(F.col("text")).alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+
+    got = similarity.brute_force_topk(emb.where("vec_id != 0"), q, k=5).collect()
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want = sorted(
+        ((vid, round(cos(v, q), 6)) for vid, v in vecs.items() if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r["vec_id"], round(r["cosine"], 6)) for r in got] == [
+        (v, pytest.approx(c, abs=2e-6)) for v, c in want
+    ]
+
+
+def test_lsh_topk_is_subset_with_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id = 0").collect()[0]["embedding"]
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(
+        emb.where("vec_id != 0"), q, k=10).collect()]
+    approx = similarity.lsh_bucketed_topk(
+        emb.where("vec_id != 0"), q, k=10, bits=8, max_hamming=2
+    ).collect()
+    ids = [r["vec_id"] for r in approx]
+    assert len(ids) > 0
+    # SRP with hamming-2 expansion should recover a decent chunk of top-10
+    assert len(set(ids) & set(brute)) >= 3
+
+
+def test_cosine_near_dup_pairs(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # construct one exact duplicate pair: copy vec 0 as id 9999
+    dup = emb.where("vec_id = 0").select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    pairs = similarity.cosine_near_dup_pairs(
+        emb.unionByName(dup), threshold=0.999
+    ).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 9999 for r in pairs)
+
+
+def test_text_annotate(spark, docs):
+    ann = text.annotate(docs).collect()
+    by_id = {r["doc_id"]: r for r in ann}
+    assert by_id[0]["n_tokens"] == 13
+    assert by_id[0]["lang_pred"] == "en"
+    assert by_id[4]["lang_pred"] == "de"
+    assert by_id[5]["lang_pred"] == "es"
+    assert by_id[0]["fingerprint"] == by_id[3]["fingerprint"]
+    assert 0 < by_id[0]["quality"] <= 1.0
+    # ttr: doc 0 has 13 tokens, 'the' appears 3x → 11 distinct
+    assert by_id[0]["ttr"] == round(11 / 13, 6)
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=32)
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 32
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feature"])
+    # deterministic: same payload → same feature
+    again = multimodal.extract_features(media, dim=8).collect()
+    assert sorted(map(tuple, (r["feature"] for r in feats))) == sorted(
+        map(tuple, (r["feature"] for r in again))
+    )
+
+    stats = multimodal.media_stats(media).collect()
+    assert stats[0]["media_type"] == "image" and stats[0]["n_items"] == 32
+
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        multimodal.extract_features(media, strict=True).collect()

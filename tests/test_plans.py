@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the scale contract.
+
+These tests pin the plan shapes that make the engine viable at 100 TB:
+filters pushed to the Parquet scan, column pruning, broadcast joins for tiny
+dims, TakeOrderedAndProject for top-N (never a full sort), and map-side
+partial aggregation.  A regression here is a performance bug even when
+results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from dudb_spark.model import FsTables
+from dudb_spark.operators.find import find
+from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_find_pushes_filters_to_scan(spark, fs_dir):
+    t = FsTables(spark, fs_dir)
+    df = find(t.prefixes, t.entries, root="/tree/d0-0", expr="user=100")
+    plan = plan_of(df)
+    # subtree + uid predicates must reach the parquet scan
+    assert "PushedFilters" in plan
+    assert "StringStartsWith(path,/tree/d0-0" in plan.replace("'", "")
+    assert "EqualTo(uid,100)" in plan
+
+
+def test_find_prunes_columns(spark, fs_dir):
+    t = FsTables(spark, fs_dir)
+    df = find(t.prefixes, t.entries, root="/tree", expr="user=100")
+    plan = plan_of(df)
+    # short listing needs path/uid/is_dir/parent only — mtime/inode/mode
+    # must not be read from either scan
+    for scan_schema in [s for s in plan.split("ReadSchema: ")[1:]]:
+        first_line = scan_schema.splitlines()[0]
+        assert "mtime" not in first_line
+        assert "inode" not in first_line
+
+
+def test_topn_uses_take_ordered(spark, fs_dir):
+    t = FsTables(spark, fs_dir)
+    res = compute_stats(t.prefixes, t.entries, StatsOptions())
+    plan = plan_of(res.top_prefixes("bytes", 5))
+    # bounded top-N directly above the aggregate — not Sort + GlobalLimit
+    # (window-internal sorts for the hardlink dedup are fine and partition-
+    # local, with WindowGroupLimit pre-pruning)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stats_uses_partial_aggregation(spark, fs_dir):
+    t = FsTables(spark, fs_dir)
+    res = compute_stats(t.prefixes, t.entries, StatsOptions())
+    plan = plan_of(res.per_prefix)
+    # partial (map-side) + final hash aggregate pairs around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_broadcast_join_for_dims(spark, fs_dir):
+    t = FsTables(spark, fs_dir)
+    from dudb_spark.operators.ops import with_names
+
+    res = compute_stats(t.prefixes, t.entries, StatsOptions())
+    named = with_names(res.by_id("user"), users=t.users, dim="user")
+    plan = plan_of(named)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_events_timerange_pushdown(spark):
+    import __spark_entry__ as m
+
+    df = m._events(spark, "/root/testdata/sf0.001").where(
+        F.col("ts") >= "2024-01-10 00:00:00"
+    )
+    plan = plan_of(df.select("event_id"))
+    # ts is reconstructed from the nanos long, so the filter can't push to
+    # parquet — but the scan must still prune to the two needed columns
+    first = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "event_type" not in first and "props" not in first
