@@ -384,7 +384,9 @@ def q19_simhash_near_dup(spark, sf_dir):
     from dudb_spark.pipeline.dedup import simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=7).orderBy("id_a", "id_b")
+    # hamming ≤ 3 → 4 blocks of 16 bits: selective buckets keep the
+    # pigeonhole join near-linear even on shared-vocabulary corpora
+    return simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def q20_language_id(spark, sf_dir):

@@ -35,7 +35,7 @@ def main():
         df = fn(spark, sf_dir)
         n = df.count() if name.startswith("_") else len(df.collect())
         times[name] = round(time.perf_counter() - t0, 3)
-        del n
+        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
     print(

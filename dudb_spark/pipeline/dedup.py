@@ -56,21 +56,31 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(
-    shingle_col: Column, num_perm: int = 64, seed: int = 42
-) -> Column:
-    """MinHash signature as an array<long> of length ``num_perm``.
+def shingle_hashes(text: Column, k: int = 3, seed: int = 42) -> Column:
+    """Distinct 32-bit shingle hashes (array<long>) — the MinHash base.
 
-    Base hash = the low 32 bits of xxhash64(shingle); permutation i applies
-    a fixed affine map ``(a_i * h + b_i) mod P`` with 30-bit coefficients so
-    the product stays below 2^62 (Spark 4 runs ANSI mode — long overflow
-    throws, so operand widths are chosen to make overflow impossible).
-    All JVM-side.
-    """
-    base = F.transform(
-        shingle_col,
-        lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit(0xFFFFFFFF)),
+    Materialize this ONCE (its own select/projection) before fanning out to
+    the per-permutation mins: referencing it as a plain column keeps
+    Catalyst from inlining the whole shingling expression into each of the
+    ``num_perm`` min computations (CollapseProject does not merge a
+    multiply-referenced non-trivial alias, so the boundary holds)."""
+    return F.array_distinct(
+        F.transform(
+            shingles(text, k),
+            lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit(0xFFFFFFFF)),
+        )
     )
+
+
+def minhash_signature(base_hashes: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """MinHash signature as an array<long> of length ``num_perm`` over a
+    pre-computed base-hash array (see :func:`shingle_hashes`).
+
+    Permutation i applies a fixed affine map ``(a_i * h + b_i) mod P`` with
+    30-bit coefficients so the product stays below 2^62 (Spark 4 runs ANSI
+    mode — long overflow throws, so operand widths make overflow
+    impossible).  All JVM-side.
+    """
     import random
 
     rnd = random.Random(seed)
@@ -81,7 +91,7 @@ def minhash_signature(
         mins.append(
             F.array_min(
                 F.transform(
-                    base,
+                    base_hashes,
                     lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)),
                 )
             )
@@ -108,11 +118,14 @@ def minhash_candidates(
     assert num_perm % bands == 0
     r = num_perm // bands
 
-    sig = df.select(
+    # two projection steps: base hashes once per row, then the signature —
+    # without the boundary every permutation would re-shingle the text
+    base = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_k), num_perm, seed).alias(
-            "sig"
-        ),
+        shingle_hashes(F.col(text_col), shingle_k, seed).alias("base"),
+    )
+    sig = base.select(
+        "id", minhash_signature(F.col("base"), num_perm, seed).alias("sig")
     )
 
     banded = sig.select(
@@ -196,14 +209,17 @@ def ngram_jaccard(
     )
 
 
-def simhash(text: Column, seed: int = 42, bits: int = 64) -> Column:
-    """64-bit SimHash as a signed long: per-bit majority vote over token
-    hashes, all with higher-order functions (no UDF, no explode).  The bit
-    index is a Python-side loop (shift amounts must be literals), so the
-    expression tree is ``bits`` fixed aggregates over the token-hash array.
-    """
-    t = tokens(text)
-    h = F.transform(t, lambda x: F.xxhash64(x, F.lit(seed)))
+def token_hashes(text: Column, seed: int = 42) -> Column:
+    """Per-token xxhash64 array — the SimHash base.  Materialize once
+    (own projection) before the 64 per-bit aggregates reference it."""
+    return F.transform(tokens(text), lambda x: F.xxhash64(x, F.lit(seed)))
+
+
+def simhash_from_hashes(h: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over a pre-computed token-hash array: per-bit majority
+    vote with higher-order functions (no UDF, no explode).  The bit index is
+    a Python-side loop (shift amounts must be literals), so the expression
+    tree is ``bits`` fixed aggregates over the hash array."""
 
     def vote_for_bit(i: int):
         # factory closure: higher-order-function lambdas must take exactly
@@ -230,6 +246,13 @@ def simhash(text: Column, seed: int = 42, bits: int = 64) -> Column:
     return sig
 
 
+def simhash(text: Column, seed: int = 42, bits: int = 64) -> Column:
+    """Single-expression SimHash over raw text.  Convenience form; for bulk
+    use prefer token_hashes() in its own projection + simhash_from_hashes()
+    so the tokenization isn't inlined into all ``bits`` aggregates."""
+    return simhash_from_hashes(token_hashes(text, seed), bits)
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -244,7 +267,9 @@ def simhash_near_duplicates(
     nblocks = max_hamming + 1
     width = 64 // nblocks
 
-    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), seed).alias("sh"))
+    sig = df.select(
+        F.col(id_col).alias("id"), token_hashes(F.col(text_col), seed).alias("th")
+    ).select("id", simhash_from_hashes(F.col("th")).alias("sh"))
     # shift amounts must be literals → build the block array Python-side
     block_structs = [
         F.struct(
