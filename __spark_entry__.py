@@ -508,6 +508,52 @@ _FS_CONTRIB_SQL = f"""
 """
 
 
+def q26_json_props(spark, sf_dir):
+    """F-extension: semi-structured JSON column extraction (events.props),
+    grouped — JSON path eval stays JVM-side (get_json_object)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q27_fs_merged_topn(spark, sf_dir):
+    """A6: Heaps.Merge — one row per prefix appearing in ANY of the five
+    per-metric top-N rankings, computed in one window pass."""
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    return res.merged_top(3).orderBy("prefix")
+
+
+def q28_brand_revenue(spark, sf_dir):
+    """J3 variant: fact ⋈ broadcast(part dim) rollup by brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _money(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -534,6 +580,9 @@ QUERIES: dict[str, Callable] = {
     "q23_fs_stats_totals": q23_fs_stats_totals,
     "q24_fs_stats_per_user": q24_fs_stats_per_user,
     "q25_fs_top_by_user": q25_fs_top_by_user,
+    "q26_json_props": q26_json_props,
+    "q27_fs_merged_topn": q27_fs_merged_topn,
+    "q28_brand_revenue": q28_brand_revenue,
 }
 
 ORACLE: dict[str, str] = {
@@ -808,6 +857,49 @@ ORACLE: dict[str, str] = {
                SUM(hardlinks) AS hardlinks
         FROM contrib WHERE cuid IS NOT NULL
         GROUP BY cuid ORDER BY id
+    """,
+    "q26_json_props": """
+        SELECT event_type, COUNT(*) AS n_events,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q27_fs_merged_topn": _FS_CONTRIB_SQL
+    + """
+        , agg AS (
+            SELECT prefix,
+                   SUM(files) AS files, SUM(prefixes) AS prefixes,
+                   SUM(sub_prefixes) AS sub_prefixes, SUM(bytes) AS bytes,
+                   SUM(storage_bytes) AS storage_bytes,
+                   SUM(prefix_bytes) AS prefix_bytes,
+                   SUM(hardlinks) AS hardlinks,
+                   SUM(hardlink_dirs) AS hardlink_dirs
+            FROM contrib GROUP BY prefix
+        ), ranked AS (
+            SELECT *,
+                ROW_NUMBER() OVER (ORDER BY bytes DESC, prefix) AS r_bytes,
+                ROW_NUMBER() OVER (ORDER BY storage_bytes DESC, prefix) AS r_storage,
+                ROW_NUMBER() OVER (ORDER BY prefix_bytes DESC, prefix) AS r_pb,
+                ROW_NUMBER() OVER (ORDER BY files DESC, prefix) AS r_files,
+                ROW_NUMBER() OVER (ORDER BY sub_prefixes DESC, prefix) AS r_sub
+            FROM agg
+        )
+        SELECT prefix, bytes, storage_bytes, prefix_bytes, files,
+               sub_prefixes, prefixes, hardlinks, hardlink_dirs
+        FROM ranked
+        WHERE r_bytes <= 3 OR r_storage <= 3 OR r_pb <= 3
+           OR r_files <= 3 OR r_sub <= 3
+        ORDER BY prefix
+    """,
+    "q28_brand_revenue": """
+        SELECT p_brand,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
     """,
 }
 

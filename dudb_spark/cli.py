@@ -1,0 +1,298 @@
+"""Command-line interface — the reference's command surface on Spark.
+
+Mirrors the ``idu`` CLI (main.go:46–114 command spec): ``analyze``,
+``find``, ``stats compute/view``, ``reports generate/locate``, ``errors``,
+``logs``, ``database locate``, ``expression-syntax``.  A reference user's
+workflow maps 1:1:
+
+    idu analyze /data          → python -m dudb_spark analyze --db DB /data
+    idu find /data 'user=u'    → python -m dudb_spark find --db DB /data 'user=u'
+    idu stats compute /data    → python -m dudb_spark stats compute --db DB /data
+    idu reports generate       → python -m dudb_spark reports generate ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import datetime, timezone
+
+EXPRESSION_SYNTAX = """\
+Expression grammar:  term ( && | || ) term, ! negation, ( ) grouping.
+Terms (operand=value; quote values containing spaces or metacharacters):
+  user=<uid>           owner uid equality (names resolve via users table)
+  group=<gid>          owner gid equality
+  name=<glob>          glob on basename and full path
+  iname=<glob>         case-insensitive glob
+  re=<regexp>          regexp over the full path
+  type=f|d|l|x         file / directory / symlink / executable
+  newer=<time>         mtime after RFC3339 or YYYY-MM-DD time
+  dir-larger=<n>       directory has more than n entries
+  dir-smaller=<n>      directory has fewer than n entries
+  hardlink=<path>      same (device, inode) as <path>
+"""
+
+
+def _spark():
+    from dudb_spark.session import get_spark
+
+    return get_spark("dudb_spark-cli")
+
+
+def cmd_analyze(args):
+    from dudb_spark.model import ERRORS_SCHEMA, ENTRIES_SCHEMA, PREFIXES_SCHEMA
+    from dudb_spark.operators.ingest import merge_scan
+    from dudb_spark.sources.catalog import SnapshotCatalog
+    from dudb_spark.sources.crawler import crawl_local
+
+    spark = _spark()
+    start = datetime.now(timezone.utc)
+    prows, erows, errrows = crawl_local(
+        args.prefix, exclusions=args.exclude or [], concurrent_scans=args.scans
+    )
+    staged_p = spark.createDataFrame(prows, PREFIXES_SCHEMA)
+    staged_e = spark.createDataFrame(erows, ENTRIES_SCHEMA)
+    errors = spark.createDataFrame(errrows or [], ERRORS_SCHEMA)
+
+    cat = SnapshotCatalog(spark, args.db)
+    if cat.latest_version() is None:
+        out = cat.write_snapshot(staged_p, staged_e, errors)
+        summary = {
+            "operation": "analyze",
+            "prefixes_started": len(prows),
+            "prefixes_finished": len(prows),
+            "files": sum(1 for e in erows if not e["is_dir"]),
+            "errors": len(errrows),
+        }
+    else:
+        prev = cat.tables()
+        res = merge_scan(
+            prev.prefixes, prev.entries, staged_p, staged_e, root=args.prefix
+        )
+        out = cat.write_snapshot(res.prefixes, res.entries, errors)
+        summary = dict(res.summary, errors=len(errrows))
+    stop = datetime.now(timezone.utc)
+    summary["duration_ns"] = int((stop - start).total_seconds() * 1e9)
+    cat.append_log(start, stop, summary)
+    print(json.dumps({"snapshot": out, **summary}, default=str))
+
+
+def cmd_find(args):
+    from dudb_spark.operators.find import find
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    spark = _spark()
+    t = SnapshotCatalog(spark, args.db).tables()
+    expr = " ".join(args.expression)
+    df = find(t.prefixes, t.entries, root=args.prefix, expr=expr,
+              long_listing=args.long)
+    for r in df.toLocalIterator():
+        if args.long:
+            print(f"{r['path']}{'/' if r['is_prefix'] else ''}\t"
+                  f"{r['size']}\tuid: {r['uid']} gid: {r['gid']}\t{r['mtime']}")
+        else:
+            print(r["path"] + ("/" if r["is_prefix"] else ""))
+
+
+def cmd_stats_compute(args):
+    from dudb_spark.functions.calculators import calculator
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    spark = _spark()
+    t = SnapshotCatalog(spark, args.db).tables()
+    opts = StatsOptions(
+        root=args.prefix,
+        expr=" ".join(args.expression),
+        calculator=calculator(args.calculator),
+        count_hardlinks_as_files=args.count_hardlinks_as_files,
+    )
+    res = compute_stats(t.prefixes, t.entries, opts)
+    when = datetime.now(timezone.utc).strftime("%Y-%m-%d-%H%M%S")
+    out = os.path.join(args.stats_dir, when)
+    res.save(out)
+    with open(os.path.join(args.stats_dir, "latest"), "w") as f:
+        f.write(when)
+    meta = dict(res.meta, date=when, prefix=args.prefix)
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    tot = res.totals().collect()[0].asDict()
+    print(json.dumps({"stats": out, "totals": tot}))
+
+
+def _load_stats(spark, stats_dir):
+    from dudb_spark.operators.stats import StatsResult
+
+    with open(os.path.join(stats_dir, "latest")) as f:
+        when = f.read().strip()
+    base = os.path.join(stats_dir, when)
+    with open(os.path.join(base, "meta.json")) as f:
+        meta = json.load(f)
+    return StatsResult(
+        spark.read.parquet(f"{base}/per_prefix.parquet"),
+        spark.read.parquet(f"{base}/per_user.parquet"),
+        spark.read.parquet(f"{base}/per_group.parquet"),
+        meta,
+    )
+
+
+def cmd_stats_view(args):
+    spark = _spark()
+    res = _load_stats(spark, args.stats_dir)
+    n = args.n
+    print(f"# stats for {res.meta.get('prefix')!r} expr={res.meta.get('expression')!r}")
+    print("## totals")
+    print(json.dumps(res.totals().collect()[0].asDict()))
+    scopes = (
+        [("user", args.user), ("group", args.group)]
+        if (args.user or args.group)
+        else [(None, None)]
+    )
+    for dim, _ in scopes:
+        for metric in ("bytes", "storage_bytes", "files"):
+            print(f"## top {n} by {metric}" + (f" per {dim}" if dim else ""))
+            df = (
+                res.top_prefixes(metric, n)
+                if dim is None
+                else res.per_id_top_prefixes(metric, n, dim)
+            )
+            for r in df.collect():
+                print(json.dumps(r.asDict()))
+
+
+def cmd_reports_generate(args):
+    from dudb_spark.reports import write_reports
+
+    spark = _spark()
+    res = _load_stats(spark, args.stats_dir)
+    out = write_reports(res, args.reports_dir, display_n=args.n)
+    print(json.dumps({"report": out}))
+
+
+def cmd_reports_locate(args):
+    from dudb_spark.reports import locate_reports
+
+    print(json.dumps(locate_reports(args.reports_dir, args.n)))
+
+
+def cmd_errors(args):
+    from dudb_spark.operators.ops import list_errors
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    spark = _spark()
+    t = SnapshotCatalog(spark, args.db).tables()
+    df = list_errors(t.errors, root=args.prefix, since=args.since,
+                     from_t=getattr(args, "from"), to_t=args.to)
+    for r in df.toLocalIterator():
+        print(f"{r['path']}\t{r['at']}\t{r['detail']}")
+
+
+def cmd_logs(args):
+    from dudb_spark.operators.ops import list_logs
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    spark = _spark()
+    cat = SnapshotCatalog(spark, args.db)
+    df = list_logs(cat.logs(), since=args.since, from_t=getattr(args, "from"),
+                   to_t=args.to, newest_only=args.last)
+    for r in df.toLocalIterator():
+        print(json.dumps(r.asDict(), default=str))
+
+
+def cmd_database_locate(args):
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    spark = _spark()
+    cat = SnapshotCatalog(spark, args.db)
+    print(json.dumps({"db": args.db, "latest": cat.latest_path(),
+                      "versions": cat.versions()}))
+
+
+def _add_time_flags(p):
+    p.add_argument("--since", help="duration, e.g. 24h, 30m")
+    p.add_argument("--from", dest="from", help="RFC3339 or YYYY-MM-DD")
+    p.add_argument("--to", help="RFC3339 or YYYY-MM-DD")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="dudb_spark", description="PySpark filesystem-usage analytics"
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("analyze", help="crawl a tree into the metadata DB")
+    p.add_argument("--db", required=True)
+    p.add_argument("prefix")
+    p.add_argument("--exclude", action="append", help="exclusion regexp")
+    p.add_argument("--scans", type=int, default=32, help="concurrent scans")
+    p.set_defaults(func=cmd_analyze)
+
+    p = sub.add_parser("find", help="predicate search")
+    p.add_argument("--db", required=True)
+    p.add_argument("prefix")
+    p.add_argument("expression", nargs="*", default=[])
+    p.add_argument("--l", dest="long", action="store_true", help="long listing")
+    p.set_defaults(func=cmd_find)
+
+    p = sub.add_parser("stats", help="usage statistics")
+    ssub = p.add_subparsers(dest="stats_cmd", required=True)
+    pc = ssub.add_parser("compute")
+    pc.add_argument("--db", required=True)
+    pc.add_argument("--stats-dir", required=True)
+    pc.add_argument("prefix")
+    pc.add_argument("expression", nargs="*", default=[])
+    pc.add_argument("--calculator", default="identity")
+    pc.add_argument("--count-hardlinks-as-files", action="store_true")
+    pc.set_defaults(func=cmd_stats_compute)
+    pv = ssub.add_parser("view")
+    pv.add_argument("--stats-dir", required=True)
+    pv.add_argument("-n", type=int, default=10)
+    pv.add_argument("--user", action="store_true")
+    pv.add_argument("--group", action="store_true")
+    pv.set_defaults(func=cmd_stats_view)
+
+    p = sub.add_parser("reports", help="report generation")
+    rsub = p.add_subparsers(dest="reports_cmd", required=True)
+    rg = rsub.add_parser("generate")
+    rg.add_argument("--stats-dir", required=True)
+    rg.add_argument("--reports-dir", required=True)
+    rg.add_argument("-n", type=int, default=20)
+    rg.set_defaults(func=cmd_reports_generate)
+    rl = rsub.add_parser("locate")
+    rl.add_argument("--reports-dir", required=True)
+    rl.add_argument("-n", type=int, default=1)
+    rl.set_defaults(func=cmd_reports_locate)
+
+    p = sub.add_parser("errors", help="scan errors")
+    p.add_argument("--db", required=True)
+    p.add_argument("prefix", nargs="?", default="")
+    _add_time_flags(p)
+    p.set_defaults(func=cmd_errors)
+
+    p = sub.add_parser("logs", help="analyze-run logs")
+    p.add_argument("--db", required=True)
+    p.add_argument("--last", action="store_true", help="newest run only")
+    _add_time_flags(p)
+    p.set_defaults(func=cmd_logs)
+
+    p = sub.add_parser("database", help="database admin")
+    dsub = p.add_subparsers(dest="db_cmd", required=True)
+    dl = dsub.add_parser("locate")
+    dl.add_argument("--db", required=True)
+    dl.set_defaults(func=cmd_database_locate)
+
+    p = sub.add_parser("expression-syntax", help="print the predicate grammar")
+    p.set_defaults(func=lambda a: print(EXPRESSION_SYNTAX))
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.func(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,85 @@
+"""Versioned snapshot catalog: where the metadata DB lives on disk.
+
+The reference keeps one BadgerDB instance per configured prefix
+(config.go:54–65) and relies on the store's transactionality; the Spark
+engine keeps immutable, versioned Parquet snapshot directories plus a
+``latest`` pointer file — the same convention the reference uses for its
+stats/report directories (stats.go:56–82 ``latest`` symlink).  Writers
+produce ``v000N+1`` and flip the pointer last, so readers always see a
+complete snapshot (poor man's ACID; a real deployment swaps this layer for
+Delta/Iceberg and keeps the same interface).
+"""
+
+from __future__ import annotations
+
+import os
+
+from dudb_spark.model import FsTables, SCAN_LOGS_SCHEMA
+
+
+class SnapshotCatalog:
+    def __init__(self, spark, db_root: str):
+        self.spark = spark
+        self.root = db_root.rstrip("/")
+
+    # -- versions -------------------------------------------------------
+
+    def versions(self) -> list[str]:
+        try:
+            return sorted(
+                d for d in os.listdir(self.root)
+                if d.startswith("v") and os.path.isdir(os.path.join(self.root, d))
+            )
+        except FileNotFoundError:
+            return []
+
+    def latest_version(self) -> str | None:
+        pointer = os.path.join(self.root, "latest")
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                return f.read().strip()
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def next_version(self) -> str:
+        vs = self.versions()
+        n = int(vs[-1][1:]) + 1 if vs else 1
+        return f"v{n:04d}"
+
+    def latest_path(self) -> str | None:
+        v = self.latest_version()
+        return os.path.join(self.root, v) if v else None
+
+    def tables(self) -> FsTables:
+        p = self.latest_path()
+        if p is None:
+            raise FileNotFoundError(f"no snapshot under {self.root}")
+        return FsTables(self.spark, p)
+
+    # -- writes ---------------------------------------------------------
+
+    def write_snapshot(self, prefixes, entries, errors=None) -> str:
+        v = self.next_version()
+        out = os.path.join(self.root, v)
+        prefixes.write.mode("overwrite").parquet(f"{out}/prefixes.parquet")
+        entries.write.mode("overwrite").parquet(f"{out}/entries.parquet")
+        if errors is not None:
+            errors.write.mode("overwrite").parquet(f"{out}/errors.parquet")
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, "latest"), "w") as f:
+            f.write(v)
+        return out
+
+    def append_log(self, start, stop, summary: dict) -> None:
+        """Append one run-summary row (the log bucket, badgerdb.go:401–416)."""
+        known = {f.name for f in SCAN_LOGS_SCHEMA["summary"].dataType.fields}
+        row = {
+            "start": start,
+            "stop": stop,
+            "summary": {k: v for k, v in summary.items() if k in known},
+        }
+        df = self.spark.createDataFrame([row], SCAN_LOGS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(f"{self.root}/scan_logs.parquet")
+
+    def logs(self):
+        return self.spark.read.parquet(f"{self.root}/scan_logs.parquet")

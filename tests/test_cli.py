@@ -1,0 +1,104 @@
+"""End-to-end CLI workflow test: analyze → find → stats → reports →
+errors/logs → re-analyze (incremental), mirroring a reference user's daily
+loop (main.go command surface)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dudb_spark.cli import main
+
+
+@pytest.fixture()
+def real_tree(tmp_path):
+    root = tmp_path / "data"
+    (root / "proj/a").mkdir(parents=True)
+    (root / "proj/b").mkdir(parents=True)
+    for p, txt in [
+        ("proj/a/x.log", "xx"),
+        ("proj/a/y.txt", "yyy"),
+        ("proj/b/z.log", "zzzz"),
+    ]:
+        (root / p).write_text(txt)
+    return str(root)
+
+
+def run(capsys, *argv):
+    main(list(argv))
+    return capsys.readouterr().out
+
+
+def test_cli_workflow(spark, real_tree, tmp_path, capsys):
+    db = str(tmp_path / "db")
+    stats_dir = str(tmp_path / "stats")
+    reports_dir = str(tmp_path / "reports")
+
+    # analyze (initial)
+    out = json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    assert out["prefixes_finished"] == 4  # root, proj, a, b
+    assert out["files"] == 3
+
+    # find with an expression
+    out = run(capsys, "find", "--db", db, real_tree, "re=\\.log$ && type=f")
+    lines = out.strip().splitlines()
+    assert sorted(os.path.basename(line) for line in lines) == ["x.log", "z.log"]
+
+    # stats compute + view
+    out = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            real_tree)
+    )
+    assert out["totals"]["files"] == 3
+    view = run(capsys, "stats", "view", "--stats-dir", stats_dir, "-n", "3")
+    assert "## totals" in view and "top 3 by bytes" in view
+
+    # reports generate + locate
+    out = json.loads(
+        run(capsys, "reports", "generate", "--stats-dir", stats_dir,
+            "--reports-dir", reports_dir)
+    )
+    assert os.path.exists(os.path.join(out["report"], "markdown/report.md"))
+    loc = json.loads(run(capsys, "reports", "locate", "--reports-dir", reports_dir))
+    assert loc[0]["path"] == out["report"]
+
+    # incremental re-analyze: add one file, nothing deleted
+    with open(os.path.join(real_tree, "proj/b/new.txt"), "w") as f:
+        f.write("n")
+    out2 = json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    assert out2["prefixes_deleted"] == 0
+    assert out2["files"] == 4
+    assert out2["parent_unchanged"] >= 1  # proj/a untouched
+
+    # logs: two runs recorded, --last returns the newer
+    logs = run(capsys, "logs", "--db", db).strip().splitlines()
+    assert len(logs) == 2
+    last = json.loads(run(capsys, "logs", "--db", db, "--last").strip())
+    assert json.loads(logs[0])["start"] == last["start"]
+
+    # database locate shows both versions
+    dbinfo = json.loads(run(capsys, "database", "locate", "--db", db))
+    assert dbinfo["versions"] == ["v0001", "v0002"]
+    assert dbinfo["latest"].endswith("v0002")
+
+    # expression-syntax prints the grammar
+    syn = run(capsys, "expression-syntax")
+    assert "hardlink=<path>" in syn
+
+
+def test_cli_errors_inaccessible(spark, real_tree, tmp_path, capsys):
+    denied = os.path.join(real_tree, "proj", "denied")
+    os.mkdir(denied)
+    os.chmod(denied, 0o000)
+    db = str(tmp_path / "db2")
+    try:
+        out = json.loads(run(capsys, "analyze", "--db", db, real_tree))
+        if os.geteuid() == 0:
+            pytest.skip("running as root: permission errors not enforceable")
+        assert out["errors"] >= 1
+        errs = run(capsys, "errors", "--db", db, real_tree)
+        assert "denied" in errs
+    finally:
+        os.chmod(denied, 0o755)
