@@ -508,6 +508,61 @@ _FS_CONTRIB_SQL = f"""
 """
 
 
+def q29_fs_find_hardlink(spark, sf_dir):
+    """P3/P5/P9: hardlink= operand (driver-side stat → literal predicate)
+    combined with iname= and dir-larger= at both granularities."""
+    from dudb_spark.operators.find import find
+
+    ent = _fs(spark, "entries")
+
+    def resolver(path):
+        row = ent.where(F.col("path") == path).select("device", "inode").first()
+        return row["device"], row["inode"]
+
+    return find(
+        _fs(spark, "prefixes"),
+        ent,
+        root="/tree",
+        expr="hardlink=/tree/f0-2 || iname=S1-OK || dir-larger=9",
+        hardlink_resolver=resolver,
+    ).select("path", "is_prefix")
+
+
+def q30_events_hourly_streamed(spark, sf_dir):
+    """§2.9: the SAME hourly rollup as q15 executed as a Structured
+    Streaming query (file source → watermark → windowed agg → memory sink,
+    availableNow trigger), then checked against the ordinary SQL oracle —
+    streaming results must equal batch results exactly."""
+    import tempfile
+
+    from dudb_spark.streaming.rollup import hourly_rollup, stream_events
+
+    ev = _events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="dudb_stream_src_")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = stream_events(spark, src)
+    q = (
+        hourly_rollup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dudb_q30_rollup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("dudb_q30_rollup")
+        .select(
+            _fmt_ts(F.col("hour_start"), "hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 def q26_json_props(spark, sf_dir):
     """F-extension: semi-structured JSON column extraction (events.props),
     grouped — JSON path eval stays JVM-side (get_json_object)."""
@@ -583,6 +638,8 @@ QUERIES: dict[str, Callable] = {
     "q26_json_props": q26_json_props,
     "q27_fs_merged_topn": q27_fs_merged_topn,
     "q28_brand_revenue": q28_brand_revenue,
+    "q29_fs_find_hardlink": q29_fs_find_hardlink,
+    "q30_events_hourly_streamed": q30_events_hourly_streamed,
 }
 
 ORACLE: dict[str, str] = {
@@ -857,6 +914,35 @@ ORACLE: dict[str, str] = {
                SUM(hardlinks) AS hardlinks
         FROM contrib WHERE cuid IS NOT NULL
         GROUP BY cuid ORDER BY id
+    """,
+    "q29_fs_find_hardlink": f"""
+        WITH pfx AS (
+            SELECT * FROM read_parquet('{FS_FIX}/prefixes.parquet/*.parquet')
+        ), ent AS (
+            SELECT * FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+        ), link AS (
+            SELECT device AS ld, inode AS li FROM ent WHERE path = '/tree/f0-2'
+        )
+        SELECT path, TRUE AS is_prefix FROM pfx, link
+        WHERE n_entries > 9
+           OR (device = ld AND inode = li)
+           OR regexp_matches(lower(string_split(path, '/')[-1]), '^s1-ok$')
+        UNION ALL
+        SELECT path, FALSE AS is_prefix FROM ent, link
+        WHERE NOT is_dir
+          AND ((device = ld AND inode = li)
+               OR regexp_matches(lower(name), '^s1-ok$')
+               OR regexp_matches(lower(path), '^s1-ok$'))
+        ORDER BY path
+    """,
+    "q30_events_hourly_streamed": """
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+                 AS hour,
+               event_type, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour, event_type
     """,
     "q26_json_props": """
         SELECT event_type, COUNT(*) AS n_events,
