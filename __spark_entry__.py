@@ -563,6 +563,75 @@ def q30_events_hourly_streamed(spark, sf_dir):
     )
 
 
+def q31_fs_stats_at_scale(spark, sf_dir):
+    """The stats engine at data scale: lineitem is deterministically mapped
+    to a synthetic filesystem (500 dirs, one entry per lineitem row, a
+    hardlink set via partkey collisions), then the FULL stats fold —
+    dedup windows, grouping sets, per-prefix totals — runs over it.  At
+    sf0.1 this is 600k entries through the real compute_stats plan; the
+    oracle replicates the mapping + fold in SQL.  This is the engine's
+    ingest-side throughput benchmark (reference anchor: ≈4,700 rows/s,
+    BASELINE.md)."""
+    from dudb_spark.model import MODE_DIR
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    dirnum = F.col("l_orderkey") % 500
+    parent = F.concat(F.lit("/scale/d"), dirnum)
+    # (orderkey, linenumber) repeats in the synthetic data — only the
+    # 4-tuple with partkey+suppkey is unique, so both path and inode must
+    # include all four or window tie-breaks go nondeterministic
+    fname = F.concat(
+        F.lit("f"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber"),
+        F.lit("-"), F.col("l_partkey"), F.lit("-"), F.col("l_suppkey"),
+    )
+    uniq = (
+        F.col("l_orderkey") * F.lit(1_000_000_000)
+        + F.col("l_linenumber") * F.lit(100_000_000)
+        + F.col("l_partkey") * F.lit(1_000)
+        + F.col("l_suppkey")
+    )
+    inode = F.when(F.col("l_partkey") % 199 == 0, F.lit(42)).otherwise(uniq)
+
+    entries = li.select(
+        parent.alias("parent"),
+        fname.alias("name"),
+        F.concat(parent, F.lit("/"), fname).alias("path"),
+        F.lit(False).alias("is_dir"),
+        F.col("l_quantity").cast("long").alias("size"),
+        F.ceil(F.col("l_quantity") / 512).cast("long").alias("blocks"),
+        F.lit(0o644).cast("long").alias("mode"),
+        F.col("l_shipdate").alias("mtime"),
+        (F.col("l_suppkey") % 10).cast("long").alias("uid"),
+        (F.col("l_partkey") % 7).cast("long").alias("gid"),
+        F.lit(1).cast("long").alias("device"),
+        inode.cast("long").alias("inode"),
+    )
+    # dir inodes must be unique: derive from the pre-collision unique id,
+    # not the entry inode (the shared hardlink inode would alias dirs and
+    # spuriously mark them duplicate directories)
+    prefixes = li.groupBy(parent.alias("parent")).agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        (F.min(uniq) + 10_000_000).alias("pinode"),
+    ).select(
+        F.col("parent").alias("path"),
+        F.lit("/scale").alias("parent"),
+        F.lit(1).alias("depth"),
+        F.lit(64).cast("long").alias("size"),
+        F.lit(1).cast("long").alias("blocks"),
+        F.lit(MODE_DIR | 0o755).cast("long").alias("mode"),
+        F.lit(False).alias("is_symlink"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("mtime"),
+        F.lit(0).cast("long").alias("uid"),
+        F.lit(0).cast("long").alias("gid"),
+        F.lit(1).cast("long").alias("device"),
+        F.col("pinode").cast("long").alias("inode"),
+        F.col("n_entries").cast("long").alias("n_entries"),
+    )
+    res = compute_stats(prefixes, entries, StatsOptions())
+    return res.per_prefix.orderBy("prefix")
+
+
 def q26_json_props(spark, sf_dir):
     """F-extension: semi-structured JSON column extraction (events.props),
     grouped — JSON path eval stays JVM-side (get_json_object)."""
@@ -640,6 +709,7 @@ QUERIES: dict[str, Callable] = {
     "q28_brand_revenue": q28_brand_revenue,
     "q29_fs_find_hardlink": q29_fs_find_hardlink,
     "q30_events_hourly_streamed": q30_events_hourly_streamed,
+    "q31_fs_stats_at_scale": q31_fs_stats_at_scale,
 }
 
 ORACLE: dict[str, str] = {
@@ -943,6 +1013,46 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
         ORDER BY hour, event_type
+    """,
+    "q31_fs_stats_at_scale": """
+        WITH ent AS (
+            SELECT '/scale/d' || (l_orderkey % 500) AS parent,
+                   '/scale/d' || (l_orderkey % 500) || '/f' || l_orderkey
+                     || '-' || l_linenumber || '-' || l_partkey
+                     || '-' || l_suppkey AS path,
+                   CAST(l_quantity AS BIGINT) AS size,
+                   CASE WHEN l_partkey % 199 = 0 THEN 42
+                        ELSE l_orderkey * 1000000000
+                             + l_linenumber * 100000000
+                             + l_partkey * 1000 + l_suppkey END AS inode,
+                   CAST(l_suppkey % 10 AS BIGINT) AS uid,
+                   CAST(l_partkey % 7 AS BIGINT) AS gid
+            FROM lineitem
+        ), files AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY inode ORDER BY path) > 1
+                     AS is_dup
+            FROM ent
+        ), contrib AS (
+            -- each synthetic dir: prefix=1, own 64 bytes in bytes+prefix_bytes
+            SELECT DISTINCT parent AS prefix, 0 AS files, 1 AS prefixes,
+                   0 AS sub_prefixes, 64 AS bytes, 64 AS storage_bytes,
+                   64 AS prefix_bytes, 0 AS hardlinks, 0 AS hardlink_dirs
+            FROM ent
+            UNION ALL
+            SELECT parent, 0, 0, 0, 0, 0, 0, 1, 0 FROM files WHERE is_dup
+            UNION ALL
+            SELECT parent, 1, 0, 0, size, size, 0, 0, 0
+            FROM files WHERE NOT is_dup
+        )
+        SELECT prefix,
+               SUM(files) AS files, SUM(prefixes) AS prefixes,
+               SUM(sub_prefixes) AS sub_prefixes, SUM(bytes) AS bytes,
+               SUM(storage_bytes) AS storage_bytes,
+               SUM(prefix_bytes) AS prefix_bytes,
+               SUM(hardlinks) AS hardlinks,
+               SUM(hardlink_dirs) AS hardlink_dirs
+        FROM contrib GROUP BY prefix ORDER BY prefix
     """,
     "q26_json_props": """
         SELECT event_type, COUNT(*) AS n_events,
