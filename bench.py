@@ -38,17 +38,21 @@ def main():
         print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+    result = {
+        "metric": "headline_query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    # ingest-side throughput anchor (BASELINE.md: reference ≈4,700 rows/s):
+    # q31 pushes one stats fold over one synthetic entry per lineitem row
+    if "q31_fs_stats_at_scale" in times and sf:
+        n_entries = int(600_000 * (sf / 0.1))
+        result["stats_entries_per_sec"] = round(
+            n_entries / times["q31_fs_stats_at_scale"]
         )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
