@@ -143,6 +143,9 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # NB: the self-join below re-scans this lineage, but caching it here
+    # measures ~2x SLOWER (the materialization barrier defeats AQE and
+    # pipelining); recompute-in-place wins for signature-sized data
 
     # cap pathological buckets (boilerplate shingle sets) before pairing
     bucket_sizes = banded.groupBy("band", "bucket").agg(
