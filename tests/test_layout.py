@@ -1,0 +1,102 @@
+"""Bucketing and salting: results identical, plans better (fewer/balanced
+shuffles) — the 100 TB layout strategies proven at test scale."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dudb_spark.plans import plan_of, salted_group_sum, write_bucketed
+from dudb_spark.plans.inspect import n_exchanges
+
+
+def test_bucketed_join_skips_exchange(spark, fs_dir):
+    from dudb_spark.model import FsTables
+
+    t = FsTables(spark, fs_dir)
+    # clear any stale table locations from interrupted runs
+    import shutil
+
+    for name in ("b_entries", "b_prefixes"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+    write_bucketed(t.entries, "b_entries", "parent", n_buckets=4)
+    # prefixes already has a `parent` column (the dir's own parent) — select
+    # the join-key projection explicitly
+    write_bucketed(
+        t.prefixes.select(
+            F.col("path").alias("parent"), F.col("uid").alias("puid")
+        ),
+        "b_prefixes",
+        "parent",
+        4,
+    )
+    be, bp = spark.table("b_entries"), spark.table("b_prefixes")
+    # co-located join: no shuffle on either side (broadcast also acceptable
+    # at this size — force sort-merge off to observe bucketing itself)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined2 = be.join(bp, "parent")
+        assert n_exchanges(joined2) == 0
+        # same result as the unbucketed join
+        plain = spark.read.parquet(f"{fs_dir}/entries.parquet").join(
+            spark.read.parquet(f"{fs_dir}/prefixes.parquet").select(
+                F.col("path").alias("parent"), F.col("uid").alias("puid")
+            ),
+            "parent",
+        )
+        assert sorted(r["path"] for r in joined2.collect()) == sorted(
+            r["path"] for r in plain.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salted_group_sum_matches_plain(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"),  # 3 hot keys
+        (F.col("id") % 7).alias("v1"),
+        F.lit(1).alias("n"),
+    )
+    salted = salted_group_sum(df, ["k"], ["v1", "n"], n_salts=8)
+    plain = df.groupBy("k").agg(F.sum("v1").alias("v1"), F.sum("n").alias("n"))
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the salted plan aggregates twice (partial per salt, then final)
+    assert plan_of(salted).count("HashAggregate") >= 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcXYZ019.*?[]-_/"),
+        min_size=0,
+        max_size=12,
+    ),
+    st.text(
+        alphabet=st.sampled_from("abcXYZ019._-/"),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_glob_regex_matches_fnmatch(pattern, name):
+    """Property: the glob→Java-regex translation agrees with Python's
+    fnmatchcase on path-free names (the matcher's basename semantics)."""
+    import re as _re
+
+    import fnmatch
+
+    from dudb_spark.functions.boolexpr import glob_to_regex
+
+    if "/" in name or "/" in pattern:
+        return  # * must not cross separators; fnmatch has no such rule
+    rx = glob_to_regex(pattern)
+    try:
+        got = _re.match(rx, name) is not None
+    except _re.error:
+        pytest.fail(f"untranslatable glob {pattern!r} -> {rx!r}")
+    want = fnmatch.fnmatchcase(name, pattern)
+    assert got == want, (pattern, rx, name)
