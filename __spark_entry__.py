@@ -632,6 +632,51 @@ def q31_fs_stats_at_scale(spark, sf_dir):
     return res.per_prefix.orderBy("prefix")
 
 
+def q32_embedding_near_dup(spark, sf_dir):
+    """Pipeline/similarity: embedding near-duplicate pairs via SRP-LSH
+    blocking — only same-signature-bucket pairs are compared.  The oracle
+    replicates the hyperplanes as SQL literals (same seed), so even the
+    LSH bucketing is value-checked cross-engine."""
+    from dudb_spark.pipeline.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.2, bits=8, seed=42).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _srp_oracle_sql(bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Build the DuckDB SQL for q32 with the SAME hyperplane coefficients
+    the Spark side derives from random.Random(seed)."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    bit_terms = " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(c) for c in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH sig AS (
+            SELECT vec_id AS id, embedding, ({bit_terms}) AS s
+            FROM embeddings
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM sig a JOIN sig b ON a.s = b.s AND a.id < b.id
+        WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+              6) >= 0.2
+        ORDER BY id_a, id_b
+    """
+
+
 def q26_json_props(spark, sf_dir):
     """F-extension: semi-structured JSON column extraction (events.props),
     grouped — JSON path eval stays JVM-side (get_json_object)."""
@@ -710,6 +755,7 @@ QUERIES: dict[str, Callable] = {
     "q29_fs_find_hardlink": q29_fs_find_hardlink,
     "q30_events_hourly_streamed": q30_events_hourly_streamed,
     "q31_fs_stats_at_scale": q31_fs_stats_at_scale,
+    "q32_embedding_near_dup": q32_embedding_near_dup,
 }
 
 ORACLE: dict[str, str] = {
@@ -1014,6 +1060,7 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY hour, event_type
     """,
+    "q32_embedding_near_dup": _srp_oracle_sql(),
     "q31_fs_stats_at_scale": """
         WITH ent AS (
             SELECT '/scale/d' || (l_orderkey % 500) AS parent,
