@@ -645,6 +645,21 @@ def q32_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q33_ann_ivf(spark, sf_dir):
+    """Pipeline/similarity scale path: IVF ANN — KMeans coarse quantizer,
+    probe the 4 nearest of 16 cells (expected scan fraction 1/4).  Rows-only
+    check: the cell assignment depends on Spark ML's KMeans, which DuckDB
+    cannot replicate; exactness of the scoring math is covered by q17 and
+    tests/test_ivf.py's full-probe-equals-brute-force assertion."""
+    from dudb_spark.pipeline.ivf import build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = build_ivf(emb, n_clusters=16)
+    assigned = idx.assign(emb)
+    q = emb.where("vec_id = 0").first()["embedding"]
+    return idx.search(assigned.where("vec_id != 0"), q, k=10, n_probe=4)
+
+
 def _srp_oracle_sql(bits: int = 8, dim: int = 64, seed: int = 42) -> str:
     """Build the DuckDB SQL for q32 with the SAME hyperplane coefficients
     the Spark side derives from random.Random(seed)."""
@@ -756,6 +771,7 @@ QUERIES: dict[str, Callable] = {
     "q30_events_hourly_streamed": q30_events_hourly_streamed,
     "q31_fs_stats_at_scale": q31_fs_stats_at_scale,
     "q32_embedding_near_dup": q32_embedding_near_dup,
+    "q33_ann_ivf": q33_ann_ivf,
 }
 
 ORACLE: dict[str, str] = {

@@ -7,10 +7,14 @@ stats/totals.go:162,192).  Here each calculator is a factory returning a
 native Column expression over ``(size, blocks)`` — Catalyst folds it into the
 aggregation, no UDF.
 
-- ``identity``: storage = size
-- ``block``:    round size up to a multiple of block_size (config.go:158–167)
-- ``raid0``:    per-stripe rounding across num_stripes devices
-  (config.go:169–191: ceil(size / stripe) full stripes written round-robin)
+- ``identity``: storage = size (``bytes`` layout, internal/config/config.go:153–155)
+- ``block``:    round size up to a multiple of block_size
+  (internal/config/config.go:161–167 → diskusage.NewBlock)
+- ``raid0``:    full-stripe rounding (internal/config/config.go:177–183 →
+  diskusage.NewRAID0(stripe_size, num_stripes); the implementation lives in
+  the external public ``cloudeng.io/file/diskusage`` module, not vendored in
+  the reference repo — this engine models the standard RAID0 full-stripe
+  write: usage = ceil(size / stripe_size) * stripe_size)
 - ``sum_size_blocks``: the synthetic size+blocks calculator the reference's
   tests use (stats/totals_test.go:22–28) — kept for golden-test parity.
 """

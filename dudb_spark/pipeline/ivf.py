@@ -1,0 +1,99 @@
+"""IVF (inverted-file) approximate nearest neighbour search.
+
+The second scale path for similarity search (alongside the SRP-LSH variant
+in similarity.py): a KMeans coarse quantizer partitions the corpus into
+``n_clusters`` cells; a query scores only the ``n_probe`` nearest cells'
+rows instead of the whole corpus — expected scan fraction n_probe/n_clusters.
+
+Scale design: train on a bounded sample (KMeans is iterative — the sample
+caps driver/shuffle cost), store the small centroid table driver-side
+(n_clusters × dim floats), and persist ``assign``'s output partitioned by
+``cell`` so a probe prunes *files*, not just rows.  The per-query cell
+selection is driver-side math over the centroid table (tiny); the scan is
+an IN-filter the Parquet reader prunes with partition/min-max stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dudb_spark.pipeline.similarity import _as_double, _lit_vec, cosine
+
+
+class IVFIndex:
+    def __init__(self, model, centroids: list[list[float]], vec_col: str, id_col: str):
+        self.model = model
+        self.centroids = centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        """Add the ``cell`` column (nearest centroid id) to a corpus frame."""
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.withColumn(
+            "_features", array_to_vector(_as_double(F.col(self.vec_col)))
+        )
+        return (
+            self.model.transform(feats)
+            .withColumnRenamed("prediction", "cell")
+            .drop("_features")
+        )
+
+    def _query_cells(self, query_vec, n_probe: int) -> list[int]:
+        import math
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(y * y for y in b))
+            return dot / (na * nb) if na and nb else 0.0
+
+        q = [float(x) for x in query_vec]
+        scored = sorted(
+            ((cos(c, q), i) for i, c in enumerate(self.centroids)), reverse=True
+        )
+        return [i for _, i in scored[:n_probe]]
+
+    def search(
+        self, assigned: DataFrame, query_vec, k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """Top-k by cosine among the n_probe nearest cells only."""
+        cells = self._query_cells(query_vec, n_probe)
+        q = _lit_vec(query_vec)
+        emb = _as_double(F.col(self.vec_col))
+        return (
+            assigned.where(F.col("cell").isin(cells))
+            .select(
+                F.col(self.id_col),
+                F.round(cosine(emb, q), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), self.id_col)
+            .limit(k)
+        )
+
+
+def build_ivf(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> IVFIndex:
+    """Train the coarse quantizer.  ``sample_fraction`` bounds training cost
+    on large corpora (the quantizer only needs the density shape)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed)
+    feats = train.withColumn(
+        "_features", array_to_vector(_as_double(F.col(vec_col)))
+    )
+    model = (
+        KMeans(k=n_clusters, seed=seed, featuresCol="_features")
+        .fit(feats)
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return IVFIndex(model, centroids, vec_col, id_col)
