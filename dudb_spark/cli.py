@@ -139,12 +139,18 @@ def _load_stats(spark, stats_dir):
 
 
 def cmd_stats_view(args):
+    from dudb_spark.functions.units import format_bytes
+
     spark = _spark()
     res = _load_stats(spark, args.stats_dir)
     n = args.n
     print(f"# stats for {res.meta.get('prefix')!r} expr={res.meta.get('expression')!r}")
     print("## totals")
-    print(json.dumps(res.totals().collect()[0].asDict()))
+    tot = res.totals().collect()[0].asDict()
+    print(json.dumps(tot))
+    binary = args.units == "binary"
+    for k in ("bytes", "storage_bytes", "prefix_bytes"):
+        print(f"{k}: {format_bytes(tot[k], binary=binary)}")
     scopes = (
         [("user", args.user), ("group", args.group)]
         if (args.user or args.group)
@@ -251,6 +257,10 @@ def build_parser():
     pv.add_argument("-n", type=int, default=10)
     pv.add_argument("--user", action="store_true")
     pv.add_argument("--group", action="store_true")
+    pv.add_argument(
+        "--units", choices=("decimal", "binary"), default="decimal",
+        help="KB (decimal) vs KiB (binary) size formatting",
+    )
     pv.set_defaults(func=cmd_stats_view)
 
     p = sub.add_parser("reports", help="report generation")

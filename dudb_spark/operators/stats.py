@@ -197,7 +197,15 @@ def compute_stats(
     e_pred = compile_expr(opts.expr, mode="entry", empty_value=True, **opts.compile_opts)
 
     # -- matching directory records, with dir-level hardlink dedup -------
+    # A10 analog: named observation metrics ride the job for free (no extra
+    # pass); a listener or .observedMetrics exposes prefixes/bytes scanned,
+    # replacing the reference's progress tracker (progress.go:37–316)
     pfx = prefixes.where(subtree_pred(F.col("path"), opts.root) & p_pred)
+    pfx = pfx.observe(
+        f"dudb_stats_prefixes_{id(opts)}",
+        F.count(F.lit(1)).alias("prefixes_scanned"),
+        F.sum("size").alias("prefix_bytes_scanned"),
+    )
     pfx = _dup_flag(pfx, dedup)
 
     pfx_ok = pfx.where(~F.col("_is_dup"))
