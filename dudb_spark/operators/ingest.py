@@ -52,9 +52,14 @@ def merge_scan(
 ) -> MergeResult:
     """Merge a staged (fresh) scan of ``root`` into the previous snapshot.
 
-    ``staged_entries`` may omit entries of unchanged directories (the
-    incremental scanner does not re-stat them); the merge reuses the
-    previous entries for every unchanged directory regardless.
+    Contract: ``staged_prefixes`` must contain a row for EVERY directory
+    currently alive under ``root`` — the scanner may skip re-statting an
+    unchanged directory's files, but it must still descend and list child
+    directories (exactly what the reference does: analyze.go:313–331
+    restats child dirs even when the parent is unchanged).  Otherwise
+    deletion detection would misread a skipped subtree as deleted.
+    ``staged_entries`` MAY omit entries of unchanged directories; the merge
+    reuses the previous entries for every unchanged directory regardless.
     """
     in_root_prev = prev_prefixes.where(subtree_pred(F.col("path"), root))
     out_root_prev = prev_prefixes.where(~subtree_pred(F.col("path"), root))
