@@ -43,6 +43,15 @@ def eval_term(t: Term, row: dict, is_prefix: bool) -> bool:
             )
         if v == "x":
             return bool(row["mode"] & 0o111)
+    if t.operand == "newer":
+        from dudb_spark.functions.boolexpr import _parse_time
+
+        mtime = row["mtime"]
+        if mtime.tzinfo is None:
+            from datetime import timezone
+
+            mtime = mtime.replace(tzinfo=timezone.utc)
+        return mtime > _parse_time(v)
     if t.operand == "dir-larger":
         return is_prefix and row["n_entries"] > int(v)
     if t.operand == "dir-smaller":
