@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dudb_spark.pipeline.text import fingerprint, tokens
+from dudb_spark.plans.layout import ensure_min_parallelism
 
 # Mersenne prime 2^61-1: the classic universal-hash modulus; keeps affine
 # permutation values positive in signed-64 arithmetic.
@@ -118,6 +119,9 @@ def minhash_candidates(
     assert num_perm % bands == 0
     r = num_perm // bands
 
+    # signatures cost far more per row than the scan — floor the partition
+    # count so a narrow input (one row group) doesn't serialize the sketch
+    df = ensure_min_parallelism(df)
     # two projection steps: base hashes once per row, then the signature —
     # without the boundary every permutation would re-shingle the text
     base = df.select(
@@ -193,7 +197,7 @@ def ngram_jaccard(
         .distinct()
     )
     sh = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        ensure_min_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
         .join(ids, "id", "left_semi")
         .select("id", shingles(F.col(text_col), shingle_k).alias("sh"))
     )
@@ -270,6 +274,7 @@ def simhash_near_duplicates(
     nblocks = max_hamming + 1
     width = 64 // nblocks
 
+    df = ensure_min_parallelism(df)  # 64 per-bit votes are CPU-bound
     sig = df.select(
         F.col(id_col).alias("id"), token_hashes(F.col(text_col), seed).alias("th")
     ).select("id", simhash_from_hashes(F.col("th")).alias("sh"))

@@ -138,8 +138,13 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via SRP blocking: only pairs
     sharing a signature bucket are compared (one equi-join shuffle keyed by
     the signature), then exact cosine filters by threshold."""
+    from dudb_spark.plans.layout import ensure_min_parallelism
+
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
+    # bits×dim multiply-adds per row dwarf the scan — don't let a narrow
+    # input serialize the signature stage
+    df = ensure_min_parallelism(df)
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -40,6 +40,24 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Floor the partition count before a CPU-bound expression stage.
+
+    Narrow inputs defeat wide clusters: a small Parquet file with one row
+    group arrives as ONE split, so a signature/sketch computation that costs
+    far more per row than the scan runs single-threaded no matter how many
+    cores exist.  (`spark.sql.files.maxPartitionBytes` cannot split below
+    the row-group boundary.)  When the scan has fewer partitions than the
+    cluster's default parallelism, pay one cheap round-robin shuffle of the
+    raw rows to unlock the cores; when the input is already wide (the 100 TB
+    case — thousands of splits), this is a no-op with zero added shuffle.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_group_sum(
     df: DataFrame,
     key_cols: list[str],
