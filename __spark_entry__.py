@@ -660,6 +660,40 @@ def q33_ann_ivf(spark, sf_dir):
     return idx.search(assigned.where("vec_id != 0"), q, k=10, n_probe=4)
 
 
+def q34_fs_subtree_rollup(spark, sf_dir):
+    """Extension beyond reference parity (SURVEY.md §2.3 note): recursive
+    `du`-style subtree totals via ancestor-explode + one groupBy — linear
+    in rows×depth where a prefix-LIKE join would be quadratic."""
+    from dudb_spark.operators.rollup import subtree_totals
+
+    return subtree_totals(_fs(spark, "entries")).orderBy("dir_path")
+
+
+def q35_fs_rollup_at_scale(spark, sf_dir):
+    """The rollup at data scale: lineitem mapped to a two-level synthetic
+    tree (25 groups × 500 dirs, one file per row), rolled up with a depth
+    cap (`du -d 1` analog) so the explode is pruned before aggregation.
+    At sf0.1 this folds 600k entries into 26 output rows."""
+    from dudb_spark.operators.rollup import subtree_totals
+
+    li = _t(spark, sf_dir, "lineitem")
+    parent = F.concat(
+        F.lit("/scale/g"), F.col("l_orderkey") % 25,
+        F.lit("/d"), F.col("l_orderkey") % 500,
+    )
+    fname = F.concat(
+        F.lit("f"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber"),
+        F.lit("-"), F.col("l_partkey"), F.lit("-"), F.col("l_suppkey"),
+    )
+    entries = li.select(
+        parent.alias("parent"),
+        F.concat(parent, F.lit("/"), fname).alias("path"),
+        F.lit(False).alias("is_dir"),
+        F.col("l_quantity").cast("long").alias("size"),
+    )
+    return subtree_totals(entries, root="/scale", max_depth=1).orderBy("dir_path")
+
+
 def _srp_oracle_sql(bits: int = 8, dim: int = 64, seed: int = 42) -> str:
     """Build the DuckDB SQL for q32 with the SAME hyperplane coefficients
     the Spark side derives from random.Random(seed)."""
@@ -772,6 +806,8 @@ QUERIES: dict[str, Callable] = {
     "q31_fs_stats_at_scale": q31_fs_stats_at_scale,
     "q32_embedding_near_dup": q32_embedding_near_dup,
     "q33_ann_ivf": q33_ann_ivf,
+    "q34_fs_subtree_rollup": q34_fs_subtree_rollup,
+    "q35_fs_rollup_at_scale": q35_fs_rollup_at_scale,
 }
 
 ORACLE: dict[str, str] = {
@@ -1159,6 +1195,46 @@ ORACLE: dict[str, str] = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
         ORDER BY p_brand
+    """,
+    # q34/q35: the ancestor-explode restated in DuckDB (list slicing +
+    # LATERAL unnest mirrors Spark's transform/sequence/slice)
+    "q34_fs_subtree_rollup": f"""
+        WITH p AS (
+            SELECT string_split(parent, '/') AS pp, is_dir, size
+            FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+        ), anc AS (
+            SELECT array_to_string(pp[1:i], '/') AS dir_path, is_dir, size
+            FROM p, LATERAL (SELECT unnest(generate_series(2, len(pp))) AS i) t
+        )
+        SELECT dir_path,
+               CAST(SUM(CASE WHEN NOT is_dir THEN 1 ELSE 0 END) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN is_dir THEN 1 ELSE 0 END) AS BIGINT) AS n_dirs,
+               CAST(SUM(CASE WHEN NOT is_dir THEN size ELSE 0 END) AS BIGINT) AS file_bytes,
+               CAST(SUM(size) AS BIGINT) AS total_bytes,
+               CAST(SUM(CASE WHEN NOT is_dir
+                    THEN CAST(ceil(size / 512.0) AS BIGINT) * 512
+                    ELSE 0 END) AS BIGINT) AS storage_bytes
+        FROM anc GROUP BY dir_path ORDER BY dir_path
+    """,
+    "q35_fs_rollup_at_scale": """
+        WITH ent AS (
+            SELECT (l_orderkey % 25) AS g, CAST(l_quantity AS BIGINT) AS size
+            FROM lineitem
+        ), anc AS (
+            -- fixed two-level tree + depth cap 1: ancestors are /scale
+            -- and /scale/g<g> only
+            SELECT '/scale' AS dir_path, size FROM ent
+            UNION ALL
+            SELECT '/scale/g' || g, size FROM ent
+        )
+        SELECT dir_path,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(0 AS BIGINT) AS n_dirs,
+               CAST(SUM(size) AS BIGINT) AS file_bytes,
+               CAST(SUM(size) AS BIGINT) AS total_bytes,
+               CAST(SUM(CAST(ceil(size / 512.0) AS BIGINT) * 512) AS BIGINT)
+                 AS storage_bytes
+        FROM anc GROUP BY dir_path ORDER BY dir_path
     """,
 }
 
