@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dudb_spark.plans.layout import ensure_min_parallelism
+
 
 def ancestors(path: Column) -> Column:
     """Array of all ancestor prefixes of an absolute path, outermost first:
@@ -68,6 +70,10 @@ def subtree_totals(
     if root != "/":
         e = e.where(F.col("path").startswith(root))
 
+    # the explode + per-ancestor path construction costs ~depth string
+    # builds per row — floor the parallelism so a narrow scan doesn't
+    # serialize it (no-op on wide inputs; filter above stays pushed down)
+    e = ensure_min_parallelism(e.select("parent", "is_dir", "size"))
     anc = e.select(
         F.explode(ancestors(F.col("parent"))).alias("dir_path"),
         "is_dir",
