@@ -694,6 +694,62 @@ def q35_fs_rollup_at_scale(spark, sf_dir):
     return subtree_totals(entries, root="/scale", max_depth=1).orderBy("dir_path")
 
 
+def q36_winnow_fingerprints(spark, sf_dir):
+    """Pipeline/text: MOSS-style winnowed rolling-hash fingerprints
+    (Schleimer et al., SIGMOD'03), exploded to (doc_id, fp) rows.  The
+    polynomial hash is plain modular arithmetic, so — unlike the xxhash64
+    sketches — the oracle reproduces the exact values."""
+    from dudb_spark.pipeline.text import winnow_df
+    from dudb_spark.plans.layout import ensure_min_parallelism
+
+    d = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
+    return (
+        winnow_df(d, exploded=True)
+        .select(F.col("id").alias("doc_id"), "fp")
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
+
+
+def q37_fingerprint_overlap(spark, sf_dir):
+    """Pipeline/dedup: copy-detection pairs by winnowed-fingerprint overlap
+    (explode → one equi-join on fp → per-pair count), value-exact."""
+    from dudb_spark.pipeline.dedup import fingerprint_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(d, min_shared=2).orderBy("id_a", "id_b")
+
+
+def _winnow_sql_cte(k: int = 5, window: int = 4) -> str:
+    """DuckDB CTEs computing the SAME winnowed fingerprints as the Spark
+    side (identical modular polynomial arithmetic)."""
+    mod = (1 << 31) - 1
+    powers = [pow(257, k - 1 - j, mod) for j in range(k)]
+    terms = " + ".join(
+        f"ord(s[i+{j}])::BIGINT * {p}" for j, p in enumerate(powers)
+    )
+    return f"""
+        WITH nrm AS (
+            SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   [ ({terms}) % {mod}
+                     FOR i IN range(1, greatest(len(s) - {k - 1}, 1) + 1) ] AS hs
+            FROM nrm WHERE len(s) >= {k}
+        ), w AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                     [ list_aggregate(hs[i:i+{window - 1}], 'min')
+                       FOR i IN range(1, greatest(len(hs) - {window - 1}, 1) + 1) ]))
+                     AS fps
+            FROM h
+        ), fp AS (
+            SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
+        )
+    """
+
+
 def _srp_oracle_sql(bits: int = 8, dim: int = 64, seed: int = 42) -> str:
     """Build the DuckDB SQL for q32 with the SAME hyperplane coefficients
     the Spark side derives from random.Random(seed)."""
@@ -808,6 +864,8 @@ QUERIES: dict[str, Callable] = {
     "q33_ann_ivf": q33_ann_ivf,
     "q34_fs_subtree_rollup": q34_fs_subtree_rollup,
     "q35_fs_rollup_at_scale": q35_fs_rollup_at_scale,
+    "q36_winnow_fingerprints": q36_winnow_fingerprints,
+    "q37_fingerprint_overlap": q37_fingerprint_overlap,
 }
 
 ORACLE: dict[str, str] = {
@@ -1235,6 +1293,33 @@ ORACLE: dict[str, str] = {
                CAST(SUM(CAST(ceil(size / 512.0) AS BIGINT) * 512) AS BIGINT)
                  AS storage_bytes
         FROM anc GROUP BY dir_path ORDER BY dir_path
+    """,
+    "q36_winnow_fingerprints": _winnow_sql_cte()
+    + """
+        SELECT doc_id, fp FROM fp ORDER BY doc_id, fp
+    """,
+    "q37_fingerprint_overlap": _winnow_sql_cte()
+    + """
+        , sizes AS (
+            SELECT fp, COUNT(*) AS _n FROM fp GROUP BY fp
+        ), capped AS (
+            SELECT f.doc_id, f.fp FROM fp f JOIN sizes USING (fp)
+            WHERE _n <= 1000
+        ), cnt AS (
+            SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        )
+        SELECT id_a, id_b, n_shared,
+               ROUND(CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp), 6)
+                 AS overlap
+        FROM pairs JOIN cnt ca ON id_a = ca.doc_id
+                   JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.5
+        ORDER BY id_a, id_b
     """,
 }
 

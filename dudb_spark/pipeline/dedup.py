@@ -216,6 +216,61 @@ def ngram_jaccard(
     )
 
 
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    min_fraction: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Copy-detection pairs by winnowed-fingerprint overlap (the MOSS
+    pipeline): ``overlap = n_shared / min(|fps_a|, |fps_b|)`` ≥
+    ``min_fraction``.  An absolute ``min_shared`` floor alone is useless on
+    real corpora — short common char-grams give most pairs a few shared
+    prints (measured: 117k of 125k possible pairs at 500 docs with
+    min_shared=2), while the containment fraction isolates actual copies.
+
+    Scale shape mirrors LSH banding: explode fingerprints, ONE equi-join on
+    the fingerprint value, count per pair; a boilerplate fingerprint shared
+    by a huge doc population is capped (``max_bucket``) exactly like a hot
+    LSH bucket.  Unlike the xxhash64 sketches, the rolling-hash arithmetic
+    is engine-reproducible, so this pipeline is value-exact against a SQL
+    oracle."""
+    from dudb_spark.pipeline.text import winnow_df
+
+    fps = winnow_df(
+        ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col))),
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        window=window,
+        exploded=True,
+    ).distinct()
+    counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    capped = fps.join(sizes.where(F.col("_n") <= max_bucket), "fp").select("id", "fp")
+
+    a = capped.select("fp", F.col("id").alias("id_a"))
+    b = capped.select("fp", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    overlap = F.col("n_shared") / F.least("na.n_fp", "nb.n_fp")
+    return (
+        pairs.join(counts.alias("na"), F.col("id_a") == F.col("na.id"))
+        .join(counts.alias("nb"), F.col("id_b") == F.col("nb.id"))
+        .where(overlap >= min_fraction)
+        .select("id_a", "id_b", "n_shared", F.round(overlap, 6).alias("overlap"))
+    )
+
+
 def token_hashes(text: Column, seed: int = 42) -> Column:
     """Per-token xxhash64 array — the SimHash base.  Materialize once
     (own projection) before the 64 per-bit aggregates reference it."""

@@ -68,6 +68,106 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(text, "\\s+", " "))))
 
 
+# Winnowing (MOSS-style document fingerprinting; Schleimer, Wilkerson &
+# Aiken, SIGMOD'03).  Hash arithmetic is plain modular polynomial math, so
+# an oracle engine can reproduce the exact values — unlike xxhash64-based
+# sketches.
+_WINNOW_BASE = 257
+_WINNOW_MOD = (1 << 31) - 1
+
+
+def _winnow_norm(text: Column) -> Column:
+    """Winnowing normalization: lowercase, drop everything but [a-z0-9] —
+    whitespace/punctuation-insensitive matching, and every remaining char is
+    ASCII so code points agree across engines."""
+    return F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+
+
+def _char_codes(text: Column) -> Column:
+    """Code points of the normalized text as array<long>."""
+    return F.transform(
+        F.split(_winnow_norm(text), ""), lambda c: F.ascii(c).cast("long")
+    )
+
+
+def _kgram_hashes_from(codes: Column, k: int) -> Column:
+    """``h_i = (sum_j codes[i+j] * BASE^(k-1-j)) mod M`` per position.
+    ``codes`` MUST be a bound attribute (its own select stage), not an
+    inline alias: expressions referenced inside a ``transform`` lambda are
+    re-evaluated per element, so an inlined normalization would turn this
+    into O(n²) regex work per document (measured: hangs at 500 docs)."""
+    powers = [pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)]
+
+    def gram_hash(i: Column) -> Column:
+        # max term ≈ 122 * 2^31 ≈ 2.6e11; k terms stay far below 2^63
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(powers):
+            acc = acc + F.element_at(codes, i + F.lit(j)) * F.lit(p)
+        return F.pmod(acc, F.lit(_WINNOW_MOD))
+
+    n = F.size(codes)
+    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))), gram_hash)
+    )
+
+
+def _winnow_mins_from(hashes: Column, window: int) -> Column:
+    """Distinct sliding-window minima of a bound hash-array attribute,
+    sorted.  Same attribute rule as :func:`_kgram_hashes_from`."""
+    nh = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nh - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.when(nh <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_sort(F.array_distinct(mins))
+    )
+
+
+def winnow_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    exploded: bool = False,
+) -> DataFrame:
+    """Winnowed fingerprints per document: ``(id, fps array<long>)``, or
+    one ``(id, fp)`` row per fingerprint with ``exploded=True``.
+
+    Three staged projections (normalize → k-gram hashes → window minima) so
+    each intermediate is evaluated once per row; guarantee (the winnowing
+    theorem): any shared substring of length ≥ k + window - 1 yields at
+    least one shared fingerprint, while only ~2/(window+1) of positions
+    are kept.
+
+    The exploded form MUST use ``explode_outer``: a plain ``explode``
+    triggers InferFiltersFromGenerate, whose synthesized ``size(fps) > 0``
+    predicate is alias-substituted through the staged projections on
+    pushdown — re-inlining the whole winnow expression with per-lambda
+    re-evaluation (measured: minutes instead of seconds at 500 docs).
+    The generator-output null filter below cannot be pushed past the
+    Generate, so the staging survives."""
+    codes = df.select(
+        F.col(id_col).alias("id"), _char_codes(F.col(text_col)).alias("codes")
+    )
+    hashes = codes.select("id", _kgram_hashes_from(F.col("codes"), k).alias("hs"))
+    fps = hashes.select("id", _winnow_mins_from(F.col("hs"), window).alias("fps"))
+    if not exploded:
+        return fps
+    return fps.select("id", F.explode_outer("fps").alias("fp")).where(
+        F.col("fp").isNotNull()
+    )
+
+
+def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Single-Column winnowing convenience.  ONLY for short strings/small
+    frames: the staged :func:`winnow_df` is the bulk path — this inline
+    form re-evaluates the normalization inside the per-position lambdas
+    (quadratic per document)."""
+    return _winnow_mins_from(_kgram_hashes_from(_char_codes(text), k), window)
+
+
 def stopword_hits(text: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))

@@ -140,3 +140,58 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         multimodal.extract_features(media, strict=True).collect()
+
+
+def _py_winnow(s: str, k: int = 5, window: int = 4):
+    """Pure-Python restatement of the winnowing pipeline (oracle)."""
+    norm = "".join(c for c in s.lower() if c.isascii() and (c.isalnum()))
+    M, B = (1 << 31) - 1, 257
+    if len(norm) < k:
+        return []
+    hashes = [
+        sum(ord(norm[i + j]) * pow(B, k - 1 - j, M) for j in range(k)) % M
+        for i in range(len(norm) - k + 1)
+    ]
+    end = max(len(hashes) - window + 1, 1)
+    mins = [min(hashes[i : i + window]) for i in range(end)]
+    return sorted(set(mins))
+
+
+def test_winnow_matches_python_oracle(docs):
+    rows = docs.select(
+        "doc_id", text.winnow_fingerprints(F.col("text")).alias("fps")
+    ).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        assert r["fps"] == _py_winnow(raw[r["doc_id"]]), r["doc_id"]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # winnowing theorem: a shared run of >= k + window - 1 normalized chars
+    # must produce at least one shared fingerprint
+    common = "identical stretch of text carried over verbatim"
+    df = spark.createDataFrame(
+        [(0, "prefix one " + common), (1, common + " suffix two")],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert fps[0] & fps[1]
+
+
+def test_fingerprint_overlap_pairs(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.fingerprint_overlap_pairs(docs, min_shared=2).collect()
+    }
+    # exact copies 0/3 share every fingerprint; near-dup 0/1 share most
+    assert (0, 3) in got
+    assert (0, 1) in got and (1, 3) in got
+    n_fp0 = len(_py_winnow("the quick brown fox jumps over the lazy dog near the river bank"))
+    assert got[(0, 3)] == n_fp0
+    # unrelated docs don't pair
+    assert not any(2 in p or 4 in p or 5 in p for p in got)
