@@ -207,6 +207,25 @@ def cmd_logs(args):
         print(json.dumps(r.asDict(), default=str))
 
 
+def cmd_du(args):
+    from dudb_spark.functions.units import format_bytes
+    from dudb_spark.operators.rollup import subtree_totals, top_subtrees
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    spark = _spark()
+    t = SnapshotCatalog(spark, args.db).tables()
+    if args.top:
+        df = top_subtrees(t.entries, n=args.top, metric=args.sort,
+                          root=args.prefix)
+    else:
+        df = subtree_totals(
+            t.entries, root=args.prefix, max_depth=args.max_depth
+        ).orderBy("dir_path")
+    for r in df.toLocalIterator():
+        size = format_bytes(r[args.sort], binary=args.units == "binary")
+        print(f"{size}\t{r['n_files']} files\t{r['dir_path']}")
+
+
 def cmd_database_locate(args):
     from dudb_spark.sources.catalog import SnapshotCatalog
 
@@ -274,6 +293,20 @@ def build_parser():
     rl.add_argument("--reports-dir", required=True)
     rl.add_argument("-n", type=int, default=1)
     rl.set_defaults(func=cmd_reports_locate)
+
+    p = sub.add_parser("du", help="recursive subtree totals (du analog)")
+    p.add_argument("--db", required=True)
+    p.add_argument("prefix", nargs="?", default="/")
+    p.add_argument("-d", "--max-depth", type=int, default=None,
+                   help="limit output to N levels below prefix")
+    p.add_argument("--top", type=int, default=None,
+                   help="show only the N heaviest subtrees")
+    p.add_argument("--sort", default="file_bytes",
+                   choices=("file_bytes", "total_bytes", "storage_bytes",
+                            "n_files", "n_dirs"))
+    p.add_argument("--units", choices=("decimal", "binary"),
+                   default="decimal")
+    p.set_defaults(func=cmd_du)
 
     p = sub.add_parser("errors", help="scan errors")
     p.add_argument("--db", required=True)

@@ -83,6 +83,15 @@ def test_cli_workflow(spark, real_tree, tmp_path, capsys):
     assert dbinfo["versions"] == ["v0001", "v0002"]
     assert dbinfo["latest"].endswith("v0002")
 
+    # du: recursive totals; root row covers all 4 files after the re-analyze
+    du = run(capsys, "du", "--db", db, real_tree).strip().splitlines()
+    by_path = {l.split("\t")[-1]: l for l in du}
+    assert real_tree in by_path
+    assert by_path[real_tree].endswith(f"4 files\t{real_tree}")
+    assert f"{real_tree}/proj/a" in by_path
+    top = run(capsys, "du", "--db", db, "--top", "1", real_tree).strip().splitlines()
+    assert len(top) == 1 and top[0].endswith(real_tree)
+
     # expression-syntax prints the grammar
     syn = run(capsys, "expression-syntax")
     assert "hardlink=<path>" in syn
