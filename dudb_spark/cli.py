@@ -226,6 +226,26 @@ def cmd_du(args):
         print(f"{size}\t{r['n_files']} files\t{r['dir_path']}")
 
 
+def cmd_config(args):
+    """Describe the engine configuration (reference: `idu config`,
+    main.go:104-105) — session defaults, registered calculators and
+    predicate operands, and the resolved database location."""
+    from dudb_spark.functions.calculators import _REGISTRY
+    from dudb_spark.session import _LOCAL_CPUS
+
+    info = {
+        "engine": "dudb_spark",
+        "local_cpus": _LOCAL_CPUS,
+        "calculators": sorted(_REGISTRY),
+        "operands": [
+            "user", "group", "name", "iname", "re", "type", "newer",
+            "dir-larger", "dir-smaller", "hardlink",
+        ],
+        "db": args.db,
+    }
+    print(json.dumps(info, indent=2))
+
+
 def cmd_database_locate(args):
     from dudb_spark.sources.catalog import SnapshotCatalog
 
@@ -325,6 +345,10 @@ def build_parser():
     dl = dsub.add_parser("locate")
     dl.add_argument("--db", required=True)
     dl.set_defaults(func=cmd_database_locate)
+
+    p = sub.add_parser("config", help="describe the current configuration")
+    p.add_argument("--db", default=None)
+    p.set_defaults(func=cmd_config)
 
     p = sub.add_parser("expression-syntax", help="print the predicate grammar")
     p.set_defaults(func=lambda a: print(EXPRESSION_SYNTAX))

@@ -92,6 +92,10 @@ def test_cli_workflow(spark, real_tree, tmp_path, capsys):
     top = run(capsys, "du", "--db", db, "--top", "1", real_tree).strip().splitlines()
     assert len(top) == 1 and top[0].endswith(real_tree)
 
+    # config describes the engine surface
+    conf = json.loads(run(capsys, "config", "--db", db))
+    assert "identity" in conf["calculators"] and "hardlink" in conf["operands"]
+
     # expression-syntax prints the grammar
     syn = run(capsys, "expression-syntax")
     assert "hardlink=<path>" in syn
