@@ -321,14 +321,16 @@ def q15_events_hourly(spark, sf_dir):
 
 def q16_minhash_dedup(spark, sf_dir):
     """Pipeline/dedup: MinHash+LSH candidate pairs verified with exact
-    n-gram Jaccard (no oracle — the LSH banding depends on xxhash64, which
-    DuckDB cannot replicate; the driver records a rows-only check)."""
+    n-gram Jaccard.  hash_fn='poly' (Horner modular folds) makes every
+    hash engine-reproducible, so the WHOLE sketch pipeline — signatures,
+    banding, candidate set, estimates, exact verification — is
+    value-checked against the DuckDB oracle."""
     from dudb_spark.pipeline.dedup import minhash_candidates, ngram_jaccard
 
     d = _t(spark, sf_dir, "documents")
     # strong candidates only (est ≥ 0.5) so the exact-Jaccard verification
     # joins touch a tiny pair set, not every banding collision
-    cand = minhash_candidates(d, num_perm=32, bands=8).where(
+    cand = minhash_candidates(d, num_perm=32, bands=8, hash_fn="poly").where(
         F.col("est_jaccard") >= 0.5
     )
     return (
@@ -720,6 +722,85 @@ def q37_fingerprint_overlap(spark, sf_dir):
     return fingerprint_overlap_pairs(d, min_shared=2).orderBy("id_a", "id_b")
 
 
+def _minhash_oracle_sql(
+    num_perm: int = 32, bands: int = 8, shingle_k: int = 3, seed: int = 42
+) -> str:
+    """DuckDB restatement of q16's poly-hash MinHash+LSH pipeline: same
+    Horner shingle hashes, same affine permutations (coefficients replayed
+    from random.Random(seed) exactly as minhash_signature derives them),
+    same band folds, bucket cap, est filter, and exact-Jaccard verify."""
+    import random
+
+    M = (1 << 31) - 1
+    P = (1 << 61) - 1
+    r = num_perm // bands
+    rnd = random.Random(seed)
+    perms = []
+    for _ in range(num_perm):
+        a = rnd.randrange(1, 1 << 30)
+        b = rnd.randrange(0, 1 << 30)
+        perms.append((a, b))
+
+    sig_exprs = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a}*h+{b}) % {P}), 'min')"
+        for a, b in perms
+    )
+    bucket_exprs = ", ".join(
+        f"list_reduce(list_prepend(0::BIGINT, sig[{b * r + 1}:{b * r + r}]),"
+        f" (a, v) -> (a*257+v) % {M})"
+        for b in range(bands)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    matches = f"len([i FOR i IN range(1, {num_perm + 1}) IF a.sig[i] = b.sig[i]])"
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(tk[i:i+{shingle_k - 1}], ' ')
+                       FOR i IN range(1, greatest(len(tk)-{shingle_k - 1}, 1) + 1)]) AS sg
+            FROM t
+        ), hsx AS (
+            SELECT doc_id, list_distinct([
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(sg[j][i])::BIGINT FOR i IN range(1, len(sg[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(sg)+1)]) AS hs
+            FROM sh
+        ), sigs AS (
+            SELECT doc_id, [{sig_exprs}] AS sig FROM hsx
+        ), banded AS (
+            SELECT doc_id, sig,
+                   unnest([{band_ids}]) AS band,
+                   unnest([{bucket_exprs}]) AS bucket
+            FROM sigs
+        ), sizes AS (
+            SELECT band, bucket, COUNT(*) AS _n FROM banded GROUP BY band, bucket
+        ), capped AS (
+            SELECT bd.* FROM banded bd JOIN sizes USING (band, bucket)
+            WHERE _n <= 1000
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND({matches} / {float(num_perm)}, 6) AS est_jaccard
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), cand AS (
+            SELECT * FROM pairs WHERE est_jaccard >= 0.5
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(len(list_filter(sa.sg, x -> list_contains(sb.sg, x)))::DOUBLE
+                     / len(list_distinct(sa.sg || sb.sg)), 6) AS jaccard
+        FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
+                    JOIN sh sb ON c.id_b = sb.doc_id
+        WHERE ROUND(len(list_filter(sa.sg, x -> list_contains(sb.sg, x)))::DOUBLE
+              / len(list_distinct(sa.sg || sb.sg)), 6) >= 0.3
+        ORDER BY id_a, id_b
+    """
+
+
 def _winnow_sql_cte(k: int = 5, window: int = 4) -> str:
     """DuckDB CTEs computing the SAME winnowed fingerprints as the Spark
     side (identical modular polynomial arithmetic)."""
@@ -1013,8 +1094,10 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY hour, event_type
     """,
-    # q16/q19 intentionally omitted: LSH banding and SimHash depend on
-    # xxhash64, which DuckDB cannot replicate → rows-only checks.
+    # q19 intentionally omitted: SimHash depends on xxhash64, which DuckDB
+    # cannot replicate → rows-only check.  q16 switched to the poly hash
+    # variant, so its whole sketch pipeline is value-checked:
+    "q16_minhash_dedup": _minhash_oracle_sql(),
     "q17_ann_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -32,6 +32,9 @@ from dudb_spark.plans.layout import ensure_min_parallelism
 # Mersenne prime 2^61-1: the classic universal-hash modulus; keeps affine
 # permutation values positive in signed-64 arithmetic.
 _P = (1 << 61) - 1
+# Horner-fold constants for the oracle-reproducible hash variants.
+_POLY_B = 257
+_POLY_M = (1 << 31) - 1
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
@@ -73,6 +76,25 @@ def shingle_hashes(text: Column, k: int = 3, seed: int = 42) -> Column:
     )
 
 
+def poly_shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Engine-reproducible variant of :func:`shingle_hashes`: each shingle
+    hashed with the classic Horner fold ``h = (h*B + code) mod M`` over its
+    characters (B=257, M=2^31-1) — plain modular arithmetic an oracle
+    engine can restate, unlike xxhash64.  The char walk happens on lambda
+    VARIABLES (bound per element), not on re-evaluated expressions, so the
+    nested higher-order functions stay linear."""
+    return F.array_distinct(
+        F.transform(
+            shingles(text, k),
+            lambda s: F.aggregate(
+                F.split(s, ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: F.pmod(acc * _POLY_B + F.ascii(c), F.lit(_POLY_M)),
+            ),
+        )
+    )
+
+
 def minhash_signature(base_hashes: Column, num_perm: int = 64, seed: int = 42) -> Column:
     """MinHash signature as an array<long> of length ``num_perm`` over a
     pre-computed base-hash array (see :func:`shingle_hashes`).
@@ -109,14 +131,20 @@ def minhash_candidates(
     shingle_k: int = 3,
     seed: int = 42,
     max_bucket: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b.
 
     rows-per-band r = num_perm/bands; two docs collide iff some band of
     their signatures is identical.  est_jaccard = matching signature
     positions / num_perm, computed only for candidates.
+
+    ``hash_fn``: ``"xxhash64"`` (native JVM hash) or ``"poly"`` (Horner
+    modular fold — same sketch structure, but every hash is reproducible by
+    an oracle engine, making the whole pipeline value-checkable).
     """
     assert num_perm % bands == 0
+    assert hash_fn in ("xxhash64", "poly")
     r = num_perm // bands
 
     # signatures cost far more per row than the scan — floor the partition
@@ -124,26 +152,39 @@ def minhash_candidates(
     df = ensure_min_parallelism(df)
     # two projection steps: base hashes once per row, then the signature —
     # without the boundary every permutation would re-shingle the text
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), shingle_k, seed).alias("base"),
+    base_hash = (
+        shingle_hashes(F.col(text_col), shingle_k, seed)
+        if hash_fn == "xxhash64"
+        else poly_shingle_hashes(F.col(text_col), shingle_k)
     )
+    base = df.select(F.col(id_col).alias("id"), base_hash.alias("base"))
     sig = base.select(
         "id", minhash_signature(F.col("base"), num_perm, seed).alias("sig")
     )
+
+    def band_bucket(b):
+        sl = F.slice(F.col("sig"), b * r + 1, r)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.concat_ws(",", sl))
+        # Horner fold over the band's signature values: acc < 2^31,
+        # acc*B + v < 2^62 — safe in ANSI long arithmetic
+        return F.aggregate(
+            sl,
+            F.lit(0).cast("long"),
+            lambda acc, v: F.pmod(acc * _POLY_B + v, F.lit(_POLY_M)),
+        )
 
     banded = sig.select(
         "id",
         "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)),
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -48,6 +48,16 @@ def test_minhash_finds_near_dups(docs):
     assert pairs.get((0, 2), 0.0) < 0.3
 
 
+def test_minhash_poly_hash_variant(docs):
+    # the oracle-reproducible Horner-hash variant finds the same planted
+    # structure as the xxhash64 sketch (hash values differ; semantics don't)
+    cand = dedup.minhash_candidates(docs, num_perm=64, bands=32, hash_fn="poly")
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand.collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs
+    assert pairs.get((0, 2), 0.0) < 0.3
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_near_duplicates(docs, max_hamming=8)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
