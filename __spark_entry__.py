@@ -382,13 +382,17 @@ def q18_ann_batch_topk(spark, sf_dir):
 
 def q19_simhash_near_dup(spark, sf_dir):
     """Pipeline/dedup: SimHash Hamming-distance near-dup pairs via the
-    pigeonhole block join (rows-only: depends on xxhash64)."""
+    pigeonhole block join.  hash_fn='poly' (packed double-Horner token
+    hashes, 62 bits) makes the signatures, block join and Hamming verify
+    value-exact against the DuckDB oracle."""
     from dudb_spark.pipeline.dedup import simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
     # hamming ≤ 3 → 4 blocks of 16 bits: selective buckets keep the
     # pigeonhole join near-linear even on shared-vocabulary corpora
-    return simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_duplicates(d, max_hamming=3, hash_fn="poly").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q20_language_id(spark, sf_dir):
@@ -801,6 +805,60 @@ def _minhash_oracle_sql(
     """
 
 
+def _simhash_oracle_sql(max_hamming: int = 3, bits: int = 62) -> str:
+    """DuckDB restatement of q19's poly SimHash: packed double-Horner token
+    hashes, 62 per-bit majority votes, 16-bit pigeonhole block join, exact
+    Hamming verify via bit_count(xor)."""
+    M = (1 << 31) - 1
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+
+    def fold(base):
+        return (
+            "list_reduce(list_prepend(0::BIGINT, "
+            "[ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]), "
+            f"(a,b) -> (a*{base}+b) % {M})"
+        )
+
+    vote = lambda i: (
+        "CASE WHEN list_aggregate(list_transform(th, v -> "
+        f"CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+    )
+    sig_expr = " + ".join(vote(i) for i in range(bits))
+    block_ids = ", ".join(str(b) for b in range(nblocks))
+    block_vals = ", ".join(
+        f"(sh >> {b * width}) & {(1 << width) - 1}" for b in range(nblocks)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   [ {fold(257)} * {1 << 31} + {fold(263)}
+                     FOR j IN range(1, len(tk)+1) ] AS th
+            FROM t
+        ), sigs AS (
+            SELECT doc_id, ({sig_expr})::BIGINT AS sh FROM th
+        ), blocks AS (
+            SELECT doc_id, sh,
+                   unnest([{block_ids}]) AS block,
+                   unnest([{block_vals}]) AS val
+            FROM sigs
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh, b.sh)) AS hamming
+            FROM blocks a JOIN blocks b
+              ON a.block = b.block AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
 def _winnow_sql_cte(k: int = 5, window: int = 4) -> str:
     """DuckDB CTEs computing the SAME winnowed fingerprints as the Spark
     side (identical modular polynomial arithmetic)."""
@@ -1094,10 +1152,10 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY hour, event_type
     """,
-    # q19 intentionally omitted: SimHash depends on xxhash64, which DuckDB
-    # cannot replicate → rows-only check.  q16 switched to the poly hash
-    # variant, so its whole sketch pipeline is value-checked:
+    # q16/q19 switched to the poly hash variants, so both sketch pipelines
+    # are value-checked end-to-end (q33's KMeans remains rows-only):
     "q16_minhash_dedup": _minhash_oracle_sql(),
+    "q19_simhash_near_dup": _simhash_oracle_sql(),
     "q17_ann_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

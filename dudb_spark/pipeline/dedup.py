@@ -318,6 +318,26 @@ def token_hashes(text: Column, seed: int = 42) -> Column:
     return F.transform(tokens(text), lambda x: F.xxhash64(x, F.lit(seed)))
 
 
+def _horner(token: Column, base: int) -> Column:
+    return F.aggregate(
+        F.split(token, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * base + F.ascii(c), F.lit(_POLY_M)),
+    )
+
+
+def poly_token_hashes(text: Column) -> Column:
+    """Engine-reproducible 62-bit token hashes: two independent 31-bit
+    Horner folds (bases 257/263) packed as ``h1 * 2^31 + h2``.  Two folds
+    because a single 61-bit Horner would overflow signed-64 at the
+    multiply; the packed value stays < 2^62.  Char walks run on lambda
+    variables, so the nested higher-order functions are linear."""
+    return F.transform(
+        tokens(text),
+        lambda t: _horner(t, 257) * F.lit(1 << 31) + _horner(t, 263),
+    )
+
+
 def simhash_from_hashes(h: Column, bits: int = 64) -> Column:
     """64-bit SimHash over a pre-computed token-hash array: per-bit majority
     vote with higher-order functions (no UDF, no explode).  The bit index is
@@ -362,18 +382,31 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k, using the pigeonhole
     block trick: split the 64-bit signature into k+1 blocks; any pair within
     distance k agrees exactly on ≥1 block → equi-join per block, then verify
-    the true Hamming distance with bit_count(xor)."""
+    the true Hamming distance with bit_count(xor).
+
+    ``hash_fn='poly'`` swaps xxhash64 for the packed double-Horner token
+    hash (62 effective bits; the top two signature bits stay 0, which only
+    makes the final block slightly narrower) — every value becomes
+    oracle-reproducible."""
+    assert hash_fn in ("xxhash64", "poly")
     nblocks = max_hamming + 1
     width = 64 // nblocks
 
     df = ensure_min_parallelism(df)  # 64 per-bit votes are CPU-bound
-    sig = df.select(
-        F.col(id_col).alias("id"), token_hashes(F.col(text_col), seed).alias("th")
-    ).select("id", simhash_from_hashes(F.col("th")).alias("sh"))
+    th = (
+        token_hashes(F.col(text_col), seed)
+        if hash_fn == "xxhash64"
+        else poly_token_hashes(F.col(text_col))
+    )
+    bits = 64 if hash_fn == "xxhash64" else 62
+    sig = df.select(F.col(id_col).alias("id"), th.alias("th")).select(
+        "id", simhash_from_hashes(F.col("th"), bits).alias("sh")
+    )
     # shift amounts must be literals → build the block array Python-side
     block_structs = [
         F.struct(
