@@ -736,17 +736,19 @@ def _minhash_oracle_sql(
     import random
 
     M = (1 << 31) - 1
-    P = (1 << 61) - 1
     r = num_perm // bands
     rnd = random.Random(seed)
     perms = []
+    coeff_cap = min(1 << 30, M)
     for _ in range(num_perm):
-        a = rnd.randrange(1, 1 << 30)
-        b = rnd.randrange(0, 1 << 30)
+        a = rnd.randrange(1, coeff_cap)
+        b = rnd.randrange(0, coeff_cap)
         perms.append((a, b))
 
+    # permutations run mod 2^31-1 (the poly-base modulus; see
+    # minhash_signature on why the modulus must wrap the products)
     sig_exprs = ", ".join(
-        f"list_aggregate(list_transform(hs, h -> ({a}*h+{b}) % {P}), 'min')"
+        f"list_aggregate(list_transform(hs, h -> ({a}*h+{b}) % {M}), 'min')"
         for a, b in perms
     )
     bucket_exprs = ", ".join(
@@ -766,14 +768,20 @@ def _minhash_oracle_sql(
                    list_distinct([array_to_string(tk[i:i+{shingle_k - 1}], ' ')
                        FOR i IN range(1, greatest(len(tk)-{shingle_k - 1}, 1) + 1)]) AS sg
             FROM t
-        ), hsx AS (
-            SELECT doc_id, list_distinct([
+        ), tkh AS (
+            SELECT doc_id, [
                 list_reduce(
                     list_prepend(0::BIGINT,
-                        [ord(sg[j][i])::BIGINT FOR i IN range(1, len(sg[j])+1)]),
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
                     (a, b) -> (a*257+b) % {M})
-                FOR j IN range(1, len(sg)+1)]) AS hs
-            FROM sh
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), hsx AS (
+            SELECT doc_id, list_distinct([
+                list_reduce(list_prepend(0::BIGINT, th[i:i+{shingle_k - 1}]),
+                            (a, v) -> (a*257+v) % {M})
+                FOR i IN range(1, greatest(len(th)-{shingle_k - 1}, 1) + 1)]) AS hs
+            FROM tkh
         ), sigs AS (
             SELECT doc_id, [{sig_exprs}] AS sig FROM hsx
         ), banded AS (
@@ -1445,9 +1453,9 @@ ORACLE: dict[str, str] = {
             SELECT fp, COUNT(*) AS _n FROM fp GROUP BY fp
         ), capped AS (
             SELECT f.doc_id, f.fp FROM fp f JOIN sizes USING (fp)
-            WHERE _n <= 1000
+            WHERE _n <= 100
         ), cnt AS (
-            SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id
+            SELECT doc_id, COUNT(*) AS n_fp FROM capped GROUP BY doc_id
         ), pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
             FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id

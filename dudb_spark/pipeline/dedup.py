@@ -76,46 +76,63 @@ def shingle_hashes(text: Column, k: int = 3, seed: int = 42) -> Column:
     )
 
 
-def poly_shingle_hashes(text: Column, k: int = 3) -> Column:
-    """Engine-reproducible variant of :func:`shingle_hashes`: each shingle
-    hashed with the classic Horner fold ``h = (h*B + code) mod M`` over its
-    characters (B=257, M=2^31-1) — plain modular arithmetic an oracle
-    engine can restate, unlike xxhash64.  The char walk happens on lambda
-    VARIABLES (bound per element), not on re-evaluated expressions, so the
-    nested higher-order functions stay linear."""
+def poly_token_hash_array(text: Column) -> Column:
+    """Per-token Horner hash ``h = (h*B + code) mod M`` (B=257, M=2^31-1)
+    — plain modular arithmetic an oracle engine can restate, unlike
+    xxhash64.  The char walk runs on lambda VARIABLES (bound per element),
+    not re-evaluated expressions, so it stays linear."""
+    return F.transform(tokens(text), lambda t: _horner(t, _POLY_B))
+
+
+def poly_shingle_hashes_from(th: Column, k: int = 3) -> Column:
+    """Engine-reproducible MinHash base from a BOUND token-hash attribute:
+    shingle hash = Horner fold over the k member token hashes.  Hashing
+    tokens once and combining (O(chars + k·positions)) measured 4× cheaper
+    than char-folding every shingle string (O(k·chars) with per-shingle
+    string allocs).  ``th`` must be its own projection — inlining it here
+    would re-evaluate the tokenization per position."""
+    n = F.size(th)
     return F.array_distinct(
         F.transform(
-            shingles(text, k),
-            lambda s: F.aggregate(
-                F.split(s, ""),
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(th, i, k),
                 F.lit(0).cast("long"),
-                lambda acc, c: F.pmod(acc * _POLY_B + F.ascii(c), F.lit(_POLY_M)),
+                lambda acc, v: F.pmod(acc * _POLY_B + v, F.lit(_POLY_M)),
             ),
         )
     )
 
 
-def minhash_signature(base_hashes: Column, num_perm: int = 64, seed: int = 42) -> Column:
+def minhash_signature(
+    base_hashes: Column, num_perm: int = 64, seed: int = 42, mod: int = _P
+) -> Column:
     """MinHash signature as an array<long> of length ``num_perm`` over a
     pre-computed base-hash array (see :func:`shingle_hashes`).
 
-    Permutation i applies a fixed affine map ``(a_i * h + b_i) mod P`` with
-    30-bit coefficients so the product stays below 2^62 (Spark 4 runs ANSI
-    mode — long overflow throws, so operand widths make overflow
-    impossible).  All JVM-side.
+    Permutation i applies the Carter-Wegman affine map ``(a_i*h + b_i) mod
+    P``.  THE MODULUS MUST SIT WELL BELOW ``max(a) * max(h)``: if the
+    products rarely exceed it, the map is order-PRESERVING and every
+    permutation selects the same argmin — signatures degenerate to "same
+    min shingle?" and near-dup recall collapses to exact-dup (a measured
+    failure with 31-bit base hashes against the 2^61-1 modulus).  Defaults
+    serve 32-bit xxhash64 bases; 31-bit poly bases pass ``mod=2^31-1``.
+    Operand widths keep every product under 2^62 (Spark 4 runs ANSI mode —
+    long overflow throws).  All JVM-side.
     """
     import random
 
     rnd = random.Random(seed)
+    coeff_cap = min(1 << 30, mod)
     mins = []
     for _ in range(num_perm):
-        a = rnd.randrange(1, 1 << 30)
-        b = rnd.randrange(0, 1 << 30)
+        a = rnd.randrange(1, coeff_cap)
+        b = rnd.randrange(0, coeff_cap)
         mins.append(
             F.array_min(
                 F.transform(
                     base_hashes,
-                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)),
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(mod)),
                 )
             )
         )
@@ -150,16 +167,27 @@ def minhash_candidates(
     # signatures cost far more per row than the scan — floor the partition
     # count so a narrow input (one row group) doesn't serialize the sketch
     df = ensure_min_parallelism(df)
-    # two projection steps: base hashes once per row, then the signature —
+    # staged projections: base hashes once per row, then the signature —
     # without the boundary every permutation would re-shingle the text
-    base_hash = (
-        shingle_hashes(F.col(text_col), shingle_k, seed)
-        if hash_fn == "xxhash64"
-        else poly_shingle_hashes(F.col(text_col), shingle_k)
-    )
-    base = df.select(F.col(id_col).alias("id"), base_hash.alias("base"))
+    if hash_fn == "xxhash64":
+        base = df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), shingle_k, seed).alias("base"),
+        )
+    else:
+        th = df.select(
+            F.col(id_col).alias("id"),
+            poly_token_hash_array(F.col(text_col)).alias("th"),
+        )
+        base = th.select(
+            "id", poly_shingle_hashes_from(F.col("th"), shingle_k).alias("base")
+        )
+    # 31-bit poly bases need the 31-bit modulus (see minhash_signature on
+    # order-preserving degeneration); xxhash64's 32-bit bases use 2^61-1
+    sig_mod = _P if hash_fn == "xxhash64" else _POLY_M
     sig = base.select(
-        "id", minhash_signature(F.col("base"), num_perm, seed).alias("sig")
+        "id",
+        minhash_signature(F.col("base"), num_perm, seed, mod=sig_mod).alias("sig"),
     )
 
     def band_bucket(b):
@@ -265,7 +293,7 @@ def fingerprint_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     min_fraction: float = 0.5,
-    max_bucket: int = 1000,
+    max_bucket: int = 100,
 ) -> DataFrame:
     """Copy-detection pairs by winnowed-fingerprint overlap (the MOSS
     pipeline): ``overlap = n_shared / min(|fps_a|, |fps_b|)`` ≥
@@ -290,9 +318,13 @@ def fingerprint_overlap_pairs(
         window=window,
         exploded=True,
     ).distinct()
-    counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
     capped = fps.join(sizes.where(F.col("_n") <= max_bucket), "fp").select("id", "fp")
+    # the containment denominator counts only fingerprints that SURVIVE the
+    # boilerplate cap: otherwise a corpus-wide common fingerprint would
+    # depress every doc's achievable overlap (measured: zero recall at 10×
+    # corpus size with a pre-cap denominator and a fixed cap)
+    counts = capped.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
 
     a = capped.select("fp", F.col("id").alias("id_a"))
     b = capped.select("fp", F.col("id").alias("id_b"))

@@ -19,6 +19,11 @@ import os
 from pyspark.sql import SparkSession
 
 _LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# local mode runs driver + all executor threads in ONE JVM; the 1g default
+# heap OOMs with 32 concurrent tasks over array-heavy expressions.  Only
+# applied at JVM launch (no effect on an already-running session or on a
+# real cluster submit, which sets its own memory).
+_LOCAL_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 def get_spark(
@@ -54,6 +59,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # timestamps in fixtures are naive; pin session TZ for determinism
         .config("spark.sql.session.timeZone", "UTC")
+        # --- local-mode JVM sizing & clean stdout ----------------------
+        .config("spark.driver.memory", _LOCAL_DRIVER_MEM)
+        # JVM unified logging (e.g. gc,alloc warnings under pressure)
+        # writes to STDOUT and would corrupt bench.py's one-line-JSON
+        # contract; route everything through log4j instead
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
