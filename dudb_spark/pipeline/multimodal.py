@@ -108,6 +108,98 @@ def extract_features(
     return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, strict: bool = False
+) -> DataFrame:
+    """Arrow-batched image resize: same schema out as in, with the payload
+    replaced and ``meta.width/height`` updated.  The pixel work is stubbed
+    (deterministic digest of (payload, target size) sized ~w*h/8) —
+    ``strict=True`` raises where PIL/libvips would plug in.  Metadata is
+    rewritten JVM-side (withField), so only the payload crosses into
+    Python."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image resizing requires imaging libraries "
+                "not present in this environment"
+            )
+        n_out = max(width * height // 8, 32)
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                seed = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                out.append(bytearray((seed * (n_out // 32 + 1))[:n_out]))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
+
+    resized = media.select("media_id", "payload").mapInPandas(
+        kernel, T.StructType(MEDIA_SCHEMA[:2])
+    )
+    meta = media.select(
+        "media_id",
+        F.col("meta")
+        .withField("width", F.lit(width))
+        .withField("height", F.lit(height))
+        .alias("meta"),
+    )
+    return resized.join(meta, "media_id").select("media_id", "payload", "meta")
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    strict: bool = False,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (a 1→N
+    ``mapInPandas`` — the iterator contract allows the kernel to yield more
+    rows than it consumes, so no explode of a pre-built array is needed and
+    per-batch memory stays bounded by frames-per-batch).  Frame count
+    derives from ``meta.duration_ms``; the frame decode is stubbed with a
+    deterministic digest of (payload, frame index)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real frame extraction requires ffmpeg/av libraries "
+                "not present in this environment"
+            )
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                # nullable long arrives as float NaN through Arrow/pandas
+                if dur is None or pd.isna(dur):
+                    n = 1
+                else:
+                    n = min(int(dur) // every_ms + 1, max_frames)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    payloads.append(
+                        bytearray(hashlib.sha256(bytes(p) + str(i).encode()).digest())
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "payload": payloads}
+            )
+
+    return media.select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-Column metadata rollup (no Python): bytes/type histograms."""
     return (

@@ -152,6 +152,35 @@ def test_multimodal_plumbing(spark):
         multimodal.extract_features(media, strict=True).collect()
 
 
+def test_multimodal_resize_and_frames(spark):
+    media = multimodal.synthetic_media(spark, n=8)
+    resized = multimodal.resize_images(media, width=16, height=16).collect()
+    assert len(resized) == 8
+    assert all(r["meta"]["width"] == 16 and r["meta"]["height"] == 16 for r in resized)
+    assert all(len(bytes(r["payload"])) == 32 for r in resized)  # 16*16/8
+    # schema survives a round-trip through the same operator
+    assert multimodal.resize_images(
+        spark.createDataFrame(resized, multimodal.MEDIA_SCHEMA), 8, 8
+    ).count() == 8
+
+    # frame sampling: images have duration NULL -> exactly 1 frame each
+    frames = multimodal.sample_frames(media, every_ms=40).collect()
+    assert len(frames) == 8 and all(f["frame_idx"] == 0 for f in frames)
+    # videos: duration 100ms / every 40ms -> 3 frames (t=0,40,80)
+    vid = media.withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.lit(100).cast("long"))
+    )
+    vframes = multimodal.sample_frames(vid, every_ms=40).collect()
+    assert len(vframes) == 24
+    one = sorted(
+        (f["frame_idx"], f["ts_ms"]) for f in vframes if f["media_id"] == 0
+    )
+    assert one == [(0, 0), (1, 40), (2, 80)]
+    # deterministic, and distinct frames get distinct payloads
+    p0 = {bytes(f["payload"]) for f in vframes if f["media_id"] == 0}
+    assert len(p0) == 3
+
+
 def _py_winnow(s: str, k: int = 5, window: int = 4):
     """Pure-Python restatement of the winnowing pipeline (oracle)."""
     norm = "".join(c for c in s.lower() if c.isascii() and (c.isalnum()))
