@@ -726,6 +726,74 @@ def q37_fingerprint_overlap(spark, sf_dir):
     return fingerprint_overlap_pairs(d, min_shared=2).orderBy("id_a", "id_b")
 
 
+def q38_events_sessionized(spark, sf_dir):
+    """§2.9 extension: the custom STATEFUL streaming operator
+    (applyInPandasWithState session windows) through the driver gate.
+    Event values are converted to integer cents up front so the kernel's
+    sequential float accumulation is exact and engine-comparable; a single
+    micro-batch keeps per-user arrival complete (multi-batch disorder is a
+    watermark/timeout production concern, sessions.py docstring)."""
+    import tempfile
+
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+    from dudb_spark.streaming.sessions import sessionize
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+    )
+    src = tempfile.mkdtemp(prefix="dudb_sess_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        sessionize(stream, gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dudb_q38_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("dudb_q38_sessions")
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            F.col("sum_value").cast("long").alias("sum_cents"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q39_fs_distinct_owners(spark, sf_dir):
+    """Distinct aggregation over the scale mapping: exact distinct owner
+    counts per directory.  Exact distinct costs an Expand shuffle; at
+    100 TB swap in approx_count_distinct (HyperLogLog++, one pass, no
+    expand) — exact kept here because the oracle hash-compares values."""
+    li = _t(spark, sf_dir, "lineitem")
+    parent = F.concat(F.lit("/scale/d"), F.col("l_orderkey") % 500)
+    entries = li.select(
+        parent.alias("parent"),
+        (F.col("l_suppkey") % 10).cast("long").alias("uid"),
+        (F.col("l_partkey") % 7).cast("long").alias("gid"),
+    )
+    return (
+        entries.groupBy("parent")
+        .agg(
+            F.countDistinct("uid").alias("n_uids"),
+            F.countDistinct("gid").alias("n_gids"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+        .orderBy("parent")
+    )
+
+
 def _minhash_oracle_sql(
     num_perm: int = 32, bands: int = 8, shingle_k: int = 3, seed: int = 42
 ) -> str:
@@ -1013,6 +1081,8 @@ QUERIES: dict[str, Callable] = {
     "q35_fs_rollup_at_scale": q35_fs_rollup_at_scale,
     "q36_winnow_fingerprints": q36_winnow_fingerprints,
     "q37_fingerprint_overlap": q37_fingerprint_overlap,
+    "q38_events_sessionized": q38_events_sessionized,
+    "q39_fs_distinct_owners": q39_fs_distinct_owners,
 }
 
 ORACLE: dict[str, str] = {
@@ -1469,6 +1539,50 @@ ORACLE: dict[str, str] = {
                    JOIN cnt cb ON id_b = cb.doc_id
         WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    # q38: lag + cumulative-sum sessionization restates the stateful
+    # operator; each user's trailing (still-open) session is dropped, as
+    # the stream leaves it in state
+    "q38_events_sessionized": """
+        WITH ev AS (
+            SELECT user_id, ts,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), s AS (
+            SELECT user_id, ts, cents,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                        OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ev
+        ), s2 AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM s
+        ), agg AS (
+            SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en,
+                   COUNT(*) AS n_events, SUM(cents) AS sum_cents
+            FROM s2 GROUP BY user_id, sess_id
+        ), mx AS (
+            SELECT user_id, max(sess_id) AS m FROM agg GROUP BY user_id
+        )
+        SELECT a.user_id,
+               strftime(st, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(en, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               n_events, CAST(sum_cents AS BIGINT) AS sum_cents
+        FROM agg a JOIN mx USING (user_id)
+        WHERE a.sess_id < m
+        ORDER BY user_id, session_start
+    """,
+    "q39_fs_distinct_owners": """
+        SELECT '/scale/d' || (l_orderkey % 500) AS parent,
+               COUNT(DISTINCT l_suppkey % 10) AS n_uids,
+               COUNT(DISTINCT l_partkey % 7) AS n_gids,
+               COUNT(*) AS n_files
+        FROM lineitem
+        GROUP BY parent
+        ORDER BY parent
     """,
 }
 
