@@ -81,9 +81,12 @@ def build_ivf(
     id_col: str = "vec_id",
     seed: int = 42,
     sample_fraction: float = 1.0,
+    max_iter: int = 10,
 ) -> IVFIndex:
     """Train the coarse quantizer.  ``sample_fraction`` bounds training cost
-    on large corpora (the quantizer only needs the density shape)."""
+    on large corpora and ``max_iter`` caps Lloyd iterations — a coarse
+    quantizer only needs the density shape, not converged centroids (recall
+    comes from n_probe, not centroid polish)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -92,7 +95,7 @@ def build_ivf(
         "_features", array_to_vector(_as_double(F.col(vec_col)))
     )
     model = (
-        KMeans(k=n_clusters, seed=seed, featuresCol="_features")
+        KMeans(k=n_clusters, seed=seed, featuresCol="_features", maxIter=max_iter)
         .fit(feats)
     )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
