@@ -85,6 +85,49 @@ def test_subtree_totals_max_depth(spark, fs_dir, tree):
         assert r.asDict() == full[r["dir_path"]]
 
 
+def test_rollup_fuzz_random_trees(spark):
+    """Seeded fuzz: random trees (uneven depth ≤ 6, random fanout, files
+    and dir-entry rows mixed) rolled up in one job vs the Python fold."""
+    import random
+
+    rnd = random.Random(20260813)
+    rows = []
+    dirs = ["/r"]
+    for _ in range(400):
+        parent = rnd.choice(dirs)
+        depth = parent.count("/")
+        is_dir = depth < 6 and rnd.random() < 0.3
+        name = f"{'d' if is_dir else 'f'}{len(rows)}"
+        path = f"{parent}/{name}"
+        rows.append(
+            {
+                "parent": parent,
+                "path": path,
+                "is_dir": is_dir,
+                "size": rnd.randrange(0, 10_000),
+            }
+        )
+        if is_dir:
+            dirs.append(path)
+    df = spark.createDataFrame(rows)
+
+    got = {r["dir_path"]: r.asDict() for r in subtree_totals(df).collect()}
+    want = _brute_force(rows)
+    assert got.keys() == want.keys()
+    for d, w in want.items():
+        for k, v in w.items():
+            assert got[d][k] == v, f"{d}.{k}"
+
+    # root restriction on a random subtree agrees too
+    root = rnd.choice([r["path"] for r in rows if r["is_dir"]])
+    got_r = {r["dir_path"]: r.asDict() for r in subtree_totals(df, root=root).collect()}
+    want_r = _brute_force(rows, root=root)
+    assert got_r.keys() == want_r.keys()
+    for d, w in want_r.items():
+        for k, v in w.items():
+            assert got_r[d][k] == v, f"{d}.{k}"
+
+
 def test_top_subtrees_order_and_plan(spark, fs_dir):
     t = FsTables(spark, fs_dir)
     top = top_subtrees(t.entries, n=3)
