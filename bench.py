@@ -52,6 +52,11 @@ def main():
         result["stats_entries_per_sec"] = round(
             n_entries / times["q31_fs_stats_at_scale"]
         )
+    if "q35_fs_rollup_at_scale" in times and sf:
+        n_entries = int(600_000 * (sf / 0.1))
+        result["rollup_entries_per_sec"] = round(
+            n_entries / times["q35_fs_rollup_at_scale"]
+        )
     print(json.dumps(result))
 
 
