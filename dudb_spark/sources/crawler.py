@@ -142,43 +142,85 @@ def crawl_distributed(
     root: str,
     exclusions: list[str] | None = None,
     fanout_partitions: int = 64,
+    staging_dir: str | None = None,
 ):
     """BFS distributed crawl: one Spark job per tree level; directories are
     listed/stat'ed inside ``mapPartitions`` on executors.  Returns
-    (prefixes_df, entries_df, errors_df)."""
+    (prefixes_df, entries_df, errors_df) backed by staging Parquet.
+
+    Scale contract — NOTHING row-shaped touches the driver:
+
+    - scan results append to staging Parquet *from the executors*;
+    - the next-level frontier stays an RDD (``flatMap`` of children), so a
+      billion-directory tree never materializes a Python list of paths;
+    - the only per-level driver value is the frontier count (the loop
+      condition).
+
+    The per-level cache is recomputation avoidance across the level's
+    actions, released before the next level; the frontier is CHECKPOINTED
+    to staging each level (truncating the RDD lineage — otherwise level N's
+    recompute chain would re-scan levels 1..N-1 after the caches are
+    dropped).
+    """
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
     excl = list(exclusions or [])
+    rootdepth = root.rstrip("/").count("/")
 
     def scan_partition(paths):
         pats = [re.compile(x) for x in excl]
         for p in paths:
-            yield _scan_one(p, pats)
-
-    sc = spark.sparkContext
-    all_prefixes: list[dict] = []
-    all_entries: list[dict] = []
-    all_errors: list[dict] = []
-
-    level = [root.rstrip("/") or "/"]
-    while level:
-        nparts = max(1, min(fanout_partitions, len(level)))
-        results = (
-            sc.parallelize(level, nparts).mapPartitions(scan_partition).collect()
-        )
-        nxt: list[str] = []
-        for pr, ents, errs, children in results:
+            pr, ents, errs, children = _scan_one(p, pats)
             if pr is not None:
-                all_prefixes.append(pr)
-                all_entries.extend(ents)
-            all_errors.extend(errs)
-            nxt.extend(children)
-        level = nxt
+                pr["depth"] = pr["path"].count("/") - rootdepth
+            yield pr, ents, errs, children
 
-    rootdepth = root.rstrip("/").count("/")
-    for r in all_prefixes:
-        r["depth"] = r["path"].count("/") - rootdepth
+    staging = staging_dir or tempfile.mkdtemp(prefix="dudb_crawl_")
+    sc = spark.sparkContext
 
-    return (
-        spark.createDataFrame(all_prefixes, PREFIXES_SCHEMA),
-        spark.createDataFrame(all_entries, ENTRIES_SCHEMA),
-        spark.createDataFrame(all_errors or [], ERRORS_SCHEMA),
+    level_rdd = sc.parallelize([root.rstrip("/") or "/"], 1)
+    n_level = 1
+    depth_i = 0
+    wrote_errors = False
+    while n_level:
+        nparts = max(1, min(fanout_partitions, n_level))
+        scanned = (
+            level_rdd.repartition(nparts)
+            .mapPartitions(scan_partition)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        spark.createDataFrame(
+            scanned.map(lambda r: r[0]).filter(lambda p: p is not None),
+            PREFIXES_SCHEMA,
+        ).write.mode("append").parquet(f"{staging}/prefixes")
+        spark.createDataFrame(
+            scanned.flatMap(lambda r: r[1]), ENTRIES_SCHEMA
+        ).write.mode("append").parquet(f"{staging}/entries")
+        errs = scanned.flatMap(lambda r: r[2])
+        if not errs.isEmpty():
+            spark.createDataFrame(errs, ERRORS_SCHEMA).write.mode(
+                "append"
+            ).parquet(f"{staging}/errors")
+            wrote_errors = True
+        # checkpoint the frontier: breaks the lineage chain back through
+        # the (about-to-be-dropped) cache of this level's scan
+        fdir = f"{staging}/frontier/L{depth_i}"
+        spark.createDataFrame(
+            scanned.flatMap(lambda r: r[3]).map(lambda p: (p,)), "path: string"
+        ).write.parquet(fdir)
+        frontier = spark.read.parquet(fdir)
+        n_level = frontier.count()
+        level_rdd = frontier.rdd.map(lambda r: r.path)
+        scanned.unpersist()
+        depth_i += 1
+
+    prefixes = spark.read.parquet(f"{staging}/prefixes")
+    entries = spark.read.parquet(f"{staging}/entries")
+    errors = (
+        spark.read.parquet(f"{staging}/errors")
+        if wrote_errors
+        else spark.createDataFrame([], ERRORS_SCHEMA)
     )
+    return prefixes, entries, errors
