@@ -255,6 +255,22 @@ def cmd_database_locate(args):
                       "versions": cat.versions()}))
 
 
+def cmd_database_compact(args):
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(_spark(), args.db)
+    out = cat.compact(n_files=args.files)
+    print(json.dumps({"compacted": out}))
+
+
+def cmd_database_prune(args):
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(_spark(), args.db)
+    removed = cat.prune(keep=args.keep)
+    print(json.dumps({"removed": removed, "kept": cat.versions()}))
+
+
 def _add_time_flags(p):
     p.add_argument("--since", help="duration, e.g. 24h, 30m")
     p.add_argument("--from", dest="from", help="RFC3339 or YYYY-MM-DD")
@@ -345,6 +361,14 @@ def build_parser():
     dl = dsub.add_parser("locate")
     dl.add_argument("--db", required=True)
     dl.set_defaults(func=cmd_database_locate)
+    dc = dsub.add_parser("compact", help="re-cluster the latest snapshot by path")
+    dc.add_argument("--db", required=True)
+    dc.add_argument("--files", type=int, default=None)
+    dc.set_defaults(func=cmd_database_compact)
+    dp = dsub.add_parser("prune", help="drop old snapshot versions")
+    dp.add_argument("--db", required=True)
+    dp.add_argument("--keep", type=int, default=2)
+    dp.set_defaults(func=cmd_database_prune)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

@@ -70,6 +70,55 @@ class SnapshotCatalog:
             f.write(v)
         return out
 
+    def compact(self, n_files: int | None = None) -> str:
+        """Rewrite the latest snapshot range-partitioned and sorted by the
+        path key, as a new version.
+
+        Subtree queries prune with Parquet row-group min/max statistics on
+        ``path``/``parent`` — but only if each file covers a narrow key
+        range.  Incremental merges gradually destroy that clustering; this
+        is the `OPTIMIZE ... ZORDER`-analog that restores it (the reference
+        gets the same property for free from Badger's sorted LSM keys,
+        badgerdb.go:307–317).  Readers are unaffected: the pointer flips
+        only after a complete write."""
+        t = self.tables()
+        shuffle = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        n = n_files or shuffle
+        v = self.next_version()
+        out = os.path.join(self.root, v)
+        (
+            t.prefixes.repartitionByRange(n, "path")
+            .sortWithinPartitions("path")
+            .write.mode("overwrite")
+            .parquet(f"{out}/prefixes.parquet")
+        )
+        (
+            t.entries.repartitionByRange(n, "parent", "name")
+            .sortWithinPartitions("parent", "name")
+            .write.mode("overwrite")
+            .parquet(f"{out}/entries.parquet")
+        )
+        if os.path.isdir(f"{self.latest_path()}/errors.parquet"):
+            t.errors.write.mode("overwrite").parquet(f"{out}/errors.parquet")
+        with open(os.path.join(self.root, "latest"), "w") as f:
+            f.write(v)
+        return out
+
+    def prune(self, keep: int = 2) -> list[str]:
+        """Drop all but the newest ``keep`` snapshot versions (never the
+        one ``latest`` points to).  Returns the removed version names."""
+        import shutil
+
+        keep = max(keep, 1)
+        vs = self.versions()
+        current = self.latest_version()
+        removable = [v for v in vs[:-keep] if v != current]
+        for v in removable:
+            shutil.rmtree(os.path.join(self.root, v))
+        return removable
+
     def append_log(self, start, stop, summary: dict) -> None:
         """Append one run-summary row (the log bucket, badgerdb.go:401–416)."""
         known = {f.name for f in SCAN_LOGS_SCHEMA["summary"].dataType.fields}

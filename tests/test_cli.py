@@ -92,6 +92,22 @@ def test_cli_workflow(spark, real_tree, tmp_path, capsys):
     top = run(capsys, "du", "--db", db, "--top", "1", real_tree).strip().splitlines()
     assert len(top) == 1 and top[0].endswith(real_tree)
 
+    # database compact: results identical, files clustered by path
+    before = run(capsys, "find", "--db", db, real_tree, "type=f")
+    cj = json.loads(run(capsys, "database", "compact", "--db", db))
+    assert cj["compacted"].endswith("v0003")
+    after = run(capsys, "find", "--db", db, real_tree, "type=f")
+    assert sorted(before.splitlines()) == sorted(after.splitlines())
+    du_after = run(capsys, "du", "--db", db, real_tree).strip().splitlines()
+    assert any(l.endswith(f"4 files\t{real_tree}") for l in du_after)
+
+    # database prune: drops v0001, keeps the newest two incl. latest
+    pj = json.loads(run(capsys, "database", "prune", "--db", db, "--keep", "2"))
+    assert pj["removed"] == ["v0001"]
+    dbinfo2 = json.loads(run(capsys, "database", "locate", "--db", db))
+    assert dbinfo2["versions"] == ["v0002", "v0003"]
+    assert dbinfo2["latest"].endswith("v0003")
+
     # config describes the engine surface
     conf = json.loads(run(capsys, "config", "--db", db))
     assert "identity" in conf["calculators"] and "hardlink" in conf["operands"]
