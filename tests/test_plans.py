@@ -87,3 +87,33 @@ def test_events_timerange_pushdown(spark):
     # parquet — but the scan must still prune to the two needed columns
     first = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "event_type" not in first and "props" not in first
+
+
+def test_rollup_plan_shape(spark, fs_dir):
+    from dudb_spark.operators.rollup import subtree_totals
+
+    t = FsTables(spark, fs_dir)
+    plan = plan_of(subtree_totals(t.entries, root="/tree/d0-0"))
+    # the subtree restriction reaches the parquet scan
+    assert "StartsWith(path,/tree/d0-0)" in plan.replace("'", "")
+    # scan prunes to the three needed columns (+ path for the filter)
+    first = plan.split("ReadSchema: ")[1].splitlines()[0]
+    for col in ("mtime", "uid", "inode", "mode"):
+        assert col not in first
+    # explode feeds partial+final aggregation around ONE exchange —
+    # no nested-loop join, no iterative self-joins
+    assert "Generate" in plan and plan.count("HashAggregate") >= 2
+    assert "NestedLoop" not in plan
+
+
+def test_winnow_stays_staged(spark):
+    """The staged winnow projections must not collapse into one
+    (re-inlining would be quadratic per doc; see text.winnow_df)."""
+    from dudb_spark.pipeline.text import winnow_df
+
+    docs = spark.createDataFrame([(1, "some text body")], ["doc_id", "text"])
+    plan = plan_of(winnow_df(docs, exploded=True))
+    # the null filter sits above the Generate, not below it
+    gen_pos = plan.find("Generate")
+    assert gen_pos != -1
+    assert "isnotnull(fp" in plan
