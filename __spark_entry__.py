@@ -794,6 +794,56 @@ def q39_fs_distinct_owners(spark, sf_dir):
     )
 
 
+def q40_language_id_ngram(spark, sf_dir):
+    """Pipeline/text: char-trigram language ID (n-gram heuristic — works
+    without clean token boundaries, complementing q20's stopword voting)."""
+    from dudb_spark.pipeline.text import language_id_ngram_df
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        language_id_ngram_df(d)
+        .select(F.col("id").alias("doc_id"), "lang_pred", "n_hits")
+        .orderBy("doc_id")
+    )
+
+
+def _trigram_oracle_sql() -> str:
+    """DuckDB restatement of q40: same normalization, trigram set, profile
+    intersections, and the argmax-with-lexicographic-tie-break that
+    array_max(struct(hits, lang)) implies (ties → later language code)."""
+    from dudb_spark.pipeline.text import TRIGRAM_PROFILES
+
+    hit_cols = ", ".join(
+        f"len(list_filter(tg, x -> list_contains({profile!r}, x))) AS h_{lang}"
+        for lang, profile in sorted(TRIGRAM_PROFILES.items())
+    )
+    langs_desc = sorted(TRIGRAM_PROFILES, reverse=True)
+    pick = " ".join(
+        f"WHEN h_{lang} = mx THEN '{lang}'" for lang in langs_desc[:-1]
+    )
+    last = langs_desc[-1]
+    return f"""
+        WITH nrm AS (
+            SELECT doc_id,
+                   '_' || regexp_replace(lower(text), '\\s+', '_', 'g') || '_' AS s
+            FROM documents
+        ), tgs AS (
+            SELECT doc_id,
+                   list_distinct([s[i:i+2]
+                       FOR i IN range(1, greatest(len(s)-2, 1) + 1)]) AS tg
+            FROM nrm
+        ), hits AS (
+            SELECT doc_id, {hit_cols} FROM tgs
+        ), mxx AS (
+            SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM hits
+        )
+        SELECT doc_id,
+               CASE WHEN mx = 0 THEN 'und' {pick} ELSE '{last}' END AS lang_pred,
+               CAST(mx AS INTEGER) AS n_hits
+        FROM mxx ORDER BY doc_id
+    """
+
+
 def _minhash_oracle_sql(
     num_perm: int = 32, bands: int = 8, shingle_k: int = 3, seed: int = 42
 ) -> str:
@@ -1083,6 +1133,7 @@ QUERIES: dict[str, Callable] = {
     "q37_fingerprint_overlap": q37_fingerprint_overlap,
     "q38_events_sessionized": q38_events_sessionized,
     "q39_fs_distinct_owners": q39_fs_distinct_owners,
+    "q40_language_id_ngram": q40_language_id_ngram,
 }
 
 ORACLE: dict[str, str] = {
@@ -1234,6 +1285,7 @@ ORACLE: dict[str, str] = {
     # are value-checked end-to-end (q33's KMeans remains rows-only):
     "q16_minhash_dedup": _minhash_oracle_sql(),
     "q19_simhash_near_dup": _simhash_oracle_sql(),
+    "q40_language_id_ngram": _trigram_oracle_sql(),
     "q17_ann_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -173,6 +173,69 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))
 
 
+# Tiny per-language character-trigram profiles (hand-picked high-frequency
+# trigrams incl. word boundaries, '_' = space).  Deliberately small: a cheap
+# distributed n-gram signal that — unlike stopword voting — also works on
+# text without clean token boundaries.
+TRIGRAM_PROFILES = {
+    "en": ["the", "he_", "_th", "ing", "and", "_of", "ed_", "is_", "_to", "er_"],
+    "de": ["der", "ein", "ich", "sch", "die", "und", "_de", "en_", "cht", "ist"],
+    "es": ["_de", "que", "el_", "la_", "os_", "_la", "ión", "ado", "es_", "_es"],
+    "fr": ["_de", "le_", "es_", "ent", "_le", "de_", "la_", "et_", "ion", "que"],
+}
+
+
+def _trigram_norm(text: Column) -> Column:
+    """Lowercase, whitespace runs → '_', '_'-padded both ends so
+    word-boundary trigrams exist."""
+    return F.concat(
+        F.lit("_"), F.regexp_replace(F.lower(text), "\\s+", "_"), F.lit("_")
+    )
+
+
+def _trigrams_from(s: Column) -> Column:
+    """Distinct char trigrams of a BOUND normalized-string attribute (the
+    per-position substr runs on the attribute — inlining the normalization
+    here would re-run its regex per position)."""
+    n = F.length(s)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: s.substr(i, F.lit(3)),
+        )
+    )
+
+
+def language_id_ngram_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Char-trigram language ID: score = |trigrams(doc) ∩ profile(lang)|,
+    argmax with 'und' when nothing matches and language-code tie-break.
+    Works without clean token boundaries (unlike stopword voting); two
+    staged projections keep the trigram pass linear."""
+    s = df.select(F.col(id_col).alias("id"), _trigram_norm(F.col(text_col)).alias("s"))
+    tg = s.select("id", _trigrams_from(F.col("s")).alias("tg"))
+    pairs = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    F.col("tg"), F.array(*[F.lit(t) for t in profile])
+                )
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, profile in sorted(TRIGRAM_PROFILES.items())
+    ]
+    best = F.array_max(F.array(*pairs))
+    return tg.select(
+        "id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        best["hits"].alias("n_hits"),
+    )
+
+
 def language_id(text: Column) -> Column:
     """Stopword-voting language ID: argmax of per-language stopword hit
     counts, 'und' (undetermined) when no stopwords hit.  Ties break by

@@ -234,3 +234,13 @@ def test_fingerprint_overlap_pairs(docs):
     assert got[(0, 3)] == n_fp0
     # unrelated docs don't pair
     assert not any(2 in p or 4 in p or 5 in p for p in got)
+
+
+def test_language_id_ngram(spark, docs):
+    got = {
+        r["id"]: r["lang_pred"]
+        for r in text.language_id_ngram_df(docs).collect()
+    }
+    assert got[0] == "en" and got[3] == "en"
+    assert got[4] == "de"
+    assert got[5] == "es"
