@@ -709,10 +709,10 @@ def q36_winnow_fingerprints(spark, sf_dir):
     from dudb_spark.plans.layout import ensure_min_parallelism
 
     d = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
+    # (id, fp) rows are already unique (distinct arrays × PK doc_id)
     return (
         winnow_df(d, exploded=True)
         .select(F.col("id").alias("doc_id"), "fp")
-        .distinct()
         .orderBy("doc_id", "fp")
     )
 

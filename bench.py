@@ -47,13 +47,12 @@ def main():
     }
     # ingest-side throughput anchor (BASELINE.md: reference ≈4,700 rows/s):
     # q31 pushes one stats fold over one synthetic entry per lineitem row
-    if "q31_fs_stats_at_scale" in times and sf:
-        n_entries = int(600_000 * (sf / 0.1))
+    n_entries = int(600_000 * (sf / 0.1)) if sf else None  # synthetic-tree rows
+    if "q31_fs_stats_at_scale" in times and n_entries:
         result["stats_entries_per_sec"] = round(
             n_entries / times["q31_fs_stats_at_scale"]
         )
-    if "q35_fs_rollup_at_scale" in times and sf:
-        n_entries = int(600_000 * (sf / 0.1))
+    if "q35_fs_rollup_at_scale" in times and n_entries:
         result["rollup_entries_per_sec"] = round(
             n_entries / times["q35_fs_rollup_at_scale"]
         )

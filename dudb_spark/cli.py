@@ -216,14 +216,19 @@ def cmd_du(args):
     t = SnapshotCatalog(spark, args.db).tables()
     if args.top:
         df = top_subtrees(t.entries, n=args.top, metric=args.sort,
-                          root=args.prefix)
+                          root=args.prefix, max_depth=args.max_depth)
     else:
         df = subtree_totals(
             t.entries, root=args.prefix, max_depth=args.max_depth
         ).orderBy("dir_path")
+    count_metric = args.sort in ("n_files", "n_dirs")
     for r in df.toLocalIterator():
-        size = format_bytes(r[args.sort], binary=args.units == "binary")
-        print(f"{size}\t{r['n_files']} files\t{r['dir_path']}")
+        lead = (
+            str(r[args.sort])
+            if count_metric
+            else format_bytes(r[args.sort], binary=args.units == "binary")
+        )
+        print(f"{lead}\t{r['n_files']} files\t{r['dir_path']}")
 
 
 def cmd_config(args):

@@ -66,6 +66,7 @@ def subtree_totals(
     ancestors BEFORE the aggregation, so deep trees don't pay for output
     rows that will be discarded.
     """
+    root = root.rstrip("/") or "/"  # '/data/' must match dir_path '/data'
     e = entries
     if root != "/":
         e = e.where(F.col("path").startswith(root))
@@ -84,13 +85,15 @@ def subtree_totals(
         # above the requested subtree
         anc = anc.where(
             (F.col("dir_path") == root)
-            | F.col("dir_path").startswith(root.rstrip("/") + "/")
+            | F.col("dir_path").startswith(root + "/")
         )
     if max_depth is not None:
-        root_depth = 0 if root == "/" else root.rstrip("/").count("/")
-        anc = anc.where(
-            F.size(F.split(F.col("dir_path"), "/")) - 1 <= root_depth + max_depth
+        root_depth = 0 if root == "/" else root.count("/")
+        # '/' splits to ['',''] (size 2) but is depth 0, not 1
+        d = F.when(F.col("dir_path") == "/", F.lit(0)).otherwise(
+            F.size(F.split(F.col("dir_path"), "/")) - 1
         )
+        anc = anc.where(d <= root_depth + max_depth)
 
     is_file = ~F.col("is_dir")
     bs = F.lit(block_size)
@@ -110,12 +113,13 @@ def top_subtrees(
     n: int = 20,
     metric: str = "file_bytes",
     root: str = "/",
+    max_depth: int | None = None,
 ) -> DataFrame:
     """`du | sort -rh | head` analog: the n heaviest subtrees.  orderBy +
     limit compiles to TakeOrderedAndProject — only n rows survive each
     partition; the full rollup is never materialized or globally sorted."""
     return (
-        subtree_totals(entries, root=root)
+        subtree_totals(entries, root=root, max_depth=max_depth)
         .orderBy(F.desc(metric), "dir_path")
         .limit(n)
     )

@@ -310,6 +310,9 @@ def fingerprint_overlap_pairs(
     oracle."""
     from dudb_spark.pipeline.text import winnow_df
 
+    # (id, fp) is already unique: winnow_df emits array_distinct arrays and
+    # id_col is the documents PK — no dedup shuffle needed on the fattest
+    # intermediate of the pipeline
     fps = winnow_df(
         ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col))),
         text_col=text_col,
@@ -317,7 +320,7 @@ def fingerprint_overlap_pairs(
         k=k,
         window=window,
         exploded=True,
-    ).distinct()
+    )
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
     capped = fps.join(sizes.where(F.col("_n") <= max_bucket), "fp").select("id", "fp")
     # the containment denominator counts only fingerprints that SURVIVE the

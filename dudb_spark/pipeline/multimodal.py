@@ -128,31 +128,34 @@ def resize_images(
     rewritten JVM-side (withField), so only the payload crosses into
     Python."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark.sql.functions import pandas_udf
+
+    n_out = max(width * height // 8, 32)
+
+    @pandas_udf(T.BinaryType())
+    def _resize(payloads: pd.Series) -> pd.Series:
         if strict:
             raise NotImplementedError(
                 "real image resizing requires imaging libraries "
                 "not present in this environment"
             )
-        n_out = max(width * height // 8, 32)
-        for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                seed = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
-                out.append(bytearray((seed * (n_out // 32 + 1))[:n_out]))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
+        out = []
+        for p in payloads:
+            seed = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+            out.append(bytes((seed * (n_out // 32 + 1))[:n_out]))
+        return pd.Series(out)
 
-    resized = media.select("media_id", "payload").mapInPandas(
-        kernel, T.StructType(MEDIA_SCHEMA[:2])
-    )
-    meta = media.select(
+    # one pass: only the payload crosses the Arrow boundary (scalar pandas
+    # UDF); meta is rewritten JVM-side in the same projection — no second
+    # evaluation of the source and no re-attach join
+    return media.select(
         "media_id",
+        _resize("payload").alias("payload"),
         F.col("meta")
         .withField("width", F.lit(width))
         .withField("height", F.lit(height))
         .alias("meta"),
     )
-    return resized.join(meta, "media_id").select("media_id", "payload", "meta")
 
 
 def sample_frames(

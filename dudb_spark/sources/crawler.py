@@ -177,7 +177,12 @@ def crawl_distributed(
                 pr["depth"] = pr["path"].count("/") - rootdepth
             yield pr, ents, errs, children
 
-    staging = staging_dir or tempfile.mkdtemp(prefix="dudb_crawl_")
+    # staging MUST be on a filesystem all executors share (HDFS/S3/NFS) in
+    # cluster mode — the driver-local tempdir default only works on
+    # local[N].  A unique run subdir prevents append-merging rows from a
+    # previous crawl into this one.
+    base = staging_dir or tempfile.mkdtemp(prefix="dudb_crawl_")
+    staging = tempfile.mkdtemp(prefix="run_", dir=base)
     sc = spark.sparkContext
 
     level_rdd = sc.parallelize([root.rstrip("/") or "/"], 1)

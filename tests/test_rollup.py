@@ -72,6 +72,13 @@ def test_subtree_totals_root_restriction(spark, fs_dir, tree):
             assert g[k] == v
 
 
+def test_subtree_totals_trailing_slash_root(spark, fs_dir):
+    t = FsTables(spark, fs_dir)
+    a = {r["dir_path"] for r in subtree_totals(t.entries, root="/tree/d0-0").collect()}
+    b = {r["dir_path"] for r in subtree_totals(t.entries, root="/tree/d0-0/").collect()}
+    assert a == b and "/tree/d0-0" in b
+
+
 def test_subtree_totals_max_depth(spark, fs_dir, tree):
     t = FsTables(spark, fs_dir)
     got = subtree_totals(t.entries, max_depth=2).collect()
