@@ -807,6 +807,75 @@ def q40_language_id_ngram(spark, sf_dir):
     )
 
 
+def q41_ann_ivf_exact(spark, sf_dir):
+    """ANN-with-index, value-checked: deterministic IVF (first-k seed
+    centroids + one decimal-exact Lloyd step) — the oracle reproduces the
+    quantizer, both assignments, the probe choice and the final ranking
+    bit-for-bit.  q33 keeps the production KMeans quantizer (rows-only)."""
+    from dudb_spark.pipeline.ivf import fixed_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    return fixed_ivf_topk(emb, q, k=10, n_clusters=16, n_probe=4)
+
+
+def _fixed_ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB restatement of q41: same seed centroids, argmax assignment
+    (cosine rounded 6, smaller-cell tie-break), decimal-exact Lloyd means,
+    probe selection and final ranking."""
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    def argmax(src, cents, out):
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT s.vec_id, s.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {cos('s.v', 'c.v')} DESC, c.cell ASC) AS rn
+                FROM {src} s CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM e ORDER BY vec_id LIMIT {n_clusters}
+        ), {argmax('e', 'c0', 'a0')}
+        , m AS (
+            SELECT cell, i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i FROM a0)
+            GROUP BY cell, i
+        ), c1g AS (
+            SELECT cell AS orig_cell, list(mu ORDER BY i) AS v
+            FROM m GROUP BY cell
+        ), c1 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY orig_cell) - 1 AS cell, v
+            FROM c1g
+        ), {argmax('e', 'c1', 'a1')}
+        , q AS (
+            SELECT v FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT c1.cell FROM c1, q
+            ORDER BY {cos('c1.v', 'q.v')} DESC, c1.cell ASC LIMIT {n_probe}
+        )
+        SELECT a1.vec_id, {cos('a1.v', 'q.v')} AS cosine
+        FROM a1 JOIN probe USING (cell), q
+        WHERE a1.vec_id <> 0
+        ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
 def _trigram_oracle_sql() -> str:
     """DuckDB restatement of q40: same normalization, trigram set, profile
     intersections, and the argmax-with-lexicographic-tie-break that
@@ -1134,6 +1203,7 @@ QUERIES: dict[str, Callable] = {
     "q38_events_sessionized": q38_events_sessionized,
     "q39_fs_distinct_owners": q39_fs_distinct_owners,
     "q40_language_id_ngram": q40_language_id_ngram,
+    "q41_ann_ivf_exact": q41_ann_ivf_exact,
 }
 
 ORACLE: dict[str, str] = {
@@ -1286,6 +1356,7 @@ ORACLE: dict[str, str] = {
     "q16_minhash_dedup": _minhash_oracle_sql(),
     "q19_simhash_near_dup": _simhash_oracle_sql(),
     "q40_language_id_ngram": _trigram_oracle_sql(),
+    "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q17_ann_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -74,6 +74,87 @@ class IVFIndex:
         )
 
 
+def fixed_ivf_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic, oracle-reproducible IVF: centroids seeded from the
+    first ``n_clusters`` vectors by id, refined by ONE Lloyd step whose
+    per-cell means use exact decimal sums (identical doubles in any
+    engine/partitioning), then probe-and-score.  Cell argmax and final
+    ranking compare cosines rounded to 6 decimals with id tie-breaks, so
+    an oracle engine reproduces every choice bit-for-bit.  KMeans
+    (:func:`build_ivf`) remains the production quantizer — this variant
+    exists so the ANN-with-index path can be value-checked end-to-end."""
+    from pyspark.sql import functions as F
+
+    def cos6(v, c_list):
+        return F.round(cosine(v, _lit_vec(c_list)), 6)
+
+    def argmax_cell(v, centroids):
+        # array_max over struct(score, -cell): ties pick the smaller cell
+        pairs = [
+            F.struct(cos6(v, c).alias("s"), F.lit(-j).alias("nj"))
+            for j, c in enumerate(centroids)
+        ]
+        return -F.array_max(F.array(*pairs))["nj"]
+
+    v = _as_double(F.col(vec_col))
+    c0 = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(n_clusters).collect()
+    ]
+    assigned0 = emb.select(id_col, vec_col, argmax_cell(v, c0).alias("cell"))
+
+    # one Lloyd step: exact decimal sums -> identical means everywhere
+    means = (
+        assigned0.select("cell", F.posexplode(v).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+    cells = sorted(by_cell)
+    c1 = [[by_cell[c][i] for i in range(len(by_cell[c]))] for c in cells]
+
+    # probe cells: driver-side cosine on the tiny centroid list
+    def pycos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    qv = [float(x) for x in query_vec]
+    ranked = sorted(
+        ((pycos(c, qv), -j) for j, c in enumerate(c1)), reverse=True
+    )
+    probe = {-nj for _, nj in ranked[:n_probe]}
+
+    # cell ids in the second assignment are INDICES into the (ascending-
+    # cell-ordered) c1 list — the oracle derives the same ordering
+    assigned1 = emb.select(id_col, vec_col, argmax_cell(v, c1).alias("cell"))
+    return (
+        assigned1.where(
+            F.col("cell").isin(sorted(probe)) & (F.col(id_col) != 0)
+        )
+        .select(id_col, cos6(v, qv).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def build_ivf(
     df: DataFrame,
     n_clusters: int = 16,

@@ -61,3 +61,18 @@ def test_ivf_full_probe_equals_brute(spark, corpus):
     assert [(r["vec_id"], r["cosine"]) for r in approx] == [
         (r["vec_id"], r["cosine"]) for r in brute
     ]
+
+
+def test_fixed_ivf_deterministic_and_sane(spark):
+    from dudb_spark.pipeline.ivf import fixed_ivf_topk
+    from dudb_spark.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    a = [(r["vec_id"], r["cosine"]) for r in fixed_ivf_topk(emb, q, k=10).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in fixed_ivf_topk(emb, q, k=10).collect()]
+    assert a == b and len(a) == 10
+    # probing 4/16 cells still recovers most of the true top-10
+    brute = [r["vec_id"] for r in
+             brute_force_topk(emb.where("vec_id != 0"), q, k=10).collect()]
+    assert len({v for v, _ in a} & set(brute)) >= 5
