@@ -819,6 +819,47 @@ def q41_ann_ivf_exact(spark, sf_dir):
     return fixed_ivf_topk(emb, q, k=10, n_clusters=16, n_probe=4)
 
 
+def q42_event_funnel(spark, sf_dir):
+    """Sequential pattern matching (funnel): per user/day, signup events
+    followed by a purchase by the SAME user within 30 minutes.  Shape: one
+    equi-join on the user key with a time-range residual — the equi key
+    carries the shuffle, so the range condition never becomes a cross
+    join; AQE handles hot users.  First-qualifying-purchase semantics via
+    min() per signup."""
+    ev = _events(spark, sf_dir)
+    a = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_uid"), F.col("ts").alias("b_ts")
+    )
+    conv = (
+        a.join(
+            b,
+            (a.uid == b.b_uid)
+            & (b.b_ts > a.a_ts)
+            & (b.b_ts <= a.a_ts + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("signup_id", "uid", "a_ts")
+        .agg(F.min("b_ts").alias("first_purchase_ts"))
+    )
+    return (
+        conv.groupBy(F.to_date("a_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("uid").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
+            "n_conversions",
+            "n_users",
+        )
+        .orderBy("day")
+    )
+
+
 def _fixed_ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
     """DuckDB restatement of q41: same seed centroids, argmax assignment
     (cosine rounded 6, smaller-cell tie-break), decimal-exact Lloyd means,
@@ -1204,6 +1245,7 @@ QUERIES: dict[str, Callable] = {
     "q39_fs_distinct_owners": q39_fs_distinct_owners,
     "q40_language_id_ngram": q40_language_id_ngram,
     "q41_ann_ivf_exact": q41_ann_ivf_exact,
+    "q42_event_funnel": q42_event_funnel,
 }
 
 ORACLE: dict[str, str] = {
@@ -1357,6 +1399,25 @@ ORACLE: dict[str, str] = {
     "q19_simhash_near_dup": _simhash_oracle_sql(),
     "q40_language_id_ngram": _trigram_oracle_sql(),
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
+    "q42_event_funnel": """
+        WITH a AS (
+            SELECT user_id AS uid, event_id AS signup_id, ts AS a_ts
+            FROM events WHERE event_type = 'signup'
+        ), b AS (
+            SELECT user_id AS uid, ts AS b_ts
+            FROM events WHERE event_type = 'purchase'
+        ), conv AS (
+            SELECT a.signup_id, a.uid, a.a_ts, MIN(b.b_ts) AS first_purchase_ts
+            FROM a JOIN b ON a.uid = b.uid
+                AND b.b_ts > a.a_ts
+                AND b.b_ts <= a.a_ts + INTERVAL 30 MINUTE
+            GROUP BY a.signup_id, a.uid, a.a_ts
+        )
+        SELECT strftime(CAST(a_ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_conversions,
+               COUNT(DISTINCT uid) AS n_users
+        FROM conv GROUP BY day ORDER BY day
+    """,
     "q17_ann_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
