@@ -584,19 +584,25 @@ def q31_fs_stats_at_scale(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dirnum = F.col("l_orderkey") % 500
     parent = F.concat(F.lit("/scale/d"), dirnum)
-    # (orderkey, linenumber) repeats in the synthetic data — only the
-    # 4-tuple with partkey+suppkey is unique, so both path and inode must
-    # include all four or window tie-breaks go nondeterministic
+    # Even the (orderkey, linenumber, partkey, suppkey) 4-tuple repeats at
+    # some SFs (sf0.001 has one dup pair with DIFFERENT quantities) — the
+    # identity must also fold in quantity, otherwise two rows collide on
+    # path+inode and the dedup window's canonical pick becomes a coin flip
+    # that changes the byte totals.  With quantity included, any residual
+    # collision is between rows identical in every column the fold reads,
+    # so the tie-break can't affect the result.
+    qty = F.col("l_quantity").cast("long")
     fname = F.concat(
         F.lit("f"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber"),
         F.lit("-"), F.col("l_partkey"), F.lit("-"), F.col("l_suppkey"),
+        F.lit("-"), qty,
     )
     uniq = (
         F.col("l_orderkey") * F.lit(1_000_000_000)
         + F.col("l_linenumber") * F.lit(100_000_000)
         + F.col("l_partkey") * F.lit(1_000)
         + F.col("l_suppkey")
-    )
+    ) * F.lit(64) + qty
     inode = F.when(F.col("l_partkey") % 199 == 0, F.lit(42)).otherwise(uniq)
 
     entries = li.select(
@@ -1579,12 +1585,14 @@ ORACLE: dict[str, str] = {
             SELECT '/scale/d' || (l_orderkey % 500) AS parent,
                    '/scale/d' || (l_orderkey % 500) || '/f' || l_orderkey
                      || '-' || l_linenumber || '-' || l_partkey
-                     || '-' || l_suppkey AS path,
+                     || '-' || l_suppkey
+                     || '-' || CAST(l_quantity AS BIGINT) AS path,
                    CAST(l_quantity AS BIGINT) AS size,
                    CASE WHEN l_partkey % 199 = 0 THEN 42
-                        ELSE l_orderkey * 1000000000
-                             + l_linenumber * 100000000
-                             + l_partkey * 1000 + l_suppkey END AS inode,
+                        ELSE (l_orderkey * 1000000000
+                              + l_linenumber * 100000000
+                              + l_partkey * 1000 + l_suppkey) * 64
+                             + CAST(l_quantity AS BIGINT) END AS inode,
                    CAST(l_suppkey % 10 AS BIGINT) AS uid,
                    CAST(l_partkey % 7 AS BIGINT) AS gid
             FROM lineitem

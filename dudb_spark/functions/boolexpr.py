@@ -25,6 +25,7 @@ Values containing spaces or metacharacters can be single- or double-quoted:
 
 from __future__ import annotations
 
+import fnmatch
 import re as _re
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -182,8 +183,12 @@ def glob_to_regex(glob: str) -> str:
             if j >= len(glob):
                 out.append("\\[")
             else:
-                cls = glob[i : j + 1].replace("[!", "[^")
-                out.append(cls)
+                # Delegate the class token to fnmatch.translate so edge
+                # cases (reversed ranges like [1-0], empty classes) get
+                # fnmatch's semantics — it rewrites them to never-match
+                # (?!) instead of emitting an invalid regex.
+                frag = fnmatch.translate(glob[i : j + 1])
+                out.append(frag[len("(?s:") : -len(")\\Z")])
                 i = j
         elif c in _GLOB_SPECIAL:
             out.append("\\" + c)
