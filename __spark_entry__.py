@@ -866,6 +866,32 @@ def q42_event_funnel(spark, sf_dir):
     )
 
 
+def q43_asof_join(spark, sf_dir):
+    """As-of join (point-in-time lookup): each purchase event picks up the
+    latest click by the same user at-or-before it.  Implemented with the
+    union–sort trick (operators/asof.py) — ONE shuffle on user_id, no
+    range join, so a hot user degrades to a big sort instead of a
+    quadratic pair explosion.  The oracle is DuckDB's native ASOF JOIN."""
+    from dudb_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    j = asof_join(purchases, clicks, on="user_id", ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 6).alias("value"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("click_value", 6).alias("click_value"),
+    ).orderBy("event_id")
+
+
 def _fixed_ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
     """DuckDB restatement of q41: same seed centroids, argmax assignment
     (cosine rounded 6, smaller-cell tie-break), decimal-exact Lloyd means,
@@ -1252,6 +1278,7 @@ QUERIES: dict[str, Callable] = {
     "q40_language_id_ngram": q40_language_id_ngram,
     "q41_ann_ivf_exact": q41_ann_ivf_exact,
     "q42_event_funnel": q42_event_funnel,
+    "q43_asof_join": q43_asof_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -1423,6 +1450,22 @@ ORACLE: dict[str, str] = {
                COUNT(*) AS n_conversions,
                COUNT(DISTINCT uid) AS n_users
         FROM conv GROUP BY day ORDER BY day
+    """,
+    "q43_asof_join": """
+        WITH l AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        ), r AS (
+            SELECT user_id, ts, MAX(value) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        )
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               ROUND(l.value, 6) AS value,
+               strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               ROUND(r.click_value, 6) AS click_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY event_id
     """,
     "q17_ann_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
