@@ -892,6 +892,63 @@ def q43_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q44_dup_clusters(spark, sf_dir):
+    """Duplicate clustering: q37's copy-detection pairs are only edges —
+    transitivity (A~B, B~C ⇒ one cluster) needs connected components.
+    Iterative min-label propagation (pipeline/cluster.py), one shuffle per
+    round, rounds = component diameter (tiny for near-dup blobs).  The
+    oracle restates the winnow pipeline + a recursive-CTE label
+    propagation in DuckDB."""
+    from dudb_spark.pipeline.cluster import duplicate_clusters
+    from dudb_spark.pipeline.dedup import fingerprint_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = fingerprint_overlap_pairs(d, min_shared=2).select("id_a", "id_b")
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+def _dup_clusters_oracle_sql() -> str:
+    """q44: q37's pair SQL + recursive min-label propagation."""
+    winnow = _winnow_sql_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        winnow
+        + """
+        , sizes AS (
+            SELECT fp, COUNT(*) AS _n FROM fp GROUP BY fp
+        ), capped AS (
+            SELECT f.doc_id, f.fp FROM fp f JOIN sizes USING (fp)
+            WHERE _n <= 100
+        ), cnt AS (
+            SELECT doc_id, COUNT(*) AS n_fp FROM capped GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        ), good AS (
+            SELECT id_a, id_b
+            FROM pairs JOIN cnt ca ON id_a = ca.doc_id
+                       JOIN cnt cb ON id_b = cb.doc_id
+            WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.5
+        ), edges AS (
+            SELECT id_a AS n, id_b AS m FROM good
+            UNION
+            SELECT id_b, id_a FROM good
+        ), reach AS (
+            SELECT n, n AS lbl FROM (SELECT DISTINCT n FROM edges)
+            UNION
+            SELECT e.m AS n, r.lbl
+            FROM reach r JOIN edges e ON e.n = r.n
+        ), comp AS (
+            SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n
+        )
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp ORDER BY doc_id
+    """
+    )
+
+
 def _fixed_ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
     """DuckDB restatement of q41: same seed centroids, argmax assignment
     (cosine rounded 6, smaller-cell tie-break), decimal-exact Lloyd means,
@@ -1279,6 +1336,7 @@ QUERIES: dict[str, Callable] = {
     "q41_ann_ivf_exact": q41_ann_ivf_exact,
     "q42_event_funnel": q42_event_funnel,
     "q43_asof_join": q43_asof_join,
+    "q44_dup_clusters": q44_dup_clusters,
 }
 
 ORACLE: dict[str, str] = {
@@ -1432,6 +1490,7 @@ ORACLE: dict[str, str] = {
     "q19_simhash_near_dup": _simhash_oracle_sql(),
     "q40_language_id_ngram": _trigram_oracle_sql(),
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
+    "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q42_event_funnel": """
         WITH a AS (
             SELECT user_id AS uid, event_id AS signup_id, ts AS a_ts

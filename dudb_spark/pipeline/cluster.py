@@ -1,0 +1,95 @@
+"""Connected components over candidate-duplicate pairs → duplicate
+clusters.
+
+Pair-level dedup (MinHash/SimHash/winnowing emit (id_a, id_b) candidate
+pairs) understates duplication: if A~B and B~C, the three documents are
+one cluster even when (A, C) never surfaced as a pair.  Keeping one
+canonical document per *component* is the standard corpus-dedup step
+(e.g. the C4/RefinedWeb pipelines).
+
+Algorithm: iterative **min-label propagation** — every node starts
+labeled with itself; each round a node adopts the smallest label among
+itself and its neighbors; converged when no label changes.  Rounds =
+graph diameter, and near-dup graphs are dense clique-ish blobs with tiny
+diameters (2–4), so this beats the asymptotically-better alternating
+large-star/small-star algorithm (Kiveris et al., SoCC'14) in practice
+while staying three DataFrame ops per round: join, union, min-groupBy.
+
+Scale notes:
+- each round is ONE shuffle (the join and groupBy share the node key);
+  labels are checkpointed per round to cut the lineage chain, or the
+  plan doubles every iteration and the optimizer chokes by round ~10;
+- convergence is checked with a count of changed labels — a driver-side
+  scalar, not a collect of data rows;
+- the iteration cap bounds worst-case (path-graph) inputs; the result is
+  still a valid refinement (every emitted cluster is within a true
+  component) if the cap fires.
+
+The reference has no graph operators; this extends its dedup surface
+(SURVEY.md §7 step 9) the way GraphFrames' connectedComponents would,
+without the external dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component id is the
+    smallest node id in the component.  Node ids must be orderable
+    (int/long/string)."""
+    sym = edges.select(
+        F.col(src).alias("n"), F.col(dst).alias("m")
+    ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+    sym = sym.distinct()
+
+    labels = (
+        sym.select("n").distinct().withColumn("label", F.col("n"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; keep the per-node minimum of
+        # (own label, all neighbor labels)
+        msgs = sym.join(
+            labels.withColumnRenamed("n", "m").withColumnRenamed(
+                "label", "nbr_label"
+            ),
+            "m",
+        ).select("n", F.col("nbr_label").alias("label"))
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "n")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster ids for candidate-duplicate pairs: (doc_id, cluster_id,
+    cluster_size), cluster_id = min doc_id in the connected component."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
