@@ -907,6 +907,27 @@ def q44_dup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def q45_size_percentiles(spark, sf_dir):
+    """Distribution profiling: exact grouped percentiles (p50/p90/p99)
+    via Spark's `percentile` — order statistics with linear interpolation,
+    matching DuckDB's quantile_cont bit-for-bit at round-6.  Exact
+    percentile buffers each group's values, which is fine while groups
+    are bounded (3 flags here); the 100 TB swap is
+    `percentile_approx(...)` (t-digest, mergeable, constant memory) —
+    same query shape, declared accuracy instead of exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _dup_clusters_oracle_sql() -> str:
     """q44: q37's pair SQL + recursive min-label propagation."""
     winnow = _winnow_sql_cte().replace("WITH ", "WITH RECURSIVE ", 1)
@@ -1337,6 +1358,7 @@ QUERIES: dict[str, Callable] = {
     "q42_event_funnel": q42_event_funnel,
     "q43_asof_join": q43_asof_join,
     "q44_dup_clusters": q44_dup_clusters,
+    "q45_size_percentiles": q45_size_percentiles,
 }
 
 ORACLE: dict[str, str] = {
@@ -1509,6 +1531,14 @@ ORACLE: dict[str, str] = {
                COUNT(*) AS n_conversions,
                COUNT(DISTINCT uid) AS n_users
         FROM conv GROUP BY day ORDER BY day
+    """,
+    "q45_size_percentiles": """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "q43_asof_join": """
         WITH l AS (
