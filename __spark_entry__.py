@@ -928,6 +928,42 @@ def q45_size_percentiles(spark, sf_dir):
     )
 
 
+def q46_stratified_sample(spark, sf_dir):
+    """Training-corpus construction: deterministic stratified hash
+    sampling (downsample the dominant language, upsample the rest) —
+    a narrow, shuffle-free filter whose chosen rows are reproducible in
+    any engine (pipeline/sampling.py; the oracle restates the hash in
+    SQL).  `df.sample()` can't do this: its partition-seeded RNG picks
+    different rows under repartitioning or retry."""
+    from dudb_spark.pipeline.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        d,
+        id_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.3, "de": 0.9, "fr": 0.9, "es": 0.9, "zh": 0.9},
+        default_rate=0.0,
+        salt=7,
+    )
+    return sampled.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from dudb_spark.pipeline.sampling import sample_hash_sql
+
+    bucket = sample_hash_sql("doc_id", salt=7)
+    return f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {bucket} < CASE lang
+            WHEN 'en' THEN 300000
+            WHEN 'de' THEN 900000 WHEN 'fr' THEN 900000
+            WHEN 'es' THEN 900000 WHEN 'zh' THEN 900000
+            ELSE 0 END
+        ORDER BY doc_id
+    """
+
+
 def _dup_clusters_oracle_sql() -> str:
     """q44: q37's pair SQL + recursive min-label propagation."""
     winnow = _winnow_sql_cte().replace("WITH ", "WITH RECURSIVE ", 1)
@@ -1359,6 +1395,7 @@ QUERIES: dict[str, Callable] = {
     "q43_asof_join": q43_asof_join,
     "q44_dup_clusters": q44_dup_clusters,
     "q45_size_percentiles": q45_size_percentiles,
+    "q46_stratified_sample": q46_stratified_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -1513,6 +1550,7 @@ ORACLE: dict[str, str] = {
     "q40_language_id_ngram": _trigram_oracle_sql(),
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
+    "q46_stratified_sample": _stratified_sample_oracle_sql(),
     "q42_event_funnel": """
         WITH a AS (
             SELECT user_id AS uid, event_id AS signup_id, ts AS a_ts

@@ -1,0 +1,76 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is the wrong tool for corpus construction: its RNG is
+partition-seeded, so the chosen rows change under repartitioning,
+retries, and engine versions — a training set that can't be rebuilt
+bit-for-bit.  **Hash sampling** decides per row from a hash of a stable
+key: ``keep iff h(id) mod D < rate*D``.  Properties that matter at
+100 TB:
+
+- **no shuffle**: a narrow filter, fused into the scan stage and
+  column-pruned like any predicate;
+- **reproducible anywhere**: any engine that can compute the hash
+  (the oracle restates it in SQL) selects the identical rows;
+- **consistent subsets**: rate 1% ⊂ rate 10% for the same salt — grow a
+  sample without resampling (the canonical trick behind web-corpus dev
+  splits);
+- **stratified**: per-stratum rates via a broadcast rate table, still
+  one filter.
+
+The hash is a multiplicative congruential mix mod a Mersenne prime —
+3 integer ops per row, JVM-side, and exactly reproducible in ANSI SQL
+(unlike xxhash64/md5-on-bigint variants which differ across engines'
+string casts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 keeps every intermediate in signed-64 range:
+# max id * MULT < 2^63 for ids up to ~2^37.
+_MOD = (1 << 31) - 1
+_MULT = 48271  # MINSTD multiplier (Park–Miller)
+_DENOM = 1_000_000
+
+
+def sample_hash(id_col: Column, salt: int = 0) -> Column:
+    """Uniform [0, 1e6) bucket for a bigint id — the sampling coordinate."""
+    h = ((id_col.cast("long") + F.lit(salt)) * F.lit(_MULT)) % F.lit(_MOD)
+    # second round breaks the linearity between consecutive ids
+    h = (h * F.lit(_MULT) + F.lit(salt)) % F.lit(_MOD)
+    return h % F.lit(_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: int = 0
+) -> DataFrame:
+    """Keep ~rate of rows, decided per row by key hash (deterministic,
+    shuffle-free, subset-consistent across rates)."""
+    return df.where(sample_hash(F.col(id_col), salt) < int(rate * _DENOM))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum rates (e.g. upsample low-resource languages): the rate
+    table rides along as a CASE expression — no join, no shuffle."""
+    thresh = F.lit(int(default_rate * _DENOM))
+    for value, rate in sorted(rates.items()):
+        thresh = (
+            F.when(F.col(strata_col) == value, F.lit(int(rate * _DENOM)))
+            .otherwise(thresh)
+        )
+    return df.where(sample_hash(F.col(id_col), salt) < thresh)
+
+
+def sample_hash_sql(id_expr: str, salt: int = 0) -> str:
+    """The identical bucket computation as ANSI SQL, for oracles and for
+    rebuilding the same sample in another engine."""
+    h1 = f"((({id_expr}) + {salt}) * {_MULT}) % {_MOD}"
+    return f"((({h1}) * {_MULT} + {salt}) % {_MOD}) % {_DENOM}"

@@ -1,0 +1,80 @@
+"""Hash sampling: determinism, subset consistency, rate accuracy, and a
+no-shuffle plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dudb_spark.pipeline.sampling import (
+    hash_sample,
+    sample_hash,
+    stratified_hash_sample,
+)
+
+
+def test_deterministic_and_subset_consistent(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+    b = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+    assert a == b  # rerun picks identical rows
+    small = {r.doc_id for r in hash_sample(df, "doc_id", 0.01).collect()}
+    assert small <= a  # 1% sample is a subset of the 10% sample
+    # rate lands near the target (hash uniformity)
+    assert 0.08 <= len(a) / 20_000 <= 0.12
+    assert 0.005 <= len(small) / 20_000 <= 0.02
+
+
+def test_salt_decorrelates(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.1, salt=1).collect()}
+    b = {r.doc_id for r in hash_sample(df, "doc_id", 0.1, salt=2).collect()}
+    overlap = len(a & b) / max(len(a | b), 1)
+    assert overlap < 0.2  # independent samples share ~rate of rows
+
+
+def test_stratified_rates(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    got = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.05, "de": 0.5}, default_rate=0.0
+    )
+    counts = {r.lang: r.c for r in got.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts.get("fr", 0) == 0
+    assert 0.03 <= counts["en"] / 10_000 <= 0.07
+    assert 0.45 <= counts["de"] / 10_000 <= 0.55
+
+
+def test_sample_is_shuffle_free(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    plan = (
+        hash_sample(df, "doc_id", 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_sql_restatement_matches(spark):
+    import duckdb
+
+    from dudb_spark.pipeline.sampling import sample_hash_sql
+
+    df = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    got = sorted(
+        r.doc_id
+        for r in df.where(sample_hash(F.col("doc_id"), salt=7) < 100_000).collect()
+    )
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT i FROM range(5000) t(i) "
+            f"WHERE {sample_hash_sql('i', salt=7)} < 100000 ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want
