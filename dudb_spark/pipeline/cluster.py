@@ -48,12 +48,19 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-    sym = sym.distinct()
+    # Checkpoint the edge set ONCE — it is reused every round, and the
+    # upstream plan (an LSH/winnow candidate pipeline) can be orders of
+    # magnitude more expensive than a propagation round.
+    sym = sym.distinct().localCheckpoint(eager=True)
 
     labels = (
         sym.select("n").distinct().withColumn("label", F.col("n"))
     ).localCheckpoint(eager=True)
 
+    # Labels only ever decrease, so the label sum is a monotone potential:
+    # unchanged sum ⇔ fixpoint.  One scalar agg per round, no old-vs-new
+    # join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep the per-node minimum of
         # (own label, all neighbor labels)
@@ -63,19 +70,30 @@ def connected_components(
             ),
             "m",
         ).select("n", F.col("nbr_label").alias("label"))
-        new_labels = (
+        # Shortcutting (pointer doubling): also adopt the label of the
+        # current label.  Hops double per round, so a path graph needs
+        # O(log diameter) rounds instead of O(diameter) — each round is
+        # one extra join of the (tiny) label frame with itself.
+        hops = (
+            labels.alias("a")
+            .join(
+                labels.select(
+                    F.col("n").alias("label"), F.col("label").alias("ll")
+                ),
+                "label",
+            )
+            .select(F.col("a.n").alias("n"), F.col("ll").alias("label"))
+        )
+        labels = (
             labels.unionByName(msgs)
+            .unionByName(hops)
             .groupBy("n")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "n")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
 
 
