@@ -949,6 +949,23 @@ def q46_stratified_sample(spark, sf_dir):
     return sampled.select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def q47_sequence_packing(spark, sf_dir):
+    """Training-shard packing (concat-and-chunk): documents in stable
+    doc_id order cut into 2000-token shards via a distributed prefix sum
+    (operators/prefix.py) — range-partitioned two-phase running total, so
+    no single-task global window anywhere in the plan.  A doc straddling
+    a boundary belongs to the shard where it started, exactly streaming-
+    concatenation semantics."""
+    from dudb_spark.operators.prefix import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("tokens")
+    )
+    return pack_sequences(d, "doc_id", "tokens", budget=2000).orderBy(
+        "doc_id"
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1396,6 +1413,7 @@ QUERIES: dict[str, Callable] = {
     "q44_dup_clusters": q44_dup_clusters,
     "q45_size_percentiles": q45_size_percentiles,
     "q46_stratified_sample": q46_stratified_sample,
+    "q47_sequence_packing": q47_sequence_packing,
 }
 
 ORACLE: dict[str, str] = {
@@ -1551,6 +1569,20 @@ ORACLE: dict[str, str] = {
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
+    "q47_sequence_packing": """
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, tokens,
+                   SUM(tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, tokens, cum_tokens,
+               CAST(FLOOR((cum_tokens - tokens) / 2000.0) AS BIGINT) AS shard
+        FROM c ORDER BY doc_id
+    """,
     "q42_event_funnel": """
         WITH a AS (
             SELECT user_id AS uid, event_id AS signup_id, ts AS a_ts

@@ -1,0 +1,96 @@
+"""Distributed prefix sum (running total over a global order) and
+sequence packing built on it.
+
+A global running total is the textbook Spark scale trap: ``Window
+.orderBy(x)`` with no partition key collapses the whole table into ONE
+task.  The scalable shape is the classic two-phase parallel prefix sum:
+
+1. range-partition by the order column (so partition i holds a
+   contiguous, sorted slice);
+2. per-partition running totals — a window partitioned by
+   ``spark_partition_id()``, so every task sorts only its slice;
+3. per-partition grand totals — a tiny frame (one row per partition)
+   collected into a broadcast of exclusive offsets;
+4. add the partition offset to each local running total.
+
+Total cost: one range-exchange (+ its boundary-sampling pass) and a
+broadcast of #partitions rows.  The result is identical to the
+single-task window for any partition boundaries, because range
+partitioning preserves the global order between partitions — so the
+operator is deterministic even though the sampled boundaries are not.
+
+**Sequence packing** (the consumer): concat-and-chunk document packing
+for LLM training — documents in a stable order, cut into shards of
+``budget`` tokens.  ``shard = floor(exclusive_running_total / budget)``:
+a document straddling a boundary goes to the shard where it started,
+exactly the semantics of streaming concatenation.  One prefix sum, no
+driver loop, restatable in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running total of ``value_col`` over the global
+    ``order_col`` order, without a single-task global window.  Ties in
+    ``order_col`` across a partition boundary would make the split
+    ambiguous, so the order column must be unique (ids, paths)."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    d = df.repartitionByRange(int(n), F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_local", F.sum(value_col).over(w_local))
+    # one row per partition — driver-size data, broadcast back
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_psum"))
+        .withColumn("_off", F.coalesce(F.sum("_psum").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign each document to a token-budgeted training shard
+    (concat-and-chunk): shard = exclusive running token total / budget."""
+    cum = distributed_cumsum(df, order_col, tokens_col, out="_cum_tokens")
+    return (
+        cum.withColumn(
+            shard_col,
+            F.floor(
+                (F.col("_cum_tokens") - F.col(tokens_col)) / F.lit(budget)
+            ).cast("long"),
+        )
+        .withColumnRenamed("_cum_tokens", "cum_tokens")
+    )
