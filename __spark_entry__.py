@@ -966,6 +966,17 @@ def q47_sequence_packing(spark, sf_dir):
     )
 
 
+def q48_tfidf_terms(spark, sf_dir):
+    """Text analysis: top-3 characteristic terms per document by smoothed
+    TF-IDF (pipeline/text.tfidf_top_terms) — explode + one (doc, term)
+    shuffle, document frequency from the reduced frame, N as a broadcast
+    scalar, per-doc ranking window (no global sort)."""
+    from dudb_spark.pipeline.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, top_k=3).orderBy("doc_id", "rank")
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1414,6 +1425,7 @@ QUERIES: dict[str, Callable] = {
     "q45_size_percentiles": q45_size_percentiles,
     "q46_stratified_sample": q46_stratified_sample,
     "q47_sequence_packing": q47_sequence_packing,
+    "q48_tfidf_terms": q48_tfidf_terms,
 }
 
 ORACLE: dict[str, str] = {
@@ -1569,6 +1581,29 @@ ORACLE: dict[str, str] = {
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
+    "q48_tfidf_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), docfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + docfreq.df))
+                                  + 1.0), 6) AS tfidf
+            FROM tf JOIN docfreq USING (term) CROSS JOIN n
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, tfidf, rank FROM ranked
+        WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
     "q47_sequence_packing": """
         WITH t AS (
             SELECT doc_id, len(string_split(text, ' ')) AS tokens

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword lists for the n-gram/stopword-voting heuristic.
 # Deliberately small and deterministic — the goal is a cheap distributed
@@ -260,4 +261,51 @@ def annotate(documents: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text).alias("quality"),
         fingerprint(text).alias("fingerprint"),
         language_id(text).alias("lang_pred"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's ``idf = ln((1+N)/(1+df)) + 1``).
+
+    Scale shape: explode → ONE shuffle on (doc, term) for term frequency;
+    document frequency is a second aggregate of that (already reduced)
+    frame; N rides along as a broadcast scalar, never a collected
+    driver value.  The per-doc ranking window partitions on the doc id,
+    so no global sort.  Stopword-ish terms rank themselves out (their
+    idf → 1), which is why no stopword list is needed here."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df")))
+                    + F.lit(1)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
     )

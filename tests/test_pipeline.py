@@ -244,3 +244,30 @@ def test_language_id_ngram(spark, docs):
     assert got[0] == "en" and got[3] == "en"
     assert got[4] == "de"
     assert got[5] == "es"
+
+
+def test_tfidf_top_terms_golden(spark):
+    import math
+
+    from dudb_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.tfidf)
+        for r in tfidf_top_terms(docs, top_k=2).collect()
+    }
+    idf = lambda df: math.log(4 / (1 + df)) + 1  # N=3, smoothed
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert rows[(1, 1)] == ("apple", 2, round(2 * idf(1), 6))
+    assert rows[(1, 2)] == ("banana", 1, round(1 * idf(2), 6))
+    # doc 3: cherry tf=2 df=2 vs durian tf=1 df=1
+    assert rows[(3, 1)][0] == (
+        "cherry" if 2 * idf(2) > idf(1) else "durian"
+    )
