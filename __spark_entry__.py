@@ -977,6 +977,32 @@ def q48_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(d, top_k=3).orderBy("doc_id", "rank")
 
 
+def q49_events_sliding(spark, sf_dir):
+    """Sliding-window aggregation: 1-hour windows every 15 minutes.
+    `F.window(slide=...)` explodes each event into windowLen/slide = 4
+    rows scan-side (a narrow generate, no pre-shuffle), then one shuffle
+    on (window, type).  The oracle unnests the same 4 epoch-aligned
+    window starts per event."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("w_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value"))), "sum_value"),
+        )
+        .select(
+            _fmt_ts(F.col("w_start"), "w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1426,6 +1452,7 @@ QUERIES: dict[str, Callable] = {
     "q46_stratified_sample": q46_stratified_sample,
     "q47_sequence_packing": q47_sequence_packing,
     "q48_tfidf_terms": q48_tfidf_terms,
+    "q49_events_sliding": q49_events_sliding,
 }
 
 ORACLE: dict[str, str] = {
@@ -1581,6 +1608,20 @@ ORACLE: dict[str, str] = {
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
+    "q49_events_sliding": """
+        WITH exploded AS (
+            SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                     - k.k * INTERVAL 15 MINUTE AS w_start,
+                   event_type, value
+            FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        )
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_value
+        FROM exploded
+        GROUP BY 1, 2 ORDER BY w_start, event_type
+    """,
     "q48_tfidf_terms": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term
