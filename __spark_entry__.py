@@ -1003,6 +1003,42 @@ def q49_events_sliding(spark, sf_dir):
     )
 
 
+def q50_stream_dedup(spark, sf_dir):
+    """§2.9 extension: STREAMING deduplication (dropDuplicates with a
+    watermark-bounded state store) through the driver gate — first
+    sighting of each (user, event_type, day).  Only the key columns are
+    emitted, so the streaming result equals batch SELECT DISTINCT
+    row-for-row regardless of arrival order (streaming/dedup.py)."""
+    import tempfile
+
+    from dudb_spark.streaming.dedup import first_sightings
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+
+    ev = _events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="dudb_dedup_src_")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        first_sightings(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dudb_q50_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("dudb_q50_dedup")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+        )
+        .orderBy("user_id", "event_type", "day")
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1453,6 +1489,7 @@ QUERIES: dict[str, Callable] = {
     "q47_sequence_packing": q47_sequence_packing,
     "q48_tfidf_terms": q48_tfidf_terms,
     "q49_events_sliding": q49_events_sliding,
+    "q50_stream_dedup": q50_stream_dedup,
 }
 
 ORACLE: dict[str, str] = {
@@ -1608,6 +1645,12 @@ ORACLE: dict[str, str] = {
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
+    "q50_stream_dedup": """
+        SELECT DISTINCT user_id, event_type,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        FROM events
+        ORDER BY user_id, event_type, day
+    """,
     "q49_events_sliding": """
         WITH exploded AS (
             SELECT time_bucket(INTERVAL 15 MINUTE, ts)

@@ -46,3 +46,43 @@ def test_watermark_present_in_plan(spark, events_dir):
     agg = hourly_rollup(stream, watermark="3 hours")
     assert agg.isStreaming
     assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from dudb_spark.streaming.dedup import first_sightings
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+
+    rows = [
+        (i, f"2024-01-0{1 + i % 3} 0{i % 6}:00:00", i % 4,
+         ["click", "view"][i % 2], float(i), "{}")
+        for i in range(60)
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "dedup_src")
+    batch.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        first_sightings(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_type, str(r.day))
+        for r in spark.table("t_dedup").collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_type, str(r.day))
+        for r in batch.select(
+            "user_id", "event_type", F.to_date("ts").alias("day")
+        ).distinct().collect()
+    )
+    assert got == want
