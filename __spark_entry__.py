@@ -1039,6 +1039,42 @@ def q50_stream_dedup(spark, sf_dir):
     )
 
 
+def q51_interval_join(spark, sf_dir):
+    """Range join without a nested loop: per-user activity sessions
+    (30-minute gap rule) become intervals; every event (any user) inside
+    a session is counted via the bucketized interval join
+    (operators/rangejoin.py) — intervals explode to covered hour
+    buckets, points map to one bucket, equi-join + residual.  The
+    oracle uses the plain inequality join (DuckDB IEJoin)."""
+    from pyspark.sql.window import Window
+
+    from dudb_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    is_new = (gap.isNull() | (gap > 1800)).cast("long")
+    sessions = (
+        ev.withColumn("sid", F.sum(is_new).over(wu))
+        .groupBy(F.col("user_id").alias("s_user"), "sid")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    points = ev.select(F.col("event_id").alias("pid"), "ts")
+    joined = interval_join(points, sessions, bucket_s=3600)
+    return (
+        joined.groupBy("s_user", "sid", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s_user").alias("user_id"),
+            "sid",
+            _fmt_ts(F.col("lo"), "session_start"),
+            _fmt_ts(F.col("hi"), "session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "sid")
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1490,6 +1526,7 @@ QUERIES: dict[str, Callable] = {
     "q48_tfidf_terms": q48_tfidf_terms,
     "q49_events_sliding": q49_events_sliding,
     "q50_stream_dedup": q50_stream_dedup,
+    "q51_interval_join": q51_interval_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -1645,6 +1682,33 @@ ORACLE: dict[str, str] = {
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
+    "q51_interval_join": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS sid
+            FROM marked
+        ), intervals AS (
+            SELECT user_id AS s_user, sid,
+                   MIN(ts) AS lo, MAX(ts) AS hi
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT i.s_user AS user_id, i.sid,
+               strftime(i.lo, '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(i.hi, '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM intervals i JOIN events e
+             ON e.ts >= i.lo AND e.ts <= i.hi
+        GROUP BY 1, 2, 3, 4
+        ORDER BY user_id, sid
+    """,
     "q50_stream_dedup": """
         SELECT DISTINCT user_id, event_type,
                strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
