@@ -1075,6 +1075,18 @@ def q51_interval_join(spark, sf_dir):
     )
 
 
+def q52_unigram_logprob(spark, sf_dir):
+    """LM-style quality scoring: mean unigram log-prob of each document
+    under the corpus's own unigram distribution (text.unigram_logprob) —
+    the CCNet filter shape with a self-estimated model.  Low scores =
+    rare-token soup (boilerplate, encoding junk); high = common fluent
+    text."""
+    from dudb_spark.pipeline.text import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d).orderBy("doc_id")
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1527,6 +1539,7 @@ QUERIES: dict[str, Callable] = {
     "q49_events_sliding": q49_events_sliding,
     "q50_stream_dedup": q50_stream_dedup,
     "q51_interval_join": q51_interval_join,
+    "q52_unigram_logprob": q52_unigram_logprob,
 }
 
 ORACLE: dict[str, str] = {
@@ -1682,6 +1695,25 @@ ORACLE: dict[str, str] = {
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
+    "q52_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), model AS (
+            SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term
+        ), total AS (
+            SELECT SUM(cnt) AS total FROM model
+        )
+        SELECT tf.doc_id,
+               ROUND(SUM(tf.tf * ln(CAST(model.cnt AS DOUBLE) / total.total))
+                     / SUM(tf.tf), 6) AS mean_logprob,
+               SUM(tf.tf) AS n_tokens
+        FROM tf JOIN model USING (term) CROSS JOIN total
+        GROUP BY tf.doc_id
+        ORDER BY tf.doc_id
+    """,
     "q51_interval_join": """
         WITH marked AS (
             SELECT user_id, event_id, ts,

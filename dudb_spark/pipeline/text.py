@@ -309,3 +309,40 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select("doc_id", "term", "tf", "tfidf", "rank")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical unigram model — the shape of a CCNet-style LM quality
+    filter with the KenLM swapped for a self-estimated unigram model.
+
+    Two aggregates over one exploded pass: global term counts (the
+    "model"), then a term-keyed join back onto the (doc, term, tf)
+    frame.  The join is big×medium on the term key and stopwords make it
+    skewed — exactly the shape AQE skew-join handles; the model side is
+    |vocab| rows, far smaller than the token stream.  Mean log-prob is
+    tf-weighted: sum(tf·ln(count/total)) / sum(tf)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = model.select(F.sum("cnt").alias("total"))
+    return (
+        tf.join(model, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("tf"),
+                6,
+            ).alias("mean_logprob"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
