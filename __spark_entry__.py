@@ -748,7 +748,10 @@ def q38_events_sessionized(spark, sf_dir):
         "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
     )
     src = tempfile.mkdtemp(prefix="dudb_sess_src_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    # 8 files still arrive in ONE availableNow micro-batch (default
+    # maxFilesPerTrigger=1000), so per-user arrival stays complete while
+    # the source write and the state-op input scan run parallel
+    ev.repartition(8).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
     q = (
