@@ -1090,6 +1090,66 @@ def q52_unigram_logprob(spark, sf_dir):
     return unigram_logprob(d).orderBy("doc_id")
 
 
+def q53_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between supplier-nation and
+    customer-nation pairs per ship year.  Two broadcast copies of the
+    same tiny nation dim under different aliases; the three fact joins
+    shuffle on their keys and Catalyst/AQE orders them.  625 output
+    groups from one partial+final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            _money(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                "volume",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def q54_heavy_hitter_terms(spark, sf_dir):
+    """Corpus heavy hitters: top-25 terms by total occurrences.  Term
+    frequencies are maximally skewed (stopwords), so the count runs
+    through the salted two-phase aggregation (plans/layout.py): partial
+    sums on (term, salt) spread a hot term over n_salts reducers before
+    the final term-keyed sum; ranking is TakeOrderedAndProject.
+    Deterministic tie-break on the term string."""
+    from dudb_spark.plans.layout import salted_group_sum
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).withColumn("n", F.lit(1).cast("long"))
+    counts = salted_group_sum(toks, ["term"], ["n"])
+    return (
+        counts.select("term", F.col("n").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col("term").asc())
+        .limit(25)
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1543,6 +1603,8 @@ QUERIES: dict[str, Callable] = {
     "q50_stream_dedup": q50_stream_dedup,
     "q51_interval_join": q51_interval_join,
     "q52_unigram_logprob": q52_unigram_logprob,
+    "q53_nation_volume": q53_nation_volume,
+    "q54_heavy_hitter_terms": q54_heavy_hitter_terms,
 }
 
 ORACLE: dict[str, str] = {
@@ -1698,6 +1760,28 @@ ORACLE: dict[str, str] = {
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
+    "q54_heavy_hitter_terms": """
+        SELECT term, COUNT(*)::BIGINT AS occurrences
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+        ORDER BY occurrences DESC, term ASC
+        LIMIT 25
+    """,
+    "q53_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, ship_year
+    """,
     "q52_unigram_logprob": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term
