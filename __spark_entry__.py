@@ -1150,6 +1150,32 @@ def q54_heavy_hitter_terms(spark, sf_dir):
     )
 
 
+def q55_dedup_decision(spark, sf_dir):
+    """The end-to-end dedup decision table: near-dup clusters (q44's
+    connected components) × quality scores (q21) → one keep per cluster
+    (highest quality, doc_id tie-break).  This is the row a production
+    corpus-dedup job writes: every clustered document with its verdict."""
+    from pyspark.sql.window import Window
+
+    from dudb_spark.pipeline.cluster import duplicate_clusters
+    from dudb_spark.pipeline.dedup import fingerprint_overlap_pairs
+    from dudb_spark.pipeline.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = fingerprint_overlap_pairs(d, min_shared=2).select("id_a", "id_b")
+    clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    quality = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1165,8 +1191,11 @@ def _stratified_sample_oracle_sql() -> str:
     """
 
 
-def _dup_clusters_oracle_sql() -> str:
-    """q44: q37's pair SQL + recursive min-label propagation."""
+def _cc_cte() -> str:
+    """Shared CTE chain: winnow fingerprints → overlap pairs → recursive
+    min-label components (ends with `comp(doc_id, cluster_id)`).  Used by
+    the q44 and q55 oracles — keep in lockstep with
+    pipeline/cluster.py + dedup.fingerprint_overlap_pairs."""
     winnow = _winnow_sql_cte().replace("WITH ", "WITH RECURSIVE ", 1)
     return (
         winnow
@@ -1200,9 +1229,49 @@ def _dup_clusters_oracle_sql() -> str:
         ), comp AS (
             SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n
         )
+    """
+    )
+
+
+def _dup_clusters_oracle_sql() -> str:
+    """q44: component id + size per clustered document."""
+    return (
+        _cc_cte()
+        + """
         SELECT doc_id, cluster_id,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp ORDER BY doc_id
+    """
+    )
+
+
+def _dedup_decision_oracle_sql() -> str:
+    """q55: per cluster keep the highest-quality document (q21's quality
+    formula), doc_id ascending as the tie-break."""
+    return (
+        _cc_cte()
+        + """
+        , toks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+            FROM documents
+        ), q AS (
+            SELECT doc_id,
+                   ROUND((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                          + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1)
+                          + CASE WHEN len(t) BETWEEN 20 AND 2000 THEN 1.0
+                                 WHEN len(t) < 20 THEN CAST(len(t) AS DOUBLE) / 20
+                                 ELSE 0.5 END) / 3, 6) AS quality
+            FROM toks
+        ), ranked AS (
+            SELECT comp.doc_id, comp.cluster_id, q.quality,
+                   ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                       ORDER BY q.quality DESC, comp.doc_id ASC) AS rn
+            FROM comp JOIN q USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, quality, rn = 1 AS keep
+        FROM ranked ORDER BY doc_id
     """
     )
 
@@ -1605,6 +1674,7 @@ QUERIES: dict[str, Callable] = {
     "q52_unigram_logprob": q52_unigram_logprob,
     "q53_nation_volume": q53_nation_volume,
     "q54_heavy_hitter_terms": q54_heavy_hitter_terms,
+    "q55_dedup_decision": q55_dedup_decision,
 }
 
 ORACLE: dict[str, str] = {
@@ -1759,6 +1829,7 @@ ORACLE: dict[str, str] = {
     "q40_language_id_ngram": _trigram_oracle_sql(),
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
+    "q55_dedup_decision": _dedup_decision_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
     "q54_heavy_hitter_terms": """
         SELECT term, COUNT(*)::BIGINT AS occurrences
