@@ -1176,6 +1176,58 @@ def q55_dedup_decision(spark, sf_dir):
     )
 
 
+def q56_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the value gate: binary payloads
+    (documents' utf-8 bytes standing in for media) run the Arrow-batched
+    mapInPandas decode stage (pipeline/multimodal.extract_features).
+    The stub decoder is sha256-derived, so DuckDB replays it exactly —
+    proving the JVM↔Python columnar boundary, schema, and batching are
+    semantically transparent.  The only Pandas-UDF query in the gate
+    besides the stateful streaming ops; everything else is JVM-side by
+    design."""
+    from dudb_spark.pipeline.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_bytes",
+        # widen float32 -> double BEFORE rounding; the oracle replicates
+        # the float32 quantization with CAST(... AS FLOAT) so both sides
+        # round the bit-identical double
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(
+                f"f{i}"
+            )
+            for i in range(8)
+        ],
+    ).orderBy("doc_id")
+
+
+def _multimodal_oracle_sql(dim: int = 8) -> str:
+    # CAST(... AS FLOAT) replays the engine's float32 feature storage, so
+    # the ROUND sees the bit-identical double the Spark side widens from
+    cols = ",\n               ".join(
+        f"ROUND(CAST(CAST(CAST(concat('0x', substr(hx, {2 * i + 1}, 2)) AS INT)"
+        f" / 255.0 AS FLOAT) AS DOUBLE), 6) AS f{i}"
+        for i in range(dim)
+    )
+    return f"""
+        WITH m AS (
+            SELECT doc_id, sha256(text) AS hx,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes
+            FROM documents
+        )
+        SELECT doc_id, n_bytes,
+               {cols}
+        FROM m ORDER BY doc_id
+    """
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1675,6 +1727,7 @@ QUERIES: dict[str, Callable] = {
     "q53_nation_volume": q53_nation_volume,
     "q54_heavy_hitter_terms": q54_heavy_hitter_terms,
     "q55_dedup_decision": q55_dedup_decision,
+    "q56_multimodal_features": q56_multimodal_features,
 }
 
 ORACLE: dict[str, str] = {
@@ -1830,6 +1883,7 @@ ORACLE: dict[str, str] = {
     "q41_ann_ivf_exact": _fixed_ivf_oracle_sql(),
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q55_dedup_decision": _dedup_decision_oracle_sql(),
+    "q56_multimodal_features": _multimodal_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
     "q54_heavy_hitter_terms": """
         SELECT term, COUNT(*)::BIGINT AS occurrences
