@@ -1228,6 +1228,49 @@ def _multimodal_oracle_sql(dim: int = 8) -> str:
     """
 
 
+def q57_mixture_sample(spark, sf_dir):
+    """Training-mixture resolution: target source weights (upweight the
+    'high-quality' half of the sources 3:1) resolve to per-source hash-
+    sampling rates in-plan — counts → broadcast scale → thresholds —
+    then one deterministic filter (pipeline/sampling.mixture_sample).
+    The oracle replays the same double arithmetic and hash in SQL."""
+    from dudb_spark.pipeline.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": (3.0 if i >= 10 else 1.0) for i in range(20)}
+    return (
+        mixture_sample(d, "doc_id", "source", weights, salt=11)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _mixture_oracle_sql() -> str:
+    from dudb_spark.pipeline.sampling import sample_hash_sql
+
+    w_case = " ".join(
+        f"WHEN 'src{i}' THEN {3.0 if i >= 10 else 1.0}" for i in range(20)
+    )
+    return f"""
+        WITH cw AS (
+            SELECT source, CASE source {w_case} END AS w,
+                   COUNT(*) AS cnt
+            FROM documents GROUP BY source, 2
+        ), s AS (
+            SELECT MIN(CAST(cnt AS DOUBLE) / w) AS scale FROM cw
+        ), r AS (
+            SELECT source,
+                   CAST(FLOOR(1000000.0 * s.scale * cw.w / cw.cnt) AS BIGINT)
+                     AS thresh
+            FROM cw CROSS JOIN s
+        )
+        SELECT doc_id, source, lang
+        FROM documents JOIN r USING (source)
+        WHERE {sample_hash_sql('doc_id', salt=11)} < thresh
+        ORDER BY doc_id
+    """
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1728,6 +1771,7 @@ QUERIES: dict[str, Callable] = {
     "q54_heavy_hitter_terms": q54_heavy_hitter_terms,
     "q55_dedup_decision": q55_dedup_decision,
     "q56_multimodal_features": q56_multimodal_features,
+    "q57_mixture_sample": q57_mixture_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -1884,6 +1928,7 @@ ORACLE: dict[str, str] = {
     "q44_dup_clusters": _dup_clusters_oracle_sql(),
     "q55_dedup_decision": _dedup_decision_oracle_sql(),
     "q56_multimodal_features": _multimodal_oracle_sql(),
+    "q57_mixture_sample": _mixture_oracle_sql(),
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
     "q54_heavy_hitter_terms": """
         SELECT term, COUNT(*)::BIGINT AS occurrences

@@ -74,3 +74,53 @@ def sample_hash_sql(id_expr: str, salt: int = 0) -> str:
     rebuilding the same sample in another engine."""
     h1 = f"((({id_expr}) + {salt}) * {_MULT}) % {_MOD}"
     return f"((({h1}) * {_MULT} + {salt}) % {_MOD}) % {_DENOM}"
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """Resolve target mixture WEIGHTS into per-source hash-sampling rates
+    and apply them — the "source mixing" step of corpus construction.
+
+    The largest corpus satisfying mixture ∝ weights without upsampling
+    keeps ``scale = min_s(count_s / w_s)`` weight-units: source s then
+    samples at rate ``scale·w_s/count_s`` (the binding source at 1.0).
+    Counts, scale, and thresholds all resolve IN-PLAN (aggregate →
+    broadcast), no driver collect; the row choice inherits hash
+    sampling's determinism, so the same corpus + weights rebuild the
+    same mixture anywhere.  Sources not in ``weights`` are dropped."""
+    thresh = None
+    for value, w in sorted(weights.items()):
+        c = F.when(F.col(source_col) == value, F.lit(float(w)))
+        thresh = c.otherwise(thresh) if thresh is not None else c.otherwise(
+            F.lit(None)
+        )
+    counts = (
+        df.withColumn("_w", thresh)
+        .where(F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .groupBy(source_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    scale = counts.select(
+        F.min(F.col("_cnt").cast("double") / F.col("_w")).alias("_scale")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(scale))
+        .withColumn(
+            "_thresh",
+            F.floor(
+                F.lit(float(_DENOM)) * F.col("_scale") * F.col("_w")
+                / F.col("_cnt")
+            ).cast("long"),
+        )
+        .select(source_col, "_thresh")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(sample_hash(F.col(id_col), salt) < F.col("_thresh"))
+        .drop("_thresh")
+    )

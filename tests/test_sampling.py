@@ -78,3 +78,32 @@ def test_sql_restatement_matches(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_mixture_sample_hits_target_ratios(spark):
+    from dudb_spark.pipeline.sampling import mixture_sample
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4)).alias("source"),
+    )
+    # equal 10k-per-source input; want s0:s1:s2 at 1:2:2, s3 dropped
+    got = mixture_sample(
+        df, "doc_id", "source", {"s0": 1.0, "s1": 2.0, "s2": 2.0}
+    )
+    counts = {
+        r.source: r.c
+        for r in got.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    assert "s3" not in counts
+    # binding sources (s1, s2 at w=2 need 2*scale=10k each -> rate 1.0)
+    assert counts["s1"] == 10_000 and counts["s2"] == 10_000
+    # s0 sampled at ~0.5
+    assert 0.45 <= counts["s0"] / 10_000 <= 0.55
+    # deterministic
+    again = mixture_sample(
+        df, "doc_id", "source", {"s0": 1.0, "s1": 2.0, "s2": 2.0}
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
