@@ -25,6 +25,10 @@ for LLM training — documents in a stable order, cut into shards of
 a document straddling a boundary goes to the shard where it started,
 exactly the semantics of streaming concatenation.  One prefix sum, no
 driver loop, restatable in ANSI SQL for the oracle.
+
+The reference has no running-total operator (its folds are per-prefix,
+stats/totals.go:144–209); this is a scale extension for the
+training-pipeline surface (SURVEY.md §7 step 9).
 """
 
 from __future__ import annotations

@@ -25,6 +25,11 @@ too large piles unrelated points into each bucket and shifts work to
 the residual filter.  ``w ≈ median interval length`` keeps the fan-out
 O(1) per interval while keeping buckets selective — compute it from a
 sample/agg upstream if unknown.
+
+The reference's only range predicate is the key-prefix scan bound
+(badgerdb.go:307–317) and the log time-range scan (badgerdb.go:274–305)
+— both single-table filters; a two-table range JOIN is a scale
+extension (SURVEY.md §2.4 notes the reference has no general joins).
 """
 
 from __future__ import annotations

@@ -25,9 +25,10 @@ Scale notes:
   still a valid refinement (every emitted cluster is within a true
   component) if the cap fires.
 
-The reference has no graph operators; this extends its dedup surface
-(SURVEY.md §7 step 9) the way GraphFrames' connectedComponents would,
-without the external dependency.
+The reference has no graph operators (its only dedup-shaped state is the
+hardlink first-sighting tracker, hardlinks.go:31–43); this extends its
+dedup surface (SURVEY.md §7 step 9) the way GraphFrames'
+connectedComponents would, without the external dependency.
 """
 
 from __future__ import annotations

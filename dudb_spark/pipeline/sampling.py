@@ -20,7 +20,11 @@ key: ``keep iff h(id) mod D < rate*D``.  Properties that matter at
 The hash is a multiplicative congruential mix mod a Mersenne prime —
 3 integer ops per row, JVM-side, and exactly reproducible in ANSI SQL
 (unlike xxhash64/md5-on-bigint variants which differ across engines'
-string casts)."""
+string casts).
+
+The reference has no sampling operators (its scans are always
+exhaustive, badgerdb.go:319–348); this is a scale extension for the
+LLM-pipeline surface (SURVEY.md §7 step 9)."""
 
 from __future__ import annotations
 
