@@ -1271,6 +1271,41 @@ def _mixture_oracle_sql() -> str:
     """
 
 
+def q58_consensus_dedup(spark, sf_dir):
+    """Cross-modal dedup evidence table: every candidate pair from either
+    modality — winnowed text overlap (q37) and embedding cosine (q32) —
+    full-outer-joined on the pair key and tagged text/emb/both.  Both
+    candidate generators are LSH-blocked equi-joins and the merge is a
+    third equi-join, so the whole pipeline stays quadratic-free."""
+    from dudb_spark.pipeline.dedup import fingerprint_overlap_pairs
+    from dudb_spark.pipeline.similarity import cosine_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    text_pairs = fingerprint_overlap_pairs(d, min_shared=2).select(
+        "id_a", "id_b", "overlap"
+    )
+    emb_pairs = cosine_near_dup_pairs(
+        emb, threshold=0.2, bits=8, seed=42, id_col="doc_id"
+    ).select("id_a", "id_b", "cosine")
+    return (
+        text_pairs.join(emb_pairs, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            "overlap",
+            "cosine",
+            F.when(F.col("overlap").isNull(), "emb")
+            .when(F.col("cosine").isNull(), "text")
+            .otherwise("both")
+            .alias("modality"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1772,6 +1807,7 @@ QUERIES: dict[str, Callable] = {
     "q55_dedup_decision": q55_dedup_decision,
     "q56_multimodal_features": q56_multimodal_features,
     "q57_mixture_sample": q57_mixture_sample,
+    "q58_consensus_dedup": q58_consensus_dedup,
 }
 
 ORACLE: dict[str, str] = {
@@ -1929,6 +1965,10 @@ ORACLE: dict[str, str] = {
     "q55_dedup_decision": _dedup_decision_oracle_sql(),
     "q56_multimodal_features": _multimodal_oracle_sql(),
     "q57_mixture_sample": _mixture_oracle_sql(),
+    # q58: join the q37 (text) and q32 (embedding) pair oracles on the
+    # pair key.  DuckDB allows full WITH-queries as subqueries, so both
+    # oracle builders are reused verbatim — one definition per pipeline.
+    "q58_consensus_dedup": None,  # assigned after the dict literal
     "q46_stratified_sample": _stratified_sample_oracle_sql(),
     "q54_heavy_hitter_terms": """
         SELECT term, COUNT(*)::BIGINT AS occurrences
@@ -2456,6 +2496,17 @@ ORACLE: dict[str, str] = {
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q05_region_revenue(spark, SF_DEFAULT)
+
+
+ORACLE["q58_consensus_dedup"] = f"""
+    SELECT id_a, id_b, t.overlap, e.cosine,
+           CASE WHEN t.overlap IS NULL THEN 'emb'
+                WHEN e.cosine IS NULL THEN 'text'
+                ELSE 'both' END AS modality
+    FROM ({ORACLE["q37_fingerprint_overlap"]}) t
+    FULL JOIN ({_srp_oracle_sql()}) e USING (id_a, id_b)
+    ORDER BY id_a, id_b
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
