@@ -1306,6 +1306,41 @@ def q58_consensus_dedup(spark, sf_dir):
     )
 
 
+def q59_events_sliding_streamed(spark, sf_dir):
+    """§2.9: q49's sliding-window rollup as a Structured Streaming query
+    (file source → watermark → overlapping windows → memory sink),
+    checked against the same batch SQL oracle — streaming must equal
+    batch exactly, overlap and all."""
+    import tempfile
+
+    from dudb_spark.streaming.rollup import sliding_rollup, stream_events
+
+    ev = _events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="dudb_slide_src_")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = stream_events(spark, src)
+    q = (
+        sliding_rollup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dudb_q59_sliding")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("dudb_q59_sliding")
+        .select(
+            _fmt_ts(F.col("w_start"), "w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1808,6 +1843,7 @@ QUERIES: dict[str, Callable] = {
     "q56_multimodal_features": q56_multimodal_features,
     "q57_mixture_sample": q57_mixture_sample,
     "q58_consensus_dedup": q58_consensus_dedup,
+    "q59_events_sliding_streamed": q59_events_sliding_streamed,
 }
 
 ORACLE: dict[str, str] = {
@@ -2498,6 +2534,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q05_region_revenue(spark, SF_DEFAULT)
 
 
+ORACLE["q59_events_sliding_streamed"] = None  # assigned below from q49
 ORACLE["q58_consensus_dedup"] = f"""
     SELECT id_a, id_b, t.overlap, e.cosine,
            CASE WHEN t.overlap IS NULL THEN 'emb'
@@ -2507,6 +2544,9 @@ ORACLE["q58_consensus_dedup"] = f"""
     FULL JOIN ({_srp_oracle_sql()}) e USING (id_a, id_b)
     ORDER BY id_a, id_b
 """
+
+
+ORACLE["q59_events_sliding_streamed"] = ORACLE["q49_events_sliding"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

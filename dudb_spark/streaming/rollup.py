@@ -82,3 +82,34 @@ def run_rollup_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window rollup (length/slide overlapping windows): each
+    event contributes to length/slide windows, so streaming state holds
+    that many open windows per (window, type) — still bounded by the
+    watermark.  Batch/stream plans stay identical, like hourly_rollup."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.window("ts", length, slide).alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
