@@ -1341,6 +1341,27 @@ def q59_events_sliding_streamed(spark, sf_dir):
     )
 
 
+def q60_size_histogram(spark, sf_dir):
+    """du-style file-size histogram: power-of-two buckets via the binary
+    digit count (length(bin(size)) — pure integer/string ops, so no
+    float-log edge cases at exact powers of two).  One narrow projection
+    + one aggregation; the classic first question against a filesystem
+    snapshot."""
+    ent = _fs(spark, "entries")
+    return (
+        ent.where(~F.col("is_dir"))
+        .select(F.length(F.bin(F.col("size"))).alias("bucket"), "size")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("total_bytes"),
+            F.min("size").alias("min_size"),
+            F.max("size").alias("max_size"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _stratified_sample_oracle_sql() -> str:
     from dudb_spark.pipeline.sampling import sample_hash_sql
 
@@ -1844,6 +1865,7 @@ QUERIES: dict[str, Callable] = {
     "q57_mixture_sample": q57_mixture_sample,
     "q58_consensus_dedup": q58_consensus_dedup,
     "q59_events_sliding_streamed": q59_events_sliding_streamed,
+    "q60_size_histogram": q60_size_histogram,
 }
 
 ORACLE: dict[str, str] = {
@@ -2246,6 +2268,14 @@ ORACLE: dict[str, str] = {
                ROUND((ttr + alpha + len_band) / 3, 6) AS quality
         FROM m
         ORDER BY doc_id
+    """,
+    "q60_size_histogram": f"""
+        SELECT CAST(length(bin(size)) AS BIGINT) AS bucket,
+               COUNT(*) AS n_files, SUM(size) AS total_bytes,
+               MIN(size) AS min_size, MAX(size) AS max_size
+        FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+        WHERE NOT is_dir
+        GROUP BY bucket ORDER BY bucket
     """,
     "q22_fs_find": f"""
         WITH pfx AS (
