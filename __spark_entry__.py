@@ -1341,6 +1341,26 @@ def q59_events_sliding_streamed(spark, sf_dir):
     )
 
 
+def q61_priority_pivot(spark, sf_dir):
+    """Pivot (long→wide reshaping): order counts per month × priority.
+    An EXPLICIT pivot value list keeps the plan single-pass — without it
+    Spark runs an extra distinct-collect job to discover the columns,
+    a silent driver round-trip you don't want at 100 TB.  The oracle is
+    conditional aggregation (FILTER), the engine-portable restatement."""
+    o = _t(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .pivot("o_orderpriority", pri)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [p for p in pri])
+    )
+    renames = {p: f"p{p[0]}" for p in pri}  # p1..p5: stable column names
+    for old, new in renames.items():
+        wide = wide.withColumnRenamed(old, new)
+    return wide.orderBy("month")
+
+
 def q60_size_histogram(spark, sf_dir):
     """du-style file-size histogram: power-of-two buckets via the binary
     digit count (length(bin(size)) — pure integer/string ops, so no
@@ -1866,6 +1886,7 @@ QUERIES: dict[str, Callable] = {
     "q58_consensus_dedup": q58_consensus_dedup,
     "q59_events_sliding_streamed": q59_events_sliding_streamed,
     "q60_size_histogram": q60_size_histogram,
+    "q61_priority_pivot": q61_priority_pivot,
 }
 
 ORACLE: dict[str, str] = {
@@ -2268,6 +2289,16 @@ ORACLE: dict[str, str] = {
                ROUND((ttr + alpha + len_band) / 3, 6) AS quality
         FROM m
         ORDER BY doc_id
+    """,
+    "q61_priority_pivot": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+               COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+               COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+               COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+               COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        FROM orders
+        GROUP BY month ORDER BY month
     """,
     "q60_size_histogram": f"""
         SELECT CAST(length(bin(size)) AS BIGINT) AS bucket,
