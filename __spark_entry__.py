@@ -1361,6 +1361,29 @@ def q61_priority_pivot(spark, sf_dir):
     return wide.orderBy("month")
 
 
+def q62_amount_unpivot(spark, sf_dir):
+    """Unpivot / melt (wide→long reshaping): lineitem's three amount
+    columns become (metric, value) rows via stack() — a scan-side
+    generate, no shuffle until the aggregate — then sum per returnflag ×
+    metric.  The oracle is the UNION ALL restatement."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) AS (metric, value)"
+        ),
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            _money(F.sum(_dec(F.col("value"))), "total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 def q60_size_histogram(spark, sf_dir):
     """du-style file-size histogram: power-of-two buckets via the binary
     digit count (length(bin(size)) — pure integer/string ops, so no
@@ -1887,6 +1910,7 @@ QUERIES: dict[str, Callable] = {
     "q59_events_sliding_streamed": q59_events_sliding_streamed,
     "q60_size_histogram": q60_size_histogram,
     "q61_priority_pivot": q61_priority_pivot,
+    "q62_amount_unpivot": q62_amount_unpivot,
 }
 
 ORACLE: dict[str, str] = {
@@ -2289,6 +2313,22 @@ ORACLE: dict[str, str] = {
                ROUND((ttr + alpha + len_band) / 3, 6) AS quality
         FROM m
         ORDER BY doc_id
+    """,
+    "q62_amount_unpivot": """
+        WITH long AS (
+            SELECT l_returnflag, 'extendedprice' AS metric,
+                   l_extendedprice AS value FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'tax', l_tax FROM lineitem
+        )
+        SELECT l_returnflag, metric,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total,
+               COUNT(*) AS n_rows
+        FROM long
+        GROUP BY 1, 2 ORDER BY l_returnflag, metric
     """,
     "q61_priority_pivot": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
