@@ -657,19 +657,12 @@ def q32_embedding_near_dup(spark, sf_dir):
     )
 
 
-def q33_ann_ivf(spark, sf_dir):
-    """Pipeline/similarity scale path: IVF ANN — KMeans coarse quantizer,
-    probe the 4 nearest of 16 cells (expected scan fraction 1/4).  Rows-only
-    check: the cell assignment depends on Spark ML's KMeans, which DuckDB
-    cannot replicate; exactness of the scoring math is covered by q17 and
-    tests/test_ivf.py's full-probe-equals-brute-force assertion."""
-    from dudb_spark.pipeline.ivf import build_ivf
-
-    emb = _t(spark, sf_dir, "embeddings")
-    idx = build_ivf(emb, n_clusters=16)
-    assigned = idx.assign(emb)
-    q = emb.where("vec_id = 0").first()["embedding"]
-    return idx.search(assigned.where("vec_id != 0"), q, k=10, n_probe=4)
+# q33 (KMeans-quantizer IVF) was retired from the driver contract in round 2:
+# its cell assignment depends on Spark ML KMeans internals that no SQL oracle
+# can restate, so it could only ever be a rows-only row.  The deterministic
+# twin q41_ann_ivf_exact carries the full IVF value contract (grid quantizer,
+# same probe/search code path), and tests/test_ivf.py keeps the KMeans
+# build_ivf path covered (full-probe == brute-force assertion).
 
 
 def q34_fs_subtree_rollup(spark, sf_dir):
@@ -1881,7 +1874,6 @@ QUERIES: dict[str, Callable] = {
     "q30_events_hourly_streamed": q30_events_hourly_streamed,
     "q31_fs_stats_at_scale": q31_fs_stats_at_scale,
     "q32_embedding_near_dup": q32_embedding_near_dup,
-    "q33_ann_ivf": q33_ann_ivf,
     "q34_fs_subtree_rollup": q34_fs_subtree_rollup,
     "q35_fs_rollup_at_scale": q35_fs_rollup_at_scale,
     "q36_winnow_fingerprints": q36_winnow_fingerprints,
@@ -1986,9 +1978,9 @@ ORACLE: dict[str, str] = {
     """,
     "q08_block_storage_calc": """
         SELECT l_returnflag,
-               SUM(CAST(l_quantity * 1000 AS BIGINT)) AS bytes,
-               SUM(CAST(CEIL(l_quantity * 1000 / 4096) * 4096 AS BIGINT))
-                 AS storage_bytes
+               CAST(SUM(CAST(l_quantity * 1000 AS BIGINT)) AS BIGINT) AS bytes,
+               CAST(SUM(CAST(CEIL(l_quantity * 1000 / 4096) * 4096 AS BIGINT))
+                    AS BIGINT) AS storage_bytes
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -2032,8 +2024,9 @@ ORACLE: dict[str, str] = {
     """,
     "q13_token_stats_by_lang": """
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS total_tokens,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY lang
         ORDER BY lang
@@ -2109,7 +2102,7 @@ ORACLE: dict[str, str] = {
         SELECT tf.doc_id,
                ROUND(SUM(tf.tf * ln(CAST(model.cnt AS DOUBLE) / total.total))
                      / SUM(tf.tf), 6) AS mean_logprob,
-               SUM(tf.tf) AS n_tokens
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
         FROM tf JOIN model USING (term) CROSS JOIN total
         GROUP BY tf.doc_id
         ORDER BY tf.doc_id
@@ -2124,8 +2117,9 @@ ORACLE: dict[str, str] = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
             SELECT user_id, event_id, ts,
-                   SUM(is_new) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS sid
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                        AS BIGINT) AS sid
             FROM marked
         ), intervals AS (
             SELECT user_id AS s_user, sid,
@@ -2190,8 +2184,9 @@ ORACLE: dict[str, str] = {
             FROM documents
         ), c AS (
             SELECT doc_id, tokens,
-                   SUM(tokens) OVER (ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                   CAST(SUM(tokens) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_tokens
             FROM t
         )
         SELECT doc_id, tokens, cum_tokens,
@@ -2342,7 +2337,7 @@ ORACLE: dict[str, str] = {
     """,
     "q60_size_histogram": f"""
         SELECT CAST(length(bin(size)) AS BIGINT) AS bucket,
-               COUNT(*) AS n_files, SUM(size) AS total_bytes,
+               COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_bytes,
                MIN(size) AS min_size, MAX(size) AS max_size
         FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
         WHERE NOT is_dir
@@ -2374,30 +2369,36 @@ ORACLE: dict[str, str] = {
     "q23_fs_stats_totals": _FS_CONTRIB_SQL
     + """
         SELECT prefix,
-               SUM(files) AS files, SUM(prefixes) AS prefixes,
-               SUM(sub_prefixes) AS sub_prefixes, SUM(bytes) AS bytes,
-               SUM(storage_bytes) AS storage_bytes,
-               SUM(prefix_bytes) AS prefix_bytes,
-               SUM(hardlinks) AS hardlinks,
-               SUM(hardlink_dirs) AS hardlink_dirs
+               CAST(SUM(files) AS BIGINT) AS files,
+               CAST(SUM(prefixes) AS BIGINT) AS prefixes,
+               CAST(SUM(sub_prefixes) AS BIGINT) AS sub_prefixes,
+               CAST(SUM(bytes) AS BIGINT) AS bytes,
+               CAST(SUM(storage_bytes) AS BIGINT) AS storage_bytes,
+               CAST(SUM(prefix_bytes) AS BIGINT) AS prefix_bytes,
+               CAST(SUM(hardlinks) AS BIGINT) AS hardlinks,
+               CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
         FROM contrib GROUP BY prefix ORDER BY prefix
     """,
     "q24_fs_stats_per_user": _FS_CONTRIB_SQL
     + """
         SELECT prefix, cuid AS id,
-               SUM(files) AS files, SUM(prefixes) AS prefixes,
-               SUM(sub_prefixes) AS sub_prefixes, SUM(bytes) AS bytes,
-               SUM(storage_bytes) AS storage_bytes,
-               SUM(prefix_bytes) AS prefix_bytes,
-               SUM(hardlinks) AS hardlinks
+               CAST(SUM(files) AS BIGINT) AS files,
+               CAST(SUM(prefixes) AS BIGINT) AS prefixes,
+               CAST(SUM(sub_prefixes) AS BIGINT) AS sub_prefixes,
+               CAST(SUM(bytes) AS BIGINT) AS bytes,
+               CAST(SUM(storage_bytes) AS BIGINT) AS storage_bytes,
+               CAST(SUM(prefix_bytes) AS BIGINT) AS prefix_bytes,
+               CAST(SUM(hardlinks) AS BIGINT) AS hardlinks
         FROM contrib WHERE cuid IS NOT NULL
         GROUP BY prefix, cuid ORDER BY prefix, id
     """,
     "q25_fs_top_by_user": _FS_CONTRIB_SQL
     + """
-        SELECT cuid AS id, SUM(files) AS files, SUM(bytes) AS bytes,
-               SUM(storage_bytes) AS storage_bytes,
-               SUM(hardlinks) AS hardlinks
+        SELECT cuid AS id,
+               CAST(SUM(files) AS BIGINT) AS files,
+               CAST(SUM(bytes) AS BIGINT) AS bytes,
+               CAST(SUM(storage_bytes) AS BIGINT) AS storage_bytes,
+               CAST(SUM(hardlinks) AS BIGINT) AS hardlinks
         FROM contrib WHERE cuid IS NOT NULL
         GROUP BY cuid ORDER BY id
     """,
@@ -2465,17 +2466,20 @@ ORACLE: dict[str, str] = {
             FROM files WHERE NOT is_dup
         )
         SELECT prefix,
-               SUM(files) AS files, SUM(prefixes) AS prefixes,
-               SUM(sub_prefixes) AS sub_prefixes, SUM(bytes) AS bytes,
-               SUM(storage_bytes) AS storage_bytes,
-               SUM(prefix_bytes) AS prefix_bytes,
-               SUM(hardlinks) AS hardlinks,
-               SUM(hardlink_dirs) AS hardlink_dirs
+               CAST(SUM(files) AS BIGINT) AS files,
+               CAST(SUM(prefixes) AS BIGINT) AS prefixes,
+               CAST(SUM(sub_prefixes) AS BIGINT) AS sub_prefixes,
+               CAST(SUM(bytes) AS BIGINT) AS bytes,
+               CAST(SUM(storage_bytes) AS BIGINT) AS storage_bytes,
+               CAST(SUM(prefix_bytes) AS BIGINT) AS prefix_bytes,
+               CAST(SUM(hardlinks) AS BIGINT) AS hardlinks,
+               CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
         FROM contrib GROUP BY prefix ORDER BY prefix
     """,
     "q26_json_props": """
         SELECT event_type, COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events
         GROUP BY event_type
@@ -2485,12 +2489,14 @@ ORACLE: dict[str, str] = {
     + """
         , agg AS (
             SELECT prefix,
-                   SUM(files) AS files, SUM(prefixes) AS prefixes,
-                   SUM(sub_prefixes) AS sub_prefixes, SUM(bytes) AS bytes,
-                   SUM(storage_bytes) AS storage_bytes,
-                   SUM(prefix_bytes) AS prefix_bytes,
-                   SUM(hardlinks) AS hardlinks,
-                   SUM(hardlink_dirs) AS hardlink_dirs
+                   CAST(SUM(files) AS BIGINT) AS files,
+                   CAST(SUM(prefixes) AS BIGINT) AS prefixes,
+                   CAST(SUM(sub_prefixes) AS BIGINT) AS sub_prefixes,
+                   CAST(SUM(bytes) AS BIGINT) AS bytes,
+                   CAST(SUM(storage_bytes) AS BIGINT) AS storage_bytes,
+                   CAST(SUM(prefix_bytes) AS BIGINT) AS prefix_bytes,
+                   CAST(SUM(hardlinks) AS BIGINT) AS hardlinks,
+                   CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
             FROM contrib GROUP BY prefix
         ), ranked AS (
             SELECT *,

@@ -32,6 +32,62 @@ def norm_cell(v):
     return str(v)
 
 
+# The driver's value hash is TYPE-sensitive: a DuckDB HUGEINT (what DuckDB
+# widens every integer SUM to) or DECIMAL materializes as float/Decimal on
+# its comparison path and hashes differently from Spark's int64 even when
+# the values are equal (round-1 root cause for 9 hash_match failures).
+# Map both schemas to type families and require them to agree per column.
+def spark_type_family(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt == "boolean":
+        return "bool"
+    if dt in ("timestamp", "timestamp_ntz", "date"):
+        return "time"
+    if dt == "string":
+        return "str"
+    return dt
+
+
+def duckdb_type_family(dt: str) -> str:
+    dt = str(dt).upper()
+    if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if dt in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"  # never matches Spark — outer-cast the SUM to BIGINT
+    if dt in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt.startswith("TIMESTAMP") or dt == "DATE":
+        return "time"
+    if dt == "VARCHAR":
+        return "str"
+    return dt.lower()
+
+
+def type_problems(s_schema, d_cols, d_types):
+    """Compare per-column type families between Spark and DuckDB results."""
+    s_fam = {name: spark_type_family(dt) for name, dt in s_schema}
+    probs = []
+    for name, dt in zip(d_cols, d_types):
+        fam = duckdb_type_family(dt)
+        if name in s_fam and s_fam[name] != fam:
+            probs.append(
+                f"type mismatch on {name!r}: spark={s_fam[name]} "
+                f"duckdb={fam} ({dt})"
+            )
+    return probs
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
@@ -58,6 +114,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_schema = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -68,9 +125,10 @@ def main():
                   f"{time.time()-t0:.1f}s) — no oracle")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = list(rel.types)
+            d_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -78,6 +136,7 @@ def main():
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={s_cols} duckdb={d_cols}")
+        problems.extend(type_problems(s_schema, d_cols, d_types))
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if not problems:
