@@ -59,15 +59,34 @@ def asof_join(
     direction='backward': latest right row with ``r.ts <= l.ts``
     (``<`` when ``strict``); 'forward': earliest right row with
     ``r.ts >= l.ts``.  Right value columns (everything except the key and
-    timestamp) come back suffixed nothing — they keep their names, with
-    the right timestamp exposed as ``<ts>_right``.  Left rows with no
-    match keep NULLs (left-outer semantics, like ``merge_asof``).
+    timestamp) keep their names unless they collide with a left column,
+    in which case they come back as ``<name>_right``; the right timestamp
+    is always ``<ts>_right``.  Left rows with no match keep NULLs
+    (left-outer semantics, like ``merge_asof``).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     val_cols = [c for c in right.columns if c not in (*keys, ts)]
+    # Right value columns keep their names unless that would duplicate a
+    # left column (ambiguous downstream select); collisions get _right,
+    # and an unresolvable collision is an error, not a silent dup.
+    out_names = {}
+    taken = set(left.columns)
+    for c in val_cols:
+        name = c if c not in taken else f"{c}_right"
+        if name in taken or name == f"{ts}_right":
+            raise ValueError(
+                f"asof_join: right column {c!r} collides with left column "
+                f"{name!r}; rename it before joining"
+            )
+        out_names[c] = name
+        taken.add(name)
+    if f"{ts}_right" in left.columns:
+        raise ValueError(
+            f"asof_join: left already has a {ts}_right column; rename it"
+        )
     payload = F.struct(
         F.col(ts).alias(f"{ts}_right"), *[F.col(c) for c in val_cols]
     )
@@ -113,5 +132,5 @@ def asof_join(
     return out.select(
         *[c for c in left.columns],
         F.col(f"{_PAYLOAD}.{ts}_right").alias(f"{ts}_right"),
-        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in val_cols],
+        *[F.col(f"{_PAYLOAD}.{c}").alias(out_names[c]) for c in val_cols],
     )

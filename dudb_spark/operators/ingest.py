@@ -79,10 +79,21 @@ def merge_scan(
     )
     j = j.cache()
 
-    n_new = j.where("in_new AND NOT in_old").count()
-    n_unchanged = j.where("unchanged").count()
-    n_changed = j.where("in_new AND in_old AND NOT unchanged").count()
-    n_deleted = j.where("in_old AND NOT in_new").count()
+    # All four summary counters in ONE job over the classification join
+    # (four separate .count() actions would recompute/rescan it 4×; at
+    # ingest scale the classification is the expensive part).  count(when)
+    # rather than sum(when) so empty inputs yield 0, not NULL.
+    c = j.agg(
+        F.count(F.when(F.expr("in_new AND NOT in_old"), 1)).alias("n_new"),
+        F.count(F.when(F.col("unchanged"), 1)).alias("n_unchanged"),
+        F.count(
+            F.when(F.expr("in_new AND in_old AND NOT unchanged"), 1)
+        ).alias("n_changed"),
+        F.count(F.when(F.expr("in_old AND NOT in_new"), 1)).alias("n_deleted"),
+    ).first()
+    n_new, n_unchanged, n_changed, n_deleted = (
+        c["n_new"], c["n_unchanged"], c["n_changed"], c["n_deleted"],
+    )
 
     unchanged_paths = j.where("unchanged").select("path")
     changed_or_new = j.where("in_new AND NOT unchanged").select("path")

@@ -49,6 +49,13 @@ def interval_join(
     """Inner join of each point to every interval containing it
     (``lo <= ts <= hi``).  Returns points columns + intervals columns.
     ``bucket_s`` is the bucketing granularity in seconds."""
+    shared = set(points.columns) & set(intervals.columns)
+    if shared:
+        # duplicate output names make every downstream reference ambiguous
+        raise ValueError(
+            f"interval_join: column names {sorted(shared)} exist on both "
+            "sides; rename one side before joining"
+        )
     wsec = F.lit(int(bucket_s)).cast("long")
     # floor-divide epoch seconds; unix_timestamp is negative pre-1970 and
     # integer division truncates toward zero, so use floor() explicitly

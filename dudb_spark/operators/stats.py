@@ -162,20 +162,29 @@ class StatsResult:
 
     def merged_top(self, n: int) -> DataFrame:
         """Heaps.Merge (report_stats.go:128–167): one row per prefix that
-        appears in ANY of the five top-N rankings — computed in one window
-        pass over the (already small) per-prefix summary."""
-        ranked = self.per_prefix
-        conds = []
-        for m in METRICS:
-            w = Window.orderBy(F.desc(m), "prefix")
-            ranked = ranked.withColumn(f"_r_{m}", F.row_number().over(w))
-            conds.append(F.col(f"_r_{m}") <= n)
-        keep = conds[0]
-        for c in conds[1:]:
-            keep = keep | c
-        return ranked.where(keep).select(
-            "prefix", *METRICS, "prefixes", "hardlinks", "hardlink_dirs"
-        )
+        appears in ANY of the five top-N rankings.
+
+        Scale path: each ranking is an ``orderBy(desc).limit(n)`` frame —
+        TakeOrderedAndProject, i.e. a bounded per-partition heap + driver
+        merge, never a global sort — and the ≤5n candidate prefixes come
+        back as a broadcast left-semi join.  An unpartitioned rank window
+        here would funnel every per-prefix row through one task, which is
+        exactly the hazard documented in operators/prefix.py; with AQE the
+        five frames and the probe side all reuse the one grouping-sets
+        Exchange, so this stays a single-shuffle plan."""
+        tops = [
+            self.per_prefix.select("prefix", F.col(m).alias("_v"))
+            .orderBy(F.desc("_v"), "prefix")
+            .limit(n)
+            .select("prefix")
+            for m in METRICS
+        ]
+        cand = tops[0]
+        for t in tops[1:]:
+            cand = cand.union(t)
+        return self.per_prefix.join(
+            F.broadcast(cand.distinct()), "prefix", "left_semi"
+        ).select("prefix", *METRICS, "prefixes", "hardlinks", "hardlink_dirs")
 
     def save(self, out_dir: str) -> None:
         """Persist summary tables (S10 stand-in for the .idustats snapshot)."""

@@ -39,11 +39,17 @@ _DENOM = 1_000_000
 
 
 def sample_hash(id_col: Column, salt: int = 0) -> Column:
-    """Uniform [0, 1e6) bucket for a bigint id — the sampling coordinate."""
-    h = ((id_col.cast("long") + F.lit(salt)) * F.lit(_MULT)) % F.lit(_MOD)
+    """Uniform [0, 1e6) bucket for a bigint id — the sampling coordinate.
+
+    pmod, not %: Spark's % follows the dividend's sign, so a negative id
+    (or id+salt) would land in a negative bucket that sits below every
+    threshold and is kept at ANY rate.  pmod keeps the coordinate in
+    [0, mod) for the full bigint domain; for non-negative ids the result
+    is unchanged."""
+    h = F.pmod((id_col.cast("long") + F.lit(salt)) * F.lit(_MULT), F.lit(_MOD))
     # second round breaks the linearity between consecutive ids
-    h = (h * F.lit(_MULT) + F.lit(salt)) % F.lit(_MOD)
-    return h % F.lit(_DENOM)
+    h = F.pmod(h * F.lit(_MULT) + F.lit(salt), F.lit(_MOD))
+    return F.pmod(h, F.lit(_DENOM))
 
 
 def hash_sample(
@@ -75,9 +81,16 @@ def stratified_hash_sample(
 
 def sample_hash_sql(id_expr: str, salt: int = 0) -> str:
     """The identical bucket computation as ANSI SQL, for oracles and for
-    rebuilding the same sample in another engine."""
-    h1 = f"((({id_expr}) + {salt}) * {_MULT}) % {_MOD}"
-    return f"((({h1}) * {_MULT} + {salt}) % {_MOD}) % {_DENOM}"
+    rebuilding the same sample in another engine.  SQL % is also
+    dividend-signed, so each reduction is the ((x % m) + m) % m pmod
+    idiom to stay in lockstep with sample_hash."""
+
+    def pmod(x: str, m: int) -> str:
+        return f"(((({x}) % {m}) + {m}) % {m})"
+
+    h1 = pmod(f"(({id_expr}) + {salt}) * {_MULT}", _MOD)
+    h2 = pmod(f"({h1}) * {_MULT} + {salt}", _MOD)
+    return pmod(h2, _DENOM)
 
 
 def mixture_sample(

@@ -34,11 +34,22 @@ def dedup_stream(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Distinct key tuples from a stream, first sighting only, state
-    bounded by the watermark horizon."""
+    """Distinct key tuples from a stream, first sighting per key per
+    watermark horizon.
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: plain
+    dropDuplicates only evicts state when the event-time column is part
+    of the key subset — with pure logical keys its state grows without
+    bound on a real stream, watermark or no watermark.  The WithinWatermark
+    variant expires each key's state ``watermark`` past its first
+    sighting's event time, so state is bounded by keys-per-horizon at the
+    cost of re-emitting a key that reappears after the horizon.  Callers
+    wanting exactly-once-per-key-ever must put a time bucket in the key
+    (as first_sightings does with ``day``) and size the watermark to cover
+    the bucket."""
     return (
         stream.withWatermark(ts_col, watermark)
-        .dropDuplicates(keys)
+        .dropDuplicatesWithinWatermark(keys)
         .select(*keys)
     )
 

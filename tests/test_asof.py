@@ -118,6 +118,35 @@ def test_asof_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_asof_colliding_right_columns_get_suffixed(spark):
+    """A right value column sharing a left column's name must come back
+    as <name>_right, never as a duplicate output name (ADVICE r1)."""
+    import pytest
+
+    ldf = _mk(spark, [(1, T0, 1.0)], ["key", "ts", "val"])
+    rdf = _mk(spark, [(1, T0, 9.0)], ["key", "ts", "val"])
+    out = asof_join(ldf, rdf, on="key", ts="ts")
+    assert out.columns.count("val") == 1
+    assert "val_right" in out.columns
+    row = out.first()
+    assert row["val"] == 1.0 and row["val_right"] == 9.0
+    # unresolvable: left already owns both val and val_right
+    ldf2 = _mk(spark, [(1, T0, 1.0, 2.0)], ["key", "ts", "val", "val_right"])
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(ldf2, rdf, on="key", ts="ts")
+
+
+def test_interval_join_rejects_shared_names(spark):
+    import pytest
+
+    from dudb_spark.operators.rangejoin import interval_join
+
+    pts = _mk(spark, [(1, T0, 1.0)], ["pid", "ts", "val"])
+    ivs = _mk(spark, [(1, T0, T0, 2.0)], ["iid", "lo", "hi", "val"])
+    with pytest.raises(ValueError, match="both"):
+        interval_join(pts, ivs)
+
+
 def test_asof_keeps_left_rows(spark):
     ldf = _mk(
         spark,

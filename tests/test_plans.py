@@ -106,6 +106,21 @@ def test_rollup_plan_shape(spark, fs_dir):
     assert "NestedLoop" not in plan
 
 
+def test_merged_top_avoids_global_windows(spark, fs_dir):
+    """merged_top must stay five bounded TakeOrdered frames + broadcast
+    semi-join — an unpartitioned rank window would single-task the whole
+    per-prefix table at scale (VERDICT r1 #2)."""
+    t = FsTables(spark, fs_dir)
+    res = compute_stats(t.prefixes, t.entries, StatsOptions())
+    plan = plan_of(res.merged_top(3))
+    # formatted explain names each node twice (tree line + detail block)
+    assert plan.count("TakeOrderedAndProject") >= 5
+    assert "BroadcastHashJoin" in plan
+    # the partition-local hardlink-dedup window upstream is fine; what must
+    # never appear is a single-partition exchange (global window / sort)
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_winnow_stays_staged(spark):
     """The staged winnow projections must not collapse into one
     (re-inlining would be quadratic per doc; see text.winnow_df)."""

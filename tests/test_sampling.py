@@ -24,6 +24,22 @@ def test_deterministic_and_subset_consistent(spark):
     assert 0.005 <= len(small) / 20_000 <= 0.02
 
 
+def test_negative_ids_sample_at_rate(spark):
+    """% follows the dividend's sign in Spark, so pre-pmod a negative id
+    landed in a negative bucket and was kept at EVERY rate; pmod keeps the
+    coordinate in [0, 1e6) over the full bigint domain (ADVICE r1)."""
+    df = spark.range(-20_000, 0).withColumnRenamed("id", "doc_id")
+    kept = hash_sample(df, "doc_id", 0.1).count()
+    assert 0.07 <= kept / 20_000 <= 0.13
+    # the coordinate itself is never negative
+    mins = (
+        spark.range(-1000, 1000)
+        .select(F.min(sample_hash(F.col("id"))).alias("m"))
+        .first()
+    )
+    assert mins["m"] >= 0
+
+
 def test_salt_decorrelates(spark):
     df = spark.range(20_000).withColumnRenamed("id", "doc_id")
     a = {r.doc_id for r in hash_sample(df, "doc_id", 0.1, salt=1).collect()}
