@@ -1814,7 +1814,8 @@ def q26_json_props(spark, sf_dir):
 
 def q27_fs_merged_topn(spark, sf_dir):
     """A6: Heaps.Merge — one row per prefix appearing in ANY of the five
-    per-metric top-N rankings, computed in one window pass."""
+    per-metric top-N rankings (five TakeOrdered frames + broadcast
+    semi-join; no global window)."""
     from dudb_spark.operators.stats import StatsOptions, compute_stats
 
     res = compute_stats(
@@ -1839,6 +1840,341 @@ def q28_brand_revenue(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest-path contract queries (q63–q65): a DETERMINISTIC "rescan" of the
+# committed fs fixture — delete the /tree/d0-2 subtree, touch three
+# directories (+1 h mtime), add two new dirs under the (touched) root — run
+# through the real merge_scan operator (J1 unchanged-skip, J2/S7 deletion
+# cascade, A10 counters).  Every mutation is a pure column transformation,
+# so the DuckDB oracle restates the staging AND the merge semantics from
+# the same fixture parquet (mirrors reference analyze_test.go:262–338).
+# ---------------------------------------------------------------------------
+
+_MERGE_DEL = "/tree/d0-2"  # subtree deleted by the rescan
+_MERGE_NEW_SRC = ("/tree/d0-0", "/tree/d0-1")  # cloned to /tree/znew-*
+
+
+def _merge_fixture(spark):
+    """(prev_p, prev_e, staged_p, staged_e) for the deterministic rescan."""
+    prev_p = _fs(spark, "prefixes")
+    prev_e = _fs(spark, "entries")
+
+    changed = F.col("path").endswith("/d1-0") | (F.col("path") == "/tree")
+    alive_p = prev_p.where(~F.col("path").startswith(_MERGE_DEL))
+    touched = alive_p.withColumn(
+        "mtime",
+        F.when(changed, F.col("mtime") + F.expr("INTERVAL 1 HOUR")).otherwise(
+            F.col("mtime")
+        ),
+    )
+    # two added dirs, cloned from existing top-level dirs (new inode, empty)
+    new_dirs = (
+        prev_p.where(F.col("path").isin(*_MERGE_NEW_SRC))
+        .withColumn("path", F.regexp_replace("path", "d0-", "znew-"))
+        .withColumn("inode", F.col("inode") + F.lit(1_000_000))
+        .withColumn("n_entries", F.lit(0))
+    )
+    staged_p = touched.unionByName(new_dirs)
+
+    alive_e = prev_e.where(
+        ~F.col("parent").startswith(_MERGE_DEL)
+        & (F.col("path") != _MERGE_DEL)
+    )
+    new_ents = (
+        prev_e.where(F.col("path").isin(*_MERGE_NEW_SRC))
+        .withColumn("name", F.regexp_replace("name", "d0-", "znew-"))
+        .withColumn("path", F.regexp_replace("path", "d0-", "znew-"))
+        .withColumn("inode", F.col("inode") + F.lit(1_000_000))
+    )
+    staged_e = alive_e.unionByName(new_ents)
+    return prev_p, prev_e, staged_p, staged_e
+
+
+def q63_merge_counters(spark, sf_dir):
+    """J1/J2/S7/A10: merge_scan summary counters for the deterministic
+    rescan — added/changed/deleted/unchanged classification plus the
+    post-merge file count, in one counter job (ingest.py)."""
+    from dudb_spark.operators.ingest import merge_scan
+
+    prev_p, prev_e, staged_p, staged_e = _merge_fixture(spark)
+    res = merge_scan(prev_p, prev_e, staged_p, staged_e, root="/tree")
+    s = res.summary
+    return spark.createDataFrame(
+        [
+            (
+                s["prefixes_added"],
+                s["prefixes_changed"],
+                s["prefixes_deleted"],
+                s["parent_unchanged"],
+                s["prefixes_started"],
+                s["files"],
+            )
+        ],
+        "prefixes_added long, prefixes_changed long, prefixes_deleted long, "
+        "parent_unchanged long, prefixes_started long, files long",
+    )
+
+
+def q64_merge_snapshot(spark, sf_dir):
+    """J1 snapshot assembly: the post-merge prefixes table — staged rows
+    for changed/added dirs, previous rows reused for unchanged, deleted
+    subtree gone."""
+    from dudb_spark.operators.ingest import merge_scan
+
+    prev_p, prev_e, staged_p, staged_e = _merge_fixture(spark)
+    res = merge_scan(prev_p, prev_e, staged_p, staged_e, root="/tree")
+    return res.prefixes.select(
+        "path",
+        _fmt_ts(F.col("mtime"), "mtime"),
+        F.col("size").cast("long").alias("size"),
+        F.col("n_entries").cast("long").alias("n_entries"),
+    ).orderBy("path")
+
+
+def q65_merge_entries_reuse(spark, sf_dir):
+    """J1 unchanged-skip on the ENTRIES side: the staged scan omits the
+    children of every unchanged directory (incremental scanners don't
+    re-stat them); the merge must reuse the previous snapshot's rows, and
+    the deleted subtree's entries must cascade out (S7)."""
+    from dudb_spark.operators.ingest import merge_scan
+
+    prev_p, prev_e, staged_p, staged_e = _merge_fixture(spark)
+    changed_parents = ("/tree", "/tree/d0-0/d1-0", "/tree/d0-1/d1-0")
+    staged_e_min = staged_e.where(F.col("parent").isin(*changed_parents))
+    res = merge_scan(prev_p, prev_e, staged_p, staged_e_min, root="/tree")
+    return (
+        res.entries.groupBy("parent")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.sum(F.when(~F.col("is_dir"), F.col("size")).otherwise(0))
+            .cast("long")
+            .alias("file_bytes"),
+        )
+        .orderBy("parent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Report-sink / catalog / crawler contract queries (q66–q70): exercise the
+# operators that WRITE artifacts (S10–S14, A9, F4, S6/X3, S1–S3/X4) and feed
+# what they wrote back through the oracle, so the driver certifies the sink
+# output — not just the upstream frames.
+# ---------------------------------------------------------------------------
+
+
+def q66_report_tsv(spark, sf_dir):
+    """S11/S14/A9/F4: write a full timestamped report set for the fixture
+    stats, read the TSV back, and attach the KB/KiB formatted byte columns
+    (units.format_bytes, applied driver-side over the bounded top-N rows —
+    presentation is the one legitimately driver-side stage)."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from dudb_spark.functions.units import format_bytes
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+    from dudb_spark.reports.sinks import write_reports
+
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    root = tempfile.mkdtemp(prefix="dudb_q66_")
+    out = write_reports(
+        res, root, display_n=3,
+        when=datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc),
+    )
+    longs = [
+        "bytes", "storage_bytes", "prefix_bytes", "files", "sub_prefixes",
+        "prefixes", "hardlinks", "hardlink_dirs",
+    ]
+    tsv = (
+        spark.read.option("sep", "\t").option("header", "true")
+        .csv(f"{out}/tsv")
+        .select("prefix", *[F.col(c).cast("long").alias(c) for c in longs])
+    )
+    rows = [r.asDict() for r in tsv.collect()]
+    for r in rows:
+        r["bytes_h"] = format_bytes(r["bytes"], binary=False)
+        r["bytes_bin"] = format_bytes(r["bytes"], binary=True)
+    schema = (
+        "prefix string, " + ", ".join(f"{c} long" for c in longs)
+        + ", bytes_h string, bytes_bin string"
+    )
+    return spark.createDataFrame(
+        [tuple(r[c] for c in ["prefix", *longs, "bytes_h", "bytes_bin"])
+         for r in sorted(rows, key=lambda r: r["prefix"])],
+        schema,
+    )
+
+
+def q67_report_locate(spark, sf_dir):
+    """S14/O3: stage one (empty) report dir per earliest-3 event day at the
+    given sf, then ``reports locate`` returns the newest 2, sorted — the
+    dir names derive from the DATA so the oracle recomputes them instead
+    of echoing constants."""
+    import os
+    import tempfile
+
+    from dudb_spark.reports.sinks import locate_reports
+
+    days = [
+        r["d"]
+        for r in _events(spark, sf_dir)
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(3)
+        .collect()
+    ]
+    root = tempfile.mkdtemp(prefix="dudb_q67_")
+    for d in days:
+        os.makedirs(os.path.join(root, f"{d}-000000"), exist_ok=True)
+    located = locate_reports(root, n=2)
+    # list-of-names schema: `when` trips the DDL parser as a keyword
+    return spark.createDataFrame(
+        [(x["report"], x["when"]) for x in located], ["report", "when"]
+    )
+
+
+def q68_stats_snapshot_roundtrip(spark, sf_dir):
+    """S10: persist the stats result as a snapshot and read it back — the
+    reloaded per-prefix table must round-trip value-exact (oracle = the
+    q23 totals restatement)."""
+    import tempfile
+
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    out = tempfile.mkdtemp(prefix="dudb_q68_")
+    res.save(out)
+    return (
+        spark.read.parquet(f"{out}/per_prefix.parquet").orderBy("prefix")
+    )
+
+
+def q69_catalog_roundtrip(spark, sf_dir):
+    """S6/X3/F3: snapshot catalog end-to-end — env-expanded db location,
+    versioned write, compaction to a second version, pointer flip, and the
+    reloaded latest tables carrying the fixture through unchanged."""
+    import os
+    import tempfile
+
+    from dudb_spark.cli import expand_path
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    tmp = tempfile.mkdtemp(prefix="dudb_q69_")
+    os.environ["DUDB_Q69_ROOT"] = tmp
+    cat = SnapshotCatalog(spark, expand_path("$DUDB_Q69_ROOT/db"))
+    cat.write_snapshot(_fs(spark, "prefixes"), _fs(spark, "entries"))
+    cat.compact(n_files=4)
+    t = cat.tables()
+    row = (
+        t.entries.agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum(F.when(~F.col("is_dir"), F.col("size")).otherwise(0))
+            .cast("long")
+            .alias("file_bytes"),
+        ).first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                cat.latest_version(),
+                len(cat.versions()),
+                t.prefixes.count(),
+                row["n_entries"],
+                row["file_bytes"],
+            )
+        ],
+        "latest string, n_versions long, n_prefixes long, n_entries long, "
+        "file_bytes long",
+    )
+
+
+_CRAWL_BASE = 1_700_000_000  # fixed epoch for every staged mtime
+
+
+def _build_crawl_tree(root: str) -> None:
+    """Deterministic on-disk tree: 3 dirs × 4 files with formulaic sizes
+    and mtimes, one excluded *.tmp file per dir, one symlink (never
+    descended).  mtimes are pinned with utime AFTER all creation so
+    directory timestamps are reproducible."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    for i in range(3):
+        d = os.path.join(root, f"d{i}")
+        os.makedirs(d, exist_ok=True)
+        for j in range(4):
+            fp = os.path.join(d, f"f{j}.dat")
+            with open(fp, "wb") as f:
+                f.write(b"x" * (37 * i + j + 1))
+        with open(os.path.join(d, "skip.tmp"), "wb") as f:
+            f.write(b"excluded")
+    link = os.path.join(root, "link")
+    if not os.path.lexists(link):
+        os.symlink("d0", link)
+    with open(os.path.join(root, "skip.tmp"), "wb") as f:
+        f.write(b"excluded")
+    # pin mtimes (files first; dirs after, so listing writes don't bump them)
+    for i in range(3):
+        for j in range(4):
+            t = _CRAWL_BASE + (i + 1) * 1000 + (j + 1) * 10
+            os.utime(os.path.join(root, f"d{i}", f"f{j}.dat"), (t, t))
+        os.utime(os.path.join(root, f"d{i}", "skip.tmp"), (0, 0))
+    os.utime(link, ns=(5_000_000_000 + _CRAWL_BASE * 10**9,) * 2,
+             follow_symlinks=False)
+    for i in range(3):
+        t = _CRAWL_BASE + (i + 1) * 1000
+        os.utime(os.path.join(root, f"d{i}"), (t, t))
+    os.utime(os.path.join(root, "skip.tmp"), (0, 0))
+    os.utime(root, (_CRAWL_BASE, _CRAWL_BASE))
+
+
+def q70_crawler_walk(spark, sf_dir):
+    """S1/S2/S3/X4: the distributed BFS crawler over a deterministic
+    staged tree — exclusion filtering (*.tmp never ingested), symlink
+    recorded-but-not-descended, per-dir n_entries, and pinned mtimes.
+    Output paths are relativized and environment-dependent columns
+    (uid/gid/device/inode/mode/blocks, directory st_size) are excluded so
+    the oracle can regenerate the expectation from pure SQL."""
+    import tempfile
+
+    from dudb_spark.sources.crawler import crawl_distributed
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="dudb_q70_") + "/tree"
+    _build_crawl_tree(root)
+    prefixes, entries, errors = crawl_distributed(
+        spark, root, exclusions=[r"\.tmp$"]
+    )
+    rel = lambda c: F.coalesce(  # noqa: E731
+        F.nullif(F.expr(f"substring({c}, {len(root) + 1})"), F.lit("")),
+        F.lit("/"),
+    ).alias("relpath")
+    pfx = prefixes.select(
+        rel("path"),
+        F.lit(True).alias("is_prefix"),
+        F.col("depth").cast("long").alias("depth"),
+        F.col("n_entries").cast("long").alias("n_entries"),
+        F.lit(None).cast("long").alias("size"),
+        F.lit(None).cast("boolean").alias("is_dir"),
+        _fmt_ts(F.col("mtime"), "mtime"),
+    )
+    ent = entries.select(
+        rel("path"),
+        F.lit(False).alias("is_prefix"),
+        F.lit(None).cast("long").alias("depth"),
+        F.lit(None).cast("long").alias("n_entries"),
+        F.when(~F.col("is_dir"), F.col("size")).cast("long").alias("size"),
+        F.col("is_dir"),
+        _fmt_ts(F.col("mtime"), "mtime"),
+    )
+    assert errors.count() == 0, "crawler reported errors on the staged tree"
+    return pfx.unionByName(ent).orderBy("relpath", "is_prefix")
 
 
 QUERIES: dict[str, Callable] = {
@@ -1903,6 +2239,14 @@ QUERIES: dict[str, Callable] = {
     "q60_size_histogram": q60_size_histogram,
     "q61_priority_pivot": q61_priority_pivot,
     "q62_amount_unpivot": q62_amount_unpivot,
+    "q63_merge_counters": q63_merge_counters,
+    "q64_merge_snapshot": q64_merge_snapshot,
+    "q65_merge_entries_reuse": q65_merge_entries_reuse,
+    "q66_report_tsv": q66_report_tsv,
+    "q67_report_locate": q67_report_locate,
+    "q68_stats_snapshot_roundtrip": q68_stats_snapshot_roundtrip,
+    "q69_catalog_roundtrip": q69_catalog_roundtrip,
+    "q70_crawler_walk": q70_crawler_walk,
 }
 
 ORACLE: dict[str, str] = {
@@ -2654,6 +2998,177 @@ ORACLE["q58_consensus_dedup"] = f"""
 
 
 ORACLE["q59_events_sliding_streamed"] = ORACLE["q49_events_sliding"]
+
+# ---------------------------------------------------------------------------
+# q63–q65: the deterministic-rescan staging AND the merge semantics restated
+# from the same fixture parquet (full-outer classification, entry reuse for
+# unchanged dirs, deletion cascade) — the SQL twin of operators/ingest.py.
+# ---------------------------------------------------------------------------
+
+_MERGE_FIX_SQL = f"""
+    WITH prev_p AS (
+        SELECT * FROM read_parquet('{FS_FIX}/prefixes.parquet/*.parquet')
+    ), prev_e AS (
+        SELECT * FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+    ), staged_p AS (
+        SELECT path, parent, depth, size, blocks, mode, is_symlink,
+               CASE WHEN path LIKE '%/d1-0' OR path = '/tree'
+                    THEN mtime + INTERVAL 1 HOUR ELSE mtime END AS mtime,
+               uid, gid, device, inode, n_entries
+        FROM prev_p WHERE path NOT LIKE '/tree/d0-2%'
+        UNION ALL
+        SELECT replace(path, 'd0-', 'znew-'), parent, depth, size, blocks,
+               mode, is_symlink, mtime, uid, gid, device,
+               inode + 1000000, 0
+        FROM prev_p WHERE path IN ('/tree/d0-0', '/tree/d0-1')
+    ), cls AS (
+        SELECT COALESCE(s.path, p.path) AS path,
+               s.path IS NOT NULL AS in_new,
+               p.path IS NOT NULL AS in_old,
+               (s.path IS NOT NULL AND p.path IS NOT NULL
+                AND s.mtime = p.mtime AND s.mode = p.mode) AS unchanged
+        FROM staged_p s FULL JOIN prev_p p ON s.path = p.path
+    ), merged_e AS (
+        SELECT * FROM prev_e
+        WHERE parent NOT LIKE '/tree/d0-2%' AND path <> '/tree/d0-2'
+        UNION ALL
+        SELECT parent, replace(name, 'd0-', 'znew-'),
+               replace(path, 'd0-', 'znew-'), is_dir, size, blocks, mode,
+               mtime, uid, gid, device, inode + 1000000
+        FROM prev_e WHERE path IN ('/tree/d0-0', '/tree/d0-1')
+    )
+"""
+
+ORACLE["q63_merge_counters"] = _MERGE_FIX_SQL + """
+    SELECT
+        CAST(SUM(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END)
+             AS BIGINT) AS prefixes_added,
+        CAST(SUM(CASE WHEN in_new AND in_old AND NOT unchanged
+                 THEN 1 ELSE 0 END) AS BIGINT) AS prefixes_changed,
+        CAST(SUM(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END)
+             AS BIGINT) AS prefixes_deleted,
+        CAST(SUM(CASE WHEN unchanged THEN 1 ELSE 0 END)
+             AS BIGINT) AS parent_unchanged,
+        CAST(SUM(CASE WHEN in_new THEN 1 ELSE 0 END)
+             AS BIGINT) AS prefixes_started,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM merged_e WHERE NOT is_dir)
+            AS files
+    FROM cls
+"""
+
+ORACLE["q64_merge_snapshot"] = _MERGE_FIX_SQL + """
+    SELECT path, strftime(mtime, '%Y-%m-%d %H:%M:%S') AS mtime,
+           CAST(size AS BIGINT) AS size,
+           CAST(n_entries AS BIGINT) AS n_entries
+    FROM staged_p ORDER BY path
+"""
+
+ORACLE["q65_merge_entries_reuse"] = _MERGE_FIX_SQL + """
+    SELECT parent, CAST(COUNT(*) AS BIGINT) AS n_children,
+           CAST(SUM(CASE WHEN NOT is_dir THEN size ELSE 0 END) AS BIGINT)
+             AS file_bytes
+    FROM merged_e GROUP BY parent ORDER BY parent
+"""
+
+
+def _fmt_bytes_sql(expr: str, binary: bool) -> str:
+    """units.format_bytes restated in SQL: pick the multiple, format at
+    two decimals, strip trailing zeros then the bare point."""
+    base = 1024 if binary else 1000
+    units = (
+        ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+        if binary
+        else ["B", "KB", "MB", "GB", "TB", "PB", "EB"]
+    )
+    v = f"CAST({expr} AS DOUBLE)"
+
+    def trimmed(x: str) -> str:
+        fmt = "format('{:.2f}', " + x + ")"
+        return (
+            "regexp_replace(regexp_replace(" + fmt + ", '0+$', ''), "
+            "'\\.$', '')"
+        )
+
+    whens = []
+    for k, u in enumerate(units):
+        scaled = trimmed(f"{v} / {base ** k}")
+        cond = f"{v} / {base ** k} < {base}" if k < len(units) - 1 else "TRUE"
+        whens.append(f"WHEN {cond} THEN {scaled} || ' {u}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+ORACLE["q66_report_tsv"] = f"""
+    SELECT *,
+           {_fmt_bytes_sql('bytes', False)} AS bytes_h,
+           {_fmt_bytes_sql('bytes', True)} AS bytes_bin
+    FROM ({ORACLE["q27_fs_merged_topn"]})
+    ORDER BY prefix
+"""
+
+ORACLE["q67_report_locate"] = """
+    WITH days AS (
+        SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+        FROM events ORDER BY d LIMIT 3
+    )
+    SELECT d || '-000000' AS report, d || 'T00:00:00+00:00' AS "when"
+    FROM days ORDER BY d DESC LIMIT 2
+"""
+
+ORACLE["q68_stats_snapshot_roundtrip"] = ORACLE["q23_fs_stats_totals"]
+
+ORACLE["q69_catalog_roundtrip"] = f"""
+    SELECT 'v0002' AS latest,
+           CAST(2 AS BIGINT) AS n_versions,
+           (SELECT COUNT(*)
+            FROM read_parquet('{FS_FIX}/prefixes.parquet/*.parquet'))
+             AS n_prefixes,
+           (SELECT COUNT(*)
+            FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet'))
+             AS n_entries,
+           (SELECT CAST(SUM(CASE WHEN NOT is_dir THEN size ELSE 0 END)
+                        AS BIGINT)
+            FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet'))
+             AS file_bytes
+"""
+
+# q70: the staged tree is formulaic, so the whole expected listing is
+# regenerated from generate_series — an independent restatement of the
+# crawl (sizes 37i+j+1, mtimes B+(i+1)*1000+(j+1)*10, symlink size 2).
+ORACLE["q70_crawler_walk"] = """
+    WITH dirs AS (SELECT unnest(generate_series(0, 2)) AS i),
+    fils AS (
+        SELECT d.i AS i, unnest(generate_series(0, 3)) AS j FROM dirs d
+    )
+    SELECT * FROM (
+        SELECT '/' AS relpath, TRUE AS is_prefix,
+               CAST(0 AS BIGINT) AS depth, CAST(4 AS BIGINT) AS n_entries,
+               CAST(NULL AS BIGINT) AS size, CAST(NULL AS BOOLEAN) AS is_dir,
+               strftime(make_timestamp(CAST(1700000000 AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS mtime
+        UNION ALL
+        SELECT '/d' || i, TRUE, 1, 4, NULL, NULL,
+               strftime(make_timestamp(CAST(1700000000 + (i+1)*1000 AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S')
+        FROM dirs
+        UNION ALL
+        SELECT '/d' || i, FALSE, NULL, NULL, NULL, TRUE,
+               strftime(make_timestamp(CAST(1700000000 + (i+1)*1000 AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S')
+        FROM dirs
+        UNION ALL
+        SELECT '/d' || i || '/f' || j || '.dat', FALSE, NULL, NULL,
+               CAST(37*i + j + 1 AS BIGINT), FALSE,
+               strftime(make_timestamp(CAST(
+                   1700000000 + (i+1)*1000 + (j+1)*10 AS BIGINT) * 1000000),
+                   '%Y-%m-%d %H:%M:%S')
+        FROM fils
+        UNION ALL
+        SELECT '/link', FALSE, NULL, NULL, 2, FALSE,
+               strftime(make_timestamp(CAST(1700000005 AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S')
+    )
+    ORDER BY relpath, is_prefix
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

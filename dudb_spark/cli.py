@@ -35,6 +35,13 @@ Terms (operand=value; quote values containing spaces or metacharacters):
 """
 
 
+def expand_path(p: str) -> str:
+    """F3 (reference config.go:22–47): ``$VAR`` / ``${VAR}`` / ``~``
+    expansion in every configured path, so configs can say
+    ``$HOME/dudb-db`` like the reference's prefix config does."""
+    return os.path.expanduser(os.path.expandvars(p))
+
+
 def _spark():
     from dudb_spark.session import get_spark
 
@@ -386,6 +393,12 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # F3: every configured path accepts $VAR / ~ (applied centrally so
+    # each subcommand sees the resolved location)
+    for attr in ("db", "prefix", "out"):
+        v = getattr(args, attr, None)
+        if isinstance(v, str):
+            setattr(args, attr, expand_path(v))
     args.func(args)
     return 0
 

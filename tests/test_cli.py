@@ -131,3 +131,19 @@ def test_cli_errors_inaccessible(spark, real_tree, tmp_path, capsys):
         assert "denied" in errs
     finally:
         os.chmod(denied, 0o755)
+
+
+def test_env_expansion_in_paths(spark, real_tree, tmp_path, capsys, monkeypatch):
+    """F3 (config.go:22–47): $VAR and ~ expand in every configured path."""
+    from dudb_spark.cli import expand_path
+
+    monkeypatch.setenv("DUDB_TEST_ROOT", str(tmp_path))
+    assert expand_path("$DUDB_TEST_ROOT/db") == f"{tmp_path}/db"
+    assert expand_path("${DUDB_TEST_ROOT}/db") == f"{tmp_path}/db"
+    assert expand_path("~").startswith(os.path.expanduser("~"))
+    # end-to-end: analyze into an env-var db location
+    out = json.loads(
+        run(capsys, "analyze", "--db", "$DUDB_TEST_ROOT/envdb", real_tree)
+    )
+    assert out["files"] > 0
+    assert os.path.isdir(str(tmp_path / "envdb" / "v0001"))
