@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dudb_spark.pipeline.similarity import _as_double, _lit_vec, cosine
+from dudb_spark.pipeline.similarity import _as_double, _lit_vec, cosine, dot
 
 
 class IVFIndex:
@@ -91,50 +91,85 @@ def fixed_ivf_topk(
     an oracle engine reproduces every choice bit-for-bit.  KMeans
     (:func:`build_ivf`) remains the production quantizer — this variant
     exists so the ANN-with-index path can be value-checked end-to-end."""
+    import math
+
     from pyspark.sql import functions as F
 
-    def cos6(v, c_list):
-        return F.round(cosine(v, _lit_vec(c_list)), 6)
+    def py_norm(c) -> float:
+        # left fold from 0.0, matching `aggregate`'s sequential order, so
+        # the Python double equals the engine's norm(lit(c)) bit-for-bit
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        return math.sqrt(acc)
 
-    def argmax_cell(v, centroids):
+    def dbl(x: float) -> str:
+        # repr() is the shortest round-tripping decimal; Java's string->
+        # double parse is correctly rounded, so the engine sees the same
+        # binary64 as Python holds
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def vec_sql(c) -> str:
+        return "array(" + ",".join(dbl(x) for x in c) + ")"
+
+    def cos6_sql(c, nc: float) -> str:
+        # dot(v, c) / (norm(v) * norm(c)) with norm(v) read once from the
+        # materialized `_nv` column and norm(c) a Python constant — the
+        # identical IEEE expression as cosine(), minus 2/3 of the folds.
+        # One SQL string per expression: per-element lit() Columns would
+        # cost a py4j round-trip each (16 centroids x dim of them).
+        d = (
+            f"aggregate(zip_with(_v, {vec_sql(c)}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        return f"round({d} / (_nv * {dbl(nc)}), 6)"
+
+    def argmax_cell(centroids):
         # array_max over struct(score, -cell): ties pick the smaller cell
-        pairs = [
-            F.struct(cos6(v, c).alias("s"), F.lit(-j).alias("nj"))
+        pairs = ", ".join(
+            f"struct({cos6_sql(c, py_norm(c))} AS s, {-j} AS nj)"
             for j, c in enumerate(centroids)
-        ]
-        return -F.array_max(F.array(*pairs))["nj"]
+        )
+        return F.expr(f"-array_max(array({pairs})).nj")
 
-    v = _as_double(F.col(vec_col))
     c0 = [
         [float(x) for x in r[vec_col]]
         for r in emb.orderBy(id_col).limit(n_clusters).collect()
     ]
-    assigned0 = emb.select(id_col, vec_col, argmax_cell(v, c0).alias("cell"))
+    dim = len(c0[0])
+    v = _as_double(F.col(vec_col))
+    # materialize the cast vector and its norm ONCE behind a cache barrier:
+    # project-collapse would otherwise re-inline the transform lambda into
+    # all 16 centroid folds of BOTH assignment passes (measured hazard —
+    # see README "Measured Catalyst hazards")
+    base = emb.select(
+        id_col, v.alias("_v"), F.sqrt(dot(v, v)).alias("_nv")
+    ).persist()
 
-    # one Lloyd step: exact decimal sums -> identical means everywhere
-    means = (
-        assigned0.select("cell", F.posexplode(v).alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(27,18)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
+    assigned0 = base.select(id_col, "_v", argmax_cell(c0).alias("cell"))
+
+    # one Lloyd step: exact decimal sums -> identical means everywhere.
+    # One aggregate column per dimension (16 cells × dim sums through
+    # map-side partial agg) instead of exploding rows × dim.
+    mean_cols = [
+        F.expr(
+            f"CAST(SUM(CAST(_v[{i}] AS DECIMAL(27,18))) AS DOUBLE)"
+            f" / COUNT(1) AS m{i}"
         )
-        .collect()
-    )
-    by_cell: dict[int, dict[int, float]] = {}
-    for r in means:
-        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-    cells = sorted(by_cell)
-    c1 = [[by_cell[c][i] for i in range(len(by_cell[c]))] for c in cells]
+        for i in range(dim)
+    ]
+    means = assigned0.groupBy("cell").agg(*mean_cols).collect()
+    c1 = [
+        [r[f"m{i}"] for i in range(dim)]
+        for r in sorted(means, key=lambda r: r["cell"])
+    ]
 
     # probe cells: driver-side cosine on the tiny centroid list
     def pycos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
+        dot_ = sum(x * y for x, y in zip(a, b))
         na = sum(x * x for x in a) ** 0.5
         nb = sum(y * y for y in b) ** 0.5
-        return round(dot / (na * nb), 6)
+        return round(dot_ / (na * nb), 6)
 
     qv = [float(x) for x in query_vec]
     ranked = sorted(
@@ -144,12 +179,14 @@ def fixed_ivf_topk(
 
     # cell ids in the second assignment are INDICES into the (ascending-
     # cell-ordered) c1 list — the oracle derives the same ordering
-    assigned1 = emb.select(id_col, vec_col, argmax_cell(v, c1).alias("cell"))
+    assigned1 = base.select(
+        id_col, "_v", "_nv", argmax_cell(c1).alias("cell")
+    )
     return (
         assigned1.where(
             F.col("cell").isin(sorted(probe)) & (F.col(id_col) != 0)
         )
-        .select(id_col, cos6(v, qv).alias("cosine"))
+        .select(id_col, F.expr(cos6_sql(qv, py_norm(qv))).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
