@@ -47,13 +47,24 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     group arrives as ONE split, so a signature/sketch computation that costs
     far more per row than the scan runs single-threaded no matter how many
     cores exist.  (`spark.sql.files.maxPartitionBytes` cannot split below
-    the row-group boundary.)  When the scan has fewer partitions than the
+    the row-group boundary.)  When the scan has fewer input files than the
     cluster's default parallelism, pay one cheap round-robin shuffle of the
     raw rows to unlock the cores; when the input is already wide (the 100 TB
     case — thousands of splits), this is a no-op with zero added shuffle.
+
+    Width is estimated from ``inputFiles()`` — a metadata-only listing —
+    rather than ``df.rdd.getNumPartitions()``, which eagerly builds the
+    physical plan outside AQE on every call.  Non-file-backed frames
+    (in-memory fixtures, post-shuffle caches) report no files and take the
+    repartition; at scale every hot input is a file scan, so the heuristic
+    errs only on small local frames where the extra shuffle is noise.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits < target:
         return df.repartition(target)
     return df
 
