@@ -25,7 +25,6 @@ Values containing spaces or metacharacters can be single- or double-quoted:
 
 from __future__ import annotations
 
-import fnmatch
 import re as _re
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -156,45 +155,100 @@ def parse(expr: str):
 
 
 # --------------------------------------------------------------------------
-# Glob → Java-regex translation (filepath.Match-style: * and ? do not cross
-# path separators; [...] classes pass through)
+# Glob → Java-regex translation with Go path.Match semantics (what the
+# reference's matcher library implements; documented at pkg.go.dev/path
+# #Match): * and ? do not cross path separators, '[^...]' is a NEGATED
+# class (caret, not fnmatch's bang — a leading '!' is an ordinary member),
+# ']' first in a class is a member, '\x' escapes x everywhere, and
+# malformed patterns (unterminated class, empty class, bare '-' range
+# endpoint, reversed range, trailing backslash) are ErrBadPattern —
+# surfaced here as ValueError at expression-compile time rather than a
+# silent never-match.
 # --------------------------------------------------------------------------
 
-_GLOB_SPECIAL = ".^$+{}()|\\"
+_GLOB_SPECIAL = ".^$+{}()|\\[]"
+_ESCAPED_SPECIAL = _GLOB_SPECIAL + "*?"  # '\x' can escape glob metachars too
+_CLASS_SPECIAL = "\\^]-[&"
 
 
-def glob_to_regex(glob: str) -> str:
+class BadGlob(ValueError):
+    pass
+
+
+def _class_esc(c: str) -> str:
+    return "\\" + c if c in _CLASS_SPECIAL else c
+
+
+def _class_member(glob: str, j: int, esc_ok: bool = True) -> tuple[str, int]:
+    """One range endpoint at ``glob[j]``: '\\x' escapes (unless escaping is
+    disabled for a backslash separator); bare '-' or ']' is ErrBadPattern
+    (Go getEsc)."""
+    if j >= len(glob) or glob[j] in "-]":
+        raise BadGlob(f"bad glob pattern {glob!r}")
+    if glob[j] == "\\" and esc_ok:
+        j += 1
+        if j >= len(glob):
+            raise BadGlob(f"bad glob pattern {glob!r}")
+    return glob[j], j + 1
+
+
+def glob_to_regex(glob: str, separator: str = "/") -> str:
+    """Translate to a Java regex.  ``separator`` is the configured path
+    separator (reference config.go:22 ``separator:``, default '/'); when it
+    is a backslash (Windows trees) the escape syntax is disabled and '\\'
+    is an ordinary separator character, exactly as Go's matcher does on
+    Windows."""
+    not_sep = "[^" + _class_esc(separator) + "]"
     out = []
     i = 0
     while i < len(glob):
         c = glob[i]
         if c == "*":
-            out.append("[^/]*")
+            out.append(not_sep + "*")
+            i += 1
         elif c == "?":
-            out.append("[^/]")
+            out.append(not_sep)
+            i += 1
+        elif c == "\\" and separator != "\\":
+            if i + 1 >= len(glob):
+                raise BadGlob(f"bad glob pattern {glob!r}")
+            nxt = glob[i + 1]
+            out.append("\\" + nxt if nxt in _ESCAPED_SPECIAL else nxt)
+            i += 2
         elif c == "[":
             j = i + 1
-            if j < len(glob) and glob[j] in "!^":
+            negated = j < len(glob) and glob[j] == "^"
+            if negated:
                 j += 1
-            if j < len(glob) and glob[j] == "]":
-                j += 1
-            while j < len(glob) and glob[j] != "]":
-                j += 1
-            if j >= len(glob):
-                out.append("\\[")
-            else:
-                # Delegate the class token to fnmatch.translate so edge
-                # cases (reversed ranges like [1-0], empty classes) get
-                # fnmatch's semantics — it rewrites them to never-match
-                # (?!) instead of emitting an invalid regex.
-                frag = fnmatch.translate(glob[i : j + 1])
-                out.append(frag[len("(?s:") : -len(")\\Z")])
-                i = j
+            members = []
+            closed = False
+            while j < len(glob):
+                # ']' closes a non-empty class; with no members yet it
+                # falls through to _class_member, which rejects it — the
+                # Go matcher's ErrBadPattern for '[]...' and '[^]...'
+                if glob[j] == "]" and members:
+                    closed = True
+                    j += 1
+                    break
+                lo, j = _class_member(glob, j, esc_ok=separator != "\\")
+                if j < len(glob) and glob[j] == "-":
+                    hi, j = _class_member(glob, j + 1, esc_ok=separator != "\\")
+                    if hi < lo:
+                        raise BadGlob(f"bad glob pattern {glob!r}")
+                    members.append(_class_esc(lo) + "-" + _class_esc(hi))
+                else:
+                    members.append(_class_esc(lo))
+            if not closed:
+                raise BadGlob(f"bad glob pattern {glob!r}")
+            neg = "^" if negated else ""
+            out.append("[" + neg + "".join(members) + "]")
+            i = j
         elif c in _GLOB_SPECIAL:
             out.append("\\" + c)
+            i += 1
         else:
             out.append(c)
-        i += 1
+            i += 1
     return "^" + "".join(out) + "$"
 
 
@@ -255,6 +309,7 @@ class ExprCompiler:
         user_resolver: UserResolver | None = None,
         group_resolver: UserResolver | None = None,
         hardlink_resolver: HardlinkResolver | None = None,
+        separator: str = "/",
     ):
         if mode not in ("prefix", "entry"):
             raise ValueError(mode)
@@ -262,13 +317,18 @@ class ExprCompiler:
         self.user_resolver = user_resolver or _default_id_resolver
         self.group_resolver = group_resolver or _default_id_resolver
         self.hardlink_resolver = hardlink_resolver
+        # reference config.go:22: per-prefix path separator ('\' for
+        # Windows trees); affects basename extraction and glob compilation
+        self.separator = separator
 
     # column bindings ---------------------------------------------------
 
     def _name(self) -> Column:
         if self.mode == "entry":
             return F.col("name")
-        return F.element_at(F.split(F.col("path"), "/"), -1)
+        return F.element_at(
+            F.split(F.col("path"), _re.escape(self.separator)), -1
+        )
 
     def _is_dir(self) -> Column:
         if self.mode == "entry":
@@ -284,11 +344,11 @@ class ExprCompiler:
         if op == "group":
             return F.col("gid") == F.lit(self.group_resolver(v))
         if op == "name":
-            rx = glob_to_regex(v)
+            rx = glob_to_regex(v, self.separator)
             # matcher semantics: glob applies to basename OR the full path
             return self._name().rlike(rx) | F.col("path").rlike(rx)
         if op == "iname":
-            rx = glob_to_regex(v.lower())
+            rx = glob_to_regex(v.lower(), self.separator)
             return F.lower(self._name()).rlike(rx) | F.lower(F.col("path")).rlike(rx)
         if op == "re":
             return F.col("path").rlike(v)
@@ -343,6 +403,7 @@ def compile_expr(
     user_resolver: UserResolver | None = None,
     group_resolver: UserResolver | None = None,
     hardlink_resolver: HardlinkResolver | None = None,
+    separator: str = "/",
 ) -> Column:
     """Parse + compile an expression to a single ``Column`` predicate.
 
@@ -358,4 +419,5 @@ def compile_expr(
         user_resolver=user_resolver,
         group_resolver=group_resolver,
         hardlink_resolver=hardlink_resolver,
+        separator=separator,
     ).compile(node)

@@ -23,12 +23,14 @@ from pyspark.sql import functions as F
 from dudb_spark.functions.boolexpr import compile_expr
 
 
-def subtree_pred(path_col, root: str):
-    """Key-prefix restriction (find.go:75–77): path == root or under it."""
-    if not root or root == "/":
+def subtree_pred(path_col, root: str, separator: str = "/"):
+    """Key-prefix restriction (find.go:75–77): path == root or under it.
+    ``separator`` follows the prefix config (config.go:22) for trees
+    recorded with non-'/' separators."""
+    if not root or root == separator:
         return F.lit(True)
-    root = root.rstrip("/")
-    return (path_col == root) | path_col.startswith(root + "/")
+    root = root.rstrip(separator)
+    return (path_col == root) | path_col.startswith(root + separator)
 
 
 def find(
@@ -37,6 +39,7 @@ def find(
     root: str = "",
     expr: str = "",
     long_listing: bool = False,
+    separator: str = "/",
     **compile_opts,
 ) -> DataFrame:
     """Return matching rows as a DataFrame ordered by path.
@@ -44,21 +47,29 @@ def find(
     Columns: ``path, is_prefix`` plus ``size, uid, gid, mtime`` when
     ``long_listing`` (find.go:36–53 printPrefix/printEntry).
     """
-    p_pred = compile_expr(expr, mode="prefix", empty_value=True, **compile_opts)
-    e_pred = compile_expr(expr, mode="entry", empty_value=True, **compile_opts)
+    p_pred = compile_expr(
+        expr, mode="prefix", empty_value=True, separator=separator,
+        **compile_opts,
+    )
+    e_pred = compile_expr(
+        expr, mode="entry", empty_value=True, separator=separator,
+        **compile_opts,
+    )
 
     cols = ["path", "is_prefix"] + (
         ["size", "uid", "gid", "mtime"] if long_listing else []
     )
 
     dirs = (
-        prefixes.where(subtree_pred(F.col("path"), root) & p_pred)
+        prefixes.where(subtree_pred(F.col("path"), root, separator) & p_pred)
         .withColumn("is_prefix", F.lit(True))
         .select(*cols)
     )
     files = (
         entries.where(
-            subtree_pred(F.col("parent"), root) & (~F.col("is_dir")) & e_pred
+            subtree_pred(F.col("parent"), root, separator)
+            & (~F.col("is_dir"))
+            & e_pred
         )
         .withColumn("is_prefix", F.lit(False))
         .select(*cols)

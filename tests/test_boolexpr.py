@@ -33,7 +33,34 @@ def test_glob_translation():
     assert glob_to_regex("*.log") == "^[^/]*\\.log$"
     assert glob_to_regex("f?-1") == "^f[^/]-1$"
     assert glob_to_regex("[ab]c") == "^[ab]c$"
-    assert glob_to_regex("[!ab]c") == "^[^ab]c$"
+    # Go matcher semantics: '^' negates, '!' is an ordinary member
+    assert glob_to_regex("[^ab]c") == "^[^ab]c$"
+    assert glob_to_regex("[!ab]c") == "^[!ab]c$"
+    assert glob_to_regex(r"\*x") == "^\\*x$"
+    # ErrBadPattern parity: malformed classes fail at compile time
+    for bad in ("[", "[]", "[^]", "[]a]", "[a-]", "[-a]", "[z-a]", "a\\"):
+        with pytest.raises(ValueError):
+            glob_to_regex(bad)
+
+
+def test_windows_separator(spark):
+    """config.go:22 separator parity: with separator='\\' the glob
+    metachars stop crossing backslashes, basename splits on '\\', and
+    escape syntax is disabled (Go matcher on Windows)."""
+    rx = glob_to_regex("*.log", separator="\\")
+    assert rx == "^[^\\\\]*\\.log$"
+    df = spark.createDataFrame(
+        [(r"C:\tree\a.log",), (r"C:\tree\sub\b.log",), (r"C:\tree\c.txt",)],
+        ["path"],
+    )
+    pred = compile_expr("name='*.log'", mode="prefix", separator="\\")
+    assert paths(df.where(pred)) == [r"C:\tree\a.log", r"C:\tree\sub\b.log"]
+    # name= matches the basename: '\' never crosses into parent dirs
+    pred = compile_expr("name='a.*'", mode="prefix", separator="\\")
+    assert paths(df.where(pred)) == [r"C:\tree\a.log"]
+    # escape disabled: '\t' in the pattern is separator + literal 't'
+    pred = compile_expr(r"name='C:\tree\*'", mode="prefix", separator="\\")
+    assert len(paths(df.where(pred))) == 2  # a.log, c.txt (not sub\b.log)
 
 
 def test_entry_predicates(spark, fs_dir):
