@@ -119,12 +119,26 @@ def write_reports(
     refresh the ``latest`` marker.  Returns the report dir path."""
     when = when or datetime.now(timezone.utc)
     out = f"{reports_root.rstrip('/')}/{when.strftime(TS_FORMAT)}"
-    merged = stats.merged_top(display_n)
-    write_tsv_report(merged, f"{out}/tsv")
-    write_json_report(merged, f"{out}/json")
-    write_markdown_report(
-        stats, f"{out}/markdown/report.md", display_n, users, groups
-    )
+    # The sinks below fire ~10 actions (two merged writes, totals, five
+    # top-prefix tables, two top-id tables).  Without pinning the summary
+    # frames, every action re-runs the full grouping-sets fold from the
+    # source tables — the reference never does that either: it reports off
+    # the materialized .idustats snapshot (reports.go:57–58).  The frames
+    # are post-aggregation (one row per directory / (id, directory)), so
+    # MEMORY_AND_DISK is safe at any corpus size that produced them.
+    pinned = [stats.per_prefix, stats.per_user, stats.per_group]
+    for df in pinned:
+        df.persist()
+    try:
+        merged = stats.merged_top(display_n)
+        write_tsv_report(merged, f"{out}/tsv")
+        write_json_report(merged, f"{out}/json")
+        write_markdown_report(
+            stats, f"{out}/markdown/report.md", display_n, users, groups
+        )
+    finally:
+        for df in pinned:
+            df.unpersist()
     with open(f"{reports_root.rstrip('/')}/latest", "w") as f:
         f.write(os.path.basename(out))
     return out
