@@ -1048,7 +1048,8 @@ def q51_interval_join(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    sec = F.unix_timestamp(F.col("ts"))
+    gap = sec - F.lag(sec).over(wu)
     is_new = (gap.isNull() | (gap > 1800)).cast("long")
     sessions = (
         ev.withColumn("sid", F.sum(is_new).over(wu))

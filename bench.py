@@ -38,11 +38,15 @@ def main():
         print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
+    # Key the JSON by the short query id (q01, q02, ...) so the single
+    # output line stays inside the driver's output-tail buffer; the full
+    # names are on stderr above and in __spark_entry__.queries().
+    short = {name.split("_", 1)[0]: t for name, t in times.items()}
     result = {
         "metric": "headline_query_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": short if len(short) == len(times) else times,
         "sf": sf,
     }
     # ingest-side throughput anchor (BASELINE.md: reference ≈4,700 rows/s):
