@@ -2178,6 +2178,96 @@ def q70_crawler_walk(spark, sf_dir):
     return pfx.unionByName(ent).orderBy("relpath", "is_prefix")
 
 
+def q71_decontamination(spark, sf_dir):
+    """Benchmark decontamination (pipeline/decontam.py): corpus docs
+    sharing 5-gram shingles with the held-out eval slice (doc_id % 97 == 0)
+    — eval shingle set broadcast, corpus side map-side joined, one bounded
+    re-aggregation of the matches."""
+    from dudb_spark.pipeline.decontam import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    eval_set = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, eval_set, n=5).orderBy("doc_id")
+
+
+def q72_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (pipeline/text.repetition_signals):
+    duplicate-word fraction + top-bigram share per doc, one (doc, bigram)
+    shuffle with map-side combine."""
+    from dudb_spark.pipeline.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q73_pii_scan(spark, sf_dir):
+    """PII scan/redaction (pipeline/pii.py) over a deterministic
+    augmentation: synthetic emails/phones/IPv4s are concatenated onto a
+    doc_id-keyed subset (both engines restate the same injection), then
+    counted and redacted with RE2-compatible regexes — a pure projection,
+    no shuffle."""
+    from dudb_spark.pipeline.pii import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    F.expr("CAST((doc_id div 256) % 256 AS STRING)"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        pii_scan(injected)
+        .where(F.col("n_pii") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def q74_bm25_terms(spark, sf_dir):
+    """Okapi BM25 top-3 terms per doc (pipeline/text.bm25_top_terms) —
+    same one-(doc,term)-shuffle shape as TF-IDF with length-normalized
+    saturation; avgdl/N broadcast as one scalar row."""
+    from dudb_spark.pipeline.text import bm25_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_top_terms(d, top_k=3).orderBy("doc_id", "rank")
+
+
+def q75_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over events (operators/retention.py):
+    first-seen-week cohorts × week offset, distinct active users,
+    retention vs cohort size — one user-keyed shuffle feeding both
+    aggregates, epoch-aligned 7-day buckets."""
+    from dudb_spark.operators.retention import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev).orderBy("cohort_week", "week_offset")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -2248,6 +2338,11 @@ QUERIES: dict[str, Callable] = {
     "q68_stats_snapshot_roundtrip": q68_stats_snapshot_roundtrip,
     "q69_catalog_roundtrip": q69_catalog_roundtrip,
     "q70_crawler_walk": q70_crawler_walk,
+    "q71_decontamination": q71_decontamination,
+    "q72_repetition_signals": q72_repetition_signals,
+    "q73_pii_scan": q73_pii_scan,
+    "q74_bm25_terms": q74_bm25_terms,
+    "q75_cohort_retention": q75_cohort_retention,
 }
 
 ORACLE: dict[str, str] = {
@@ -3169,6 +3264,148 @@ ORACLE["q70_crawler_walk"] = """
                         '%Y-%m-%d %H:%M:%S')
     )
     ORDER BY relpath, is_prefix
+"""
+
+
+ORACLE["q71_decontamination"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(tk[i:i+4], ' ')
+                   FOR i IN range(1, greatest(len(tk) - 4, 1) + 1)]) AS sg
+        FROM tok
+    ), ev AS (
+        SELECT DISTINCT unnest(sg) AS shingle FROM sh WHERE doc_id % 97 = 0
+    ), corp AS (
+        SELECT doc_id, len(sg) AS n_shingles, unnest(sg) AS shingle
+        FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT corp.doc_id,
+           CAST(corp.n_shingles AS INTEGER) AS n_shingles,
+           COUNT(*) AS n_hit,
+           ROUND(COUNT(*) / CAST(corp.n_shingles AS DOUBLE), 6)
+               AS contamination
+    FROM corp JOIN ev USING (shingle)
+    GROUP BY corp.doc_id, corp.n_shingles
+    ORDER BY corp.doc_id
+"""
+
+ORACLE["q72_repetition_signals"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), big AS (
+        SELECT doc_id, len(tk) AS n_words, len(list_distinct(tk)) AS n_distinct,
+               unnest([array_to_string(tk[i:i+1], ' ')
+                   FOR i IN range(1, greatest(len(tk) - 1, 1) + 1)]) AS bigram
+        FROM tok
+    ), pb AS (
+        SELECT doc_id, n_words, n_distinct, bigram, COUNT(*) AS cnt
+        FROM big GROUP BY ALL
+    )
+    SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+           ROUND(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6)
+               AS dup_word_frac,
+           ROUND(MAX(cnt) / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE), 6)
+               AS top_bigram_frac
+    FROM pb
+    GROUP BY doc_id, n_words, n_distinct
+    ORDER BY doc_id
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+ORACLE["q73_pii_scan"] = f"""
+    WITH injected AS (
+        SELECT doc_id, text ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-010-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END ||
+            CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.0.' || (doc_id % 256) || '.' ||
+                      ((doc_id // 256) % 256)
+                 ELSE '' END AS text
+        FROM documents
+    ), counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+                   AS n_email,
+               CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER)
+                   AS n_phone,
+               CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INTEGER)
+                   AS n_ipv4,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE}', '[PHONE]', 'g'),
+                   '{_PII_IPV4}', '[IPV4]', 'g') AS redacted
+        FROM injected
+    )
+    SELECT doc_id, n_email, n_phone, n_ipv4,
+           n_email + n_phone + n_ipv4 AS n_pii, redacted
+    FROM counted
+    WHERE n_email + n_phone + n_ipv4 > 0
+    ORDER BY doc_id
+"""
+
+ORACLE["q74_bm25_terms"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), docfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(ln(1.0 + (stats.n_docs - docfreq.df + 0.5)
+                              / (docfreq.df + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+                     6) AS bm25
+        FROM tf JOIN docfreq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, bm25, rank FROM ranked
+    WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+ORACLE["q75_cohort_retention"] = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                    AS BIGINT) AS week
+        FROM events
+    ), first_seen AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+    ), active AS (
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM ev JOIN first_seen USING (user_id)
+        GROUP BY 1, 2
+    ), cohort_size AS (
+        SELECT cohort_week, COUNT(DISTINCT user_id) AS n_cohort
+        FROM first_seen GROUP BY cohort_week
+    )
+    SELECT cohort_week, week_offset, n_active, n_cohort,
+           ROUND(n_active / CAST(n_cohort AS DOUBLE), 6) AS retention
+    FROM active JOIN cohort_size USING (cohort_week)
+    ORDER BY cohort_week, week_offset
 """
 
 

@@ -36,6 +36,14 @@ def main():
         n = df.count() if name.startswith("_") else len(df.collect())
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr, flush=True)
+        # Drop state a query leaves behind (streaming memory-sink tables,
+        # cached frames) so later queries aren't taxed by accumulated
+        # executor memory pressure — each query is measured cold, like the
+        # driver's per-query correctness runs.
+        for tbl in spark.catalog.listTables():
+            if tbl.name.startswith("dudb_q"):
+                spark.catalog.dropTempView(tbl.name)
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     # Key the JSON by the short query id (q01, q02, ...) so the single

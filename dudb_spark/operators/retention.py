@@ -1,0 +1,54 @@
+"""Cohort retention analysis over an event stream (LLM/product-analytics
+extension; no reference counterpart — the standard warehouse cohort query
+re-expressed Spark-first).
+
+Scale shape: ONE shuffle keyed on the user id computes each user's cohort
+(min event week) as a window-free aggregate, the events re-join that
+per-user frame on the same key (co-partitioned by AQE; at warehouse scale
+both sides would be bucketed on user_id so the join is shuffle-free), and
+the final (cohort, offset) aggregate is a countDistinct over the already
+user-keyed frame.  No window functions, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week; for
+    each (cohort_week, week_offset) the distinct active users and the
+    retention rate vs the cohort's size at offset 0.
+
+    Weeks are epoch-aligned 7-day buckets (floor(epoch_days/7)), not ISO
+    weeks, so the bucketing is a pure integer expression on both engines.
+    """
+    week = (F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01")) / 7
+            ).cast("long")
+    ev = events.select(F.col(user_col).alias("user_id"), week.alias("week"))
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ev.join(first_seen, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week"))
+                 .alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    cohort_size = (
+        first_seen.groupBy("cohort_week")
+        .agg(F.countDistinct("user_id").alias("n_cohort"))
+    )
+    return (
+        active.join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort").cast("double"), 6)
+            .alias("retention"),
+        )
+    )

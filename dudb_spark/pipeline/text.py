@@ -311,6 +311,101 @@ def tfidf_top_terms(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and the fraction of all word bigrams taken by the single
+    most frequent bigram (boilerplate / degenerate-repetition detector).
+
+    Scale shape: explode bigrams → ONE (doc, bigram) shuffle → per-doc
+    max/sum re-aggregation (second shuffle is on the already-reduced
+    frame).  No window, no UDF; both aggregations are partial-combine
+    friendly, so the map side collapses repeated bigrams before the
+    exchange — degenerate repetitive docs (the very thing this filter
+    flags) shrink the MOST map-side.  Per-doc arrays never materialize
+    quadratically, unlike the local ``array_max(filter(...))`` shape."""
+    t = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).alias("n_words"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(t) - F.lit(1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            )
+        ).alias("bigram"),
+    )
+    per_bigram = base.groupBy("doc_id", "n_words", "n_distinct", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_bigram.groupBy("doc_id", "n_words", "n_distinct").agg(
+        F.round(
+            F.lit(1.0) - F.max("n_distinct") / F.max("n_words").cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(F.max("cnt") / F.sum("cnt").cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+    ).select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by Okapi BM25 (idf·tf saturation with
+    document-length normalization) — the ranking-function sibling of
+    :func:`tfidf_top_terms`, same one-(doc,term)-shuffle shape.
+
+    avgdl and N ride along as one broadcast scalar row (never collected
+    to the driver); doc length comes from the tf frame itself
+    (sum(tf) per doc) so the raw token stream is shuffled exactly once."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bm25", F.round(idf * F.col("tf") * F.lit(k1 + 1) / norm, 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "bm25", "rank")
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,127 @@
+"""Tests for the round-2 pipeline additions: decontamination, repetition
+signals, PII scan, BM25, cohort retention."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dudb_spark.operators.retention import cohort_retention
+from dudb_spark.pipeline.decontam import ngram_contamination
+from dudb_spark.pipeline.pii import pii_scan
+from dudb_spark.pipeline.text import bm25_top_terms, repetition_signals
+
+
+def test_repetition_signals_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    # 2 distinct of 4 words -> half the words are repeats
+    assert r1["dup_word_frac"] == pytest.approx(0.5)
+    # bigrams: "a a", "a a", "a b" -> top share 2/3
+    assert r1["top_bigram_frac"] == pytest.approx(0.666667)
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0
+    # all three bigrams distinct -> 1/3
+    assert r2["top_bigram_frac"] == pytest.approx(0.333333)
+
+
+def test_bm25_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["term"]): r["bm25"]
+        for r in bm25_top_terms(df, top_k=3).collect()
+    }
+    # hand-computed: N=2, avgdl=2.5; doc1 dl=3, term x: tf=2, df=1
+    idf_x = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
+    norm = 2 + 1.2 * (0.25 + 0.75 * 3 / 2.5)
+    assert out[(1, "x")] == pytest.approx(
+        round(idf_x * 2 * 2.2 / norm, 6), abs=1e-6
+    )
+    # 'y' appears in both docs -> df=2 -> idf ln(1 + 0.5/2.5)
+    idf_y = math.log(1.0 + (2 - 2 + 0.5) / (2 + 0.5))
+    norm_y2 = 1 + 1.2 * (0.25 + 0.75 * 2 / 2.5)
+    assert out[(2, "y")] == pytest.approx(
+        round(idf_y * 1 * 2.2 / norm_y2, 6), abs=1e-6
+    )
+
+
+def test_bm25_rank_contract(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i} t{i} common filler{i % 3}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    out = bm25_top_terms(df, top_k=2)
+    per_doc = (
+        out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert all(r["n"] <= 2 for r in per_doc)
+    # rank 1 must be the doc's own rare term, not the shared one
+    top1 = {r["doc_id"]: r["term"] for r in out.where("rank = 1").collect()}
+    for d, term in top1.items():
+        assert term == f"t{d}"
+
+
+def test_pii_scan_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@corp.example.org now"),
+            (2, "call 555-123-4567 or visit 10.1.2.3 twice 10.1.2.4"),
+            (3, "clean text with no identifiers"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_pii"] == 1
+    assert rows[1]["redacted"] == "mail [EMAIL] now"
+    assert rows[2]["n_phone"] == 1 and rows[2]["n_ipv4"] == 2
+    assert rows[2]["redacted"] == "call [PHONE] or visit [IPV4] twice [IPV4]"
+    assert rows[3]["n_pii"] == 0 and rows[3]["redacted"] == rows[3]["redacted"]
+
+
+def test_ngram_contamination(spark):
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 5-gram "the quick brown fox jumps" (and more)
+            (1, "prefix the quick brown fox jumps away"),
+            (2, "completely unrelated words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            ngram_contamination(corpus, eval_set, n=5).collect()}
+    assert 1 in rows and 2 not in rows
+    assert rows[1]["n_hit"] == 1
+    assert rows[1]["n_shingles"] == 3  # 7 tokens -> 3 distinct 5-grams
+    assert rows[1]["contamination"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_cohort_retention_golden(spark):
+    day = 86400
+    rows = [
+        # user 10: first week 0, returns week 1; user 20: week 0 only;
+        # user 30: first seen week 1
+        (10, 1 * day), (10, 8 * day), (20, 2 * day), (30, 9 * day),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "epoch"]).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    out = {
+        (r["cohort_week"], r["week_offset"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 1
+    assert out[(0, 1)]["retention"] == pytest.approx(0.5)
+    assert out[(1, 0)]["n_active"] == 1 and out[(1, 0)]["n_cohort"] == 1
