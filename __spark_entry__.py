@@ -2268,6 +2268,62 @@ def q75_cohort_retention(spark, sf_dir):
     return cohort_retention(ev).orderBy("cohort_week", "week_offset")
 
 
+def q76_stream_attribution(spark, sf_dir):
+    """§2.9 extension: watermarked STREAM-STREAM inner join through the
+    driver gate (streaming/joins.py) — purchases attributed to same-user
+    clicks within a 30-minute horizon; both sides carry watermarks so
+    join state evicts at the derived horizon.  One availableNow batch
+    makes the streaming result equal the batch join the oracle runs."""
+    import tempfile
+
+    from dudb_spark.streaming.joins import attribution_join
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+
+    # The source drop carries only the two joined event types — the same
+    # filter the join applies, pushed to the producer side (at scale the
+    # equivalent of subscribing to the two relevant topics rather than
+    # the firehose).  Join-state partition count is sized to the filtered
+    # volume: each stateful-op partition owns a state store, and 32 nearly
+    # empty stores cost more in per-batch commit overhead than 8 full
+    # ones (3× measured here); a real deployment sizes this to
+    # events-per-horizon instead.
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    src = tempfile.mkdtemp(prefix="dudb_attr_src_")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        left = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        right = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        q = (
+            attribution_join(left, right)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dudb_q76_attr")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table("dudb_q76_attr")
+        .select(
+            "user_id",
+            F.col("left_id").alias("click_id"),
+            F.col("right_id").alias("purchase_id"),
+            (
+                F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")
+            ).alias("secs_to_purchase"),
+            _money(_dec(F.col("right_value")), "purchase_value"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -2343,6 +2399,7 @@ QUERIES: dict[str, Callable] = {
     "q73_pii_scan": q73_pii_scan,
     "q74_bm25_terms": q74_bm25_terms,
     "q75_cohort_retention": q75_cohort_retention,
+    "q76_stream_attribution": q76_stream_attribution,
 }
 
 ORACLE: dict[str, str] = {
@@ -3406,6 +3463,22 @@ ORACLE["q75_cohort_retention"] = """
            ROUND(n_active / CAST(n_cohort AS DOUBLE), 6) AS retention
     FROM active JOIN cohort_size USING (cohort_week)
     ORDER BY cohort_week, week_offset
+"""
+
+
+ORACLE["q76_stream_attribution"] = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT)
+               AS secs_to_purchase,
+           CAST(ROUND(CAST(p.value AS DECIMAL(18,6)), 2) AS DOUBLE)
+               AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY c.user_id, click_id, purchase_id
 """
 
 

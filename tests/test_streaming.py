@@ -86,3 +86,35 @@ def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
         ).distinct().collect()
     )
     assert got == want
+
+
+def test_stream_attribution_equals_batch_join(spark, events_dir):
+    from dudb_spark.streaming.joins import attribution_join
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+
+    batch = spark.read.parquet(events_dir)
+    want = sorted(
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in attribution_join(batch, batch).collect()
+    )
+    assert want, "fixture produced no attributable pairs"
+
+    left = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    right = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    joined = attribution_join(left, right)
+    assert joined.isStreaming
+    plan = joined._jdf.queryExecution().analyzed().toString().lower()
+    assert "watermark" in plan
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    )
+    assert got == want
