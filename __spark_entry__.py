@@ -478,20 +478,19 @@ def q25_fs_top_by_user(spark, sf_dir):
     ).orderBy("id")
 
 
-_FS_CONTRIB_SQL = f"""
-    WITH pfx AS (
-        SELECT * FROM read_parquet('{FS_FIX}/prefixes.parquet/*.parquet')
-    ), ent AS (
-        SELECT * FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
-    ), pfx_m AS (
+def _fold_sql_tail(pfx_src: str, ent_src: str) -> str:
+    """The stats-fold CTE chain (dedup windows + contribution union) over
+    two already-defined CTEs/relations — continues an open WITH list."""
+    return f"""
+    , pfx_m AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY device, inode ORDER BY path) > 1
                AS is_dup
-        FROM pfx
+        FROM {pfx_src}
     ), ok AS (
         SELECT * FROM pfx_m WHERE NOT is_dup
     ), ent_m AS (
         SELECT e.*, p.uid AS puid, p.gid AS pgid
-        FROM ent e JOIN ok p ON e.parent = p.path
+        FROM {ent_src} e JOIN ok p ON e.parent = p.path
     ), files AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY device, inode ORDER BY path) > 1
                AS is_dup
@@ -512,6 +511,14 @@ _FS_CONTRIB_SQL = f"""
         FROM files WHERE NOT is_dup
     )
 """
+
+
+_FS_CONTRIB_SQL = f"""
+    WITH pfx AS (
+        SELECT * FROM read_parquet('{FS_FIX}/prefixes.parquet/*.parquet')
+    ), ent AS (
+        SELECT * FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+    )""" + _fold_sql_tail("pfx", "ent")
 
 
 def q29_fs_find_hardlink(spark, sf_dir):
@@ -2324,6 +2331,37 @@ def q76_stream_attribution(spark, sf_dir):
     )
 
 
+def q77_incremental_stats(spark, sf_dir):
+    """Incremental stats maintenance (operators/incremental.py): after the
+    deterministic merge, the stored per-prefix summary is updated by
+    re-folding ONLY the touched slice plus the (device,inode) closure that
+    keeps hardlink dedup exact.  The oracle is the FULL fold over the
+    merged tables — value equality proves the incremental path computes
+    exactly what a from-scratch recompute would."""
+    from dudb_spark.operators.incremental import incremental_stats
+    from dudb_spark.operators.ingest import merge_scan
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    prev_p, prev_e, staged_p, staged_e = _merge_fixture(spark)
+    # The fixture is 29 dirs — the incremental machinery is ~10 small
+    # jobs, so size the shuffle to the slice (AQE coalesces mid-plan but
+    # not the checkpoint materializations).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        prev = compute_stats(prev_p, prev_e, StatsOptions())
+        merge = merge_scan(prev_p, prev_e, staged_p, staged_e, root="/tree")
+        res = incremental_stats(
+            prev, prev_p, prev_e, merge.prefixes, merge.entries, merge.touched
+        )
+        # pin the result under the small-shuffle config so the driver's
+        # collect doesn't re-execute the chain at the restored width
+        out = res.per_prefix.orderBy("prefix").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return out
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -2400,6 +2438,7 @@ QUERIES: dict[str, Callable] = {
     "q74_bm25_terms": q74_bm25_terms,
     "q75_cohort_retention": q75_cohort_retention,
     "q76_stream_attribution": q76_stream_attribution,
+    "q77_incremental_stats": q77_incremental_stats,
 }
 
 ORACLE: dict[str, str] = {
@@ -3480,6 +3519,28 @@ ORACLE["q76_stream_attribution"] = """
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     ORDER BY c.user_id, click_id, purchase_id
 """
+
+
+# Full fold over the MERGED tables — the ground truth the incremental
+# update must reproduce.  merged prefixes = staged_p (staged rows equal
+# previous rows for unchanged dirs by construction); merged entries =
+# merged_e (alive previous entries + clones).
+ORACLE["q77_incremental_stats"] = (
+    _MERGE_FIX_SQL
+    + _fold_sql_tail("staged_p", "merged_e")
+    + """
+    SELECT prefix,
+           CAST(SUM(files) AS BIGINT) AS files,
+           CAST(SUM(prefixes) AS BIGINT) AS prefixes,
+           CAST(SUM(sub_prefixes) AS BIGINT) AS sub_prefixes,
+           CAST(SUM(bytes) AS BIGINT) AS bytes,
+           CAST(SUM(storage_bytes) AS BIGINT) AS storage_bytes,
+           CAST(SUM(prefix_bytes) AS BIGINT) AS prefix_bytes,
+           CAST(SUM(hardlinks) AS BIGINT) AS hardlinks,
+           CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
+    FROM contrib GROUP BY prefix ORDER BY prefix
+    """
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -41,6 +41,11 @@ class MergeResult:
     prefixes: DataFrame
     entries: DataFrame
     summary: dict  # anaylzeSummary-compatible counters
+    # paths classified added/changed/deleted by this merge (one 'path'
+    # column) — the seed set for incremental stats maintenance
+    # (operators/incremental.py); unchanged and out-of-root paths are
+    # absent by construction.
+    touched: DataFrame = None
 
 
 def merge_scan(
@@ -129,7 +134,8 @@ def merge_scan(
         "prefixes_added": n_new,
         "prefixes_changed": n_changed,
     }
-    return MergeResult(new_prefixes, new_entries, summary)
+    touched = j.where(~F.col("unchanged")).select("path")
+    return MergeResult(new_prefixes, new_entries, summary, touched)
 
 
 def write_snapshot(result: MergeResult, db_root: str, version: str) -> None:
