@@ -2362,6 +2362,20 @@ def q77_incremental_stats(spark, sf_dir):
     return out
 
 
+def q78_snapshot_diff(spark, sf_dir):
+    """Time-travel diff between two snapshot versions
+    (operators/ingest.snapshot_diff): added/removed/changed paths with
+    byte deltas across the deterministic merge — the versioned-snapshot
+    analog of table history."""
+    from dudb_spark.operators.ingest import merge_scan, snapshot_diff
+
+    prev_p, prev_e, staged_p, staged_e = _merge_fixture(spark)
+    merge = merge_scan(prev_p, prev_e, staged_p, staged_e, root="/tree")
+    return snapshot_diff(
+        prev_p, prev_e, merge.prefixes, merge.entries
+    ).orderBy("kind", "path")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -2439,6 +2453,7 @@ QUERIES: dict[str, Callable] = {
     "q75_cohort_retention": q75_cohort_retention,
     "q76_stream_attribution": q76_stream_attribution,
     "q77_incremental_stats": q77_incremental_stats,
+    "q78_snapshot_diff": q78_snapshot_diff,
 }
 
 ORACLE: dict[str, str] = {
@@ -3540,6 +3555,38 @@ ORACLE["q77_incremental_stats"] = (
            CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
     FROM contrib GROUP BY prefix ORDER BY prefix
     """
+)
+
+
+ORACLE["q78_snapshot_diff"] = (
+    _MERGE_FIX_SQL
+    + """
+    , d_pfx AS (
+        SELECT 'prefix' AS kind, COALESCE(p.path, n.path) AS path,
+               CASE WHEN p.path IS NULL THEN 'added'
+                    WHEN n.path IS NULL THEN 'removed'
+                    WHEN n.size IS DISTINCT FROM p.size
+                         OR n.mtime IS DISTINCT FROM p.mtime THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(n.size, 0) - COALESCE(p.size, 0) AS bytes_delta
+        FROM prev_p p FULL JOIN staged_p n ON p.path = n.path
+    ), d_file AS (
+        SELECT 'file' AS kind, COALESCE(p.path, n.path) AS path,
+               CASE WHEN p.path IS NULL THEN 'added'
+                    WHEN n.path IS NULL THEN 'removed'
+                    WHEN n.size IS DISTINCT FROM p.size
+                         OR n.mtime IS DISTINCT FROM p.mtime THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(n.size, 0) - COALESCE(p.size, 0) AS bytes_delta
+        FROM (SELECT * FROM prev_e WHERE NOT is_dir) p
+        FULL JOIN (SELECT * FROM merged_e WHERE NOT is_dir) n
+          ON p.path = n.path
+    )
+    SELECT kind, path, status, CAST(bytes_delta AS BIGINT) AS bytes_delta
+    FROM (SELECT * FROM d_pfx UNION ALL SELECT * FROM d_file)
+    WHERE status <> 'unchanged'
+    ORDER BY kind, path
+"""
 )
 
 

@@ -138,6 +138,67 @@ def merge_scan(
     return MergeResult(new_prefixes, new_entries, summary, touched)
 
 
+def snapshot_diff(
+    prev_prefixes: DataFrame,
+    prev_entries: DataFrame,
+    new_prefixes: DataFrame,
+    new_entries: DataFrame,
+) -> DataFrame:
+    """Time-travel diff between two stored snapshot versions: one row per
+    path that was added, removed, or changed (size or mtime), with the
+    byte delta — the ``idu database`` analog of ``delta table history``
+    for the versioned snapshot directories written by
+    :func:`write_snapshot`.
+
+    Shape: a full-outer join per table keyed on path — with snapshots
+    bucketed by path this is a co-partitioned merge, and the output is
+    bounded by the change volume, not the tree size.  Unchanged rows are
+    dropped before any downstream consumer sees them.
+    """
+
+    def diff(prev: DataFrame, new: DataFrame, kind: str) -> DataFrame:
+        p = prev.select(
+            F.col("path"),
+            F.lit(True).alias("_pin"),
+            F.col("size").alias("_psize"),
+            F.col("mtime").alias("_pmtime"),
+        ).alias("p")
+        n = new.select(
+            F.col("path"),
+            F.lit(True).alias("_nin"),
+            F.col("size").alias("_nsize"),
+            F.col("mtime").alias("_nmtime"),
+        ).alias("n")
+        j = p.join(n, "path", "full_outer")
+        status = (
+            F.when(F.col("_pin").isNull(), F.lit("added"))
+            .when(F.col("_nin").isNull(), F.lit("removed"))
+            .when(
+                ~(F.col("_nsize").eqNullSafe(F.col("_psize")))
+                | ~(F.col("_nmtime").eqNullSafe(F.col("_pmtime"))),
+                F.lit("changed"),
+            )
+            .otherwise(F.lit("unchanged"))
+        )
+        return j.select(
+            F.lit(kind).alias("kind"),
+            "path",
+            status.alias("status"),
+            (
+                F.coalesce(F.col("_nsize"), F.lit(0))
+                - F.coalesce(F.col("_psize"), F.lit(0))
+            ).alias("bytes_delta"),
+        ).where(F.col("status") != "unchanged")
+
+    return diff(prev_prefixes, new_prefixes, "prefix").unionByName(
+        diff(
+            prev_entries.where(~F.col("is_dir")),
+            new_entries.where(~F.col("is_dir")),
+            "file",
+        )
+    )
+
+
 def write_snapshot(result: MergeResult, db_root: str, version: str) -> None:
     """Persist a merged snapshot as a new versioned directory (Parquet
     stand-in for Delta MERGE; ``latest`` pointer = max version string)."""

@@ -178,3 +178,25 @@ def test_merge_reuses_entries_of_unchanged_dirs(spark, fs_tree):
     new_p, new_e = _dfs(spark, p0, staged_e)
     res = merge_scan(prev_p, prev_e, new_p, new_e, root=fs_tree)
     assert res.entries.count() == len(e0)
+
+
+def test_snapshot_diff_classifies(spark, fs_tree):
+    from dudb_spark.operators.ingest import snapshot_diff
+
+    p0, e0, _ = crawl_local(fs_tree)
+    prev_p, prev_e = _dfs(spark, p0, e0)
+    # mutate: drop one file, grow another by 100 bytes
+    files = [e for e in e0 if not e["is_dir"]]
+    gone, grown = files[0]["path"], files[1]["path"]
+    e1 = [
+        {**e, "size": e["size"] + 100} if e["path"] == grown else e
+        for e in e0 if e["path"] != gone
+    ]
+    new_p, new_e = _dfs(spark, p0, e1)
+    d = {
+        (r["kind"], r["path"]): (r["status"], r["bytes_delta"])
+        for r in snapshot_diff(prev_p, prev_e, new_p, new_e).collect()
+    }
+    assert d[("file", gone)][0] == "removed"
+    assert d[("file", grown)] == ("changed", 100)
+    assert all(k != "prefix" for k, _ in d)  # no dir metadata changed
