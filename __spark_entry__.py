@@ -2376,6 +2376,17 @@ def q78_snapshot_diff(spark, sf_dir):
     ).orderBy("kind", "path")
 
 
+def q79_sq8_ann(spark, sf_dir):
+    """Scalar-quantized ANN (pipeline/quantize.py): per-dimension SQ8
+    codes (one agg pass for bounds, scan-fused encode) → reconstructed
+    cosine top-10 — the 4×-memory int8 code path of at-scale vector
+    indexes, value-exact through encode → decode → ranking."""
+    from dudb_spark.pipeline.quantize import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, query_id=0, k=10)
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -2454,6 +2465,7 @@ QUERIES: dict[str, Callable] = {
     "q76_stream_attribution": q76_stream_attribution,
     "q77_incremental_stats": q77_incremental_stats,
     "q78_snapshot_diff": q78_snapshot_diff,
+    "q79_sq8_ann": q79_sq8_ann,
 }
 
 ORACLE: dict[str, str] = {
@@ -3588,6 +3600,39 @@ ORACLE["q78_snapshot_diff"] = (
     ORDER BY kind, path
 """
 )
+
+
+ORACLE["q79_sq8_ann"] = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), dims AS (
+        SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+        FROM e, generate_series(1, 64) t(i) GROUP BY i
+    ), b AS (
+        SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+        FROM dims
+    ), enc AS (
+        SELECT vec_id,
+               [CAST(round(coalesce((v[i] - b.lo[i])
+                                    / nullif(b.hi[i] - b.lo[i], 0), 0)
+                           * 255.0, 0) AS INT)
+                FOR i IN range(1, 65)] AS codes
+        FROM e, b
+    ), dec AS (
+        SELECT vec_id,
+               [b.lo[i] + codes[i]::DOUBLE / 255.0 * (b.hi[i] - b.lo[i])
+                FOR i IN range(1, 65)] AS dv
+        FROM enc, b
+    ), q AS (SELECT dv AS qv FROM dec WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(dv, qv)
+                 / (sqrt(list_dot_product(dv, dv))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS qcosine
+    FROM dec, q
+    WHERE vec_id != 0
+    ORDER BY qcosine DESC, vec_id
+    LIMIT 10
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -125,3 +125,36 @@ def test_cohort_retention_golden(spark):
     assert out[(0, 1)]["n_active"] == 1
     assert out[(0, 1)]["retention"] == pytest.approx(0.5)
     assert out[(1, 0)]["n_active"] == 1 and out[(1, 0)]["n_cohort"] == 1
+
+
+def test_sq8_quantization_quality(spark):
+    """SQ8 reconstruction keeps cosine ranking useful: recall@10 vs exact
+    ≥ 0.8 and max |cosine error| over the top lists < 0.02 on real
+    fixture embeddings."""
+    from dudb_spark.pipeline.quantize import sq8_topk
+    from dudb_spark.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id = 0").collect()[0]["embedding"]
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(emb.where("vec_id != 0"), q, k=10).collect()
+    }
+    quant = {
+        r["vec_id"]: r["qcosine"] for r in sq8_topk(emb, 0, k=10).collect()
+    }
+    recall = len(exact.keys() & quant.keys()) / 10
+    assert recall >= 0.8, (recall, exact, quant)
+    for vid in exact.keys() & quant.keys():
+        assert abs(exact[vid] - quant[vid]) < 0.02
+
+
+def test_sq8_codes_in_range(spark):
+    from dudb_spark.pipeline.quantize import sq8_bounds, sq8_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = sq8_encode(emb, sq8_bounds(emb))
+    bad = enc.selectExpr(
+        "exists(codes, c -> c < 0 OR c > 255) AS bad"
+    ).where("bad").count()
+    assert bad == 0
