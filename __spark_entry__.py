@@ -2387,6 +2387,28 @@ def q79_sq8_ann(spark, sf_dir):
     return sq8_topk(emb, query_id=0, k=10)
 
 
+def q80_zorder_key(spark, sf_dir):
+    """Z-order layout key (plans/zorder.py): integer-exact Morton
+    interleave of (o_custkey, order-day) — the multi-column data-skipping
+    layout; the certified value IS the layout decision (bit-for-bit), and
+    the skipping benefit is pinned quantitatively in test_zorder.py."""
+    from dudb_spark.plans.zorder import with_z
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("odays"),
+    )
+    return (
+        with_z(o, ["o_custkey", "odays"])
+        .select("o_orderkey", "z")
+        .orderBy("z", "o_orderkey")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -2466,6 +2488,7 @@ QUERIES: dict[str, Callable] = {
     "q77_incremental_stats": q77_incremental_stats,
     "q78_snapshot_diff": q78_snapshot_diff,
     "q79_sq8_ann": q79_sq8_ann,
+    "q80_zorder_key": q80_zorder_key,
 }
 
 ORACLE: dict[str, str] = {
@@ -3632,6 +3655,32 @@ ORACLE["q79_sq8_ann"] = """
     WHERE vec_id != 0
     ORDER BY qcosine DESC, vec_id
     LIMIT 10
+"""
+
+
+ORACLE["q80_zorder_key"] = """
+    WITH src AS (
+        SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS od
+        FROM orders
+    ), b AS (
+        SELECT MIN(ck) AS lo1, MAX(ck) AS hi1,
+               MIN(od) AS lo2, MAX(od) AS hi2
+        FROM src
+    ), n AS (
+        SELECT o_orderkey,
+               (ck - lo1) * 65535 // GREATEST(hi1 - lo1, 1) AS n1,
+               (od - lo2) * 65535 // GREATEST(hi2 - lo2, 1) AS n2
+        FROM src, b
+    )
+    SELECT o_orderkey,
+           CAST(list_sum([(((n1 >> k) & 1) << (k * 2))
+                          + (((n2 >> k) & 1) << (k * 2 + 1))
+                          FOR k IN range(0, 16)]) AS BIGINT) AS z
+    FROM n
+    ORDER BY z, o_orderkey
+    LIMIT 20
 """
 
 
