@@ -109,20 +109,50 @@ def cmd_stats_compute(args):
     from dudb_spark.sources.catalog import SnapshotCatalog
 
     spark = _spark()
-    t = SnapshotCatalog(spark, args.db).tables()
+    cat = SnapshotCatalog(spark, args.db)
+    t = cat.tables()
     opts = StatsOptions(
         root=args.prefix,
         expr=" ".join(args.expression),
         calculator=calculator(args.calculator),
         count_hardlinks_as_files=args.count_hardlinks_as_files,
     )
-    res = compute_stats(t.prefixes, t.entries, opts)
+    if getattr(args, "incremental", False):
+        # update the stored summaries by re-folding only the slice the
+        # snapshots disagree on (operators/incremental.py); requires the
+        # previous stats run to record its snapshot version and the same
+        # root/expr/calculator options.
+        from pyspark.sql import functions as F
+
+        from dudb_spark.operators.incremental import incremental_stats
+        from dudb_spark.operators.ingest import snapshot_diff
+
+        prev_stats = _load_stats(spark, args.stats_dir)
+        prev_t = cat.tables(prev_stats.meta.get("snapshot_version"))
+        d = snapshot_diff(prev_t.prefixes, prev_t.entries,
+                          t.prefixes, t.entries)
+        touched = (
+            d.where("kind = 'prefix'").select("path")
+            .unionByName(
+                d.where("kind = 'file'").select(
+                    F.regexp_replace("path", "/[^/]+$", "").alias("path")
+                )
+            )
+            .distinct()
+        )
+        res = incremental_stats(
+            prev_stats, prev_t.prefixes, prev_t.entries,
+            t.prefixes, t.entries, touched, opts,
+        )
+    else:
+        res = compute_stats(t.prefixes, t.entries, opts)
     when = datetime.now(timezone.utc).strftime("%Y-%m-%d-%H%M%S")
     out = os.path.join(args.stats_dir, when)
     res.save(out)
     with open(os.path.join(args.stats_dir, "latest"), "w") as f:
         f.write(when)
-    meta = dict(res.meta, date=when, prefix=args.prefix)
+    meta = dict(res.meta, date=when, prefix=args.prefix,
+                snapshot_version=cat.latest_version())
     with open(os.path.join(out, "meta.json"), "w") as f:
         json.dump(meta, f)
     tot = res.totals().collect()[0].asDict()
@@ -275,6 +305,21 @@ def cmd_database_compact(args):
     print(json.dumps({"compacted": out}))
 
 
+def cmd_database_diff(args):
+    from dudb_spark.operators.ingest import snapshot_diff
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    spark = _spark()
+    cat = SnapshotCatalog(spark, args.db)
+    versions = cat.versions()
+    old = args.old or (versions[-2] if len(versions) > 1 else versions[-1])
+    new = args.new or versions[-1]
+    prev, cur = cat.tables(old), cat.tables(new)
+    d = snapshot_diff(prev.prefixes, prev.entries, cur.prefixes, cur.entries)
+    for r in d.orderBy("kind", "path").toLocalIterator():
+        print(f"{r['kind']}\t{r['status']}\t{r['bytes_delta']:+d}\t{r['path']}")
+
+
 def cmd_database_prune(args):
     from dudb_spark.sources.catalog import SnapshotCatalog
 
@@ -318,6 +363,11 @@ def build_parser():
     pc.add_argument("expression", nargs="*", default=[])
     pc.add_argument("--calculator", default="identity")
     pc.add_argument("--count-hardlinks-as-files", action="store_true")
+    pc.add_argument(
+        "--incremental", action="store_true",
+        help="re-fold only what changed since the previous stats run "
+             "(same root/expr/calculator required)",
+    )
     pc.set_defaults(func=cmd_stats_compute)
     pv = ssub.add_parser("view")
     pv.add_argument("--stats-dir", required=True)
@@ -381,6 +431,14 @@ def build_parser():
     dp.add_argument("--db", required=True)
     dp.add_argument("--keep", type=int, default=2)
     dp.set_defaults(func=cmd_database_prune)
+
+    dd = dsub.add_parser(
+        "diff", help="time-travel diff between two snapshot versions"
+    )
+    dd.add_argument("--db", required=True)
+    dd.add_argument("old", nargs="?", help="old version (default: previous)")
+    dd.add_argument("new", nargs="?", help="new version (default: latest)")
+    dd.set_defaults(func=cmd_database_diff)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

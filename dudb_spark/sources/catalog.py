@@ -50,7 +50,11 @@ class SnapshotCatalog:
         v = self.latest_version()
         return os.path.join(self.root, v) if v else None
 
-    def tables(self) -> FsTables:
+    def tables(self, version: str | None = None) -> FsTables:
+        if version is not None:
+            if version not in self.versions():
+                raise FileNotFoundError(f"no version {version} under {self.root}")
+            return FsTables(self.spark, os.path.join(self.root, version))
         p = self.latest_path()
         if p is None:
             raise FileNotFoundError(f"no snapshot under {self.root}")

@@ -147,3 +147,43 @@ def test_env_expansion_in_paths(spark, real_tree, tmp_path, capsys, monkeypatch)
     )
     assert out["files"] > 0
     assert os.path.isdir(str(tmp_path / "envdb" / "v0001"))
+
+
+def test_cli_incremental_stats_and_diff(spark, real_tree, tmp_path, capsys):
+    import time
+
+    db = str(tmp_path / "db")
+    stats_dir = str(tmp_path / "stats")
+    run(capsys, "analyze", "--db", db, real_tree)
+    full0 = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            real_tree)
+    )
+    # mutate: add one file, remove one (sleep so the stats dir timestamp
+    # and directory mtimes advance)
+    time.sleep(1.1)
+    with open(os.path.join(real_tree, "proj/a/new.dat"), "w") as f:
+        f.write("0123456789")
+    os.unlink(os.path.join(real_tree, "proj/b/z.log"))
+    run(capsys, "analyze", "--db", db, real_tree)
+
+    inc = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            "--incremental", real_tree)
+    )
+    assert inc["totals"]["files"] == 3
+    assert inc["totals"]["bytes"] == full0["totals"]["bytes"] + 10 - 4
+
+    # incremental result must equal a from-scratch fold
+    full1 = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            real_tree)
+    )
+    assert full1["totals"] == inc["totals"]
+
+    out = run(capsys, "database", "diff", "--db", db)
+    lines = {tuple(l.split("\t")) for l in out.strip().splitlines()}
+    assert ("file", "added", "+10",
+            os.path.join(real_tree, "proj/a/new.dat")) in lines
+    assert ("file", "removed", "-4",
+            os.path.join(real_tree, "proj/b/z.log")) in lines
