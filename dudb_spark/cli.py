@@ -143,6 +143,7 @@ def cmd_stats_compute(args):
         res = incremental_stats(
             prev_stats, prev_t.prefixes, prev_t.entries,
             t.prefixes, t.entries, touched, opts,
+            pin_inputs=False,  # stored snapshot scans — nothing to pin
         )
     else:
         res = compute_stats(t.prefixes, t.entries, opts)

@@ -66,22 +66,27 @@ def incremental_stats(
     new_entries: DataFrame,
     touched: DataFrame,
     opts: StatsOptions | None = None,
+    pin_inputs: bool = True,
 ) -> StatsResult:
     """New summary tables after a merge, folding only the touched slice.
 
     ``opts`` must equal the options of the fold that produced ``prev``
     (same root/expr/calculator) — the rows carried over are reused
     verbatim.  ``touched`` is ``MergeResult.touched``.
+
+    ``pin_inputs``: the merged snapshot feeds every later stage; when it
+    is an unwritten merge DAG (the q77 gate shape) the lazy plan would
+    re-execute the whole merge once per fold branch, so it is
+    localCheckpoint'ed.  Pass ``False`` when ``new_prefixes``/
+    ``new_entries`` are plain scans of a stored snapshot (the production
+    path — the CLI does) — checkpointing would pointlessly materialize
+    the full table.  The closure sets below are tiny by construction
+    (change-rate × tree), so those pins are cheap at any scale.
     """
     opts = opts or StatsOptions()
-    # The merged snapshot feeds every later stage; on plain (non-stored)
-    # frames the lazy DAG would re-execute the whole merge once per fold
-    # branch, so pin both sides.  In production these ARE stored tables
-    # (the merge writes a snapshot before stats run) and the checkpoints
-    # are no-ops in spirit; the closure sets are tiny by construction
-    # (change-rate × tree), so pinning them is cheap at any scale.
-    new_prefixes = new_prefixes.localCheckpoint()
-    new_entries = new_entries.localCheckpoint()
+    if pin_inputs:
+        new_prefixes = new_prefixes.localCheckpoint()
+        new_entries = new_entries.localCheckpoint()
     touched = touched.select("path").distinct().localCheckpoint()
 
     # 2. support keys: groups with a member under a seed, before or after
