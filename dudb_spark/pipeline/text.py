@@ -326,21 +326,27 @@ def repetition_signals(
     friendly, so the map side collapses repeated bigrams before the
     exchange — degenerate repetitive docs (the very thing this filter
     flags) shrink the MOST map-side.  Per-doc arrays never materialize
-    quadratically, unlike the local ``array_max(filter(...))`` shape."""
-    t = tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(t).alias("n_words"),
-        F.size(F.array_distinct(t)).alias("n_distinct"),
-        F.explode(
+    quadratically, unlike the local ``array_max(filter(...))`` shape.
+    Tokenization is staged as its own projection (bound attribute) and
+    the explode is the explode_outer + null-filter idiom — see
+    winnow_df's docstring for both hazards."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    )
+    tk = F.col("tk")
+    base = toks.select(
+        "doc_id",
+        F.size(tk).alias("n_words"),
+        F.size(F.array_distinct(tk)).alias("n_distinct"),
+        F.explode_outer(
             F.transform(
                 F.sequence(
-                    F.lit(1), F.greatest(F.size(t) - F.lit(1), F.lit(1))
+                    F.lit(1), F.greatest(F.size(tk) - F.lit(1), F.lit(1))
                 ),
-                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
             )
         ).alias("bigram"),
-    )
+    ).where(F.col("bigram").isNotNull())
     per_bigram = base.groupBy("doc_id", "n_words", "n_distinct", "bigram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
