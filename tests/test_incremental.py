@@ -101,3 +101,67 @@ def test_merge_fixture_equivalence(spark):
     )
     full = compute_stats(merge.prefixes, merge.entries, StatsOptions())
     assert _summaries(inc) == _summaries(full)
+
+
+def test_incremental_fuzz_random_mutations(spark):
+    """Randomized trees with cross-directory hardlink groups; random
+    add/delete/modify mutations; incremental == full refold on every
+    seed.  Deterministic seeds keep the runtime bounded."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n_dirs = 8
+        dirs = ["/t"] + [f"/t/d{i}" for i in range(n_dirs)]
+        prev_p_rows = [(d, 4096 + 8 * i, 1000 + i)
+                       for i, d in enumerate(dirs)]
+        # files: ~20% belong to shared-inode groups spanning directories
+        files = []
+        ino = 5000
+        for d in dirs[1:]:
+            for j in range(rng.randint(1, 4)):
+                if rng.random() < 0.2 and files:
+                    share = rng.choice(files)[3]  # reuse an inode
+                else:
+                    ino += 1
+                    share = ino
+                files.append((f"{d}/f{j}", False, rng.randint(1, 9000), share))
+        dir_entries = [(f"/t/d{i}"[0:0] + f"/t/d{i}", True, 4096, 1000 + i + 1)
+                       for i in range(n_dirs)]
+        prev_e_rows = dir_entries + files
+
+        prev_p = _pfx(spark, prev_p_rows)
+        prev_e = _ent(spark, prev_e_rows)
+
+        # mutate: drop one dir, modify files in another, add a new link
+        victim = rng.choice(dirs[1:])
+        modified = rng.choice([d for d in dirs[1:] if d != victim])
+        new_p_rows = [r for r in prev_p_rows if r[0] != victim]
+        new_e_rows = [
+            r for r in prev_e_rows
+            if not r[0].startswith(victim + "/") and r[0] != victim
+        ]
+        out = []
+        for r in new_e_rows:
+            if r[0].startswith(modified + "/") and not r[1]:
+                out.append((r[0], r[1], r[2] + 11, r[3]))
+            else:
+                out.append(r)
+        new_e_rows = out
+        # new hardlink into `modified`, sharing a surviving inode
+        surviving = [r for r in new_e_rows if not r[1]]
+        if surviving:
+            new_e_rows.append(
+                (f"{modified}/a_link", False, surviving[0][2],
+                 surviving[0][3])
+            )
+        new_p = _pfx(spark, new_p_rows)
+        new_e = _ent(spark, new_e_rows)
+        touched = spark.createDataFrame(
+            [(victim,), (modified,), ("/t",)], ["path"]
+        )
+
+        prev = compute_stats(prev_p, prev_e, StatsOptions())
+        inc = incremental_stats(prev, prev_p, prev_e, new_p, new_e, touched)
+        full = compute_stats(new_p, new_e, StatsOptions())
+        assert _summaries(inc) == _summaries(full), f"seed {seed}"
