@@ -278,12 +278,17 @@ def tfidf_top_terms(
     frame; N rides along as a broadcast scalar, never a collected
     driver value.  The per-doc ranking window partitions on the doc id,
     so no global sort.  Stopword-ish terms rank themselves out (their
-    idf → 1), which is why no stopword list is needed here."""
+    idf → 1), which is why no stopword list is needed here.  The tf
+    frame is persisted so its two consumers (docfreq, the scoring join)
+    share one explode+shuffle — see bm25_top_terms for the measured
+    rationale."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -375,12 +380,20 @@ def bm25_top_terms(
 
     avgdl and N ride along as one broadcast scalar row (never collected
     to the driver); doc length comes from the tf frame itself
-    (sum(tf) per doc) so the raw token stream is shuffled exactly once."""
+    (sum(tf) per doc).  The tf frame is persisted: Spark SQL has no
+    DAG-level common-subexpression reuse, so its three consumers (dl,
+    df, the scoring join) would otherwise each re-explode and re-shuffle
+    the raw token stream — measured as 4 Generate nodes in the executed
+    plan.  Persisting the REDUCED frame (one row per (doc, term)) is the
+    at-scale tradeoff: one materialization read three times beats three
+    corpus-wide explode+shuffle passes."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
@@ -431,7 +444,9 @@ def unigram_logprob(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     model = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = model.select(F.sum("cnt").alias("total"))
     return (

@@ -132,3 +132,55 @@ def test_winnow_stays_staged(spark):
     gen_pos = plan.find("Generate")
     assert gen_pos != -1
     assert "isnotnull(fp" in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    from dudb_spark.pipeline.decontam import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = ngram_contamination(
+        docs.where("doc_id % 97 != 0"), docs.where("doc_id % 97 = 0")
+    )
+    plan = plan_of(df)
+    # the eval shingle set must broadcast; the corpus side must NOT
+    # shuffle before the join (only the matched rows re-aggregate)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_pii_scan_is_scan_fused(spark):
+    from dudb_spark.pipeline.pii import pii_scan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(pii_scan(docs))
+    # pure projection: no Exchange anywhere in the operator itself, and
+    # the project runs inside whole-stage codegen (the '*' marker)
+    assert "Exchange" not in plan
+    assert "* Project" in plan
+
+
+def test_zorder_layout_partitions_by_range(spark):
+    from dudb_spark.plans.zorder import zorder_layout
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    df = zorder_layout(orders, ["o_custkey", "o_orderkey"], 8)
+    import re
+
+    plan = plan_of(df)
+    assert re.search(r"rangepartitioning\(z#", plan), plan[:600]
+    assert re.search(r"\(\d+\) Sort", plan)
+
+
+def test_bm25_single_token_shuffle(spark):
+    from dudb_spark.pipeline.text import bm25_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import re
+
+    df = bm25_top_terms(docs)
+    plan = plan_of(df)
+    # the (doc, term) tf frame is persisted, so every consumer reads the
+    # cache instead of re-exploding the token stream: exactly ONE
+    # Generate (inside the cached build plan), >=2 cache scans
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan[:600]
+    assert plan.count("InMemoryTableScan") >= 2
