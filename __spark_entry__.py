@@ -2409,6 +2409,16 @@ def q80_zorder_key(spark, sf_dir):
     )
 
 
+def q81_token_chunking(spark, sf_dir):
+    """RAG-prep chunking (pipeline/text.chunk_tokens): 20-token windows
+    advancing 15 tokens — one scan-side Generate per doc, no shuffle;
+    the gate's orderBy is presentation only."""
+    from dudb_spark.pipeline.text import chunk_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_tokens(d, chunk=20, overlap=5).orderBy("doc_id", "chunk_id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -2489,6 +2499,7 @@ QUERIES: dict[str, Callable] = {
     "q78_snapshot_diff": q78_snapshot_diff,
     "q79_sq8_ann": q79_sq8_ann,
     "q80_zorder_key": q80_zorder_key,
+    "q81_token_chunking": q81_token_chunking,
 }
 
 ORACLE: dict[str, str] = {
@@ -3681,6 +3692,26 @@ ORACLE["q80_zorder_key"] = """
     FROM n
     ORDER BY z, o_orderkey
     LIMIT 20
+"""
+
+
+ORACLE["q81_token_chunking"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, len(tk) AS doc_tokens, tk,
+               unnest(range(1, greatest(len(tk), 1) + 1, 15)) AS start
+        FROM tok
+    )
+    SELECT doc_id, CAST((start - 1) // 15 AS INTEGER) AS chunk_id,
+           CAST(doc_tokens AS INTEGER) AS doc_tokens,
+           CAST(len(tk[start:start+19]) AS INTEGER) AS n_tokens,
+           array_to_string(tk[start:start+19], ' ') AS chunk_text
+    FROM starts
+    WHERE len(tk[start:start+19]) > 0
+    ORDER BY doc_id, chunk_id
 """
 
 

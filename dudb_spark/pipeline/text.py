@@ -425,6 +425,49 @@ def bm25_top_terms(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 20,
+    overlap: int = 5,
+) -> DataFrame:
+    """Sliding token-window chunking (the RAG/embedding-prep shape): one
+    row per (doc, chunk) with ``chunk``-token windows advancing by
+    ``chunk − overlap`` tokens.
+
+    Scale shape: staged tokenization (bound attribute) → one posexplode
+    Generate per document — a narrow scan-side expansion bounded by
+    tokens/(chunk−overlap) rows per doc, no shuffle at all; downstream
+    embedding/dedup stages shuffle the already-chunked rows.  The
+    explode_outer + null-filter idiom keeps the staging intact."""
+    step = chunk - overlap
+    if step <= 0:
+        raise ValueError("chunk must exceed overlap")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(step)
+    )
+    # tk rides along the Generate (array duplicated per chunk row — a
+    # narrow scan-side expansion, cheaper than re-joining on doc_id)
+    exploded = toks.select(
+        "doc_id",
+        "tk",
+        F.size("tk").alias("doc_tokens"),
+        F.posexplode_outer(starts).alias("chunk_id", "start"),
+    ).where(F.col("start").isNotNull())
+    piece = F.slice(F.col("tk"), F.col("start"), chunk)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        "doc_tokens",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).where(F.col("n_tokens") > 0)
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

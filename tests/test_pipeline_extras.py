@@ -158,3 +158,23 @@ def test_sq8_codes_in_range(spark):
         "exists(codes, c -> c < 0 OR c > 255) AS bad"
     ).where("bad").count()
     assert bad == 0
+
+
+def test_chunk_tokens_golden(spark):
+    from dudb_spark.pipeline.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(23)))], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r["chunk_id"], r["n_tokens"], r["chunk_text"].split()[0])
+        for r in chunk_tokens(df, chunk=10, overlap=3).collect()
+    )
+    # 23 tokens, stride 7: starts 1, 8, 15, 22
+    assert rows == [
+        (0, 10, "w0"), (1, 10, "w7"), (2, 9, "w14"), (3, 2, "w21")
+    ]
+    # overlap contract: consecutive chunks share `overlap` tokens
+    texts = {r["chunk_id"]: r["chunk_text"].split()
+             for r in chunk_tokens(df, chunk=10, overlap=3).collect()}
+    assert texts[0][-3:] == texts[1][:3]
