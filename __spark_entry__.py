@@ -820,7 +820,9 @@ def q41_ann_ivf_exact(spark, sf_dir):
     """ANN-with-index, value-checked: deterministic IVF (first-k seed
     centroids + one decimal-exact Lloyd step) — the oracle reproduces the
     quantizer, both assignments, the probe choice and the final ranking
-    bit-for-bit.  q33 keeps the production KMeans quantizer (rows-only)."""
+    bit-for-bit.  The production KMeans quantizer lives in
+    pipeline/ivf.build_ivf (library API; retired from the gate in round 2
+    because an external engine cannot replay Spark-ML initialization)."""
     from dudb_spark.pipeline.ivf import fixed_ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2649,7 +2651,7 @@ ORACLE: dict[str, str] = {
         ORDER BY hour, event_type
     """,
     # q16/q19 switched to the poly hash variants, so both sketch pipelines
-    # are value-checked end-to-end (q33's KMeans remains rows-only):
+    # are value-checked end-to-end:
     "q16_minhash_dedup": _minhash_oracle_sql(),
     "q19_simhash_near_dup": _simhash_oracle_sql(),
     "q40_language_id_ngram": _trigram_oracle_sql(),
