@@ -2421,6 +2421,19 @@ def q81_token_chunking(spark, sf_dir):
     return chunk_tokens(d, chunk=20, overlap=5).orderBy("doc_id", "chunk_id")
 
 
+def q82_group_reservoir(spark, sf_dir):
+    """Deterministic k-per-group sampling (sampling.reservoir_per_group):
+    5 docs per source ranked by the engine-reproducible hash coordinate —
+    WindowGroupLimit prunes to k per partition before the single
+    group-key shuffle."""
+    from dudb_spark.pipeline.sampling import reservoir_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return reservoir_per_group(d, "doc_id", "source", k=5).orderBy(
+        "source", "doc_id"
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -2502,6 +2515,7 @@ QUERIES: dict[str, Callable] = {
     "q79_sq8_ann": q79_sq8_ann,
     "q80_zorder_key": q80_zorder_key,
     "q81_token_chunking": q81_token_chunking,
+    "q82_group_reservoir": q82_group_reservoir,
 }
 
 ORACLE: dict[str, str] = {
@@ -3715,6 +3729,24 @@ ORACLE["q81_token_chunking"] = """
     WHERE len(tk[start:start+19]) > 0
     ORDER BY doc_id, chunk_id
 """
+
+
+def _q82_oracle() -> str:
+    from dudb_spark.pipeline.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id")
+    return f"""
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY {h}, doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 5
+        ORDER BY source, doc_id
+    """
+
+
+ORACLE["q82_group_reservoir"] = _q82_oracle()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -141,3 +141,31 @@ def mixture_sample(
         .where(sample_hash(F.col(id_col), salt) < F.col("_thresh"))
         .drop("_thresh")
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    their hash coordinate (ties broken by id) and keep the first k — the
+    distributed, rerun-stable replacement for reservoir sampling.
+
+    Scale shape: ONE shuffle on the group key; WindowGroupLimit prunes
+    each partition's ranking to k rows before the exchange, so the
+    shuffle carries at most k rows per (group × input partition), not the
+    group's full population.  Subset-consistent: a row keeps its
+    coordinate across runs and SFs, so growing k only ADDS rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -123,3 +123,22 @@ def test_mixture_sample_hits_target_ratios(spark):
     assert sorted(r.doc_id for r in got.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_reservoir_per_group_contract(spark):
+    from dudb_spark.pipeline.sampling import reservoir_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], ["id", "grp"]
+    )
+    from pyspark.sql import functions as F
+
+    k5 = reservoir_per_group(df, "id", "grp", 5)
+    per = {r["grp"]: r["n"] for r in
+           k5.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # determinism + subset consistency: k=5 sample is a subset of k=8
+    ids5 = {(r["grp"], r["id"]) for r in k5.collect()}
+    ids8 = {(r["grp"], r["id"])
+            for r in reservoir_per_group(df, "id", "grp", 8).collect()}
+    assert ids5 < ids8
