@@ -104,6 +104,22 @@ def poly_shingle_hashes_from(th: Column, k: int = 3) -> Column:
     )
 
 
+def _perm_coeffs(
+    num_perm: int, seed: int, mod: int
+) -> list[tuple[int, int]]:
+    """The (a_i, b_i) affine-map coefficient stream — ONE definition
+    shared by the HOF and aggregate signature paths and replayed verbatim
+    by the SQL oracles (same seeded generator, same draw order)."""
+    import random
+
+    rnd = random.Random(seed)
+    coeff_cap = min(1 << 30, mod)
+    return [
+        (rnd.randrange(1, coeff_cap), rnd.randrange(0, coeff_cap))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signature(
     base_hashes: Column, num_perm: int = 64, seed: int = 42, mod: int = _P
 ) -> Column:
@@ -120,19 +136,15 @@ def minhash_signature(
     Operand widths keep every product under 2^62 (Spark 4 runs ANSI mode —
     long overflow throws).  All JVM-side.
     """
-    import random
-
-    rnd = random.Random(seed)
-    coeff_cap = min(1 << 30, mod)
     mins = []
-    for _ in range(num_perm):
-        a = rnd.randrange(1, coeff_cap)
-        b = rnd.randrange(0, coeff_cap)
+    for a, b in _perm_coeffs(num_perm, seed, mod):
         mins.append(
             F.array_min(
                 F.transform(
                     base_hashes,
-                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(mod)),
+                    lambda h, a=a, b=b: F.pmod(
+                        F.lit(a) * h + F.lit(b), F.lit(mod)
+                    ),
                 )
             )
         )
@@ -185,9 +197,38 @@ def minhash_candidates(
     # 31-bit poly bases need the 31-bit modulus (see minhash_signature on
     # order-preserving degeneration); xxhash64's 32-bit bases use 2^61-1
     sig_mod = _P if hash_fn == "xxhash64" else _POLY_M
-    sig = base.select(
-        "id",
-        minhash_signature(F.col("base"), num_perm, seed, mod=sig_mod).alias("sig"),
+    # Signature via explode + min-AGGREGATES, not the per-row HOF
+    # (minhash_signature): transform/array_min lambdas run interpreted,
+    # while min(pmod(a*h+b)) aggregates are whole-stage-codegen JVM code —
+    # measured ~2× on the full pipeline.  A doc's exploded hashes stay in
+    # its partition, so the map-side partial agg collapses to ONE row per
+    # doc before the exchange; num_perm must stay under codegen.maxFields
+    # (100) for the codegen win to hold.  Values are identical: the same
+    # affine maps over the same base multiset.  explode_outer keeps
+    # empty-shingle docs as an all-NULL signature, matching
+    # array_min(empty) = NULL in the HOF form.
+    coeffs = _perm_coeffs(num_perm, seed, sig_mod)
+    ex = base.select("id", F.explode_outer("base").alias("_h"))
+    sig = (
+        ex.groupBy("id")
+        .agg(
+            *[
+                F.min(
+                    F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(sig_mod))
+                ).alias(f"_s{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+        .select(
+            "id",
+            F.array(*[F.col(f"_s{i}") for i in range(num_perm)]).alias("sig"),
+        )
+        # one row per doc — pinning it is cheap and saves the three
+        # downstream scans (bucket sizes, both join sides) re-running the
+        # explode+aggregate.  (The OLD narrow HOF chain measured 2× slower
+        # when cached: its recompute was pure CPU with no exchange.  The
+        # aggregate chain has an exchange per rescan, flipping the trade.)
+        .localCheckpoint()
     )
 
     def band_bucket(b):
