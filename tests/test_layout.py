@@ -107,3 +107,53 @@ def test_glob_regex_matches_fnmatch(pattern, name):
         pytest.fail(f"untranslatable glob {pattern!r} -> {rx!r}")
     want = fnmatch.fnmatchcase(name, pattern)
     assert got == want, (pattern, rx, name)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine leans on AQE for runtime skew handling (README scale
+    principles): a join where one key holds ~90% of rows must show AQE's
+    skew-split in the final plan instead of one straggler task."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds low enough that the fixture-sized skew triggers
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "100KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        # md5 pad: incompressible, so the skewed partition's SHUFFLE
+        # bytes (what AQE measures) reflect its row count; the pad must
+        # survive the join (an agg over it), or column pruning shrinks
+        # the skewed partition below the detection threshold.  The
+        # inspected DataFrame is the one collected — a .count() would
+        # execute a different query and leave this plan un-finalized.
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(5_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        q = left.join(right, "k").agg(F.sum(F.length("pad")).alias("s"))
+        q.collect()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
