@@ -54,6 +54,20 @@ def connected_components(
     # magnitude more expensive than a propagation round.
     sym = sym.distinct().localCheckpoint(eager=True)
 
+    # Size the per-round shuffles to the graph, not the session default:
+    # a giant session width (thousands of partitions on a real cluster)
+    # pays per-round task/commit overhead proportional to width on what
+    # is usually a tiny label frame; ~50k edges per partition, floored at
+    # 4 so a round's edge-label join never serializes onto one task.
+    # The count is a cheap scan of the already-checkpointed edge RDD.
+    # Scoped try/finally — session conf is global, so this assumes no
+    # concurrent queries mid-call (true for the gate and bench, which
+    # run queries sequentially).
+    spark = edges.sparkSession
+    n_edges = sym.count()
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(4, min(int(default_parts), n_edges // 50_000 + 1))
+
     labels = (
         sym.select("n").distinct().withColumn("label", F.col("n"))
     ).localCheckpoint(eager=True)
@@ -62,6 +76,17 @@ def connected_components(
     # unchanged sum ⇔ fixpoint.  One scalar agg per round, no old-vs-new
     # join.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = _propagate(sym, labels, prev_sum, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+    return labels.select(
+        F.col("n").alias("node"), F.col("label").alias("component")
+    )
+
+
+def _propagate(sym, labels, prev_sum, max_iter):
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep the per-node minimum of
         # (own label, all neighbor labels)
@@ -95,7 +120,7 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
+    return labels
 
 
 def duplicate_clusters(
