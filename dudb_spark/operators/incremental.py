@@ -20,8 +20,18 @@ group (lexicographically-first path wins, stats.py:105–110).  So:
    the previous OR merged snapshot — groups that gained, lost, or kept a
    member there.  Any group NOT in *I* has identical membership before
    and after the merge, so its flags are unchanged.
-3. Affected prefixes *A*: seeds ∪ parents of merged rows whose key ∈ *I*.
-   Only these prefixes can change any counter.
+3a. First-round closure: seeds ∪ parents of merged rows whose key ∈ *I*.
+3b. Flip-round closure: a *directory record* whose key ∈ *I* may flip its
+   own dup flag (its record group gained or lost a member), and a flipped
+   directory's ENTRIES enter or leave the file-dedup windows — which can
+   flip file canonicals under directories nowhere near the seed.  So take
+   *F* = paths of merged records with key ∈ *I* (the only records that
+   can flip: record-group membership changes only under seeds), collect
+   *I₂* = keys under *F* (prev OR new), and add parents of merged rows
+   with key ∈ *I₂*.  No further rounds are needed: flips occur only in
+   groups whose record membership changed (⊆ *I*), so after this round
+   every group whose window membership changed (⊆ *I* ∪ *I₂*) has all its
+   members' parents in *A*.
 4. Flag support: folding *A* exactly needs the flags of every row under
    *A*; a flag is exact when the row's whole group is present.  Groups
    with a member under a seed lie entirely inside *A* (their parents are
@@ -89,23 +99,46 @@ def incremental_stats(
         new_entries = new_entries.localCheckpoint()
     touched = touched.select("path").distinct().localCheckpoint()
 
-    # 2. support keys: groups with a member under a seed, before or after
-    seed_keys = (
-        _keys_under(touched, prev_prefixes, prev_entries)
-        .unionByName(_keys_under(touched, new_prefixes, new_entries))
-        .distinct()
-        .localCheckpoint()
-    )
+    def _group_keys(paths: DataFrame) -> DataFrame:
+        """Keys present under ``paths`` in the previous OR merged snapshot."""
+        return (
+            _keys_under(paths, prev_prefixes, prev_entries)
+            .unionByName(_keys_under(paths, new_prefixes, new_entries))
+            .distinct()
+        )
 
-    # 3. affected prefixes: seeds ∪ parents of merged rows in those groups
-    via_entries = (
-        new_entries.join(seed_keys, _KEY, "left_semi")
-        .select(F.col("parent").alias("path"))
-    )
-    via_records = new_prefixes.join(seed_keys, _KEY, "left_semi").select("path")
+    def _via(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(parents of merged entries, paths of merged records) in ``keys``."""
+        ent = (
+            new_entries.join(keys, _KEY, "left_semi")
+            .select(F.col("parent").alias("path"))
+        )
+        rec = new_prefixes.join(keys, _KEY, "left_semi").select("path")
+        return ent, rec
+
+    # 2. support keys: groups with a member under a seed, before or after
+    seed_keys = _group_keys(touched).localCheckpoint()
+
+    # 3a. first round: seeds ∪ parents of merged rows in seed groups
+    via_entries, via_records = _via(seed_keys)
+    via_records = via_records.localCheckpoint()
+
+    # 3b. flip round: records in seed groups can flip their dir-level dup
+    # flag, moving their entries in/out of the file-dedup windows — pull in
+    # the parents of every merged row sharing a key with anything under a
+    # potentially-flipping record.  One round closes the cascade (flips
+    # happen only in groups whose record membership changed, i.e. seed
+    # groups), restoring the exact-hardlink-closure contract for
+    # dir-hardlink promotions/demotions (round-2 advice repro:
+    # test_incremental.py::test_dir_hardlink_flip_cascade).
+    flip_keys = _group_keys(via_records)
+    via_entries2, via_records2 = _via(flip_keys)
+
     affected = (
         touched.unionByName(via_entries)
         .unionByName(via_records)
+        .unionByName(via_entries2)
+        .unionByName(via_records2)
         .distinct()
         .localCheckpoint()
     )

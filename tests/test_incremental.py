@@ -88,6 +88,65 @@ def test_canonical_stolen_from_untouched_dir(spark):
     assert row["hardlinks"] == 1
 
 
+def test_dir_hardlink_flip_cascade(spark):
+    """Round-2 advice repro: adding /t/a hardlinked with the DIRECTORY
+    /t/x/m demotes /t/x/m's record to a dup, which pulls its file entries
+    out of the file-dedup window and promotes untouched /t/x/q's file.
+    The one-round closure stitched /t/x/q's stale prev row."""
+    prev_p = _pfx(spark, [
+        ("/t", 10, 1), ("/t/x", 20, 2), ("/t/x/m", 30, 3), ("/t/x/q", 40, 4),
+    ])
+    prev_e = _ent(spark, [
+        ("/t/x", True, 20, 2),
+        ("/t/x/m", True, 30, 3), ("/t/x/q", True, 40, 4),
+        ("/t/x/m/f1", False, 7, 100),   # canonical of inode 100
+        ("/t/x/q/f2", False, 7, 100),   # currently a hardlink dup
+        ("/t/x/q/f3", False, 45, 200),
+    ])
+    # /t/a shares (device, inode) with the /t/x/m directory record
+    new_p = prev_p.unionByName(_pfx(spark, [("/t/a", 30, 3)]))
+    new_e = prev_e.unionByName(_ent(spark, [("/t/a", True, 30, 3)]))
+    touched = spark.createDataFrame([("/t",), ("/t/a",)], ["path"])
+
+    prev = compute_stats(prev_p, prev_e, StatsOptions())
+    inc = incremental_stats(prev, prev_p, prev_e, new_p, new_e, touched)
+    full = compute_stats(new_p, new_e, StatsOptions())
+    assert _summaries(inc) == _summaries(full)
+    # untouched /t/x/q's file was promoted when /t/x/m's entries left
+    row = {r["prefix"]: r for r in inc.per_prefix.collect()}["/t/x/q"]
+    assert row["files"] == 2 and row["hardlinks"] == 0
+    assert row["bytes"] == 40 + 7 + 45
+    # and the demoted dir record contributes hardlink_dirs only
+    row_m = {r["prefix"]: r for r in inc.per_prefix.collect()}["/t/x/m"]
+    assert row_m["hardlink_dirs"] == 1 and row_m["files"] == 0
+
+
+def test_dir_hardlink_release_cascade(spark):
+    """Inverse flip: deleting /t/a (canonical of the dir group) promotes
+    /t/x/m's record, whose entries re-enter the window and demote
+    untouched /t/x/q's file back to a hardlink dup."""
+    prev_p = _pfx(spark, [
+        ("/t", 10, 1), ("/t/a", 30, 3), ("/t/x", 20, 2),
+        ("/t/x/m", 30, 3), ("/t/x/q", 40, 4),
+    ])
+    prev_e = _ent(spark, [
+        ("/t/a", True, 30, 3), ("/t/x", True, 20, 2),
+        ("/t/x/m", True, 30, 3), ("/t/x/q", True, 40, 4),
+        ("/t/x/m/f1", False, 7, 100),
+        ("/t/x/q/f2", False, 7, 100),
+    ])
+    new_p = prev_p.where(F.col("path") != "/t/a")
+    new_e = prev_e.where(F.col("path") != "/t/a")
+    touched = spark.createDataFrame([("/t",), ("/t/a",)], ["path"])
+
+    prev = compute_stats(prev_p, prev_e, StatsOptions())
+    inc = incremental_stats(prev, prev_p, prev_e, new_p, new_e, touched)
+    full = compute_stats(new_p, new_e, StatsOptions())
+    assert _summaries(inc) == _summaries(full)
+    row = {r["prefix"]: r for r in inc.per_prefix.collect()}["/t/x/q"]
+    assert row["files"] == 0 and row["hardlinks"] == 1
+
+
 def test_merge_fixture_equivalence(spark):
     """End-to-end over the staged merge fixture (hardlinks included)."""
     import __spark_entry__ as em
@@ -109,12 +168,19 @@ def test_incremental_fuzz_random_mutations(spark):
     seed.  Deterministic seeds keep the runtime bounded."""
     import random
 
-    for seed in (7, 23, 99):
+    for seed in (7, 23, 99, 1234, 4321):
         rng = random.Random(seed)
         n_dirs = 8
         dirs = ["/t"] + [f"/t/d{i}" for i in range(n_dirs)]
-        prev_p_rows = [(d, 4096 + 8 * i, 1000 + i)
-                       for i, d in enumerate(dirs)]
+        # ~25% of non-root dirs share a record inode with an earlier dir,
+        # so mutations can flip dir-level canonicals (the advice repro)
+        prev_p_rows = []
+        for i, d in enumerate(dirs):
+            if i > 1 and rng.random() < 0.25:
+                share_from = rng.choice(prev_p_rows[1:])
+                prev_p_rows.append((d, share_from[1], share_from[2]))
+            else:
+                prev_p_rows.append((d, 4096 + 8 * i, 1000 + i))
         # files: ~20% belong to shared-inode groups spanning directories
         files = []
         ino = 5000
@@ -126,8 +192,9 @@ def test_incremental_fuzz_random_mutations(spark):
                     ino += 1
                     share = ino
                 files.append((f"{d}/f{j}", False, rng.randint(1, 9000), share))
-        dir_entries = [(f"/t/d{i}"[0:0] + f"/t/d{i}", True, 4096, 1000 + i + 1)
-                       for i in range(n_dirs)]
+        by_path = dict((r[0], r) for r in prev_p_rows)
+        dir_entries = [(d, True, by_path[d][1], by_path[d][2])
+                       for d in dirs[1:]]
         prev_e_rows = dir_entries + files
 
         prev_p = _pfx(spark, prev_p_rows)
