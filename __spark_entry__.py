@@ -3647,7 +3647,10 @@ ORACLE["q78_snapshot_diff"] = (
                CASE WHEN p.path IS NULL THEN 'added'
                     WHEN n.path IS NULL THEN 'removed'
                     WHEN n.size IS DISTINCT FROM p.size
-                         OR n.mtime IS DISTINCT FROM p.mtime THEN 'changed'
+                         OR n.mtime IS DISTINCT FROM p.mtime
+                         OR n.mode IS DISTINCT FROM p.mode
+                         OR n.uid IS DISTINCT FROM p.uid
+                         OR n.gid IS DISTINCT FROM p.gid THEN 'changed'
                     ELSE 'unchanged' END AS status,
                COALESCE(n.size, 0) - COALESCE(p.size, 0) AS bytes_delta
         FROM prev_p p FULL JOIN staged_p n ON p.path = n.path
@@ -3656,7 +3659,10 @@ ORACLE["q78_snapshot_diff"] = (
                CASE WHEN p.path IS NULL THEN 'added'
                     WHEN n.path IS NULL THEN 'removed'
                     WHEN n.size IS DISTINCT FROM p.size
-                         OR n.mtime IS DISTINCT FROM p.mtime THEN 'changed'
+                         OR n.mtime IS DISTINCT FROM p.mtime
+                         OR n.mode IS DISTINCT FROM p.mode
+                         OR n.uid IS DISTINCT FROM p.uid
+                         OR n.gid IS DISTINCT FROM p.gid THEN 'changed'
                     ELSE 'unchanged' END AS status,
                COALESCE(n.size, 0) - COALESCE(p.size, 0) AS bytes_delta
         FROM (SELECT * FROM prev_e WHERE NOT is_dir) p

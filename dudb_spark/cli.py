@@ -117,25 +117,56 @@ def cmd_stats_compute(args):
         calculator=calculator(args.calculator),
         count_hardlinks_as_files=args.count_hardlinks_as_files,
     )
-    if getattr(args, "incremental", False):
+    incremental = getattr(args, "incremental", False)
+    if incremental:
+        # incremental_stats reuses prev rows verbatim, so it is only
+        # valid against the snapshot the previous run folded and with
+        # identical fold options — anything else silently re-saves
+        # stale summaries.  Mismatch → full compute with a warning.
+        prev_stats = _load_stats(spark, args.stats_dir)
+        pm = prev_stats.meta
+        problems = []
+        if not pm.get("snapshot_version"):
+            problems.append("previous stats run records no snapshot_version")
+        for key, req in (
+            ("root", args.prefix),
+            ("expression", opts.expr),
+            ("calculator", args.calculator),
+            ("count_hardlinks_as_files", opts.count_hardlinks_as_files),
+        ):
+            if pm.get(key) != req:
+                problems.append(
+                    f"{key}: previous run {pm.get(key)!r} != requested {req!r}"
+                )
+        if problems:
+            print(
+                "stats --incremental: falling back to a full compute ("
+                + "; ".join(problems) + ")",
+                file=sys.stderr,
+            )
+            incremental = False
+    if incremental:
         # update the stored summaries by re-folding only the slice the
-        # snapshots disagree on (operators/incremental.py); requires the
-        # previous stats run to record its snapshot version and the same
-        # root/expr/calculator options.
+        # snapshots disagree on (operators/incremental.py)
         from pyspark.sql import functions as F
 
         from dudb_spark.operators.incremental import incremental_stats
         from dudb_spark.operators.ingest import snapshot_diff
 
-        prev_stats = _load_stats(spark, args.stats_dir)
-        prev_t = cat.tables(prev_stats.meta.get("snapshot_version"))
+        prev_t = cat.tables(prev_stats.meta["snapshot_version"])
         d = snapshot_diff(prev_t.prefixes, prev_t.entries,
                           t.prefixes, t.entries)
+        # a changed file touches its parent dir; a top-level '/f' has
+        # parent '/' (the bare regexp would yield '' and the root row
+        # would never be refolded)
+        parent = F.regexp_replace("path", "/[^/]+$", "")
         touched = (
             d.where("kind = 'prefix'").select("path")
             .unionByName(
                 d.where("kind = 'file'").select(
-                    F.regexp_replace("path", "/[^/]+$", "").alias("path")
+                    F.when(F.length(parent) == 0, F.lit("/"))
+                    .otherwise(parent)
+                    .alias("path")
                 )
             )
             .distinct()
@@ -153,6 +184,7 @@ def cmd_stats_compute(args):
     with open(os.path.join(args.stats_dir, "latest"), "w") as f:
         f.write(when)
     meta = dict(res.meta, date=when, prefix=args.prefix,
+                calculator=args.calculator,
                 snapshot_version=cat.latest_version())
     with open(os.path.join(out, "meta.json"), "w") as f:
         json.dump(meta, f)

@@ -145,10 +145,15 @@ def snapshot_diff(
     new_entries: DataFrame,
 ) -> DataFrame:
     """Time-travel diff between two stored snapshot versions: one row per
-    path that was added, removed, or changed (size or mtime), with the
-    byte delta — the ``idu database`` analog of ``delta table history``
-    for the versioned snapshot directories written by
-    :func:`write_snapshot`.
+    path that was added, removed, or changed, with the byte delta — the
+    ``idu database`` analog of ``delta table history`` for the versioned
+    snapshot directories written by :func:`write_snapshot`.
+
+    "Changed" compares size, mtime, mode, uid, and gid: stats results
+    depend on ownership and mode (per-user/group attribution, boolexpr
+    predicates), so a chmod/chown — which bumps ctime, not mtime — must
+    surface here or the CLI's incremental touched derivation would miss
+    it and diverge from a full refold.
 
     Shape: a full-outer join per table keyed on path — with snapshots
     bucketed by path this is a co-partitioned merge, and the output is
@@ -156,28 +161,28 @@ def snapshot_diff(
     dropped before any downstream consumer sees them.
     """
 
+    watched = ("size", "mtime", "mode", "uid", "gid")
+
     def diff(prev: DataFrame, new: DataFrame, kind: str) -> DataFrame:
         p = prev.select(
             F.col("path"),
             F.lit(True).alias("_pin"),
-            F.col("size").alias("_psize"),
-            F.col("mtime").alias("_pmtime"),
+            *[F.col(c).alias(f"_p{c}") for c in watched],
         ).alias("p")
         n = new.select(
             F.col("path"),
             F.lit(True).alias("_nin"),
-            F.col("size").alias("_nsize"),
-            F.col("mtime").alias("_nmtime"),
+            *[F.col(c).alias(f"_n{c}") for c in watched],
         ).alias("n")
         j = p.join(n, "path", "full_outer")
+        differs = None
+        for c in watched:
+            d = ~(F.col(f"_n{c}").eqNullSafe(F.col(f"_p{c}")))
+            differs = d if differs is None else (differs | d)
         status = (
             F.when(F.col("_pin").isNull(), F.lit("added"))
             .when(F.col("_nin").isNull(), F.lit("removed"))
-            .when(
-                ~(F.col("_nsize").eqNullSafe(F.col("_psize")))
-                | ~(F.col("_nmtime").eqNullSafe(F.col("_pmtime"))),
-                F.lit("changed"),
-            )
+            .when(differs, F.lit("changed"))
             .otherwise(F.lit("unchanged"))
         )
         return j.select(

@@ -187,3 +187,77 @@ def test_cli_incremental_stats_and_diff(spark, real_tree, tmp_path, capsys):
             os.path.join(real_tree, "proj/a/new.dat")) in lines
     assert ("file", "removed", "-4",
             os.path.join(real_tree, "proj/b/z.log")) in lines
+
+
+def test_cli_incremental_mode_only_change(spark, real_tree, tmp_path, capsys):
+    """chmod bumps ctime, not mtime — the diff-driven touched derivation
+    must still see it (snapshot_diff compares mode/uid/gid, not just
+    size/mtime) so an expr that keys on mode refolds correctly."""
+    import time
+
+    db = str(tmp_path / "db")
+    stats_dir = str(tmp_path / "stats")
+    run(capsys, "analyze", "--db", db, real_tree)
+    run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+        real_tree, "type=x")
+    time.sleep(1.1)
+    victim = os.path.join(real_tree, "proj/a/x.log")
+    os.chmod(victim, 0o755)  # now executable; size and mtime unchanged
+    # chmod leaves the parent dir unchanged, and unchanged dirs reuse
+    # their stored entries (J1) — bump the dir so it is rescanned and
+    # the new mode lands in the snapshot
+    os.utime(os.path.dirname(victim))
+    run(capsys, "analyze", "--db", db, real_tree)
+
+    out = run(capsys, "database", "diff", "--db", db)
+    lines = {tuple(l.split("\t")) for l in out.strip().splitlines()}
+    assert ("file", "changed", "+0", victim) in lines
+
+    inc = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            "--incremental", real_tree, "type=x")
+    )
+    full = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            real_tree, "type=x")
+    )
+    assert inc["totals"] == full["totals"]
+    assert inc["totals"]["files"] == 1
+
+
+def test_cli_incremental_fallback_on_mismatch(
+    spark, real_tree, tmp_path, capsys
+):
+    """--incremental against a stats run with different options (or one
+    missing snapshot_version) must NOT stitch stale rows — it falls back
+    to a full compute with a warning."""
+    db = str(tmp_path / "db")
+    stats_dir = str(tmp_path / "stats")
+    run(capsys, "analyze", "--db", db, real_tree)
+    run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+        real_tree)
+
+    # different expression than the recorded run
+    main(["stats", "compute", "--db", db, "--stats-dir", stats_dir,
+          "--incremental", real_tree, "name=*.log"])
+    cap = capsys.readouterr()
+    assert "falling back to a full compute" in cap.err
+    assert "expression" in cap.err
+    inc = json.loads(cap.out)
+    full = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            real_tree, "name=*.log")
+    )
+    assert inc["totals"] == full["totals"]
+
+    # meta written before snapshot_version existed
+    latest = open(os.path.join(stats_dir, "latest")).read().strip()
+    meta_path = os.path.join(stats_dir, latest, "meta.json")
+    meta = json.load(open(meta_path))
+    del meta["snapshot_version"]
+    json.dump(meta, open(meta_path, "w"))
+    main(["stats", "compute", "--db", db, "--stats-dir", stats_dir,
+          "--incremental", real_tree])
+    cap = capsys.readouterr()
+    assert "no snapshot_version" in cap.err
+    assert json.loads(cap.out)["totals"]["files"] == 3

@@ -200,3 +200,34 @@ def test_snapshot_diff_classifies(spark, fs_tree):
     assert d[("file", gone)][0] == "removed"
     assert d[("file", grown)] == ("changed", 100)
     assert all(k != "prefix" for k, _ in d)  # no dir metadata changed
+
+
+def test_snapshot_diff_sees_mode_uid_gid(spark, fs_tree):
+    """chmod/chown leave size and mtime alone, but stats depend on
+    mode/uid/gid (type= predicates, per-id attribution) — each must
+    classify as changed on its own."""
+    from dudb_spark.operators.ingest import snapshot_diff
+
+    p0, e0, _ = crawl_local(fs_tree)
+    prev_p, prev_e = _dfs(spark, p0, e0)
+    files = [e for e in e0 if not e["is_dir"]]
+    chmod, chown, chgrp = (files[i]["path"] for i in range(3))
+    e1 = []
+    for e in e0:
+        if e["path"] == chmod:
+            e1.append({**e, "mode": e["mode"] | 0o111})
+        elif e["path"] == chown:
+            e1.append({**e, "uid": e["uid"] + 1})
+        elif e["path"] == chgrp:
+            e1.append({**e, "gid": e["gid"] + 1})
+        else:
+            e1.append(e)
+    new_p, new_e = _dfs(spark, p0, e1)
+    d = {
+        (r["kind"], r["path"]): (r["status"], r["bytes_delta"])
+        for r in snapshot_diff(prev_p, prev_e, new_p, new_e).collect()
+    }
+    assert d[("file", chmod)] == ("changed", 0)
+    assert d[("file", chown)] == ("changed", 0)
+    assert d[("file", chgrp)] == ("changed", 0)
+    assert len(d) == 3  # nothing else surfaced
