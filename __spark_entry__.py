@@ -752,14 +752,15 @@ def q37_fingerprint_overlap(spark, sf_dir):
     return fingerprint_overlap_pairs(d, min_shared=2).orderBy("id_a", "id_b")
 
 
-def q38_events_sessionized(spark, sf_dir):
-    """§2.9 extension: the custom STATEFUL streaming operator
-    (applyInPandasWithState session windows) through the driver gate.
-    Event values are converted to integer cents up front so the kernel's
-    sequential float accumulation is exact and engine-comparable; a single
-    micro-batch keeps per-user arrival complete (multi-batch disorder is a
-    watermark/timeout production concern, sessions.py docstring)."""
+def _sessionize_gate(spark, sf_dir, query_name, max_files=None):
+    """Shared body of the sessionization gates: stage the events as
+    parquet, run the stateful operator (availableNow), return the memory
+    sink.  ``max_files`` = per-micro-batch file cap; when set, files are
+    range-partitioned by ts and mtime-stamped in time order so the file
+    source replays them like a live ingest."""
+    import os
     import tempfile
+    from glob import glob as _glob
 
     from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
     from dudb_spark.streaming.sessions import sessionize
@@ -768,24 +769,64 @@ def q38_events_sessionized(spark, sf_dir):
         "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
     )
     src = tempfile.mkdtemp(prefix="dudb_sess_src_")
-    # 8 files still arrive in ONE availableNow micro-batch (default
-    # maxFilesPerTrigger=1000), so per-user arrival stays complete while
-    # the source write and the state-op input scan run parallel
-    ev.repartition(8).write.mode("overwrite").parquet(src)
+    if max_files:
+        ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(src)
+        for k, p in enumerate(sorted(_glob(os.path.join(src, "part-*.parquet")))):
+            os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    else:
+        ev.repartition(8).write.mode("overwrite").parquet(src)
 
     with _stream_parts(spark):
-        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
         q = (
-            sessionize(stream, gap="30 minutes")
+            sessionize(reader.parquet(src), gap="30 minutes")
             .writeStream.outputMode("append")
             .format("memory")
-            .queryName("dudb_q38_sessions")
+            .queryName(query_name)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
+    return spark.table(query_name)
+
+
+def q38_events_sessionized(spark, sf_dir):
+    """§2.9 extension: the custom STATEFUL streaming operator
+    (applyInPandasWithState session windows) through the driver gate.
+    Event values are converted to integer cents up front so the kernel's
+    sequential float accumulation is exact and engine-comparable.  The
+    emit rule is watermark-exact (sessions.py): every session whose
+    ``end + gap`` precedes the final watermark is emitted — closed by a
+    successor event or by event-time timeout — so the oracle restates
+    the same rule instead of dropping per-user trailing sessions."""
     return (
-        spark.table("dudb_q38_sessions")
+        _sessionize_gate(spark, sf_dir, "dudb_q38_sessions")
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            F.col("sum_value").cast("long").alias("sum_cents"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q85_sessions_multibatch(spark, sf_dir):
+    """The q38 stateful sessionizer under PER-FILE micro-batches
+    (maxFilesPerTrigger=1, 8 time-ordered files): events split across
+    batches, the watermark advances between them, and idle users'
+    sessions close via event-time timeout — the round-2 verdict's
+    robustness gate.  Same oracle as q38: emissions are a pure function
+    of the data and the watermark rule, not of batch boundaries."""
+    return (
+        _sessionize_gate(spark, sf_dir, "dudb_q85_sessions", max_files=1)
         .select(
             "user_id",
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
@@ -2535,6 +2576,7 @@ QUERIES: dict[str, Callable] = {
     "q80_zorder_key": q80_zorder_key,
     "q81_token_chunking": q81_token_chunking,
     "q82_group_reservoir": q82_group_reservoir,
+    "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
 ORACLE: dict[str, str] = {
@@ -3221,9 +3263,11 @@ ORACLE: dict[str, str] = {
         WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.5
         ORDER BY id_a, id_b
     """,
-    # q38: lag + cumulative-sum sessionization restates the stateful
-    # operator; each user's trailing (still-open) session is dropped, as
-    # the stream leaves it in state
+    # q38/q85: lag + cumulative-sum sessionization restates the stateful
+    # operator; the emit rule is watermark-exact — a session is emitted
+    # iff its end + gap precedes the final watermark (ms-floored global
+    # max event time; Spark floors event-time stats to ms), whether it
+    # was closed by a successor event or by event-time timeout.
     "q38_events_sessionized": """
         WITH ev AS (
             SELECT user_id, ts,
@@ -3245,15 +3289,15 @@ ORACLE: dict[str, str] = {
             SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en,
                    COUNT(*) AS n_events, SUM(cents) AS sum_cents
             FROM s2 GROUP BY user_id, sess_id
-        ), mx AS (
-            SELECT user_id, max(sess_id) AS m FROM agg GROUP BY user_id
+        ), wm AS (
+            SELECT date_trunc('milliseconds', max(ts)) AS w FROM ev
         )
         SELECT a.user_id,
                strftime(st, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
                strftime(en, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                n_events, CAST(sum_cents AS BIGINT) AS sum_cents
-        FROM agg a JOIN mx USING (user_id)
-        WHERE a.sess_id < m
+        FROM agg a, wm
+        WHERE en + INTERVAL 30 MINUTE < wm.w
         ORDER BY user_id, session_start
     """,
     "q39_fs_distinct_owners": """
@@ -3772,6 +3816,10 @@ def _q82_oracle() -> str:
 
 
 ORACLE["q82_group_reservoir"] = _q82_oracle()
+
+# q85 shares q38's oracle verbatim: under the watermark-exact emit rule
+# the stateful emissions are independent of micro-batch boundaries.
+ORACLE["q85_sessions_multibatch"] = ORACLE["q38_events_sessionized"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
