@@ -515,18 +515,22 @@ def _fold_sql_tail(pfx_src: str, ent_src: str) -> str:
                AS is_dup
         FROM ent_m WHERE NOT is_dir
     ), contrib AS (
-        SELECT path AS prefix, uid AS cuid, 0 AS files, 1 AS prefixes,
-               0 AS sub_prefixes, size AS bytes, size AS storage_bytes,
-               size AS prefix_bytes, 0 AS hardlinks, 0 AS hardlink_dirs
+        SELECT path AS prefix, uid AS cuid, gid AS cgid, 0 AS files,
+               1 AS prefixes, 0 AS sub_prefixes, size AS bytes,
+               size AS storage_bytes, size AS prefix_bytes, 0 AS hardlinks,
+               0 AS hardlink_dirs
         FROM ok
         UNION ALL
-        SELECT path, NULL, 0, 1, 0, 0, 0, 0, 0, 1 FROM pfx_m WHERE is_dup
+        SELECT path, NULL, NULL, 0, 1, 0, 0, 0, 0, 0, 1
+        FROM pfx_m WHERE is_dup
         UNION ALL
-        SELECT parent, puid, 0, 0, 1, 0, 0, 0, 0, 0 FROM ent_m WHERE is_dir
+        SELECT parent, puid, pgid, 0, 0, 1, 0, 0, 0, 0, 0
+        FROM ent_m WHERE is_dir
         UNION ALL
-        SELECT parent, uid, 0, 0, 0, 0, 0, 0, 1, 0 FROM files WHERE is_dup
+        SELECT parent, uid, gid, 0, 0, 0, 0, 0, 0, 1, 0
+        FROM files WHERE is_dup
         UNION ALL
-        SELECT parent, uid, 1, 0, 0, size, size, 0, 0, 0
+        SELECT parent, uid, gid, 1, 0, 0, size, size, 0, 0, 0
         FROM files WHERE NOT is_dup
     )
 """
@@ -2111,6 +2115,74 @@ def q67_report_locate(spark, sf_dir):
     )
 
 
+def q83_report_json(spark, sf_dir):
+    """S12 (json.go:20–39 parity): the JSON-lines report sink written by
+    write_reports, read back and value-checked against the merged top-N
+    restatement — the q66 TSV certification pattern applied to the JSON
+    sink."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+    from dudb_spark.reports.sinks import write_reports
+
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    root = tempfile.mkdtemp(prefix="dudb_q83_")
+    out = write_reports(
+        res, root, display_n=3,
+        when=datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc),
+    )
+    longs = [
+        "bytes", "storage_bytes", "prefix_bytes", "files", "sub_prefixes",
+        "prefixes", "hardlinks", "hardlink_dirs",
+    ]
+    return (
+        spark.read.json(f"{out}/json")
+        .select("prefix", *[F.col(c).cast("long").alias(c) for c in longs])
+        .orderBy("prefix")
+    )
+
+
+def q84_report_markdown(spark, sf_dir):
+    """S13 (markdown.go:32–179 parity): render the Markdown report and
+    parse every numeric table cell back into (section, row_key, value)
+    rows — totals, the five top-N-by-metric tables, and the per-user /
+    per-group byte rankings — so the whole template is value-checked
+    against a DuckDB restatement of the same fold."""
+    import tempfile
+
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+    from dudb_spark.reports.sinks import write_markdown_report
+
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    path = tempfile.mkdtemp(prefix="dudb_q84_") + "/report.md"
+    content = write_markdown_report(res, path, display_n=3)
+
+    rows, section = [], None
+    for line in content.splitlines():
+        if line.startswith("### Top "):
+            section = "top_" + line.split(" by ")[-1]
+        elif line.startswith("## Totals"):
+            section = "totals"
+        elif line.startswith("## Per user"):
+            section = "per_user"
+        elif line.startswith("## Per group"):
+            section = "per_group"
+        elif line.startswith("## "):
+            section = None
+        elif section and line.startswith("|"):
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            if cells and cells[-1].lstrip("-").isdigit():
+                rows.append((section, cells[0], int(cells[-1])))
+    return spark.createDataFrame(
+        rows, "section string, row_key string, value long"
+    ).orderBy("section", "row_key")
+
+
 def q68_stats_snapshot_roundtrip(spark, sf_dir):
     """S10: persist the stats result as a snapshot and read it back — the
     reloaded per-prefix table must round-trip value-exact (oracle = the
@@ -2576,6 +2648,8 @@ QUERIES: dict[str, Callable] = {
     "q80_zorder_key": q80_zorder_key,
     "q81_token_chunking": q81_token_chunking,
     "q82_group_reservoir": q82_group_reservoir,
+    "q83_report_json": q83_report_json,
+    "q84_report_markdown": q84_report_markdown,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -3816,6 +3890,66 @@ def _q82_oracle() -> str:
 
 
 ORACLE["q82_group_reservoir"] = _q82_oracle()
+
+# q83 reads the JSON-lines sink back — it must equal the merged top-N
+# restatement exactly (same contract the TSV sink meets in q66).
+ORACLE["q83_report_json"] = ORACLE["q27_fs_merged_topn"]
+
+ORACLE["q84_report_markdown"] = _FS_CONTRIB_SQL + """
+    , agg AS (
+        SELECT prefix,
+               CAST(SUM(files) AS BIGINT) AS files,
+               CAST(SUM(sub_prefixes) AS BIGINT) AS sub_prefixes,
+               CAST(SUM(bytes) AS BIGINT) AS bytes,
+               CAST(SUM(storage_bytes) AS BIGINT) AS storage_bytes,
+               CAST(SUM(prefix_bytes) AS BIGINT) AS prefix_bytes
+        FROM contrib GROUP BY prefix
+    )
+    SELECT 'totals' AS section, k AS row_key, v AS value FROM (
+        SELECT 'files' AS k, CAST(SUM(files) AS BIGINT) AS v FROM contrib
+        UNION ALL
+        SELECT 'prefixes', CAST(SUM(prefixes) AS BIGINT) FROM contrib
+        UNION ALL
+        SELECT 'sub_prefixes', CAST(SUM(sub_prefixes) AS BIGINT) FROM contrib
+        UNION ALL
+        SELECT 'bytes', CAST(SUM(bytes) AS BIGINT) FROM contrib
+        UNION ALL
+        SELECT 'storage_bytes', CAST(SUM(storage_bytes) AS BIGINT) FROM contrib
+        UNION ALL
+        SELECT 'prefix_bytes', CAST(SUM(prefix_bytes) AS BIGINT) FROM contrib
+        UNION ALL
+        SELECT 'hardlinks', CAST(SUM(hardlinks) AS BIGINT) FROM contrib
+        UNION ALL
+        SELECT 'hardlink_dirs', CAST(SUM(hardlink_dirs) AS BIGINT) FROM contrib
+    )
+    UNION ALL
+    SELECT 'top_bytes', prefix, bytes
+    FROM (SELECT prefix, bytes FROM agg ORDER BY bytes DESC, prefix LIMIT 3)
+    UNION ALL
+    SELECT 'top_storage_bytes', prefix, storage_bytes
+    FROM (SELECT prefix, storage_bytes FROM agg
+          ORDER BY storage_bytes DESC, prefix LIMIT 3)
+    UNION ALL
+    SELECT 'top_prefix_bytes', prefix, prefix_bytes
+    FROM (SELECT prefix, prefix_bytes FROM agg
+          ORDER BY prefix_bytes DESC, prefix LIMIT 3)
+    UNION ALL
+    SELECT 'top_files', prefix, files
+    FROM (SELECT prefix, files FROM agg ORDER BY files DESC, prefix LIMIT 3)
+    UNION ALL
+    SELECT 'top_sub_prefixes', prefix, sub_prefixes
+    FROM (SELECT prefix, sub_prefixes FROM agg
+          ORDER BY sub_prefixes DESC, prefix LIMIT 3)
+    UNION ALL
+    SELECT 'per_user', CAST(id AS VARCHAR), b FROM (
+        SELECT cuid AS id, CAST(SUM(bytes) AS BIGINT) AS b FROM contrib
+        WHERE cuid IS NOT NULL GROUP BY cuid ORDER BY b DESC, id LIMIT 3)
+    UNION ALL
+    SELECT 'per_group', CAST(id AS VARCHAR), b FROM (
+        SELECT cgid AS id, CAST(SUM(bytes) AS BIGINT) AS b FROM contrib
+        WHERE cgid IS NOT NULL GROUP BY cgid ORDER BY b DESC, id LIMIT 3)
+    ORDER BY section, row_key
+"""
 
 # q85 shares q38's oracle verbatim: under the watermark-exact emit rule
 # the stateful emissions are independent of micro-batch boundaries.
