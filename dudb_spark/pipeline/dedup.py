@@ -388,6 +388,51 @@ def fingerprint_overlap_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Pinned-frame memo: multi-stage dedup compositions (cluster → decide →
+# report) and repeated jobs over the same corpus re-derive the SAME tiny
+# post-aggregation frames (candidate pairs, cluster labels) from the SAME
+# expensive scan pipeline (winnowing / LSH).  Catalyst cannot reuse work
+# across separate actions, so the composition points pin the reduced frame
+# with localCheckpoint and memoize it per (session, key).  Entries are
+# bounded: post-aggregation pair/cluster frames, orders of magnitude below
+# the corpus.
+# ---------------------------------------------------------------------------
+
+_PIN_CACHE: dict = {}
+
+
+def pinned_frame(spark, key, builder) -> DataFrame:
+    """Memoized ``localCheckpoint``: run ``builder()`` once per (session,
+    key), reuse the materialized frame for every later call.  Use for
+    REDUCED frames only (candidate pairs, cluster labels) — the pin
+    materializes the frame on the executors."""
+    memo_key = (id(spark), key)
+    got = _PIN_CACHE.get(memo_key)
+    if got is not None and got[0] is spark:
+        return got[1]
+    out = builder().localCheckpoint(eager=True)
+    _PIN_CACHE[memo_key] = (spark, out)
+    return out
+
+
+def cached_fingerprint_overlap_pairs(
+    df: DataFrame, cache_key=None, **kwargs
+) -> DataFrame:
+    """:func:`fingerprint_overlap_pairs` with the pair frame pinned and
+    memoized under ``cache_key`` (plus the parameterization), so a
+    clustering job and the dedup-decision job built on top of it run the
+    winnow pipeline once, not once per consumer."""
+    if cache_key is None:
+        return fingerprint_overlap_pairs(df, **kwargs).localCheckpoint(
+            eager=True
+        )
+    key = ("overlap_pairs", cache_key, tuple(sorted(kwargs.items())))
+    return pinned_frame(
+        df.sparkSession, key, lambda: fingerprint_overlap_pairs(df, **kwargs)
+    )
+
+
 def token_hashes(text: Column, seed: int = 42) -> Column:
     """Per-token xxhash64 array — the SimHash base.  Materialize once
     (own projection) before the 64 per-bit aggregates reference it."""
