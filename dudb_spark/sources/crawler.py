@@ -169,12 +169,26 @@ def crawl_distributed(
     excl = list(exclusions or [])
     rootdepth = root.rstrip("/").count("/")
 
+    # Error presence and frontier size are tallied by accumulators inside
+    # the scan pass — the alternatives (errs.isEmpty(), frontier.count())
+    # cost two to three extra jobs per BFS level even on clean trees.
+    # Task retries can over-count an accumulator, but only the
+    # zero/nonzero signal gates behavior, which retries preserve (the
+    # child tally additionally sizes the next level's partitioning, where
+    # rare over-count is harmless).
+    err_acc = spark.sparkContext.accumulator(0)
+    child_acc = spark.sparkContext.accumulator(0)
+
     def scan_partition(paths):
         pats = [re.compile(x) for x in excl]
         for p in paths:
             pr, ents, errs, children = _scan_one(p, pats)
             if pr is not None:
                 pr["depth"] = pr["path"].count("/") - rootdepth
+            if errs:
+                err_acc.add(len(errs))
+            if children:
+                child_acc.add(len(children))
             yield pr, ents, errs, children
 
     # staging MUST be on a filesystem all executors share (HDFS/S3/NFS) in
@@ -191,6 +205,8 @@ def crawl_distributed(
     wrote_errors = False
     while n_level:
         nparts = max(1, min(fanout_partitions, n_level))
+        err_base = err_acc.value
+        child_base = child_acc.value
         scanned = (
             level_rdd.repartition(nparts)
             .mapPartitions(scan_partition)
@@ -203,21 +219,23 @@ def crawl_distributed(
         spark.createDataFrame(
             scanned.flatMap(lambda r: r[1]), ENTRIES_SCHEMA
         ).write.mode("append").parquet(f"{staging}/entries")
-        errs = scanned.flatMap(lambda r: r[2])
-        if not errs.isEmpty():
-            spark.createDataFrame(errs, ERRORS_SCHEMA).write.mode(
-                "append"
-            ).parquet(f"{staging}/errors")
+        # the prefixes write materialized `scanned`, so the accumulators
+        # already carry this level's tallies — no isEmpty()/count() jobs
+        if err_acc.value > err_base:
+            spark.createDataFrame(
+                scanned.flatMap(lambda r: r[2]), ERRORS_SCHEMA
+            ).write.mode("append").parquet(f"{staging}/errors")
             wrote_errors = True
-        # checkpoint the frontier: breaks the lineage chain back through
-        # the (about-to-be-dropped) cache of this level's scan
-        fdir = f"{staging}/frontier/L{depth_i}"
-        spark.createDataFrame(
-            scanned.flatMap(lambda r: r[3]).map(lambda p: (p,)), "path: string"
-        ).write.parquet(fdir)
-        frontier = spark.read.parquet(fdir)
-        n_level = frontier.count()
-        level_rdd = frontier.rdd.map(lambda r: r.path)
+        n_level = child_acc.value - child_base
+        if n_level:
+            # checkpoint the frontier: breaks the lineage chain back
+            # through the (about-to-be-dropped) cache of this level's scan
+            fdir = f"{staging}/frontier/L{depth_i}"
+            spark.createDataFrame(
+                scanned.flatMap(lambda r: r[3]).map(lambda p: (p,)),
+                "path: string",
+            ).write.parquet(fdir)
+            level_rdd = spark.read.parquet(fdir).rdd.map(lambda r: r.path)
         scanned.unpersist()
         depth_i += 1
 

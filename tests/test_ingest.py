@@ -72,6 +72,37 @@ def test_crawl_distributed_equals_local(spark, fs_tree):
     assert errdf.count() == 0
 
 
+def test_crawl_distributed_job_count(spark, fs_tree):
+    """Error checks and frontier counts ride the scan-pass accumulators,
+    so a clean-tree BFS level costs exactly its data jobs: prefixes
+    write, entries write, frontier write + frontier schema read (skipped
+    on the terminal level).  Before the accumulators each level also paid
+    an errs.isEmpty() job and a frontier count (2 jobs under AQE)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    crawl_distributed(spark, fs_tree)
+    after = set(spark.sparkContext.statusTracker().getJobIdsForGroup())
+    # fs_tree: L0 root (4 jobs), L1 {a,b} (4), L2 {a/sub} terminal (2),
+    # + 2 final prefix/entry schema reads = 12
+    assert len(after - before) == 12
+
+
+def test_crawl_distributed_error_dir(spark, fs_tree):
+    """A directory that cannot be listed lands in the errors table; the
+    accumulator path still writes errors exactly when they exist."""
+    locked = os.path.join(fs_tree, "b", "locked")
+    os.mkdir(locked)
+    os.chmod(locked, 0)
+    if os.geteuid() == 0:
+        os.rmdir(locked)
+        pytest.skip("permission-denied dirs are unenforceable as root")
+    try:
+        _, _, errdf = crawl_distributed(spark, fs_tree)
+        assert any(r["path"] == locked for r in errdf.collect())
+    finally:
+        os.chmod(locked, 0o755)
+
+
 def test_crawl_exclusions(fs_tree):
     prows, erows, _ = crawl_local(fs_tree, exclusions=[r"/a$", r"/a/"])
     paths = {r["path"] for r in prows}
