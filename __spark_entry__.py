@@ -2197,6 +2197,38 @@ def q84_report_markdown(spark, sf_dir):
     ).orderBy("section", "row_key")
 
 
+def q86_real_codecs(spark, sf_dir):
+    """Real (non-stub) multimodal decode through the Arrow path: BMP and
+    WAV payloads built formulaically from ids are parsed by the
+    pure-Python codecs (pipeline/multimodal.decode_bmp/decode_wav) and
+    the decoded channel means / RMS are value-checked against a DuckDB
+    restatement of the same formulas — pixels and PCM samples actually
+    decoded, not digest stubs."""
+    from dudb_spark.pipeline import multimodal as mm
+
+    rows = []
+    for i in range(24):
+        if i % 2 == 0:
+            color = (i * 7 % 256, i * 13 % 256, i * 29 % 256)
+            payload = mm.synthetic_bmp(8, 4, color)
+            meta = ("image", "bmp", 8, 4, None, len(payload))
+        else:
+            samples = [(i * j * 37) % 2001 - 1000 for j in range(32)]
+            payload = mm.synthetic_wav(samples, rate=8000)
+            meta = ("audio", "wav", None, None, None, len(payload))
+        rows.append((i, bytearray(payload), meta))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    d = mm.decode_media(media)
+    return d.select(
+        "media_id", "format", "width", "height", "n_channels", "sample_rate",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(F.try_element_at("mean", F.lit(1)), 6).alias("mean1"),
+        F.round(F.try_element_at("mean", F.lit(2)), 6).alias("mean2"),
+        F.round(F.try_element_at("mean", F.lit(3)), 6).alias("mean3"),
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("media_id")
+
+
 def q68_stats_snapshot_roundtrip(spark, sf_dir):
     """S10: persist the stats result as a snapshot and read it back — the
     reloaded per-prefix table must round-trip value-exact (oracle = the
@@ -2664,6 +2696,7 @@ QUERIES: dict[str, Callable] = {
     "q82_group_reservoir": q82_group_reservoir,
     "q83_report_json": q83_report_json,
     "q84_report_markdown": q84_report_markdown,
+    "q86_real_codecs": q86_real_codecs,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -3968,6 +4001,40 @@ ORACLE["q84_report_markdown"] = _FS_CONTRIB_SQL + """
 # q85 shares q38's oracle verbatim: under the watermark-exact emit rule
 # the stateful emissions are independent of micro-batch boundaries.
 ORACLE["q85_sessions_multibatch"] = ORACLE["q38_events_sessionized"]
+
+# q86: the BMP/WAV payloads are formulaic, so the decoded channel means
+# and RMS are restated arithmetically — solid-color BMPs decode to their
+# exact RGB, and the PCM mean/RMS recompute over the same sample formula.
+ORACLE["q86_real_codecs"] = """
+    WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
+    bmp AS (
+        SELECT i AS media_id, 'bmp' AS format,
+               CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+               CAST(3 AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+               CAST(32 AS BIGINT) AS n_frames,
+               CAST((i*7) % 256 AS DOUBLE) AS mean1,
+               CAST((i*13) % 256 AS DOUBLE) AS mean2,
+               CAST((i*29) % 256 AS DOUBLE) AS mean3,
+               CAST(NULL AS DOUBLE) AS rms
+        FROM ids WHERE i % 2 = 0
+    ), wav_s AS (
+        SELECT i, unnest(generate_series(0, 31)) AS j
+        FROM ids WHERE i % 2 = 1
+    ), wav AS (
+        SELECT i AS media_id, 'wav' AS format,
+               CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+               CAST(1 AS INT) AS n_channels, CAST(8000 AS INT) AS sample_rate,
+               CAST(32 AS BIGINT) AS n_frames,
+               ROUND(AVG(CAST((i*j*37) % 2001 - 1000 AS DOUBLE)), 6) AS mean1,
+               CAST(NULL AS DOUBLE) AS mean2, CAST(NULL AS DOUBLE) AS mean3,
+               ROUND(sqrt(AVG(CAST(((i*j*37) % 2001 - 1000)
+                                   * ((i*j*37) % 2001 - 1000) AS DOUBLE))), 6)
+                 AS rms
+        FROM wav_s GROUP BY i
+    )
+    SELECT * FROM (SELECT * FROM bmp UNION ALL SELECT * FROM wav)
+    ORDER BY media_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

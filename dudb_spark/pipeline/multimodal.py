@@ -203,6 +203,173 @@ def sample_frames(
     ).mapInPandas(kernel, FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real codecs: BMP (24-bit uncompressed) and WAV (16-bit PCM) decode in
+# pure Python, so at least two genuine decoders exercise the Arrow decode
+# path end-to-end without imaging/audio libraries.  Every other format
+# stays behind the declared sha256 stubs above.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed 24-bit BMP: dimensions + per-channel means
+    over the real pixel array (bottom-up rows, BGR order, rows padded to
+    4 bytes — the actual layout, not a digest)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    n_rows = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    sums = [0, 0, 0]  # B, G, R
+    for r in range(n_rows):
+        base = data_off + r * row_bytes
+        row = payload[base: base + width * 3]
+        sums[0] += sum(row[0::3])
+        sums[1] += sum(row[1::3])
+        sums[2] += sum(row[2::3])
+    n_px = max(width * n_rows, 1)
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": n_rows,
+        "n_channels": 3,
+        "sample_rate": None,
+        "n_frames": n_px,
+        # RGB order
+        "mean": [sums[2] / n_px, sums[1] / n_px, sums[0] / n_px],
+        "rms": None,
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE 16-bit PCM payload: fmt chunk + interleaved
+    samples, per-channel means and overall RMS computed from the real
+    sample values."""
+    import array
+    import math
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, channels, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos: pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt_code}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if channels is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) // 2 * 2])
+    n_frames = len(samples) // channels
+    ch_sums = [0] * channels
+    sq = 0
+    for i, s in enumerate(samples):
+        ch_sums[i % channels] += s
+        sq += s * s
+    n = max(len(samples), 1)
+    return {
+        "format": "wav",
+        "width": None,
+        "height": None,
+        "n_channels": channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "mean": [c / max(n_frames, 1) for c in ch_sums],
+        "rms": math.sqrt(sq / n),
+    }
+
+
+_DECODERS = {"bmp": decode_bmp, "wav": decode_wav}
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("mean", T.ArrayType(T.DoubleType()), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Arrow-batched real decode: BMP and WAV payloads are parsed with the
+    pure-Python codecs above; other formats yield a null-typed row (or
+    raise under ``strict=True``, marking where PIL/ffmpeg would plug in).
+    Same plumbing contract as :func:`extract_features` — only
+    (media_id, payload, format) cross the JVM↔Python boundary."""
+
+    # missing keys must be None (not pandas NaN): NaN is a float and the
+    # Arrow writer rejects it for array-typed columns
+    blank = {f.name: None for f in DECODED_SCHEMA.fields}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p, fmt in zip(pdf["media_id"], pdf["payload"], pdf["fmt"]):
+                dec = _DECODERS.get((fmt or "").lower())
+                if dec is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"no real decoder for format {fmt!r}; BMP/WAV "
+                            "are built in, others need imaging/audio libs"
+                        )
+                    out.append(dict(blank, media_id=mid, format=fmt))
+                    continue
+                out.append(dict(blank, **dec(bytes(p)), media_id=mid))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return media.select(
+        "media_id", "payload", F.col("meta.format").alias("fmt")
+    ).mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def synthetic_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Build a real uncompressed 24-bit BMP filled with one color."""
+    row_bytes = (width * 3 + 3) & ~3
+    img_size = row_bytes * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    r, g, b = rgb
+    row = (bytes((b, g, r)) * width).ljust(row_bytes, b"\x00")
+    return header + row * height
+
+
+def synthetic_wav(samples: list[int], rate: int = 8000, channels: int = 1) -> bytes:
+    """Build a real RIFF/WAVE 16-bit PCM payload from raw sample values."""
+    import array
+
+    data = array.array("h", samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-Column metadata rollup (no Python): bytes/type histograms."""
     return (

@@ -152,6 +152,52 @@ def test_multimodal_plumbing(spark):
         multimodal.extract_features(media, strict=True).collect()
 
 
+def test_real_bmp_decode_roundtrip():
+    """decode_bmp parses the actual pixel layout (BGR, bottom-up, padded
+    rows) of a BMP built by synthetic_bmp — exact channel means back."""
+    bmp = multimodal.synthetic_bmp(5, 3, (200, 100, 50))  # width 5: padded
+    d = multimodal.decode_bmp(bmp)
+    assert (d["width"], d["height"], d["n_channels"]) == (5, 3, 3)
+    assert d["mean"] == [200.0, 100.0, 50.0]
+    assert d["n_frames"] == 15
+
+
+def test_real_wav_decode_roundtrip():
+    import math
+
+    samples = [0, 100, -100, 300, -300, 500]
+    wav = multimodal.synthetic_wav(samples, rate=8000, channels=1)
+    d = multimodal.decode_wav(wav)
+    assert (d["sample_rate"], d["n_channels"], d["n_frames"]) == (8000, 1, 6)
+    assert d["mean"] == [sum(samples) / 6]
+    assert d["rms"] == math.sqrt(sum(s * s for s in samples) / 6)
+    # stereo interleave: per-channel means split correctly
+    st = multimodal.synthetic_wav([10, -20, 30, -40], rate=4000, channels=2)
+    d2 = multimodal.decode_wav(st)
+    assert d2["n_channels"] == 2 and d2["n_frames"] == 2
+    assert d2["mean"] == [20.0, -30.0]
+
+
+def test_decode_media_arrow_path(spark):
+    """The real codecs through the distributed Arrow decode stage: BMP and
+    WAV rows decode, unknown formats null-fill (or raise under strict)."""
+    rows = [
+        (0, bytearray(multimodal.synthetic_bmp(4, 2, (10, 20, 30))),
+         ("image", "bmp", 4, 2, None, 0)),
+        (1, bytearray(multimodal.synthetic_wav([1000, -1000] * 8)),
+         ("audio", "wav", None, None, None, 0)),
+        (2, bytearray(b"\x89PNG fake"), ("image", "png", None, None, None, 0)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert got[0]["width"] == 4 and got[0]["mean"] == [10.0, 20.0, 30.0]
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_frames"] == 16
+    assert got[1]["rms"] == 1000.0
+    assert got[2]["width"] is None and got[2]["format"] == "png"
+    with pytest.raises(Exception, match="NotImplementedError|no real decoder"):
+        multimodal.decode_media(media, strict=True).collect()
+
+
 def test_multimodal_resize_and_frames(spark):
     media = multimodal.synthetic_media(spark, n=8)
     resized = multimodal.resize_images(media, width=16, height=16).collect()
