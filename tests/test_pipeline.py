@@ -58,6 +58,26 @@ def test_minhash_poly_hash_variant(docs):
     assert pairs.get((0, 2), 0.0) < 0.3
 
 
+def test_minhash_verified_pairs_matches_two_step(docs):
+    # the fused candidates→verify pipeline (shingle once, Jaccard over the
+    # hashed-shingle sets) returns the same pairs and values as the
+    # two-step minhash_candidates + ngram_jaccard path — hashed-set
+    # Jaccard equals string-shingle Jaccard absent 31-bit collisions
+    fused = dedup.minhash_verified_pairs(
+        docs, num_perm=64, bands=32, min_est=0.5, min_jaccard=0.0
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in fused.collect()}
+    cand = dedup.minhash_candidates(
+        docs, num_perm=64, bands=32, hash_fn="poly"
+    ).where(F.col("est_jaccard") >= 0.5)
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard(docs, cand).collect()
+    }
+    assert got == want
+    assert got[(0, 3)] == 1.0
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_near_duplicates(docs, max_hamming=8)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
