@@ -1660,6 +1660,65 @@ def _fixed_ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -
     """
 
 
+def _semantic_dedup_oracle_sql(n_clusters: int = 16, thr: float = 0.2) -> str:
+    """DuckDB restatement of q88: the q41 quantizer chain (seed centroids,
+    6-decimal argmax assignment, decimal-exact Lloyd means, re-assignment)
+    followed by the SemDeDup shadowing rule — min lower same-cell id with
+    cosine ≥ thr."""
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    def argmax(src, cents, out):
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT s.vec_id, s.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {cos('s.v', 'c.v')} DESC, c.cell ASC) AS rn
+                FROM {src} s CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM e ORDER BY vec_id LIMIT {n_clusters}
+        ), {argmax('e', 'c0', 'a0')}
+        , m AS (
+            SELECT cell, i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i FROM a0)
+            GROUP BY cell, i
+        ), c1g AS (
+            SELECT cell AS orig_cell, list(mu ORDER BY i) AS v
+            FROM m GROUP BY cell
+        ), c1 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY orig_cell) - 1 AS cell, v
+            FROM c1g
+        ), {argmax('e', 'c1', 'a1')}
+        , shadows AS (
+            SELECT b.vec_id AS vid, MIN(a.vec_id) AS dup_of
+            FROM a1 a JOIN a1 b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {cos('a.v', 'b.v')} >= {thr}
+            GROUP BY b.vec_id
+        )
+        SELECT a1.vec_id, CAST(a1.cell AS BIGINT) AS cell, s.dup_of,
+               s.dup_of IS NULL AS kept
+        FROM a1 LEFT JOIN shadows s ON a1.vec_id = s.vid
+        ORDER BY a1.vec_id
+    """
+
+
 def _trigram_oracle_sql() -> str:
     """DuckDB restatement of q40: same normalization, trigram set, profile
     intersections, and the argmax-with-lexicographic-tie-break that
@@ -2292,6 +2351,20 @@ def q87_merge_at_scale(spark, sf_dir):
     )
 
 
+def q88_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: coarse-
+    quantize with the deterministic fixed_cells quantizer (the q41
+    machinery), then within each cell drop every vector shadowed by a
+    lower-id vector with cosine ≥ threshold.  One row per vector with
+    (cell, dup_of, kept); the oracle replays the quantizer AND the
+    shadowing rule, so the whole semantic-dedup decision table is
+    value-checked cross-engine."""
+    from dudb_spark.pipeline.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.2, n_clusters=16).orderBy("vec_id")
+
+
 def q68_stats_snapshot_roundtrip(spark, sf_dir):
     """S10: persist the stats result as a snapshot and read it back — the
     reloaded per-prefix table must round-trip value-exact (oracle = the
@@ -2761,6 +2834,7 @@ QUERIES: dict[str, Callable] = {
     "q84_report_markdown": q84_report_markdown,
     "q86_real_codecs": q86_real_codecs,
     "q87_merge_at_scale": q87_merge_at_scale,
+    "q88_semantic_dedup": q88_semantic_dedup,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4127,6 +4201,8 @@ ORACLE["q87_merge_at_scale"] = """
                 WHERE d BETWEEN 490 AND 494)
              AS BIGINT) AS total_bytes
 """
+
+ORACLE["q88_semantic_dedup"] = _semantic_dedup_oracle_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -74,64 +74,24 @@ class IVFIndex:
         )
 
 
-def fixed_ivf_topk(
+def fixed_cells(
     emb: DataFrame,
-    query_vec,
-    k: int = 10,
     n_clusters: int = 16,
-    n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """Deterministic, oracle-reproducible IVF: centroids seeded from the
-    first ``n_clusters`` vectors by id, refined by ONE Lloyd step whose
-    per-cell means use exact decimal sums (identical doubles in any
-    engine/partitioning), then probe-and-score.  Cell argmax and final
-    ranking compare cosines rounded to 6 decimals with id tie-breaks, so
-    an oracle engine reproduces every choice bit-for-bit.  KMeans
-    (:func:`build_ivf`) remains the production quantizer — this variant
-    exists so the ANN-with-index path can be value-checked end-to-end."""
-    import math
-
-    from pyspark.sql import functions as F
-
-    def py_norm(c) -> float:
-        # left fold from 0.0, matching `aggregate`'s sequential order, so
-        # the Python double equals the engine's norm(lit(c)) bit-for-bit
-        acc = 0.0
-        for x in c:
-            acc = acc + x * x
-        return math.sqrt(acc)
-
-    def dbl(x: float) -> str:
-        # repr() is the shortest round-tripping decimal; Java's string->
-        # double parse is correctly rounded, so the engine sees the same
-        # binary64 as Python holds
-        return f"CAST('{x!r}' AS DOUBLE)"
-
-    def vec_sql(c) -> str:
-        return "array(" + ",".join(dbl(x) for x in c) + ")"
-
-    def cos6_sql(c, nc: float) -> str:
-        # dot(v, c) / (norm(v) * norm(c)) with norm(v) read once from the
-        # materialized `_nv` column and norm(c) a Python constant — the
-        # identical IEEE expression as cosine(), minus 2/3 of the folds.
-        # One SQL string per expression: per-element lit() Columns would
-        # cost a py4j round-trip each (16 centroids x dim of them).
-        d = (
-            f"aggregate(zip_with(_v, {vec_sql(c)}, (x, y) -> x * y), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        return f"round({d} / (_nv * {dbl(nc)}), 6)"
-
-    def argmax_cell(centroids):
-        # array_max over struct(score, -cell): ties pick the smaller cell
-        pairs = ", ".join(
-            f"struct({cos6_sql(c, py_norm(c))} AS s, {-j} AS nj)"
-            for j, c in enumerate(centroids)
-        )
-        return F.expr(f"-array_max(array({pairs})).nj")
-
+):
+    """Deterministic, oracle-reproducible coarse quantizer: centroids
+    seeded from the first ``n_clusters`` vectors by id, refined by ONE
+    Lloyd step whose per-cell means use exact decimal sums (identical
+    doubles in any engine/partitioning).  Cell argmax compares cosines
+    rounded to 6 decimals with smaller-cell tie-breaks, so an oracle
+    engine reproduces every assignment bit-for-bit.  Returns
+    ``(assigned, centroids)`` where ``assigned`` carries (id, _v, _nv,
+    cell) — the cast vector and its norm materialized once behind the
+    persist barrier — and ``centroids`` is the post-Lloyd list (cell
+    order).  Shared by the value-checkable IVF search
+    (:func:`fixed_ivf_topk`) and semantic dedup
+    (similarity.semantic_dedup)."""
     c0 = [
         [float(x) for x in r[vec_col]]
         for r in emb.orderBy(id_col).limit(n_clusters).collect()
@@ -146,7 +106,7 @@ def fixed_ivf_topk(
         id_col, v.alias("_v"), F.sqrt(dot(v, v)).alias("_nv")
     ).persist()
 
-    assigned0 = base.select(id_col, "_v", argmax_cell(c0).alias("cell"))
+    assigned0 = base.select(id_col, "_v", _argmax_cell(c0).alias("cell"))
 
     # one Lloyd step: exact decimal sums -> identical means everywhere.
     # One aggregate column per dimension (16 cells × dim sums through
@@ -164,6 +124,75 @@ def fixed_ivf_topk(
         for r in sorted(means, key=lambda r: r["cell"])
     ]
 
+    # cell ids in the second assignment are INDICES into the (ascending-
+    # cell-ordered) c1 list — an oracle derives the same ordering
+    assigned1 = base.select(
+        id_col, "_v", "_nv", _argmax_cell(c1).alias("cell")
+    )
+    return assigned1, c1
+
+
+def _py_norm(c) -> float:
+    import math
+
+    # left fold from 0.0, matching `aggregate`'s sequential order, so
+    # the Python double equals the engine's norm(lit(c)) bit-for-bit
+    acc = 0.0
+    for x in c:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _dbl(x: float) -> str:
+    # repr() is the shortest round-tripping decimal; Java's string->
+    # double parse is correctly rounded, so the engine sees the same
+    # binary64 as Python holds
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _vec_sql(c) -> str:
+    return "array(" + ",".join(_dbl(x) for x in c) + ")"
+
+
+def _cos6_sql(c, nc: float) -> str:
+    # dot(v, c) / (norm(v) * norm(c)) with norm(v) read once from the
+    # materialized `_nv` column and norm(c) a Python constant — the
+    # identical IEEE expression as cosine(), minus 2/3 of the folds.
+    # One SQL string per expression: per-element lit() Columns would
+    # cost a py4j round-trip each (16 centroids x dim of them).
+    d = (
+        f"aggregate(zip_with(_v, {_vec_sql(c)}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return f"round({d} / (_nv * {_dbl(nc)}), 6)"
+
+
+def _argmax_cell(centroids):
+    # array_max over struct(score, -cell): ties pick the smaller cell
+    pairs = ", ".join(
+        f"struct({_cos6_sql(c, _py_norm(c))} AS s, {-j} AS nj)"
+        for j, c in enumerate(centroids)
+    )
+    return F.expr(f"-array_max(array({pairs})).nj")
+
+
+def fixed_ivf_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic, oracle-reproducible IVF search over the
+    :func:`fixed_cells` quantizer: select the ``n_probe`` nearest cells
+    driver-side (tiny centroid list), score only their rows, rank by
+    cosine rounded to 6 decimals with id tie-breaks.  KMeans
+    (:func:`build_ivf`) remains the production quantizer — this variant
+    exists so the ANN-with-index path can be value-checked end-to-end."""
+    assigned1, c1 = fixed_cells(emb, n_clusters, vec_col, id_col)
+
     # probe cells: driver-side cosine on the tiny centroid list
     def pycos(a, b):
         dot_ = sum(x * y for x, y in zip(a, b))
@@ -177,16 +206,11 @@ def fixed_ivf_topk(
     )
     probe = {-nj for _, nj in ranked[:n_probe]}
 
-    # cell ids in the second assignment are INDICES into the (ascending-
-    # cell-ordered) c1 list — the oracle derives the same ordering
-    assigned1 = base.select(
-        id_col, "_v", "_nv", argmax_cell(c1).alias("cell")
-    )
     return (
         assigned1.where(
             F.col("cell").isin(sorted(probe)) & (F.col(id_col) != 0)
         )
-        .select(id_col, F.expr(cos6_sql(qv, py_norm(qv))).alias("cosine"))
+        .select(id_col, F.expr(_cos6_sql(qv, _py_norm(qv))).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )

@@ -127,6 +127,70 @@ def lsh_bucketed_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with a coarse
+    quantizer, then compare pairs WITHIN each cluster only and drop every
+    vector whose cluster holds a more-canonical (lower-id) vector with
+    cosine ≥ ``threshold``.
+
+    One row per input vector: (id, cell, dup_of, kept) where ``dup_of``
+    is the smallest same-cell id that shadows this vector (NULL when
+    kept).  Deterministic end-to-end: the quantizer is
+    :func:`ivf.fixed_cells` (seed centroids + one decimal-exact Lloyd
+    step, 6-decimal argmax), and the shadowing rule is a pure min over
+    6-decimal cosines — an oracle engine replays every decision.
+
+    Scale shape: pairwise work is confined to cells — one equi-join
+    shuffle keyed by cell, O(Σ|cell|²) comparisons instead of O(N²);
+    production corpora size ``n_clusters`` so cells fit comfortably in a
+    task (the paper runs 50k clusters over 5B embeddings).  The
+    per-pair cosine reads the materialized vector+norm columns, so each
+    norm is computed once per vector, not once per pair."""
+    from dudb_spark.pipeline.ivf import fixed_cells
+
+    assigned, _ = fixed_cells(df, n_clusters, vec_col, id_col)
+    a = assigned.select(
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_nv").alias("n_a"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_nv").alias("n_b"),
+    )
+    cos = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+    )
+    shadows = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return (
+        assigned.select(id_col, F.col("cell").cast("long").alias("cell"))
+        .join(shadows, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

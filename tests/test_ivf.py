@@ -76,3 +76,42 @@ def test_fixed_ivf_deterministic_and_sane(spark):
     brute = [r["vec_id"] for r in
              brute_force_topk(emb.where("vec_id != 0"), q, k=10).collect()]
     assert len({v for v, _ in a} & set(brute)) >= 5
+
+
+def test_semantic_dedup_contract(spark, corpus):
+    """SemDeDup invariants: one row per vector; a dropped vector's dup_of
+    is a lower KEPT-or-dropped id in the SAME cell with cosine >= thr; a
+    kept vector has no lower same-cell shadow."""
+    from dudb_spark.pipeline.similarity import cosine, semantic_dedup, _as_double
+
+    from pyspark.sql import functions as F
+
+    res = semantic_dedup(corpus, threshold=0.2, n_clusters=8).cache()
+    try:
+        n = corpus.count()
+        assert res.count() == n
+        rows = {r["vec_id"]: r for r in res.collect()}
+        # at least one drop at this threshold on the fixture corpus
+        dropped = [r for r in rows.values() if not r["kept"]]
+        assert dropped
+        for r in dropped:
+            assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+            assert rows[r["dup_of"]]["cell"] == r["cell"]
+        # spot-check the shadowing cosine for a few dropped vectors
+        vec = {
+            r["vec_id"]: r["embedding"]
+            for r in corpus.where(
+                F.col("vec_id").isin(
+                    [r["vec_id"] for r in dropped[:3]]
+                    + [r["dup_of"] for r in dropped[:3]]
+                )
+            ).collect()
+        }
+        for r in dropped[:3]:
+            a, b = vec[r["vec_id"]], vec[r["dup_of"]]
+            d = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(y * y for y in b) ** 0.5
+            assert round(d / (na * nb), 6) >= 0.2 - 1e-9
+    finally:
+        res.unpersist()
