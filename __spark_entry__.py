@@ -1580,7 +1580,7 @@ def _dedup_decision_oracle_sql() -> str:
         + """
         , toks AS (
             SELECT doc_id, text,
-                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
             FROM documents
         ), q AS (
             SELECT doc_id,

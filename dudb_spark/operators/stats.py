@@ -53,6 +53,7 @@ non-duplicate matching directories.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from itertools import count
 from typing import Callable
 
 from pyspark.sql import DataFrame, Window
@@ -63,6 +64,9 @@ from dudb_spark.functions.calculators import identity
 from dudb_spark.operators.find import subtree_pred
 
 METRICS = ("bytes", "storage_bytes", "prefix_bytes", "files", "sub_prefixes")
+
+# observation-name uniquifier — see the comment at the observe() call
+_OBS_IDS = count()
 
 _ZERO = {
     "files": 0,
@@ -218,8 +222,13 @@ def compute_stats(
     # pass); a listener or .observedMetrics exposes prefixes/bytes scanned,
     # replacing the reference's progress tracker (progress.go:37–316)
     pfx = prefixes.where(subtree_pred(F.col("path"), opts.root) & p_pred)
+    # the observation name must be unique per fold within a PLAN, not just
+    # per live object: id(opts) recycles freed addresses, and two folds
+    # composed into one query (the incremental stitch path) intermittently
+    # collided on the name -> "multiple definitions of observed metrics"
+    # AnalysisException.  A process-monotonic counter can't collide.
     pfx = pfx.observe(
-        f"dudb_stats_prefixes_{id(opts)}",
+        f"dudb_stats_prefixes_{next(_OBS_IDS)}",
         F.count(F.lit(1)).alias("prefixes_scanned"),
         F.sum("size").alias("prefix_bytes_scanned"),
     )
