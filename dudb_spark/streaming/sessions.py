@@ -76,74 +76,124 @@ def _dur_us(dur: str) -> int:
 
 
 def _session_fn(gap_us: int):
+    # The kernel is vectorized: session boundaries come from one
+    # np.diff > gap over the (sorted) event times, per-session counts/
+    # sums from reduceat over the boundary indices — no per-event Python
+    # loop.  Values are expected to be exactly representable doubles
+    # (integer cents in the gates), so any summation order is exact.
+    import numpy as np
+
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
         wm_us = state.getCurrentWatermarkMs() * 1000
 
         if state.exists:
             start, last, n, v, ts_buf, val_buf = state.get
-            ts_buf, val_buf = list(ts_buf), list(val_buf)
+            ts = np.asarray(ts_buf, dtype=np.int64)
+            vs = np.asarray(val_buf, dtype=np.float64)
         else:
-            start, last, n, v, ts_buf, val_buf = None, None, 0, 0.0, [], []
+            start, last, n, v = None, None, 0, 0.0
+            ts = np.empty(0, np.int64)
+            vs = np.empty(0, np.float64)
 
-        frames = [] if state.hasTimedOut else list(pdfs)
-        for pdf in frames:
-            ts_buf.extend(int(t.value // 1000) for t in pdf["ts"])
-            val_buf.extend(float(x) for x in pdf["value"])
-        if ts_buf:
-            order = sorted(range(len(ts_buf)), key=ts_buf.__getitem__)
-            ts_buf = [ts_buf[i] for i in order]
-            val_buf = [val_buf[i] for i in order]
+        if not state.hasTimedOut:
+            parts_t, parts_v = [ts], [vs]
+            for pdf in pdfs:
+                parts_t.append(pdf["ts"].astype("int64").to_numpy() // 1000)
+                parts_v.append(pdf["value"].to_numpy(dtype=np.float64))
+            ts = np.concatenate(parts_t)
+            vs = np.concatenate(parts_v)
+            if ts.size > 1:
+                order = np.argsort(ts, kind="stable")
+                ts, vs = ts[order], vs[order]
 
-        # rebuild the session list: compacted prefix + buffered events.
-        # sessions: [start, end, n, sum, raw_ts, raw_vals]; the compacted
-        # prefix carries no raw events (they are already final).
-        sessions = []
-        if start is not None:
-            sessions.append([start, last, n, v, [], []])
-        for t, x in zip(ts_buf, val_buf):
-            if sessions and t - sessions[-1][1] <= gap_us:
-                s = sessions[-1]
-                s[1] = max(s[1], t)
-                s[2] += 1
-                s[3] += x
-                s[4].append(t)
-                s[5].append(x)
-            else:
-                sessions.append([t, t, 1, x, [t], [x]])
+        # sessionize the sorted buffer: an event starts a new session when
+        # its gap from the previous event (or the compacted prefix's last
+        # event) exceeds gap_us.  brk[i] = True ⇔ event i opens a session.
+        if ts.size:
+            merged_prefix = last is not None and (ts[0] - last <= gap_us)
+            brk = np.empty(ts.size, dtype=bool)
+            brk[0] = True  # grouping always opens at the first event;
+            # whether that group CONTINUES the carried prefix session is
+            # tracked by merged_prefix and folded in below
+            if ts.size > 1:
+                np.greater(ts[1:] - ts[:-1], gap_us, out=brk[1:])
+            starts_ix = np.flatnonzero(brk)
+            bounds = np.append(starts_ix, ts.size)
+            s_start = ts[starts_ix].copy()
+            s_end = ts[bounds[1:] - 1].copy()
+            s_n = np.diff(bounds).astype(np.int64)
+            s_v = np.add.reduceat(vs, starts_ix)
+            if merged_prefix:
+                s_start[0] = start
+                s_end[0] = max(s_end[0], last)
+                s_n[0] += n
+                s_v[0] += v
+            lone_prefix = last is not None and not merged_prefix
+        else:
+            s_start = s_end = np.empty(0, np.int64)
+            s_n = np.empty(0, np.int64)
+            s_v = np.empty(0, np.float64)
+            starts_ix = bounds = None
+            merged_prefix = False
+            lone_prefix = last is not None
 
-        closed = [s for s in sessions if s[1] + gap_us < wm_us]
-        kept = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if lone_prefix:
+            # the carried prefix is its own (earliest) session
+            s_start = np.concatenate(([start], s_start))
+            s_end = np.concatenate(([last], s_end))
+            s_n = np.concatenate(([n], s_n))
+            s_v = np.concatenate(([v], s_v))
 
-        if kept:
-            # compact the first kept session's sub-(wm - gap) events — no
+        # session ends are ascending, so closed sessions are a prefix:
+        # end + gap < wm  ⇔  end < wm - gap
+        horizon = wm_us - gap_us
+        cut = int(np.searchsorted(s_end, horizon, side="left"))
+        n_sessions = s_start.size
+
+        if cut < n_sessions:
+            # compact the first kept session's sub-horizon events — no
             # admissible future event can reach them; later kept sessions
-            # start above the watermark and stay fully buffered
-            first, rest = kept[0], kept[1:]
-            horizon = wm_us - gap_us
-            c_start = c_last = None
-            c_n, c_v = 0, 0.0
-            r_ts, r_val = [], []
-            if not first[4]:  # pure compacted carry-over
-                c_start, c_last, c_n, c_v = first[:4]
+            # end above the horizon... their events may still predate it
+            # only within the first kept session, so the rest stay raw
+            if ts.size:
+                # index of the first kept session within the BUFFER
+                # session list (a lone prefix shifts the session arrays
+                # by one relative to starts_ix/bounds)
+                bcut = cut - 1 if lone_prefix else cut
+                if bcut < 0:
+                    # kept[0] is the lone prefix (no raw events); every
+                    # buffered event belongs to later kept sessions
+                    lo = hi = 0
+                else:
+                    lo = int(starts_ix[bcut])  # kept[0]'s first event
+                    hi = lo + int(
+                        np.searchsorted(
+                            ts[lo:bounds[bcut + 1]], horizon, side="left"
+                        )
+                    )
             else:
-                if first[0] < first[4][0]:  # prior compacted prefix
-                    c_start, c_last, c_n, c_v = start, last, n, v
-                for t, x in zip(first[4], first[5]):
-                    if t < horizon:
-                        c_start = t if c_start is None else c_start
-                        c_last, c_n, c_v = t, c_n + 1, c_v + x
-                    else:
-                        r_ts.append(t)
-                        r_val.append(x)
-            for s in rest:
-                r_ts.extend(s[4])
-                r_val.extend(s[5])
+                lo = hi = 0
+            # compacted tuple: prior prefix (if it flowed into kept[0])
+            # plus kept[0]'s sub-horizon events
+            in_prefix = (cut == 0) and (merged_prefix or lone_prefix)
+            c_start = start if in_prefix else None
+            c_last = last if in_prefix else None
+            c_n = n if in_prefix else 0
+            c_v = v if in_prefix else 0.0
+            if hi > lo:
+                if c_start is None:
+                    c_start = int(ts[lo])
+                c_last = int(ts[hi - 1])
+                c_n += int(hi - lo)
+                c_v += float(vs[lo:hi].sum())
+            r_ts = [int(t) for t in ts[hi:]] if ts.size else []
+            r_val = [float(x) for x in vs[hi:]] if ts.size else []
             state.update((c_start, c_last, c_n, c_v, r_ts, r_val))
-            # wake up when the watermark can first pass the earliest
-            # open session's close point (end + gap), even if no further
-            # event for this key ever arrives
-            close_ms = (kept[0][1] + gap_us) // 1000 + 1
+            # wake up when the watermark can first pass the earliest open
+            # session's close point (end + gap), even if no further event
+            # for this key ever arrives
+            close_ms = (int(s_end[cut]) + gap_us) // 1000 + 1
             state.setTimeoutTimestamp(
                 max(close_ms, state.getCurrentWatermarkMs() + 1)
             )
@@ -151,15 +201,14 @@ def _session_fn(gap_us: int):
             state.remove()
 
         out = pd.DataFrame(
-            [(user_id, s[0], s[1], s[2], s[3]) for s in closed],
-            columns=[
-                "user_id", "session_start", "session_end",
-                "n_events", "sum_value",
-            ],
+            {
+                "user_id": np.full(cut, user_id, dtype=np.int64),
+                "session_start": pd.to_datetime(s_start[:cut], unit="us"),
+                "session_end": pd.to_datetime(s_end[:cut], unit="us"),
+                "n_events": s_n[:cut],
+                "sum_value": s_v[:cut],
+            }
         )
-        if len(out):
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
         yield out
 
     return fn
