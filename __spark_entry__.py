@@ -762,11 +762,16 @@ def q36_winnow_fingerprints(spark, sf_dir):
 
 def q37_fingerprint_overlap(spark, sf_dir):
     """Pipeline/dedup: copy-detection pairs by winnowed-fingerprint overlap
-    (explode → one equi-join on fp → per-pair count), value-exact."""
-    from dudb_spark.pipeline.dedup import fingerprint_overlap_pairs
+    (explode → one equi-join on fp → per-pair count), value-exact.  The
+    pair frame is pinned + memoized so the compositions built on it
+    (q44 clustering, q55 decisions, q58 consensus) run the winnow
+    pipeline once per session."""
+    from dudb_spark.pipeline.dedup import cached_fingerprint_overlap_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return fingerprint_overlap_pairs(d, min_shared=2).orderBy("id_a", "id_b")
+    return cached_fingerprint_overlap_pairs(
+        d, cache_key=("documents", sf_dir), min_shared=2
+    ).orderBy("id_a", "id_b")
 
 
 def _sessionize_gate(spark, sf_dir, query_name, max_files=None):
@@ -1374,16 +1379,16 @@ def q58_consensus_dedup(spark, sf_dir):
     full-outer-joined on the pair key and tagged text/emb/both.  Both
     candidate generators are LSH-blocked equi-joins and the merge is a
     third equi-join, so the whole pipeline stays quadratic-free."""
-    from dudb_spark.pipeline.dedup import fingerprint_overlap_pairs
+    from dudb_spark.pipeline.dedup import cached_fingerprint_overlap_pairs
     from dudb_spark.pipeline.similarity import cosine_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings").withColumnRenamed(
         "vec_id", "doc_id"
     )
-    text_pairs = fingerprint_overlap_pairs(d, min_shared=2).select(
-        "id_a", "id_b", "overlap"
-    )
+    text_pairs = cached_fingerprint_overlap_pairs(
+        d, cache_key=("documents", sf_dir), min_shared=2
+    ).select("id_a", "id_b", "overlap")
     emb_pairs = cosine_near_dup_pairs(
         emb, threshold=0.2, bits=8, seed=42, id_col="doc_id"
     ).select("id_a", "id_b", "cosine")
