@@ -2368,6 +2368,24 @@ def q88_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.2, n_clusters=16).orderBy("vec_id")
 
 
+def q89_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment over the corpus
+    (sampling.assign_split): the hash coordinate cut at cumulative
+    weight thresholds — scan-side CASE, no shuffle, and a row's split
+    depends only on (id, salt), so eval membership is stable as the
+    corpus grows.  The oracle replays the exact hash + thresholds."""
+    from dudb_spark.pipeline.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        assign_split(
+            d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt=7
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q68_stats_snapshot_roundtrip(spark, sf_dir):
     """S10: persist the stats result as a snapshot and read it back — the
     reloaded per-prefix table must round-trip value-exact (oracle = the
@@ -2838,6 +2856,7 @@ QUERIES: dict[str, Callable] = {
     "q86_real_codecs": q86_real_codecs,
     "q87_merge_at_scale": q87_merge_at_scale,
     "q88_semantic_dedup": q88_semantic_dedup,
+    "q89_train_split": q89_train_split,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4206,6 +4225,18 @@ ORACLE["q87_merge_at_scale"] = """
 """
 
 ORACLE["q88_semantic_dedup"] = _semantic_dedup_oracle_sql()
+
+
+def _train_split_oracle_sql() -> str:
+    from dudb_spark.pipeline.sampling import assign_split_sql
+
+    case = assign_split_sql(
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt=7
+    )
+    return f"SELECT doc_id, {case} AS split FROM documents ORDER BY doc_id"
+
+
+ORACLE["q89_train_split"] = _train_split_oracle_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -79,6 +79,50 @@ def stratified_hash_sample(
     return df.where(sample_hash(F.col(id_col), salt) < thresh)
 
 
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split assignment: the
+    hash coordinate is cut at the cumulative weight thresholds, the last
+    split absorbs the remainder.  Same properties as the samplers — a
+    narrow scan-side CASE, no shuffle, reproducible in any engine, and
+    STABLE under dataset growth: a row's split depends only on its id and
+    the salt, never on the other rows (the property that keeps eval sets
+    uncontaminated as the corpus is re-crawled).
+    """
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = sample_hash(F.col(id_col), salt)
+    names = list(weights)
+    case = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < int(cum * _DENOM)
+        case = F.when(cond, name) if case is None else case.when(cond, name)
+    return df.withColumn(split_col, case.otherwise(names[-1]))
+
+
+def assign_split_sql(
+    id_expr: str, weights: dict[str, float], salt: int = 0
+) -> str:
+    """The identical split CASE as ANSI SQL (oracle restatement)."""
+    h = sample_hash_sql(id_expr, salt)
+    names = list(weights)
+    parts, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        parts.append(f"WHEN {h} < {int(cum * _DENOM)} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
 def sample_hash_sql(id_expr: str, salt: int = 0) -> str:
     """The identical bucket computation as ANSI SQL, for oracles and for
     rebuilding the same sample in another engine.  SQL % is also

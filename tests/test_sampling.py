@@ -142,3 +142,24 @@ def test_reservoir_per_group_contract(spark):
     ids8 = {(r["grp"], r["id"])
             for r in reservoir_per_group(df, "id", "grp", 8).collect()}
     assert ids5 < ids8
+
+
+def test_assign_split_partitions_and_ratios(spark):
+    import pytest
+
+    from dudb_spark.pipeline.sampling import assign_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    res = assign_split(df, "doc_id", w, salt=7)
+    counts = {r["split"]: r["n"] for r in
+              res.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 20_000  # every row exactly one split
+    for name, frac in w.items():
+        assert abs(counts.get(name, 0) / 20_000 - frac) < 0.01, counts
+    # stability: a row's split never depends on the rest of the corpus
+    sub = assign_split(df.where("doc_id < 1000"), "doc_id", w, salt=7)
+    full = {r["doc_id"]: r["split"] for r in res.where("doc_id < 1000").collect()}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub.collect())
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", {"train": 0.5, "val": 0.4}, salt=7)
