@@ -184,3 +184,39 @@ def test_bm25_single_token_shuffle(spark):
     # Generate (inside the cached build plan), >=2 cache scans
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan[:600]
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_semantic_dedup_single_pair_shuffle(spark):
+    import re
+
+    from dudb_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(semantic_dedup(emb, threshold=0.2, n_clusters=8))
+    # pairwise work must be confined to cells: the cell self-join is an
+    # equi-join (hash or sort-merge on 'cell'), never a cartesian product
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:800]
+
+
+def test_minhash_verified_reads_base_from_checkpoint(spark):
+    from dudb_spark.pipeline.dedup import minhash_verified_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(minhash_verified_pairs(docs, num_perm=32, bands=8))
+    # the shingle base is checkpointed once and re-read by the signature
+    # aggregate and both verification joins: no tokenize/shingle
+    # higher-order-function chain may survive into the final plan
+    assert "transform(" not in plan.lower() or "Scan ExistingRDD" in plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan[:800]
+
+
+def test_train_split_is_scan_side(spark):
+    from dudb_spark.pipeline.sampling import assign_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(
+        assign_split(
+            docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).select("doc_id", "split")
+    )
+    assert "Exchange" not in plan, plan[:600]
