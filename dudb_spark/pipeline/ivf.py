@@ -184,14 +184,17 @@ def fixed_ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cells=None,
 ) -> DataFrame:
     """Deterministic, oracle-reproducible IVF search over the
     :func:`fixed_cells` quantizer: select the ``n_probe`` nearest cells
     driver-side (tiny centroid list), score only their rows, rank by
     cosine rounded to 6 decimals with id tie-breaks.  KMeans
     (:func:`build_ivf`) remains the production quantizer — this variant
-    exists so the ANN-with-index path can be value-checked end-to-end."""
-    assigned1, c1 = fixed_cells(emb, n_clusters, vec_col, id_col)
+    exists so the ANN-with-index path can be value-checked end-to-end.
+    ``cells`` = a prebuilt ``fixed_cells(emb, ...)`` result, so several
+    consumers (search, semantic dedup) share one quantizer pass."""
+    assigned1, c1 = cells or fixed_cells(emb, n_clusters, vec_col, id_col)
 
     # probe cells: driver-side cosine on the tiny centroid list
     def pycos(a, b):

@@ -133,6 +133,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cells=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with a coarse
@@ -155,7 +156,7 @@ def semantic_dedup(
     norm is computed once per vector, not once per pair."""
     from dudb_spark.pipeline.ivf import fixed_cells
 
-    assigned, _ = fixed_cells(df, n_clusters, vec_col, id_col)
+    assigned, _ = cells or fixed_cells(df, n_clusters, vec_col, id_col)
     a = assigned.select(
         "cell",
         F.col(id_col).alias("id_a"),
