@@ -28,14 +28,14 @@ def events_df(spark):
     return ev
 
 
-def _collect_sessions(spark, src, name, max_files=None):
+def _collect_sessions(spark, src, name, max_files=None, gap="30 minutes"):
     from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
 
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files:
         reader = reader.option("maxFilesPerTrigger", max_files)
     q = (
-        sessionize(reader.parquet(src), gap="30 minutes")
+        sessionize(reader.parquet(src), gap=gap)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
@@ -116,3 +116,49 @@ def test_timeout_closes_idle_user(spark, tmp_path):
     # user 2's first session emits too; the trailing one stays open
     assert (2, base, base, 1) in got
     assert (2, base + 120 * m, base + 120 * m, 1) not in got
+
+
+def test_sessions_fuzz_random_streams(spark, tmp_path):
+    """Randomized event streams through per-file micro-batches: the
+    vectorized kernel's prefix-merge / lone-prefix / compaction branches
+    all fire across random gap patterns, and every seed must equal the
+    batch restatement exactly."""
+    import datetime as dt
+    import random
+
+    from dudb_spark.streaming.sessions import sessionize_batch_oracle
+
+    for seed in (3, 17, 88):
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for u in range(8):
+            t = base + dt.timedelta(minutes=rng.randint(0, 60))
+            for _ in range(rng.randint(5, 40)):
+                # steps straddle the 5-minute gap so sessions split and
+                # span micro-batch boundaries
+                t += dt.timedelta(
+                    seconds=rng.choice([10, 60, 200, 301, 400, 900])
+                )
+                rows.append((u, t, float(rng.randint(1, 100))))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        src = str(tmp_path / f"fz{seed}")
+        df.repartitionByRange(3, "ts").write.parquet(src)
+        parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+        for k, p in enumerate(parts):
+            os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+
+        got = _collect_sessions(
+            spark, src, f"t_fz{seed}", max_files=1, gap="5 minutes"
+        )
+        want = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"]): round(r["sum_value"], 6)
+            for r in sessionize_batch_oracle(
+                spark.read.parquet(src), gap="5 minutes"
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
+        assert len(want) > 10, f"seed {seed} produced a trivial stream"
