@@ -2411,6 +2411,42 @@ def q89_train_split(spark, sf_dir):
     )
 
 
+def q90_corpus_report(spark, sf_dir):
+    """The dataset card a corpus pipeline publishes: per (source, lang)
+    — document count, token total, average quality, and exact-duplicate
+    copy count (docs shadowed by a lower-id identical fingerprint).  One
+    grouped pass composing the fingerprint/quality/token operators; the
+    average is summed as exact integer micro-units (round(q*1e6)) so the
+    cross-engine value is a single deterministic division, not an
+    order-dependent float sum."""
+    from pyspark.sql import Window
+
+    from dudb_spark.pipeline.text import fingerprint, quality_score, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    canon = F.min("doc_id").over(Window.partitionBy("fp"))
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col("text")) * 1e6).cast("long").alias("q6"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).withColumn("is_copy", F.col("doc_id") > canon)
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("q6").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_quality"),
+            F.count(F.when(F.col("is_copy"), 1)).alias("n_dup_copies"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 def q68_stats_snapshot_roundtrip(spark, sf_dir):
     """S10: persist the stats result as a snapshot and read it back — the
     reloaded per-prefix table must round-trip value-exact (oracle = the
@@ -2882,6 +2918,7 @@ QUERIES: dict[str, Callable] = {
     "q87_merge_at_scale": q87_merge_at_scale,
     "q88_semantic_dedup": q88_semantic_dedup,
     "q89_train_split": q89_train_split,
+    "q90_corpus_report": q90_corpus_report,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4262,6 +4299,50 @@ def _train_split_oracle_sql() -> str:
 
 
 ORACLE["q89_train_split"] = _train_split_oracle_sql()
+
+ORACLE["q90_corpus_report"] = """
+    WITH base AS (
+        SELECT doc_id, source, lang,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               CAST(round(q * 1000000) AS BIGINT) AS q6
+        FROM (
+            SELECT doc_id, source, lang, text,
+                   ROUND((
+                       CAST(len(list_distinct(list_filter(
+                           string_split_regex(text, '\\s+'), x -> x <> '')))
+                         AS DOUBLE)
+                       / len(list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> ''))
+                     + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         AS DOUBLE) / greatest(length(text), 1)
+                     + CASE WHEN len(list_filter(
+                               string_split_regex(text, '\\s+'), x -> x <> ''))
+                               BETWEEN 20 AND 2000 THEN 1.0
+                            WHEN len(list_filter(
+                               string_split_regex(text, '\\s+'), x -> x <> ''))
+                               < 20 THEN CAST(len(list_filter(
+                                 string_split_regex(text, '\\s+'),
+                                 x -> x <> '')) AS DOUBLE) / 20
+                            ELSE 0.5 END
+                   ) / 3, 6) AS q
+            FROM documents
+        )
+    ), flagged AS (
+        SELECT *, doc_id > MIN(doc_id) OVER (PARTITION BY fp) AS is_copy
+        FROM base
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(q6) AS DOUBLE) / COUNT(*) / 1000000, 6)
+             AS avg_quality,
+           CAST(COUNT(*) FILTER (WHERE is_copy) AS BIGINT) AS n_dup_copies
+    FROM flagged
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
