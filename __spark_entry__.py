@@ -569,9 +569,7 @@ def q30_events_hourly_streamed(spark, sf_dir):
 
     from dudb_spark.streaming.rollup import hourly_rollup, stream_events
 
-    ev = _events(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="dudb_stream_src_")
-    ev.repartition(8).write.mode("overwrite").parquet(src)
+    src = _staged_events(spark, sf_dir)
 
     with _stream_parts(spark):
         stream = stream_events(spark, src)
@@ -772,6 +770,26 @@ def q37_fingerprint_overlap(spark, sf_dir):
     return cached_fingerprint_overlap_pairs(
         d, cache_key=("documents", sf_dir), min_shared=2
     ).orderBy("id_a", "id_b")
+
+
+_STAGED_EVENTS_MEMO: dict = {}
+
+
+def _staged_events(spark, sf_dir):
+    """One staged copy of the events table (8 unordered parquet files)
+    per session, shared by every streaming gate that replays the whole
+    stream in one availableNow batch (q30/q49/q50/q59) — staging is
+    setup, not the operator under test."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    got = _STAGED_EVENTS_MEMO.get(key)
+    if got is not None and got[0] is spark:
+        return got[1]
+    src = tempfile.mkdtemp(prefix="dudb_stream_src_")
+    _events(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(src)
+    _STAGED_EVENTS_MEMO[key] = (spark, src)
+    return src
 
 
 def _sessionize_gate(spark, sf_dir, query_name, max_files=None):
@@ -1142,9 +1160,7 @@ def q50_stream_dedup(spark, sf_dir):
     from dudb_spark.streaming.dedup import first_sightings
     from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
 
-    ev = _events(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="dudb_dedup_src_")
-    ev.repartition(8).write.mode("overwrite").parquet(src)
+    src = _staged_events(spark, sf_dir)
 
     with _stream_parts(spark):
         stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
@@ -1439,9 +1455,7 @@ def q59_events_sliding_streamed(spark, sf_dir):
 
     from dudb_spark.streaming.rollup import sliding_rollup, stream_events
 
-    ev = _events(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="dudb_slide_src_")
-    ev.repartition(8).write.mode("overwrite").parquet(src)
+    src = _staged_events(spark, sf_dir)
 
     with _stream_parts(spark):
         stream = stream_events(spark, src)
