@@ -580,6 +580,41 @@ def simhash(text: Column, seed: int = 42, bits: int = 64) -> Column:
     return simhash_from_hashes(token_hashes(text, seed), bits)
 
 
+def simhash_signatures(
+    base: DataFrame, bits: int = 64
+) -> DataFrame:
+    """(id, th: array<long>) → (id, sh): the per-bit majority votes as
+    ``bits`` codegen SUM aggregates over the exploded token hashes — the
+    same explode+aggregate swap that cheapened the MinHash signatures
+    (transform/aggregate HOF lambdas run interpreted; sum(case...)
+    aggregates are whole-stage-codegen, with the map-side partial
+    collapsing each doc to one row before any exchange).  A doc's hashes
+    stay in its partition, so the vote totals are exact.  Empty docs
+    survive via explode_outer: the NULL row votes -1 on every bit, which
+    (like the HOF form's empty-fold 0) clears the whole signature."""
+    ex = base.select("id", F.explode_outer("th").alias("_h"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("id", sig.alias("sh"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -608,8 +643,8 @@ def simhash_near_duplicates(
         else poly_token_hashes(F.col(text_col))
     )
     bits = 64 if hash_fn == "xxhash64" else 62
-    sig = df.select(F.col(id_col).alias("id"), th.alias("th")).select(
-        "id", simhash_from_hashes(F.col("th"), bits).alias("sh")
+    sig = simhash_signatures(
+        df.select(F.col(id_col).alias("id"), th.alias("th")), bits
     )
     # shift amounts must be literals → build the block array Python-side
     block_structs = [
