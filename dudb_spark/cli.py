@@ -301,6 +301,112 @@ def cmd_du(args):
         print(f"{lead}\t{r['n_files']} files\t{r['dir_path']}")
 
 
+def cmd_pipeline_dedup(args):
+    """Corpus dedup from the command line: read a parquet table of
+    documents (or embeddings for --method semantic), emit the dedup
+    result as parquet (--out) or a JSON summary to stdout."""
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    if args.method == "exact":
+        from dudb_spark.pipeline.dedup import exact_duplicates
+
+        res = exact_duplicates(df, args.text_col, args.id_col)
+    elif args.method == "minhash":
+        from dudb_spark.pipeline.dedup import minhash_verified_pairs
+
+        res = minhash_verified_pairs(
+            df, args.text_col, args.id_col, min_jaccard=args.threshold
+        )
+    elif args.method == "simhash":
+        from dudb_spark.pipeline.dedup import simhash_near_duplicates
+
+        res = simhash_near_duplicates(
+            df, args.text_col, args.id_col, max_hamming=args.max_hamming
+        )
+    elif args.method == "semantic":
+        from dudb_spark.pipeline.similarity import semantic_dedup
+
+        res = semantic_dedup(
+            df, threshold=args.threshold, vec_col=args.vec_col,
+            id_col=args.id_col,
+        )
+    else:  # cluster: minhash pairs -> connected components
+        from dudb_spark.pipeline.cluster import duplicate_clusters
+        from dudb_spark.pipeline.dedup import minhash_verified_pairs
+
+        pairs = minhash_verified_pairs(
+            df, args.text_col, args.id_col, min_jaccard=args.threshold
+        )
+        res = duplicate_clusters(pairs)
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+        print(json.dumps({"method": args.method, "out": args.out,
+                          "rows": spark.read.parquet(
+                              expand_path(args.out)).count()}))
+    else:
+        print(json.dumps({"method": args.method, "rows": res.count()}))
+
+
+def cmd_pipeline_split(args):
+    """Deterministic train/val/test assignment for a parquet corpus."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.sampling import assign_split
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    weights = {}
+    for spec in args.weights.split(","):
+        name, frac = spec.split("=")
+        weights[name] = float(frac)
+    res = assign_split(df, args.id_col, weights, salt=args.salt)
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+    counts = {
+        r["split"]: r["n"]
+        for r in res.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(json.dumps({"splits": counts, "out": args.out}))
+
+
+def cmd_pipeline_report(args):
+    """Corpus dataset card: per (source, lang) doc/token/quality/dup
+    stats printed as TSV."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.text import fingerprint, quality_score, tokens
+
+    spark = _spark()
+    d = spark.read.parquet(expand_path(args.input))
+    canon = F.min(args.id_col).over(Window.partitionBy("fp"))
+    base = d.select(
+        F.col(args.id_col),
+        "source",
+        "lang",
+        F.size(tokens(F.col(args.text_col))).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col(args.text_col)) * 1e6).cast("long")
+        .alias("q6"),
+        fingerprint(F.col(args.text_col)).alias("fp"),
+    ).withColumn("is_copy", F.col(args.id_col) > canon)
+    rep = (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("q6").cast("double") / F.count(F.lit(1)) / 1e6, 6)
+            .alias("avg_quality"),
+            F.count(F.when(F.col("is_copy"), 1)).alias("n_dup_copies"),
+        )
+        .orderBy("source", "lang")
+    )
+    print("source\tlang\tn_docs\ttotal_tokens\tavg_quality\tn_dup_copies")
+    for r in rep.toLocalIterator():
+        print(f"{r['source']}\t{r['lang']}\t{r['n_docs']}\t"
+              f"{r['total_tokens']}\t{r['avg_quality']}\t{r['n_dup_copies']}")
+
+
 def cmd_config(args):
     """Describe the engine configuration (reference: `idu config`,
     main.go:104-105) — session defaults, registered calculators and
@@ -472,6 +578,37 @@ def build_parser():
     dd.add_argument("old", nargs="?", help="old version (default: previous)")
     dd.add_argument("new", nargs="?", help="new version (default: latest)")
     dd.set_defaults(func=cmd_database_diff)
+
+    p = sub.add_parser(
+        "pipeline",
+        help="corpus-pipeline operators over parquet tables "
+             "(extension beyond the reference surface)",
+    )
+    psub = p.add_subparsers(dest="pipeline_cmd", required=True)
+    pd = psub.add_parser("dedup", help="exact/minhash/simhash/semantic dedup")
+    pd.add_argument("--input", required=True, help="parquet path")
+    pd.add_argument("--method", default="exact",
+                    choices=["exact", "minhash", "simhash", "semantic",
+                             "cluster"])
+    pd.add_argument("--id-col", default="doc_id")
+    pd.add_argument("--text-col", default="text")
+    pd.add_argument("--vec-col", default="embedding")
+    pd.add_argument("--threshold", type=float, default=0.8)
+    pd.add_argument("--max-hamming", type=int, default=3)
+    pd.add_argument("--out", default=None)
+    pd.set_defaults(func=cmd_pipeline_dedup)
+    ps = psub.add_parser("split", help="deterministic train/val/test split")
+    ps.add_argument("--input", required=True)
+    ps.add_argument("--id-col", default="doc_id")
+    ps.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")
+    ps.add_argument("--salt", type=int, default=0)
+    ps.add_argument("--out", default=None)
+    ps.set_defaults(func=cmd_pipeline_split)
+    pr = psub.add_parser("report", help="corpus dataset card (TSV)")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.set_defaults(func=cmd_pipeline_report)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

@@ -261,3 +261,22 @@ def test_cli_incremental_fallback_on_mismatch(
     cap = capsys.readouterr()
     assert "no snapshot_version" in cap.err
     assert json.loads(cap.out)["totals"]["files"] == 3
+
+
+def test_cli_pipeline_commands(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = json.loads(run(capsys, "pipeline", "dedup", "--input", docs,
+                         "--method", "exact"))
+    assert out["method"] == "exact" and out["rows"] > 0
+
+    split_out = str(tmp_path / "split")
+    out = json.loads(run(capsys, "pipeline", "split", "--input", docs,
+                         "--weights", "train=0.8,val=0.1,test=0.1",
+                         "--salt", "3", "--out", split_out))
+    assert sum(out["splits"].values()) == spark.read.parquet(docs).count()
+    assert set(out["splits"]) <= {"train", "val", "test"}
+
+    rep = run(capsys, "pipeline", "report", "--input", docs)
+    header, *rows = rep.strip().splitlines()
+    assert header.startswith("source\tlang")
+    assert len(rows) > 3
