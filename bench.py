@@ -25,8 +25,14 @@ def main():
         sf = None
 
     spark = get_spark("dudb_spark-bench")
-    # warm the JVM/codegen path so the first measured query isn't paying JIT
+    # warm the JVM so the first measured query isn't paying one-time JIT:
+    # a real parquet scan + hash aggregate + sort exercises the codegen
+    # paths the headline queries use (spark.range alone leaves the parquet
+    # reader and aggregate codegen cold — measured ~2.5s attributed to q01)
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.groupBy("r_name").count().orderBy("r_name").collect()
+    spark.catalog.clearCache()
 
     queries = entry_mod.queries()
     times: dict[str, float] = {}
