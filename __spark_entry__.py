@@ -2461,6 +2461,163 @@ def q90_corpus_report(spark, sf_dir):
     )
 
 
+def q91_streaming_ingest(spark, sf_dir):
+    """Incremental ingest AS A STREAM: two successive scan versions of
+    the (quartered) q31 synthetic tree arrive as per-file micro-batches;
+    ``foreachBatch`` merges each full staged scan into the versioned
+    snapshot store with the same merge_scan the batch CLI uses — the
+    Delta-style 'streaming upsert' composition (§2.9 × J1/J2).  Churn:
+    v2 deletes dirnum%100==7, modifies %100==3 (+7 bytes/entry), adds
+    /scale/a0..a4; v3 then deletes %100==13, modifies %100==11 (+3),
+    adds /scale/b0..b4 — unchanged dirs' entries are OMITTED from every
+    staged scan, so the final byte totals prove entry reuse composed
+    across merges.  Output: one row of final-state facts, restated by
+    the oracle from lineitem arithmetic."""
+    import os
+    import tempfile
+    from glob import glob as _glob
+
+    from dudb_spark.operators.ingest import merge_scan
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    li = _t(spark, sf_dir, "lineitem").where("l_orderkey % 8 = 0")
+    d500 = F.col("l_orderkey") % 500
+
+    def ts_e(e):
+        # entry mtimes are dates (l_shipdate); the dump/merge path needs
+        # one type end-to-end
+        return e.withColumn("mtime", F.col("mtime").cast("timestamp"))
+
+    prev_p, prev_e = _scale_fs(li)
+    prev_e = ts_e(prev_e)
+    pdir = F.substring("path", 9, 10).cast("long")
+
+    # v2 staging (the q87 churn)
+    ch2_p, ch2_e = _scale_fs(
+        li.where(d500 % 100 == 4), size_plus=7,
+        prefix_mtime="2025-02-01 00:00:00",
+    )
+    a_p, a_e = _scale_fs(
+        li.where(d500.between(488, 492)), dir_prefix="a",
+        dir_index=d500 - 488,
+    )
+    ch2_e, a_e = ts_e(ch2_e), ts_e(a_e)
+    v2_p = (
+        prev_p.where((pdir % 100 != 8) & (pdir % 100 != 4))
+        .unionByName(ch2_p)
+        .unionByName(a_p)
+    )
+    v2_e = ch2_e.unionByName(a_e)
+
+    # v3 staging: applied to the v2 RESULT state — survivors keep their
+    # current (possibly v2-stamped) prefix rows, class 11 restaged with
+    # +3 bytes, class 13 gone, b-dirs new
+    ch3_p, ch3_e = _scale_fs(
+        li.where(d500 % 100 == 16), size_plus=3,
+        prefix_mtime="2025-03-01 00:00:00",
+    )
+    b_p, b_e = _scale_fs(
+        li.where(d500.between(480, 484)), dir_prefix="b",
+        dir_index=d500 - 480,
+    )
+    ch3_e, b_e = ts_e(ch3_e), ts_e(b_e)
+    surviving = (
+        (pdir % 100 != 8) & (pdir % 100 != 12)
+        & (pdir % 100 != 16) & (pdir % 100 != 4)
+    )
+    v3_p = (
+        prev_p.where(surviving)
+        .unionByName(ch2_p)  # class 3 keeps its v2-stamped row
+        .unionByName(a_p)
+        .unionByName(ch3_p)
+        .unionByName(b_p)
+    )
+    v3_e = ch3_e.unionByName(b_e)
+
+    # encode each version as ONE dump file (prefix+entry rows under a
+    # superset schema), mtime-ordered so the file source replays v2
+    # before v3
+    pcols = ["path", "parent", "depth", "size", "blocks", "mode",
+             "is_symlink", "mtime", "uid", "gid", "device", "inode",
+             "n_entries"]
+    ecols = ["parent", "name", "path", "is_dir", "size", "blocks", "mode",
+             "mtime", "uid", "gid", "device", "inode"]
+
+    def dump(p, e):
+        pe = p.select(
+            F.lit("prefix").alias("kind"),
+            *pcols,
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("boolean").alias("is_dir"),
+        )
+        ee = e.select(
+            F.lit("entry").alias("kind"),
+            "path", "parent",
+            F.lit(None).cast("int").alias("depth"),
+            "size", "blocks", "mode",
+            F.lit(None).cast("boolean").alias("is_symlink"),
+            F.col("mtime").cast("timestamp").alias("mtime"),
+            "uid", "gid", "device", "inode",
+            F.lit(None).cast("long").alias("n_entries"),
+            "name", "is_dir",
+        )
+        return pe.unionByName(ee)
+
+    src = tempfile.mkdtemp(prefix="dudb_q91_src_")
+    state = tempfile.mkdtemp(prefix="dudb_q91_state_")
+    for k, (p, e) in enumerate(((v2_p, v2_e), (v3_p, v3_e))):
+        out = f"{src}/v{k + 2}"
+        dump(p, e).coalesce(1).write.mode("overwrite").parquet(out)
+        for f in _glob(f"{out}/part-*.parquet"):
+            os.rename(f, f"{src}/dump-{k + 2}.parquet")
+    for k, f in enumerate(sorted(_glob(f"{src}/dump-*.parquet"))):
+        os.utime(f, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    cat = SnapshotCatalog(spark, state)
+    cat.write_snapshot(prev_p, prev_e)
+
+    schema = dump(prev_p, prev_e).schema
+
+    def apply_batch(bdf, batch_id):
+        bdf = bdf.persist()
+        p = bdf.where("kind = 'prefix'").select(*pcols)
+        e = bdf.where("kind = 'entry'").select(*ecols)
+        t = cat.tables()
+        res = merge_scan(
+            t.prefixes, t.entries, p, e, root="/scale", with_summary=False
+        )
+        cat.write_snapshot(res.prefixes, res.entries)
+        bdf.unpersist()
+
+    with _stream_parts(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    final = cat.tables()
+    facts = final.entries.where(~F.col("is_dir")).agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum("size").alias("bytes"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                len(cat.versions()),
+                final.prefixes.count(),
+                facts["files"],
+                int(facts["bytes"]),
+            )
+        ],
+        "n_versions long, n_dirs long, files long, total_bytes long",
+    )
+
+
 def q68_stats_snapshot_roundtrip(spark, sf_dir):
     """S10: persist the stats result as a snapshot and read it back — the
     reloaded per-prefix table must round-trip value-exact (oracle = the
@@ -2933,6 +3090,7 @@ QUERIES: dict[str, Callable] = {
     "q88_semantic_dedup": q88_semantic_dedup,
     "q89_train_split": q89_train_split,
     "q90_corpus_report": q90_corpus_report,
+    "q91_streaming_ingest": q91_streaming_ingest,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4313,6 +4471,37 @@ def _train_split_oracle_sql() -> str:
 
 
 ORACLE["q89_train_split"] = _train_split_oracle_sql()
+
+# q91: the final snapshot state after both streamed merges, re-derived
+# from lineitem arithmetic (churn classes composed over the %8==0 row
+# subset, whose dirnums are multiples of 4: v2 deletes %100==8, bumps
+# %100==4 by +7; v3 deletes %100==12, bumps %100==16 by +3; copies of
+# 488–492 (v2) and 480–484 (v3) live in the added dirs).
+ORACLE["q91_streaming_ingest"] = """
+    WITH li AS (
+        SELECT l_orderkey % 500 AS d, CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 8 = 0
+    ), dirs AS (SELECT DISTINCT d FROM li)
+    SELECT
+        CAST(3 AS BIGINT) AS n_versions,
+        CAST((SELECT COUNT(*) FROM dirs WHERE d % 100 NOT IN (8, 12))
+             + (SELECT COUNT(*) FROM dirs WHERE d BETWEEN 488 AND 492)
+             + (SELECT COUNT(*) FROM dirs WHERE d BETWEEN 480 AND 484)
+             AS BIGINT) AS n_dirs,
+        CAST((SELECT COUNT(*) FROM li WHERE d % 100 NOT IN (8, 12))
+             + (SELECT COUNT(*) FROM li WHERE d BETWEEN 488 AND 492)
+             + (SELECT COUNT(*) FROM li WHERE d BETWEEN 480 AND 484)
+             AS BIGINT) AS files,
+        CAST((SELECT SUM(CASE WHEN d % 100 = 4 THEN qty + 7
+                              WHEN d % 100 = 16 THEN qty + 3
+                              ELSE qty END)
+              FROM li WHERE d % 100 NOT IN (8, 12))
+             + (SELECT COALESCE(SUM(qty), 0) FROM li
+                WHERE d BETWEEN 488 AND 492)
+             + (SELECT COALESCE(SUM(qty), 0) FROM li
+                WHERE d BETWEEN 480 AND 484)
+             AS BIGINT) AS total_bytes
+"""
 
 ORACLE["q90_corpus_report"] = """
     WITH base AS (

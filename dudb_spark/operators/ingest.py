@@ -54,6 +54,7 @@ def merge_scan(
     staged_prefixes: DataFrame,
     staged_entries: DataFrame,
     root: str = "",
+    with_summary: bool = True,
 ) -> MergeResult:
     """Merge a staged (fresh) scan of ``root`` into the previous snapshot.
 
@@ -65,6 +66,12 @@ def merge_scan(
     deletion detection would misread a skipped subtree as deleted.
     ``staged_entries`` MAY omit entries of unchanged directories; the merge
     reuses the previous entries for every unchanged directory regardless.
+
+    ``with_summary=False`` skips the two counter jobs (classification
+    aggregate + post-merge file count) and returns ``summary=None`` —
+    for callers that apply many merges in a loop (the streaming-upsert
+    composition) and only read the final state, the per-merge counters
+    are pure overhead.
     """
     in_root_prev = prev_prefixes.where(subtree_pred(F.col("path"), root))
     out_root_prev = prev_prefixes.where(~subtree_pred(F.col("path"), root))
@@ -84,21 +91,25 @@ def merge_scan(
     )
     j = j.cache()
 
-    # All four summary counters in ONE job over the classification join
-    # (four separate .count() actions would recompute/rescan it 4×; at
-    # ingest scale the classification is the expensive part).  count(when)
-    # rather than sum(when) so empty inputs yield 0, not NULL.
-    c = j.agg(
-        F.count(F.when(F.expr("in_new AND NOT in_old"), 1)).alias("n_new"),
-        F.count(F.when(F.col("unchanged"), 1)).alias("n_unchanged"),
-        F.count(
-            F.when(F.expr("in_new AND in_old AND NOT unchanged"), 1)
-        ).alias("n_changed"),
-        F.count(F.when(F.expr("in_old AND NOT in_new"), 1)).alias("n_deleted"),
-    ).first()
-    n_new, n_unchanged, n_changed, n_deleted = (
-        c["n_new"], c["n_unchanged"], c["n_changed"], c["n_deleted"],
-    )
+    if with_summary:
+        # All four summary counters in ONE job over the classification
+        # join (four separate .count() actions would recompute/rescan it
+        # 4×; at ingest scale the classification is the expensive part).
+        # count(when) rather than sum(when) so empty inputs yield 0, not
+        # NULL.
+        c = j.agg(
+            F.count(F.when(F.expr("in_new AND NOT in_old"), 1)).alias("n_new"),
+            F.count(F.when(F.col("unchanged"), 1)).alias("n_unchanged"),
+            F.count(
+                F.when(F.expr("in_new AND in_old AND NOT unchanged"), 1)
+            ).alias("n_changed"),
+            F.count(
+                F.when(F.expr("in_old AND NOT in_new"), 1)
+            ).alias("n_deleted"),
+        ).first()
+        n_new, n_unchanged, n_changed, n_deleted = (
+            c["n_new"], c["n_unchanged"], c["n_changed"], c["n_deleted"],
+        )
 
     unchanged_paths = j.where("unchanged").select("path")
     changed_or_new = j.where("in_new AND NOT unchanged").select("path")
@@ -121,19 +132,21 @@ def merge_scan(
     )
     new_entries = fresh.unionByName(reused).unionByName(out_root_prev_entries)
 
-    n_files = new_entries.where(~F.col("is_dir")).count()
-
-    summary = {
-        "operation": "analyze",
-        "prefixes_started": n_new + n_changed + n_unchanged,
-        "prefixes_finished": n_new + n_changed + n_unchanged,
-        "files": n_files,
-        "parent_unchanged": n_unchanged,
-        "children_unchanged": n_unchanged,
-        "prefixes_deleted": n_deleted,
-        "prefixes_added": n_new,
-        "prefixes_changed": n_changed,
-    }
+    if with_summary:
+        n_files = new_entries.where(~F.col("is_dir")).count()
+        summary = {
+            "operation": "analyze",
+            "prefixes_started": n_new + n_changed + n_unchanged,
+            "prefixes_finished": n_new + n_changed + n_unchanged,
+            "files": n_files,
+            "parent_unchanged": n_unchanged,
+            "children_unchanged": n_unchanged,
+            "prefixes_deleted": n_deleted,
+            "prefixes_added": n_new,
+            "prefixes_changed": n_changed,
+        }
+    else:
+        summary = None
     touched = j.where(~F.col("unchanged")).select("path")
     return MergeResult(new_prefixes, new_entries, summary, touched)
 

@@ -153,6 +153,19 @@ def test_incremental_merge(spark, fs_tree):
         F.col("path") == f"{fs_tree}/a/sub"
     ).count() == 0
 
+    # summary-free mode (streaming-upsert loops): identical frames, no
+    # counter jobs
+    res2 = merge_scan(
+        prev_p, prev_e, new_p, new_e, root=fs_tree, with_summary=False
+    )
+    assert res2.summary is None
+    assert sorted(r["path"] for r in res2.prefixes.collect()) == sorted(
+        r["path"] for r in p1
+    )
+    assert sorted(r["path"] for r in res2.entries.collect()) == sorted(
+        r["path"] for r in e1
+    )
+
 
 def test_incremental_noop_rescan(spark, fs_tree):
     p0, e0, _ = crawl_local(fs_tree)
