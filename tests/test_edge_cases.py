@@ -93,3 +93,75 @@ def test_asof_empty_right_side(spark):
     out = asof_join(left, right, on="id", ts="ts")
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["v"] is None  # left preserved
+
+
+def test_minhash_verified_empty_and_single_token_docs(spark):
+    from dudb_spark.pipeline.dedup import minhash_verified_pairs
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "one"), (3, "   "),
+         (4, "a b c d e f g"), (5, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_verified_pairs(
+            docs, num_perm=16, bands=8, min_est=0.5, min_jaccard=0.5
+        ).collect()
+    }
+    # identical multi-token docs pair at jaccard 1; two token-less docs
+    # are identical content (the degenerate shingle set) and pair with
+    # EACH OTHER, but never with any non-empty doc
+    assert got.get((4, 5)) == 1.0
+    assert got.get((0, 3)) == 1.0
+    for a, b in got:
+        assert (a in (0, 3)) == (b in (0, 3)), (a, b)
+
+
+def test_semantic_dedup_fewer_rows_than_clusters(spark):
+    from dudb_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r["vec_id"]: r for r in
+            semantic_dedup(emb, threshold=0.99, n_clusters=16).collect()}
+    assert len(rows) == 3
+    assert rows[1]["dup_of"] == 0 and not rows[1]["kept"]  # near-parallel
+    assert rows[0]["kept"] and rows[2]["kept"]
+
+
+def test_streaming_sessionize_single_event_user(spark, tmp_path):
+    import datetime as dt
+    import glob as g
+    import os as o
+
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+    from dudb_spark.streaming.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 5.0),
+            (2, base + dt.timedelta(hours=2), 1.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "one")
+    df.where("user_id = 1").coalesce(1).write.parquet(src)
+    df.where("user_id = 2").coalesce(1).write.mode("append").parquet(src)
+    for k, p in enumerate(sorted(g.glob(o.path.join(src, "part-*.parquet")))):
+        o.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    q = (
+        sessionize(
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            gap="30 minutes",
+        )
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_single_ev").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_single_ev").collect()
+    # user 1's lone event closes by timeout once user 2 drives the
+    # watermark past base + gap
+    assert [(r["user_id"], r["n_events"], r["sum_value"]) for r in got] == [
+        (1, 1, 5.0)
+    ]
