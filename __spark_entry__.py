@@ -3001,6 +3001,100 @@ def q82_group_reservoir(spark, sf_dir):
     )
 
 
+def q92_salted_skew_join(spark, sf_dir):
+    """Skew-proof equi-join (plans/layout.py salted_join): part is
+    replicated across 8 salt replicas and every lineitem row carries a
+    deterministic salt, so the join key becomes (l_partkey, _salt) and a
+    monster part key at 100 TB lands on 8 ordinary partitions instead of
+    one straggler.  The result is provably the plain join's — the oracle
+    IS the plain join — the value delivered is the plan shape.  The right
+    side takes a shuffle-hash hint so the demonstration survives the
+    broadcast threshold at test scale (at the size salting matters the
+    dim side no longer broadcasts anyway)."""
+    from dudb_spark.plans.layout import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+        .hint("shuffle_hash")
+    )
+    return (
+        salted_join(li, p, "l_partkey", n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            _money(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q93_hash_embed_topk(spark, sf_dir):
+    """Feature-hashing embeddings end-to-end (pipeline/embed.py): every
+    document becomes a 32-dim signed token-count vector via the
+    oracle-reproducible Horner hash (no vocabulary, no Python row path),
+    then exact cosine top-5 neighbours for three query docs — integer
+    dot products via zip_with/aggregate, broadcast query side, bounded
+    rank window.  The oracle replays hash, embedding, and ranking in
+    DuckDB list comprehensions."""
+    from dudb_spark.pipeline.embed import embedded_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return embedded_topk(d, query_ids=[0, 1, 2], k=5, dim=32)
+
+
+def q94_skew_profile(spark, sf_dir):
+    """Shuffle-skew diagnosis (plans/layout.py skew_profile): the 10
+    hottest event user_ids with row count, table share, skew ratio
+    (count/mean-per-key), and the salt factor that would level the key —
+    exactly the n_salts input q92's salted_join wants.  Totals come from
+    a broadcast scalar aggregate onto the TakeOrdered top rows, never a
+    global window over the per-key frame."""
+    from dudb_spark.plans.layout import skew_profile
+
+    ev = _events(spark, sf_dir)
+    return skew_profile(ev.select("user_id"), "user_id", top_n=10)
+
+
+def q95_stream_corpus_dedup(spark, sf_dir):
+    """Online ingest dedup (§2.9 × exact dedup): the newest 20% of the
+    corpus arrives as a parquet-file stream and each arriving doc is
+    tagged against the STATIC fingerprint index of the first 80% —
+    (canonical_id, is_new) per doc via a stateless stream–static left
+    join (streaming/dedup.py dedup_against_corpus).  The oracle is the
+    batch restatement of the same split + left join."""
+    import tempfile
+
+    from dudb_spark.streaming.dedup import dedup_against_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    cut = d.count() * 4 // 5
+    corpus = d.where(F.col("doc_id") < cut)
+    incoming = d.where(F.col("doc_id") >= cut)
+    src = tempfile.mkdtemp(prefix="dudb_q95_src_")
+    incoming.repartition(4).write.mode("overwrite").parquet(src)
+    with _stream_parts(spark):
+        stream = spark.readStream.schema(d.schema).parquet(src)
+        q = (
+            dedup_against_corpus(stream, corpus)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dudb_q95_dedup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table("dudb_q95_dedup")
+        .select("doc_id", "canonical_id", "is_new")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3091,6 +3185,10 @@ QUERIES: dict[str, Callable] = {
     "q89_train_split": q89_train_split,
     "q90_corpus_report": q90_corpus_report,
     "q91_streaming_ingest": q91_streaming_ingest,
+    "q92_salted_skew_join": q92_salted_skew_join,
+    "q93_hash_embed_topk": q93_hash_embed_topk,
+    "q94_skew_profile": q94_skew_profile,
+    "q95_stream_corpus_dedup": q95_stream_corpus_dedup,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4545,6 +4643,100 @@ ORACLE["q90_corpus_report"] = """
     FROM flagged
     GROUP BY source, lang
     ORDER BY source, lang
+"""
+
+
+# q92: the salted join must equal the PLAIN join — that is the whole
+# correctness claim of salting — so the oracle is the plain join.
+ORACLE["q92_salted_skew_join"] = """
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+# q93: hash-embed + exact cosine top-k replayed end-to-end — same Horner
+# token hashes (base 257 mod 2^31-1), same dim-32 signed histogram, same
+# integer dot / sqrt(integer norms) ranking.
+ORACLE["q93_hash_embed_topk"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+        FROM documents
+    ), tkh AS (
+        SELECT doc_id, [
+            list_reduce(
+                list_prepend(0::BIGINT,
+                    [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                (a, b) -> (a*257+b) % 2147483647)
+            FOR j IN range(1, len(tk)+1)] AS th
+        FROM t
+    ), emb AS (
+        SELECT doc_id, [
+            coalesce(list_sum([CASE WHEN th[j] % 32 = i
+                       THEN CASE WHEN (th[j] // 32) % 2 = 0 THEN 1 ELSE -1 END
+                       ELSE 0 END FOR j IN range(1, len(th)+1)]), 0)
+            FOR i IN range(0, 32)] AS e
+        FROM tkh
+    ), norms AS (
+        SELECT doc_id, e, list_sum([x*x FOR x IN e]) AS n2 FROM emb
+    ), nz AS (
+        SELECT * FROM norms WHERE n2 > 0
+    ), pairs AS (
+        SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+               CAST(list_sum([q.e[i]*d.e[i] FOR i IN range(1, 33)]) AS DOUBLE)
+                 / sqrt(CAST(q.n2 * d.n2 AS DOUBLE)) AS cos
+        FROM nz q JOIN nz d ON d.doc_id <> q.doc_id
+        WHERE q.doc_id IN (0, 1, 2)
+    ), ranked AS (
+        SELECT query_id, doc_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, doc_id, ROUND(cos, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+ORACLE["q94_skew_profile"] = """
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM counts
+    )
+    SELECT user_id, n_rows,
+           ROUND(n_rows / CAST(total_rows AS DOUBLE), 6) AS share,
+           ROUND(n_rows * n_keys / CAST(total_rows AS DOUBLE), 6) AS skew_ratio,
+           CAST(CEIL(n_rows * n_keys / CAST(total_rows AS DOUBLE)) AS BIGINT)
+             AS suggested_salts
+    FROM counts, tot
+    ORDER BY n_rows DESC, user_id
+    LIMIT 10
+"""
+
+
+# q95: the stream–static online dedup restated as the batch split + join
+ORACLE["q95_stream_corpus_dedup"] = """
+    WITH cut AS (
+        SELECT CAST(COUNT(*) * 4 // 5 AS BIGINT) AS c FROM documents
+    ), corpus AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               MIN(doc_id) AS canonical_id
+        FROM documents, cut WHERE doc_id < c GROUP BY fp
+    ), inc AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents, cut WHERE doc_id >= c
+    )
+    SELECT i.doc_id, x.canonical_id, x.canonical_id IS NULL AS is_new
+    FROM inc i LEFT JOIN corpus x USING (fp)
+    ORDER BY doc_id
 """
 
 

@@ -87,3 +87,94 @@ def salted_group_sum(
     return partial.groupBy(*key_cols).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: explode the (small-side) ``right`` frame into
+    ``n_salts`` replicas and scatter each hot ``left`` key across the
+    replicas, so one monster key becomes ``n_salts`` ordinary partitions.
+
+    Mechanics: the left side gets a deterministic salt from a stable row
+    hash over all its columns; the right side cross-generates salts
+    0..n_salts-1 via ``explode(sequence(...))``; the join runs on
+    (key..., salt).  Results are EXACTLY the plain equi-join's — the salt
+    only chooses which replica a left row meets, never whether it matches.
+
+    Supported ``how``: 'inner' and 'left' — each left row carries exactly
+    one salt, so unmatched left rows surface once.  'right'/'full' would
+    emit every unmatched right row once per replica; use AQE skew handling
+    or pre-aggregate for those shapes.
+
+    When to use over AQE (`skewJoin.enabled`): AQE splits oversized
+    *partitions* after the map stage, which handles most skew; explicit
+    salting is for the pathological single-KEY hot spot that AQE cannot
+    split when the downstream operator needs key co-location, and for
+    engines/paths where AQE is off (streaming joins, some DSv2 writes).
+    Replication cost: the right frame is materialized ``n_salts``× — keep
+    it the dimension side (the broadcast-threshold-to-a-few-GB range where
+    broadcast no longer fits but replication still does).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l.join(r, keys + ["_salt"], how)
+    return out.drop("_salt")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: str | list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-key frequency profile for shuffle-skew diagnosis: the ``top_n``
+    hottest keys with their row count, share of the table, the ratio of
+    the key's count to the mean per-key count, and the salt factor that
+    would level the key down to the mean (``ceil(count/mean)``).
+
+    One shuffle (the groupBy).  The per-key count frame can itself be
+    billions of rows (one per key), so the global total/mean must NOT come
+    from an unpartitioned window over it — that funnels every key through
+    one task.  Instead: top keys via ``orderBy().limit()`` (Spark's
+    TakeOrderedAndProject, bounded memory) and the totals via a scalar
+    aggregate broadcast onto those ``top_n`` rows.  At 100 TB this is the
+    query to run BEFORE picking a join strategy for a new key — its
+    output is exactly the ``n_salts`` argument :func:`salted_join` wants.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total_rows"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    hot = counts.orderBy(F.desc("n_rows"), *keys).limit(top_n)
+    return (
+        hot.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "share", F.round(F.col("n_rows") / F.col("_total_rows"), 6)
+        )
+        .withColumn(
+            "skew_ratio",
+            F.round(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total_rows"), 6
+            ),
+        )
+        .withColumn(
+            "suggested_salts",
+            F.ceil(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total_rows")
+            ),
+        )
+        .drop("_total_rows", "_n_keys")
+        .orderBy(F.desc("n_rows"), *keys)
+    )

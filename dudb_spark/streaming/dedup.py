@@ -64,3 +64,52 @@ def first_sightings(
     return dedup_stream(
         with_day, ["user_id", "event_type", "day"], watermark=watermark
     )
+
+
+def dedup_against_corpus(
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Online ingest dedup: tag each arriving document against a STATIC
+    corpus fingerprint index — ``is_new`` plus the canonical id it
+    duplicates (null when genuinely new).
+
+    This is the stream–static join form of exact dedup: the corpus side
+    is a batch frame reduced to one row per content fingerprint
+    (min-id canonical, same rule as pipeline/dedup.exact_duplicates);
+    the stream side computes its fingerprint scan-side and LEFT OUTER
+    joins it (stream-static left-anti is not a supported join type —
+    the null-probe filter expresses it).  No watermark is required:
+    stream–static enrichment joins are stateless, each micro-batch
+    probes the index and emits immediately.
+
+    Scale: Spark re-plans the static side per micro-batch, so the index
+    may broadcast (small corpus) or shuffle-hash per batch (big corpus);
+    for a 100 TB corpus pre-bucket the index table by ``fp`` so the
+    per-batch probe co-locates instead of reshuffling the stream.  New
+    fingerprints accepted by this filter should be folded into the index
+    table between batches (foreachBatch append) — within a batch,
+    same-fingerprint arrivals all pass, exactly like the batch dedup's
+    per-snapshot semantics.
+    """
+    from dudb_spark.pipeline.text import fingerprint
+
+    index = (
+        corpus.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col).cast("long").alias("canonical_id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
+    return (
+        stream.withColumn("fp", fingerprint(F.col(text_col)))
+        .join(index, "fp", "left_outer")
+        .select(
+            F.col(id_col),
+            F.col("canonical_id"),
+            F.col("canonical_id").isNull().alias("is_new"),
+        )
+    )

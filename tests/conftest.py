@@ -12,6 +12,15 @@ from dudb_spark.sources.fixtures import SyntheticTree
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("dudb_spark-tests", master="local[4]", shuffle_partitions=4)
+    # Tests assert SEMANTICS and PLAN SHAPE (operator choice), neither of
+    # which depends on whole-stage codegen; with it on, every distinct tiny
+    # plan pays multi-second Janino compilation (the stats/incremental DAGs
+    # generate huge classes — measured 52s -> 8s for one incremental_stats
+    # call, ~4x on the whole suite).  Interpreted mode is Spark's own
+    # semantics-identical fallback.  Bench and the correctness gate run
+    # separate sessions with codegen ON (the performance path).
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     yield s
 
 

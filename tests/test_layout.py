@@ -69,6 +69,56 @@ def test_salted_group_sum_matches_plain(spark):
     assert plan_of(salted).count("HashAggregate") >= 3
 
 
+def test_salted_join_matches_plain(spark):
+    from dudb_spark.plans.layout import salted_join
+
+    # one monster key (0: 5000 rows) + a uniform tail
+    left = spark.range(0, 6000).select(
+        F.when(F.col("id") < 5000, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    for how in ("inner", "left"):
+        salted = salted_join(left, right, "k", n_salts=8, how=how)
+        plain = left.join(right, "k", how)
+        assert sorted(map(tuple, salted.select("k", "v", "w").collect())) == sorted(
+            map(tuple, plain.select("k", "v", "w").collect())
+        )
+    # the join key actually includes the salt (the skew-spreading claim)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(salted_join(left, right, "k", n_salts=8))
+        assert "_salt" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+
+
+def test_skew_profile(spark):
+    from dudb_spark.plans.layout import skew_profile
+
+    # 10 keys, key 0 takes half the table
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 500, F.lit(0)).otherwise(F.col("id") % 9 + 1).alias("k")
+    )
+    prof = skew_profile(df, "k", top_n=3).collect()
+    assert len(prof) == 3
+    hot = prof[0]
+    assert hot["k"] == 0 and hot["n_rows"] == 500
+    assert abs(hot["share"] - 0.5) < 1e-6
+    # 10 distinct keys, mean 100 rows -> hot key's ratio = 5
+    assert abs(hot["skew_ratio"] - 5.0) < 1e-6
+    assert hot["suggested_salts"] == 5
+    # totals come from a broadcast scalar aggregate, not a global window
+    # over the per-key frame (scale guard)
+    assert "Window" not in plan_of(skew_profile(df, "k"))
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.text(

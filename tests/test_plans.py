@@ -152,7 +152,16 @@ def test_pii_scan_is_scan_fused(spark):
     from dudb_spark.pipeline.pii import pii_scan
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = plan_of(pii_scan(docs))
+    # the session fixture disables codegen (compile-time economy); turn it
+    # back on for THIS plan so the '*' codegen marker stays meaningful
+    # (both confs gate the marker: NO_CODEGEN suppresses whole-stage too)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    try:
+        plan = plan_of(pii_scan(docs))
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     # pure projection: no Exchange anywhere in the operator itself, and
     # the project runs inside whole-stage codegen (the '*' marker)
     assert "Exchange" not in plan

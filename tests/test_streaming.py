@@ -118,3 +118,59 @@ def test_stream_attribution_equals_batch_join(spark, events_dir):
         for r in spark.sql("SELECT * FROM t_attr").collect()
     )
     assert got == want
+
+
+def test_stream_static_dedup_matches_batch(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dudb_spark.streaming.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "hello world"), (2, "other text"), (3, "Hello   WORLD ")],
+        ["doc_id", "text"],
+    )
+    incoming_rows = [
+        (10, "hello world"),        # dup of canonical 1
+        (11, "brand new content"),  # new
+        (12, "other text"),         # dup of 2
+        (13, "BRAND new content"),  # same fp as 11, but 11 is not in the
+                                    # CORPUS index -> still tagged new
+    ]
+    incoming = spark.createDataFrame(incoming_rows, ["doc_id", "text"])
+    src = str(tmp_path / "inc")
+    incoming.repartition(2).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dedup_against_corpus(stream, corpus)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssdedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_new"])
+        for r in spark.sql("SELECT * FROM t_ssdedup").collect()
+    }
+    # index is checked against the CORPUS only; within-batch dups all pass
+    assert got == {
+        10: (1, False),
+        11: (None, True),
+        12: (2, False),
+        13: (None, True),
+    }
+    # batch restatement equality (the oracle's shape)
+    batch = {
+        r["doc_id"]: (r["canonical_id"], r["is_new"])
+        for r in dedup_against_corpus(incoming, corpus).collect()
+    }
+    assert batch == got
