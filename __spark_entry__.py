@@ -810,7 +810,13 @@ def _sessionize_gate(spark, sf_dir, query_name, max_files=None):
     )
     src = tempfile.mkdtemp(prefix="dudb_sess_src_")
     if max_files:
-        ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(src)
+        # 4 time-ordered files => 4 micro-batches: enough watermark
+        # advances to exercise cross-batch splits AND the event-time
+        # timeout close (deeper multi-batch shapes are fuzzed in
+        # tests/test_sessions.py); each extra stateful micro-batch costs
+        # ~1.8s of fixed overhead at gate scale, so 8 files doubled the
+        # certification cost for no added coverage
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
         for k, p in enumerate(sorted(_glob(os.path.join(src, "part-*.parquet")))):
             os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
     else:

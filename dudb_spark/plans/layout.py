@@ -100,11 +100,14 @@ def salted_join(
     ``n_salts`` replicas and scatter each hot ``left`` key across the
     replicas, so one monster key becomes ``n_salts`` ordinary partitions.
 
-    Mechanics: the left side gets a deterministic salt from a stable row
-    hash over all its columns; the right side cross-generates salts
-    0..n_salts-1 via ``explode(sequence(...))``; the join runs on
-    (key..., salt).  Results are EXACTLY the plain equi-join's — the salt
-    only chooses which replica a left row meets, never whether it matches.
+    Mechanics: the left side gets a uniform salt from a seeded ``rand()``
+    (partition-deterministic, and — the point — referencing NO columns,
+    so Parquet column pruning on the left scan survives; hashing the row
+    itself was measured to drag every column into the scan); the right
+    side cross-generates salts 0..n_salts-1 via ``explode(sequence(...))``;
+    the join runs on (key..., salt).  Results are EXACTLY the plain
+    equi-join's regardless of which salt a row draws — the salt only
+    chooses which replica a left row meets, never whether it matches.
 
     Supported ``how``: 'inner' and 'left' — each left row carries exactly
     one salt, so unmatched left rows surface once.  'right'/'full' would
@@ -123,7 +126,7 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    salt = F.floor(F.rand(42) * n_salts).cast("int")
     l = left.withColumn("_salt", salt)
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

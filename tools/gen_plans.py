@@ -74,6 +74,16 @@ SHOWCASE = {
     "hash coordinate — zero Exchange, stable under corpus growth",
     "q90_corpus_report": "dataset card: fingerprint min-window + one "
     "grouped pass; averages summed as exact integer micro-units",
+    "q92_salted_skew_join": "salted skew join: the dim side exploded to "
+    "8 salt replicas, join key (l_partkey, _salt) — one monster key "
+    "spreads across 8 ordinary partitions; result provably equals the "
+    "plain join (the oracle IS the plain join)",
+    "q93_hash_embed_topk": "hashing-trick embeddings: explode + two-phase "
+    "pivot aggregate (map-side partials), broadcast query side, integer "
+    "dot products via zip_with — no Python row path, nothing quadratic",
+    "q94_skew_profile": "skew diagnosis: per-key counts, "
+    "TakeOrderedAndProject for the hot keys, scalar totals BROADCAST onto "
+    "them — never a global window over the billion-key count frame",
 }
 
 
