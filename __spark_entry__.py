@@ -2786,17 +2786,12 @@ def q72_repetition_signals(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-def q73_pii_scan(spark, sf_dir):
-    """PII scan/redaction (pipeline/pii.py) over a deterministic
-    augmentation: synthetic emails/phones/IPv4s are concatenated onto a
-    doc_id-keyed subset (both engines restate the same injection), then
-    counted and redacted with RE2-compatible regexes — a pure projection,
-    no shuffle."""
-    from dudb_spark.pipeline.pii import pii_scan
-
-    d = _t(spark, sf_dir, "documents")
+def _pii_injected(d):
+    """Deterministic PII augmentation: synthetic emails/phones/IPv4s
+    concatenated onto a doc_id-keyed subset — the oracle restates the
+    same injection (q73, q96)."""
     did = F.col("doc_id")
-    injected = d.withColumn(
+    return d.withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -2826,6 +2821,15 @@ def q73_pii_scan(spark, sf_dir):
             ).otherwise(F.lit("")),
         ),
     )
+
+
+def q73_pii_scan(spark, sf_dir):
+    """PII scan/redaction (pipeline/pii.py) over the deterministic
+    augmentation (_pii_injected), counted and redacted with
+    RE2-compatible regexes — a pure projection, no shuffle."""
+    from dudb_spark.pipeline.pii import pii_scan
+
+    injected = _pii_injected(_t(spark, sf_dir, "documents"))
     return (
         pii_scan(injected)
         .where(F.col("n_pii") > 0)
@@ -3101,6 +3105,69 @@ def q95_stream_corpus_dedup(spark, sf_dir):
     )
 
 
+def q96_clean_corpus(spark, sf_dir):
+    """The END-TO-END corpus cleaning materialization — what a user runs
+    to actually produce training data: PII-augmented raw docs (plus
+    id-shifted exact COPIES of every 50th doc, so the dedup gate has
+    real work) → held-out eval split → quality gate (quality_score >=
+    0.72, ~the corpus 25th percentile) → exact-dedup canonical filter
+    (min-id per fingerprint) → decontamination gate (any 5-gram eval
+    overlap >= 0.01 drops) → PII redaction — emitting the kept corpus
+    with token and PII accounting.  Every stage is an operator certified
+    on its own (q21/q12/q71/q73); this query certifies the COMPOSITION,
+    with every gate dropping real rows.  Plan: scan-side
+    scoring/fingerprinting, one fp window shuffle, broadcast eval
+    shingles, redaction fused into the final projection."""
+    from pyspark.sql import Window
+
+    from dudb_spark.pipeline.decontam import ngram_contamination
+    from dudb_spark.pipeline.pii import pii_scan
+    from dudb_spark.pipeline.text import fingerprint, quality_score, tokens
+
+    raw = _pii_injected(_t(spark, sf_dir, "documents"))
+    # exact copies under shifted ids (970000 ≡ 0 mod 97, so a copy keeps
+    # its donor's eval-split membership)
+    d = raw.unionByName(
+        raw.where(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 970000
+        )
+    )
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    eval_set = d.where(F.col("doc_id") % 97 == 0)
+
+    contam = ngram_contamination(corpus, eval_set, n=5).select(
+        "doc_id", "contamination"
+    )
+    base = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    kept = (
+        base.withColumn(
+            "canonical", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .join(contam, "doc_id", "left")
+        .where(
+            (F.col("doc_id") == F.col("canonical"))
+            & (F.col("q") >= 0.72)
+            & (F.coalesce(F.col("contamination"), F.lit(0.0)) < 0.01)
+        )
+    )
+    pii = pii_scan(kept.select("doc_id", "text")).select(
+        "doc_id", "n_pii", F.length("redacted").cast("long").alias("redacted_len")
+    )
+    return (
+        kept.join(pii, "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "n_pii", "redacted_len")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3195,6 +3262,7 @@ QUERIES: dict[str, Callable] = {
     "q93_hash_embed_topk": q93_hash_embed_topk,
     "q94_skew_profile": q94_skew_profile,
     "q95_stream_corpus_dedup": q95_stream_corpus_dedup,
+    "q96_clean_corpus": q96_clean_corpus,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4742,6 +4810,82 @@ ORACLE["q95_stream_corpus_dedup"] = """
     )
     SELECT i.doc_id, x.canonical_id, x.canonical_id IS NULL AS is_new
     FROM inc i LEFT JOIN corpus x USING (fp)
+    ORDER BY doc_id
+"""
+
+
+# q96: the full cleaning composition — injection, quality, dedup window,
+# decontamination, and redaction all restated over the same CTE chain
+ORACLE["q96_clean_corpus"] = f"""
+    WITH injected0 AS (
+        SELECT doc_id, lang, source, text ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-010-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END ||
+            CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.0.' || (doc_id % 256) || '.' ||
+                      ((doc_id // 256) % 256)
+                 ELSE '' END AS text
+        FROM documents
+    ), injected AS (
+        SELECT * FROM injected0
+        UNION ALL
+        SELECT doc_id + 970000, lang, source, text
+        FROM injected0 WHERE doc_id % 50 = 0
+    ), toks AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+        FROM injected
+    ), scored AS (
+        SELECT doc_id, lang, source, text, tk,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               ROUND((
+                   CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                 + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1)
+                 + CASE WHEN len(tk) BETWEEN 20 AND 2000 THEN 1.0
+                        WHEN len(tk) < 20 THEN CAST(len(tk) AS DOUBLE) / 20
+                        ELSE 0.5 END
+               ) / 3, 6) AS q
+        FROM toks WHERE doc_id % 97 <> 0
+    ), canon AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical FROM scored
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(tk[i:i+4], ' ')
+                   FOR i IN range(1, greatest(len(tk) - 4, 1) + 1)]) AS sg
+        FROM toks
+    ), ev AS (
+        SELECT DISTINCT unnest(sg) AS shingle FROM sh WHERE doc_id % 97 = 0
+    ), corp AS (
+        SELECT doc_id, len(sg) AS n_shingles, unnest(sg) AS shingle
+        FROM sh WHERE doc_id % 97 <> 0
+    ), contam AS (
+        SELECT doc_id,
+               ROUND(COUNT(*) / CAST(n_shingles AS DOUBLE), 6) AS contamination
+        FROM corp JOIN ev USING (shingle)
+        GROUP BY doc_id, n_shingles
+    ), kept AS (
+        SELECT s.doc_id, s.lang, s.source, s.text,
+               CAST(len(s.tk) AS BIGINT) AS n_tokens
+        FROM canon s LEFT JOIN contam c ON s.doc_id = c.doc_id
+        WHERE s.doc_id = s.canonical AND s.q >= 0.72
+          AND COALESCE(c.contamination, 0) < 0.01
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{_PII_PHONE}'))
+              + len(regexp_extract_all(text, '{_PII_IPV4}')) AS INTEGER)
+             AS n_pii,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IPV4}', '[IPV4]', 'g')) AS BIGINT) AS redacted_len
+    FROM kept
     ORDER BY doc_id
 """
 

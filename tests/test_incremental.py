@@ -168,7 +168,10 @@ def test_incremental_fuzz_random_mutations(spark):
     seed.  Deterministic seeds keep the runtime bounded."""
     import random
 
-    for seed in (7, 23, 99, 1234, 4321):
+    # 3 seeds: each adds ~25s of fixed per-call plan overhead; the cascade
+    # semantics the fuzz guards are ALSO pinned by the four targeted
+    # flip/steal/move tests above, so seeds buy breadth not depth
+    for seed in (7, 23, 1234):
         rng = random.Random(seed)
         n_dirs = 8
         dirs = ["/t"] + [f"/t/d{i}" for i in range(n_dirs)]
