@@ -3168,6 +3168,40 @@ def q96_clean_corpus(spark, sf_dir):
     )
 
 
+def q97_incremental_ann_index(spark, sf_dir):
+    """Incremental ANN index maintenance (pipeline/ivf.assign_to_cells):
+    the quantizer is built over the FIRST 80% of vectors only; the
+    remaining 20% arrive later and are assigned to the EXISTING centroids
+    — the production IVF add path (no per-insert re-clustering) — and the
+    top-k search runs over base ∪ additions.  The query vector is itself
+    a newly-added vector, proving the fresh postings are searchable.  The
+    oracle replays quantizer-from-base, fixed-centroid assignment of
+    everything, probe choice, and ranking."""
+    from dudb_spark.pipeline.ivf import (
+        assign_to_cells,
+        fixed_cells,
+        fixed_ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    cut = (hi + 1) * 4 // 5
+    base = emb.where(F.col("vec_id") < cut)
+    new = emb.where(F.col("vec_id") >= cut)
+    assigned_base, c1 = fixed_cells(base, 16)
+    merged = assigned_base.unionByName(assign_to_cells(new, c1))
+    qv = emb.where(F.col("vec_id") == hi).first()["embedding"]
+    return fixed_ivf_topk(
+        emb,
+        qv,
+        k=10,
+        n_clusters=16,
+        n_probe=4,
+        cells=(merged, c1),
+        exclude_id=hi,
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3263,6 +3297,7 @@ QUERIES: dict[str, Callable] = {
     "q94_skew_profile": q94_skew_profile,
     "q95_stream_corpus_dedup": q95_stream_corpus_dedup,
     "q96_clean_corpus": q96_clean_corpus,
+    "q97_incremental_ann_index": q97_incremental_ann_index,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4812,6 +4847,75 @@ ORACLE["q95_stream_corpus_dedup"] = """
     FROM inc i LEFT JOIN corpus x USING (fp)
     ORDER BY doc_id
 """
+
+
+def _incremental_ivf_oracle_sql(
+    n_clusters: int = 16, n_probe: int = 4, k: int = 10
+) -> str:
+    """DuckDB restatement of q97: quantizer (seed + decimal-exact Lloyd
+    step) from the base 80% only, fixed-centroid assignment of ALL
+    vectors (the incremental add path is definitionally identical to
+    re-assigning everything against the same centroids), probe choice,
+    and the final ranking with the newly-added query vector excluded."""
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    def argmax(src, cents, out):
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT s.vec_id, s.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {cos('s.v', 'c.v')} DESC, c.cell ASC) AS rn
+                FROM {src} s CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), lim AS (
+            SELECT (MAX(vec_id) + 1) * 4 // 5 AS cut, MAX(vec_id) AS qid
+            FROM e
+        ), b AS (
+            SELECT e.vec_id, e.v FROM e, lim WHERE e.vec_id < lim.cut
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM b ORDER BY vec_id LIMIT {n_clusters}
+        ), {argmax('b', 'c0', 'a0')}
+        , m AS (
+            SELECT cell, i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i FROM a0)
+            GROUP BY cell, i
+        ), c1g AS (
+            SELECT cell AS orig_cell, list(mu ORDER BY i) AS v
+            FROM m GROUP BY cell
+        ), c1 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY orig_cell) - 1 AS cell, v
+            FROM c1g
+        ), {argmax('e', 'c1', 'a1')}
+        , q AS (
+            SELECT e.v FROM e, lim WHERE e.vec_id = lim.qid
+        ), probe AS (
+            SELECT c1.cell FROM c1, q
+            ORDER BY {cos('c1.v', 'q.v')} DESC, c1.cell ASC LIMIT {n_probe}
+        )
+        SELECT a1.vec_id, {cos('a1.v', 'q.v')} AS cosine
+        FROM a1 JOIN probe USING (cell), q, lim
+        WHERE a1.vec_id <> lim.qid
+        ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+ORACLE["q97_incremental_ann_index"] = _incremental_ivf_oracle_sql()
 
 
 # q96: the full cleaning composition — injection, quality, dedup window,

@@ -185,6 +185,7 @@ def fixed_ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cells=None,
+    exclude_id: int = 0,
 ) -> DataFrame:
     """Deterministic, oracle-reproducible IVF search over the
     :func:`fixed_cells` quantizer: select the ``n_probe`` nearest cells
@@ -211,11 +212,37 @@ def fixed_ivf_topk(
 
     return (
         assigned1.where(
-            F.col("cell").isin(sorted(probe)) & (F.col(id_col) != 0)
+            F.col("cell").isin(sorted(probe)) & (F.col(id_col) != exclude_id)
         )
         .select(id_col, F.expr(_cos6_sql(qv, _py_norm(qv))).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
+    )
+
+
+def assign_to_cells(
+    emb: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize vectors against FIXED centroids — the IVF *add* path.
+
+    Production vector indexes do not re-cluster per insert: between
+    quantizer rebuilds, newly arriving vectors are assigned to the
+    existing centroid set and appended to the postings (one scan, no
+    shuffle — the argmax is a scan-side expression over the broadcast
+    centroid literals).  The result unions directly with a
+    :func:`fixed_cells` ``assigned`` frame (same (id, _v, _nv, cell)
+    shape), so search and semantic dedup run over base ∪ additions
+    unchanged.  Assignment uses the same 6-decimal cosine argmax with
+    smaller-cell tie-break, so an oracle engine reproduces it."""
+    v = _as_double(F.col(vec_col))
+    base = emb.select(
+        id_col, v.alias("_v"), F.sqrt(dot(v, v)).alias("_nv")
+    )
+    return base.select(
+        id_col, "_v", "_nv", _argmax_cell(centroids).alias("cell")
     )
 
 

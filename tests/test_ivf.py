@@ -115,3 +115,40 @@ def test_semantic_dedup_contract(spark, corpus):
             assert round(d / (na * nb), 6) >= 0.2 - 1e-9
     finally:
         res.unpersist()
+
+
+def test_incremental_add_matches_full_assignment(spark, corpus):
+    """assign_to_cells against a fixed quantizer == assigning everything
+    in one pass (the add path changes WHEN vectors are quantized, never
+    HOW), and the merged postings make new vectors searchable."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.ivf import (
+        assign_to_cells,
+        fixed_cells,
+        fixed_ivf_topk,
+    )
+
+    hi = corpus.agg(F.max("vec_id")).first()[0]
+    cut = (hi + 1) * 4 // 5
+    base = corpus.where(F.col("vec_id") < cut)
+    new = corpus.where(F.col("vec_id") >= cut)
+
+    assigned_base, c1 = fixed_cells(base, n_clusters=8)
+    merged = assigned_base.unionByName(assign_to_cells(new, c1))
+    onepass = assign_to_cells(corpus, c1)
+    assert sorted(
+        (r["vec_id"], r["cell"]) for r in merged.select("vec_id", "cell").collect()
+    ) == sorted(
+        (r["vec_id"], r["cell"]) for r in onepass.select("vec_id", "cell").collect()
+    )
+
+    # a newly added vector is findable: its own nearest neighbour search
+    # over the merged index returns ids, including at least one added id
+    qv = corpus.where(F.col("vec_id") == hi).first()["embedding"]
+    top = fixed_ivf_topk(
+        corpus, qv, k=5, n_clusters=8, n_probe=8,
+        cells=(merged, c1), exclude_id=hi,
+    ).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] != hi for r in top)
