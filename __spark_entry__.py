@@ -3202,6 +3202,32 @@ def q97_incremental_ann_index(spark, sf_dir):
     )
 
 
+def q98_scale_exact_percentiles(spark, sf_dir):
+    """q45's exact percentiles recomputed SCALE-SAFE
+    (operators/quantiles.grouped_quantiles): order statistics via a
+    spillable window sort + rank probes, instead of the built-in
+    `percentile` aggregate whose buffer holds the whole group in memory.
+    Bit-parity with the built-in is pinned in tests; the oracle is q45's
+    (same numbers, different — unbounded-group-proof — plan)."""
+    from dudb_spark.operators.quantiles import grouped_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = grouped_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5, 0.9, 0.99],
+        names=["p50", "p90", "p99"],
+    )
+    return q.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3298,6 +3324,7 @@ QUERIES: dict[str, Callable] = {
     "q95_stream_corpus_dedup": q95_stream_corpus_dedup,
     "q96_clean_corpus": q96_clean_corpus,
     "q97_incremental_ann_index": q97_incremental_ann_index,
+    "q98_scale_exact_percentiles": q98_scale_exact_percentiles,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4916,6 +4943,16 @@ def _incremental_ivf_oracle_sql(
 
 
 ORACLE["q97_incremental_ann_index"] = _incremental_ivf_oracle_sql()
+
+# q98: same numbers as q45 — the point is the scale-safe PLAN
+ORACLE["q98_scale_exact_percentiles"] = """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 # q96: the full cleaning composition — injection, quality, dedup window,

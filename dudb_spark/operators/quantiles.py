@@ -1,0 +1,137 @@
+"""Scale-safe EXACT grouped quantiles (order statistics + linear
+interpolation), computed without buffering a group in memory.
+
+Spark's built-in exact ``percentile`` aggregate collects every value of a
+group into one aggregation buffer — fine for bounded groups, an OOM at
+100 TB when a group holds billions of rows.  This operator computes the
+same numbers from order statistics:
+
+1. rank every row within its group (``row_number`` window — Spark's
+   window sort is the spillable ExternalSorter, so a giant group costs
+   disk, not heap);
+2. derive, per group and requested quantile p, the two target ranks
+   ``lo = floor(p*(n-1))`` / ``hi = ceil(p*(n-1))`` from the group's row
+   count (a tiny aggregate broadcast back onto the ranked frame);
+3. semi-join the ranked frame to exactly those ranks (everything else is
+   filtered before the final aggregation) and interpolate
+   ``(hi - r) * v_lo + (r - lo) * v_hi`` — bit-for-bit THE formula
+   Spark's ``percentile`` applies, so results agree bit-for-bit.
+
+Cost: one count aggregate + one window shuffle/sort on the group key +
+a broadcast join of the (groups × quantiles) target frame.  Nothing
+holds more than a partition's sort run in memory.
+
+The reference engine has no quantiles at all (SURVEY.md §2.3); q45 uses
+the built-in exact aggregate (bounded groups), and this operator is the
+drop-in for unbounded groups; ``percentile_approx`` remains the
+constant-memory alternative when declared error is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    names: list[str] | None = None,
+) -> DataFrame:
+    """One row per group: ``n_rows`` plus one column per quantile.
+
+    ``names`` labels the quantile columns (default ``q50``-style from the
+    fraction).  Null values are excluded (matching the built-in
+    ``percentile``'s null handling).
+    """
+    names = names or [f"q{int(round(p * 100))}" for p in ps]
+    gcols = [F.col(c) for c in group_cols]
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("double").alias("_v")
+    )
+
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    ranked = vals.withColumn("_rn", F.row_number().over(w) - 1)
+
+    counts = vals.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    # (group, quantile) -> the two ranks to fetch and the interpolation
+    # fraction.  r = p*(n-1); lo==hi when r is integral (then frac==0 and
+    # only lo is fetched).
+    quant_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_qi"),
+                F.lit(p).cast("double").alias("_p"),
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    targets = (
+        counts.withColumn("_q", F.explode(quant_structs))
+        .select(
+            *group_cols,
+            "n_rows",
+            F.col("_q._qi").alias("_qi"),
+            (F.col("_q._p") * (F.col("n_rows") - 1)).alias("_r"),
+        )
+        .withColumn("_lo", F.floor("_r").cast("long"))
+        .withColumn("_hi", F.ceil("_r").cast("long"))
+    )
+    # fetch rows at the needed ranks only: explode each target to its
+    # (rank, role) probes and broadcast-join onto the ranked frame
+    probes = targets.select(
+        *group_cols,
+        "n_rows",
+        "_qi",
+        "_r",
+        "_lo",
+        F.explode(
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                F.array(
+                    F.struct(F.col("_lo").alias("_rn"), F.lit("lo").alias("_role")),
+                    F.struct(F.col("_hi").alias("_rn"), F.lit("hi").alias("_role")),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(F.col("_lo").alias("_rn"), F.lit("lo").alias("_role"))
+                )
+            )
+        ).alias("_probe"),
+    ).select(
+        *group_cols,
+        "n_rows",
+        "_qi",
+        "_r",
+        "_lo",
+        F.col("_probe._rn").alias("_rn"),
+        F.col("_probe._role").alias("_role"),
+    )
+    hit = ranked.join(F.broadcast(probes), [*group_cols, "_rn"])
+    per_q = hit.groupBy(*group_cols, "n_rows", "_qi", "_r", "_lo").agg(
+        F.max(F.when(F.col("_role") == "lo", F.col("_v"))).alias("_vlo"),
+        F.max(F.when(F.col("_role") == "hi", F.col("_v"))).alias("_vhi"),
+    )
+    # Spark's Percentile.getPercentile computes the weighted-sum form
+    # (higher - rank) * v_lo + (rank - lower) * v_hi — NOT
+    # v_lo + frac * (v_hi - v_lo); the two differ at the last ulp, so the
+    # same form is used here for bit-parity (pinned by
+    # test_matches_builtin_percentile).  hi == lo + 1 whenever a hi row
+    # exists (r non-integral).
+    interp = per_q.withColumn(
+        "_qv",
+        F.when(F.col("_vhi").isNull(), F.col("_vlo")).otherwise(
+            (F.col("_lo") + 1 - F.col("_r")) * F.col("_vlo")
+            + (F.col("_r") - F.col("_lo")) * F.col("_vhi")
+        ),
+    )
+    out = interp.groupBy(*group_cols, "n_rows").pivot(
+        "_qi", list(range(len(ps)))
+    ).max("_qv")
+    return out.select(
+        *gcols,
+        F.col("n_rows"),
+        *[F.col(f"`{i}`").alias(names[i]) for i in range(len(ps))],
+    )

@@ -1,0 +1,63 @@
+"""Exact grouped quantiles from order statistics: bit-parity with the
+built-in exact percentile aggregate, without its group-sized buffer."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from dudb_spark.operators.quantiles import grouped_quantiles
+from dudb_spark.plans import plan_of
+
+
+def _builtin(df, ps):
+    return (
+        df.where(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.expr(f"percentile(v, {p}d)").alias(f"q{int(round(p*100))}")
+                for p in ps
+            ],
+        )
+    )
+
+
+def test_matches_builtin_percentile(spark):
+    rnd = random.Random(5)
+    rows = [
+        (f"g{i % 7}", rnd.uniform(-100, 100)) for i in range(3000)
+    ]
+    # edge groups: singleton, pair, and a group with heavy ties
+    rows += [("solo", 42.0), ("pair", 1.0), ("pair", 2.0)]
+    rows += [("ties", float(x)) for x in [5, 5, 5, 5, 9]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    ps = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+
+    got = {
+        r["g"]: tuple(r)[1:]
+        for r in grouped_quantiles(df, ["g"], "v", ps).collect()
+    }
+    want = {r["g"]: tuple(r)[1:] for r in _builtin(df, ps).collect()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == want[g], g  # bit-exact, including interpolation
+
+
+def test_nulls_excluded_like_builtin(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], ["g", "v"]
+    )
+    got = grouped_quantiles(df, ["g"], "v", [0.5]).collect()[0]
+    assert got["n_rows"] == 2 and got["q50"] == 2.0
+
+
+def test_no_group_buffer_in_plan(spark):
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    p = plan_of(grouped_quantiles(df, ["g"], "v", [0.5, 0.9]))
+    # order statistics via window + join — the exact `percentile` agg
+    # (group-sized buffer) must NOT appear
+    assert "percentile" not in p.lower()
+    assert "Window" in p
