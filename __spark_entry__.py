@@ -3228,6 +3228,24 @@ def q98_scale_exact_percentiles(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q99_ivf_sq8_search(spark, sf_dir):
+    """Compressed-index ANN (quantize.ivf_sq8_topk) — the FAISS
+    ``IVF,SQ8`` composition over the shared fixed quantizer: cells prune
+    candidates, SQ8 int8 codes are the stored index, ranking runs on
+    reconstructed vectors with the decoded query.  The oracle replays
+    quantizer + probe + encode/decode + ranking end-to-end."""
+    from dudb_spark.pipeline.quantize import ivf_sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_sq8_topk(
+        emb,
+        _quantizer_cells(spark, sf_dir),
+        query_id=0,
+        k=10,
+        n_probe=4,
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3325,6 +3343,7 @@ QUERIES: dict[str, Callable] = {
     "q96_clean_corpus": q96_clean_corpus,
     "q97_incremental_ann_index": q97_incremental_ann_index,
     "q98_scale_exact_percentiles": q98_scale_exact_percentiles,
+    "q99_ivf_sq8_search": q99_ivf_sq8_search,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -4943,6 +4962,91 @@ def _incremental_ivf_oracle_sql(
 
 
 ORACLE["q97_incremental_ann_index"] = _incremental_ivf_oracle_sql()
+
+def _ivf_sq8_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB restatement of q99: the q41 quantizer chain, the q79
+    encode/decode chain, raw-query probe choice, decoded-query ranking
+    over probed cells only."""
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    def argmax(src, cents, out):
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT s.vec_id, s.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {cos('s.v', 'c.v')} DESC, c.cell ASC) AS rn
+                FROM {src} s CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM e ORDER BY vec_id LIMIT {n_clusters}
+        ), {argmax('e', 'c0', 'a0')}
+        , m AS (
+            SELECT cell, i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i FROM a0)
+            GROUP BY cell, i
+        ), c1g AS (
+            SELECT cell AS orig_cell, list(mu ORDER BY i) AS v
+            FROM m GROUP BY cell
+        ), c1 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY orig_cell) - 1 AS cell, v
+            FROM c1g
+        ), {argmax('e', 'c1', 'a1')}
+        , dims AS (
+            SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+            FROM e, generate_series(1, 64) t(i) GROUP BY i
+        ), b AS (
+            SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+            FROM dims
+        ), enc AS (
+            SELECT vec_id,
+                   [CAST(round(coalesce((v[i] - b.lo[i])
+                                        / nullif(b.hi[i] - b.lo[i], 0), 0)
+                               * 255.0, 0) AS INT)
+                    FOR i IN range(1, 65)] AS codes
+            FROM e, b
+        ), dec AS (
+            SELECT vec_id,
+                   [b.lo[i] + codes[i]::DOUBLE / 255.0 * (b.hi[i] - b.lo[i])
+                    FOR i IN range(1, 65)] AS dv
+            FROM enc, b
+        ), qraw AS (
+            SELECT v FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT c1.cell FROM c1 CROSS JOIN qraw
+            ORDER BY {cos('c1.v', 'qraw.v')} DESC, c1.cell ASC
+            LIMIT {n_probe}
+        ), qdec AS (
+            SELECT dv AS qv FROM dec WHERE vec_id = 0
+        )
+        SELECT d.vec_id, {cos('d.dv', 'qdec.qv')} AS qcosine
+        FROM dec d
+        JOIN a1 ON d.vec_id = a1.vec_id
+        JOIN probe ON a1.cell = probe.cell
+        CROSS JOIN qdec
+        WHERE d.vec_id <> 0
+        ORDER BY qcosine DESC, d.vec_id
+        LIMIT {k}
+    """
+
+
+ORACLE["q99_ivf_sq8_search"] = _ivf_sq8_oracle_sql()
+
 
 # q98: same numbers as q45 — the point is the scale-safe PLAN
 ORACLE["q98_scale_exact_percentiles"] = """

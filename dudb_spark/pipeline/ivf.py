@@ -176,6 +176,26 @@ def _argmax_cell(centroids):
     return F.expr(f"-array_max(array({pairs})).nj")
 
 
+def probe_cells(centroids, query_vec, n_probe: int) -> set[int]:
+    """The ``n_probe`` cells nearest a query vector — driver-side cosine
+    on the tiny centroid list (k × dim floats), 6-decimal rounding with
+    smaller-cell tie-break, mirroring the oracle's probe choice.  Shared
+    by the raw-vector search (:func:`fixed_ivf_topk`) and the SQ8
+    compressed-index search (quantize.ivf_sq8_topk)."""
+
+    def pycos(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return round(dot_ / (na * nb), 6)
+
+    qv = [float(x) for x in query_vec]
+    ranked = sorted(
+        ((pycos(c, qv), -j) for j, c in enumerate(centroids)), reverse=True
+    )
+    return {-nj for _, nj in ranked[:n_probe]}
+
+
 def fixed_ivf_topk(
     emb: DataFrame,
     query_vec,
@@ -196,19 +216,8 @@ def fixed_ivf_topk(
     ``cells`` = a prebuilt ``fixed_cells(emb, ...)`` result, so several
     consumers (search, semantic dedup) share one quantizer pass."""
     assigned1, c1 = cells or fixed_cells(emb, n_clusters, vec_col, id_col)
-
-    # probe cells: driver-side cosine on the tiny centroid list
-    def pycos(a, b):
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return round(dot_ / (na * nb), 6)
-
     qv = [float(x) for x in query_vec]
-    ranked = sorted(
-        ((pycos(c, qv), -j) for j, c in enumerate(c1)), reverse=True
-    )
-    probe = {-nj for _, nj in ranked[:n_probe]}
+    probe = probe_cells(c1, qv, n_probe)
 
     return (
         assigned1.where(

@@ -120,3 +120,49 @@ def sq8_topk(
         .orderBy(F.desc("qcosine"), id_col)
         .limit(k)
     )
+
+
+def ivf_sq8_topk(
+    df: DataFrame,
+    cells,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Compressed-index ANN — the FAISS ``IVF,SQ8`` composition: IVF
+    cells prune the candidate set, SQ8 codes are what the index stores,
+    and ranking runs on RECONSTRUCTED vectors.  At scale this is the
+    memory story of a 100 TB vector corpus: postings hold int8 codes
+    (4x smaller), raw vectors never load at query time.
+
+    ``cells`` is a ``(assigned, centroids)`` pair from ``ivf.fixed_cells``
+    (or base ∪ ``ivf.assign_to_cells`` additions).  Cell probing uses the
+    RAW query vector against the centroid list (driver-side, k x dim);
+    ranking uses the decoded query, exactly as a stored index would.
+    """
+    from dudb_spark.pipeline.ivf import probe_cells
+
+    assigned, centroids = cells
+    bounds = sq8_bounds(df, vec_col, dim)
+    enc = sq8_encode(df, bounds, vec_col, dim).withColumn(
+        "dv", sq8_decode(F.col("codes"), F.col("lo"), F.col("hi"), dim)
+    )
+    qv_raw = df.where(F.col(id_col) == query_id).first()[vec_col]
+    probe = probe_cells(centroids, qv_raw, n_probe)
+    qv = enc.where(F.col(id_col) == query_id).select(F.col("dv").alias("qv"))
+    cand_ids = assigned.where(
+        F.col("cell").isin(sorted(probe)) & (F.col(id_col) != query_id)
+    ).select(id_col)
+    return (
+        enc.join(cand_ids, id_col, "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            id_col,
+            F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("qcosine"),
+        )
+        .orderBy(F.desc("qcosine"), id_col)
+        .limit(k)
+    )

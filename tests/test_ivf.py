@@ -152,3 +152,18 @@ def test_incremental_add_matches_full_assignment(spark, corpus):
     ).collect()
     assert len(top) == 5
     assert all(r["vec_id"] != hi for r in top)
+
+
+def test_ivf_sq8_full_probe_equals_sq8_brute(spark, corpus):
+    """Probing every cell makes the compressed-index search equal the
+    plain SQ8 brute force (cell pruning changes WHICH rows are scored,
+    never HOW)."""
+    from dudb_spark.pipeline.ivf import fixed_cells
+    from dudb_spark.pipeline.quantize import ivf_sq8_topk, sq8_topk
+
+    cells = fixed_cells(corpus, n_clusters=8)
+    full = ivf_sq8_topk(corpus, cells, query_id=0, k=10, n_probe=8)
+    brute = sq8_topk(corpus, query_id=0, k=10)
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in brute.collect()
+    ]
