@@ -370,6 +370,67 @@ def cmd_pipeline_split(args):
     print(json.dumps({"splits": counts, "out": args.out}))
 
 
+def cmd_pipeline_embed(args):
+    """Hash-embed a parquet corpus (pipeline/embed.py); writes (id,
+    embedding array<long>, norm_sq) parquet or prints a summary."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.embed import embed_documents
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = embed_documents(df, args.text_col, args.id_col, args.dim)
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+    summary = res.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("norm_sq") == 0, 1)).alias("n_empty"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "dim": args.dim,
+                "n_docs": summary["n_docs"],
+                "n_empty": summary["n_empty"],
+                "out": args.out,
+            }
+        )
+    )
+
+
+def cmd_pipeline_skew(args):
+    """Shuffle-skew profile for a key column: hot keys, share, and the
+    salt factor salted_join/salted_group_sum would want."""
+    from dudb_spark.plans.layout import skew_profile
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    rows = skew_profile(df, args.key, top_n=args.top).collect()
+    print("\t".join([args.key, "n_rows", "share", "skew_ratio",
+                     "suggested_salts"]))
+    for r in rows:
+        print(
+            f"{r[args.key]}\t{r['n_rows']}\t{r['share']}"
+            f"\t{r['skew_ratio']}\t{r['suggested_salts']}"
+        )
+
+
+def cmd_pipeline_quantiles(args):
+    """Exact grouped quantiles via the scale-safe order-statistics
+    operator (operators/quantiles.py)."""
+    from dudb_spark.operators.quantiles import grouped_quantiles
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    groups = [g for g in args.group.split(",") if g]
+    ps = [float(x) for x in args.ps.split(",")]
+    res = grouped_quantiles(df, groups, args.value, ps)
+    cols = res.columns
+    print("\t".join(cols))
+    for r in res.orderBy(*groups).collect():
+        print("\t".join(str(r[c]) for c in cols))
+
+
 def cmd_pipeline_report(args):
     """Corpus dataset card: per (source, lang) doc/token/quality/dup
     stats printed as TSV."""
@@ -609,6 +670,30 @@ def build_parser():
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--text-col", default="text")
     pr.set_defaults(func=cmd_pipeline_report)
+    pe = psub.add_parser(
+        "embed", help="feature-hashing embeddings (hashing trick)"
+    )
+    pe.add_argument("--input", required=True)
+    pe.add_argument("--id-col", default="doc_id")
+    pe.add_argument("--text-col", default="text")
+    pe.add_argument("--dim", type=int, default=64)
+    pe.add_argument("--out", default=None)
+    pe.set_defaults(func=cmd_pipeline_embed)
+    pk = psub.add_parser(
+        "skew", help="per-key shuffle-skew profile (hot keys + salt hint)"
+    )
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--key", required=True, help="column to profile")
+    pk.add_argument("--top", type=int, default=10)
+    pk.set_defaults(func=cmd_pipeline_skew)
+    pq = psub.add_parser(
+        "quantiles", help="exact grouped quantiles (scale-safe)"
+    )
+    pq.add_argument("--input", required=True)
+    pq.add_argument("--group", required=True, help="comma-separated group cols")
+    pq.add_argument("--value", required=True)
+    pq.add_argument("--ps", default="0.5,0.9,0.99")
+    pq.set_defaults(func=cmd_pipeline_quantiles)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

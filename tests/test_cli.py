@@ -280,3 +280,17 @@ def test_cli_pipeline_commands(spark, tmp_path, capsys):
     header, *rows = rep.strip().splitlines()
     assert header.startswith("source\tlang")
     assert len(rows) > 3
+
+    out = json.loads(run(capsys, "pipeline", "embed", "--input", docs,
+                         "--dim", "8"))
+    assert out["n_docs"] == 500 and out["dim"] == 8
+
+    li = "/root/testdata/sf0.001/lineitem.parquet"
+    skew = run(capsys, "pipeline", "skew", "--input", li,
+               "--key", "l_returnflag", "--top", "2").strip().splitlines()
+    assert skew[0].startswith("l_returnflag\tn_rows") and len(skew) == 3
+
+    qs = run(capsys, "pipeline", "quantiles", "--input", li,
+             "--group", "l_returnflag", "--value", "l_extendedprice",
+             "--ps", "0.5").strip().splitlines()
+    assert qs[0] == "l_returnflag\tn_rows\tq50" and len(qs) == 4
