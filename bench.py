@@ -79,6 +79,13 @@ def main():
     # analyze_test.go:262–338).  490 of 500 dirs are unchanged by
     # construction, so the staged scan re-stats only ~2% of entries —
     # that's the unchanged-skip ratio the merge exploits.
+    # corpus-pipeline throughput anchor: q93 hash-embeds every document
+    # (dim 32) and answers 3 exact top-5 queries in one plan
+    n_docs = int(5_000 * (sf / 0.1)) if sf else None
+    if "q93_hash_embed_topk" in times and n_docs:
+        result["hash_embed_docs_per_sec"] = round(
+            n_docs / times["q93_hash_embed_topk"]
+        )
     if "q87_merge_at_scale" in times and n_entries:
         result["merge_entries_per_sec"] = round(
             n_entries / times["q87_merge_at_scale"]

@@ -125,6 +125,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError(
+            "salted_join reserves the _salt column name; rename the "
+            "input column"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.floor(F.rand(42) * n_salts).cast("int")
     l = left.withColumn("_salt", salt)
