@@ -3246,6 +3246,67 @@ def q99_ivf_sq8_search(spark, sf_dir):
     )
 
 
+def q100_online_dedup_growing(spark, sf_dir):
+    """Online dedup with a GROWING index (streaming/dedup.online_dedup):
+    the newest 20% of the corpus arrives as 4 mtime-ordered micro-batch
+    files (bucket = doc_id % 4); each batch is tagged against corpus
+    fingerprints ∪ fingerprints accepted in earlier batches, and its new
+    fingerprints fold into the index before the next batch — so
+    within-stream duplicates ARE caught across batches (the static-index
+    q95 leaves them open).  The oracle derives per-doc decisions from
+    the bucket arithmetic: corpus canonical wins; else a doc in a later
+    bucket than its fingerprint's first bucket duplicates that bucket's
+    min id; else it is new."""
+    import os
+    import shutil
+    import tempfile
+    from glob import glob as _glob
+
+    from dudb_spark.streaming.dedup import online_dedup
+
+    raw = _t(spark, sf_dir, "documents")
+    cut = raw.count() * 4 // 5
+    # exact copies under shifted ids land in the stream: copies of corpus
+    # donors exercise the corpus index, copies of incoming donors land one
+    # bucket later than their donor (970001 % 4 == 1) and exercise the
+    # GROWING index across micro-batches
+    d = raw.unionByName(
+        raw.where(F.col("doc_id") % 25 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 970001
+        )
+    )
+    corpus = d.where(F.col("doc_id") < cut)
+    incoming = d.where(F.col("doc_id") >= cut)
+
+    src = tempfile.mkdtemp(prefix="dudb_q100_src_")
+    for b in range(4):
+        tmp = tempfile.mkdtemp(prefix="dudb_q100_b_")
+        incoming.where(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = _glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b{b}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    index_dir = tempfile.mkdtemp(prefix="dudb_q100_idx_") + "/idx"
+    out_dir = tempfile.mkdtemp(prefix="dudb_q100_out_") + "/out"
+    with _stream_parts(spark):
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = online_dedup(stream, corpus, index_dir, out_dir)
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "canonical_id", "is_new")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3344,6 +3405,7 @@ QUERIES: dict[str, Callable] = {
     "q97_incremental_ann_index": q97_incremental_ann_index,
     "q98_scale_exact_percentiles": q98_scale_exact_percentiles,
     "q99_ivf_sq8_search": q99_ivf_sq8_search,
+    "q100_online_dedup_growing": q100_online_dedup_growing,
     "q85_sessions_multibatch": q85_sessions_multibatch,
 }
 
@@ -5056,6 +5118,47 @@ ORACLE["q98_scale_exact_percentiles"] = """
            ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
     FROM lineitem
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# q100: growing-index online dedup — decisions re-derived from the
+# bucket (micro-batch) arithmetic: corpus canonical wins; else a doc in
+# a later bucket than its fingerprint's FIRST bucket duplicates that
+# bucket's min id; else it is new (within-batch dups all pass)
+ORACLE["q100_online_dedup_growing"] = """
+    WITH cut AS (
+        SELECT CAST(COUNT(*) * 4 // 5 AS BIGINT) AS c FROM documents
+    ), dupped AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 970001, text FROM documents WHERE doc_id % 25 = 0
+    ), fps AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM dupped
+    ), corpus AS (
+        SELECT fp, MIN(doc_id) AS canonical_id
+        FROM fps, cut WHERE doc_id < c GROUP BY fp
+    ), inc AS (
+        SELECT doc_id, fp, doc_id % 4 AS bucket
+        FROM fps, cut WHERE doc_id >= c
+    ), first_batch AS (
+        SELECT fp, MIN(bucket) AS b0 FROM inc GROUP BY fp
+    ), batch_canon AS (
+        SELECT i.fp, MIN(i.doc_id) AS bcanon
+        FROM inc i JOIN first_batch f ON i.fp = f.fp AND i.bucket = f.b0
+        GROUP BY i.fp
+    )
+    SELECT i.doc_id,
+           COALESCE(c.canonical_id,
+                    CASE WHEN i.bucket > f.b0 THEN bc.bcanon END)
+             AS canonical_id,
+           (c.canonical_id IS NULL AND i.bucket = f.b0) AS is_new
+    FROM inc i
+    LEFT JOIN corpus c ON i.fp = c.fp
+    JOIN first_batch f ON i.fp = f.fp
+    LEFT JOIN batch_canon bc ON i.fp = bc.fp
+    ORDER BY i.doc_id
 """
 
 

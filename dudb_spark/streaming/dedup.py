@@ -113,3 +113,80 @@ def dedup_against_corpus(
             F.col("canonical_id").isNull().alias("is_new"),
         )
     )
+
+
+def online_dedup(
+    stream: DataFrame,
+    corpus: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Online dedup with a GROWING index: each micro-batch is tagged
+    against corpus fingerprints ∪ every fingerprint accepted in EARLIER
+    batches, and the batch's newly-accepted fingerprints are folded into
+    the index before the next batch — so a duplicate arriving later in
+    the same stream IS caught (the gap :func:`dedup_against_corpus`'s
+    static index leaves open).
+
+    Mechanics: ``foreachBatch`` seeds ``index_dir`` with the corpus
+    min-id fingerprint table, then per batch (1) re-reads the index —
+    the read must be inside the batch function so appended files are
+    visible, (2) left-joins the batch, appending the tagged rows to
+    ``out_dir``, (3) appends the batch's unseen fingerprints (min id per
+    fp within the batch) to ``index_dir``.  Duplicates WITHIN one batch
+    all pass — same semantics as a snapshot-grained batch dedup; the
+    canonical recorded for later batches is the min id of the first
+    batch that carried the fingerprint.
+
+    Scale: the index is an append-only parquet table keyed by fp —
+    at 100 TB swap the per-batch full re-read for a Delta/Iceberg MERGE
+    or a bucketed table so the probe co-locates; the foreachBatch seam
+    is exactly where that engine plugs in.  Returns the started
+    StreamingQuery (caller awaits termination and reads ``out_dir``).
+    """
+    from dudb_spark.pipeline.text import fingerprint
+
+    spark = corpus.sparkSession
+    (
+        corpus.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col).cast("long").alias("canonical_id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+        .write.mode("overwrite")
+        .parquet(index_dir)
+    )
+
+    def _batch(bdf: DataFrame, epoch_id: int) -> None:
+        idx = spark.read.parquet(index_dir)
+        tagged = (
+            bdf.withColumn("fp", fingerprint(F.col(text_col)))
+            .join(idx, "fp", "left_outer")
+            .select(
+                F.col(id_col).cast("long").alias(id_col),
+                "fp",
+                "canonical_id",
+                F.col("canonical_id").isNull().alias("is_new"),
+            )
+            .localCheckpoint()
+        )
+        tagged.select(id_col, "canonical_id", "is_new").write.mode(
+            "append"
+        ).parquet(out_dir)
+        (
+            tagged.where(F.col("is_new"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("canonical_id"))
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -174,3 +174,55 @@ def test_stream_static_dedup_matches_batch(spark, tmp_path):
         for r in dedup_against_corpus(incoming, corpus).collect()
     }
     assert batch == got
+
+
+def test_online_dedup_grows_index_across_batches(spark, tmp_path):
+    import os
+
+    from pyspark.sql import types as T
+
+    from dudb_spark.streaming.dedup import online_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "corpus text one"), (2, "corpus text two")], ["doc_id", "text"]
+    )
+    # batch 0: one new doc + a corpus dup; batch 1: a dup OF BATCH 0's doc
+    b0 = spark.createDataFrame(
+        [(10, "fresh content"), (11, "corpus text one")], ["doc_id", "text"]
+    )
+    b1 = spark.createDataFrame(
+        [(20, "fresh content"), (21, "another new one")], ["doc_id", "text"]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for k, bdf in enumerate([b0, b1]):
+        tmp = str(tmp_path / f"w{k}")
+        bdf.coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = online_dedup(
+        stream, corpus, str(tmp_path / "idx"), str(tmp_path / "out")
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_new"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        10: (None, True),   # new in batch 0
+        11: (1, False),     # corpus dup
+        20: (10, False),    # caught by the GROWN index (batch 0's doc 10)
+        21: (None, True),   # new in batch 1
+    }
