@@ -84,6 +84,16 @@ SHOWCASE = {
     "q94_skew_profile": "skew diagnosis: per-key counts, "
     "TakeOrderedAndProject for the hot keys, scalar totals BROADCAST onto "
     "them — never a global window over the billion-key count frame",
+    "q96_clean_corpus": "end-to-end corpus cleaning: scan-side "
+    "scoring/fingerprinting, ONE fingerprint-window shuffle, broadcast "
+    "eval shingles for decontamination, redaction fused into the final "
+    "projection — every gate a Catalyst-visible filter",
+    "q98_scale_exact_percentiles": "exact quantiles from order "
+    "statistics: spillable window sort + broadcast rank probes — no "
+    "group-sized aggregation buffer anywhere in the plan",
+    "q99_ivf_sq8_search": "compressed-index ANN: IVF cells prune the "
+    "candidate set (left-semi), SQ8 int8 codes decode scan-side, ranking "
+    "touches only probed cells' reconstructed vectors",
 }
 
 
