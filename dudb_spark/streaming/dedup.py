@@ -143,8 +143,12 @@ def online_dedup(
     Scale: the index is an append-only parquet table keyed by fp —
     at 100 TB swap the per-batch full re-read for a Delta/Iceberg MERGE
     or a bucketed table so the probe co-locates; the foreachBatch seam
-    is exactly where that engine plugs in.  Returns the started
-    StreamingQuery (caller awaits termination and reads ``out_dir``).
+    is exactly where that engine plugs in.  Delivery: ``foreachBatch``
+    with plain parquet appends is at-least-once — a batch retried after
+    a partial write can duplicate output rows (never lose them); the
+    production swap above (MERGE keyed by doc id / fp) makes both
+    writes idempotent.  Returns the started StreamingQuery (caller
+    awaits termination and reads ``out_dir``).
     """
     from dudb_spark.pipeline.text import fingerprint
 

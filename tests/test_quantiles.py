@@ -46,6 +46,29 @@ def test_matches_builtin_percentile(spark):
         assert got[g] == want[g], g  # bit-exact, including interpolation
 
 
+def test_quantiles_fuzz_matches_builtin(spark):
+    """Randomized group shapes/sizes/duplicates: operator == builtin on
+    every seed (deterministic seeds keep the runtime bounded)."""
+    for seed in (11, 77, 303):
+        rnd = random.Random(seed)
+        rows = []
+        for g in range(rnd.randint(1, 6)):
+            n = rnd.randint(1, 40)
+            vals = [
+                float(rnd.choice([rnd.uniform(-5, 5), rnd.randint(-3, 3)]))
+                for _ in range(n)
+            ]
+            rows += [(f"g{g}", v) for v in vals]
+        ps = sorted(rnd.sample([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0], 3))
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {
+            r["g"]: tuple(r)[1:]
+            for r in grouped_quantiles(df, ["g"], "v", ps).collect()
+        }
+        want = {r["g"]: tuple(r)[1:] for r in _builtin(df, ps).collect()}
+        assert got == want, f"seed {seed}"
+
+
 def test_nulls_excluded_like_builtin(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", None), ("a", 3.0)], ["g", "v"]
