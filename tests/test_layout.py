@@ -88,11 +88,17 @@ def test_salted_join_matches_plain(spark):
         assert sorted(map(tuple, salted.select("k", "v", "w").collect())) == sorted(
             map(tuple, plain.select("k", "v", "w").collect())
         )
-    # the join key actually includes the salt (the skew-spreading claim)
+    # the join key actually includes the salt (the skew-spreading claim),
+    # and with broadcast off the exchange partitions on (k, _salt) — the
+    # hot key is physically spread
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        p = plan_of(salted_join(left, right, "k", n_salts=8))
+        p = plan_of(salted_join(left, right.hint("shuffle_hash"), "k", n_salts=8))
         assert "_salt" in p
+        assert "ShuffledHashJoin" in p
+        import re
+
+        assert re.search(r"hashpartitioning\(k#\d+L?, _salt", p), p[:800]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     with pytest.raises(ValueError):
