@@ -105,6 +105,37 @@ def test_salted_join_matches_plain(spark):
         salted_join(left, right, "k", how="full")
 
 
+def test_salted_join_composite_key(spark):
+    from dudb_spark.plans.layout import salted_join
+
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 5).alias("a"),
+        (F.col("id") % 3).alias("b"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 15).select(
+        (F.col("id") % 5).alias("a"),
+        (F.col("id") % 3).alias("b"),
+        (F.col("id") * 7).alias("w"),
+    )
+    salted = salted_join(left, right, ["a", "b"], n_salts=4)
+    plain = left.join(right, ["a", "b"])
+    assert sorted(map(tuple, salted.select("a", "b", "v", "w").collect())) == \
+        sorted(map(tuple, plain.select("a", "b", "v", "w").collect()))
+
+
+def test_skew_profile_composite_key(spark):
+    from dudb_spark.plans.layout import skew_profile
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 2).alias("a"), (F.col("id") % 3).alias("b")
+    )
+    rows = skew_profile(df, ["a", "b"], top_n=6).collect()
+    assert len(rows) == 6
+    assert sum(r["n_rows"] for r in rows) == 300
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+
+
 def test_skew_profile(spark):
     from dudb_spark.plans.layout import skew_profile
 
