@@ -3307,6 +3307,74 @@ def q100_online_dedup_growing(spark, sf_dir):
     )
 
 
+def q101_span_dedup(spark, sf_dir):
+    """Exact n-gram span dedup (Lee et al. 2021 substring dedup, 8-gram
+    approximation): every repeated 8-token window is removed except its
+    first corpus occurrence, and documents are rebuilt from the surviving
+    tokens (pipeline/spans.span_dedup).  Grams shuffle as xxhash64 int64s;
+    the oracle restates the same first-occurrence/cover semantics over
+    gram strings."""
+    from dudb_spark.pipeline.spans import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup(docs, 8).orderBy("doc_id")
+
+
+def q102_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rule filter (Rae et al. 2021 A1.1): per-rule
+    measurements + booleans + the overall pass verdict, as one scan-fused
+    Column struct (pipeline/text.gopher_flags)."""
+    from dudb_spark.pipeline.text import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", gopher_flags(F.col("text")).alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
+_BM25_QUERIES = [
+    (1, "table scan fast"),
+    (2, "stream window agg"),
+    (3, "customer order join"),
+    (4, "hash merge sort the"),
+]
+
+
+def q103_bm25_retrieval(spark, sf_dir):
+    """Batch BM25 retrieval: 4 bag-of-words queries scored against the
+    corpus through a broadcast inverted-index join, per-query top-10
+    (pipeline/retrieval.bm25_retrieve)."""
+    from dudb_spark.pipeline.retrieval import bm25_retrieve
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
+    return bm25_retrieve(docs, qs, k=10).orderBy("query_id", "rank")
+
+
+def q104_shuffled_shards(spark, sf_dir):
+    """Deterministic corpus shuffle + token-budgeted shard assignment:
+    documents ordered by md5(doc_id) (a reproducible global shuffle for
+    training-order decorrelation) and packed into 2000-token shards with
+    the two-phase distributed prefix sum (operators/prefix.pack_sequences
+    — no single-task global window)."""
+    from dudb_spark.operators.prefix import pack_sequences
+    from dudb_spark.pipeline.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    )
+    return pack_sequences(docs, "skey", "n_tokens", 2000).select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "shard",
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3407,6 +3475,10 @@ QUERIES: dict[str, Callable] = {
     "q99_ivf_sq8_search": q99_ivf_sq8_search,
     "q100_online_dedup_growing": q100_online_dedup_growing,
     "q85_sessions_multibatch": q85_sessions_multibatch,
+    "q101_span_dedup": q101_span_dedup,
+    "q102_gopher_rules": q102_gopher_rules,
+    "q103_bm25_retrieval": q103_bm25_retrieval,
+    "q104_shuffled_shards": q104_shuffled_shards,
 }
 
 ORACLE: dict[str, str] = {
@@ -5235,6 +5307,138 @@ ORACLE["q96_clean_corpus"] = f"""
                '{_PII_IPV4}', '[IPV4]', 'g')) AS BIGINT) AS redacted_len
     FROM kept
     ORDER BY doc_id
+"""
+
+
+ORACLE["q101_span_dedup"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), tl AS (SELECT doc_id, arr, len(arr) AS L FROM toks),
+    grams AS (
+      SELECT doc_id, u.p, array_to_string(arr[u.p+1 : u.p+8], ' ') AS gram
+      FROM tl, unnest(range(L - 7)) AS u(p) WHERE L >= 8
+    ), dups AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+        FROM grams) WHERE rn > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, d.p + r.o AS pos
+      FROM dups d, unnest(range(8)) AS r(o)
+    ), pos_tok AS (
+      SELECT doc_id, u.pos, arr[u.pos+1] AS tok
+      FROM tl, unnest(range(L)) AS u(pos)
+    ), kept AS (
+      SELECT pt.doc_id, pt.pos, pt.tok
+      FROM pos_tok pt ANTI JOIN covered c USING (doc_id, pos)
+    )
+    SELECT t.doc_id, t.L AS n_tokens,
+           t.L - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.txt, '') AS dedup_text
+    FROM tl t LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+    ORDER BY doc_id
+"""
+
+ORACLE["q102_gopher_rules"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(t) AS n_words,
+        ROUND(CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum')
+              AS DOUBLE) / greatest(len(t), 1), 6) AS mean_word_len,
+        ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS DOUBLE) / greatest(len(t), 1), 6) AS alpha_frac,
+        ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '^[#…]+$')
+                                        OR contains(w, '...')))
+              AS DOUBLE) / greatest(len(t), 1), 6) AS symbol_ratio,
+        len(list_filter(t, w -> list_contains(
+            ['the','and','of','to','a','in','is','it'], w))) AS stop_hits,
+        ROUND(CAST(COALESCE(list_max(list_transform(list_distinct(t),
+                   w -> len(list_filter(t, x -> x = w)))), 0)
+              AS DOUBLE) / greatest(len(t), 1), 6) AS top_unigram_frac
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+           stop_hits, top_unigram_frac,
+           (n_words BETWEEN 30 AND 100000) AS ok_words,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+           (alpha_frac >= 0.8) AS ok_alpha,
+           (symbol_ratio <= 0.1) AS ok_symbols,
+           (stop_hits >= 2) AS ok_stopwords,
+           (top_unigram_frac <= 0.2) AS ok_repetition,
+           ((n_words BETWEEN 30 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+            AND stop_hits >= 2 AND top_unigram_frac <= 0.2) AS passes
+    FROM m ORDER BY doc_id
+"""
+
+ORACLE["q103_bm25_retrieval"] = r"""
+    WITH q(query_id, qtext) AS (VALUES
+        (1, 'table scan fast'), (2, 'stream window agg'),
+        (3, 'customer order join'), (4, 'hash merge sort the')),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    post AS (SELECT tf.doc_id, term, tf, dl FROM tf JOIN dl USING (doc_id)),
+    qt AS (
+      SELECT query_id, unnest(list_filter(string_split_regex(qtext, '\s+'),
+                                          t -> t <> '')) AS term
+      FROM q
+    ), qterms AS (SELECT query_id, term, count(*) AS qtf FROM qt GROUP BY 1, 2),
+    consts AS (
+      SELECT count(DISTINCT doc_id) AS n_docs,
+             CAST(SUM(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+      FROM post
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1
+    ), scored AS (
+      SELECT query_id, doc_id,
+             ROUND(SUM(qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS score
+      FROM post JOIN qterms USING (term) JOIN dfreq USING (term)
+      CROSS JOIN consts
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
+
+ORACLE["q104_shuffled_shards"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY skey
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+           CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 2000)
+                AS BIGINT) AS shard
+    FROM c ORDER BY doc_id
 """
 
 

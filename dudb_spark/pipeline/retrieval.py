@@ -1,0 +1,114 @@
+"""Distributed BM25 retrieval: score a (small) query set against a
+(huge) corpus through an inverted-index equi-join — the batch-retrieval
+shape RAG data pipelines run at corpus scale.
+
+Plan shape, sized for 100 TB:
+
+- The corpus side becomes a postings frame ``(term, doc_id, tf, dl)`` —
+  one explode + one map-side-combining groupBy, the same shuffle the
+  TF-IDF/BM25-terms operators already pay.
+- The query side is tokenized and **broadcast**: scoring is
+  ``postings ⋈ query_terms`` on the term key with no corpus-side
+  re-shuffle; only postings of query terms survive the join, so the
+  scored frame is bounded by the posting lists hit, not the corpus.
+- Document frequency and corpus constants (N, avgdl) for the idf come
+  from the postings frame itself — df over query terms only (semi-join
+  first), N/avgdl as a broadcast single-row frame; nothing collects to
+  the driver.
+- Per-query top-k is a window over round(score, 6) with a doc_id
+  tiebreak — scores are rounded BEFORE ranking so rank order is
+  reproducible across engines and runs (BM25 sums of logs differ in the
+  last ulp between libm implementations).
+
+idf uses the "plus-one" form ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+(Lucene's non-negative variant), so a term in >half the corpus can't
+contribute a negative score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dudb_spark.pipeline.text import tokens
+
+
+def postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(term, doc_id, tf, dl)`` — the inverted index as a frame."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def bm25_retrieve(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus documents per query, BM25-scored.
+
+    ``queries`` is a small frame ``(query_id, qtext)``.  Returns
+    ``(query_id, rank, doc_id, score)``; a query term's multiplicity in
+    the query weights its contribution (standard bag-of-words query).
+    """
+    post = postings(docs, id_col, text_col)
+
+    qterms = queries.select(
+        "query_id", F.explode(tokens(F.col("qtext"))).alias("term")
+    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+
+    consts = post.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    # df only for terms some query mentions — the rest of the index is
+    # never aggregated
+    dfreq = (
+        post.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("qtf")
+            * F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_w"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

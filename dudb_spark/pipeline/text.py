@@ -516,3 +516,74 @@ def unigram_logprob(
             F.sum("tf").alias("n_tokens"),
         )
     )
+
+
+def gopher_flags(text: Column) -> Column:
+    """Gopher-style quality-rule struct (Rae et al. 2021, *Scaling
+    Language Models: ... Gopher*, Appendix A1.1) — each rule a boolean
+    plus the measurements behind it, so a curation job can both filter
+    and report per-rule rejection rates.
+
+    Pure Column arithmetic over one tokenization — fuses into the scan,
+    no shuffle, no UDF.  Doubles are rounded to 6 dp so an oracle engine
+    reproduces them bit-for-bit.  Thresholds follow the paper except
+    ``min_words`` (Gopher: 50), lowered to 30 so short-doc corpora keep a
+    meaningful pass rate; ``top_unigram_frac`` stands in for the paper's
+    duplicate-line rules on corpora without line structure.
+    """
+    t = tokens(text)
+    n = F.size(t)
+    mean_len = F.round(
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).cast("double")
+        / F.greatest(n, F.lit(1)),
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / F.greatest(n, F.lit(1)),
+        6,
+    )
+    symbolish = F.size(
+        F.filter(t, lambda w: w.rlike("^[#…]+$") | w.contains("..."))
+    )
+    symbol_ratio = F.round(
+        symbolish.cast("double") / F.greatest(n, F.lit(1)), 6
+    )
+    stop_hits = F.size(
+        F.filter(t, lambda w: w.isin([*STOPWORDS["en"]]))
+    )
+    top_unigram = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda w: F.size(F.filter(t, lambda x: x == w)),
+        )
+    )
+    top_frac = F.round(
+        F.coalesce(top_unigram, F.lit(0)).cast("double")
+        / F.greatest(n, F.lit(1)),
+        6,
+    )
+    return F.struct(
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        top_frac.alias("top_unigram_frac"),
+        n.between(30, 100000).alias("ok_words"),
+        mean_len.between(3.0, 10.0).alias("ok_mean_len"),
+        (alpha_frac >= 0.8).alias("ok_alpha"),
+        (symbol_ratio <= 0.1).alias("ok_symbols"),
+        (stop_hits >= 2).alias("ok_stopwords"),
+        (top_frac <= 0.2).alias("ok_repetition"),
+        (
+            n.between(30, 100000)
+            & mean_len.between(3.0, 10.0)
+            & (alpha_frac >= 0.8)
+            & (symbol_ratio <= 0.1)
+            & (stop_hits >= 2)
+            & (top_frac <= 0.2)
+        ).alias("passes"),
+    )
