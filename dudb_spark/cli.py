@@ -431,6 +431,81 @@ def cmd_pipeline_quantiles(args):
         print("\t".join(str(r[c]) for c in cols))
 
 
+def cmd_pipeline_spandedup(args):
+    """Exact n-gram span dedup (pipeline/spans.py): remove every repeated
+    n-token window except its first corpus occurrence."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.spans import span_dedup
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = span_dedup(df, args.n, args.id_col, args.text_col)
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+    summary = res.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_in"),
+        F.sum("n_removed").alias("tokens_removed"),
+        F.count(F.when(F.col("n_removed") > 0, 1)).alias("docs_touched"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n": args.n,
+                "n_docs": summary["n_docs"],
+                "tokens_in": summary["tokens_in"],
+                "tokens_removed": summary["tokens_removed"],
+                "docs_touched": summary["docs_touched"],
+                "out": args.out,
+            }
+        )
+    )
+
+
+def cmd_pipeline_quality(args):
+    """Gopher-style quality rules: per-rule rejection counts and the
+    overall pass rate (pipeline/text.gopher_flags)."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.text import gopher_flags
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    flagged = df.select(
+        gopher_flags(F.col(args.text_col)).alias("g")
+    ).select("g.*")
+    if args.out:
+        kept = df.where(gopher_flags(F.col(args.text_col))["passes"])
+        kept.write.mode("overwrite").parquet(expand_path(args.out))
+    rules = ["ok_words", "ok_mean_len", "ok_alpha", "ok_symbols",
+             "ok_stopwords", "ok_repetition", "passes"]
+    row = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.count(F.when(F.col(r), 1)).alias(r) for r in rules],
+    ).first()
+    print(json.dumps({k: row[k] for k in ["n_docs", *rules]}
+                     | {"out": args.out}))
+
+
+def cmd_pipeline_retrieve(args):
+    """Batch BM25 retrieval: score query strings against a parquet
+    corpus, print per-query top-k TSV (pipeline/retrieval.py)."""
+    from dudb_spark.pipeline.retrieval import bm25_retrieve
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    qs = spark.createDataFrame(
+        list(enumerate(args.query, start=1)), ["query_id", "qtext"]
+    )
+    res = bm25_retrieve(
+        df, qs, k=args.k, id_col=args.id_col, text_col=args.text_col
+    )
+    print("\t".join(["query_id", "rank", "doc_id", "score"]))
+    for r in res.orderBy("query_id", "rank").collect():
+        print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
+
+
 def cmd_pipeline_report(args):
     """Corpus dataset card: per (source, lang) doc/token/quality/dup
     stats printed as TSV."""
@@ -694,6 +769,32 @@ def build_parser():
     pq.add_argument("--value", required=True)
     pq.add_argument("--ps", default="0.5,0.9,0.99")
     pq.set_defaults(func=cmd_pipeline_quantiles)
+    px = psub.add_parser(
+        "spandedup", help="exact n-gram span dedup (substring dedup)"
+    )
+    px.add_argument("--input", required=True)
+    px.add_argument("--n", type=int, default=8)
+    px.add_argument("--id-col", default="doc_id")
+    px.add_argument("--text-col", default="text")
+    px.add_argument("--out", default=None)
+    px.set_defaults(func=cmd_pipeline_spandedup)
+    pg = psub.add_parser(
+        "quality", help="Gopher-style quality rules (flags + pass rate)"
+    )
+    pg.add_argument("--input", required=True)
+    pg.add_argument("--text-col", default="text")
+    pg.add_argument("--out", default=None,
+                    help="write passing docs to this parquet path")
+    pg.set_defaults(func=cmd_pipeline_quality)
+    pb = psub.add_parser(
+        "retrieve", help="batch BM25 retrieval over a parquet corpus"
+    )
+    pb.add_argument("--input", required=True)
+    pb.add_argument("--id-col", default="doc_id")
+    pb.add_argument("--text-col", default="text")
+    pb.add_argument("--k", type=int, default=10)
+    pb.add_argument("query", nargs="+", help="query strings")
+    pb.set_defaults(func=cmd_pipeline_retrieve)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

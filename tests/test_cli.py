@@ -294,3 +294,17 @@ def test_cli_pipeline_commands(spark, tmp_path, capsys):
              "--group", "l_returnflag", "--value", "l_extendedprice",
              "--ps", "0.5").strip().splitlines()
     assert qs[0] == "l_returnflag\tn_rows\tq50" and len(qs) == 4
+
+    out = json.loads(run(capsys, "pipeline", "spandedup", "--input", docs,
+                         "--n", "8"))
+    assert out["n_docs"] == 500
+    assert 0 < out["tokens_removed"] < out["tokens_in"]
+    assert 0 < out["docs_touched"] < 500
+
+    out = json.loads(run(capsys, "pipeline", "quality", "--input", docs))
+    assert out["n_docs"] == 500
+    assert 0 < out["passes"] <= out["ok_words"]
+
+    ret = run(capsys, "pipeline", "retrieve", "--input", docs,
+              "--k", "3", "table scan fast").strip().splitlines()
+    assert ret[0] == "query_id\trank\tdoc_id\tscore" and len(ret) == 4
