@@ -57,6 +57,17 @@ def main():
             if tbl.name.startswith("dudb_q"):
                 spark.catalog.dropTempView(tbl.name)
         spark.catalog.clearCache()
+        # Unload state-store providers left by terminated streaming
+        # queries (they stay resident in local mode): ten streaming gates
+        # in the suite otherwise accumulate heap that later queries pay
+        # for as GC pauses — observed as one random query per run spiking
+        # 3s -> 20s while measuring 4x faster in isolation.  NOT
+        # System.gc(): an explicit full GC flushes generated classes and
+        # JIT code, which measured ~45% slower across the whole suite.
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:
+            pass
 
     total = round(sum(times.values()), 3)
     # Key the JSON by the short query id (q01, q02, ...) so the single
