@@ -3375,6 +3375,47 @@ def q104_shuffled_shards(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q105_vocab_coverage(spark, sf_dir):
+    """Tokenizer-pipeline artifact: induce the global top-20 vocabulary
+    by corpus frequency, then measure per-language token coverage / OOV
+    rate through a broadcast vocab join (pipeline/text.vocab_oov)."""
+    from dudb_spark.pipeline.text import vocab_oov
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_oov(docs, top_v=20, group_col="lang").orderBy("lang")
+
+
+def q106_pagerank(spark, sf_dir):
+    """PageRank (5 power iterations, d=0.85) over the winnowed
+    copy-detection graph — per-node centrality to pick the canonical
+    copy inside duplicate neighborhoods (pipeline/graph.pagerank, one
+    join+agg shuffle per iteration, localCheckpoint per round).  Shares
+    q37's memoized pair frame; the oracle unrolls the same five
+    iterations as CTEs."""
+    from dudb_spark.pipeline.dedup import cached_fingerprint_overlap_pairs
+    from dudb_spark.pipeline.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = cached_fingerprint_overlap_pairs(
+        d, cache_key=("documents", sf_dir), min_shared=2
+    )
+    pr = pagerank(pairs, iters=5, damping=0.85)
+    return pr.select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy("id")
+
+
+def q107_decayed_activity(spark, sf_dir):
+    """Recency-weighted engagement: per-user exponentially time-decayed
+    activity score (tau = 1 day) against the global max event time —
+    one grouped aggregation, reference time as a broadcast scalar
+    (operators/retention.decayed_activity)."""
+    from dudb_spark.operators.retention import decayed_activity
+
+    ev = _events(spark, sf_dir)
+    return decayed_activity(ev, tau_seconds=86400.0).orderBy("user_id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3479,6 +3520,9 @@ QUERIES: dict[str, Callable] = {
     "q102_gopher_rules": q102_gopher_rules,
     "q103_bm25_retrieval": q103_bm25_retrieval,
     "q104_shuffled_shards": q104_shuffled_shards,
+    "q105_vocab_coverage": q105_vocab_coverage,
+    "q106_pagerank": q106_pagerank,
+    "q107_decayed_activity": q107_decayed_activity,
 }
 
 ORACLE: dict[str, str] = {
@@ -5439,6 +5483,68 @@ ORACLE["q104_shuffled_shards"] = r"""
            CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 2000)
                 AS BIGINT) AS shard
     FROM c ORDER BY doc_id
+"""
+
+
+ORACLE["q105_vocab_coverage"] = r"""
+    WITH toks AS (
+      SELECT lang AS grp,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ), counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT term FROM counts ORDER BY cnt DESC, term LIMIT 20
+    )
+    SELECT grp AS lang, count(*) AS n_tokens,
+           count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab))
+             AS n_oov,
+           ROUND(CAST(count(*) FILTER (WHERE term NOT IN
+                       (SELECT term FROM vocab)) AS DOUBLE) / count(*),
+                 6) AS oov_rate
+    FROM toks GROUP BY 1 ORDER BY lang
+"""
+
+
+def _pagerank_oracle_sql(
+    pairs_sql: str, iters: int = 5, damping: float = 0.85
+) -> str:
+    """Unrolled power-iteration SQL twin of pipeline/graph.pagerank."""
+    sql = f"""
+    WITH pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+           FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT e.dst AS id,
+             CAST({1 - damping} AS DOUBLE) / (SELECT n FROM nn)
+             + CAST({damping} AS DOUBLE) * SUM(p.r / d.deg) AS r
+      FROM edges e
+      JOIN r{i - 1} p ON e.src = p.id
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst)"""
+    return sql + f"""
+    SELECT id, ROUND(r, 6) AS score FROM r{iters} ORDER BY id
+"""
+
+
+ORACLE["q106_pagerank"] = _pagerank_oracle_sql(
+    ORACLE["q37_fingerprint_overlap"]
+)
+
+ORACLE["q107_decayed_activity"] = """
+    WITH tref AS (SELECT max(ts) AS tmax FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(exp(-(CAST(epoch_us(tmax) - epoch_us(ts) AS DOUBLE)
+                           / 86400000000.0))), 6) AS decayed_score
+    FROM events, tref
+    GROUP BY user_id ORDER BY user_id
 """
 
 

@@ -52,3 +52,47 @@ def cohort_retention(
             .alias("retention"),
         )
     )
+
+
+def decayed_activity(
+    events: DataFrame,
+    tau_seconds: float = 86400.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially time-decayed activity score per id:
+    ``score = sum(exp(-(t_ref - t_i) / tau))`` with ``t_ref`` the global
+    max event time — the standard recency-weighted engagement feature
+    (a training-data curation signal for freshness-weighted sampling).
+
+    One scan + one grouped aggregation; the reference time is a
+    broadcast scalar, not a driver round-trip.  Deltas are computed in
+    integer microseconds before the division so engines agree on the
+    exponent exactly.
+    """
+    tref = events.groupBy().agg(F.max(ts_col).alias("_tmax"))
+    return (
+        events.crossJoin(F.broadcast(tref))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.exp(
+                        -(
+                            (
+                                F.unix_micros(
+                                    F.col("_tmax").cast("timestamp")
+                                )
+                                - F.unix_micros(
+                                    F.col(ts_col).cast("timestamp")
+                                )
+                            ).cast("double")
+                            / F.lit(tau_seconds * 1_000_000.0)
+                        )
+                    )
+                ),
+                6,
+            ).alias("decayed_score"),
+        )
+    )

@@ -604,3 +604,44 @@ def gopher_flags(text: Column) -> Column:
             & (top_frac <= 0.2)
         ).alias("passes"),
     )
+
+
+def vocab_oov(
+    df: DataFrame,
+    top_v: int = 1000,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-pipeline artifact: induce the global top-``top_v``
+    vocabulary by corpus frequency, then measure per-subcorpus coverage —
+    ``(group, n_tokens, n_oov, oov_rate)``.
+
+    The vocabulary side is bounded (``top_v`` rows) and broadcast, so
+    coverage is a map-side join over the token stream: one term-keyed
+    aggregation for counts (skewed — stopwords — but partial aggregation
+    absorbs it), one TakeOrdered for the vocab, one broadcast-join pass
+    for coverage.  Tie-break on the term string keeps the induced vocab
+    deterministic across engines.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(top_v)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+    )
