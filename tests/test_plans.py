@@ -229,3 +229,52 @@ def test_train_split_is_scan_side(spark):
         ).select("doc_id", "split")
     )
     assert "Exchange" not in plan, plan[:600]
+
+
+def test_partitioned_fact_join_uses_dynamic_pruning(spark, tmp_path):
+    """A date/key-partitioned fact joined to a filtered dim must prune
+    fact partitions at RUNTIME (dynamic partition pruning): the scan's
+    PartitionFilters carries a dynamicpruning subquery fed by the
+    broadcast dim.  At 100 TB this is the difference between reading the
+    whole fact table and reading the few partitions the dim selects."""
+    fact = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id") % 20).alias("pk"),
+        (F.col("id") * 3).alias("v"),
+    )
+    fact.write.partitionBy("pk").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("pk"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = dim.where(F.col("name").isin("n3", "n7"))
+    j = f.join(d, "pk").groupBy("pk").agg(F.sum("v").alias("sv"))
+    plan = plan_of(j)
+    assert "dynamicpruning" in plan.lower(), plan[:1200]
+    assert j.count() == 2  # one aggregated row per selected key
+
+
+def test_span_dedup_has_no_cartesian(spark):
+    from dudb_spark.pipeline.spans import span_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(span_dedup(docs, 8))
+    # gram matching is a hash-partitioned window + equi-anti-join — an
+    # all-pairs fallback would show up as a nested-loop/cartesian join
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_bm25_retrieval_broadcasts_query_side(spark):
+    from dudb_spark.pipeline.retrieval import bm25_retrieve
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = spark.createDataFrame([(1, "table scan")], ["query_id", "qtext"])
+    plan = plan_of(bm25_retrieve(docs, qs, k=5))
+    # query terms, df, and corpus constants all join broadcast-side: the
+    # corpus postings frame is never re-shuffled for scoring
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1000]
+    assert "CartesianProduct" not in plan, plan[:800]
