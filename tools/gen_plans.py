@@ -94,6 +94,19 @@ SHOWCASE = {
     "q99_ivf_sq8_search": "compressed-index ANN: IVF cells prune the "
     "candidate set (left-semi), SQ8 int8 codes decode scan-side, ranking "
     "touches only probed cells' reconstructed vectors",
+    "q101_span_dedup": "exact substring dedup: grams hash to int64 INSIDE "
+    "the per-row transform (wide gram text never becomes rows), "
+    "first-occurrence window partitioned by gram, covered-position "
+    "explode bounded by duplicate volume, anti-join removal",
+    "q103_bm25_retrieval": "batch retrieval: postings joined to BROADCAST "
+    "query terms/df/constants — the corpus-side frame is never "
+    "re-shuffled for scoring; per-query top-k rank window",
+    "q104_shuffled_shards": "deterministic corpus shuffle: md5 order via "
+    "range exchange + per-partition windows + broadcast offsets (the "
+    "prefix-sum shape), no single-task global window",
+    "q106_pagerank": "PageRank: one join+agg shuffle per power iteration, "
+    "localCheckpoint between rounds keeps the plan flat; N rides as a "
+    "broadcast scalar row",
 }
 
 
