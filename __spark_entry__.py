@@ -3416,6 +3416,21 @@ def q107_decayed_activity(spark, sf_dir):
     return decayed_activity(ev, tau_seconds=86400.0).orderBy("user_id")
 
 
+def q108_span_excision(spark, sf_dir):
+    """Eval-set decontamination by EXCISION: every 8-token span of the
+    corpus that also occurs in the held-out reference slice
+    (doc_id % 97 == 0, q71's eval set) is cut out and the documents are
+    rebuilt (pipeline/spans.excise_spans) — the removal counterpart of
+    q71's flag-only contamination check.  Reference grams broadcast as
+    a distinct int64 set."""
+    from dudb_spark.pipeline.spans import excise_spans
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    ref = d.where(F.col("doc_id") % 97 == 0)
+    return excise_spans(corpus, ref, 8).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3523,6 +3538,7 @@ QUERIES: dict[str, Callable] = {
     "q105_vocab_coverage": q105_vocab_coverage,
     "q106_pagerank": q106_pagerank,
     "q107_decayed_activity": q107_decayed_activity,
+    "q108_span_excision": q108_span_excision,
 }
 
 ORACLE: dict[str, str] = {
@@ -5485,6 +5501,49 @@ ORACLE["q104_shuffled_shards"] = r"""
     FROM c ORDER BY doc_id
 """
 
+
+ORACLE["q108_span_excision"] = r"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    ref AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    tl AS (
+      SELECT doc_id, arr, len(arr) AS L FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS arr
+        FROM corpus)
+    ), rtl AS (
+      SELECT arr, len(arr) AS L FROM (
+        SELECT list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS arr
+        FROM ref)
+    ), ref_grams AS (
+      SELECT DISTINCT array_to_string(arr[u.p+1 : u.p+8], ' ') AS gram
+      FROM rtl, unnest(range(L - 7)) AS u(p) WHERE L >= 8
+    ), grams AS (
+      SELECT doc_id, u.p, array_to_string(arr[u.p+1 : u.p+8], ' ') AS gram
+      FROM tl, unnest(range(L - 7)) AS u(p) WHERE L >= 8
+    ), hits AS (
+      SELECT doc_id, p FROM grams
+      WHERE gram IN (SELECT gram FROM ref_grams)
+    ), covered AS (
+      SELECT DISTINCT doc_id, h.p + r.o AS pos
+      FROM hits h, unnest(range(8)) AS r(o)
+    ), pos_tok AS (
+      SELECT doc_id, u.pos, arr[u.pos+1] AS tok
+      FROM tl, unnest(range(L)) AS u(pos)
+    ), kept AS (
+      SELECT pt.doc_id, pt.pos, pt.tok
+      FROM pos_tok pt ANTI JOIN covered c USING (doc_id, pos)
+    )
+    SELECT t.doc_id, t.L AS n_tokens,
+           t.L - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.txt, '') AS dedup_text
+    FROM tl t LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+    ORDER BY doc_id
+"""
 
 ORACLE["q105_vocab_coverage"] = r"""
     WITH toks AS (

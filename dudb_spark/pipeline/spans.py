@@ -71,36 +71,10 @@ def gram_occurrences(
     )
 
 
-def span_dedup(
-    docs: DataFrame,
-    n: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Corpus with every repeated ``n``-token span removed except its
-    first corpus occurrence (ordered by ``(doc_id, pos)``).
-
-    Returns one row per input document:
-    ``(doc_id, n_tokens, n_removed, dedup_text)``.  A document whose
-    every position is covered by duplicate spans comes back with
-    ``dedup_text = ''`` — the caller decides whether to drop it.
-    """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
-    ).withColumn("L", F.size("arr"))
-
-    occ = gram_occurrences(docs, n, id_col, text_col)
-    w = Window.partitionBy("gh").orderBy("doc_id", "p")
-    dups = (
-        occ.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") > 1)
-        .select("doc_id", "p")
-    )
-    covered = dups.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("pos"),
-    ).distinct()
-
+def _rebuild_without(toks: DataFrame, covered: DataFrame) -> DataFrame:
+    """Drop ``covered`` (doc_id, pos) token positions and re-join the
+    survivors in order: ``(doc_id, n_tokens, n_removed, dedup_text)``.
+    ``toks`` is ``(doc_id, arr, L)``."""
     pos_tok = toks.select(
         "doc_id", F.posexplode("arr").alias("pos", "tok")
     )
@@ -125,3 +99,71 @@ def span_dedup(
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def _toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
+    ).withColumn("L", F.size("arr"))
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus with every repeated ``n``-token span removed except its
+    first corpus occurrence (ordered by ``(doc_id, pos)``).
+
+    Returns one row per input document:
+    ``(doc_id, n_tokens, n_removed, dedup_text)``.  A document whose
+    every position is covered by duplicate spans comes back with
+    ``dedup_text = ''`` — the caller decides whether to drop it.
+    """
+    toks = _toks(docs, id_col, text_col)
+    occ = gram_occurrences(docs, n, id_col, text_col)
+    w = Window.partitionBy("gh").orderBy("doc_id", "p")
+    dups = (
+        occ.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "p")
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("pos"),
+    ).distinct()
+    return _rebuild_without(toks, covered)
+
+
+def excise_spans(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Decontamination by EXCISION: remove every ``n``-token span of
+    ``docs`` that also occurs anywhere in ``reference`` (an eval/bench
+    set), and rebuild the documents from the surviving tokens — the
+    span-level cousin of ``decontam.ngram_contamination``, which only
+    FLAGS overlapping documents.  Asymmetric by design: the reference is
+    untouched, and within-corpus repetition is NOT removed.
+
+    Scale shape: the reference gram set is ``distinct`` int64 hashes —
+    eval sets are tiny next to the corpus, so the semi-join broadcasts;
+    everything else reuses the span-dedup plan (hash-inside-transform,
+    covered positions bounded by overlap volume, anti-join rebuild).
+    """
+    ref_grams = gram_occurrences(
+        reference, n, ref_id_col, ref_text_col
+    ).select("gh").distinct()
+    occ = gram_occurrences(docs, n, id_col, text_col)
+    hits = occ.join(F.broadcast(ref_grams), "gh", "left_semi")
+    covered = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("pos"),
+    ).distinct()
+    return _rebuild_without(_toks(docs, id_col, text_col), covered)

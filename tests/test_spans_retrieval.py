@@ -136,3 +136,36 @@ def test_bm25_retrieve_rank_is_dense_and_bounded(spark):
     assert [r["rank"] for r in rows] == [1, 2, 3, 4]
     # identical scores -> doc_id tiebreak
     assert [r["doc_id"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_excise_spans_golden(spark):
+    from dudb_spark.pipeline.spans import excise_spans
+
+    ref = spark.createDataFrame([(100, "p q r s t")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            (1, "a b p q r s t c"),   # contains the ref 5-gram -> excised
+            (2, "p q r x s t"),       # no full 5-gram overlap -> untouched
+            (3, "p q r s t"),         # exactly the ref doc -> emptied
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["dedup_text"])
+        for r in excise_spans(docs, ref, 5).collect()
+    }
+    assert got[1] == (8, 5, "a b c")
+    assert got[2] == (6, 0, "p q r x s t")
+    assert got[3] == (5, 5, "")
+
+
+def test_excise_spans_reference_repetition_not_removed(spark):
+    """Within-corpus repeats survive: excision is asymmetric."""
+    from dudb_spark.pipeline.spans import excise_spans
+
+    ref = spark.createDataFrame([(100, "z z z")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c a b c")], ["doc_id", "text"]
+    )
+    got = excise_spans(docs, ref, 3).collect()
+    assert all(r["n_removed"] == 0 for r in got)
