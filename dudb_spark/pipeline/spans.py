@@ -47,7 +47,8 @@ def gram_occurrences(
     """``(doc_id, p, gh)`` — one row per n-gram occurrence, gram hashed
     to int64 before the explode so only narrow rows shuffle."""
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("arr"),
     )
     return (
         toks.where(F.size("arr") >= n)
@@ -102,8 +103,10 @@ def _rebuild_without(toks: DataFrame, covered: DataFrame) -> DataFrame:
 
 
 def _toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # null text folds to the empty document (size(NULL) would be -1)
     return docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("arr"),
     ).withColumn("L", F.size("arr"))
 
 

@@ -169,3 +169,21 @@ def test_excise_spans_reference_repetition_not_removed(spark):
     )
     got = excise_spans(docs, ref, 3).collect()
     assert all(r["n_removed"] == 0 for r in got)
+
+
+def test_span_dedup_null_and_empty_text(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c a b c")], schema
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["dedup_text"])
+        for r in span_dedup(df, 3).collect()
+    }
+    assert got[1] == (0, 0, "")
+    assert got[2] == (0, 0, "")
+    assert got[3] == (6, 3, "a b c")
