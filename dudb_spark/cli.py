@@ -463,6 +463,42 @@ def cmd_pipeline_spandedup(args):
     )
 
 
+def cmd_pipeline_excise(args):
+    """Span-excision decontamination: cut every n-gram span that also
+    occurs in the reference corpus (pipeline/spans.excise_spans)."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.spans import excise_spans
+
+    spark = _spark()
+    docs = spark.read.parquet(expand_path(args.input))
+    ref = spark.read.parquet(expand_path(args.reference))
+    res = excise_spans(
+        docs, ref, args.n, args.id_col, args.text_col,
+        args.id_col, args.text_col,
+    )
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+    summary = res.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_in"),
+        F.sum("n_removed").alias("tokens_removed"),
+        F.count(F.when(F.col("n_removed") > 0, 1)).alias("docs_touched"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n": args.n,
+                "n_docs": summary["n_docs"],
+                "tokens_in": summary["tokens_in"],
+                "tokens_removed": summary["tokens_removed"],
+                "docs_touched": summary["docs_touched"],
+                "out": args.out,
+            }
+        )
+    )
+
+
 def cmd_pipeline_quality(args):
     """Gopher-style quality rules: per-rule rejection counts and the
     overall pass rate (pipeline/text.gopher_flags)."""
@@ -778,6 +814,17 @@ def build_parser():
     px.add_argument("--text-col", default="text")
     px.add_argument("--out", default=None)
     px.set_defaults(func=cmd_pipeline_spandedup)
+    pxe = psub.add_parser(
+        "excise", help="cut reference-corpus n-gram spans out of documents"
+    )
+    pxe.add_argument("--input", required=True)
+    pxe.add_argument("--reference", required=True,
+                     help="parquet path of the eval/reference corpus")
+    pxe.add_argument("--n", type=int, default=8)
+    pxe.add_argument("--id-col", default="doc_id")
+    pxe.add_argument("--text-col", default="text")
+    pxe.add_argument("--out", default=None)
+    pxe.set_defaults(func=cmd_pipeline_excise)
     pg = psub.add_parser(
         "quality", help="Gopher-style quality rules (flags + pass rate)"
     )

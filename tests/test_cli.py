@@ -308,3 +308,9 @@ def test_cli_pipeline_commands(spark, tmp_path, capsys):
     ret = run(capsys, "pipeline", "retrieve", "--input", docs,
               "--k", "3", "table scan fast").strip().splitlines()
     assert ret[0] == "query_id\trank\tdoc_id\tscore" and len(ret) == 4
+
+    out = json.loads(run(capsys, "pipeline", "excise", "--input", docs,
+                         "--reference", docs, "--n", "8"))
+    # reference == corpus: every >=8-token doc is fully self-covered
+    assert out["n_docs"] == 500
+    assert out["tokens_removed"] > out["tokens_in"] // 2
