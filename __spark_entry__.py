@@ -3416,6 +3416,20 @@ def q107_decayed_activity(spark, sf_dir):
     return decayed_activity(ev, tau_seconds=86400.0).orderBy("user_id")
 
 
+def q109_pq_adc_search(spark, sf_dir):
+    """Product-quantization ANN (pipeline/pq.py, Jégou et al. 2011):
+    deterministic per-subspace codebooks (first-16 seed vectors sliced,
+    m=8 × ksub=16), scan-fused encoding to 8 codes/vector (32×
+    compression), and ADC top-10 — the query never touches a float
+    vector, only m table lookups per row.  The oracle derives the same
+    codebooks, codes, and ranking from the embeddings table itself."""
+    from dudb_spark.pipeline.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    return pq_topk(emb, q, k=10, m=8, ksub=16, exclude_id=0)
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3539,6 +3553,7 @@ QUERIES: dict[str, Callable] = {
     "q106_pagerank": q106_pagerank,
     "q107_decayed_activity": q107_decayed_activity,
     "q108_span_excision": q108_span_excision,
+    "q109_pq_adc_search": q109_pq_adc_search,
 }
 
 ORACLE: dict[str, str] = {
@@ -5544,6 +5559,63 @@ ORACLE["q108_span_excision"] = r"""
       FROM kept GROUP BY doc_id) k USING (doc_id)
     ORDER BY doc_id
 """
+
+def _pq_oracle_sql(
+    m: int = 8, ksub: int = 16, dim: int = 64, k: int = 10
+) -> str:
+    """DuckDB restatement of q109: the same seed codebooks (first-ksub
+    vectors, subvector slices), encode scores round(x_s·c_j − |c_j|²/2, 6)
+    with smaller-code tie-break, and the ADC cosine over reconstructed
+    norms.  Dot products are sequential folds in both engines
+    (list_dot_product here, fixed-order sums in the Spark expressions)."""
+    dsub = dim // m
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sub AS (
+            SELECT vec_id, u.s,
+                   v[u.s * {dsub} + 1 : u.s * {dsub} + {dsub}] AS vs
+            FROM e, unnest(range({m})) AS u(s)
+        ), seed AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+            FROM e ORDER BY vec_id LIMIT {ksub}
+        ), cb AS (
+            SELECT sub.s, seed.j, sub.vs,
+                   list_dot_product(sub.vs, sub.vs) AS nsq
+            FROM sub JOIN seed USING (vec_id)
+        ), codes AS (
+            SELECT vec_id, s, j AS code, nsq FROM (
+                SELECT sub.vec_id, sub.s, cb.j, cb.nsq,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY sub.vec_id, sub.s
+                           ORDER BY round(list_dot_product(sub.vs, cb.vs)
+                                          - cb.nsq / 2, 6) DESC,
+                                    cb.j ASC) AS rn
+                FROM sub JOIN cb USING (s)
+            ) WHERE rn = 1
+        ), qsub AS (
+            SELECT s, vs AS qs FROM sub WHERE vec_id = 0
+        ), qn AS (
+            SELECT sqrt(list_dot_product(v, v)) AS qnorm
+            FROM e WHERE vec_id = 0
+        ), tabs AS (
+            SELECT cb.s, cb.j, list_dot_product(qsub.qs, cb.vs) AS ip,
+                   cb.nsq
+            FROM cb JOIN qsub USING (s)
+        ), scored AS (
+            SELECT c.vec_id, SUM(t.ip) AS ipsum, SUM(t.nsq) AS nsqsum
+            FROM codes c JOIN tabs t ON c.s = t.s AND c.code = t.j
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id,
+               round(ipsum / (qn.qnorm * sqrt(nsqsum)), 6) AS adc_cosine
+        FROM scored, qn
+        WHERE vec_id <> 0
+        ORDER BY adc_cosine DESC, vec_id LIMIT {k}
+    """
+
+
+ORACLE["q109_pq_adc_search"] = _pq_oracle_sql()
 
 ORACLE["q105_vocab_coverage"] = r"""
     WITH toks AS (

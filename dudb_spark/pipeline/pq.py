@@ -1,0 +1,160 @@
+"""Product Quantization (PQ) for embedding columns — the third
+compressed-index path alongside SQ8 (quantize.py) and IVF (ivf.py),
+after Jégou, Douze & Schmid 2011 (*Product Quantization for Nearest
+Neighbor Search*; FAISS's ``PQ`` index family).
+
+The vector is split into ``m`` subvectors; each subspace gets its own
+``ksub``-entry codebook, and a vector encodes as ``m`` small codes —
+64 float32 dims at m=8, ksub=16 compress 256 bytes → 8 codes (32×; 4
+bits/code if packed).  Query scoring is ADC (asymmetric distance
+computation): per subspace, the query precomputes a ``ksub``-entry
+inner-product table, and a database vector's score is ``m`` table
+lookups — no float vector is ever touched at query time.
+
+Spark shape, sized for 100 TB:
+
+- Codebooks are DETERMINISTIC and tiny (first ``ksub`` vectors by id,
+  subvector-sliced — same seeding rule as ``ivf.fixed_cells``): m × ksub
+  × (d/m) floats collect driver-side and ride into Column expressions as
+  literals; nothing iterative, nothing Spark-ML, so an oracle engine
+  derives the identical codebooks from the same table.
+- Encoding is a narrow per-row projection over the PERSISTED cast
+  vector (``_v`` materialized once — an inlined transform would be
+  re-evaluated per ``element_at`` reference, the measured Catalyst
+  hazard): per subspace, ``round(x_s·c_j − |c_j|²/2, 6)`` for the
+  ``ksub`` candidates and a first-max argmax (smaller code on ties).
+  Scan-fused; no shuffle, no UDF.
+- ADC search is ``m`` ``element_at`` lookups into broadcast literal
+  tables + TakeOrderedAndProject — the corpus is scanned once over its
+  codes column only.
+
+Determinism: every comparison point (encode scores, final ADC cosine)
+is rounded to 6 decimals with explicit tie-breaks, and additions are
+written in fixed subspace order, so the DuckDB oracle reproduces codes
+and ranking exactly (q109).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dudb_spark.pipeline.ivf import _dbl
+from dudb_spark.pipeline.similarity import _as_double
+
+
+def _seqsum(xs):
+    """Left-to-right IEEE accumulation — bit-identical to the
+    sequential folds (list_dot_product / aggregate) both engines run,
+    unlike math.fsum's correctly-rounded result."""
+    acc = 0.0
+    for x in xs:
+        acc += x
+    return acc
+
+
+def fixed_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """``books[s][j]`` = subvector ``s`` of the ``j``-th seed vector
+    (first ``ksub`` rows by id) — deterministic, oracle-derivable."""
+    rows = emb.orderBy(id_col).limit(ksub).collect()
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [v[s * dsub: (s + 1) * dsub] for v in vecs] for s in range(m)
+    ]
+
+
+def _t_sql(s: int, dsub: int, c: list[float]) -> str:
+    """``round(x_s·c − |c|²/2, 6)`` over the persisted ``_v`` column,
+    additions in fixed element order (1-based element_at)."""
+    terms = " + ".join(
+        f"element_at(_v, {s * dsub + i + 1}) * {_dbl(c[i])}"
+        for i in range(dsub)
+    )
+    half = _seqsum(x * x for x in c) / 2.0
+    return f"round(({terms}) - {_dbl(half)}, 6)"
+
+
+def _code_sql(s: int, dsub: int, book: list[list[float]]) -> str:
+    """0-based nearest-centroid code: scores array + first-max position
+    (array_position finds the FIRST occurrence — ties pick the smaller
+    code in both engines)."""
+    scores = ", ".join(_t_sql(s, dsub, c) for c in book)
+    arr = f"array({scores})"
+    return f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)"
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, codes array<int>)`` — one code per subspace."""
+    dsub = len(books[0][0])
+    base = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).persist()
+    return base.select(
+        id_col,
+        F.array(
+            *[F.expr(_code_sql(s, dsub, b)) for s, b in enumerate(books)]
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id=None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Top-``k`` by ADC cosine against the PQ-reconstructed vectors:
+    ``ip/(|q|·|x̂|)`` where both ``ip = q·x̂`` and ``|x̂|²`` are ``m``
+    table lookups per row.  Returns ``(id, adc_cosine)``."""
+    if books is None:
+        books = fixed_pq_codebooks(emb, m, ksub, vec_col, id_col)
+    dsub = len(books[0][0])
+    q = [float(x) for x in query_vec]
+    qnorm = math.sqrt(_seqsum(x * x for x in q))
+
+    coded = pq_encode(emb, books, vec_col, id_col)
+
+    def lut(vals: list[float]) -> str:
+        return "array(" + ",".join(_dbl(v) for v in vals) + ")"
+
+    ip_terms = []
+    nsq_terms = []
+    for s, book in enumerate(books):
+        qs = q[s * dsub: (s + 1) * dsub]
+        ips = [_seqsum(a * b for a, b in zip(qs, c)) for c in book]
+        nsqs = [_seqsum(x * x for x in c) for c in book]
+        idx = f"element_at(codes, {s + 1}) + 1"
+        ip_terms.append(f"element_at({lut(ips)}, {idx})")
+        nsq_terms.append(f"element_at({lut(nsqs)}, {idx})")
+    score = (
+        f"round(({' + '.join(ip_terms)}) / "
+        f"({_dbl(qnorm)} * sqrt({' + '.join(nsq_terms)})), 6)"
+    )
+    out = coded.select(
+        F.col(id_col), F.expr(score).alias("adc_cosine")
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(k)

@@ -1,0 +1,102 @@
+"""Product-quantization tests: encode/ADC parity with a plain-Python
+reference, and the self-encoding property of seed vectors."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from dudb_spark.pipeline.pq import (
+    _seqsum,
+    fixed_pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+
+
+def _py_pq(vecs: dict, m: int, ksub: int, q, k: int):
+    """Reference PQ: same seeding, same rounding/tie rules."""
+    ids = sorted(vecs)
+    d = len(vecs[ids[0]])
+    dsub = d // m
+    seeds = [vecs[i] for i in ids[:ksub]]
+    books = [[v[s * dsub:(s + 1) * dsub] for v in seeds] for s in range(m)]
+
+    def code(x, book):
+        scores = [
+            round(_seqsum(a * b for a, b in zip(x, c))
+                  - _seqsum(c_ * c_ for c_ in c) / 2.0, 6)
+            for c in book
+        ]
+        return scores.index(max(scores))
+
+    codes = {
+        i: [code(vecs[i][s * dsub:(s + 1) * dsub], books[s])
+            for s in range(m)]
+        for i in ids
+    }
+    qnorm = math.sqrt(_seqsum(x * x for x in q))
+    out = []
+    for i in ids:
+        ip = 0.0
+        nsq = 0.0
+        for s in range(m):
+            c = books[s][codes[i][s]]
+            qs = q[s * dsub:(s + 1) * dsub]
+            ip += _seqsum(a * b for a, b in zip(qs, c))
+            nsq += _seqsum(x * x for x in c)
+        out.append((i, round(ip / (qnorm * math.sqrt(nsq)), 6)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return codes, out[:k]
+
+
+def _toy(spark, n=24, d=8, seed=5):
+    rng = random.Random(seed)
+    vecs = {i: [round(rng.uniform(-1, 1), 3) for _ in range(d)]
+            for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    return vecs, df
+
+
+def test_pq_encode_matches_reference(spark):
+    vecs, df = _toy(spark)
+    books = fixed_pq_codebooks(df, m=2, ksub=4)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(df, books).collect()}
+    want, _ = _py_pq(vecs, 2, 4, vecs[0], 5)
+    assert got == want
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    vecs, df = _toy(spark)
+    books = fixed_pq_codebooks(df, m=2, ksub=4)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(df, books).collect()}
+    # a seed's subvector has L2 distance 0 to its own centroid, which
+    # the argmax(t) rule always prefers (ties -> smaller code)
+    for j in range(4):
+        assert got[j] == [j, j] or all(
+            vecs[j][s * 4:(s + 1) * 4] == books[s][got[j][s]]
+            for s in range(2)
+        )
+
+
+def test_pq_topk_matches_reference(spark):
+    vecs, df = _toy(spark)
+    q = vecs[0]
+    got = [(r["vec_id"], r["adc_cosine"])
+           for r in pq_topk(df, q, k=6, m=2, ksub=4).collect()]
+    _, want = _py_pq(vecs, 2, 4, q, 6)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
+def test_pq_dim_must_divide(spark):
+    _, df = _toy(spark, d=9)
+    with pytest.raises(ValueError, match="not divisible"):
+        fixed_pq_codebooks(df, m=2, ksub=4)

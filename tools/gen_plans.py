@@ -107,6 +107,10 @@ SHOWCASE = {
     "q106_pagerank": "PageRank: one join+agg shuffle per power iteration, "
     "localCheckpoint between rounds keeps the plan flat; N rides as a "
     "broadcast scalar row",
+    "q109_pq_adc_search": "PQ/ADC: codes computed scan-side over the "
+    "persisted cast vector; query scoring is m element_at lookups into "
+    "literal tables + TakeOrderedAndProject — no float vector touched "
+    "at query time",
 }
 
 
