@@ -3430,6 +3430,21 @@ def q109_pq_adc_search(spark, sf_dir):
     return pq_topk(emb, q, k=10, m=8, ksub=16, exclude_id=0)
 
 
+def q110_ivf_pq_search(spark, sf_dir):
+    """The full FAISS IVF,PQ composition (pipeline/pq.ivf_pq_topk): the
+    q41 coarse quantizer's 4 nearest cells prune the candidates, PQ/ADC
+    ranks only their codes.  Shares the session's fixed_cells pass with
+    q41/q88/q99; the oracle replays quantizer chain + codebooks + codes
+    + probe + ranking from the embeddings table."""
+    from dudb_spark.pipeline.pq import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    return ivf_pq_topk(
+        emb, _quantizer_cells(spark, sf_dir), q, k=10, n_probe=4
+    )
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3554,6 +3569,7 @@ QUERIES: dict[str, Callable] = {
     "q107_decayed_activity": q107_decayed_activity,
     "q108_span_excision": q108_span_excision,
     "q109_pq_adc_search": q109_pq_adc_search,
+    "q110_ivf_pq_search": q110_ivf_pq_search,
 }
 
 ORACLE: dict[str, str] = {
@@ -5616,6 +5632,111 @@ def _pq_oracle_sql(
 
 
 ORACLE["q109_pq_adc_search"] = _pq_oracle_sql()
+
+
+def _ivfpq_oracle_sql(
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB restatement of q110: q41's quantizer chain (seed
+    centroids, 6-decimal argmax assignment, decimal-exact Lloyd means,
+    re-assignment, probe) composed with q109's PQ chain; ADC ranking
+    restricted to the probed cells' members."""
+    dsub = dim // m
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    def argmax(src, cents, out):
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT s.vec_id, s.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {cos('s.v', 'c.v')} DESC, c.cell ASC) AS rn
+                FROM {src} s CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM e ORDER BY vec_id LIMIT {n_clusters}
+        ), {argmax('e', 'c0', 'a0')}
+        , m AS (
+            SELECT cell, i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i FROM a0)
+            GROUP BY cell, i
+        ), c1g AS (
+            SELECT cell AS orig_cell, list(mu ORDER BY i) AS v
+            FROM m GROUP BY cell
+        ), c1 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY orig_cell) - 1 AS cell, v
+            FROM c1g
+        ), {argmax('e', 'c1', 'a1')}
+        , qv AS (
+            SELECT v FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT c1.cell FROM c1, qv
+            ORDER BY {cos('c1.v', 'qv.v')} DESC, c1.cell ASC
+            LIMIT {n_probe}
+        ), sub AS (
+            SELECT vec_id, u.s,
+                   v[u.s * {dsub} + 1 : u.s * {dsub} + {dsub}] AS vs
+            FROM e, unnest(range({m})) AS u(s)
+        ), seed AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+            FROM e ORDER BY vec_id LIMIT {ksub}
+        ), cb AS (
+            SELECT sub.s, seed.j, sub.vs,
+                   list_dot_product(sub.vs, sub.vs) AS nsq
+            FROM sub JOIN seed USING (vec_id)
+        ), codes AS (
+            SELECT vec_id, s, j AS code, nsq FROM (
+                SELECT sub.vec_id, sub.s, cb.j, cb.nsq,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY sub.vec_id, sub.s
+                           ORDER BY round(list_dot_product(sub.vs, cb.vs)
+                                          - cb.nsq / 2, 6) DESC,
+                                    cb.j ASC) AS rn
+                FROM sub JOIN cb USING (s)
+            ) WHERE rn = 1
+        ), qsub AS (
+            SELECT s, vs AS qs FROM sub WHERE vec_id = 0
+        ), qn AS (
+            SELECT sqrt(list_dot_product(v, v)) AS qnorm
+            FROM e WHERE vec_id = 0
+        ), tabs AS (
+            SELECT cb.s, cb.j, list_dot_product(qsub.qs, cb.vs) AS ip,
+                   cb.nsq
+            FROM cb JOIN qsub USING (s)
+        ), scored AS (
+            SELECT c.vec_id, SUM(t.ip) AS ipsum, SUM(t.nsq) AS nsqsum
+            FROM codes c JOIN tabs t ON c.s = t.s AND c.code = t.j
+            GROUP BY c.vec_id
+        )
+        SELECT s.vec_id,
+               round(s.ipsum / (qn.qnorm * sqrt(s.nsqsum)), 6) AS adc_cosine
+        FROM scored s JOIN a1 USING (vec_id), qn
+        WHERE a1.cell IN (SELECT cell FROM probe) AND s.vec_id <> 0
+        ORDER BY adc_cosine DESC, s.vec_id LIMIT {k}
+    """
+
+
+ORACLE["q110_ivf_pq_search"] = _ivfpq_oracle_sql()
 
 ORACLE["q105_vocab_coverage"] = r"""
     WITH toks AS (

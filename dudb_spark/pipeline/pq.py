@@ -158,3 +158,48 @@ def pq_topk(
     if exclude_id is not None:
         out = out.where(F.col(id_col) != exclude_id)
     return out.orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(k)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    cells,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id=0,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The full FAISS ``IVF,PQ`` composition: the coarse quantizer's
+    ``n_probe`` nearest cells prune the candidate set, then PQ/ADC ranks
+    ONLY those cells' codes — at 100 TB the index stores 8 bytes per
+    vector and a query touches ``n_probe/n_clusters`` of them, never a
+    raw float vector.
+
+    ``cells`` is the ``(assigned, centroids)`` pair from
+    ``ivf.fixed_cells`` (shared with q41/q88/q99's quantizer pass);
+    codebooks seed from the FULL corpus (first ``ksub`` by id) so the
+    encoding is probe-independent, exactly like a stored index.
+    """
+    from dudb_spark.pipeline.ivf import probe_cells
+
+    assigned, centroids = cells
+    if books is None:
+        books = fixed_pq_codebooks(emb, m, ksub, vec_col, id_col)
+    probe = probe_cells(centroids, query_vec, n_probe)
+    cand = assigned.where(
+        F.col("cell").isin(sorted(probe)) & (F.col(id_col) != exclude_id)
+    ).select(id_col)
+    return pq_topk(
+        emb.join(cand, id_col, "left_semi"),
+        query_vec,
+        k=k,
+        m=m,
+        ksub=ksub,
+        vec_col=vec_col,
+        id_col=id_col,
+        books=books,
+    )

@@ -100,3 +100,41 @@ def test_pq_dim_must_divide(spark):
     _, df = _toy(spark, d=9)
     with pytest.raises(ValueError, match="not divisible"):
         fixed_pq_codebooks(df, m=2, ksub=4)
+
+
+def test_ivf_pq_full_probe_equals_pq(spark):
+    """Probing every cell must reduce IVF,PQ to plain PQ ranking."""
+    from dudb_spark.pipeline.ivf import fixed_cells
+    from dudb_spark.pipeline.pq import ivf_pq_topk
+
+    _, df = _toy(spark, n=24, d=8)
+    cells = fixed_cells(df, n_clusters=4, vec_col="embedding",
+                        id_col="vec_id")
+    q = df.where("vec_id = 1").first()["embedding"]
+    full = [
+        (r["vec_id"], r["adc_cosine"])
+        for r in ivf_pq_topk(df, cells, q, k=6, n_probe=4, m=2, ksub=4,
+                             exclude_id=1).collect()
+    ]
+    plain = [
+        (r["vec_id"], r["adc_cosine"])
+        for r in pq_topk(df, q, k=6, m=2, ksub=4, exclude_id=1).collect()
+    ]
+    assert full == plain
+
+
+def test_ivf_pq_prunes_to_probed_cells(spark):
+    from dudb_spark.pipeline.ivf import fixed_cells
+    from dudb_spark.pipeline.pq import ivf_pq_topk
+
+    _, df = _toy(spark, n=24, d=8)
+    cells = fixed_cells(df, n_clusters=4, vec_col="embedding",
+                        id_col="vec_id")
+    assigned, _ = cells
+    q = df.where("vec_id = 1").first()["embedding"]
+    got = {r["vec_id"]
+           for r in ivf_pq_topk(df, cells, q, k=24, n_probe=1, m=2,
+                                ksub=4, exclude_id=1).collect()}
+    # every result must come from ONE cell's members
+    cell_of = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert len({cell_of[v] for v in got}) == 1
