@@ -3445,6 +3445,30 @@ def q110_ivf_pq_search(spark, sf_dir):
     )
 
 
+def q111_session_window_builtin(spark, sf_dir):
+    """Sessionization via the BUILT-IN JVM-side session window
+    (streaming/rollup.session_window_rollup, F.session_window): events
+    merge while the gap to the previous event is ≤ 30 min, emitted
+    window ends at last_event + gap — complements q38's custom stateful
+    sessionizer with the codegen path; the oracle restates Spark's
+    session-window contract as gaps-and-islands SQL."""
+    from dudb_spark.streaming.rollup import session_window_rollup
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = session_window_rollup(ev, "30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format(
+            "session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_start"),
+        F.date_format(
+            "session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_end"),
+        "n_events",
+        "sum_cents",
+    ).orderBy("user_id", "session_start")
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3570,6 +3594,7 @@ QUERIES: dict[str, Callable] = {
     "q108_span_excision": q108_span_excision,
     "q109_pq_adc_search": q109_pq_adc_search,
     "q110_ivf_pq_search": q110_ivf_pq_search,
+    "q111_session_window_builtin": q111_session_window_builtin,
 }
 
 ORACLE: dict[str, str] = {
@@ -5737,6 +5762,33 @@ def _ivfpq_oracle_sql(
 
 
 ORACLE["q110_ivf_pq_search"] = _ivfpq_oracle_sql()
+
+ORACLE["q111_session_window_builtin"] = """
+    WITH ev AS (
+        SELECT user_id, ts,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, cents,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      IS NULL
+                    OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+    ), s2 AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM s
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM s2 GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+"""
 
 ORACLE["q105_vocab_coverage"] = r"""
     WITH toks AS (

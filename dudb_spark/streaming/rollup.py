@@ -113,3 +113,43 @@ def sliding_rollup(
             "sum_value",
         )
     )
+
+
+def session_window_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Built-in JVM-side sessionization (``F.session_window``), the
+    codegen-friendly alternative to the custom applyInPandasWithState
+    sessionizer (sessions.py): per user, events merge while the gap to
+    the previous event is ≤ ``gap`` (boundary-inclusive), and the
+    emitted window ends at ``last_event + gap`` — Spark's [start, end)
+    session-window contract, restatable as gaps-and-islands SQL.
+
+    Batch and streaming share this one plan; streaming gets the
+    watermark (session state is dropped once the watermark passes a
+    session's end).  Values aggregate as exact integer cents so the sum
+    is partial-aggregation-order-independent."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )

@@ -162,3 +162,30 @@ def test_sessions_fuzz_random_streams(spark, tmp_path):
         }
         assert got == want, f"seed {seed}"
         assert len(want) > 10, f"seed {seed} produced a trivial stream"
+
+
+def test_builtin_session_window_agrees_with_custom(spark, events_df):
+    """F.session_window sessionization must produce the SAME session
+    boundaries as the lag/cumsum restatement (and hence the custom
+    stateful sessionizer): identical (user, start, n_events); the only
+    contract difference is end = last_event + gap."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.streaming.rollup import session_window_rollup
+    from dudb_spark.streaming.sessions import sessionize_batch_oracle
+
+    built = {
+        (r["user_id"], r["session_start"], r["n_events"]): r["session_end"]
+        for r in session_window_rollup(events_df, "30 minutes").collect()
+    }
+    custom = {
+        (r["user_id"], r["session_start"], r["n_events"]): r["session_end"]
+        for r in sessionize_batch_oracle(
+            events_df, "30 minutes", delay="-100 years"
+        ).collect()
+    }
+    assert set(built) == set(custom)
+    for key, end in built.items():
+        assert end == custom[key] + __import__("datetime").timedelta(
+            minutes=30
+        )
