@@ -3469,6 +3469,27 @@ def q111_session_window_builtin(spark, sf_dir):
     ).orderBy("user_id", "session_start")
 
 
+def q112_data_quality(spark, sf_dir):
+    """Deequ-style declarative data-quality gate
+    (operators/checks.quality_report): completeness, uniqueness, value
+    bounds, referential integrity, and row-count floor over lineitem —
+    one grouped pass for the scan metrics, one distinct-count per key
+    set, one anti-join per FK, all composed lazily into a long-form
+    (check, metric, passed) report."""
+    from dudb_spark.operators.checks import quality_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return quality_report(
+        li,
+        completeness={"l_returnflag": 1.0, "l_shipdate": 1.0},
+        unique=[["l_orderkey", "l_linenumber"]],
+        bounds={"l_discount": (0.0, 0.1), "l_quantity": (1, 50)},
+        fk=[("l_orderkey", orders, "o_orderkey")],
+        min_rows=1000,
+    ).orderBy("check")
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3595,6 +3616,7 @@ QUERIES: dict[str, Callable] = {
     "q109_pq_adc_search": q109_pq_adc_search,
     "q110_ivf_pq_search": q110_ivf_pq_search,
     "q111_session_window_builtin": q111_session_window_builtin,
+    "q112_data_quality": q112_data_quality,
 }
 
 ORACLE: dict[str, str] = {
@@ -5762,6 +5784,56 @@ def _ivfpq_oracle_sql(
 
 
 ORACLE["q110_ivf_pq_search"] = _ivfpq_oracle_sql()
+
+ORACLE["q112_data_quality"] = """
+    WITH b AS (
+        SELECT COUNT(*) AS n,
+               COUNT(l_returnflag) AS nn_comment,
+               COUNT(l_shipdate) AS nn_ship,
+               COUNT(*) FILTER (WHERE l_discount >= 0.0
+                                AND l_discount <= 0.1) AS in_disc,
+               COUNT(*) FILTER (WHERE l_quantity >= 1
+                                AND l_quantity <= 50) AS in_qty
+        FROM lineitem
+    ), u AS (
+        SELECT COUNT(*) AS d FROM (
+            SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+    ), o AS (
+        SELECT COUNT(*) AS orph FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT * FROM (
+        SELECT 'min_rows' AS "check", CAST(n AS DOUBLE) AS metric,
+               n >= 1000 AS passed FROM b
+        UNION ALL
+        SELECT 'completeness:l_returnflag',
+               ROUND(CAST(nn_comment AS DOUBLE) / greatest(n, 1), 6),
+               ROUND(CAST(nn_comment AS DOUBLE) / greatest(n, 1), 6) >= 1.0
+        FROM b
+        UNION ALL
+        SELECT 'completeness:l_shipdate',
+               ROUND(CAST(nn_ship AS DOUBLE) / greatest(n, 1), 6),
+               ROUND(CAST(nn_ship AS DOUBLE) / greatest(n, 1), 6) >= 1.0
+        FROM b
+        UNION ALL
+        SELECT 'bounds:l_discount',
+               ROUND(CAST(in_disc AS DOUBLE) / greatest(n, 1), 6),
+               ROUND(CAST(in_disc AS DOUBLE) / greatest(n, 1), 6) >= 1.0
+        FROM b
+        UNION ALL
+        SELECT 'bounds:l_quantity',
+               ROUND(CAST(in_qty AS DOUBLE) / greatest(n, 1), 6),
+               ROUND(CAST(in_qty AS DOUBLE) / greatest(n, 1), 6) >= 1.0
+        FROM b
+        UNION ALL
+        SELECT 'uniqueness:l_orderkey,l_linenumber',
+               ROUND(CAST(u.d AS DOUBLE) / greatest(b.n, 1), 6),
+               u.d = b.n FROM b, u
+        UNION ALL
+        SELECT 'fk:l_orderkey', CAST(o.orph AS DOUBLE), o.orph = 0 FROM o
+    ) ORDER BY "check"
+"""
 
 ORACLE["q111_session_window_builtin"] = """
     WITH ev AS (
