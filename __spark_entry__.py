@@ -3490,6 +3490,17 @@ def q112_data_quality(spark, sf_dir):
     ).orderBy("check")
 
 
+def q113_edit_distance_verify(spark, sf_dir):
+    """Fuzzy-dedup refinement: q16's MinHash→Jaccard candidate pairs
+    re-verified by exact Levenshtein distance within 20% of the longer
+    text (pipeline/dedup.edit_verified_pairs) — the O(len²) metric runs
+    only on the bounded candidate set, never the corpus cross product."""
+    from dudb_spark.pipeline.dedup import edit_verified_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return edit_verified_pairs(d, max_rel_dist=0.2).orderBy("id_a", "id_b")
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3617,6 +3628,7 @@ QUERIES: dict[str, Callable] = {
     "q110_ivf_pq_search": q110_ivf_pq_search,
     "q111_session_window_builtin": q111_session_window_builtin,
     "q112_data_quality": q112_data_quality,
+    "q113_edit_distance_verify": q113_edit_distance_verify,
 }
 
 ORACLE: dict[str, str] = {
@@ -4370,6 +4382,29 @@ ORACLE["q58_consensus_dedup"] = f"""
 
 
 ORACLE["q59_events_sliding_streamed"] = ORACLE["q49_events_sliding"]
+
+# splice q16's final SELECT into a `verified` CTE (DuckDB hits an
+# internal error when the whole WITH-query nests as a subquery here)
+# and refine it with the same relative-Levenshtein cap as the pipeline
+_q16_head, _q16_sel, _q16_tail = ORACLE["q16_minhash_dedup"].rpartition(
+    "SELECT c.id_a, c.id_b,"
+)
+_q16_body = (_q16_sel + _q16_tail).rsplit("ORDER BY", 1)[0]
+ORACLE["q113_edit_distance_verify"] = (
+    _q16_head
+    + ", verified AS (\n"
+    + _q16_body
+    + """)
+    SELECT v.id_a, v.id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM verified v
+    JOIN documents da ON v.id_a = da.doc_id
+    JOIN documents db ON v.id_b = db.doc_id
+    WHERE levenshtein(da.text, db.text)
+          <= ceil(0.2 * greatest(length(da.text), length(db.text)))
+    ORDER BY v.id_a, v.id_b
+"""
+)
 
 # ---------------------------------------------------------------------------
 # q63–q65: the deterministic-rescan staging AND the merge semantics restated

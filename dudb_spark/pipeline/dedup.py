@@ -670,3 +670,50 @@ def simhash_near_duplicates(
         .where(ham <= max_hamming)
         .select("id_a", "id_b", ham.alias("hamming"))
     )
+
+
+def edit_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rel_dist: float = 0.2,
+    num_perm: int = 32,
+    bands: int = 8,
+    min_est: float = 0.5,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """Candidate pairs re-verified by EXACT edit distance: the last
+    refinement stage of a fuzzy-dedup pipeline — MinHash banding finds
+    candidates, Jaccard screens them, and Levenshtein (JVM built-in, a
+    well-defined metric both engines agree on) confirms true textual
+    near-duplicates within ``max_rel_dist`` of the longer text's length.
+
+    Cost shape: Levenshtein is O(len²) per pair, so it runs ONLY on the
+    verified candidate set (bounded by the duplicate volume) — never on
+    the corpus cross product.  Returns (id_a, id_b, edit_dist)."""
+    pairs = minhash_verified_pairs(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        min_est=min_est,
+        min_jaccard=min_jaccard,
+    ).select("id_a", "id_b")
+    ta = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+    )
+    tb = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+    )
+    dist = F.levenshtein("_ta", "_tb")
+    cap = F.ceil(
+        max_rel_dist
+        * F.greatest(F.length("_ta"), F.length("_tb")).cast("double")
+    )
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(dist <= cap)
+        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+    )

@@ -187,3 +187,32 @@ def test_span_dedup_null_and_empty_text(spark):
     assert got[1] == (0, 0, "")
     assert got[2] == (0, 0, "")
     assert got[3] == (6, 3, "a b c")
+
+
+def test_edit_verify_drops_reordered_near_jaccard_pair(spark):
+    """Two docs with identical shingle BAGS but reordered content pass
+    the Jaccard screen yet fail the edit-distance cap — the refinement
+    the last dedup stage exists for."""
+    from dudb_spark.pipeline.dedup import edit_verified_pairs, minhash_verified_pairs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    b = a  # exact copy -> distance 0
+    # same words, rotated far: shingles mostly shared, text widely moved
+    words = a.split()
+    c = " ".join(words[12:] + words[:12])
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_verified_pairs(
+            df, num_perm=32, bands=8, min_est=0.5, min_jaccard=0.3
+        ).collect()
+    }
+    assert (1, 2) in jac and (1, 3) in jac  # both survive Jaccard
+    edit = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_verified_pairs(df, max_rel_dist=0.1).collect()
+    }
+    assert edit[(1, 2)] == 0
+    assert (1, 3) not in edit  # rotation costs more than 10% edits
