@@ -463,6 +463,48 @@ def cmd_pipeline_spandedup(args):
     )
 
 
+def cmd_pipeline_check(args):
+    """Declarative data-quality gate over a parquet table
+    (operators/checks.quality_report): prints the long-form report and
+    exits non-zero if any check fails."""
+    import sys
+
+    from dudb_spark.operators.checks import quality_report
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    completeness = {
+        c: 1.0 for c in (args.complete.split(",") if args.complete else [])
+        if c
+    }
+    unique = [
+        [c for c in spec.split("+") if c]
+        for spec in (args.unique.split(",") if args.unique else [])
+        if spec
+    ]
+    bounds = {}
+    for spec in (args.bounds.split(",") if args.bounds else []):
+        if not spec:
+            continue
+        col, lo, hi = spec.split(":")
+        bounds[col] = (
+            float(lo) if lo else None,
+            float(hi) if hi else None,
+        )
+    rows = quality_report(
+        df,
+        completeness=completeness,
+        unique=unique,
+        bounds=bounds,
+        min_rows=args.min_rows,
+    ).orderBy("check").collect()
+    print("check\tmetric\tpassed")
+    for r in rows:
+        print(f"{r['check']}\t{r['metric']}\t{r['passed']}")
+    if not all(r["passed"] for r in rows):
+        sys.exit(2)
+
+
 def cmd_pipeline_excise(args):
     """Span-excision decontamination: cut every n-gram span that also
     occurs in the reference corpus (pipeline/spans.excise_spans)."""
@@ -814,6 +856,18 @@ def build_parser():
     px.add_argument("--text-col", default="text")
     px.add_argument("--out", default=None)
     px.set_defaults(func=cmd_pipeline_spandedup)
+    pck = psub.add_parser(
+        "check", help="data-quality gate (completeness/unique/bounds)"
+    )
+    pck.add_argument("--input", required=True)
+    pck.add_argument("--complete", default=None,
+                     help="comma-separated columns that must be non-null")
+    pck.add_argument("--unique", default=None,
+                     help="comma-separated key specs, columns joined by +")
+    pck.add_argument("--bounds", default=None,
+                     help="comma-separated col:lo:hi (empty side = open)")
+    pck.add_argument("--min-rows", type=int, default=1)
+    pck.set_defaults(func=cmd_pipeline_check)
     pxe = psub.add_parser(
         "excise", help="cut reference-corpus n-gram spans out of documents"
     )

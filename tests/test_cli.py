@@ -314,3 +314,14 @@ def test_cli_pipeline_commands(spark, tmp_path, capsys):
     # reference == corpus: every >=8-token doc is fully self-covered
     assert out["n_docs"] == 500
     assert out["tokens_removed"] > out["tokens_in"] // 2
+
+    chk = run(capsys, "pipeline", "check", "--input", li,
+              "--complete", "l_returnflag",
+              "--bounds", "l_discount:0:0.1").strip().splitlines()
+    assert chk[0] == "check\tmetric\tpassed"
+    assert all(line.endswith("True") for line in chk[1:])
+
+    with pytest.raises(SystemExit) as e:
+        run(capsys, "pipeline", "check", "--input", li,
+            "--unique", "l_orderkey")  # order keys repeat across lines
+    assert e.value.code == 2
