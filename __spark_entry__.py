@@ -3501,6 +3501,33 @@ def q113_edit_distance_verify(spark, sf_dir):
     return edit_verified_pairs(d, max_rel_dist=0.2).orderBy("id_a", "id_b")
 
 
+def q114_rolling_window(spark, sf_dir):
+    """Time-based RANGE window frame: per customer, each order's count
+    and revenue over the trailing 90 days (inclusive) — the rolling-
+    feature shape (user activity features, rate limits) built on a
+    partitioned range frame; the per-customer partition keeps the sort
+    local, never a global window.  Decimal-exact revenue sums."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.count(F.lit(1)).over(w).alias("n_90d"),
+            F.round(
+                F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double"),
+                2,
+            ).alias("rev_90d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3629,6 +3656,7 @@ QUERIES: dict[str, Callable] = {
     "q111_session_window_builtin": q111_session_window_builtin,
     "q112_data_quality": q112_data_quality,
     "q113_edit_distance_verify": q113_edit_distance_verify,
+    "q114_rolling_window": q114_rolling_window,
 }
 
 ORACLE: dict[str, str] = {
@@ -5819,6 +5847,18 @@ def _ivfpq_oracle_sql(
 
 
 ORACLE["q110_ivf_pq_search"] = _ivfpq_oracle_sql()
+
+ORACLE["q114_rolling_window"] = """
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           COUNT(*) OVER w AS n_90d,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+                AS DOUBLE) AS rev_90d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+"""
 
 ORACLE["q112_data_quality"] = """
     WITH b AS (
