@@ -3528,6 +3528,64 @@ def q114_rolling_window(spark, sf_dir):
     )
 
 
+def q115_stored_index_search(spark, sf_dir):
+    """Index-as-a-table round trip: PQ codes written to parquet +
+    codebooks to JSON (the stored form a production index service
+    serves from), then ADC search runs from the STORED artifacts — the
+    embeddings table is touched only to fetch the query vector.  Same
+    answer as q109 by construction, so the oracle is q109's; what this
+    query certifies is the persistence path."""
+    import json as _json
+    import tempfile
+
+    from dudb_spark.pipeline.pq import (
+        _dbl,
+        _seqsum,
+        fixed_pq_codebooks,
+        pq_encode,
+    )
+    import math as _math
+
+    from pyspark.sql import functions as _F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fixed_pq_codebooks(emb, m=8, ksub=16)
+    idx_dir = tempfile.mkdtemp(prefix="dudb_q115_idx_")
+    pq_encode(emb, books).write.mode("overwrite").parquet(idx_dir + "/codes")
+    with open(idx_dir + "/codebooks.json", "w") as f:
+        _json.dump(books, f)
+
+    # --- serve from storage only ---
+    with open(idx_dir + "/codebooks.json") as f:
+        stored = _json.load(f)
+    codes = spark.read.parquet(idx_dir + "/codes")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    qnorm = _math.sqrt(_seqsum(x * x for x in q))
+    dsub = len(stored[0][0])
+
+    def lut(vals):
+        return "array(" + ",".join(_dbl(v) for v in vals) + ")"
+
+    ip_terms, nsq_terms = [], []
+    for s, book in enumerate(stored):
+        qs = q[s * dsub: (s + 1) * dsub]
+        ips = [_seqsum(a * b for a, b in zip(qs, c)) for c in book]
+        nsqs = [_seqsum(x * x for x in c) for c in book]
+        idx = f"element_at(codes, {s + 1}) + 1"
+        ip_terms.append(f"element_at({lut(ips)}, {idx})")
+        nsq_terms.append(f"element_at({lut(nsqs)}, {idx})")
+    score = (
+        f"round(({' + '.join(ip_terms)}) / "
+        f"({_dbl(qnorm)} * sqrt({' + '.join(nsq_terms)})), 6)"
+    )
+    return (
+        codes.where("vec_id != 0")
+        .select("vec_id", _F.expr(score).alias("adc_cosine"))
+        .orderBy(_F.desc("adc_cosine"), _F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3657,6 +3715,7 @@ QUERIES: dict[str, Callable] = {
     "q112_data_quality": q112_data_quality,
     "q113_edit_distance_verify": q113_edit_distance_verify,
     "q114_rolling_window": q114_rolling_window,
+    "q115_stored_index_search": q115_stored_index_search,
 }
 
 ORACLE: dict[str, str] = {
@@ -5742,6 +5801,9 @@ def _pq_oracle_sql(
 
 
 ORACLE["q109_pq_adc_search"] = _pq_oracle_sql()
+# q115 serves the SAME deterministic index from its stored form — the
+# oracle restates the derivation from the source table
+ORACLE["q115_stored_index_search"] = _pq_oracle_sql()
 
 
 def _ivfpq_oracle_sql(
