@@ -3586,6 +3586,41 @@ def q115_stored_index_search(spark, sf_dir):
     )
 
 
+def q116_curriculum_bins(spark, sf_dir):
+    """Curriculum binning: corpus-wide quality DECILES as explicit
+    thresholds (operators/quantiles.grouped_quantiles — spillable order
+    statistics, not a single-task global ntile window), broadcast back
+    onto the scan to label every document with its difficulty bin.
+    Ties at a threshold go to the lower bin (strict >) in both
+    engines."""
+    from dudb_spark.operators.quantiles import grouped_quantiles
+    from dudb_spark.pipeline.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", quality_score(F.col("text")).alias("score")
+    )
+    ps = [i / 10 for i in range(1, 10)]
+    names = [f"t{i * 10}" for i in range(1, 10)]
+    th = grouped_quantiles(
+        scored.withColumn("_g", F.lit(1)), ["_g"], "score", ps, names=names
+    )
+    th_arr = th.select(
+        F.array(*[F.round(F.col(n), 6) for n in names]).alias("t")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th_arr))
+        .select(
+            "doc_id",
+            "score",
+            F.size(
+                F.filter(F.col("t"), lambda x: F.col("score") > x)
+            ).alias("bin"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3716,6 +3751,7 @@ QUERIES: dict[str, Callable] = {
     "q113_edit_distance_verify": q113_edit_distance_verify,
     "q114_rolling_window": q114_rolling_window,
     "q115_stored_index_search": q115_stored_index_search,
+    "q116_curriculum_bins": q116_curriculum_bins,
 }
 
 ORACLE: dict[str, str] = {
@@ -4469,6 +4505,22 @@ ORACLE["q58_consensus_dedup"] = f"""
 
 
 ORACLE["q59_events_sliding_streamed"] = ORACLE["q49_events_sliding"]
+
+ORACLE["q116_curriculum_bins"] = f"""
+    WITH s AS (
+        SELECT doc_id, quality AS score
+        FROM ({ORACLE["q21_quality_score"]})
+    ), th AS (
+        SELECT list_transform(
+                   quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]),
+                   x -> round(x, 6)) AS t
+        FROM s
+    )
+    SELECT s.doc_id, s.score,
+           CAST(len(list_filter(th.t, x -> s.score > x)) AS INT) AS bin
+    FROM s, th ORDER BY s.doc_id
+"""
 
 # splice q16's final SELECT into a `verified` CTE (DuckDB hits an
 # internal error when the whole WITH-query nests as a subquery here)
