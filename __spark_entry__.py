@@ -3621,6 +3621,40 @@ def q116_curriculum_bins(spark, sf_dir):
     )
 
 
+def q117_mixture_weights(spark, sf_dir):
+    """Temperature-weighted data-mixture plan (the Pile/LLaMA-style
+    sampling table): per-source token mass raised to α=0.5 and
+    normalized — upweights small sources, downweights dominant ones —
+    with the boost factor over natural (proportional) sampling.  One
+    grouped pass + a broadcast scalar row; the weights are the artifact
+    a mixture_sample run consumes."""
+    from dudb_spark.pipeline.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum(F.pow("n_tokens", 0.5)).alias("_z"),
+        F.sum("n_tokens").alias("_tot"),
+    )
+    w = F.pow("n_tokens", 0.5) / F.col("_z")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            F.round(
+                w / (F.col("n_tokens") / F.col("_tot")), 6
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
 def q108_span_excision(spark, sf_dir):
     """Eval-set decontamination by EXCISION: every 8-token span of the
     corpus that also occurs in the held-out reference slice
@@ -3752,6 +3786,7 @@ QUERIES: dict[str, Callable] = {
     "q114_rolling_window": q114_rolling_window,
     "q115_stored_index_search": q115_stored_index_search,
     "q116_curriculum_bins": q116_curriculum_bins,
+    "q117_mixture_weights": q117_mixture_weights,
 }
 
 ORACLE: dict[str, str] = {
@@ -4505,6 +4540,23 @@ ORACLE["q58_consensus_dedup"] = f"""
 
 
 ORACLE["q59_events_sliding_streamed"] = ORACLE["q49_events_sliding"]
+
+ORACLE["q117_mixture_weights"] = r"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> ''))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(POWER(n_tokens, 0.5)) AS z,
+               CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(POWER(n_tokens, 0.5) / z, 6) AS weight,
+           ROUND((POWER(n_tokens, 0.5) / z) / (n_tokens / tot), 6) AS boost
+    FROM per_src, tot ORDER BY source
+"""
 
 ORACLE["q116_curriculum_bins"] = f"""
     WITH s AS (
