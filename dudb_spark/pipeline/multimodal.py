@@ -292,7 +292,77 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-_DECODERS = {"bmp": decode_bmp, "wav": decode_wav}
+def decode_png(payload: bytes) -> dict:
+    """Decode a non-interlaced 8-bit PNG (grayscale or RGB): chunk walk,
+    zlib inflate, and full scanline unfiltering (None/Sub/Up/Average/
+    Paeth) — per-channel means computed over the real pixel array.
+    Pure stdlib (zlib), like the BMP/WAV codecs."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, w = 8, b"", None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        body = payload[pos + 8: pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + CRC
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    ch = 3 if color == 2 else 1
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    prev = bytearray(stride)
+    sums = [0] * ch
+    for r in range(h):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1: base + 1 + stride])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0          # left
+            b = prev[i]                                  # up
+            c = prev[i - ch] if i >= ch else 0           # up-left
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        for i in range(stride):
+            sums[i % ch] += line[i]
+        prev = line
+    n_px = max(w * h, 1)
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "n_channels": ch,
+        "sample_rate": None,
+        "n_frames": n_px,
+        "mean": [s / n_px for s in sums],
+        "rms": None,
+    }
+
+
+_DECODERS = {"bmp": decode_bmp, "wav": decode_wav, "png": decode_png}
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -333,7 +403,14 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
                         )
                     out.append(dict(blank, media_id=mid, format=fmt))
                     continue
-                out.append(dict(blank, **dec(bytes(p)), media_id=mid))
+                try:
+                    out.append(dict(blank, **dec(bytes(p)), media_id=mid))
+                except ValueError:
+                    # corrupt/unsupported payload for a known format:
+                    # null-fill instead of failing the whole batch job
+                    if strict:
+                        raise
+                    out.append(dict(blank, media_id=mid, format=fmt))
             yield pd.DataFrame(
                 out, columns=[f.name for f in DECODED_SCHEMA.fields]
             )
@@ -355,6 +432,56 @@ def synthetic_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     r, g, b = rgb
     row = (bytes((b, g, r)) * width).ljust(row_bytes, b"\x00")
     return header + row * height
+
+
+def synthetic_png(
+    width: int, height: int, rgb: tuple[int, int, int], filt: int = 0
+) -> bytes:
+    """Build a real 8-bit RGB PNG filled with one color.  ``filt``
+    selects the per-row filter type (0–4) so tests can exercise every
+    unfilter path — the filtered bytes are computed by inverting the
+    decoder's arithmetic on the constant image."""
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    px = bytes(rgb)
+    stride = width * 3
+    raw = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        plain = bytearray(px * width)
+        line = bytearray(plain)
+        for i in range(stride):
+            a = plain[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if filt == 1:
+                line[i] = (plain[i] - a) & 0xFF
+            elif filt == 2:
+                line[i] = (plain[i] - b) & 0xFF
+            elif filt == 3:
+                line[i] = (plain[i] - (a + b) // 2) & 0xFF
+            elif filt == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (plain[i] - pr) & 0xFF
+        raw += bytes([filt]) + line
+        prev = plain
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def synthetic_wav(samples: list[int], rate: int = 8000, channels: int = 1) -> bytes:

@@ -213,9 +213,36 @@ def test_decode_media_arrow_path(spark):
     assert got[0]["width"] == 4 and got[0]["mean"] == [10.0, 20.0, 30.0]
     assert got[1]["sample_rate"] == 8000 and got[1]["n_frames"] == 16
     assert got[1]["rms"] == 1000.0
+    # the fake PNG payload is corrupt: the real PNG decoder null-fills
+    # it in non-strict mode rather than failing the batch
     assert got[2]["width"] is None and got[2]["format"] == "png"
-    with pytest.raises(Exception, match="NotImplementedError|no real decoder"):
+    with pytest.raises(Exception, match="not a PNG|no real decoder"):
         multimodal.decode_media(media, strict=True).collect()
+
+
+def test_real_png_decode_roundtrip():
+    """decode_png inflates and unfilters a real PNG built by
+    synthetic_png — every filter type (None/Sub/Up/Average/Paeth)
+    reconstructs the exact channel means."""
+    for filt in range(5):
+        d = multimodal.decode_png(
+            multimodal.synthetic_png(7, 5, (200, 30, 90), filt=filt)
+        )
+        assert (d["width"], d["height"], d["n_channels"]) == (7, 5, 3)
+        assert d["mean"] == [200.0, 30.0, 90.0], filt
+        assert d["n_frames"] == 35
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"nope")
+
+
+def test_png_through_arrow_decode(spark):
+    rows = [
+        (0, bytearray(multimodal.synthetic_png(4, 2, (10, 20, 30), filt=4)),
+         ("image", "png", 4, 2, None, 0)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.decode_media(media).collect()[0]
+    assert got["width"] == 4 and got["mean"] == [10.0, 20.0, 30.0]
 
 
 def test_multimodal_resize_and_frames(spark):
