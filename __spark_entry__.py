@@ -3441,7 +3441,8 @@ def q110_ivf_pq_search(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where("vec_id = 0").first()["embedding"]
     return ivf_pq_topk(
-        emb, _quantizer_cells(spark, sf_dir), q, k=10, n_probe=4
+        emb, _quantizer_cells(spark, sf_dir), q, k=10, n_probe=4,
+        exclude_id=0,
     )
 
 

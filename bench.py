@@ -66,8 +66,11 @@ def main():
         # JIT code, which measured ~45% slower across the whole suite.
         try:
             spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        except Exception:
-            pass
+        except Exception as e:
+            # visible, not fatal: if this private hook moves in a Spark
+            # upgrade the 3s->20s GC-pressure outliers return — a silent
+            # no-op here would hide that cause
+            print(f"  WARN: StateStore unload failed: {e}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     # Key the JSON by the short query id (q01, q02, ...) so the single

@@ -204,19 +204,38 @@ def sample_frames(
 
 
 # ---------------------------------------------------------------------------
-# Real codecs: BMP (24-bit uncompressed) and WAV (16-bit PCM) decode in
-# pure Python, so at least two genuine decoders exercise the Arrow decode
-# path end-to-end without imaging/audio libraries.  Every other format
-# stays behind the declared sha256 stubs above.
+# Real codecs: BMP (24-bit uncompressed), WAV (16-bit PCM) and PNG
+# (8-bit gray/RGB) decode with numpy-vectorized kernels, so three
+# genuine decoders exercise the Arrow decode path end-to-end without
+# imaging/audio libraries.  PNG unfiltering (the only sequentially-
+# dependent part) lives in pipeline/unfilter.py: run-grouped modular
+# accumulates for None/Sub/Up rows, a batched anti-diagonal wavefront
+# for Average/Paeth rows — bit-identical to the per-pixel kernel, which
+# is kept below as *_py for fuzz oracles and the bench baseline.
+# When Pillow is installed, JPEG decodes for real and exotic PNGs
+# (16-bit, palette, interlaced) fall back to it; without it those stay
+# behind the declared stub boundary.
 # ---------------------------------------------------------------------------
 
+import math
 import struct
+import zlib
+
+import numpy as np
+
+from dudb_spark.pipeline.unfilter import unfilter_batch, unfilter_rows_py
+
+try:  # optional real-codec dependency (not in the test container)
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised only without Pillow
+    _PILImage = None
 
 
 def decode_bmp(payload: bytes) -> dict:
     """Decode an uncompressed 24-bit BMP: dimensions + per-channel means
     over the real pixel array (bottom-up rows, BGR order, rows padded to
-    4 bytes — the actual layout, not a digest)."""
+    4 bytes — the actual layout, not a digest).  The pixel fold is one
+    numpy pass."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", payload, 10)
@@ -225,16 +244,24 @@ def decode_bmp(payload: bytes) -> dict:
     (compression,) = struct.unpack_from("<I", payload, 30)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if width < 0:
+        raise ValueError("negative BMP width")
     n_rows = abs(height)
     row_bytes = (width * 3 + 3) & ~3
-    sums = [0, 0, 0]  # B, G, R
-    for r in range(n_rows):
-        base = data_off + r * row_bytes
-        row = payload[base: base + width * 3]
-        sums[0] += sum(row[0::3])
-        sums[1] += sum(row[1::3])
-        sums[2] += sum(row[2::3])
     n_px = max(width * n_rows, 1)
+    if width == 0 or n_rows == 0:
+        sums = np.zeros(3, np.int64)
+    else:
+        need = n_rows * row_bytes
+        region = payload[data_off: data_off + need]
+        if len(region) < need:
+            # tolerate only a missing final-row pad; anything shorter is
+            # a truncated pixel array (null-fill path in decode_media)
+            if len(region) < (n_rows - 1) * row_bytes + width * 3:
+                raise ValueError("truncated BMP pixel array")
+            region = region + b"\x00" * (need - len(region))
+        px = np.frombuffer(region, np.uint8).reshape(n_rows, row_bytes)
+        sums = px[:, : width * 3].reshape(-1, 3).sum(axis=0, dtype=np.int64)
     return {
         "format": "bmp",
         "width": width,
@@ -242,22 +269,17 @@ def decode_bmp(payload: bytes) -> dict:
         "n_channels": 3,
         "sample_rate": None,
         "n_frames": n_px,
-        # RGB order
-        "mean": [sums[2] / n_px, sums[1] / n_px, sums[0] / n_px],
+        # stored BGR; report RGB
+        "mean": [int(sums[2]) / n_px, int(sums[1]) / n_px, int(sums[0]) / n_px],
         "rms": None,
     }
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Decode a RIFF/WAVE 16-bit PCM payload: fmt chunk + interleaved
-    samples, per-channel means and overall RMS computed from the real
-    sample values."""
-    import array
-    import math
-
+def _parse_wav(payload: bytes):
+    """(channels, rate, data bytes) from the RIFF chunk walk."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, channels, rate, bits, data = 12, None, None, None, None
+    pos, channels, rate, data = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos: pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8: pos + 8 + size]
@@ -271,15 +293,24 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)
     if channels is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = array.array("h")
-    samples.frombytes(data[: len(data) // 2 * 2])
-    n_frames = len(samples) // channels
-    ch_sums = [0] * channels
-    sq = 0
-    for i, s in enumerate(samples):
-        ch_sums[i % channels] += s
-        sq += s * s
-    n = max(len(samples), 1)
+    return channels, rate, data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE 16-bit PCM payload: fmt chunk + interleaved
+    samples, per-channel means and overall RMS from the real sample
+    values — exact int64 numpy folds (bit-identical to the Python
+    accumulation, both are exact integer sums)."""
+    channels, rate, data = _parse_wav(payload)
+    samples = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.int64)
+    n_samp = samples.shape[0]
+    n_frames = n_samp // channels
+    ch_sums = np.zeros(channels, np.int64)
+    full = samples[: n_frames * channels].reshape(n_frames, channels)
+    ch_sums += full.sum(axis=0, dtype=np.int64)
+    rem = samples[n_frames * channels:]
+    ch_sums[: rem.shape[0]] += rem  # trailing partial frame -> channels 0..k
+    sq = int(samples @ samples)
     return {
         "format": "wav",
         "width": None,
@@ -287,18 +318,15 @@ def decode_wav(payload: bytes) -> dict:
         "n_channels": channels,
         "sample_rate": rate,
         "n_frames": n_frames,
-        "mean": [c / max(n_frames, 1) for c in ch_sums],
-        "rms": math.sqrt(sq / n),
+        "mean": [int(c) / max(n_frames, 1) for c in ch_sums],
+        "rms": math.sqrt(sq / max(n_samp, 1)),
     }
 
 
-def decode_png(payload: bytes) -> dict:
-    """Decode a non-interlaced 8-bit PNG (grayscale or RGB): chunk walk,
-    zlib inflate, and full scanline unfiltering (None/Sub/Up/Average/
-    Paeth) — per-channel means computed over the real pixel array.
-    Pure stdlib (zlib), like the BMP/WAV codecs."""
-    import zlib
-
+def _parse_png(payload: bytes):
+    """(inflated scanline stream, h, w, ch) from the chunk walk — shared
+    by the single and batched decode paths.  Raises ValueError for
+    non-PNG, unsupported, corrupt, or truncated payloads."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos, idat, w = 8, b"", None
@@ -311,6 +339,8 @@ def decode_png(payload: bytes) -> dict:
                 ">IIBBBBB", body
             )
             if depth != 8 or color not in (0, 2) or interlace:
+                if _PILImage is not None:
+                    return None  # caller falls back to Pillow
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={color}, "
                     f"interlace={interlace})"
@@ -323,46 +353,164 @@ def decode_png(payload: bytes) -> dict:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     ch = 3 if color == 2 else 1
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = w * ch
-    prev = bytearray(stride)
-    sums = [0] * ch
-    for r in range(h):
-        base = r * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1: base + 1 + stride])
-        for i in range(stride):
-            a = line[i - ch] if i >= ch else 0          # left
-            b = prev[i]                                  # up
-            c = prev[i - ch] if i >= ch else 0           # up-left
-            if ftype == 1:
-                line[i] = (line[i] + a) & 0xFF
-            elif ftype == 2:
-                line[i] = (line[i] + b) & 0xFF
-            elif ftype == 3:
-                line[i] = (line[i] + (a + b) // 2) & 0xFF
-            elif ftype == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        for i in range(stride):
-            sums[i % ch] += line[i]
-        prev = line
+    if len(raw) < h * (stride + 1):
+        raise ValueError(
+            f"truncated PNG: {len(raw)} inflated bytes < {h * (stride + 1)}"
+        )
+    return raw, h, w, ch
+
+
+def _png_result(recon: "np.ndarray", h: int, w: int, ch: int) -> dict:
     n_px = max(w * h, 1)
+    sums = recon.reshape(-1, ch).sum(axis=0, dtype=np.int64) if recon.size else (
+        np.zeros(ch, np.int64)
+    )
     return {
         "format": "png",
         "width": w,
         "height": h,
         "n_channels": ch,
         "sample_rate": None,
-        "n_frames": n_px,
-        "mean": [s / n_px for s in sums],
+        "n_frames": w * h,
+        "mean": [int(s) / n_px for s in sums],
         "rms": None,
     }
 
 
-_DECODERS = {"bmp": decode_bmp, "wav": decode_wav, "png": decode_png}
+def decode_png(payload: bytes) -> dict:
+    """Decode a non-interlaced 8-bit PNG (grayscale or RGB): chunk walk,
+    zlib inflate, vectorized scanline unfiltering (pipeline/unfilter.py)
+    — per-channel means computed over the real pixel array.  With Pillow
+    installed, PNG variants outside that envelope fall back to it."""
+    parsed = _parse_png(payload)
+    if parsed is None:  # unsupported variant, Pillow available
+        return _decode_image_pil(payload, "png")
+    raw, h, w, ch = parsed
+    recon = unfilter_batch([(raw, h, w, ch)])[0]
+    return _png_result(recon, h, w, ch)
+
+
+def _decode_image_pil(payload: bytes, fmt: str) -> dict:
+    """Pillow-backed decode (JPEG, exotic PNGs): C-speed pixel work, same
+    result contract as the pure decoders."""
+    import io
+
+    im = _PILImage.open(io.BytesIO(payload))
+    im.load()
+    if im.mode not in ("RGB", "L"):
+        im = im.convert("RGB")
+    a = np.asarray(im)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    n_px = max(w * h, 1)
+    sums = a.reshape(-1, ch).sum(axis=0, dtype=np.int64)
+    return {
+        "format": fmt,
+        "width": w,
+        "height": h,
+        "n_channels": ch,
+        "sample_rate": None,
+        "n_frames": w * h,
+        "mean": [int(s) / n_px for s in sums],
+        "rms": None,
+    }
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """JPEG decode — requires Pillow (optional dependency).  Without it
+    this raises ValueError, so non-strict decode_media null-fills JPEG
+    rows and strict mode surfaces the missing dependency."""
+    if _PILImage is None:
+        raise ValueError(
+            "JPEG decode requires Pillow (pip install Pillow); "
+            "not present in this environment"
+        )
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    return _decode_image_pil(payload, "jpeg")
+
+
+# --- round-4 per-pixel kernels: kept as bit-exactness oracles for the
+# vectorized paths (fuzz-pinned in tests) and as the bench's r4
+# throughput baseline.  Not used in the decode hot path. ---
+
+
+def decode_png_py(payload: bytes) -> dict:
+    parsed = _parse_png(payload)
+    if parsed is None:
+        raise ValueError("unsupported PNG for the pure-Python kernel")
+    raw, h, w, ch = parsed
+    stride = w * ch
+    sums = [0] * ch
+    for line in unfilter_rows_py(raw, h, w, ch):
+        for i in range(stride):
+            sums[i % ch] += line[i]
+    n_px = max(w * h, 1)
+    out = _png_result(np.zeros((0, max(stride, 1)), np.uint8), h, w, ch)
+    out["mean"] = [s / n_px for s in sums]
+    return out
+
+
+def decode_bmp_py(payload: bytes) -> dict:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    n_rows = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    sums = [0, 0, 0]
+    for r in range(n_rows):
+        base = data_off + r * row_bytes
+        row = payload[base: base + width * 3]
+        sums[0] += sum(row[0::3])
+        sums[1] += sum(row[1::3])
+        sums[2] += sum(row[2::3])
+    n_px = max(width * n_rows, 1)
+    return {
+        "format": "bmp", "width": width, "height": n_rows, "n_channels": 3,
+        "sample_rate": None, "n_frames": n_px,
+        "mean": [sums[2] / n_px, sums[1] / n_px, sums[0] / n_px], "rms": None,
+    }
+
+
+def decode_wav_py(payload: bytes) -> dict:
+    import array
+
+    channels, rate, data = _parse_wav(payload)
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) // 2 * 2])
+    n_frames = len(samples) // channels
+    ch_sums = [0] * channels
+    sq = 0
+    for i, s in enumerate(samples):
+        ch_sums[i % channels] += s
+        sq += s * s
+    n = max(len(samples), 1)
+    return {
+        "format": "wav", "width": None, "height": None,
+        "n_channels": channels, "sample_rate": rate, "n_frames": n_frames,
+        "mean": [c / max(n_frames, 1) for c in ch_sums],
+        "rms": math.sqrt(sq / n),
+    }
+
+
+_DECODERS = {
+    "bmp": decode_bmp,
+    "wav": decode_wav,
+    "png": decode_png,
+    "jpeg": decode_jpeg,
+    "jpg": decode_jpeg,
+}
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -379,12 +527,21 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+_DECODE_ERRORS = (ValueError, IndexError, struct.error, zlib.error)
+
+
 def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Arrow-batched real decode: BMP and WAV payloads are parsed with the
-    pure-Python codecs above; other formats yield a null-typed row (or
-    raise under ``strict=True``, marking where PIL/ffmpeg would plug in).
-    Same plumbing contract as :func:`extract_features` — only
-    (media_id, payload, format) cross the JVM↔Python boundary."""
+    """Arrow-batched real decode: BMP/WAV/PNG payloads are parsed with
+    the vectorized codecs above (JPEG too when Pillow is installed);
+    other formats yield a null-typed row (or raise under ``strict=True``,
+    marking where PIL/ffmpeg would plug in).  Same plumbing contract as
+    :func:`extract_features` — only (media_id, payload, format) cross
+    the JVM↔Python boundary.
+
+    All PNG payloads in an Arrow batch share ONE batched wavefront
+    unfilter (pipeline/unfilter.py), so the sequential-filter work is
+    amortized across the whole batch — per-batch columnar decode, the
+    shape that holds at 100 TB."""
 
     # missing keys must be None (not pandas NaN): NaN is a float and the
     # Arrow writer rejects it for array-typed columns
@@ -393,24 +550,65 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
+            png_slots: list[int] = []   # out[] index per batched PNG
+            png_parsed: list[tuple] = []  # (raw, h, w, ch)
             for mid, p, fmt in zip(pdf["media_id"], pdf["payload"], pdf["fmt"]):
-                dec = _DECODERS.get((fmt or "").lower())
+                fmtl = (fmt or "").lower()
+                dec = _DECODERS.get(fmtl)
                 if dec is None:
                     if strict:
                         raise NotImplementedError(
-                            f"no real decoder for format {fmt!r}; BMP/WAV "
-                            "are built in, others need imaging/audio libs"
+                            f"no real decoder for format {fmt!r}; "
+                            "BMP/WAV/PNG are built in, others need "
+                            "imaging/audio libs"
                         )
+                    out.append(dict(blank, media_id=mid, format=fmt))
+                    continue
+                if fmtl == "png":
+                    try:
+                        parsed = _parse_png(bytes(p))
+                    except _DECODE_ERRORS:
+                        # corrupt/truncated container: null-fill, don't
+                        # fail the whole batch (zlib.error/IndexError/
+                        # struct.error cover garbage past the signature)
+                        if strict:
+                            raise
+                        out.append(dict(blank, media_id=mid, format=fmt))
+                        continue
+                    if parsed is None:  # exotic variant -> Pillow
+                        out.append(
+                            dict(blank, **_decode_image_pil(bytes(p), "png"),
+                                 media_id=mid)
+                        )
+                        continue
+                    png_slots.append(len(out))
+                    png_parsed.append(parsed)
                     out.append(dict(blank, media_id=mid, format=fmt))
                     continue
                 try:
                     out.append(dict(blank, **dec(bytes(p)), media_id=mid))
-                except ValueError:
-                    # corrupt/unsupported payload for a known format:
-                    # null-fill instead of failing the whole batch job
+                except _DECODE_ERRORS:
                     if strict:
                         raise
                     out.append(dict(blank, media_id=mid, format=fmt))
+            if png_parsed:
+                try:
+                    recons = unfilter_batch(png_parsed)
+                except _DECODE_ERRORS:
+                    if strict:
+                        raise
+                    # a bad filter byte poisons the shared batch: redo
+                    # one-by-one so only the bad payloads null-fill
+                    recons = []
+                    for item in png_parsed:
+                        try:
+                            recons.append(unfilter_batch([item])[0])
+                        except _DECODE_ERRORS:
+                            recons.append(None)
+                for slot, item, rec in zip(png_slots, png_parsed, recons):
+                    if rec is not None:
+                        _, h, w, ch = item
+                        out[slot].update(_png_result(rec, h, w, ch))
             yield pd.DataFrame(
                 out, columns=[f.name for f in DECODED_SCHEMA.fields]
             )

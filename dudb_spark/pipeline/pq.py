@@ -100,18 +100,35 @@ def pq_encode(
     books: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    eager: bool = True,
 ) -> DataFrame:
-    """``(id, codes array<int>)`` — one code per subspace."""
+    """``(id, codes array<int>)`` — one code per subspace.
+
+    The cast vector ``_v`` must be pinned during encoding (an inlined
+    transform is re-evaluated per ``element_at`` reference — the measured
+    Catalyst hazard), but holding that cache past the encode leaks a
+    cached RDD per call in long-lived sessions.  Default ``eager=True``
+    materializes the (tiny — id + m ints per row) codes frame via
+    ``localCheckpoint`` and releases the cast-vector cache immediately;
+    ``eager=False`` returns the lazy scan-fused plan and leaves the
+    persistence lifecycle to the caller (who should unpersist
+    ``result._pq_base`` when done)."""
     dsub = len(books[0][0])
     base = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
     ).persist()
-    return base.select(
+    codes = base.select(
         id_col,
         F.array(
             *[F.expr(_code_sql(s, dsub, b)) for s, b in enumerate(books)]
         ).alias("codes"),
     )
+    if eager:
+        codes = codes.localCheckpoint(eager=True)
+        base.unpersist()
+    else:
+        codes._pq_base = base
+    return codes
 
 
 def pq_topk(
@@ -170,7 +187,7 @@ def ivf_pq_topk(
     ksub: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    exclude_id=0,
+    exclude_id=None,
     books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The full FAISS ``IVF,PQ`` composition: the coarse quantizer's
@@ -190,9 +207,10 @@ def ivf_pq_topk(
     if books is None:
         books = fixed_pq_codebooks(emb, m, ksub, vec_col, id_col)
     probe = probe_cells(centroids, query_vec, n_probe)
-    cand = assigned.where(
-        F.col("cell").isin(sorted(probe)) & (F.col(id_col) != exclude_id)
-    ).select(id_col)
+    cond = F.col("cell").isin(sorted(probe))
+    if exclude_id is not None:
+        cond = cond & (F.col(id_col) != exclude_id)
+    cand = assigned.where(cond).select(id_col)
     return pq_topk(
         emb.join(cand, id_col, "left_semi"),
         query_vec,

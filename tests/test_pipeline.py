@@ -245,6 +245,120 @@ def test_png_through_arrow_decode(spark):
     assert got["width"] == 4 and got["mean"] == [10.0, 20.0, 30.0]
 
 
+def test_unfilter_vectorized_matches_python_kernel():
+    """The numpy unfilter paths (run-grouped accumulates + batched
+    anti-diagonal wavefront) are bit-identical to the round-4 per-pixel
+    kernel over random images: random sizes, channels, per-row filter
+    types (all five), random pixel data, batched and single."""
+    import random
+
+    from dudb_spark.pipeline import unfilter as uf
+
+    rng = random.Random(20260814)
+    for trial in range(80):
+        n_img = rng.randint(1, 6)
+        items = []
+        for _ in range(n_img):
+            w = rng.randint(1, 28)
+            h = rng.randint(1, 18)
+            ch = rng.choice([1, 3])
+            stride = w * ch
+            raw = bytearray()
+            for _r in range(h):
+                raw.append(rng.choice([0, 1, 2, 3, 4]))
+                raw += bytes(rng.randint(0, 255) for _ in range(stride))
+            items.append((bytes(raw), h, w, ch))
+        got = uf.unfilter_batch(items)
+        for (raw, h, w, ch), g in zip(items, got):
+            ref = uf.unfilter_rows_py(raw, h, w, ch)
+            for r in range(h):
+                assert g[r].tobytes() == ref[r], (trial, r, h, w, ch)
+
+
+def test_decoders_match_python_kernels():
+    """Full vectorized decoders == the round-4 Python kernels on random
+    real payloads (exact integer folds on both sides)."""
+    import random
+
+    rng = random.Random(99)
+    for _ in range(20):
+        w, h = rng.randint(1, 20), rng.randint(1, 12)
+        rgb = tuple(rng.randint(0, 255) for _ in range(3))
+        png = multimodal.synthetic_png(w, h, rgb, filt=rng.randint(0, 4))
+        assert multimodal.decode_png(png) == multimodal.decode_png_py(png)
+        bmp = multimodal.synthetic_bmp(w, h, rgb)
+        assert multimodal.decode_bmp(bmp) == multimodal.decode_bmp_py(bmp)
+        n = rng.randint(1, 64)
+        chn = rng.choice([1, 2, 3])
+        wav = multimodal.synthetic_wav(
+            [rng.randint(-32768, 32767) for _ in range(n)], channels=chn
+        )
+        assert multimodal.decode_wav(wav) == multimodal.decode_wav_py(wav)
+
+
+def test_decode_jpeg_requires_pillow():
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed: covered by the real-decode path")
+    except ImportError:
+        pass
+    with pytest.raises(ValueError, match="requires Pillow"):
+        multimodal.decode_jpeg(b"\xff\xd8\xff\xe0fake")
+    # and through the distributed path: null-fill non-strict
+    # (decode_jpeg raises ValueError -> the known-format corrupt path)
+
+
+def test_corrupt_png_null_fills_not_fails(spark):
+    """A valid-signature PNG with a corrupt IDAT stream (zlib.error) or a
+    truncated inflate (short pixel data) must null-fill in non-strict
+    mode — the documented contract — not fail the whole Arrow batch."""
+    import struct as _struct
+    import zlib as _zlib
+
+    good = multimodal.synthetic_png(4, 3, (9, 8, 7), filt=2)
+
+    # corrupt the IDAT body in place: find the chunk, flip bytes mid-stream
+    pos = 8
+    corrupt = bytearray(good)
+    while pos + 8 <= len(good):
+        (size,) = _struct.unpack_from(">I", good, pos)
+        if good[pos + 4: pos + 8] == b"IDAT":
+            for i in range(pos + 12, pos + 8 + size):
+                corrupt[i] ^= 0xFF
+            break
+        pos += 12 + size
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        multimodal.decode_png(bytes(corrupt))
+
+    # valid zlib stream but fewer inflated bytes than h*(stride+1)
+    def chunk(ctype, body):
+        return (
+            _struct.pack(">I", len(body)) + ctype + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 5))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated PNG"):
+        multimodal.decode_png(short)
+
+    # both payloads through the distributed path: null-fill, batch survives
+    rows = [
+        (0, bytearray(good), ("image", "png", 4, 3, None, 0)),
+        (1, corrupt, ("image", "png", 4, 3, None, 0)),
+        (2, bytearray(short), ("image", "png", 4, 3, None, 0)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert got[0]["mean"] == [9.0, 8.0, 7.0]
+    assert got[1]["width"] is None and got[1]["format"] == "png"
+    assert got[2]["width"] is None and got[2]["format"] == "png"
+
+
 def test_multimodal_resize_and_frames(spark):
     media = multimodal.synthetic_media(spark, n=8)
     resized = multimodal.resize_images(media, width=16, height=16).collect()
