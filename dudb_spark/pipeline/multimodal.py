@@ -529,6 +529,80 @@ DECODED_SCHEMA = T.StructType(
 
 _DECODE_ERRORS = (ValueError, IndexError, struct.error, zlib.error)
 
+_BLANK_DECODED = {
+    "media_id": None, "format": None, "width": None, "height": None,
+    "n_channels": None, "sample_rate": None, "n_frames": None,
+    "mean": None, "rms": None,
+}
+
+
+def decode_payloads(
+    items: list[tuple[bytes, str]], strict: bool = False
+) -> list[dict]:
+    """Decode a batch of (payload, format) pairs — the exact per-batch
+    logic of :func:`decode_media`, callable outside Spark (bench, CLI).
+    All PNGs in the batch share one wavefront unfilter; corrupt or
+    unknown payloads null-fill (or raise under ``strict``)."""
+    out: list[dict] = []
+    png_slots: list[int] = []
+    png_parsed: list[tuple] = []
+    for p, fmt in items:
+        fmtl = (fmt or "").lower()
+        dec = _DECODERS.get(fmtl)
+        if dec is None:
+            if strict:
+                raise NotImplementedError(
+                    f"no real decoder for format {fmt!r}; BMP/WAV/PNG "
+                    "are built in, others need imaging/audio libs"
+                )
+            out.append(dict(_BLANK_DECODED, format=fmt))
+            continue
+        if fmtl == "png":
+            try:
+                parsed = _parse_png(bytes(p))
+            except _DECODE_ERRORS:
+                # corrupt/truncated container: null-fill, don't fail the
+                # batch (zlib.error/IndexError/struct.error cover garbage
+                # past the signature check)
+                if strict:
+                    raise
+                out.append(dict(_BLANK_DECODED, format=fmt))
+                continue
+            if parsed is None:  # exotic variant -> Pillow
+                out.append(
+                    dict(_BLANK_DECODED, **_decode_image_pil(bytes(p), "png"))
+                )
+                continue
+            png_slots.append(len(out))
+            png_parsed.append(parsed)
+            out.append(dict(_BLANK_DECODED, format=fmt))
+            continue
+        try:
+            out.append(dict(_BLANK_DECODED, **dec(bytes(p))))
+        except _DECODE_ERRORS:
+            if strict:
+                raise
+            out.append(dict(_BLANK_DECODED, format=fmt))
+    if png_parsed:
+        try:
+            recons = unfilter_batch(png_parsed)
+        except _DECODE_ERRORS:
+            if strict:
+                raise
+            # a bad filter byte poisons the shared batch: redo one-by-one
+            # so only the bad payloads null-fill
+            recons = []
+            for item in png_parsed:
+                try:
+                    recons.append(unfilter_batch([item])[0])
+                except _DECODE_ERRORS:
+                    recons.append(None)
+        for slot, item, rec in zip(png_slots, png_parsed, recons):
+            if rec is not None:
+                _, h, w, ch = item
+                out[slot].update(_png_result(rec, h, w, ch))
+    return out
+
 
 def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched real decode: BMP/WAV/PNG payloads are parsed with
@@ -543,74 +617,15 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
     amortized across the whole batch — per-batch columnar decode, the
     shape that holds at 100 TB."""
 
-    # missing keys must be None (not pandas NaN): NaN is a float and the
-    # Arrow writer rejects it for array-typed columns
-    blank = {f.name: None for f in DECODED_SCHEMA.fields}
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            png_slots: list[int] = []   # out[] index per batched PNG
-            png_parsed: list[tuple] = []  # (raw, h, w, ch)
-            for mid, p, fmt in zip(pdf["media_id"], pdf["payload"], pdf["fmt"]):
-                fmtl = (fmt or "").lower()
-                dec = _DECODERS.get(fmtl)
-                if dec is None:
-                    if strict:
-                        raise NotImplementedError(
-                            f"no real decoder for format {fmt!r}; "
-                            "BMP/WAV/PNG are built in, others need "
-                            "imaging/audio libs"
-                        )
-                    out.append(dict(blank, media_id=mid, format=fmt))
-                    continue
-                if fmtl == "png":
-                    try:
-                        parsed = _parse_png(bytes(p))
-                    except _DECODE_ERRORS:
-                        # corrupt/truncated container: null-fill, don't
-                        # fail the whole batch (zlib.error/IndexError/
-                        # struct.error cover garbage past the signature)
-                        if strict:
-                            raise
-                        out.append(dict(blank, media_id=mid, format=fmt))
-                        continue
-                    if parsed is None:  # exotic variant -> Pillow
-                        out.append(
-                            dict(blank, **_decode_image_pil(bytes(p), "png"),
-                                 media_id=mid)
-                        )
-                        continue
-                    png_slots.append(len(out))
-                    png_parsed.append(parsed)
-                    out.append(dict(blank, media_id=mid, format=fmt))
-                    continue
-                try:
-                    out.append(dict(blank, **dec(bytes(p)), media_id=mid))
-                except _DECODE_ERRORS:
-                    if strict:
-                        raise
-                    out.append(dict(blank, media_id=mid, format=fmt))
-            if png_parsed:
-                try:
-                    recons = unfilter_batch(png_parsed)
-                except _DECODE_ERRORS:
-                    if strict:
-                        raise
-                    # a bad filter byte poisons the shared batch: redo
-                    # one-by-one so only the bad payloads null-fill
-                    recons = []
-                    for item in png_parsed:
-                        try:
-                            recons.append(unfilter_batch([item])[0])
-                        except _DECODE_ERRORS:
-                            recons.append(None)
-                for slot, item, rec in zip(png_slots, png_parsed, recons):
-                    if rec is not None:
-                        _, h, w, ch = item
-                        out[slot].update(_png_result(rec, h, w, ch))
+            rows = decode_payloads(
+                list(zip(pdf["payload"], pdf["fmt"])), strict=strict
+            )
+            for row, mid in zip(rows, pdf["media_id"]):
+                row["media_id"] = mid
             yield pd.DataFrame(
-                out, columns=[f.name for f in DECODED_SCHEMA.fields]
+                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
             )
 
     return media.select(
@@ -674,6 +689,74 @@ def synthetic_png(
                 line[i] = (plain[i] - pr) & 0xFF
         raw += bytes([filt]) + line
         prev = plain
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_png_content(
+    width: int, height: int, pixels, heuristic: bool = True
+) -> bytes:
+    """Build a real 8-bit RGB PNG from explicit pixel content
+    (``pixels``: (height, width*3) uint8 array-like), with the per-row
+    filter chosen by the libpng minimum-sum-of-absolute-differences
+    heuristic — so tests and the decode bench see the filter mix a real
+    encoder emits (mostly Sub/Up on smooth content, Average/Paeth on
+    photographic content).  ``heuristic=False`` emits filter None rows.
+
+    Unlike decoding, ENCODING has no sequential dependency (residuals
+    are computed from plain values), so all five candidate filters
+    vectorize directly."""
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ch = 3
+    stride = width * ch
+    plain = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(height, stride)
+    raw = bytearray()
+    if not heuristic:
+        for r in range(height):
+            raw += b"\x00" + plain[r].tobytes()
+    else:
+        p16 = plain.astype(np.int16)
+        left = np.zeros_like(p16)
+        left[:, ch:] = p16[:, :-ch]
+        up = np.zeros_like(p16)
+        up[1:] = p16[:-1]
+        ul = np.zeros_like(p16)
+        ul[1:, ch:] = p16[:-1, :-ch]
+        pp = left + up - ul
+        pa = np.abs(pp - left)
+        pb = np.abs(pp - up)
+        pc = np.abs(pp - ul)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+        )
+        cands = [
+            p16,
+            (p16 - left) & 0xFF,
+            (p16 - up) & 0xFF,
+            (p16 - ((left + up) >> 1)) & 0xFF,
+            (p16 - paeth) & 0xFF,
+        ]
+        # MSAD cost treats residual bytes as signed magnitudes
+        costs = np.stack(
+            [np.minimum(c, 256 - c).sum(axis=1, dtype=np.int64) for c in cands]
+        )  # (5, height); argmin ties -> lower filter id, like libpng
+        pick = np.argmin(costs, axis=0)
+        for r in range(height):
+            f = int(pick[r])
+            raw += bytes([f]) + cands[f][r].astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

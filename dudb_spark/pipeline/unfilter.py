@@ -119,12 +119,19 @@ def _unfilter_simple(
 def _unfilter_wavefront(items: list[tuple]) -> list[np.ndarray]:
     """Batched exact unfilter for images containing Average/Paeth rows.
     ``items``: (ftypes, data, h, w, ch) per image; returns (h, stride)
-    uint8 arrays in item order.  See module docstring for the scheme."""
+    uint8 arrays in item order.  See module docstring for the scheme.
+
+    Layout is built vectorized per same-shape run (images are regrouped
+    by shape first — output order is restored by index), and the scan
+    works on uint8 state with preallocated int16 scratch, so both
+    phases run at memory bandwidth rather than allocator speed."""
     groups: dict[int, list[int]] = {}
     for j, it in enumerate(items):
         groups.setdefault(it[4], []).append(j)
     results: list[np.ndarray | None] = [None] * len(items)
     for ch, idxs in groups.items():
+        # same-shape images adjacent -> one vectorized build per shape
+        idxs = sorted(idxs, key=lambda j: (items[j][2], items[j][3]))
         metas = [items[j] for j in idxs]
         J = len(metas)
         max_d = max(h + w - 1 for _, _, h, w, _ in metas)
@@ -139,77 +146,159 @@ def _unfilter_wavefront(items: list[tuple]) -> list[np.ndarray]:
         diag_start = np.concatenate(([0], np.cumsum(counts.sum(axis=0))))
         img_off = np.cumsum(counts, axis=0) - counts
         total = int(diag_start[-1])
-        raw_s = np.empty((total, ch), np.int16)
+        # cell `total` is a zero SENTINEL: boundary cells (row 0 / col 0)
+        # aim their missing-neighbor positions at it, so the scan needs
+        # no existence masks at all — gathers read 0 naturally
+        ptype = np.int32 if total + 1 < 2**31 else np.int64
+        counts = counts.astype(ptype)
+        diag_start_p = diag_start.astype(ptype)
+        img_off = img_off.astype(ptype)
+        raw_s = np.empty((total, ch), np.uint8)
         f_s = np.empty(total, np.int8)
-        up_pos = np.empty(total, np.int64)
-        ul_pos = np.empty(total, np.int64)
-        has_l = np.empty((total, 1), np.int16)
-        has_u = np.empty((total, 1), np.int16)
+        up_pos = np.empty(total, ptype)
+        left_pos = np.empty(total, ptype)
+        ul_pos = np.empty(total, ptype)
         out_pos = []
-        for ji, (ftypes, data, h, w, _) in enumerate(metas):
-            r_ix, p_ix = np.indices((h, w), dtype=np.int64)
+        ji = 0
+        while ji < J:
+            # run of same-shape images: shared grid, per-image offsets
+            _, _, h, w, _ = metas[ji]
+            je = ji + 1
+            while je < J and metas[je][2] == h and metas[je][3] == w:
+                je += 1
+            K = je - ji
+            r_ix, p_ix = np.indices((h, w), dtype=ptype)
             r_f = r_ix.ravel()
             p_f = p_ix.ravel()
             d = r_f + p_f
-            pos = (
-                diag_start[d]
+            cnt_d = counts[ji, d]  # same for the whole run
+            pos0 = (
+                diag_start_p[d]
                 + img_off[ji, d]
                 + (r_f - np.maximum(0, d - w + 1))
             )
             d1 = np.maximum(d - 1, 0)
-            base1 = diag_start[d1] + img_off[ji, d1]
-            up_pos[pos] = base1 + (r_f - 1 - np.maximum(0, d - w))
+            up0 = diag_start_p[d1] + img_off[ji, d1] + (
+                r_f - 1 - np.maximum(0, d - w)
+            )
+            cnt_d1 = counts[ji, d1]
             d2 = np.maximum(d - 2, 0)
-            base2 = diag_start[d2] + img_off[ji, d2]
-            ul_pos[pos] = base2 + (r_f - 1 - np.maximum(0, d - 1 - w))
-            has_l[pos, 0] = p_f > 0
-            has_u[pos, 0] = r_f > 0
-            raw_s[pos] = data.reshape(h * w, ch)
-            f_s[pos] = np.repeat(ftypes.astype(np.int8), w)
-            out_pos.append(pos)
+            ul0 = diag_start_p[d2] + img_off[ji, d2] + (
+                r_f - 1 - np.maximum(0, d - 1 - w)
+            )
+            cnt_d2 = counts[ji, d2]
+            has_u0 = r_f > 0
+            has_l0 = p_f > 0
+            # fuse the sentinel into the per-cell BASE vectors (h*w-sized,
+            # cheap): masked cells get base=total with a zeroed per-image
+            # stride, so base + k*stride == total for every image — no
+            # (K, h*w)-sized mask/where is ever materialized
+            up0m = np.where(has_u0, up0, total)
+            cnt1m = np.where(has_u0, cnt_d1, 0)
+            left0m = np.where(has_l0, up0 + 1, total)
+            cnt1l = np.where(has_l0, cnt_d1, 0)
+            ulok = has_u0 & has_l0
+            ul0m = np.where(ulok, ul0, total)
+            cnt2m = np.where(ulok, cnt_d2, 0)
+            ks = np.arange(K, dtype=ptype)[:, None]
+            pos = pos0[None, :] + ks * cnt_d[None, :]
+            flat = pos.ravel()
+            up_pos[flat] = (up0m[None, :] + ks * cnt1m[None, :]).ravel()
+            # left sits one past up in the previous diagonal's block
+            left_pos[flat] = (left0m[None, :] + ks * cnt1l[None, :]).ravel()
+            ul_pos[flat] = (ul0m[None, :] + ks * cnt2m[None, :]).ravel()
+            raw_s[flat] = np.stack(
+                [m[1].reshape(h * w, ch) for m in metas[ji:je]]
+            ).reshape(K * h * w, ch)
+            f_s[flat] = np.stack(
+                [
+                    np.repeat(m[0].astype(np.int8), w)
+                    for m in metas[ji:je]
+                ]
+            ).ravel()
+            for k in range(K):
+                out_pos.append(pos[k])
+            ji = je
         if np.any((f_s < 0) | (f_s > 4)):
             raise ValueError("bad PNG filter type")
-        # left sits one past up in the previous diagonal's block — take
-        # +1 BEFORE clipping (clipping first corrupts row-0 left cells)
-        left_pos = np.clip(up_pos + 1, 0, total - 1)
-        np.clip(up_pos, 0, total - 1, out=up_pos)
-        np.clip(ul_pos, 0, total - 1, out=ul_pos)
-        recon = np.zeros((total, ch), np.int16)
+        recon = np.zeros((total + 1, ch), np.uint8)  # +1 = zero sentinel
+        # which filters appear on each diagonal (drives the minimal
+        # predictor computation per step)
+        dstarts = diag_start[:-1]
+        fmax = np.maximum.reduceat(f_s, dstarts)
+        fmin = np.minimum.reduceat(f_s, dstarts)
+        # preallocated int16 scratch, sliced per diagonal
+        B = int((diag_start[1:] - diag_start[:-1]).max())
+        s_up = np.empty((B, ch), np.int16)
+        s_left = np.empty((B, ch), np.int16)
+        s_ul = np.empty((B, ch), np.int16)
+        s_p = np.empty((B, ch), np.int16)
+        s_a = np.empty((B, ch), np.int16)
+        s_b = np.empty((B, ch), np.int16)
+        s_c = np.empty((B, ch), np.int16)
         for dd in range(max_d):
-            sl = slice(int(diag_start[dd]), int(diag_start[dd + 1]))
-            up = recon[up_pos[sl]]
-            up *= has_u[sl]
-            left = recon[left_pos[sl]]
-            left *= has_l[sl]
-            ul = recon[ul_pos[sl]]
-            ul *= has_l[sl]
-            ul *= has_u[sl]
-            f = f_s[sl][:, None]
-            p = left + up - ul
-            pa = np.abs(p - left)
-            pb = np.abs(p - up)
-            pc = np.abs(p - ul)
-            pr = np.where(
-                (pa <= pb) & (pa <= pc),
-                left,
-                np.where(pb <= pc, up, ul),
-            )
-            pred = np.where(
-                f == 0,
-                0,
-                np.where(
-                    f == 1,
+            s, e = int(diag_start[dd]), int(diag_start[dd + 1])
+            L = e - s
+            sl = slice(s, e)
+            lo, hi = int(fmin[dd]), int(fmax[dd])
+            if hi == 0:  # whole diagonal is filter None
+                recon[sl] = raw_s[sl]
+                continue
+            up = s_up[:L]
+            up[:] = recon[up_pos[sl]]       # uint8 gather, int16 store
+            left = s_left[:L]
+            left[:] = recon[left_pos[sl]]
+            if hi >= 3:
+                ul = s_ul[:L]
+                ul[:] = recon[ul_pos[sl]]
+                # Paeth predictor (exact): p = left+up-ul, nearest of the
+                # three with ties left > up > ul
+                p = s_p[:L]
+                np.add(left, up, out=p)
+                p -= ul
+                pa = s_a[:L]
+                np.subtract(p, left, out=pa)
+                np.abs(pa, out=pa)
+                pb = s_b[:L]
+                np.subtract(p, up, out=pb)
+                np.abs(pb, out=pb)
+                pc = s_c[:L]
+                np.subtract(p, ul, out=pc)
+                np.abs(pc, out=pc)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc),
                     left,
-                    np.where(
-                        f == 2, up, np.where(f == 3, (left + up) >> 1, pr)
-                    ),
-                ),
-            )
-            recon[sl] = (raw_s[sl] + pred) & 0xFF
-        recon8 = recon.astype(np.uint8)
+                    np.where(pb <= pc, up, ul),
+                )
+                avg = np.add(left, up, out=p)  # reuse p scratch
+                avg >>= 1
+                if lo == 4 and hi == 4:
+                    pred = pr
+                elif lo == 3 and hi == 3:
+                    pred = avg
+                else:
+                    f = f_s[sl][:, None]
+                    pred = np.where(f == 3, avg, pr)
+                    if lo <= 2:
+                        pred = np.where(
+                            f == 0,
+                            0,
+                            np.where(f == 1, left, np.where(f == 2, up, pred)),
+                        )
+            else:
+                if lo == 1 and hi == 1:
+                    pred = left
+                elif lo == 2 and hi == 2:
+                    pred = up
+                else:
+                    f = f_s[sl][:, None]
+                    pred = np.where(f == 0, 0, np.where(f == 1, left, up))
+            pred += raw_s[sl]       # int16 += uint8
+            pred &= 0xFF
+            recon[sl] = pred        # cast back to uint8 state
         for ji, j in enumerate(idxs):
             _, _, h, w, _ = metas[ji]
-            results[j] = recon8[out_pos[ji]].reshape(h, w * ch)
+            results[j] = recon[out_pos[ji]].reshape(h, w * ch)
     return results
 
 
