@@ -2929,7 +2929,12 @@ def q77_incremental_stats(spark, sf_dir):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         prev = compute_stats(prev_p, prev_e, StatsOptions())
-        merge = merge_scan(prev_p, prev_e, staged_p, staged_e, root="/tree")
+        # summary counters are q63/q64's gate, not this one's — skipping
+        # them drops two synchronous count jobs from the fixture path
+        merge = merge_scan(
+            prev_p, prev_e, staged_p, staged_e, root="/tree",
+            with_summary=False,
+        )
         res = incremental_stats(
             prev, prev_p, prev_e, merge.prefixes, merge.entries, merge.touched
         )

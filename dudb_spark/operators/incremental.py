@@ -59,15 +59,6 @@ from dudb_spark.operators.stats import StatsOptions, StatsResult, compute_stats
 _KEY = ["device", "inode"]
 
 
-def _keys_under(paths: DataFrame, prefixes: DataFrame, entries: DataFrame):
-    """Distinct (device, inode) of records and entries under ``paths``."""
-    pfx = prefixes.join(paths, "path", "left_semi").select(*_KEY)
-    ent = entries.join(
-        paths.withColumnRenamed("path", "parent"), "parent", "left_semi"
-    ).select(*_KEY)
-    return pfx.unionByName(ent).distinct()
-
-
 def incremental_stats(
     prev: StatsResult,
     prev_prefixes: DataFrame,
@@ -97,31 +88,54 @@ def incremental_stats(
     if pin_inputs:
         new_prefixes = new_prefixes.localCheckpoint()
         new_entries = new_entries.localCheckpoint()
-    touched = touched.select("path").distinct().localCheckpoint()
+    # touched/via stay lazy: their plans sit on the pinned inputs (or the
+    # merge's cached classification join), so re-deriving them per
+    # consumer is a narrow scan — a checkpoint here would cost a
+    # synchronous job to save nothing (measured: each pin ≈ a full
+    # job round-trip, the dominant cost of the certification fixture).
+    # Every set below feeds ONLY semi/anti-join build sides, where
+    # duplicates are harmless — so no intermediate .distinct() anywhere:
+    # each one would add a whole AQE shuffle stage (measured ~0.2 s per
+    # stage on the 29-dir gate) to shrink frames already bounded by the
+    # change volume.
+    touched = touched.select("path")
 
-    def _group_keys(paths: DataFrame) -> DataFrame:
-        """Keys present under ``paths`` in the previous OR merged snapshot."""
-        return (
-            _keys_under(paths, prev_prefixes, prev_entries)
-            .unionByName(_keys_under(paths, new_prefixes, new_entries))
-            .distinct()
+    # ONE narrow membership view per snapshot side — (ppath, device,
+    # inode) with ppath = the record's own path for prefixes and the
+    # parent for entries — shared by every closure round below, instead
+    # of re-deriving four projections per round.  ``mrows`` additionally
+    # carries is_record so one semi-join answers both halves of the old
+    # per-round "_via" pair.
+    def _rows(prefixes: DataFrame, entries: DataFrame):
+        return prefixes.select(
+            F.col("path").alias("ppath"), *_KEY,
+            F.lit(True).alias("is_record"),
+        ).unionByName(
+            entries.select(
+                F.col("parent").alias("ppath"), *_KEY,
+                F.lit(False).alias("is_record"),
+            )
         )
 
-    def _via(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(parents of merged entries, paths of merged records) in ``keys``."""
-        ent = (
-            new_entries.join(keys, _KEY, "left_semi")
-            .select(F.col("parent").alias("path"))
-        )
-        rec = new_prefixes.join(keys, _KEY, "left_semi").select("path")
-        return ent, rec
+    mrows = _rows(new_prefixes, new_entries)
+    probe = _rows(prev_prefixes, prev_entries).unionByName(mrows)
 
-    # 2. support keys: groups with a member under a seed, before or after
-    seed_keys = _group_keys(touched).localCheckpoint()
+    def _keys_of(paths: DataFrame) -> DataFrame:
+        """Keys present under ``paths`` in the previous OR merged snapshot
+        (as a multiset — only ever consumed as a semi-join build side)."""
+        return probe.join(
+            F.broadcast(paths.withColumnRenamed("path", "ppath")),
+            "ppath",
+            "left_semi",
+        ).select(*_KEY)
 
-    # 3a. first round: seeds ∪ parents of merged rows in seed groups
-    via_entries, via_records = _via(seed_keys)
-    via_records = via_records.localCheckpoint()
+    # 2 + 3a. support keys of the seeds; merged rows in those groups
+    # (entries contribute their parent, records their own path)
+    seed_keys = _keys_of(touched)
+    via = mrows.join(F.broadcast(seed_keys), _KEY, "left_semi").select(
+        F.col("ppath").alias("path"), "is_record"
+    )
+    via_records = via.where("is_record").select("path")
 
     # 3b. flip round: records in seed groups can flip their dir-level dup
     # flag, moving their entries in/out of the file-dedup windows — pull in
@@ -131,35 +145,44 @@ def incremental_stats(
     # groups), restoring the exact-hardlink-closure contract for
     # dir-hardlink promotions/demotions (round-2 advice repro:
     # test_incremental.py::test_dir_hardlink_flip_cascade).
-    flip_keys = _group_keys(via_records)
-    via_entries2, via_records2 = _via(flip_keys)
+    flip_keys = _keys_of(via_records)
+    via2 = (
+        mrows.join(F.broadcast(flip_keys), _KEY, "left_semi")
+        .select(F.col("ppath").alias("path"))
+    )
 
     affected = (
-        touched.unionByName(via_entries)
-        .unionByName(via_records)
-        .unionByName(via_entries2)
-        .unionByName(via_records2)
-        .distinct()
+        touched.unionByName(via.select("path"))
+        .unionByName(via2)
         .localCheckpoint()
     )
 
     # 4. fold input: full groups of every key present under *A*
-    support_keys = _keys_under(affected, new_prefixes, new_entries)
+    # (mrows restricted to *A* IS "keys under affected" on the new side)
+    support_keys = mrows.join(
+        F.broadcast(affected.withColumnRenamed("path", "ppath")),
+        "ppath",
+        "left_semi",
+    ).select(*_KEY)
     fold_entries = new_entries.join(
-        support_keys, _KEY, "left_semi"
+        F.broadcast(support_keys), _KEY, "left_semi"
     ).localCheckpoint()
     fold_parents = fold_entries.select(
         F.col("parent").alias("path")
-    ).unionByName(affected).distinct()
-    fold_prefixes = new_prefixes.join(fold_parents, "path", "left_semi")
-    # prefix-record dedup groups need the same completeness
-    record_keys = fold_prefixes.select(*_KEY).distinct()
+    ).unionByName(affected)
     fold_prefixes = new_prefixes.join(
-        fold_prefixes.select("path")
-        .unionByName(
-            new_prefixes.join(record_keys, _KEY, "left_semi").select("path")
-        )
-        .distinct(),
+        F.broadcast(fold_parents), "path", "left_semi"
+    )
+    # prefix-record dedup groups need the same completeness
+    record_keys = fold_prefixes.select(*_KEY)
+    fold_prefixes = new_prefixes.join(
+        F.broadcast(
+            fold_prefixes.select("path").unionByName(
+                new_prefixes.join(
+                    F.broadcast(record_keys), _KEY, "left_semi"
+                ).select("path")
+            )
+        ),
         "path",
         "left_semi",
     ).localCheckpoint()
@@ -168,10 +191,14 @@ def incremental_stats(
 
     def stitch(prev_df: DataFrame, new_df: DataFrame, key: str) -> DataFrame:
         keep = prev_df.join(
-            affected.withColumnRenamed("path", key), key, "left_anti"
+            F.broadcast(affected.withColumnRenamed("path", key)),
+            key,
+            "left_anti",
         )
         fresh = new_df.join(
-            affected.withColumnRenamed("path", key), key, "left_semi"
+            F.broadcast(affected.withColumnRenamed("path", key)),
+            key,
+            "left_semi",
         )
         return keep.unionByName(fresh)
 

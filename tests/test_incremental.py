@@ -162,76 +162,142 @@ def test_merge_fixture_equivalence(spark):
     assert _summaries(inc) == _summaries(full)
 
 
+def _fuzz_scenario(rng, root, device):
+    """One random tree + random churn, namespaced under ``root`` with its
+    own ``device`` — (device, inode) keys cannot cross scenarios, so many
+    scenarios batch into ONE snapshot pair and one incremental-vs-full
+    comparison certifies them all independently.
+
+    Returns (prev_p_rows, prev_e_rows, new_p_rows, new_e_rows, touched).
+    Row shape: prefixes (path, size, inode); entries
+    (path, is_dir, size, inode) — device is appended by the caller.
+    """
+    n_dirs = rng.randint(3, 9)
+    dirs = [root] + [f"{root}/d{i}" for i in range(n_dirs)]
+    prev_p_rows = []
+    for i, d in enumerate(dirs):
+        # ~25% of non-root dirs share a record inode with an earlier dir,
+        # so churn can flip dir-level canonicals (the advice repro)
+        if i > 1 and rng.random() < 0.25:
+            share_from = rng.choice(prev_p_rows[1:])
+            prev_p_rows.append((d, share_from[1], share_from[2]))
+        else:
+            prev_p_rows.append((d, 4096 + 8 * i, 1000 + i))
+    files = []
+    ino = 5000
+    for d in dirs[1:]:
+        for j in range(rng.randint(0, 4)):
+            if rng.random() < 0.25 and files:
+                share = rng.choice(files)[3]  # join a hardlink group
+            else:
+                ino += 1
+                share = ino
+            files.append((f"{d}/f{j}", False, rng.randint(1, 9000), share))
+    by_path = dict((r[0], r) for r in prev_p_rows)
+    dir_entries = [(d, True, by_path[d][1], by_path[d][2]) for d in dirs[1:]]
+    prev_e_rows = dir_entries + files
+
+    new_p_rows = list(prev_p_rows)
+    new_e_rows = list(prev_e_rows)
+    touched = {root}
+
+    # 1-3 random mutations; each keeps the merge invariant (an entry only
+    # changes under a touched dir)
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["delete", "modify", "hardlink", "dir_share",
+                           "add_dir"])
+        live = [r[0] for r in new_p_rows if r[0] != root]
+        if kind == "delete" and live:
+            victim = rng.choice(live)
+            new_p_rows = [r for r in new_p_rows if r[0] != victim]
+            new_e_rows = [
+                r for r in new_e_rows
+                if not r[0].startswith(victim + "/") and r[0] != victim
+            ]
+            touched.add(victim)
+        elif kind == "modify" and live:
+            target = rng.choice(live)
+            new_e_rows = [
+                (r[0], r[1], r[2] + 11, r[3])
+                if r[0].startswith(target + "/") and not r[1] else r
+                for r in new_e_rows
+            ]
+            touched.add(target)
+        elif kind == "hardlink" and live:
+            target = rng.choice(live)
+            pool = [r for r in new_e_rows if not r[1]]
+            if pool:
+                src = rng.choice(pool)
+                new_path = f"{target}/zz_link{rng.randint(0, 99)}"
+                if all(r[0] != new_path for r in new_e_rows):
+                    new_e_rows.append((new_path, False, src[2], src[3]))
+                    touched.add(target)
+        elif kind == "dir_share" and len(new_p_rows) > 1:
+            # new top-level dir whose RECORD shares an existing dir's
+            # (device, inode) — the flip-cascade shape
+            src = rng.choice(new_p_rows[1:])
+            new_path = f"{root}/zs{rng.randint(0, 99)}"
+            if all(r[0] != new_path for r in new_p_rows):
+                new_p_rows.append((new_path, src[1], src[2]))
+                new_e_rows.append((new_path, True, src[1], src[2]))
+                touched.add(new_path)
+        else:  # add_dir with fresh files
+            new_path = f"{root}/za{rng.randint(0, 99)}"
+            if all(r[0] != new_path for r in new_p_rows):
+                ino += 1
+                new_p_rows.append((new_path, 4096, ino))
+                new_e_rows.append((new_path, True, 4096, ino))
+                for j in range(rng.randint(0, 2)):
+                    ino += 1
+                    new_e_rows.append(
+                        (f"{new_path}/g{j}", False, rng.randint(1, 500), ino)
+                    )
+                touched.add(new_path)
+    return prev_p_rows, prev_e_rows, new_p_rows, new_e_rows, touched
+
+
 def test_incremental_fuzz_random_mutations(spark):
-    """Randomized trees with cross-directory hardlink groups; random
-    add/delete/modify mutations; incremental == full refold on every
-    seed.  Deterministic seeds keep the runtime bounded."""
+    """Machine-check of the closure proof (module docstring of
+    incremental.py): 200 random trees with cross-directory hardlink
+    groups and random add/delete/modify/dir-share churn — incremental ==
+    full refold on every seed.  Scenarios are device-isolated and
+    batched 25-per-snapshot, so the whole sweep costs 8 comparison
+    rounds instead of 200."""
     import random
 
-    # 3 seeds: each adds ~25s of fixed per-call plan overhead; the cascade
-    # semantics the fuzz guards are ALSO pinned by the four targeted
-    # flip/steal/move tests above, so seeds buy breadth not depth
-    for seed in (7, 23, 1234):
-        rng = random.Random(seed)
-        n_dirs = 8
-        dirs = ["/t"] + [f"/t/d{i}" for i in range(n_dirs)]
-        # ~25% of non-root dirs share a record inode with an earlier dir,
-        # so mutations can flip dir-level canonicals (the advice repro)
-        prev_p_rows = []
-        for i, d in enumerate(dirs):
-            if i > 1 and rng.random() < 0.25:
-                share_from = rng.choice(prev_p_rows[1:])
-                prev_p_rows.append((d, share_from[1], share_from[2]))
-            else:
-                prev_p_rows.append((d, 4096 + 8 * i, 1000 + i))
-        # files: ~20% belong to shared-inode groups spanning directories
-        files = []
-        ino = 5000
-        for d in dirs[1:]:
-            for j in range(rng.randint(1, 4)):
-                if rng.random() < 0.2 and files:
-                    share = rng.choice(files)[3]  # reuse an inode
-                else:
-                    ino += 1
-                    share = ino
-                files.append((f"{d}/f{j}", False, rng.randint(1, 9000), share))
-        by_path = dict((r[0], r) for r in prev_p_rows)
-        dir_entries = [(d, True, by_path[d][1], by_path[d][2])
-                       for d in dirs[1:]]
-        prev_e_rows = dir_entries + files
+    BATCH = 25
+    for batch in range(8):
+        pp, pe, np_, ne, tp = [], [], [], [], []
+        for s in range(BATCH):
+            seed = batch * BATCH + s
+            rng = random.Random(20260814 + seed)
+            root, dev = f"/t{seed}", seed + 1
+            a, b, c, d, t = _fuzz_scenario(rng, root, dev)
+            pp += [r + (dev,) for r in a]
+            pe += [r + (dev,) for r in b]
+            np_ += [r + (dev,) for r in c]
+            ne += [r + (dev,) for r in d]
+            tp += [(p,) for p in t]
 
-        prev_p = _pfx(spark, prev_p_rows)
-        prev_e = _ent(spark, prev_e_rows)
-
-        # mutate: drop one dir, modify files in another, add a new link
-        victim = rng.choice(dirs[1:])
-        modified = rng.choice([d for d in dirs[1:] if d != victim])
-        new_p_rows = [r for r in prev_p_rows if r[0] != victim]
-        new_e_rows = [
-            r for r in prev_e_rows
-            if not r[0].startswith(victim + "/") and r[0] != victim
-        ]
-        out = []
-        for r in new_e_rows:
-            if r[0].startswith(modified + "/") and not r[1]:
-                out.append((r[0], r[1], r[2] + 11, r[3]))
-            else:
-                out.append(r)
-        new_e_rows = out
-        # new hardlink into `modified`, sharing a surviving inode
-        surviving = [r for r in new_e_rows if not r[1]]
-        if surviving:
-            new_e_rows.append(
-                (f"{modified}/a_link", False, surviving[0][2],
-                 surviving[0][3])
+        def pfx(rows):
+            return spark.createDataFrame(
+                [(p, p.rsplit("/", 1)[0] or "/", sz, sz // 512, 0o755,
+                  None, 100, 10, dev, ino) for p, sz, ino, dev in rows],
+                P_COLS,
             )
-        new_p = _pfx(spark, new_p_rows)
-        new_e = _ent(spark, new_e_rows)
-        touched = spark.createDataFrame(
-            [(victim,), (modified,), ("/t",)], ["path"]
-        )
 
+        def ent(rows):
+            return spark.createDataFrame(
+                [(p.rsplit("/", 1)[0], p.rsplit("/", 1)[1], p, isd, sz,
+                  sz // 512, 0o644, 100, 10, dev, ino)
+                 for p, isd, sz, ino, dev in rows],
+                E_COLS,
+            )
+
+        prev_p, prev_e = pfx(pp), ent(pe)
+        new_p, new_e = pfx(np_), ent(ne)
+        touched = spark.createDataFrame(tp, ["path"])
         prev = compute_stats(prev_p, prev_e, StatsOptions())
         inc = incremental_stats(prev, prev_p, prev_e, new_p, new_e, touched)
         full = compute_stats(new_p, new_e, StatsOptions())
-        assert _summaries(inc) == _summaries(full), f"seed {seed}"
+        assert _summaries(inc) == _summaries(full), f"batch {batch}"
