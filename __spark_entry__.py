@@ -595,7 +595,7 @@ def q30_events_hourly_streamed(spark, sf_dir):
 
 
 def _scale_fs(li, size_plus=0, dir_prefix="d", dir_index=None,
-              prefix_mtime="2025-01-01 00:00:00"):
+              prefix_mtime="2025-01-01 00:00:00", pinode_plus=0):
     """q31's deterministic lineitem→filesystem mapping (500 dirs, one
     entry per row, hardlinks via partkey collisions) as a reusable
     builder, so the at-scale merge query (q87) can stage deterministic
@@ -650,7 +650,7 @@ def _scale_fs(li, size_plus=0, dir_prefix="d", dir_index=None,
     # spuriously mark them duplicate directories)
     prefixes = li.groupBy(parent.alias("parent")).agg(
         F.count(F.lit(1)).alias("n_entries"),
-        (F.min(uniq) + 10_000_000).alias("pinode"),
+        (F.min(uniq) + 10_000_000 + pinode_plus).alias("pinode"),
     ).select(
         F.col("parent").alias("path"),
         F.lit("/scale").alias("parent"),
@@ -3676,6 +3676,209 @@ def q108_span_excision(spark, sf_dir):
     return excise_spans(corpus, ref, 8).orderBy("doc_id")
 
 
+def _incremental_staging(spark, sf_dir):
+    """The q87 600k-entry tree with PRODUCTION-profile ~1% churn:
+    d%100==7 deleted, d%100==3 modified, five added dirs a0..a4 cloned
+    from d490..d494 but with fresh record inodes (pinode_plus) and the
+    inode-42 mega-group rows filtered out.  Unlike q87's staging, the
+    added dirs do NOT collide with existing directory records, so the
+    hardlink closure stays proportional to the churn — the profile a
+    nightly production merge has.  (The flip-cascade semantics the q87
+    collision would trigger are certified separately: q77, the
+    dir-hardlink cascade tests, and the 200-seed closure fuzz.)  The
+    added dirs' FILE inodes still alias d490..d494's files, so file
+    canonicals migrate to /scale/a* and those five untouched dirs join
+    the refold via the file-group closure ('linked' kind).
+
+    Returns (prev_p, prev_e, staged_p, staged_e)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d500 = F.col("l_orderkey") % 500
+    prev_p, prev_e = _scale_fs(li)
+    ch_p, ch_e = _scale_fs(
+        li.where(d500 % 100 == 3), size_plus=7,
+        prefix_mtime="2025-02-01 00:00:00",
+    )
+    add_p, add_e = _scale_fs(
+        li.where(d500.between(490, 494) & (F.col("l_partkey") % 199 != 0)),
+        dir_prefix="a", dir_index=d500 - 490,
+        pinode_plus=50_000_000,
+    )
+    pdir = F.substring("path", 9, 10).cast("long")
+    staged_p = (
+        prev_p.where((pdir % 100 != 7) & (pdir % 100 != 3))
+        .unionByName(ch_p)
+        .unionByName(add_p)
+    )
+    staged_e = ch_e.unionByName(add_e)
+    return prev_p, prev_e, staged_p, staged_e
+
+
+def _incremental_bench(spark, sf_dir, mult=10):
+    """Production-path measurement for bench.py: the _incremental_staging
+    churn over a ``mult``×-replicated tree (6M entries at sf0.1, built by
+    unioning orderkey-offset lineitem copies) with REALISTIC hardlink
+    topology (the synthetic inode-42 mega-group is remapped away — a
+    group spanning every directory forces any correct closure to refold
+    the world, which is an adversarial fixture artifact, not a
+    production profile).  Snapshots are written to parquet (the stored
+    form) and both paths are timed from those scans:
+
+      t_full — from-scratch ``compute_stats`` of the merged snapshot
+      t_inc  — ``incremental_stats(pin_inputs=False)`` + stitch
+
+    Returns (n_entries, t_full, t_inc, fold_fraction) where
+    fold_fraction = folded-slice rows / total rows — the
+    scale-invariant quantity: incremental work grows with churn, a
+    refold with the tree.  (At local scan speeds the closure's ~10
+    fixed job barriers dominate until the tree is far larger than local
+    fixtures, so t_full/t_inc under-represents the 100 TB contrast;
+    fold_fraction is the honest transferable number.)"""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from dudb_spark.operators.incremental import incremental_stats
+    from dudb_spark.operators.ingest import merge_scan
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    li0 = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_partkey",
+        F.when(
+            F.col("l_partkey") % 199 == 0, F.col("l_partkey") + 1
+        ).otherwise(F.col("l_partkey")),
+    )
+    li = li0
+    for k in range(1, mult):
+        li = li.unionByName(
+            li0.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(k * 10_000_000)
+            )
+        )
+    d500 = F.col("l_orderkey") % 500
+    prev_p, prev_e = _scale_fs(li)
+    ch_p, ch_e = _scale_fs(
+        li.where(d500 % 100 == 3), size_plus=7,
+        prefix_mtime="2025-02-01 00:00:00",
+    )
+    add_p, add_e = _scale_fs(
+        li.where(d500.between(490, 494)), dir_prefix="a",
+        dir_index=d500 - 490, pinode_plus=50_000_000,
+    )
+    pdir = F.substring("path", 9, 10).cast("long")
+    staged_p = (
+        prev_p.where((pdir % 100 != 7) & (pdir % 100 != 3))
+        .unionByName(ch_p)
+        .unionByName(add_p)
+    )
+    staged_e = ch_e.unionByName(add_e)
+
+    base = tempfile.mkdtemp(prefix="dudb_incbench_")
+    try:
+        prev_p.write.parquet(f"{base}/prev_p")
+        prev_e.write.parquet(f"{base}/prev_e")
+        prev_p = spark.read.parquet(f"{base}/prev_p")
+        prev_e = spark.read.parquet(f"{base}/prev_e")
+        merge = merge_scan(
+            prev_p, prev_e, staged_p, staged_e, root="/scale",
+            with_summary=False,
+        )
+        merge.prefixes.write.parquet(f"{base}/new_p")
+        merge.entries.write.parquet(f"{base}/new_e")
+        merge.touched.write.parquet(f"{base}/touched")
+        new_p = spark.read.parquet(f"{base}/new_p")
+        new_e = spark.read.parquet(f"{base}/new_e")
+        touched = spark.read.parquet(f"{base}/touched")
+        n = new_e.count()
+        prev = compute_stats(prev_p, prev_e, StatsOptions())
+        prev.per_prefix = prev.per_prefix.localCheckpoint()
+
+        t0 = _time.perf_counter()
+        full = compute_stats(new_p, new_e, StatsOptions())
+        full.per_prefix.localCheckpoint()
+        t_full = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        inc = incremental_stats(
+            prev, prev_p, prev_e, new_p, new_e, touched, pin_inputs=False
+        )
+        ip = inc.per_prefix.localCheckpoint()
+        t_inc = _time.perf_counter() - t0
+
+        # folded slice size: entries under refolded dirs (added+changed+
+        # linked ≈ churn closure) / total
+        folded = ip.where(
+            F.col("prefix").startswith("/scale/a")
+            | (F.substring("prefix", 9, 10).cast("long") % 100 == 3)
+            | F.substring("prefix", 9, 10).cast("long").between(490, 494)
+        ).agg(F.sum("files") + F.sum("hardlinks")).first()[0] or 0
+        return n, t_full, t_inc, round(folded / max(n, 1), 4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q118_incremental_at_scale(spark, sf_dir):
+    """The PRODUCTION incremental-stats path at data scale
+    (operators/incremental.py): the 600k-entry tree with ~1% churn
+    (_incremental_staging) is merged, the merged snapshot and previous
+    summary are pinned (stand-ins for the stored snapshot/summary), and
+    incremental_stats(pin_inputs=False) re-folds only the touched
+    closure — churn-proportional, the design that makes nightly stats
+    viable at 100 TB where the reference recomputes from scratch
+    (stats.go:150–209).
+
+    Output: per-kind (added/changed/linked/unchanged) rollup of the
+    incremental per-prefix summary.  The oracle restates the ENTIRE
+    merged-tree fold — cross-directory file dedup windows, churned
+    sizes, canonical migration into the added dirs — from lineitem
+    arithmetic, so value equality proves the incremental result matches
+    a from-scratch fold of the merged tree.  bench.py derives
+    incremental entries/sec and the speedup over a full refold from
+    this staging."""
+    from dudb_spark.operators.incremental import incremental_stats
+    from dudb_spark.operators.ingest import merge_scan
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    prev_p, prev_e, staged_p, staged_e = _incremental_staging(spark, sf_dir)
+    # production stand-ins: the previous snapshot and summary are STORED
+    # tables, not lazy re-derivations of the synthetic tree — pin them so
+    # every closure probe reads a scan, exactly like the stored path
+    prev_p = prev_p.localCheckpoint()
+    prev_e = prev_e.localCheckpoint()
+    prev = compute_stats(prev_p, prev_e, StatsOptions())
+    prev.per_prefix = prev.per_prefix.localCheckpoint()
+    merge = merge_scan(
+        prev_p, prev_e, staged_p, staged_e, root="/scale",
+        with_summary=False,
+    )
+    new_p = merge.prefixes.localCheckpoint()
+    new_e = merge.entries.localCheckpoint()
+    inc = incremental_stats(
+        prev, prev_p, prev_e, new_p, new_e, merge.touched,
+        pin_inputs=False,
+    )
+    kd = F.substring("prefix", 9, 10).cast("long")
+    kind = (
+        F.when(F.col("prefix").startswith("/scale/a"), "added")
+        .when(kd.between(490, 494), "linked")
+        .when(kd % 100 == 3, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        inc.per_prefix.groupBy(kind.alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dirs"),
+            F.sum("prefixes").alias("prefixes"),
+            F.sum("files").alias("files"),
+            F.sum("bytes").alias("bytes"),
+            F.sum("storage_bytes").alias("storage_bytes"),
+            F.sum("prefix_bytes").alias("prefix_bytes"),
+            F.sum("hardlinks").alias("hardlinks"),
+            F.sum("hardlink_dirs").alias("hardlink_dirs"),
+        )
+        .orderBy("kind")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3793,6 +3996,7 @@ QUERIES: dict[str, Callable] = {
     "q115_stored_index_search": q115_stored_index_search,
     "q116_curriculum_bins": q116_curriculum_bins,
     "q117_mixture_weights": q117_mixture_weights,
+    "q118_incremental_at_scale": q118_incremental_at_scale,
 }
 
 ORACLE: dict[str, str] = {
@@ -4562,6 +4766,89 @@ ORACLE["q117_mixture_weights"] = r"""
            ROUND(POWER(n_tokens, 0.5) / z, 6) AS weight,
            ROUND((POWER(n_tokens, 0.5) / z) / (n_tokens / tot), 6) AS boost
     FROM per_src, tot ORDER BY source
+"""
+
+ORACLE["q118_incremental_at_scale"] = r"""
+    WITH base AS (
+        SELECT l_orderkey % 500 AS d,
+               l_orderkey AS ok, l_linenumber AS ln,
+               l_partkey AS pk, l_suppkey AS sk,
+               CAST(l_quantity AS BIGINT) AS qty,
+               (l_orderkey * 1000000000 + l_linenumber * 100000000
+                + l_partkey * 1000 + l_suppkey) * 64
+                 + CAST(l_quantity AS BIGINT) AS uniq
+        FROM lineitem
+    ), dmin AS (
+        -- dir record inode: min(uniq) + 10M (see _scale_fs); added
+        -- a-dirs use min over their FILTERED rows + a 50M offset, so
+        -- no directory-record group spans dirs (production profile)
+        SELECT d, MIN(uniq) + 10000000 AS dino FROM base GROUP BY d
+    ), amin AS (
+        SELECT d, MIN(uniq) + 60000000 AS dino FROM base
+        WHERE d BETWEEN 490 AND 494 AND pk % 199 <> 0 GROUP BY d
+    ), dirs AS (
+        SELECT '/scale/d' || d AS path, d, dino,
+               CASE WHEN d % 100 = 3 THEN 'changed'
+                    WHEN d BETWEEN 490 AND 494 THEN 'linked'
+                    ELSE 'unchanged' END AS kind
+        FROM dmin WHERE d % 100 <> 7
+        UNION ALL
+        SELECT '/scale/a' || (d - 490), d, dino, 'added' FROM amin
+    ), recs AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY dino ORDER BY path) > 1
+                  AS rec_dup
+        FROM dirs
+    ), ent AS (
+        SELECT '/scale/d' || d AS parent,
+               '/scale/d' || d || '/f' || ok || '-' || ln || '-' || pk
+                 || '-' || sk || '-' || qty AS path,
+               CASE WHEN d % 100 = 3 THEN qty + 7 ELSE qty END AS size,
+               CASE WHEN pk % 199 = 0 THEN 42 ELSE uniq END AS inode
+        FROM base WHERE d % 100 <> 7
+        UNION ALL
+        -- the added dirs' files keep their uniq inodes, so they alias
+        -- d490..d494's files and steal the canonicals ('/scale/a' < 'd')
+        SELECT '/scale/a' || (d - 490),
+               '/scale/a' || (d - 490) || '/f' || ok || '-' || ln || '-'
+                 || pk || '-' || sk || '-' || qty,
+               qty,
+               uniq
+        FROM base WHERE d BETWEEN 490 AND 494 AND pk % 199 <> 0
+    ), included AS (
+        SELECT e.* FROM ent e JOIN recs r ON e.parent = r.path
+        WHERE NOT r.rec_dup
+    ), files AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY inode ORDER BY path) > 1
+                  AS is_dup
+        FROM included
+    ), fagg AS (
+        SELECT parent,
+               SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS files,
+               SUM(CASE WHEN is_dup THEN 0 ELSE size END) AS fbytes,
+               SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS hardlinks
+        FROM files GROUP BY parent
+    ), perdir AS (
+        SELECT r.kind,
+               CASE WHEN r.rec_dup THEN 0 ELSE COALESCE(f.files, 0) END
+                 AS files,
+               CASE WHEN r.rec_dup THEN 0
+                    ELSE 64 + COALESCE(f.fbytes, 0) END AS bytes,
+               CASE WHEN r.rec_dup THEN 0 ELSE 64 END AS prefix_bytes,
+               CASE WHEN r.rec_dup THEN 0
+                    ELSE COALESCE(f.hardlinks, 0) END AS hardlinks,
+               CASE WHEN r.rec_dup THEN 1 ELSE 0 END AS hardlink_dirs
+        FROM recs r LEFT JOIN fagg f ON f.parent = r.path
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_dirs,
+           CAST(COUNT(*) AS BIGINT) AS prefixes,
+           CAST(SUM(files) AS BIGINT) AS files,
+           CAST(SUM(bytes) AS BIGINT) AS bytes,
+           CAST(SUM(bytes) AS BIGINT) AS storage_bytes,
+           CAST(SUM(prefix_bytes) AS BIGINT) AS prefix_bytes,
+           CAST(SUM(hardlinks) AS BIGINT) AS hardlinks,
+           CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
+    FROM perdir GROUP BY kind ORDER BY kind
 """
 
 ORACLE["q116_curriculum_bins"] = f"""

@@ -200,6 +200,17 @@ def main():
             n_entries / times["q87_merge_at_scale"]
         )
         result["merge_unchanged_skip_ratio"] = 0.98
+    # production incremental-stats measurement: 10x-replicated tree (6M
+    # entries at sf0.1) with ~1% churn, snapshots stored as parquet, full
+    # refold vs incremental timed from those scans.  fold_fraction is the
+    # scale-invariant claim (incremental work ~ churn, refold ~ tree);
+    # the wall-clock ratio under-represents the contrast locally because
+    # the closure's fixed job barriers dominate at local fixture sizes.
+    n_inc, t_full, t_inc, frac = entry_mod._incremental_bench(spark, sf_dir)
+    result["incremental_tree_entries"] = n_inc
+    result["incremental_entries_per_sec"] = round(n_inc / t_inc)
+    result["incremental_speedup_vs_refold"] = round(t_full / t_inc, 2)
+    result["incremental_fold_fraction"] = frac
     result.update(decode_bench())
     print(json.dumps(result))
 

@@ -151,9 +151,16 @@ def incremental_stats(
         .select(F.col("ppath").alias("path"))
     )
 
+    # affected is a PATH set: members repeat once per row that matched a
+    # group (a directory appears once per file in it), so dedup collapses
+    # it by orders of magnitude before it is pinned and broadcast to the
+    # stitches — the one distinct that pays for its shuffle stage.  The
+    # KEY sets above stay multisets (inodes barely repeat; a distinct
+    # there costs a stage to save nothing).
     affected = (
         touched.unionByName(via.select("path"))
         .unionByName(via2)
+        .distinct()
         .localCheckpoint()
     )
 
@@ -167,9 +174,10 @@ def incremental_stats(
     fold_entries = new_entries.join(
         F.broadcast(support_keys), _KEY, "left_semi"
     ).localCheckpoint()
+    # same collapse argument: one path per folded entry -> distinct
     fold_parents = fold_entries.select(
         F.col("parent").alias("path")
-    ).unionByName(affected)
+    ).unionByName(affected).distinct()
     fold_prefixes = new_prefixes.join(
         F.broadcast(fold_parents), "path", "left_semi"
     )
