@@ -3879,6 +3879,25 @@ def q118_incremental_at_scale(spark, sf_dir):
     )
 
 
+def q119_ivf_pq_residual(spark, sf_dir):
+    """Residual-encoded IVF,PQ (pipeline/pq.ivf_pq_residual_topk —
+    FAISS's actual ``IVF16,PQ8`` shape, Jégou et al. 2011 §IV.B): each
+    vector stores PQ codes of its residual from the assigned coarse
+    centroid, and the query scores candidates against the
+    reconstruction c + r̂ via per-cell ADC tables.  Shares the q41
+    quantizer pass; the oracle replays quantizer chain, residuals,
+    residual codebooks, codes, probe set, and ranking from the
+    embeddings table."""
+    from dudb_spark.pipeline.pq import ivf_pq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    return ivf_pq_residual_topk(
+        emb, _quantizer_cells(spark, sf_dir), q, k=10, n_probe=4,
+        exclude_id=0,
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -3997,6 +4016,7 @@ QUERIES: dict[str, Callable] = {
     "q116_curriculum_bins": q116_curriculum_bins,
     "q117_mixture_weights": q117_mixture_weights,
     "q118_incremental_at_scale": q118_incremental_at_scale,
+    "q119_ivf_pq_residual": q119_ivf_pq_residual,
 }
 
 ORACLE: dict[str, str] = {
@@ -6306,6 +6326,141 @@ def _ivfpq_oracle_sql(
 
 
 ORACLE["q110_ivf_pq_search"] = _ivfpq_oracle_sql()
+
+
+def _ivfpq_residual_oracle_sql(
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB restatement of q119: the q110 quantizer chain, then PQ
+    codebooks/codes over the RESIDUALS (v - centroid[cell]) and ADC
+    scoring against the reconstruction c + r̂:
+    (q·c + q·r̂) / (|q| · sqrt(|c|² + 2·c·r̂ + |r̂|²))."""
+    dsub = dim // m
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    def argmax(src, cents, out):
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT s.vec_id, s.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {cos('s.v', 'c.v')} DESC, c.cell ASC) AS rn
+                FROM {src} s CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM e ORDER BY vec_id LIMIT {n_clusters}
+        ), {argmax('e', 'c0', 'a0')}
+        , m AS (
+            SELECT cell, i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i FROM a0)
+            GROUP BY cell, i
+        ), c1g AS (
+            SELECT cell AS orig_cell, list(mu ORDER BY i) AS v
+            FROM m GROUP BY cell
+        ), c1 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY orig_cell) - 1 AS cell, v
+            FROM c1g
+        ), {argmax('e', 'c1', 'a1')}
+        , qv AS (
+            SELECT v FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT c1.cell FROM c1, qv
+            ORDER BY {cos('c1.v', 'qv.v')} DESC, c1.cell ASC
+            LIMIT {n_probe}
+        ), ce AS (
+            SELECT cell, unnest(v) AS cx, generate_subscripts(v, 1) AS i
+            FROM c1
+        ), ev AS (
+            SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+            FROM e
+        ), resid AS (
+            SELECT a1.vec_id, a1.cell, list(ev.x - ce.cx ORDER BY ev.i) AS r
+            FROM ev JOIN a1 USING (vec_id)
+            JOIN ce ON ce.cell = a1.cell AND ce.i = ev.i
+            GROUP BY a1.vec_id, a1.cell
+        ), rsub AS (
+            SELECT vec_id, cell, u.s,
+                   r[u.s * {dsub} + 1 : u.s * {dsub} + {dsub}] AS vs
+            FROM resid, unnest(range({m})) AS u(s)
+        ), seed AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+            FROM e ORDER BY vec_id LIMIT {ksub}
+        ), cb AS (
+            SELECT rsub.s, seed.j, rsub.vs,
+                   list_dot_product(rsub.vs, rsub.vs) AS nsq
+            FROM rsub JOIN seed USING (vec_id)
+        ), codes AS (
+            SELECT vec_id, s, j AS code FROM (
+                SELECT rsub.vec_id, rsub.s, cb.j,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY rsub.vec_id, rsub.s
+                           ORDER BY round(list_dot_product(rsub.vs, cb.vs)
+                                          - cb.nsq / 2, 6) DESC,
+                                    cb.j ASC) AS rn
+                FROM rsub JOIN cb USING (s)
+            ) WHERE rn = 1
+        ), qsubq AS (
+            SELECT u.s, v[u.s * {dsub} + 1 : u.s * {dsub} + {dsub}] AS qs
+            FROM qv, unnest(range({m})) AS u(s)
+        ), qn AS (
+            SELECT sqrt(list_dot_product(v, v)) AS qnorm
+            FROM e WHERE vec_id = 0
+        ), csub AS (
+            SELECT cell, u.s, v[u.s * {dsub} + 1 : u.s * {dsub} + {dsub}] AS cs
+            FROM c1, unnest(range({m})) AS u(s)
+        ), tabs AS (
+            SELECT cb.s, cb.j, list_dot_product(qsubq.qs, cb.vs) AS ip,
+                   cb.nsq
+            FROM cb JOIN qsubq USING (s)
+        ), cd AS (
+            SELECT csub.cell, cb.s, cb.j,
+                   list_dot_product(csub.cs, cb.vs) AS cdot
+            FROM csub JOIN cb USING (s)
+        ), cc AS (
+            SELECT c1.cell, list_dot_product(c1.v, qv.v) AS qc,
+                   list_dot_product(c1.v, c1.v) AS cn2
+            FROM c1, qv
+        ), scored AS (
+            SELECT c.vec_id, a1.cell,
+                   SUM(t.ip) AS ipsum, SUM(t.nsq) AS nsqsum,
+                   SUM(cd.cdot) AS cdsum
+            FROM codes c
+            JOIN a1 USING (vec_id)
+            JOIN tabs t ON c.s = t.s AND c.code = t.j
+            JOIN cd ON cd.cell = a1.cell AND cd.s = c.s AND cd.j = c.code
+            GROUP BY c.vec_id, a1.cell
+        )
+        SELECT s.vec_id,
+               round((cc.qc + s.ipsum)
+                     / (qn.qnorm * sqrt(cc.cn2 + 2 * s.cdsum + s.nsqsum)),
+                     6) AS adc_cosine
+        FROM scored s JOIN cc ON cc.cell = s.cell, qn
+        WHERE s.cell IN (SELECT cell FROM probe) AND s.vec_id <> 0
+        ORDER BY adc_cosine DESC, s.vec_id LIMIT {k}
+    """
+
+
+ORACLE["q119_ivf_pq_residual"] = _ivfpq_residual_oracle_sql()
 
 ORACLE["q114_rolling_window"] = """
     SELECT o_orderkey, o_custkey,

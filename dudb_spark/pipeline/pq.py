@@ -41,7 +41,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dudb_spark.pipeline.ivf import _dbl
+from dudb_spark.pipeline.ivf import _dbl, _vec_sql
 from dudb_spark.pipeline.similarity import _as_double
 
 
@@ -75,22 +75,24 @@ def fixed_pq_codebooks(
     ]
 
 
-def _t_sql(s: int, dsub: int, c: list[float]) -> str:
-    """``round(x_s·c − |c|²/2, 6)`` over the persisted ``_v`` column,
+def _t_sql(s: int, dsub: int, c: list[float], col: str = "_v") -> str:
+    """``round(x_s·c − |c|²/2, 6)`` over the persisted vector column,
     additions in fixed element order (1-based element_at)."""
     terms = " + ".join(
-        f"element_at(_v, {s * dsub + i + 1}) * {_dbl(c[i])}"
+        f"element_at({col}, {s * dsub + i + 1}) * {_dbl(c[i])}"
         for i in range(dsub)
     )
     half = _seqsum(x * x for x in c) / 2.0
     return f"round(({terms}) - {_dbl(half)}, 6)"
 
 
-def _code_sql(s: int, dsub: int, book: list[list[float]]) -> str:
+def _code_sql(
+    s: int, dsub: int, book: list[list[float]], col: str = "_v"
+) -> str:
     """0-based nearest-centroid code: scores array + first-max position
     (array_position finds the FIRST occurrence — ties pick the smaller
     code in both engines)."""
-    scores = ", ".join(_t_sql(s, dsub, c) for c in book)
+    scores = ", ".join(_t_sql(s, dsub, c, col) for c in book)
     arr = f"array({scores})"
     return f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)"
 
@@ -220,4 +222,167 @@ def ivf_pq_topk(
         vec_col=vec_col,
         id_col=id_col,
         books=books,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual refinement (FAISS ``IVF{n},PQ{m}`` proper): vectors encode the
+# RESIDUAL from their assigned coarse centroid, x ≈ c(x) + r̂, which is
+# the accuracy step between plain PQ and a production IVF,PQ index —
+# residuals are far smaller than raw vectors, so the same code budget
+# quantizes them much more finely (Jégou et al. 2011 §IV.B).
+# ---------------------------------------------------------------------------
+
+
+def _resid_sql(centroids: list[list[float]]) -> str:
+    """``_v - centroid[cell]`` element-wise, the per-row residual; the
+    centroid list rides as a nested array literal, so the subtraction is
+    scan-fused and cell-dependent without a join."""
+    cents = "array(" + ",".join(_vec_sql(c) for c in centroids) + ")"
+    return (
+        f"transform(_v, (x, i) -> "
+        f"x - element_at(element_at({cents}, cell + 1), i + 1))"
+    )
+
+
+def fixed_residual_codebooks(
+    assigned,
+    centroids: list[list[float]],
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """``books[s][j]`` = subvector ``s`` of the ``j``-th seed RESIDUAL
+    (first ``ksub`` rows by id, each minus its assigned centroid) —
+    deterministic and oracle-derivable: the driver-side float subtract
+    is the same IEEE binary64 operation the scan-fused residual runs."""
+    rows = (
+        assigned.orderBy(id_col).limit(ksub).select(id_col, "_v", "cell")
+        .collect()
+    )
+    vecs = []
+    for r in rows:
+        c = centroids[r["cell"]]
+        vecs.append([float(x) - float(cx) for x, cx in zip(r["_v"], c)])
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [[v[s * dsub: (s + 1) * dsub] for v in vecs] for s in range(m)]
+
+
+def pq_residual_encode(
+    assigned,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, cell, codes array<int>)`` — one code per subspace over the
+    residual vector.  Same persist/eager-checkpoint lifecycle as
+    :func:`pq_encode` (no leaked cache)."""
+    dsub = len(books[0][0])
+    base = assigned.select(
+        F.col(id_col), F.col("cell"),
+        F.expr(_resid_sql(centroids)).alias("_r"),
+    ).persist()
+    codes = base.select(
+        id_col,
+        "cell",
+        F.array(
+            *[
+                F.expr(_code_sql(s, dsub, b, "_r"))
+                for s, b in enumerate(books)
+            ]
+        ).alias("codes"),
+    ).localCheckpoint(eager=True)
+    base.unpersist()
+    return codes
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    cells,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id=None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Residual IVF,PQ search: candidates come from the ``n_probe``
+    nearest coarse cells, and each is scored by the ADC cosine against
+    its RECONSTRUCTION ``c + r̂``:
+
+        cos(q, c+r̂) = (q·c + q·r̂) / (|q| · sqrt(|c|² + 2·c·r̂ + |r̂|²))
+
+    Everything per-row is ``m`` table lookups: ``q·r̂`` from the global
+    query/codebook tables, ``c·r̂`` from per-probed-cell tables (n_probe
+    × m × ksub driver-side constants), ``|r̂|²`` from the codebook
+    norms; ``q·c`` and ``|c|²`` are per-cell scalars.  At 100 TB the
+    index stores one coarse id + m codes per vector and a query touches
+    ``n_probe/n_clusters`` of them — identical scan shape to
+    :func:`ivf_pq_topk`, strictly better quantization.
+
+    Returns ``(id, adc_cosine)``; value-exact vs the DuckDB oracle
+    (q119) — codebooks, codes, probe set, and ranking all reproduce."""
+    from dudb_spark.pipeline.ivf import probe_cells
+
+    assigned, centroids = cells
+    if books is None:
+        books = fixed_residual_codebooks(assigned, centroids, m, ksub, id_col)
+    dsub = len(books[0][0])
+    q = [float(x) for x in query_vec]
+    qnorm = math.sqrt(_seqsum(x * x for x in q))
+    probe = sorted(probe_cells(centroids, query_vec, n_probe))
+
+    coded = pq_residual_encode(assigned, centroids, books, id_col)
+    cand = coded.where(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        cand = cand.where(F.col(id_col) != exclude_id)
+
+    def lut(vals: list[float]) -> str:
+        return "array(" + ",".join(_dbl(v) for v in vals) + ")"
+
+    qc = {c: _seqsum(a * b for a, b in zip(q, centroids[c])) for c in probe}
+    cn2 = {c: _seqsum(x * x for x in centroids[c]) for c in probe}
+    ip_terms, nsq_terms, cd_terms = [], [], []
+    for s, book in enumerate(books):
+        qs = q[s * dsub: (s + 1) * dsub]
+        ips = [_seqsum(a * b for a, b in zip(qs, cb)) for cb in book]
+        nsqs = [_seqsum(x * x for x in cb) for cb in book]
+        idx = f"element_at(codes, {s + 1}) + 1"
+        ip_terms.append(f"element_at({lut(ips)}, {idx})")
+        nsq_terms.append(f"element_at({lut(nsqs)}, {idx})")
+        per_cell = []
+        for c in probe:
+            cs = centroids[c][s * dsub: (s + 1) * dsub]
+            cds = [_seqsum(a * b for a, b in zip(cs, cb)) for cb in book]
+            per_cell.append(
+                f"WHEN cell = {c} THEN element_at({lut(cds)}, {idx})"
+            )
+        cd_terms.append("CASE " + " ".join(per_cell) + " END")
+    qc_sql = (
+        "CASE "
+        + " ".join(f"WHEN cell = {c} THEN {_dbl(qc[c])}" for c in probe)
+        + " END"
+    )
+    cn2_sql = (
+        "CASE "
+        + " ".join(f"WHEN cell = {c} THEN {_dbl(cn2[c])}" for c in probe)
+        + " END"
+    )
+    # parenthesization mirrors the oracle's qc + SUM(ip) etc. — addition
+    # order changes the last ulp, which 6-decimal rounding can expose
+    score = (
+        f"round(({qc_sql} + ({' + '.join(ip_terms)})) / "
+        f"({_dbl(qnorm)} * sqrt({cn2_sql} + 2 * ({' + '.join(cd_terms)}) "
+        f"+ ({' + '.join(nsq_terms)}))), 6)"
+    )
+    return (
+        cand.select(F.col(id_col), F.expr(score).alias("adc_cosine"))
+        .orderBy(F.desc("adc_cosine"), F.asc(id_col))
+        .limit(k)
     )
