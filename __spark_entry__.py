@@ -3879,6 +3879,60 @@ def q118_incremental_at_scale(spark, sf_dir):
     )
 
 
+def q120_stream_excision(spark, sf_dir):
+    """STREAMING decontamination-by-excision — the online version of
+    q108: the newest 20% of the corpus arrives as 4 mtime-ordered
+    micro-batch files (maxFilesPerTrigger=1), and each batch runs
+    pipeline/spans.excise_spans against the STATIC eval reference via
+    foreachBatch (the excision plan needs explode/distinct/anti-join/
+    rebuild aggregations that append-mode streaming can't express
+    directly — foreachBatch is the supported composition, like q91's
+    streaming ingest).  Batch results append to a parquet sink; the
+    oracle is q108's batch excision restated over the same incoming
+    slice, so value equality proves the per-batch composition changes
+    nothing."""
+    import os
+    import shutil
+    import tempfile
+    from glob import glob as _glob
+
+    from dudb_spark.pipeline.spans import excise_spans
+
+    d = _t(spark, sf_dir, "documents")
+    cut = d.count() * 4 // 5
+    ref = d.where(F.col("doc_id") % 97 == 0)
+    incoming = d.where(
+        (F.col("doc_id") % 97 != 0) & (F.col("doc_id") >= cut)
+    )
+    src = tempfile.mkdtemp(prefix="dudb_q120_src_")
+    for b in range(4):
+        tmp = tempfile.mkdtemp(prefix="dudb_q120_b_")
+        incoming.where(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = _glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"b{b}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = os.path.join(tempfile.mkdtemp(prefix="dudb_q120_out_"), "res")
+
+    def _excise_batch(batch, _epoch):
+        excise_spans(batch, ref, 8).write.mode("append").parquet(out)
+
+    with _stream_parts(spark):
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_excise_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(out).orderBy("doc_id")
+
+
 def q119_ivf_pq_residual(spark, sf_dir):
     """Residual-encoded IVF,PQ (pipeline/pq.ivf_pq_residual_topk —
     FAISS's actual ``IVF16,PQ8`` shape, Jégou et al. 2011 §IV.B): each
@@ -4017,6 +4071,7 @@ QUERIES: dict[str, Callable] = {
     "q117_mixture_weights": q117_mixture_weights,
     "q118_incremental_at_scale": q118_incremental_at_scale,
     "q119_ivf_pq_residual": q119_ivf_pq_residual,
+    "q120_stream_excision": q120_stream_excision,
 }
 
 ORACLE: dict[str, str] = {
@@ -6326,6 +6381,17 @@ def _ivfpq_oracle_sql(
 
 
 ORACLE["q110_ivf_pq_search"] = _ivfpq_oracle_sql()
+
+# q120 = q108's batch excision restricted to the streamed slice (the
+# newest 20% of non-reference docs) — derived from the q108 oracle so
+# the two restatements can never drift apart
+ORACLE["q120_stream_excision"] = ORACLE["q108_span_excision"].replace(
+    "WHERE doc_id % 97 <> 0)",
+    "WHERE doc_id % 97 <> 0\n"
+    "      AND doc_id >= (SELECT (4 * COUNT(*)) // 5 FROM documents))",
+    1,
+)
+assert ORACLE["q120_stream_excision"] != ORACLE["q108_span_excision"]
 
 
 def _ivfpq_residual_oracle_sql(
