@@ -584,6 +584,43 @@ def cmd_pipeline_retrieve(args):
         print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
 
 
+def cmd_pipeline_pagerank(args):
+    """PageRank centrality over an undirected edge-list parquet — the
+    canonical-copy picker for duplicate neighborhoods
+    (pipeline/graph.pagerank); prints the top-N (id, score) TSV."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.graph import pagerank
+
+    spark = _spark()
+    edges = spark.read.parquet(expand_path(args.input))
+    pr = pagerank(
+        edges, iters=args.iters, damping=args.damping,
+        src_col=args.src, dst_col=args.dst,
+    )
+    print("id\tscore")
+    for r in pr.orderBy(F.desc("score"), "id").limit(args.top).collect():
+        print(f"{r['id']}\t{round(r['score'], 6)}")
+
+
+def cmd_pipeline_vocab(args):
+    """Tokenizer-vocabulary induction + per-group OOV coverage
+    (pipeline/text.vocab_oov): top-V corpus vocabulary, then
+    (group, n_tokens, n_oov, oov_rate) TSV."""
+    from dudb_spark.pipeline.text import vocab_oov
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = vocab_oov(
+        df, top_v=args.top_v, text_col=args.text_col, group_col=args.group
+    )
+    print("\t".join([args.group, "n_tokens", "n_oov", "oov_rate"]))
+    for r in res.orderBy(args.group).collect():
+        print(
+            f"{r[args.group]}\t{r['n_tokens']}\t{r['n_oov']}\t{r['oov_rate']}"
+        )
+
+
 def cmd_pipeline_report(args):
     """Corpus dataset card: per (source, lang) doc/token/quality/dup
     stats printed as TSV."""
@@ -896,6 +933,25 @@ def build_parser():
     pb.add_argument("--k", type=int, default=10)
     pb.add_argument("query", nargs="+", help="query strings")
     pb.set_defaults(func=cmd_pipeline_retrieve)
+    ppr = psub.add_parser(
+        "pagerank", help="PageRank over an undirected edge-list parquet"
+    )
+    ppr.add_argument("--input", required=True, help="edge parquet path")
+    ppr.add_argument("--src", default="id_a")
+    ppr.add_argument("--dst", default="id_b")
+    ppr.add_argument("--iters", type=int, default=5)
+    ppr.add_argument("--damping", type=float, default=0.85)
+    ppr.add_argument("--top", type=int, default=20)
+    ppr.set_defaults(func=cmd_pipeline_pagerank)
+    pv = psub.add_parser(
+        "vocab", help="top-V vocabulary induction + per-group OOV rate"
+    )
+    pv.add_argument("--input", required=True)
+    pv.add_argument("--text-col", default="text")
+    pv.add_argument("--group", default="lang",
+                    help="subcorpus column for coverage rows")
+    pv.add_argument("--top-v", type=int, default=1000)
+    pv.set_defaults(func=cmd_pipeline_vocab)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

@@ -321,6 +321,24 @@ def test_cli_pipeline_commands(spark, tmp_path, capsys):
     assert chk[0] == "check\tmetric\tpassed"
     assert all(line.endswith("True") for line in chk[1:])
 
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["id_a", "id_b"]
+    ).write.parquet(edges)
+    pr = run(capsys, "pipeline", "pagerank", "--input", edges,
+             "--iters", "3", "--top", "4").strip().splitlines()
+    assert pr[0] == "id\tscore" and len(pr) == 5
+    scores = {int(l.split("\t")[0]): float(l.split("\t")[1]) for l in pr[1:]}
+    # node 3 has the highest degree -> highest centrality
+    assert max(scores, key=scores.get) == 3
+
+    voc = run(capsys, "pipeline", "vocab", "--input", docs,
+              "--group", "lang", "--top-v", "50").strip().splitlines()
+    assert voc[0] == "lang\tn_tokens\tn_oov\toov_rate" and len(voc) > 2
+    for line in voc[1:]:
+        _, n_tok, n_oov, rate = line.split("\t")
+        assert 0 <= float(rate) <= 1 and int(n_oov) <= int(n_tok)
+
     with pytest.raises(SystemExit) as e:
         run(capsys, "pipeline", "check", "--input", li,
             "--unique", "l_orderkey")  # order keys repeat across lines
