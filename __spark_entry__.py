@@ -3933,6 +3933,32 @@ def q120_stream_excision(spark, sf_dir):
     return spark.read.parquet(out).orderBy("doc_id")
 
 
+def q121_chunk_windows(spark, sf_dir):
+    """Context-window chunking (pipeline/text.chunk_documents): every
+    document splits into 64-token windows starting every 32 tokens
+    (50% overlap — the retrieval-chunking shape; stride==size would
+    give LM blocks).  One scan-fused explode(sequence), no shuffle; the
+    oracle restates window starts, slices, and rebuilt chunk text."""
+    from dudb_spark.pipeline.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=64, stride=32).orderBy(
+        "doc_id", "win_id"
+    )
+
+
+def q122_source_overlap(spark, sf_dir):
+    """Cross-source n-gram leakage matrix
+    (pipeline/decontam.source_overlap_matrix): distinct 8-gram types per
+    source, pairwise shared counts via one gram-hash equi-join, Jaccard
+    of the gram-type sets — where benchmark/duplicate text bleeds
+    between subcorpora.  The oracle restates it with string grams."""
+    from dudb_spark.pipeline.decontam import source_overlap_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap_matrix(d, n=8).orderBy("source_a", "source_b")
+
+
 def q119_ivf_pq_residual(spark, sf_dir):
     """Residual-encoded IVF,PQ (pipeline/pq.ivf_pq_residual_topk —
     FAISS's actual ``IVF16,PQ8`` shape, Jégou et al. 2011 §IV.B): each
@@ -4072,6 +4098,8 @@ QUERIES: dict[str, Callable] = {
     "q118_incremental_at_scale": q118_incremental_at_scale,
     "q119_ivf_pq_residual": q119_ivf_pq_residual,
     "q120_stream_excision": q120_stream_excision,
+    "q121_chunk_windows": q121_chunk_windows,
+    "q122_source_overlap": q122_source_overlap,
 }
 
 ORACLE: dict[str, str] = {
@@ -4924,6 +4952,55 @@ ORACLE["q118_incremental_at_scale"] = r"""
            CAST(SUM(hardlinks) AS BIGINT) AS hardlinks,
            CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
     FROM perdir GROUP BY kind ORDER BY kind
+"""
+
+ORACLE["q121_chunk_windows"] = r"""
+    WITH tl AS (
+      SELECT doc_id, arr, len(arr) AS L FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS arr
+        FROM documents)
+    ), w AS (
+      SELECT doc_id, CAST(u.k AS INT) AS win_id,
+             CAST(u.k * 32 AS INT) AS start_tok, arr
+      FROM tl, unnest(range((L - 1) // 32 + 1)) AS u(k)
+      WHERE L > 0
+    )
+    SELECT doc_id, win_id, start_tok,
+           CAST(len(arr[start_tok + 1 : start_tok + 64]) AS INT)
+             AS n_tokens,
+           array_to_string(arr[start_tok + 1 : start_tok + 64], ' ')
+             AS chunk_text
+    FROM w ORDER BY doc_id, win_id
+"""
+
+ORACLE["q122_source_overlap"] = r"""
+    WITH tl AS (
+      SELECT doc_id, source, arr, len(arr) AS L FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS arr
+        FROM documents)
+    ), g AS (
+      SELECT DISTINCT source,
+             array_to_string(arr[u.p + 1 : u.p + 8], ' ') AS gram
+      FROM tl, unnest(range(L - 7)) AS u(p) WHERE L >= 8
+    ), tot AS (
+      SELECT source, COUNT(*) AS n FROM g GROUP BY source
+    ), sh AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_grams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sh.source_a, sh.source_b, sh.shared_grams,
+           ta.n AS n_a, tb.n AS n_b,
+           ROUND(sh.shared_grams / (ta.n + tb.n - sh.shared_grams), 6)
+             AS jaccard
+    FROM sh JOIN tot ta ON ta.source = sh.source_a
+            JOIN tot tb ON tb.source = sh.source_b
+    ORDER BY source_a, source_b
 """
 
 ORACLE["q116_curriculum_bins"] = f"""

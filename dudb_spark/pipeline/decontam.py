@@ -82,3 +82,68 @@ def ngram_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source n-gram leakage matrix: for every pair of subcorpora,
+    how many DISTINCT ``n``-gram types occur in both, plus the Jaccard of
+    their gram-type sets — the dataset-curation view of where benchmark
+    or duplicate text is bleeding between sources.
+
+    Scale shape: grams hash to int64 inside the transform (narrow rows),
+    reduce to the DISTINCT (group, gram) set first — bounded by gram
+    VOCABULARY per source, not corpus size — then a self-equi-join on the
+    gram hash; pair counts aggregate map-side.  Per-source totals come
+    back as a broadcast join for the Jaccard denominator."""
+    from dudb_spark.pipeline.spans import gram_occurrences
+
+    occ = gram_occurrences(df, n, id_col, text_col)
+    g = (
+        occ.join(
+            df.select(F.col(id_col).alias("doc_id"), group_col), "doc_id"
+        )
+        .select(group_col, "gh")
+        .distinct()
+    )
+    totals = g.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    ga, gb = f"a.{group_col}", f"b.{group_col}"
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col(ga) < F.col(gb)),
+        )
+        .groupBy(
+            F.col(ga).alias("source_a"), F.col(gb).alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ta = totals.select(
+        F.col(group_col).alias("source_a"), F.col("n_grams").alias("n_a")
+    )
+    tb = totals.select(
+        F.col(group_col).alias("source_b"), F.col("n_grams").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_grams")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -645,3 +645,51 @@ def vocab_oov(
             F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping token windows — the context-window chunking
+    step of a training/RAG pipeline: each document splits into windows of
+    ``size`` tokens starting every ``stride`` tokens (``stride == size``
+    gives non-overlapping LM blocks; smaller strides overlap for
+    retrieval).  Returns ``(doc_id, win_id, start_tok, n_tokens,
+    chunk_text)``; the final window may be short, every token belongs to
+    at least one window, and empty documents yield none.
+
+    Scale shape: one scan-fused ``explode(sequence)`` over the token
+    array — the output volume is rows × ceil(L/stride), bounded by the
+    corpus token count times the overlap factor; no shuffle, no UDF."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    ).withColumn("_L", F.size("_t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_L") - 1, F.lit(0)), F.lit(stride)
+    )
+    out = (
+        toks.where(F.col("_L") > 0)
+        .select(
+            "doc_id",
+            "_t",
+            F.posexplode(starts).alias("win_id", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            "win_id",
+            "start_tok",
+            F.slice("_t", F.col("start_tok") + 1, size).alias("_c"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "win_id",
+        "start_tok",
+        F.size("_c").alias("n_tokens"),
+        F.array_join("_c", " ").alias("chunk_text"),
+    )

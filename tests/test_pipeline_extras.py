@@ -178,3 +178,52 @@ def test_chunk_tokens_golden(spark):
     texts = {r["chunk_id"]: r["chunk_text"].split()
              for r in chunk_tokens(df, chunk=10, overlap=3).collect()}
     assert texts[0][-3:] == texts[1][:3]
+
+
+def test_chunk_documents_golden(spark):
+    from dudb_spark.pipeline.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5"), (2, "only two"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(df, size=3, stride=2).orderBy(
+        "doc_id", "win_id"
+    ).collect()
+    got = [(r["doc_id"], r["win_id"], r["start_tok"], r["n_tokens"],
+            r["chunk_text"]) for r in rows]
+    assert got == [
+        (1, 0, 0, 3, "t1 t2 t3"),
+        (1, 1, 2, 3, "t3 t4 t5"),
+        (1, 2, 4, 1, "t5"),          # short tail window
+        (2, 0, 0, 2, "only two"),    # doc shorter than one window
+    ]  # empty/null docs yield no windows
+    # every token is covered by at least one window
+    covered = set()
+    for _, _, s, n, _ in got[:3]:
+        covered |= set(range(s, s + n))
+    assert covered == set(range(5))
+
+
+def test_source_overlap_matrix_golden(spark):
+    from dudb_spark.pipeline.decontam import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "c d e f", "s2"),      # shares bigram "c d" with s1
+            (3, "x y", "s3"),          # no overlap with anyone
+            (4, "a b c z", "s2"),      # shares "a b" and "b c" with s1
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(df, n=2).collect()
+    }
+    # s1 grams: {a b, b c, c d}; s2 grams: {c d, d e, e f, a b, b c, c z}
+    r = rows[("s1", "s2")]
+    assert r["shared_grams"] == 3 and r["n_a"] == 3 and r["n_b"] == 6
+    assert r["jaccard"] == round(3 / (3 + 6 - 3), 6)
+    # disjoint pairs produce no row (inner join on shared grams)
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
