@@ -3839,11 +3839,11 @@ def q118_incremental_at_scale(spark, sf_dir):
     from dudb_spark.operators.stats import StatsOptions, compute_stats
 
     prev_p, prev_e, staged_p, staged_e = _incremental_staging(spark, sf_dir)
-    # production stand-ins: the previous snapshot and summary are STORED
-    # tables, not lazy re-derivations of the synthetic tree — pin them so
-    # every closure probe reads a scan, exactly like the stored path
-    prev_p = prev_p.localCheckpoint()
-    prev_e = prev_e.localCheckpoint()
+    # the previous snapshot stays a lazy derivation: re-deriving it per
+    # closure probe measured CHEAPER than two 600k-row checkpoint jobs
+    # (narrow column pruning survives the derivation; the pins did not
+    # pay for themselves at any size tried).  Only the previous SUMMARY
+    # is pinned — the stitch's stored-table stand-in.
     prev = compute_stats(prev_p, prev_e, StatsOptions())
     prev.per_prefix = prev.per_prefix.localCheckpoint()
     merge = merge_scan(

@@ -112,6 +112,11 @@ def main():
     except ValueError:
         sf = None
 
+    # decode kernels are pure numpy/Python — measure them BEFORE the JVM
+    # spins up (measured 2-3x slower when run after the 121-query suite:
+    # GC and executor threads contend for cores and memory bandwidth)
+    decode_metrics = decode_bench()
+
     spark = get_spark("dudb_spark-bench")
     # warm the JVM so the first measured query isn't paying one-time JIT:
     # a real parquet scan + hash aggregate + sort exercises the codegen
@@ -211,7 +216,7 @@ def main():
     result["incremental_entries_per_sec"] = round(n_inc / t_inc)
     result["incremental_speedup_vs_refold"] = round(t_full / t_inc, 2)
     result["incremental_fold_fraction"] = frac
-    result.update(decode_bench())
+    result.update(decode_metrics)
     print(json.dumps(result))
 
 

@@ -310,7 +310,7 @@ def unfilter_batch(
     Simple images (no Average/Paeth) take the run-grouped fast path;
     the rest share one batched wavefront."""
     results: list[np.ndarray | None] = [None] * len(images)
-    wave, wave_idx = [], []
+    wave, wave_idx, wave_cells = [], [], 0
     for j, (raw, h, w, ch) in enumerate(images):
         stride = w * ch
         if h == 0 or stride == 0:
@@ -322,9 +322,21 @@ def unfilter_batch(
         else:
             wave.append((ftypes, data, h, w, ch))
             wave_idx.append(j)
+            wave_cells += h * w
     if wave:
-        for j, rec in zip(wave_idx, _unfilter_wavefront(wave)):
-            results[j] = rec
+        # the wavefront's vectorized build/scan only amortizes past a few
+        # thousand cells; a lone thumbnail is faster through the per-pixel
+        # kernel (both paths are fuzz-pinned identical)
+        if wave_cells < 4096:
+            for j, (ftypes, data, h, w, ch) in zip(wave_idx, wave):
+                raw, _, _, _ = images[j]
+                rows = unfilter_rows_py(raw, h, w, ch)
+                results[j] = np.frombuffer(
+                    b"".join(rows), np.uint8
+                ).reshape(h, w * ch)
+        else:
+            for j, rec in zip(wave_idx, _unfilter_wavefront(wave)):
+                results[j] = rec
     return results
 
 

@@ -111,6 +111,22 @@ SHOWCASE = {
     "persisted cast vector; query scoring is m element_at lookups into "
     "literal tables + TakeOrderedAndProject — no float vector touched "
     "at query time",
+    "q118_incremental_at_scale": "production incremental stats: closure "
+    "probes are narrow semi-joins with BROADCAST churn-bounded build "
+    "sides, the fold touches only the affected slice (pinned), and the "
+    "stitch anti/semi-joins ride the broadcast affected set — nothing "
+    "shuffles proportional to tree size",
+    "q119_ivf_pq_residual": "residual IVF,PQ: candidates pruned to the "
+    "probed cells, scoring is per-cell CASE constants + m element_at "
+    "lookups into literal residual-codebook tables + "
+    "TakeOrderedAndProject — no raw vector touched at query time",
+    "q121_chunk_windows": "context-window chunking: ONE scan-side "
+    "Generate (posexplode of window starts) per doc — no shuffle, the "
+    "token array never re-joins",
+    "q122_source_overlap": "leakage matrix: the distinct (source, "
+    "gram-hash) set is bounded by gram vocabulary, pairs come from one "
+    "hash equi-join, and the Jaccard denominators arrive as broadcast "
+    "per-source totals",
 }
 
 
