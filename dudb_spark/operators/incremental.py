@@ -48,6 +48,16 @@ Cost shape: three semi-joins on (device, inode) / path over the merged
 snapshot — each a broadcast join at realistic change rates — plus a fold
 over the touched slice.  Nothing scans proportional to tree size except
 the narrow semi-join probes, which prune to (parent, device, inode).
+
+Storage-layout note (the next rung at 100 TB): the probes are full
+narrow scans here because localCheckpoint/plain-parquet stand-ins carry
+no partition metadata.  Stored snapshots partitioned by an inode bucket
+(``pmod(xxhash64(device, inode), N)``) would let the three KEY-side
+probes (via/via2/support) dynamic-partition-prune to the churn's
+buckets, and a path-bucket partitioning does the same for the two
+path-side probes — turning probe cost from O(tree-narrow-scan) into
+O(churn).  The closure algebra above is layout-independent, so this is
+purely a writer-side choice.
 """
 
 from __future__ import annotations
