@@ -3959,6 +3959,20 @@ def q122_source_overlap(spark, sf_dir):
     return source_overlap_matrix(d, n=8).orderBy("source_a", "source_b")
 
 
+def q123_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier surfacing
+    (pipeline/similarity.label_outliers): exact-decimal per-label
+    centroids, every vector's 6-decimal cosine to its OWN label
+    centroid, and the 3 least-similar per label via the two-phase
+    bucketed bottom-k (no per-label global sort) — the mislabel/quality
+    review queue of an embedding pipeline.  The oracle replays
+    centroids, scores, and ranking."""
+    from dudb_spark.pipeline.similarity import label_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_outliers(emb, k=3).orderBy("label", "rank")
+
+
 def q119_ivf_pq_residual(spark, sf_dir):
     """Residual-encoded IVF,PQ (pipeline/pq.ivf_pq_residual_topk —
     FAISS's actual ``IVF16,PQ8`` shape, Jégou et al. 2011 §IV.B): each
@@ -4100,6 +4114,7 @@ QUERIES: dict[str, Callable] = {
     "q120_stream_excision": q120_stream_excision,
     "q121_chunk_windows": q121_chunk_windows,
     "q122_source_overlap": q122_source_overlap,
+    "q123_embedding_outliers": q123_embedding_outliers,
 }
 
 ORACLE: dict[str, str] = {
@@ -5001,6 +5016,36 @@ ORACLE["q122_source_overlap"] = r"""
     FROM sh JOIN tot ta ON ta.source = sh.source_a
             JOIN tot tb ON tb.source = sh.source_b
     ORDER BY source_a, source_b
+"""
+
+ORACLE["q123_embedding_outliers"] = r"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), m AS (
+      SELECT label, i,
+             CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)
+               AS mu
+      FROM (SELECT label, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS i FROM e)
+      GROUP BY label, i
+    ), c AS (
+      SELECT label, list(mu ORDER BY i) AS cv FROM m GROUP BY label
+    ), s AS (
+      SELECT e.label, e.vec_id,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6)
+               AS cos_centroid
+      FROM e JOIN c USING (label)
+    ), r AS (
+      SELECT label, vec_id, cos_centroid,
+             CAST(ROW_NUMBER() OVER (
+                 PARTITION BY label ORDER BY cos_centroid, vec_id
+             ) AS INT) AS rank
+      FROM s
+    )
+    SELECT label, vec_id, cos_centroid, rank
+    FROM r WHERE rank <= 3 ORDER BY label, rank
 """
 
 ORACLE["q116_curriculum_bins"] = f"""

@@ -224,3 +224,104 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def label_outliers(
+    emb: DataFrame,
+    k: int = 3,
+    n_buckets: int = 8,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space outlier detection — the quality/mislabel filter of
+    an embedding pipeline (SemDeDup's inverse: there the most SIMILAR
+    vectors inside a cluster are dropped, here the LEAST similar to
+    their own group are surfaced for review).
+
+    Per-label centroids use exact decimal sums (the ``fixed_cells``
+    trick — identical doubles in any engine/partitioning), each vector
+    scores ``round(cos(v, centroid[label]), 6)``, and the ``k`` lowest
+    per label come back as ``(label, vec_id, cos_centroid, rank)``.
+
+    Scale shape: the centroid pass is one grouped aggregate with
+    map-side partials (labels × dim sums).  Bottom-k selection is
+    TWO-PHASE: a row_number window per (label, id-hash bucket) — bounded
+    partitions, never one task per label — keeps each bucket's k
+    smallest (any global bottom-k member is bottom-k in its bucket, so
+    this is exact), then the k smallest of the n_buckets × k survivors
+    per label.  No global per-label sort anywhere."""
+    from pyspark.sql.window import Window
+
+    from dudb_spark.pipeline.ivf import _dbl
+
+    v = _as_double(F.col(vec_col))
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        v.alias("_v"),
+        F.sqrt(dot(v, v)).alias("_nv"),
+    ).persist()
+    dim = len(base.select("_v").first()["_v"])
+    mean_cols = [
+        # NB: bracket indexing is 0-based in Spark SQL (element_at is the
+        # 1-based accessor)
+        F.expr(
+            f"CAST(SUM(CAST(_v[{i}] AS DECIMAL(27,18))) AS DOUBLE)"
+            f" / COUNT(1) AS m{i}"
+        )
+        for i in range(dim)
+    ]
+    cents = {
+        r["label"]: [r[f"m{i}"] for i in range(dim)]
+        for r in base.groupBy("label").agg(*mean_cols).collect()
+    }
+
+    import math
+
+    def vec_lit(c: list[float]) -> str:
+        return "array(" + ",".join(_dbl(float(x)) for x in c) + ")"
+
+    def pynorm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        return math.sqrt(acc)
+
+    # centroid rides as a per-label array literal and the dot product is
+    # ONE sequential fold (same IEEE order as the oracle's
+    # list_dot_product) — an unrolled per-element sum was a 640-term
+    # codegen monster at dim 64 × 10 labels
+    cent_case = "CASE " + " ".join(
+        f"WHEN label = {int(lbl)} THEN {vec_lit(c)}"
+        for lbl, c in sorted(cents.items())
+    ) + " END"
+    nc_case = "CASE " + " ".join(
+        f"WHEN label = {int(lbl)} THEN {_dbl(pynorm(c))}"
+        for lbl, c in sorted(cents.items())
+    ) + " END"
+    score = (
+        f"round(aggregate(zip_with(_v, {cent_case}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (a, t) -> a + t) / (_nv * ({nc_case})), 6)"
+    )
+    scored = base.select(
+        "label", "vec_id", F.expr(score).alias("cos_centroid")
+    )
+    w1 = Window.partitionBy(
+        "label", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets))
+    ).orderBy("cos_centroid", "vec_id")
+    cand = scored.withColumn("_r", F.row_number().over(w1)).where(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    out = (
+        cand.select("label", "vec_id", "cos_centroid")
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        # tiny (labels × k rows): materialize eagerly so the cast-vector
+        # cache can be released without re-exposing the element_at
+        # re-evaluation hazard (same lifecycle as pq_encode)
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out

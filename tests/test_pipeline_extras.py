@@ -227,3 +227,32 @@ def test_source_overlap_matrix_golden(spark):
     assert r["jaccard"] == round(3 / (3 + 6 - 3), 6)
     # disjoint pairs produce no row (inner join on shared grams)
     assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+def test_label_outliers_golden(spark):
+    from dudb_spark.pipeline.similarity import label_outliers
+
+    rows = []
+    # label 0: tight cluster near (1, 0) + one opposite-direction outlier
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i], 0))
+    rows.append((6, [-1.0, 0.2], 0))
+    # label 1: cluster near (0, 1) + one orthogonal-ish outlier
+    for i in range(7, 12):
+        rows.append((i, [0.01 * i, 1.0], 1))
+    rows.append((12, [1.0, -0.9], 1))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r["label"], r["rank"]): r["vec_id"]
+        for r in label_outliers(df, k=2, n_buckets=4).collect()
+    }
+    assert got[(0, 1)] == 6   # the planted outliers rank first
+    assert got[(1, 1)] == 12
+    assert len(got) == 4
+    # two-phase bucketed bottom-k == direct bottom-k (exactness of the
+    # bucket pruning), for several bucket widths
+    direct = {
+        (r["label"], r["rank"]): r["vec_id"]
+        for r in label_outliers(df, k=2, n_buckets=1).collect()
+    }
+    assert got == direct
