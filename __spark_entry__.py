@@ -3973,6 +3973,20 @@ def q123_embedding_outliers(spark, sf_dir):
     return label_outliers(emb, k=3).orderBy("label", "rank")
 
 
+def q124_bpe_merges(spark, sf_dir):
+    """Tokenizer training's BPE merge induction (pipeline/bpe.py,
+    Sennrich et al. 2016): 8 rounds of most-frequent adjacent-pair
+    merges over the weighted vocabulary (corpus collapses to distinct
+    word × freq first — rounds are vocabulary-bounded).  One driver-side
+    argmax row per round; the fold that applies each merge runs
+    scan-fused and the oracle replays all 8 rounds (pair counts, merge
+    choices, tie-breaks) via unrolled list_reduce CTEs."""
+    from dudb_spark.pipeline.bpe import bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges(d, rounds=8).orderBy("merge_round")
+
+
 def q119_ivf_pq_residual(spark, sf_dir):
     """Residual-encoded IVF,PQ (pipeline/pq.ivf_pq_residual_topk —
     FAISS's actual ``IVF16,PQ8`` shape, Jégou et al. 2011 §IV.B): each
@@ -4115,6 +4129,7 @@ QUERIES: dict[str, Callable] = {
     "q121_chunk_windows": q121_chunk_windows,
     "q122_source_overlap": q122_source_overlap,
     "q123_embedding_outliers": q123_embedding_outliers,
+    "q124_bpe_merges": q124_bpe_merges,
 }
 
 ORACLE: dict[str, str] = {
@@ -5047,6 +5062,60 @@ ORACLE["q123_embedding_outliers"] = r"""
     SELECT label, vec_id, cos_centroid, rank
     FROM r WHERE rank <= 3 ORDER BY label, rank
 """
+
+def _bpe_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB restatement of q124: the same weighted vocabulary, and per
+    round the same pair count, argmax with (cnt DESC, lhs, rhs)
+    tie-break, and the same left-to-right list_reduce merge fold."""
+    parts = [
+        r"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS w
+        FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ), v0 AS (
+      SELECT list_transform(range(1, length(w) + 1), i -> w[i:i]) AS sym,
+             freq
+      FROM words
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", p{r} AS (
+      SELECT sym[u.i] AS lhs, sym[u.i + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM v{r}, unnest(range(1, len(sym))) AS u(i)
+      GROUP BY lhs, rhs
+    ), b{r} AS (
+      SELECT lhs, rhs, cnt FROM p{r}
+      ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    ), v{r + 1} AS (
+      SELECT list_reduce(
+               list_transform(sym, s -> [s]),
+               (acc, x) -> CASE WHEN len(acc) > 0
+                                AND acc[-1] = b{r}.lhs
+                                AND x[1] = b{r}.rhs
+                           THEN list_append(acc[1:len(acc) - 1],
+                                            b{r}.lhs || b{r}.rhs)
+                           ELSE list_append(acc, x[1]) END) AS sym,
+             freq
+      FROM v{r}, b{r}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, lhs, rhs, lhs || rhs AS merged, "
+        f"cnt AS pair_count FROM b{r}"
+        for r in range(rounds)
+    )
+    return "".join(parts) + (
+        f" SELECT * FROM ({selects}) ORDER BY merge_round"
+    )
+
+
+ORACLE["q124_bpe_merges"] = _bpe_oracle_sql()
 
 ORACLE["q116_curriculum_bins"] = f"""
     WITH s AS (

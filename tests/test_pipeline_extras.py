@@ -256,3 +256,34 @@ def test_label_outliers_golden(spark):
         for r in label_outliers(df, k=2, n_buckets=1).collect()
     }
     assert got == direct
+
+
+def test_bpe_merges_golden(spark):
+    from dudb_spark.pipeline.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "ab aa"), (3, "Zz 99 aa!")],
+        ["doc_id", "text"],
+    )
+    # normalized words: aa x3, ab x2, zz x1 ("99"/"aa!" dropped by [a-z]+)
+    rows = [tuple(r) for r in bpe_merges(df, rounds=5).collect()]
+    assert rows[0] == (0, "a", "a", "aa", 3)
+    assert rows[1] == (1, "a", "b", "ab", 2)
+    assert rows[2] == (2, "z", "z", "zz", 1)
+    # all pairs merged away -> induction stops early
+    assert len(rows) == 3
+
+
+def test_bpe_merge_fold_overlap_rule(spark):
+    """Greedy left-to-right non-overlap: 'aaaa' under (a,a) becomes
+    (aa)(aa), and the fresh merge never re-matches within the round."""
+    from dudb_spark.pipeline.bpe import bpe_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa aab")], ["doc_id", "text"])
+    rows = [tuple(r) for r in bpe_merges(df, rounds=2).collect()]
+    # round 0: (a,a) appears 3x in 'aaaa' (positions 1-3) and 2x in 'aab'?
+    # no — 'aaaa' contributes 3 adjacent (a,a) pairs, 'aab' contributes 1
+    assert rows[0][:4] == (0, "a", "a", "aa") and rows[0][4] == 3 + 1
+    # round 1 over vocab {'aa','aa'} and {'aa','b'}: (aa,aa) x1, (aa,b) x1
+    # tie on count -> lexicographic (aa,aa) wins
+    assert rows[1][:4] == (1, "aa", "aa", "aaaa")
