@@ -281,9 +281,10 @@ def test_bpe_merge_fold_overlap_rule(spark):
 
     df = spark.createDataFrame([(1, "aaaa aaaa aab")], ["doc_id", "text"])
     rows = [tuple(r) for r in bpe_merges(df, rounds=2).collect()]
-    # round 0: (a,a) appears 3x in 'aaaa' (positions 1-3) and 2x in 'aab'?
-    # no — 'aaaa' contributes 3 adjacent (a,a) pairs, 'aab' contributes 1
-    assert rows[0][:4] == (0, "a", "a", "aa") and rows[0][4] == 3 + 1
+    # round 0: counts are weighted by word frequency (Sennrich get_stats):
+    # 'aaaa' (freq 2) contributes 3 adjacent (a,a) pairs -> 3*2 = 6,
+    # 'aab' (freq 1) contributes 1 -> total 7
+    assert rows[0][:4] == (0, "a", "a", "aa") and rows[0][4] == 3 * 2 + 1
     # round 1 over vocab {'aa','aa'} and {'aa','b'}: (aa,aa) x1, (aa,b) x1
     # tie on count -> lexicographic (aa,aa) wins
     assert rows[1][:4] == (1, "aa", "aa", "aaaa")
