@@ -3987,6 +3987,22 @@ def q124_bpe_merges(spark, sf_dir):
     return bpe_merges(d, rounds=8).orderBy("merge_round")
 
 
+def q125_bpe_encode(spark, sf_dir):
+    """Tokenizer INFERENCE with the learned merge table (pipeline/bpe.
+    bpe_encode): the q124 merges (8 rows, collected driver-side — the
+    merge table is what a tokenizer ships) applied to the corpus with
+    the same greedy fold, reporting per-document word/char/BPE-token
+    counts and the chars-per-token compression.  The folds run over the
+    distinct vocabulary, not the corpus; the oracle replays the
+    identical list_reduce CTE chain and joins v8 back as the
+    word→token-count map."""
+    from dudb_spark.pipeline.bpe import bpe_encode, bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    m = bpe_merges(d, rounds=8).orderBy("merge_round").collect()
+    return bpe_encode(d, [(r["lhs"], r["rhs"]) for r in m]).orderBy("doc_id")
+
+
 def q119_ivf_pq_residual(spark, sf_dir):
     """Residual-encoded IVF,PQ (pipeline/pq.ivf_pq_residual_topk —
     FAISS's actual ``IVF16,PQ8`` shape, Jégou et al. 2011 §IV.B): each
@@ -4130,6 +4146,7 @@ QUERIES: dict[str, Callable] = {
     "q122_source_overlap": q122_source_overlap,
     "q123_embedding_outliers": q123_embedding_outliers,
     "q124_bpe_merges": q124_bpe_merges,
+    "q125_bpe_encode": q125_bpe_encode,
 }
 
 ORACLE: dict[str, str] = {
@@ -5115,7 +5132,38 @@ def _bpe_oracle_sql(rounds: int = 8) -> str:
     )
 
 
+def _bpe_encode_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB restatement of q125: the q124 merge chain verbatim (so the
+    learned table can't drift), then the final vocabulary state v{R}
+    IS the word→token-count map (array_to_string(sym) reconstructs the
+    word) — joined back to per-(doc, word) counts and aggregated."""
+    chain = _bpe_oracle_sql(rounds)
+    chain = chain[: chain.rindex(" SELECT * FROM (")]  # keep the WITH chain
+    return chain + rf""", enc AS (
+      SELECT array_to_string(sym, '') AS w, len(sym) AS n_tok
+      FROM v{rounds}
+    ), dw AS (
+      SELECT doc_id, w, COUNT(*) AS n FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS w
+        FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(SUM(n * length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(n * n_tok) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(n * length(w)) AS DOUBLE) / SUM(n * n_tok), 6)
+             AS chars_per_token
+    FROM dw JOIN enc USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 ORACLE["q124_bpe_merges"] = _bpe_oracle_sql()
+ORACLE["q125_bpe_encode"] = _bpe_encode_oracle_sql()
 
 ORACLE["q116_curriculum_bins"] = f"""
     WITH s AS (

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -205,19 +206,81 @@ def main():
             n_entries / times["q87_merge_at_scale"]
         )
         result["merge_unchanged_skip_ratio"] = 0.98
+    # host-speed calibration anchor: a fixed parquet scan + hash agg +
+    # sort over the largest table, 3 reps, best-of.  The suite's absolute
+    # numbers vary ~30-40% across rounds with BYTE-IDENTICAL code on the
+    # measured paths (round-5/6 finding: single-thread decode and raw
+    # disk I/O were flat while every Spark query drifted together —
+    # sandbox/VM instantiation variance).  Cross-round comparisons should
+    # divide by this anchor before reading a drift as a regression.
+    calib = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_orderkey").agg({"l_extendedprice": "sum"})
+            .orderBy("sum(l_extendedprice)", ascending=False)
+            .limit(10).collect()
+        )
+        calib.append(time.perf_counter() - t0)
+    result["calib_scan_agg_sec"] = round(min(calib), 3)
+
     # production incremental-stats measurement: 10x-replicated tree (6M
     # entries at sf0.1) with ~1% churn, snapshots stored as parquet, full
     # refold vs incremental timed from those scans.  fold_fraction is the
     # scale-invariant claim (incremental work ~ churn, refold ~ tree);
     # the wall-clock ratio under-represents the contrast locally because
     # the closure's fixed job barriers dominate at local fixture sizes.
-    n_inc, t_full, t_inc, frac = entry_mod._incremental_bench(spark, sf_dir)
-    result["incremental_tree_entries"] = n_inc
-    result["incremental_entries_per_sec"] = round(n_inc / t_inc)
-    result["incremental_speedup_vs_refold"] = round(t_full / t_inc, 2)
-    result["incremental_fold_fraction"] = frac
+    # It runs in a SEPARATE subprocess (fresh JVM) so its 6M-entry
+    # staging can't leave GC/heap pressure behind suite timings and its
+    # own numbers aren't taxed by the 124-query session's accumulated
+    # state (round-5 advice).
+    spark.stop()
+    inc = subprocess.run(
+        [sys.executable, "-c", _INC_BENCH_CHILD, sf_dir],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    try:
+        inc_m = json.loads(inc.stdout.strip().splitlines()[-1])
+        result.update(inc_m)
+    except (json.JSONDecodeError, IndexError):
+        print(f"  WARN: incremental bench failed: {inc.stderr[-500:]}",
+              file=sys.stderr)
+
     result.update(decode_metrics)
-    print(json.dumps(result))
+
+    # The driver records only the LAST 2000 characters of output, so the
+    # single JSON line must fit inside that window — round-5's full-
+    # precision line was 2378 chars and the driver recorded parsed=null.
+    # Full precision goes to a sidecar file; the printed line carries
+    # 2-decimal per-query times and auto-degrades to 1 decimal if the
+    # suite grows past the budget again.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL_LOCAL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    for nd in (2, 1):
+        slim = dict(result,
+                    queries={k: round(v, nd) for k, v in short.items()})
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= 1950:
+            break
+    print(line)
+
+
+_INC_BENCH_CHILD = """
+import json, sys
+import __spark_entry__ as entry_mod
+from dudb_spark.session import get_spark
+spark = get_spark("dudb_spark-incbench")
+n, t_full, t_inc, frac = entry_mod._incremental_bench(spark, sys.argv[1])
+print(json.dumps({
+    "incremental_tree_entries": n,
+    "incremental_entries_per_sec": round(n / t_inc),
+    "incremental_speedup_vs_refold": round(t_full / t_inc, 2),
+    "incremental_fold_fraction": frac,
+}))
+"""
 
 
 if __name__ == "__main__":

@@ -621,6 +621,83 @@ def cmd_pipeline_vocab(args):
         )
 
 
+def cmd_pipeline_chunk(args):
+    """Context-window chunking (pipeline/text.chunk_documents): split
+    each document into overlapping token windows; writes the chunk table
+    to parquet (``--out``) and prints a JSON summary."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.text import chunk_documents
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = chunk_documents(
+        df, size=args.size, stride=args.stride,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+        res = spark.read.parquet(expand_path(args.out))
+    s = res.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).first()
+    print(json.dumps({
+        "size": args.size, "stride": args.stride,
+        "n_docs": s["n_docs"], "n_chunks": s["n_chunks"],
+        "total_tokens": s["total_tokens"], "out": args.out,
+    }))
+
+
+def cmd_pipeline_overlap(args):
+    """Cross-source n-gram leakage matrix
+    (pipeline/decontam.source_overlap_matrix): TSV of source pairs with
+    shared gram-type counts and Jaccard."""
+    from dudb_spark.pipeline.decontam import source_overlap_matrix
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = source_overlap_matrix(
+        df, n=args.n, id_col=args.id_col,
+        text_col=args.text_col, group_col=args.group,
+    )
+    cols = res.columns
+    print("\t".join(cols))
+    for r in res.orderBy(*cols[:2]).toLocalIterator():
+        print("\t".join(str(r[c]) for c in cols))
+
+
+def cmd_pipeline_outliers(args):
+    """Embedding-space outliers (pipeline/similarity.label_outliers):
+    the k vectors least similar to their own label centroid, as TSV."""
+    from dudb_spark.pipeline.similarity import label_outliers
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = label_outliers(
+        df, k=args.k, label_col=args.label,
+        vec_col=args.vec_col, id_col=args.id_col,
+    )
+    print("label\tvec_id\tcos_centroid\trank")
+    for r in res.orderBy("label", "rank").collect():
+        print(f"{r['label']}\t{r['vec_id']}\t{r['cos_centroid']}\t{r['rank']}")
+
+
+def cmd_pipeline_bpe(args):
+    """BPE merge-table induction (pipeline/bpe.bpe_merges): the first N
+    merges over the corpus as TSV (round, lhs, rhs, merged, count)."""
+    from dudb_spark.pipeline.bpe import bpe_merges
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = bpe_merges(df, rounds=args.rounds, text_col=args.text_col)
+    print("merge_round\tlhs\trhs\tmerged\tpair_count")
+    for r in res.collect():
+        print(f"{r['merge_round']}\t{r['lhs']}\t{r['rhs']}\t"
+              f"{r['merged']}\t{r['pair_count']}")
+
+
 def cmd_pipeline_report(args):
     """Corpus dataset card: per (source, lang) doc/token/quality/dup
     stats printed as TSV."""
@@ -952,6 +1029,46 @@ def build_parser():
                     help="subcorpus column for coverage rows")
     pv.add_argument("--top-v", type=int, default=1000)
     pv.set_defaults(func=cmd_pipeline_vocab)
+    pch = psub.add_parser(
+        "chunk", help="overlapping context-window chunking"
+    )
+    pch.add_argument("--input", required=True)
+    pch.add_argument("--id-col", default="doc_id")
+    pch.add_argument("--text-col", default="text")
+    pch.add_argument("--size", type=int, default=64,
+                     help="window length in tokens")
+    pch.add_argument("--stride", type=int, default=32,
+                     help="window start step (== size for no overlap)")
+    pch.add_argument("--out", help="parquet output path for the chunks")
+    pch.set_defaults(func=cmd_pipeline_chunk)
+    pov = psub.add_parser(
+        "overlap", help="cross-source n-gram leakage matrix"
+    )
+    pov.add_argument("--input", required=True)
+    pov.add_argument("--id-col", default="doc_id")
+    pov.add_argument("--text-col", default="text")
+    pov.add_argument("--group", default="source",
+                     help="subcorpus column for the matrix axes")
+    pov.add_argument("--n", type=int, default=8, help="gram length")
+    pov.set_defaults(func=cmd_pipeline_overlap)
+    pol = psub.add_parser(
+        "outliers", help="per-label embedding-centroid outliers"
+    )
+    pol.add_argument("--input", required=True,
+                     help="parquet with id/label/embedding columns")
+    pol.add_argument("--id-col", default="vec_id")
+    pol.add_argument("--label", default="label")
+    pol.add_argument("--vec-col", default="embedding")
+    pol.add_argument("--k", type=int, default=3,
+                     help="outliers to keep per label")
+    pol.set_defaults(func=cmd_pipeline_outliers)
+    pbm = psub.add_parser(
+        "bpe", help="BPE merge-table induction over the corpus"
+    )
+    pbm.add_argument("--input", required=True)
+    pbm.add_argument("--text-col", default="text")
+    pbm.add_argument("--rounds", type=int, default=8)
+    pbm.set_defaults(func=cmd_pipeline_bpe)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

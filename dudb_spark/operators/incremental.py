@@ -78,6 +78,7 @@ def incremental_stats(
     touched: DataFrame,
     opts: StatsOptions | None = None,
     pin_inputs: bool = True,
+    bounded_churn: bool = True,
 ) -> StatsResult:
     """New summary tables after a merge, folding only the touched slice.
 
@@ -110,6 +111,11 @@ def incremental_stats(
     # change volume.
     touched = touched.select("path")
 
+    def _bc(df: DataFrame) -> DataFrame:
+        """Broadcast hint, gated: closure sets are churn-bounded only
+        when the caller says so; otherwise AQE decides from real size."""
+        return F.broadcast(df) if bounded_churn else df
+
     # ONE narrow membership view per snapshot side — (ppath, device,
     # inode) with ppath = the record's own path for prefixes and the
     # parent for entries — shared by every closure round below, instead
@@ -134,7 +140,7 @@ def incremental_stats(
         """Keys present under ``paths`` in the previous OR merged snapshot
         (as a multiset — only ever consumed as a semi-join build side)."""
         return probe.join(
-            F.broadcast(paths.withColumnRenamed("path", "ppath")),
+            _bc(paths.withColumnRenamed("path", "ppath")),
             "ppath",
             "left_semi",
         ).select(*_KEY)
@@ -142,7 +148,7 @@ def incremental_stats(
     # 2 + 3a. support keys of the seeds; merged rows in those groups
     # (entries contribute their parent, records their own path)
     seed_keys = _keys_of(touched)
-    via = mrows.join(F.broadcast(seed_keys), _KEY, "left_semi").select(
+    via = mrows.join(_bc(seed_keys), _KEY, "left_semi").select(
         F.col("ppath").alias("path"), "is_record"
     )
     via_records = via.where("is_record").select("path")
@@ -157,7 +163,7 @@ def incremental_stats(
     # test_incremental.py::test_dir_hardlink_flip_cascade).
     flip_keys = _keys_of(via_records)
     via2 = (
-        mrows.join(F.broadcast(flip_keys), _KEY, "left_semi")
+        mrows.join(_bc(flip_keys), _KEY, "left_semi")
         .select(F.col("ppath").alias("path"))
     )
 
@@ -177,27 +183,27 @@ def incremental_stats(
     # 4. fold input: full groups of every key present under *A*
     # (mrows restricted to *A* IS "keys under affected" on the new side)
     support_keys = mrows.join(
-        F.broadcast(affected.withColumnRenamed("path", "ppath")),
+        _bc(affected.withColumnRenamed("path", "ppath")),
         "ppath",
         "left_semi",
     ).select(*_KEY)
     fold_entries = new_entries.join(
-        F.broadcast(support_keys), _KEY, "left_semi"
+        _bc(support_keys), _KEY, "left_semi"
     ).localCheckpoint()
     # same collapse argument: one path per folded entry -> distinct
     fold_parents = fold_entries.select(
         F.col("parent").alias("path")
     ).unionByName(affected).distinct()
     fold_prefixes = new_prefixes.join(
-        F.broadcast(fold_parents), "path", "left_semi"
+        _bc(fold_parents), "path", "left_semi"
     )
     # prefix-record dedup groups need the same completeness
     record_keys = fold_prefixes.select(*_KEY)
     fold_prefixes = new_prefixes.join(
-        F.broadcast(
+        _bc(
             fold_prefixes.select("path").unionByName(
                 new_prefixes.join(
-                    F.broadcast(record_keys), _KEY, "left_semi"
+                    _bc(record_keys), _KEY, "left_semi"
                 ).select("path")
             )
         ),
@@ -209,12 +215,12 @@ def incremental_stats(
 
     def stitch(prev_df: DataFrame, new_df: DataFrame, key: str) -> DataFrame:
         keep = prev_df.join(
-            F.broadcast(affected.withColumnRenamed("path", key)),
+            _bc(affected.withColumnRenamed("path", key)),
             key,
             "left_anti",
         )
         fresh = new_df.join(
-            F.broadcast(affected.withColumnRenamed("path", key)),
+            _bc(affected.withColumnRenamed("path", key)),
             key,
             "left_semi",
         )

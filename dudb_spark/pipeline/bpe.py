@@ -103,3 +103,69 @@ def bpe_merges(
         "merge_round int, lhs string, rhs string, merged string, "
         "pair_count long",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table (the INFERENCE side
+    of :func:`bpe_merges`): per document ``(doc_id, n_words, n_chars,
+    n_bpe_tokens, chars_per_token)`` where ``n_bpe_tokens`` is the token
+    count after applying every merge, in order, with the same greedy
+    left-to-right fold as training.  Documents with no ``[a-z]+`` words
+    yield no row.
+
+    Scale shape: the corpus reduces to per-(doc, word) counts in one
+    explode + groupBy, the merge folds run over the DISTINCT vocabulary
+    only (bounded by the lexicon, not the corpus — all ``len(merges)``
+    folds chain into one scan-fused projection), and the word→token-count
+    map joins back on the word key; AQE picks broadcast vs shuffle from
+    the vocabulary's real size.  No UDFs, no driver-side data."""
+    doc_words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+            ).alias("w"),
+        )
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    enc = doc_words.select("w").distinct().select(
+        "w",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("sym"),
+    )
+    for a, b in merges:
+        la, lb, lab = _sql_str(a), _sql_str(b), _sql_str(a + b)
+        enc = enc.select(
+            "w",
+            F.expr(
+                "aggregate(sym, CAST(array() AS array<string>), "
+                "(acc, x) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = {la} AND x = {lb} "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array({lab})) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("sym"),
+        )
+    enc = enc.select("w", F.size("sym").alias("n_tok"))
+    return (
+        doc_words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.length("w")).alias("n_chars"),
+            F.sum(F.col("n") * F.col("n_tok")).alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+            ),
+        )
+    )

@@ -527,7 +527,10 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-_DECODE_ERRORS = (ValueError, IndexError, struct.error, zlib.error)
+# OSError covers Pillow's decode failures (UnidentifiedImageError
+# subclasses it): payloads are in-memory bytes, so an OSError here can
+# only come from the image decoder, never from real file I/O.
+_DECODE_ERRORS = (ValueError, IndexError, struct.error, zlib.error, OSError)
 
 _BLANK_DECODED = {
     "media_id": None, "format": None, "width": None, "height": None,
@@ -569,9 +572,20 @@ def decode_payloads(
                 out.append(dict(_BLANK_DECODED, format=fmt))
                 continue
             if parsed is None:  # exotic variant -> Pillow
-                out.append(
-                    dict(_BLANK_DECODED, **_decode_image_pil(bytes(p), "png"))
-                )
+                try:
+                    out.append(
+                        dict(
+                            _BLANK_DECODED,
+                            **_decode_image_pil(bytes(p), "png"),
+                        )
+                    )
+                except _DECODE_ERRORS:
+                    # Pillow rejected it (corrupt interlace/palette data
+                    # past the signature): same null-fill contract as the
+                    # built-in path
+                    if strict:
+                        raise
+                    out.append(dict(_BLANK_DECODED, format=fmt))
                 continue
             png_slots.append(len(out))
             png_parsed.append(parsed)

@@ -262,7 +262,17 @@ def label_outliers(
         v.alias("_v"),
         F.sqrt(dot(v, v)).alias("_nv"),
     ).persist()
-    dim = len(base.select("_v").first()["_v"])
+    head = base.select("_v").first()
+    if head is None:  # no rows: empty result, same schema/types
+        empty = base.select(
+            "label",
+            "vec_id",
+            F.lit(0.0).alias("cos_centroid"),
+            F.lit(1).alias("rank"),
+        ).where(F.lit(False))
+        base.unpersist()
+        return empty
+    dim = len(head["_v"])
     mean_cols = [
         # NB: bracket indexing is 0-based in Spark SQL (element_at is the
         # 1-based accessor)
@@ -288,17 +298,25 @@ def label_outliers(
             acc += x * x
         return math.sqrt(acc)
 
+    def lbl_lit(lbl) -> str:
+        # int and string labels both supported; strings are escaped as
+        # SQL literals ('' doubling) so arbitrary label text is safe
+        if isinstance(lbl, bool) or not isinstance(lbl, (int, float)):
+            return "'" + str(lbl).replace("'", "''") + "'"
+        return repr(lbl)
+
     # centroid rides as a per-label array literal and the dot product is
     # ONE sequential fold (same IEEE order as the oracle's
     # list_dot_product) — an unrolled per-element sum was a 640-term
     # codegen monster at dim 64 × 10 labels
+    by_label = sorted(cents.items(), key=lambda kv: str(kv[0]))
     cent_case = "CASE " + " ".join(
-        f"WHEN label = {int(lbl)} THEN {vec_lit(c)}"
-        for lbl, c in sorted(cents.items())
+        f"WHEN label = {lbl_lit(lbl)} THEN {vec_lit(c)}"
+        for lbl, c in by_label
     ) + " END"
     nc_case = "CASE " + " ".join(
-        f"WHEN label = {int(lbl)} THEN {_dbl(pynorm(c))}"
-        for lbl, c in sorted(cents.items())
+        f"WHEN label = {lbl_lit(lbl)} THEN {_dbl(pynorm(c))}"
+        for lbl, c in by_label
     ) + " END"
     score = (
         f"round(aggregate(zip_with(_v, {cent_case}, (x, y) -> x * y), "

@@ -339,6 +339,35 @@ def test_cli_pipeline_commands(spark, tmp_path, capsys):
         _, n_tok, n_oov, rate = line.split("\t")
         assert 0 <= float(rate) <= 1 and int(n_oov) <= int(n_tok)
 
+    chunk_out = str(tmp_path / "chunks")
+    out = json.loads(run(capsys, "pipeline", "chunk", "--input", docs,
+                         "--size", "32", "--stride", "16",
+                         "--out", chunk_out))
+    assert out["n_docs"] > 0 and out["n_chunks"] >= out["n_docs"]
+    chunks = spark.read.parquet(chunk_out)
+    assert set(chunks.columns) == {
+        "doc_id", "win_id", "start_tok", "n_tokens", "chunk_text"
+    }
+
+    ov = run(capsys, "pipeline", "overlap", "--input", docs,
+             "--n", "8").strip().splitlines()
+    assert len(ov) > 1  # header + at least one source pair
+    assert "jaccard" in ov[0]
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    ol = run(capsys, "pipeline", "outliers", "--input", emb,
+             "--k", "2").strip().splitlines()
+    assert ol[0] == "label\tvec_id\tcos_centroid\trank"
+    ranks = [int(l.split("\t")[3]) for l in ol[1:]]
+    assert ranks and max(ranks) <= 2
+
+    bpe = run(capsys, "pipeline", "bpe", "--input", docs,
+              "--rounds", "3").strip().splitlines()
+    assert bpe[0] == "merge_round\tlhs\trhs\tmerged\tpair_count"
+    assert len(bpe) == 4
+    r0 = bpe[1].split("\t")
+    assert r0[3] == r0[1] + r0[2]  # merged symbol is the concatenation
+
     with pytest.raises(SystemExit) as e:
         run(capsys, "pipeline", "check", "--input", li,
             "--unique", "l_orderkey")  # order keys repeat across lines

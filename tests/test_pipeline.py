@@ -308,6 +308,36 @@ def test_decode_jpeg_requires_pillow():
     # (decode_jpeg raises ValueError -> the known-format corrupt path)
 
 
+def test_pillow_decode_errors_null_fill(monkeypatch):
+    """With Pillow present, a corrupt payload that reaches the Pillow
+    decoders (valid JPEG magic, or an exotic PNG variant) must follow the
+    same non-strict null-fill contract as the built-in codecs —
+    UnidentifiedImageError subclasses OSError, which is in
+    _DECODE_ERRORS, and the exotic-PNG fallback is wrapped."""
+
+    class _Rejecting:
+        @staticmethod
+        def open(_buf):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(multimodal, "_PILImage", _Rejecting)
+
+    corrupt_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    exotic_png = bytearray(multimodal.synthetic_png(4, 3, (9, 8, 7)))
+    exotic_png[28] = 1  # IHDR interlace flag -> outside the built-in envelope
+
+    out = multimodal.decode_payloads(
+        [(corrupt_jpeg, "jpeg"), (bytes(exotic_png), "png")], strict=False
+    )
+    assert [r["format"] for r in out] == ["jpeg", "png"]
+    assert all(r["width"] is None and r["mean"] is None for r in out)
+
+    with pytest.raises(OSError):
+        multimodal.decode_payloads([(bytes(exotic_png), "png")], strict=True)
+    with pytest.raises(OSError):
+        multimodal.decode_payloads([(corrupt_jpeg, "jpeg")], strict=True)
+
+
 def test_corrupt_png_null_fills_not_fails(spark):
     """A valid-signature PNG with a corrupt IDAT stream (zlib.error) or a
     truncated inflate (short pixel data) must null-fill in non-strict

@@ -258,6 +258,27 @@ def test_label_outliers_golden(spark):
     assert got == direct
 
 
+def test_label_outliers_string_labels_and_empty(spark):
+    """String labels ride as escaped SQL literals (including quotes), and
+    an empty input yields an empty frame instead of a TypeError."""
+    from dudb_spark.pipeline.similarity import label_outliers
+
+    rows = [(i, [1.0, 0.01 * i], "cat's") for i in range(4)]
+    rows.append((4, [-1.0, 0.2], "cat's"))
+    rows += [(i, [0.0, 1.0], "dog") for i in range(5, 8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r["label"], r["rank"]): r["vec_id"]
+        for r in label_outliers(df, k=1, n_buckets=2).collect()
+    }
+    assert got[("cat's", 1)] == 4
+    assert ("dog", 1) in got and len(got) == 2
+
+    empty = label_outliers(df.where("vec_id < 0"), k=2)
+    assert empty.collect() == []
+    assert empty.columns == ["label", "vec_id", "cos_centroid", "rank"]
+
+
 def test_bpe_merges_golden(spark):
     from dudb_spark.pipeline.bpe import bpe_merges
 
