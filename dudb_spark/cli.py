@@ -64,8 +64,14 @@ def cmd_analyze(args):
     errors = spark.createDataFrame(errrows or [], ERRORS_SCHEMA)
 
     cat = SnapshotCatalog(spark, args.db)
+    # snapshots store bucketed by default: the layout is what lets
+    # `stats --incremental` prune its closure probes to the churn's
+    # buckets (operators/incremental.py); tables() hides the layout
+    # column so every other consumer is unaffected
+    lay = dict(layout=args.layout if args.layout != "plain" else None,
+               path_buckets=args.path_buckets)
     if cat.latest_version() is None:
-        out = cat.write_snapshot(staged_p, staged_e, errors)
+        out = cat.write_snapshot(staged_p, staged_e, errors, **lay)
         summary = {
             "operation": "analyze",
             "prefixes_started": len(prows),
@@ -78,7 +84,7 @@ def cmd_analyze(args):
         res = merge_scan(
             prev.prefixes, prev.entries, staged_p, staged_e, root=args.prefix
         )
-        out = cat.write_snapshot(res.prefixes, res.entries, errors)
+        out = cat.write_snapshot(res.prefixes, res.entries, errors, **lay)
         summary = dict(res.summary, errors=len(errrows))
     stop = datetime.now(timezone.utc)
     summary["duration_ns"] = int((stop - start).total_seconds() * 1e9)
@@ -171,10 +177,29 @@ def cmd_stats_compute(args):
             )
             .distinct()
         )
+        # both snapshots stored bucketed with the same width → hand the
+        # raw (pb-carrying) scans to the closure so its path probes
+        # partition-prune to the churn's buckets
+        prev_lay = cat.layout(prev_stats.meta["snapshot_version"])
+        cur_lay = cat.layout()
+        buckets = None
+        if (
+            prev_lay.get("layout") == "bucketed"
+            and prev_lay == cur_lay
+        ):
+            buckets = prev_lay["path_buckets"]
         res = incremental_stats(
-            prev_stats, prev_t.prefixes, prev_t.entries,
-            t.prefixes, t.entries, touched, opts,
+            prev_stats,
+            prev_t.read_raw("prefixes") if buckets else prev_t.prefixes,
+            prev_t.read_raw("entries") if buckets else prev_t.entries,
+            t.read_raw("prefixes") if buckets else t.prefixes,
+            t.read_raw("entries") if buckets else t.entries,
+            touched, opts,
             pin_inputs=False,  # stored snapshot scans — nothing to pin
+            path_buckets=buckets,
+            prev_spill=cat.spill_index(prev_stats.meta["snapshot_version"])
+            if buckets else None,
+            new_spill=cat.spill_index() if buckets else None,
         )
     else:
         res = compute_stats(t.prefixes, t.entries, opts)
@@ -812,6 +837,15 @@ def build_parser():
     p.add_argument("prefix")
     p.add_argument("--exclude", action="append", help="exclusion regexp")
     p.add_argument("--scans", type=int, default=32, help="concurrent scans")
+    p.add_argument(
+        "--layout", choices=["bucketed", "plain"], default="bucketed",
+        help="snapshot storage layout (bucketed = path-hash partitioned, "
+        "prunes incremental-stats closure probes)",
+    )
+    p.add_argument(
+        "--path-buckets", type=int, default=64,
+        help="bucket count for --layout bucketed",
+    )
     p.set_defaults(func=cmd_analyze)
 
     p = sub.add_parser("find", help="predicate search")

@@ -134,6 +134,16 @@ class FsTables:
         return f"{self.root}/{table}.parquet"
 
     def read(self, table: str):
+        """Logical table view: physical layout columns (the ``pb`` path
+        bucket a bucketed snapshot is partitioned by) are dropped so
+        consumers see the same schema regardless of storage layout."""
+        df = self.spark.read.parquet(self.path(table))
+        return df.drop("pb") if "pb" in df.columns else df
+
+    def read_raw(self, table: str):
+        """Physical view: keeps layout columns (``pb``) so layout-aware
+        readers — the incremental-stats closure probes — can prune
+        partitions."""
         return self.spark.read.parquet(self.path(table))
 
     @property

@@ -79,6 +79,9 @@ def incremental_stats(
     opts: StatsOptions | None = None,
     pin_inputs: bool = True,
     bounded_churn: bool = True,
+    path_buckets: int | None = None,
+    prev_spill: DataFrame | None = None,
+    new_spill: DataFrame | None = None,
 ) -> StatsResult:
     """New summary tables after a merge, folding only the touched slice.
 
@@ -94,8 +97,69 @@ def incremental_stats(
     path — the CLI does) — checkpointing would pointlessly materialize
     the full table.  The closure sets below are tiny by construction
     (change-rate × tree), so those pins are cheap at any scale.
+
+    ``bounded_churn``: the closure build sides are churn-proportional,
+    so by default they carry broadcast hints (the round-4 q77 clawback).
+    A worst-case churn — a root-level touch or mass rename that pulls
+    the whole tree into the closure — would make those broadcasts
+    unbounded and can OOM; pass ``False`` when churn cannot be bounded
+    and AQE's size-based join planning picks broadcast vs shuffle from
+    the actual build-side size instead.
+
+    ``path_buckets``: set to the snapshot's bucketed-layout width (see
+    ``SnapshotCatalog.write_snapshot(layout="bucketed")``) when all four
+    snapshot frames are scans of that layout and carry its ``pb``
+    column.  Churn is directory-localized, so the PATH-side closure
+    probes (seed keys, flip keys, fold support) then prune to the
+    churn's buckets — partition-pruned scans instead of full narrow
+    scans — and the flip round is skipped outright when no directory
+    record sits in a seed group (one count on the pinned via set; flips
+    are rare outside hardlinked-dir trees).  The KEY-side probes
+    (via/via2/fold-entry membership) still scan the tree's narrow
+    (device, inode) projection when no spill index is supplied: hash
+    buckets cannot prune them because churn keys spread uniformly across
+    buckets.
+
+    ``prev_spill``/``new_spill``: each snapshot's hardlink SPILL INDEX
+    (``SnapshotCatalog.spill_index()`` — the distinct (device, inode,
+    pb) of keys with ≥2 member rows).  With both supplied, the KEY-side
+    scans prune too, making the whole closure O(churn + spill hits):
+    a group member outside the churn's buckets exists only if its key
+    has ≥2 members in prev or new — singleton keys' only member is the
+    churned row itself.  Completeness case-analysis (why prev ∪ new
+    index covers every member of a seed-touched group):
+
+    - member row r of group K under an UNTOUCHED dir is present in both
+      snapshots; the seed-side member s of K is in prev (so prev index
+      lists (K, bucket(r))) or was just added (new index lists it) —
+      either way r's bucket is probed;
+    - r under a TOUCHED dir is inside the seed buckets already;
+    - a row new to the snapshot (add/move target) is always under a
+      touched dir, so "r only in new and outside seed buckets" cannot
+      occur.
+
+    The same argument applies to the flip round (an untouched flip-dir's
+    contents are in both snapshots) and to fold support (all-new-side
+    groups).  Results are value-identical to the un-bucketed path
+    (test_incremental.py: layout equivalence + the closure fuzz).
     """
     opts = opts or StatsOptions()
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _trace_on = bool(_os.environ.get("DUDB_INC_TRACE"))
+
+    def _tr(label, f):
+        """Phase timing for the closure's synchronous actions, printed
+        to stderr when DUDB_INC_TRACE is set (perf diagnostics only —
+        the label names the job being forced)."""
+        if not _trace_on:
+            return f()
+        t0 = _time.perf_counter()
+        r = f()
+        print(f"  inc[{label}]: {_time.perf_counter() - t0:.2f}s",
+              file=_sys.stderr, flush=True)
+        return r
     if pin_inputs:
         new_prefixes = new_prefixes.localCheckpoint()
         new_entries = new_entries.localCheckpoint()
@@ -122,35 +186,118 @@ def incremental_stats(
     # of re-deriving four projections per round.  ``mrows`` additionally
     # carries is_record so one semi-join answers both halves of the old
     # per-round "_via" pair.
+    bucketed = path_buckets is not None
+    if bucketed:
+        for side in (prev_prefixes, prev_entries, new_prefixes, new_entries):
+            if "pb" not in side.columns:
+                raise ValueError(
+                    "path_buckets set but a snapshot frame has no 'pb' "
+                    "column — pass scans of a bucketed-layout snapshot "
+                    "(SnapshotCatalog.write_snapshot(layout='bucketed'))"
+                )
+
+    def _pb(col):
+        return F.pmod(F.xxhash64(col), F.lit(path_buckets)).cast("int")
+
+    def _buckets(paths: DataFrame) -> list:
+        """Distinct layout buckets of a churn-bounded path set (collected
+        driver-side: at most ``path_buckets`` ints, from a frame bounded
+        by the change volume — the same driver boundary as the CC
+        convergence check)."""
+        return _tr("bucket collect", lambda: [
+            r[0]
+            for r in paths.select(_pb(F.col("path")).alias("b"))
+            .distinct()
+            .collect()
+        ])
+
     def _rows(prefixes: DataFrame, entries: DataFrame):
+        extra = (["pb"] if bucketed else [])
         return prefixes.select(
             F.col("path").alias("ppath"), *_KEY,
-            F.lit(True).alias("is_record"),
+            F.lit(True).alias("is_record"), *extra,
         ).unionByName(
             entries.select(
                 F.col("parent").alias("ppath"), *_KEY,
-                F.lit(False).alias("is_record"),
+                F.lit(False).alias("is_record"), *extra,
             )
         )
 
     mrows = _rows(new_prefixes, new_entries)
     probe = _rows(prev_prefixes, prev_entries).unionByName(mrows)
 
-    def _keys_of(paths: DataFrame) -> DataFrame:
+    def _keys_of(paths: DataFrame, path_bl: list | None = None):
         """Keys present under ``paths`` in the previous OR merged snapshot
-        (as a multiset — only ever consumed as a semi-join build side)."""
-        return probe.join(
+        (as a multiset — only ever consumed as a semi-join build side).
+        Under the bucketed layout the probe scan partition-prunes to the
+        buckets of ``paths`` (``path_bl`` when pre-collected) — every row
+        with ppath ∈ paths lives in one of those buckets by
+        construction."""
+        src = probe
+        if bucketed:
+            src = src.where(
+                F.col("pb").isin(
+                    _buckets(paths) if path_bl is None else path_bl
+                )
+            )
+        return src.join(
             _bc(paths.withColumnRenamed("path", "ppath")),
             "ppath",
             "left_semi",
         ).select(*_KEY)
 
+    spill = None
+    spill_empty = True
+    if bucketed and prev_spill is not None and new_spill is not None:
+        spill = prev_spill.unionByName(new_spill)
+        # trees without hardlink groups (or whose groups were untouched
+        # by compaction) have an EMPTY index: every closure member then
+        # sits inside the churn's own buckets and all three index
+        # lookups below vanish.  One limit(1) job on a tiny table.
+        spill_empty = _tr(
+            "spill gate", lambda: spill.limit(1).count() == 0
+        )
+
+    def _spill_buckets(keys: DataFrame) -> list:
+        """Buckets holding out-of-churn members of multi-member groups
+        among ``keys`` — one scan of the tiny spill index plus a
+        driver-side collect of ≤ path_buckets ints."""
+        if spill_empty:
+            return []
+        return _tr("spill collect", lambda: [
+            r[0]
+            for r in spill.join(_bc(keys), _KEY, "left_semi")
+            .select("pb")
+            .distinct()
+            .collect()
+        ])
+
+    def _key_rows(src: DataFrame, keys: DataFrame, seed_buckets) -> DataFrame:
+        """Rows of ``src`` whose key ∈ ``keys``.  With a spill index the
+        scan prunes to the seed buckets plus the index's member buckets
+        (complete by the case analysis in the docstring); otherwise the
+        full narrow frame is scanned."""
+        if spill is not None:
+            bl = sorted(set(seed_buckets) | set(_spill_buckets(keys)))
+            src = src.where(F.col("pb").isin(bl))
+        return src.join(_bc(keys), _KEY, "left_semi")
+
     # 2 + 3a. support keys of the seeds; merged rows in those groups
     # (entries contribute their parent, records their own path)
-    seed_keys = _keys_of(touched)
-    via = mrows.join(_bc(seed_keys), _KEY, "left_semi").select(
+    seed_buckets = _buckets(touched) if bucketed else None
+    seed_keys = _keys_of(touched, path_bl=seed_buckets)
+    if not spill_empty:
+        # consumed by the index lookup AND the via join: pin the
+        # churn-bounded key set so each broadcast build reads a
+        # checkpoint instead of re-running the probe scan
+        seed_keys = seed_keys.localCheckpoint()
+    via = _key_rows(mrows, seed_keys, seed_buckets).select(
         F.col("ppath").alias("path"), "is_record"
     )
+    if bucketed:
+        # pinned so the flip gate below is one cheap count and the
+        # affected union doesn't recompute the seed round
+        via = _tr("via pin", via.localCheckpoint)
     via_records = via.where("is_record").select("path")
 
     # 3b. flip round: records in seed groups can flip their dir-level dup
@@ -161,11 +308,19 @@ def incremental_stats(
     # groups), restoring the exact-hardlink-closure contract for
     # dir-hardlink promotions/demotions (round-2 advice repro:
     # test_incremental.py::test_dir_hardlink_flip_cascade).
-    flip_keys = _keys_of(via_records)
-    via2 = (
-        mrows.join(_bc(flip_keys), _KEY, "left_semi")
-        .select(F.col("ppath").alias("path"))
-    )
+    # Under the bucketed layout the round is skipped when no record sits
+    # in a seed group — no record membership changed, so no flag can flip.
+    run_flip = True
+    if bucketed:
+        run_flip = _tr("flip gate", lambda: via_records.limit(1).count() > 0)
+    if run_flip:
+        flip_buckets = _buckets(via_records) if bucketed else None
+        flip_keys = _keys_of(via_records, path_bl=flip_buckets)
+        if not spill_empty:
+            flip_keys = flip_keys.localCheckpoint()
+        via2 = _key_rows(mrows, flip_keys, flip_buckets).select(
+            F.col("ppath").alias("path")
+        )
 
     # affected is a PATH set: members repeat once per row that matched a
     # group (a directory appears once per file in it), so dedup collapses
@@ -173,28 +328,73 @@ def incremental_stats(
     # stitches — the one distinct that pays for its shuffle stage.  The
     # KEY sets above stay multisets (inodes barely repeat; a distinct
     # there costs a stage to save nothing).
-    affected = (
-        touched.unionByName(via.select("path"))
-        .unionByName(via2)
-        .distinct()
-        .localCheckpoint()
-    )
+    affected = touched.unionByName(via.select("path"))
+    if run_flip:
+        affected = affected.unionByName(via2)
+    _aff = affected
+    affected = _tr("affected pin", _aff.distinct().localCheckpoint)
 
     # 4. fold input: full groups of every key present under *A*
-    # (mrows restricted to *A* IS "keys under affected" on the new side)
-    support_keys = mrows.join(
+    # (mrows restricted to *A* IS "keys under affected" on the new side);
+    # the support probe prunes to A's buckets under the bucketed layout
+    support_src = mrows
+    aff_buckets = _buckets(affected) if bucketed else None
+    if bucketed:
+        support_src = support_src.where(F.col("pb").isin(aff_buckets))
+    support_keys = support_src.join(
         _bc(affected.withColumnRenamed("path", "ppath")),
         "ppath",
         "left_semi",
     ).select(*_KEY)
-    fold_entries = new_entries.join(
-        _bc(support_keys), _KEY, "left_semi"
-    ).localCheckpoint()
+    if not spill_empty:
+        support_keys = support_keys.localCheckpoint()
+    fold_src = new_entries
+    if spill is not None:
+        # members of support groups outside A's buckets exist only for
+        # multi-member keys — prune the wide entry scan to A plus the
+        # index's member buckets (same completeness argument as via)
+        fold_src = fold_src.where(
+            F.col("pb").isin(
+                sorted(set(aff_buckets) | set(_spill_buckets(support_keys)))
+            )
+        )
+    fold_entries = _tr(
+        "fold_entries pin",
+        fold_src.drop("pb").join(
+            _bc(support_keys), _KEY, "left_semi"
+        ).localCheckpoint,
+    )
     # same collapse argument: one path per folded entry -> distinct
     fold_parents = fold_entries.select(
         F.col("parent").alias("path")
     ).unionByName(affected).distinct()
-    fold_prefixes = new_prefixes.join(
+    if bucketed:
+        # fold parents = A ∪ parents of group members outside A — every
+        # one lives in aff_buckets or a bucket of a fold-entry parent, so
+        # the FIRST prefix path-probe prunes to those buckets (the second
+        # set is one cheap distinct over the pinned fold slice).  The
+        # record-group support scans below stay on the FULL prefix frame:
+        # a record sharing a (device, inode) group with a fold prefix can
+        # live in any bucket, and prefix records are O(directories) —
+        # cheap relative to the entry-side scans either way.
+        parent_buckets = sorted(
+            set(aff_buckets)
+            | {
+                r[0]
+                for r in fold_entries.select(
+                    _pb(F.col("parent")).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+        )
+        prefix_probe = new_prefixes.where(
+            F.col("pb").isin(parent_buckets)
+        ).drop("pb")
+        new_prefixes = new_prefixes.drop("pb")
+    else:
+        prefix_probe = new_prefixes
+    fold_prefixes = prefix_probe.join(
         _bc(fold_parents), "path", "left_semi"
     )
     # prefix-record dedup groups need the same completeness

@@ -62,17 +62,118 @@ class SnapshotCatalog:
 
     # -- writes ---------------------------------------------------------
 
-    def write_snapshot(self, prefixes, entries, errors=None) -> str:
+    def write_snapshot(
+        self, prefixes, entries, errors=None,
+        layout: str | None = None, path_buckets: int = 64,
+    ) -> str:
+        """Write the next snapshot version.
+
+        ``layout="bucketed"`` stores both tables hash-partitioned by the
+        row's PROBE PATH (``path`` for prefixes, ``parent`` for entries):
+        ``pb = pmod(xxhash64(probe_path), path_buckets)``, one file per
+        bucket.  This is the storage layout the incremental-stats closure
+        needs (operators/incremental.py): churn is directory-localized,
+        so the path-side closure probes prune to the churn's buckets
+        instead of scanning the tree.  Layout parameters land in
+        ``_layout.json`` so readers (CLI ``stats --incremental``) can
+        discover them.  Purely a writer-side choice — ``tables()`` hides
+        the ``pb`` column, so every non-layout-aware consumer sees the
+        identical logical schema."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
         v = self.next_version()
         out = os.path.join(self.root, v)
-        prefixes.write.mode("overwrite").parquet(f"{out}/prefixes.parquet")
-        entries.write.mode("overwrite").parquet(f"{out}/entries.parquet")
+
+        def _write(df, probe_col, dest):
+            if layout == "bucketed":
+                (
+                    df.withColumn(
+                        "pb",
+                        F.pmod(
+                            F.xxhash64(F.col(probe_col)),
+                            F.lit(path_buckets),
+                        ).cast("int"),
+                    )
+                    .repartition(path_buckets, "pb")
+                    .write.mode("overwrite")
+                    .partitionBy("pb")
+                    .parquet(dest)
+                )
+            else:
+                df.write.mode("overwrite").parquet(dest)
+
+        _write(prefixes, "path", f"{out}/prefixes.parquet")
+        _write(entries, "parent", f"{out}/entries.parquet")
         if errors is not None:
             errors.write.mode("overwrite").parquet(f"{out}/errors.parquet")
+        if layout == "bucketed":
+            # hardlink SPILL INDEX: (device, inode, pb) of every key that
+            # appears in ≥2 rows of this snapshot.  Hardlink groups are
+            # the one cross-directory dependency of the stats fold; this
+            # index is what lets the incremental closure find a churned
+            # group's members in OTHER buckets without scanning the tree
+            # — singleton keys (the overwhelming majority) have their
+            # only member inside the churn's own buckets by definition.
+            # Size is bounded by the hardlinked subset of the tree, and
+            # the one full shuffle to build it runs at WRITE time, where
+            # a full pass is already being paid.
+            p = self.spark.read.parquet(f"{out}/prefixes.parquet")
+            e = self.spark.read.parquet(f"{out}/entries.parquet")
+            rows = p.select("device", "inode", "pb").unionByName(
+                e.select("device", "inode", "pb")
+            )
+            counts = (
+                rows.groupBy("device", "inode")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where("_c > 1")
+                .drop("_c")
+            )
+            (
+                rows.join(counts, ["device", "inode"], "left_semi")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{out}/hlinks.parquet")
+            )
+            with open(os.path.join(out, "_layout.json"), "w") as f:
+                _json.dump(
+                    {"layout": "bucketed", "path_buckets": path_buckets}, f
+                )
         os.makedirs(self.root, exist_ok=True)
         with open(os.path.join(self.root, "latest"), "w") as f:
             f.write(v)
         return out
+
+    def spill_index(self, version: str | None = None):
+        """The bucketed layout's hardlink spill index (device, inode, pb)
+        — keys with ≥2 member rows in the snapshot.  None for plain
+        layouts."""
+        p = (
+            os.path.join(self.root, version)
+            if version
+            else self.latest_path()
+        )
+        if p is None or not os.path.isdir(os.path.join(p, "hlinks.parquet")):
+            return None
+        return self.spark.read.parquet(os.path.join(p, "hlinks.parquet"))
+
+    def layout(self, version: str | None = None) -> dict:
+        """Layout metadata of a snapshot version ({} for plain layouts)."""
+        import json as _json
+
+        p = (
+            os.path.join(self.root, version)
+            if version
+            else self.latest_path()
+        )
+        if p is None:
+            return {}
+        meta = os.path.join(p, "_layout.json")
+        if not os.path.exists(meta):
+            return {}
+        with open(meta) as f:
+            return _json.load(f)
 
     def compact(self, n_files: int | None = None) -> str:
         """Rewrite the latest snapshot range-partitioned and sorted by the

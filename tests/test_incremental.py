@@ -162,6 +162,75 @@ def test_merge_fixture_equivalence(spark):
     assert _summaries(inc) == _summaries(full)
 
 
+def test_bucketed_layout_equivalence(spark, tmp_path):
+    """The bucketed snapshot layout (catalog write → pb-pruned closure
+    probes) produces byte-identical summaries to the plain path AND to a
+    full refold, over the staged merge fixture with hardlinks and a
+    dir-hardlink flip in play."""
+    import __spark_entry__ as em
+    from dudb_spark.operators.ingest import merge_scan
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    prev_p, prev_e, staged_p, staged_e = em._merge_fixture(spark)
+    cat = SnapshotCatalog(spark, str(tmp_path / "db"))
+    cat.write_snapshot(prev_p, prev_e, layout="bucketed", path_buckets=8)
+    assert cat.layout() == {"layout": "bucketed", "path_buckets": 8}
+    pt = cat.tables()
+    # logical view hides the layout column; raw view exposes it
+    assert "pb" not in pt.prefixes.columns
+    assert "pb" in pt.read_raw("prefixes").columns
+
+    merge = merge_scan(
+        pt.prefixes, pt.entries, staged_p, staged_e, root="/tree"
+    )
+    cat.write_snapshot(
+        merge.prefixes, merge.entries, layout="bucketed", path_buckets=8
+    )
+    nt = cat.tables()
+    prev = compute_stats(pt.prefixes, pt.entries, StatsOptions())
+    inc_b = incremental_stats(
+        prev,
+        pt.read_raw("prefixes"), pt.read_raw("entries"),
+        nt.read_raw("prefixes"), nt.read_raw("entries"),
+        merge.touched, pin_inputs=False, path_buckets=8,
+    )
+    # the fixture has real hardlink groups -> the spill index is
+    # non-trivial and the fully-pruned closure must still be exact
+    assert cat.spill_index("v0001").count() > 0
+    inc_s = incremental_stats(
+        prev,
+        pt.read_raw("prefixes"), pt.read_raw("entries"),
+        nt.read_raw("prefixes"), nt.read_raw("entries"),
+        merge.touched, pin_inputs=False, path_buckets=8,
+        prev_spill=cat.spill_index("v0001"),
+        new_spill=cat.spill_index("v0002"),
+    )
+    inc_plain = incremental_stats(
+        prev, pt.prefixes, pt.entries,
+        nt.prefixes, nt.entries, merge.touched, pin_inputs=False,
+    )
+    full = compute_stats(nt.prefixes, nt.entries, StatsOptions())
+    assert _summaries(inc_b) == _summaries(full)
+    assert _summaries(inc_s) == _summaries(full)
+    assert _summaries(inc_b) == _summaries(inc_plain)
+
+
+def test_bucketed_layout_requires_pb(spark):
+    import pytest
+
+    import __spark_entry__ as em
+    from dudb_spark.operators.ingest import merge_scan
+
+    prev_p, prev_e, staged_p, staged_e = em._merge_fixture(spark)
+    prev = compute_stats(prev_p, prev_e, StatsOptions())
+    merge = merge_scan(prev_p, prev_e, staged_p, staged_e, root="/tree")
+    with pytest.raises(ValueError, match="pb"):
+        incremental_stats(
+            prev, prev_p, prev_e, merge.prefixes, merge.entries,
+            merge.touched, path_buckets=8,
+        )
+
+
 def _fuzz_scenario(rng, root, device):
     """One random tree + random churn, namespaced under ``root`` with its
     own ``device`` — (device, inode) keys cannot cross scenarios, so many
@@ -256,14 +325,18 @@ def _fuzz_scenario(rng, root, device):
     return prev_p_rows, prev_e_rows, new_p_rows, new_e_rows, touched
 
 
-def test_incremental_fuzz_random_mutations(spark):
+def test_incremental_fuzz_random_mutations(spark, tmp_path):
     """Machine-check of the closure proof (module docstring of
     incremental.py): 200 random trees with cross-directory hardlink
     groups and random add/delete/modify/dir-share churn — incremental ==
     full refold on every seed.  Scenarios are device-isolated and
     batched 25-per-snapshot, so the whole sweep costs 8 comparison
-    rounds instead of 200."""
+    rounds instead of 200.  Every fourth batch ALSO runs through the
+    bucketed layout + spill-index path (write → pruned closure), fuzzing
+    the spill completeness argument against the same oracles."""
     import random
+
+    from dudb_spark.sources.catalog import SnapshotCatalog
 
     BATCH = 25
     for batch in range(8):
@@ -301,3 +374,25 @@ def test_incremental_fuzz_random_mutations(spark):
         inc = incremental_stats(prev, prev_p, prev_e, new_p, new_e, touched)
         full = compute_stats(new_p, new_e, StatsOptions())
         assert _summaries(inc) == _summaries(full), f"batch {batch}"
+
+        if batch % 4 == 0:
+            cat = SnapshotCatalog(spark, str(tmp_path / f"db{batch}"))
+            cat.write_snapshot(
+                prev_p, prev_e, layout="bucketed", path_buckets=8
+            )
+            pv, pt = cat.latest_version(), cat.tables()
+            cat.write_snapshot(
+                new_p, new_e, layout="bucketed", path_buckets=8
+            )
+            nv, nt = cat.latest_version(), cat.tables()
+            inc_b = incremental_stats(
+                prev,
+                pt.read_raw("prefixes"), pt.read_raw("entries"),
+                nt.read_raw("prefixes"), nt.read_raw("entries"),
+                touched, pin_inputs=False, path_buckets=8,
+                prev_spill=cat.spill_index(pv),
+                new_spill=cat.spill_index(nv),
+            )
+            assert _summaries(inc_b) == _summaries(full), (
+                f"bucketed batch {batch}"
+            )
