@@ -3887,11 +3887,19 @@ def q118_incremental_at_scale(spark, sf_dir):
     from dudb_spark.operators.stats import StatsOptions, compute_stats
 
     prev_p, prev_e, staged_p, staged_e = _incremental_staging(spark, sf_dir)
-    # the previous snapshot stays a lazy derivation: re-deriving it per
-    # closure probe measured CHEAPER than two 600k-row checkpoint jobs
-    # (narrow column pruning survives the derivation; the pins did not
-    # pay for themselves at any size tried).  Only the previous SUMMARY
-    # is pinned — the stitch's stored-table stand-in.
+    # The previous snapshot feeds (a) the prev fold and (b) the closure
+    # PROBES — and the probes only read (path/parent, device, inode), so
+    # pin just that narrow projection (two cheap checkpoint jobs) and
+    # leave the wide frame a lazy derivation for the one fold pass.
+    # Wide pins measured a wash (the pin jobs cost what the fold's
+    # branch re-derivations save); the narrow pins + a touched pin cut
+    # the closure's affected job 5.6s -> 1.6s for ~2.8s of pin cost
+    # (in-suite ~27s -> ~24.7s).  Values are pin-invariant — the q118
+    # oracle row is unchanged.
+    prev_probe_p = prev_p.select("path", "device", "inode").localCheckpoint()
+    prev_probe_e = prev_e.select(
+        "parent", "device", "inode"
+    ).localCheckpoint()
     prev = compute_stats(prev_p, prev_e, StatsOptions())
     prev.per_prefix = prev.per_prefix.localCheckpoint()
     merge = merge_scan(
@@ -3900,8 +3908,12 @@ def q118_incremental_at_scale(spark, sf_dir):
     )
     new_p = merge.prefixes.localCheckpoint()
     new_e = merge.entries.localCheckpoint()
+    # touched is consumed three times by the closure (seed build +
+    # affected union); tiny, so the pin is ~free and saves re-running
+    # the merge classification join per consumer
+    touched = merge.touched.localCheckpoint()
     inc = incremental_stats(
-        prev, prev_p, prev_e, new_p, new_e, merge.touched,
+        prev, prev_probe_p, prev_probe_e, new_p, new_e, touched,
         pin_inputs=False,
     )
     kd = F.substring("prefix", 9, 10).cast("long")

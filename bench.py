@@ -82,21 +82,45 @@ def decode_bench() -> dict:
     for _ in range(10):  # ~7.5s of 16 kHz stereo each
         samples = rng.integers(-32768, 32768, 120000).tolist()
         add("wav", (mm.synthetic_wav(samples, channels=2), "wav"), 120000 * 2)
+    if mm._PILImage is not None:
+        # real-corpus JPEG path (decode_media routes it to Pillow): only
+        # measurable when the optional dependency is installed — the
+        # line's absence in an environment without Pillow is the honest
+        # signal that JPEGs null-fill there
+        import io as _io
+
+        for _ in range(6):
+            base = np.arange(256)[:, None] * 2 + np.arange(256 * 3)[None, :] // 3
+            px = ((base + rng.integers(-6, 7, (256, 256 * 3))) % 256).astype(
+                np.uint8
+            )
+            im = mm._PILImage.fromarray(px.reshape(256, 256, 3), "RGB")
+            buf = _io.BytesIO()
+            im.save(buf, "JPEG", quality=85)
+            add("jpeg", (buf.getvalue(), "jpeg"), 256 * 256 * 3)
 
     r4 = {"png": mm.decode_png_py, "bmp": mm.decode_bmp_py, "wav": mm.decode_wav_py}
     out: dict = {}
     tot_work = tot_new = tot_old = 0.0
     for group, (lst, wk) in groups.items():
         reps = 3
+        # one unmeasured warm-up: the first decode in a process pays
+        # one-time numpy setup + page-faulting the wavefront scratch
+        # (~50% of a rep), which is startup cost, not decode throughput
+        mm.decode_payloads(lst)
         t0 = time.perf_counter()
         for _ in range(reps):
             mm.decode_payloads(lst)
         t_new = (time.perf_counter() - t0) / reps
+        out[f"decode_{group}_mb_per_sec"] = round(wk / t_new / 1e6, 1)
+        if group == "jpeg":
+            # no r4 Python JPEG decoder exists; keep the aggregate
+            # speedup comparable across environments with/without Pillow
+            continue
         t0 = time.perf_counter()
         for p, f in lst:
             r4[f](p)
         t_old = time.perf_counter() - t0
-        out[f"decode_{group}_mb_per_sec"] = round(wk / t_new / 1e6, 1)
         tot_work += wk
         tot_new += t_new
         tot_old += t_old

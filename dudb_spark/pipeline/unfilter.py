@@ -15,12 +15,15 @@ vectorize the hot filters.  Two exact strategies recover columnar speed:
   images with Average/Paeth rows.  Cell (row, px) depends on (row,
   px-1), (row-1, px), (row-1, px-1) — all on earlier anti-diagonals
   d = row + px, so every cell on diagonal d is computable at step d.
-  All images in a decode batch advance in lockstep (their diagonal-d
-  cells are one contiguous block), which amortizes numpy dispatch over
-  the whole batch instead of one 3-element pixel.  Cell positions are
-  ANALYTIC (diagonal lengths are closed-form), so there is no argsort;
-  neighbor positions come from the identity left_pos = up_pos + 1
-  (left and up sit adjacently in the previous diagonal's block).
+  Same-shape images advance in lockstep through the uniform kernel
+  (`_unfilter_wavefront_uniform`): neighbor loads are closed-form
+  SLICES of zero-padded rolling buffers holding the previous two
+  diagonals — no index arrays, no gathers, no boundary masks — and the
+  predictor math is presence-gated per diagonal and runs in
+  preallocated scratch.  Throughput is capped by one ufunc dispatch
+  round per diagonal (the left-neighbor dependency is fundamental);
+  batching K images widens each diagonal K-fold, which is the lever
+  that matters inside an Arrow batch.
 
 Both paths are fuzz-pinned bit-identical to the Python kernel
 (tests/test_pipeline.py) — the arithmetic is exact mod-256 integer
@@ -116,189 +119,174 @@ def _unfilter_simple(
     return recon
 
 
+def _unfilter_wavefront_uniform(
+    ftypes: np.ndarray, data: np.ndarray, h: int, w: int, ch: int
+) -> np.ndarray:
+    """Batched exact wavefront over K same-shape images — (K, h) filter
+    types and (K, h, w*ch) filtered rows in, (K, h, w*ch) pixels out.
+
+    Same anti-diagonal dependency argument as the general wavefront, but
+    uniform shape makes every neighbor position a closed-form SLICE of
+    the previous diagonal's block instead of a gather: on diagonal d the
+    up/left/ul neighbors of the cells (ordered by row) are contiguous
+    runs of diagonals d-1 / d-2, offset by {0,1,2} depending on whether
+    the diagonal has entered the r0 = d-w+1 regime.  The previous two
+    diagonals live in zero-PADDED rolling buffers, so boundary cells
+    (row 0 / column 0) read the pad's zeros and no masks or index
+    arrays exist at all.  Predictor math is presence-gated per diagonal
+    (a diagonal with no Paeth rows never pays the Paeth compare chain)
+    and runs entirely in preallocated scratch."""
+    K = data.shape[0]
+    D = h + w - 1
+    cells = data.reshape(K, h * w, ch)
+    # diagonal geometry (closed-form)
+    dd = np.arange(D)
+    r0 = np.maximum(0, dd - w + 1)
+    r1 = np.minimum(dd, h - 1)
+    cnt = r1 - r0 + 1
+    dstart = np.concatenate(([0], np.cumsum(cnt)))
+    # row-major cell -> diagonal-major position (one vectorized build)
+    r_ix, p_ix = np.indices((h, w), dtype=np.int64)
+    d_of = (r_ix + p_ix).ravel()
+    idx = dstart[d_of] + (r_ix.ravel() - r0[d_of])
+    raw_d = np.empty((K, h * w, ch), np.uint8)
+    raw_d[:, idx] = cells
+    f_d = np.empty((K, h * w), np.int8)
+    f_d[:, idx] = np.repeat(ftypes.astype(np.int8), w, axis=1)
+    # per-diagonal filter presence across the whole batch
+    fmax = np.maximum.reduceat(f_d, dstart[:-1], axis=1).max(axis=0)
+    fmin = np.minimum.reduceat(f_d, dstart[:-1], axis=1).min(axis=0)
+    n3 = (
+        np.add.reduceat((f_d == 3).astype(np.int32), dstart[:-1], axis=1)
+        .sum(axis=0)
+    )
+    n4 = (
+        np.add.reduceat((f_d == 4).astype(np.int32), dstart[:-1], axis=1)
+        .sum(axis=0)
+    )
+
+    recon_d = np.empty((K, h * w, ch), np.uint8)
+    B = int(cnt.max())
+    # rolling zero-padded previous diagonals: block at [1 : 1+cnt],
+    # slot 0 and 3 slots past the block stay zero for boundary reads
+    pad1 = np.zeros((K, B + 4, ch), np.uint8)
+    pad2 = np.zeros((K, B + 4, ch), np.uint8)
+    s_p = np.empty((K, B, ch), np.int16)
+    s_a = np.empty((K, B, ch), np.int16)
+    s_b = np.empty((K, B, ch), np.int16)
+    s_c = np.empty((K, B, ch), np.int16)
+    s_pred = np.empty((K, B, ch), np.int16)
+    m1 = np.empty((K, B, ch), np.bool_)
+    m2 = np.empty((K, B, ch), np.bool_)
+    for d in range(D):
+        s, e = int(dstart[d]), int(dstart[d + 1])
+        L = e - s
+        lo, hi = int(fmin[d]), int(fmax[d])
+        has3, has4 = bool(n3[d]), bool(n4[d])
+        raw = raw_d[:, s:e]
+        if hi == 0:  # whole diagonal unfiltered
+            cur = raw
+            recon_d[:, s:e] = raw
+        else:
+            # neighbor VIEWS into the padded previous diagonals — the
+            # alignment shifts by one once r0 = d-w+1 kicks in (up/left
+            # from d-1), and by up to two for ul (d-2)
+            off = 0 if d <= w - 1 else 1
+            up = pad1[:, off: L + off]
+            left = pad1[:, off + 1: L + off + 1]
+            pred = s_pred[:, :L]
+            if has4:
+                ulo = 0 if d <= w - 1 else (1 if d == w else 2)
+                ul = pad2[:, ulo: L + ulo]
+                p = s_p[:, :L]
+                np.add(left, up, out=p)
+                p -= ul
+                pa = s_a[:, :L]
+                np.subtract(p, left, out=pa)
+                np.abs(pa, out=pa)
+                pb = s_b[:, :L]
+                np.subtract(p, up, out=pb)
+                np.abs(pb, out=pb)
+                pc = s_c[:, :L]
+                np.subtract(p, ul, out=pc)
+                np.abs(pc, out=pc)
+                # nearest-of-three with ties left > up > ul, built in
+                # place: start at ul, overwrite with up then left
+                pred[:] = ul
+                ma = m1[:, :L]
+                np.less_equal(pb, pc, out=ma)
+                np.copyto(pred, up, where=ma)
+                np.less_equal(pa, pb, out=ma)
+                mb = m2[:, :L]
+                np.less_equal(pa, pc, out=mb)
+                ma &= mb
+                np.copyto(pred, left, where=ma)
+                if has3:
+                    p = s_p[:, :L]  # reuse as avg scratch
+                    np.add(left, up, out=p)
+                    p >>= 1
+                    np.copyto(
+                        pred, p, where=(f_d[:, s:e] == 3)[..., None]
+                    )
+            elif has3:
+                np.add(left, up, out=pred)
+                pred >>= 1
+            elif lo == hi == 1:
+                pred[:] = left
+            elif lo == hi == 2:
+                pred[:] = up
+            else:  # mixed None/Sub/Up only
+                pred[:] = 0
+            if lo <= 2 and not (lo == hi == 1) and not (lo == hi == 2):
+                # rows with None/Sub/Up mixed into this diagonal:
+                # overwrite their cells (pred already holds 0 for the
+                # pure-simple mixed case above)
+                fsl = f_d[:, s:e][..., None]
+                if lo == 0 and (has3 or has4):
+                    np.copyto(pred, 0, where=(fsl == 0))
+                np.copyto(pred, left, where=(fsl == 1))
+                np.copyto(pred, up, where=(fsl == 2))
+            pred += raw
+            pred &= 0xFF
+            recon_d[:, s:e] = pred
+            cur = pred
+        # roll the pads: current block becomes pad1, old pad1 -> pad2;
+        # slot 0 and three slots past the block are re-zeroed so the
+        # next diagonals' shifted views read zeros at the boundaries
+        pad1, pad2 = pad2, pad1
+        pad1[:, 1: 1 + L] = cur
+        pad1[:, 0] = 0
+        pad1[:, 1 + L: 4 + L] = 0
+    out = recon_d[:, idx]
+    return out.reshape(K, h, w * ch)
+
+
 def _unfilter_wavefront(items: list[tuple]) -> list[np.ndarray]:
     """Batched exact unfilter for images containing Average/Paeth rows.
     ``items``: (ftypes, data, h, w, ch) per image; returns (h, stride)
-    uint8 arrays in item order.  See module docstring for the scheme.
+    uint8 arrays in item order.
 
-    Layout is built vectorized per same-shape run (images are regrouped
-    by shape first — output order is restored by index), and the scan
-    works on uint8 state with preallocated int16 scratch, so both
-    phases run at memory bandwidth rather than allocator speed."""
-    groups: dict[int, list[int]] = {}
-    for j, it in enumerate(items):
-        groups.setdefault(it[4], []).append(j)
+    Images are grouped by exact shape and each group runs through the
+    uniform-shape wavefront (:func:`_unfilter_wavefront_uniform`), whose
+    neighbor loads are slices of zero-padded rolling diagonal buffers —
+    no index arrays, no gathers.  Real media corpora repeat a handful of
+    shapes (thumbnails, tiles, fixed-resolution frames), so grouping
+    keeps the batch amortization of the original mixed-shape wavefront
+    while removing its per-cell position bookkeeping."""
+    for ftypes, _, _, _, _ in items:
+        mx, mn = int(ftypes.max()), int(ftypes.min())
+        if mx > 4 or mn < 0:
+            raise ValueError(f"bad PNG filter type {mx if mx > 4 else mn}")
+    groups: dict[tuple, list[int]] = {}
+    for j, (_, _, h, w, ch) in enumerate(items):
+        groups.setdefault((h, w, ch), []).append(j)
     results: list[np.ndarray | None] = [None] * len(items)
-    for ch, idxs in groups.items():
-        # same-shape images adjacent -> one vectorized build per shape
-        idxs = sorted(idxs, key=lambda j: (items[j][2], items[j][3]))
-        metas = [items[j] for j in idxs]
-        J = len(metas)
-        max_d = max(h + w - 1 for _, _, h, w, _ in metas)
-        # diagonal lengths are closed-form; global layout = per diagonal,
-        # images in fixed order, each image's cells ordered by row
-        counts = np.zeros((J, max_d), np.int64)
-        for ji, (_, _, h, w, _) in enumerate(metas):
-            dd = np.arange(h + w - 1)
-            counts[ji, : h + w - 1] = (
-                np.minimum(dd, h - 1) - np.maximum(0, dd - w + 1) + 1
-            )
-        diag_start = np.concatenate(([0], np.cumsum(counts.sum(axis=0))))
-        img_off = np.cumsum(counts, axis=0) - counts
-        total = int(diag_start[-1])
-        # cell `total` is a zero SENTINEL: boundary cells (row 0 / col 0)
-        # aim their missing-neighbor positions at it, so the scan needs
-        # no existence masks at all — gathers read 0 naturally
-        ptype = np.int32 if total + 1 < 2**31 else np.int64
-        counts = counts.astype(ptype)
-        diag_start_p = diag_start.astype(ptype)
-        img_off = img_off.astype(ptype)
-        raw_s = np.empty((total, ch), np.uint8)
-        f_s = np.empty(total, np.int8)
-        up_pos = np.empty(total, ptype)
-        left_pos = np.empty(total, ptype)
-        ul_pos = np.empty(total, ptype)
-        out_pos = []
-        ji = 0
-        while ji < J:
-            # run of same-shape images: shared grid, per-image offsets
-            _, _, h, w, _ = metas[ji]
-            je = ji + 1
-            while je < J and metas[je][2] == h and metas[je][3] == w:
-                je += 1
-            K = je - ji
-            r_ix, p_ix = np.indices((h, w), dtype=ptype)
-            r_f = r_ix.ravel()
-            p_f = p_ix.ravel()
-            d = r_f + p_f
-            cnt_d = counts[ji, d]  # same for the whole run
-            pos0 = (
-                diag_start_p[d]
-                + img_off[ji, d]
-                + (r_f - np.maximum(0, d - w + 1))
-            )
-            d1 = np.maximum(d - 1, 0)
-            up0 = diag_start_p[d1] + img_off[ji, d1] + (
-                r_f - 1 - np.maximum(0, d - w)
-            )
-            cnt_d1 = counts[ji, d1]
-            d2 = np.maximum(d - 2, 0)
-            ul0 = diag_start_p[d2] + img_off[ji, d2] + (
-                r_f - 1 - np.maximum(0, d - 1 - w)
-            )
-            cnt_d2 = counts[ji, d2]
-            has_u0 = r_f > 0
-            has_l0 = p_f > 0
-            # fuse the sentinel into the per-cell BASE vectors (h*w-sized,
-            # cheap): masked cells get base=total with a zeroed per-image
-            # stride, so base + k*stride == total for every image — no
-            # (K, h*w)-sized mask/where is ever materialized
-            up0m = np.where(has_u0, up0, total)
-            cnt1m = np.where(has_u0, cnt_d1, 0)
-            left0m = np.where(has_l0, up0 + 1, total)
-            cnt1l = np.where(has_l0, cnt_d1, 0)
-            ulok = has_u0 & has_l0
-            ul0m = np.where(ulok, ul0, total)
-            cnt2m = np.where(ulok, cnt_d2, 0)
-            ks = np.arange(K, dtype=ptype)[:, None]
-            pos = pos0[None, :] + ks * cnt_d[None, :]
-            flat = pos.ravel()
-            up_pos[flat] = (up0m[None, :] + ks * cnt1m[None, :]).ravel()
-            # left sits one past up in the previous diagonal's block
-            left_pos[flat] = (left0m[None, :] + ks * cnt1l[None, :]).ravel()
-            ul_pos[flat] = (ul0m[None, :] + ks * cnt2m[None, :]).ravel()
-            raw_s[flat] = np.stack(
-                [m[1].reshape(h * w, ch) for m in metas[ji:je]]
-            ).reshape(K * h * w, ch)
-            f_s[flat] = np.stack(
-                [
-                    np.repeat(m[0].astype(np.int8), w)
-                    for m in metas[ji:je]
-                ]
-            ).ravel()
-            for k in range(K):
-                out_pos.append(pos[k])
-            ji = je
-        if np.any((f_s < 0) | (f_s > 4)):
-            raise ValueError("bad PNG filter type")
-        recon = np.zeros((total + 1, ch), np.uint8)  # +1 = zero sentinel
-        # which filters appear on each diagonal (drives the minimal
-        # predictor computation per step)
-        dstarts = diag_start[:-1]
-        fmax = np.maximum.reduceat(f_s, dstarts)
-        fmin = np.minimum.reduceat(f_s, dstarts)
-        # preallocated int16 scratch, sliced per diagonal
-        B = int((diag_start[1:] - diag_start[:-1]).max())
-        s_up = np.empty((B, ch), np.int16)
-        s_left = np.empty((B, ch), np.int16)
-        s_ul = np.empty((B, ch), np.int16)
-        s_p = np.empty((B, ch), np.int16)
-        s_a = np.empty((B, ch), np.int16)
-        s_b = np.empty((B, ch), np.int16)
-        s_c = np.empty((B, ch), np.int16)
-        for dd in range(max_d):
-            s, e = int(diag_start[dd]), int(diag_start[dd + 1])
-            L = e - s
-            sl = slice(s, e)
-            lo, hi = int(fmin[dd]), int(fmax[dd])
-            if hi == 0:  # whole diagonal is filter None
-                recon[sl] = raw_s[sl]
-                continue
-            up = s_up[:L]
-            up[:] = recon[up_pos[sl]]       # uint8 gather, int16 store
-            left = s_left[:L]
-            left[:] = recon[left_pos[sl]]
-            if hi >= 3:
-                ul = s_ul[:L]
-                ul[:] = recon[ul_pos[sl]]
-                # Paeth predictor (exact): p = left+up-ul, nearest of the
-                # three with ties left > up > ul
-                p = s_p[:L]
-                np.add(left, up, out=p)
-                p -= ul
-                pa = s_a[:L]
-                np.subtract(p, left, out=pa)
-                np.abs(pa, out=pa)
-                pb = s_b[:L]
-                np.subtract(p, up, out=pb)
-                np.abs(pb, out=pb)
-                pc = s_c[:L]
-                np.subtract(p, ul, out=pc)
-                np.abs(pc, out=pc)
-                pr = np.where(
-                    (pa <= pb) & (pa <= pc),
-                    left,
-                    np.where(pb <= pc, up, ul),
-                )
-                avg = np.add(left, up, out=p)  # reuse p scratch
-                avg >>= 1
-                if lo == 4 and hi == 4:
-                    pred = pr
-                elif lo == 3 and hi == 3:
-                    pred = avg
-                else:
-                    f = f_s[sl][:, None]
-                    pred = np.where(f == 3, avg, pr)
-                    if lo <= 2:
-                        pred = np.where(
-                            f == 0,
-                            0,
-                            np.where(f == 1, left, np.where(f == 2, up, pred)),
-                        )
-            else:
-                if lo == 1 and hi == 1:
-                    pred = left
-                elif lo == 2 and hi == 2:
-                    pred = up
-                else:
-                    f = f_s[sl][:, None]
-                    pred = np.where(f == 0, 0, np.where(f == 1, left, up))
-            pred += raw_s[sl]       # int16 += uint8
-            pred &= 0xFF
-            recon[sl] = pred        # cast back to uint8 state
-        for ji, j in enumerate(idxs):
-            _, _, h, w, _ = metas[ji]
-            results[j] = recon[out_pos[ji]].reshape(h, w * ch)
+    for (h, w, ch), idxs in groups.items():
+        fts = np.stack([items[j][0] for j in idxs])
+        data = np.stack([items[j][1] for j in idxs])
+        recs = _unfilter_wavefront_uniform(fts, data, h, w, ch)
+        for k, j in enumerate(idxs):
+            results[j] = recs[k]
     return results
 
 

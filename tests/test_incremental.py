@@ -396,3 +396,61 @@ def test_incremental_fuzz_random_mutations(spark, tmp_path):
             assert _summaries(inc_b) == _summaries(full), (
                 f"bucketed batch {batch}"
             )
+
+
+def test_at_scale_staging_fuzz(spark):
+    """The q118 production shape (lineitem→_scale_fs staging, merge_scan,
+    pin_inputs=False) fuzzed over random churn classes: changed/deleted
+    dir bands and hardlink-copied dirs picked per seed, incremental ==
+    full refold each time.  This runs the exact staging pipeline the
+    certified gate uses — not the synthetic fuzz trees — so regressions
+    in the staging/merge/closure composition itself get caught."""
+    import random
+
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from dudb_spark.operators.ingest import merge_scan
+
+    li = em._t(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "l_partkey",
+        F.when(
+            F.col("l_partkey") % 199 == 0, F.col("l_partkey") + 1
+        ).otherwise(F.col("l_partkey")),
+    )
+    d500 = F.col("l_orderkey") % 500
+    prev_p, prev_e = em._scale_fs(li)
+    for seed in range(3):
+        rng = random.Random(20260814 + seed)
+        ch_mod = rng.choice([50, 100, 125])
+        del_mod = rng.choice([50, 100, 250])
+        n_add = rng.randint(1, 4)
+        ch_p, ch_e = em._scale_fs(
+            li.where(d500 % ch_mod == 3), size_plus=seed + 5,
+            prefix_mtime="2025-03-01 00:00:00",
+        )
+        add_p, add_e = em._scale_fs(
+            li.where(d500.between(495 - n_add, 494)), dir_prefix="a",
+            dir_index=d500 - (495 - n_add), pinode_plus=50_000_000,
+        )
+        pdir = F.substring("path", 9, 10).cast("long")
+        staged_p = (
+            prev_p.where((pdir % del_mod != 7) & (pdir % ch_mod != 3))
+            .unionByName(ch_p)
+            .unionByName(add_p)
+        )
+        staged_e = ch_e.unionByName(add_e)
+
+        prev = compute_stats(prev_p, prev_e, StatsOptions())
+        merge = merge_scan(
+            prev_p, prev_e, staged_p, staged_e, root="/scale",
+            with_summary=False,
+        )
+        new_p = merge.prefixes.localCheckpoint()
+        new_e = merge.entries.localCheckpoint()
+        touched = merge.touched.localCheckpoint()
+        inc = incremental_stats(
+            prev, prev_p, prev_e, new_p, new_e, touched,
+            pin_inputs=False,
+        )
+        full = compute_stats(new_p, new_e, StatsOptions())
+        assert _summaries(inc) == _summaries(full), f"seed {seed}"

@@ -308,6 +308,28 @@ def test_decode_jpeg_requires_pillow():
     # (decode_jpeg raises ValueError -> the known-format corrupt path)
 
 
+def test_real_jpeg_decode_with_pillow():
+    """Real JPEG round-trip through decode_payloads — runs only where
+    Pillow is installed (the decode_media production route for JPEG);
+    elsewhere it is SKIPPED, making the dependency boundary visible in
+    the test report rather than silently untested."""
+    if multimodal._PILImage is None:
+        pytest.skip("Pillow not installed — JPEG decode unavailable")
+    import io
+
+    import numpy as np
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:, :, 0] = 200
+    im = multimodal._PILImage.fromarray(px, "RGB")
+    buf = io.BytesIO()
+    im.save(buf, "JPEG", quality=95)
+    out = multimodal.decode_payloads([(buf.getvalue(), "jpeg")])
+    assert out[0]["format"] == "jpeg"
+    assert (out[0]["width"], out[0]["height"]) == (8, 8)
+    assert abs(out[0]["mean"][0] - 200) < 10  # lossy, near the fill
+
+
 def test_pillow_decode_errors_null_fill(monkeypatch):
     """With Pillow present, a corrupt payload that reaches the Pillow
     decoders (valid JPEG magic, or an exotic PNG variant) must follow the
