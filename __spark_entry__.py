@@ -3939,6 +3939,82 @@ def q118_incremental_at_scale(spark, sf_dir):
     )
 
 
+def q126_incremental_bucketed(spark, sf_dir):
+    """q118's incremental gate routed through the BUCKETED snapshot
+    layout — the storage path a production deployment runs (the CLI
+    default): snapshots written via SnapshotCatalog(layout="bucketed")
+    with the hardlink spill index, closure probes partition-pruned to
+    the churn's buckets + the index's member buckets
+    (operators/incremental.py, sources/catalog.py).  Output and oracle
+    are IDENTICAL to q118 (the layout is a writer-side choice; value
+    equality against the from-scratch fold restatement proves the
+    pruned closure loses nothing), so any divergence between the plain
+    and bucketed paths shows up as exactly one of the two rows going
+    red."""
+    import shutil
+    import tempfile
+
+    from dudb_spark.operators.incremental import incremental_stats
+    from dudb_spark.operators.ingest import merge_scan
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    prev_p, prev_e, staged_p, staged_e = _incremental_staging(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="dudb_q126_")
+    try:
+        cat = SnapshotCatalog(spark, f"{base}/db")
+        cat.write_snapshot(
+            prev_p, prev_e, layout="bucketed", path_buckets=16
+        )
+        prev_v = cat.latest_version()
+        pt = cat.tables()
+        prev = compute_stats(pt.prefixes, pt.entries, StatsOptions())
+        prev.per_prefix = prev.per_prefix.localCheckpoint()
+        merge = merge_scan(
+            pt.prefixes, pt.entries, staged_p, staged_e, root="/scale",
+            with_summary=False,
+        )
+        cat.write_snapshot(
+            merge.prefixes, merge.entries,
+            layout="bucketed", path_buckets=16,
+        )
+        nt = cat.tables()
+        touched = merge.touched.localCheckpoint()
+        inc = incremental_stats(
+            prev,
+            pt.read_raw("prefixes"), pt.read_raw("entries"),
+            nt.read_raw("prefixes"), nt.read_raw("entries"),
+            touched, pin_inputs=False, path_buckets=16,
+            prev_spill=cat.spill_index(prev_v),
+            new_spill=cat.spill_index(),
+        )
+        kd = F.substring("prefix", 9, 10).cast("long")
+        kind = (
+            F.when(F.col("prefix").startswith("/scale/a"), "added")
+            .when(kd.between(490, 494), "linked")
+            .when(kd % 100 == 3, "changed")
+            .otherwise("unchanged")
+        )
+        return (
+            inc.per_prefix.groupBy(kind.alias("kind"))
+            .agg(
+                F.count(F.lit(1)).alias("n_dirs"),
+                F.sum("prefixes").alias("prefixes"),
+                F.sum("files").alias("files"),
+                F.sum("bytes").alias("bytes"),
+                F.sum("storage_bytes").alias("storage_bytes"),
+                F.sum("prefix_bytes").alias("prefix_bytes"),
+                F.sum("hardlinks").alias("hardlinks"),
+                F.sum("hardlink_dirs").alias("hardlink_dirs"),
+            )
+            .orderBy("kind")
+            # materialize before the temp snapshot dir is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q120_stream_excision(spark, sf_dir):
     """STREAMING decontamination-by-excision — the online version of
     q108: the newest 20% of the corpus arrives as 4 mtime-ordered
@@ -4207,6 +4283,7 @@ QUERIES: dict[str, Callable] = {
     "q123_embedding_outliers": q123_embedding_outliers,
     "q124_bpe_merges": q124_bpe_merges,
     "q125_bpe_encode": q125_bpe_encode,
+    "q126_incremental_bucketed": q126_incremental_bucketed,
 }
 
 ORACLE: dict[str, str] = {
@@ -5060,6 +5137,10 @@ ORACLE["q118_incremental_at_scale"] = r"""
            CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
     FROM perdir GROUP BY kind ORDER BY kind
 """
+
+# q126 routes the identical staging through the bucketed layout; value
+# equality against the SAME restatement certifies the pruned closure
+ORACLE["q126_incremental_bucketed"] = ORACLE["q118_incremental_at_scale"]
 
 ORACLE["q121_chunk_windows"] = r"""
     WITH tl AS (

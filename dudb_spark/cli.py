@@ -793,8 +793,18 @@ def cmd_database_compact(args):
     from dudb_spark.sources.catalog import SnapshotCatalog
 
     cat = SnapshotCatalog(_spark(), args.db)
-    out = cat.compact(n_files=args.files)
-    print(json.dumps({"compacted": out}))
+    if args.layout == "bucketed":
+        # adopt the bucketed layout on an existing DB: rewrite the
+        # latest snapshot path-hash partitioned + hardlink spill index,
+        # which is what lets stats --incremental prune its closure
+        t = cat.tables()
+        out = cat.write_snapshot(
+            t.prefixes, t.entries,
+            layout="bucketed", path_buckets=args.path_buckets,
+        )
+    else:
+        out = cat.compact(n_files=args.files)
+    print(json.dumps({"compacted": out, "layout": args.layout}))
 
 
 def cmd_database_diff(args):
@@ -927,6 +937,12 @@ def build_parser():
     dc = dsub.add_parser("compact", help="re-cluster the latest snapshot by path")
     dc.add_argument("--db", required=True)
     dc.add_argument("--files", type=int, default=None)
+    dc.add_argument(
+        "--layout", choices=["range", "bucketed"], default="range",
+        help="range = path-clustered files (subtree scans); bucketed = "
+        "path-hash partitions + spill index (incremental closure pruning)",
+    )
+    dc.add_argument("--path-buckets", type=int, default=64)
     dc.set_defaults(func=cmd_database_compact)
     dp = dsub.add_parser("prune", help="drop old snapshot versions")
     dp.add_argument("--db", required=True)

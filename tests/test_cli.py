@@ -372,3 +372,25 @@ def test_cli_pipeline_commands(spark, tmp_path, capsys):
         run(capsys, "pipeline", "check", "--input", li,
             "--unique", "l_orderkey")  # order keys repeat across lines
     assert e.value.code == 2
+
+
+def test_cli_compact_bucketed_adoption(spark, real_tree, tmp_path, capsys):
+    """A plain-layout DB adopts the bucketed layout via database compact
+    --layout bucketed: layout metadata + spill index appear, and query
+    results over the logical tables are unchanged."""
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    db = str(tmp_path / "db")
+    run(capsys, "analyze", "--db", db, real_tree, "--layout", "plain")
+    cat = SnapshotCatalog(spark, db)
+    assert cat.layout() == {}
+    before = run(capsys, "find", "--db", db, real_tree, "type=f")
+
+    out = json.loads(run(capsys, "database", "compact", "--db", db,
+                         "--layout", "bucketed", "--path-buckets", "8"))
+    assert out["layout"] == "bucketed"
+    assert cat.layout() == {"layout": "bucketed", "path_buckets": 8}
+    assert cat.spill_index() is not None
+    assert "pb" not in cat.tables().prefixes.columns
+    after = run(capsys, "find", "--db", db, real_tree, "type=f")
+    assert sorted(before.splitlines()) == sorted(after.splitlines())
