@@ -289,6 +289,8 @@ def main():
         # derivable/constant metrics live in the sidecar only
         slim.pop("decode_mb_per_sec_r4", None)
         slim.pop("merge_unchanged_skip_ratio", None)
+        slim.pop("decode_speedup_vs_r4", None)
+        slim.pop("incremental_fold_fraction_high", None)
         line = json.dumps(slim, separators=(",", ":"))
         if len(line) <= 1900:
             break

@@ -127,6 +127,10 @@ SHOWCASE = {
     "gram-hash) set is bounded by gram vocabulary, pairs come from one "
     "hash equi-join, and the Jaccard denominators arrive as broadcast "
     "per-source totals",
+    "q125_bpe_encode": "BPE inference: all 8 merge folds chain into one "
+    "scan-fused projection over the DISTINCT vocabulary (bounded by the "
+    "lexicon, not the corpus); the word→token-count map joins back on "
+    "the word key and per-doc counts aggregate with map-side partials",
 }
 
 
