@@ -2764,6 +2764,47 @@ def q70_crawler_walk(spark, sf_dir):
     return pfx.unionByName(ent).orderBy("relpath", "is_prefix")
 
 
+def q127_fswalk_datasource(spark, sf_dir):
+    """S1/S2/S3 through Spark's native Python DataSource API
+    (sources/fsds.py): the q70 staged tree read via
+    ``spark.read.format("fswalk")`` + live_tables — executor-side
+    partitioned walking, exclusion at scan time, symlink recorded but
+    not descended, prefixes synthesized live (depth/n_entries).  Output
+    shape and ORACLE are q70's verbatim, so the DataSource route must
+    reproduce the crawler's rows exactly."""
+    import tempfile
+
+    from dudb_spark.sources.fsds import live_tables
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="dudb_q127_") + "/tree"
+    _build_crawl_tree(root)
+    prefixes, entries = live_tables(spark, root, exclude=r"\.tmp$")
+    rel = lambda c: F.coalesce(  # noqa: E731
+        F.nullif(F.expr(f"substring({c}, {len(root) + 1})"), F.lit("")),
+        F.lit("/"),
+    ).alias("relpath")
+    pfx = prefixes.select(
+        rel("path"),
+        F.lit(True).alias("is_prefix"),
+        F.col("depth").cast("long").alias("depth"),
+        F.col("n_entries").cast("long").alias("n_entries"),
+        F.lit(None).cast("long").alias("size"),
+        F.lit(None).cast("boolean").alias("is_dir"),
+        _fmt_ts(F.col("mtime"), "mtime"),
+    )
+    ent = entries.select(
+        rel("path"),
+        F.lit(False).alias("is_prefix"),
+        F.lit(None).cast("long").alias("depth"),
+        F.lit(None).cast("long").alias("n_entries"),
+        F.when(~F.col("is_dir"), F.col("size")).cast("long").alias("size"),
+        F.col("is_dir"),
+        _fmt_ts(F.col("mtime"), "mtime"),
+    )
+    return pfx.unionByName(ent).orderBy("relpath", "is_prefix")
+
+
 def q71_decontamination(spark, sf_dir):
     """Benchmark decontamination (pipeline/decontam.py): corpus docs
     sharing 5-gram shingles with the held-out eval slice (doc_id % 97 == 0)
@@ -4284,6 +4325,7 @@ QUERIES: dict[str, Callable] = {
     "q124_bpe_merges": q124_bpe_merges,
     "q125_bpe_encode": q125_bpe_encode,
     "q126_incremental_bucketed": q126_incremental_bucketed,
+    "q127_fswalk_datasource": q127_fswalk_datasource,
 }
 
 ORACLE: dict[str, str] = {
@@ -5516,6 +5558,9 @@ ORACLE["q70_crawler_walk"] = """
     ORDER BY relpath, is_prefix
 """
 
+
+# the DataSource route must reproduce the crawler's rows exactly
+ORACLE["q127_fswalk_datasource"] = ORACLE["q70_crawler_walk"]
 
 ORACLE["q71_decontamination"] = """
     WITH tok AS (

@@ -97,9 +97,19 @@ def cmd_find(args):
     from dudb_spark.sources.catalog import SnapshotCatalog
 
     spark = _spark()
-    t = SnapshotCatalog(spark, args.db).tables()
+    if getattr(args, "live", False):
+        # database-free find: the fswalk DataSource scans the live tree
+        # on executors and the same expression language filters it
+        from dudb_spark.sources.fsds import live_tables
+
+        prefixes, entries = live_tables(spark, args.prefix)
+    else:
+        if not args.db:
+            raise SystemExit("find: --db is required (or pass --live)")
+        t = SnapshotCatalog(spark, args.db).tables()
+        prefixes, entries = t.prefixes, t.entries
     expr = " ".join(args.expression)
-    df = find(t.prefixes, t.entries, root=args.prefix, expr=expr,
+    df = find(prefixes, entries, root=args.prefix, expr=expr,
               long_listing=args.long)
     for r in df.toLocalIterator():
         if args.long:
@@ -859,10 +869,14 @@ def build_parser():
     p.set_defaults(func=cmd_analyze)
 
     p = sub.add_parser("find", help="predicate search")
-    p.add_argument("--db", required=True)
+    p.add_argument("--db", help="metadata DB (omit with --live)")
     p.add_argument("prefix")
     p.add_argument("expression", nargs="*", default=[])
     p.add_argument("--l", dest="long", action="store_true", help="long listing")
+    p.add_argument(
+        "--live", action="store_true",
+        help="scan the live filesystem (fswalk DataSource) instead of a DB",
+    )
     p.set_defaults(func=cmd_find)
 
     p = sub.add_parser("stats", help="usage statistics")

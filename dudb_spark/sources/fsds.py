@@ -1,0 +1,164 @@
+"""Filesystem walk as a native Spark Python DataSource (``fswalk``).
+
+The reference's walk is an ingest-only pipeline (S1, analyze.go:104–123);
+this module additionally exposes the SAME walk through Spark's DataSource
+API (pyspark 4, SPARK-44076) so the live filesystem is directly queryable
+without an ingest step::
+
+    from dudb_spark.sources.fsds import register
+    register(spark)
+    df = spark.read.format("fswalk").load("/data")          # entries rows
+    df.where("NOT is_dir AND size > 1024").groupBy("uid").count()
+
+Rows carry the exact ``entries`` table schema (model.py ENTRIES_SCHEMA),
+so every operator downstream of ingest — find expressions, stats folds,
+calculators — runs unchanged over the live tree.
+
+Scale shape: ``partitions()`` shards the walk at the root's first level
+(one InputPartition per top-level subtree plus one for the root's own
+listing), and each executor walks its subtree breadth-first with the
+shared ``crawler._scan_one`` (symlinks recorded but never descended, the
+S2 contract).  On a 1000-executor cluster that is the reference's
+"thousands of simultaneous stat requests" issued from executors, with
+Spark handling scheduling/retries — the same property
+``crawler.crawl_distributed`` provides for ingest, here behind the
+engine's native source API (predicates/column pruning arrive via the
+normal DataFrame planner; pushdown into the walk itself is not needed
+because the walk IS the scan).
+
+Caveats (documented, deliberate):
+- Unreadable directories are SKIPPED (an entries row has no error
+  channel); the ingest path (``crawl_local``/``crawl_distributed``)
+  remains the route that captures error rows into the catalog.
+- First-level sharding assumes top-level fan-out; a tree that is one
+  deep chain serializes into a single partition (matching the
+  reference's own concurrency limit on such trees).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_FIELDS = (
+    "parent", "name", "path", "is_dir", "size", "blocks", "mode",
+    "mtime", "uid", "gid", "device", "inode",
+)
+
+_DDL = (
+    "parent string, name string, path string, is_dir boolean, "
+    "size long, blocks long, mode long, mtime timestamp, "
+    "uid long, gid long, device long, inode long"
+)
+
+
+class _Subtree(InputPartition):
+    def __init__(self, root: str, recurse: bool):
+        self.root = root
+        self.recurse = recurse
+
+
+class FsWalkReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fswalk: .load(path) is required")
+        self.exclude = options.get("exclude")  # single regex, or absent
+
+    def partitions(self):
+        from dudb_spark.sources.crawler import _scan_one
+
+        pats = [re.compile(self.exclude)] if self.exclude else []
+        root = self.path.rstrip("/") or "/"
+        _, _, _, children = _scan_one(root, pats)
+        # the root's own listing is one (non-recursive) partition; each
+        # first-level subtree walks independently on an executor
+        return [_Subtree(root, False)] + [_Subtree(c, True) for c in children]
+
+    def read(self, partition):
+        from dudb_spark.sources.crawler import _scan_one
+
+        pats = [re.compile(self.exclude)] if self.exclude else []
+        level = [partition.root]
+        while level:
+            nxt = []
+            for p in level:
+                _, entries, _errors, children = _scan_one(p, pats)
+                for e in entries:
+                    yield tuple(e[f] for f in _FIELDS)
+                if partition.recurse:
+                    nxt.extend(children)
+            level = nxt
+
+
+class FsWalkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "fswalk"
+
+    def schema(self):
+        return _DDL
+
+    def reader(self, schema):
+        return FsWalkReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the ``fswalk`` format on a session (idempotent)."""
+    spark.dataSource.register(FsWalkDataSource)
+
+
+def live_tables(spark, root: str, exclude: str | None = None):
+    """(prefixes, entries) frames over the LIVE filesystem — the ingest
+    tables' shapes derived from one fswalk scan, so ``find``/``stats``
+    run against the tree with no database (the CLI's ``find --live``).
+
+    The prefixes frame is the dir rows of the scan plus the root's own
+    record (stat'ed driver-side — one lstat), with ``depth`` computed
+    from the path and ``n_entries`` joined back from a per-parent count
+    of the same scan.  Everything else stays lazy: predicates the
+    caller pushes (find expressions) filter the walk's output rows the
+    moment they leave the executors."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.model import PREFIXES_SCHEMA
+    from dudb_spark.sources.crawler import _scan_one
+
+    register(spark)
+    reader = spark.read.format("fswalk")
+    if exclude:
+        reader = reader.option("exclude", exclude)
+    entries = reader.load(root)
+
+    rootp = root.rstrip("/") or "/"
+    rootdepth = rootp.count("/")
+    pats = [re.compile(exclude)] if exclude else []
+    root_row, _, _, _ = _scan_one(rootp, pats)
+    if root_row is None:
+        raise FileNotFoundError(rootp)
+    root_row["depth"] = 0
+
+    n_by_parent = entries.groupBy(F.col("parent").alias("path")).agg(
+        F.count(F.lit(1)).alias("n_entries")
+    )
+    # S_IFLNK check on the raw mode; scans never descend symlinks, so a
+    # symlinked dir has no child rows and n_entries coalesces to 0
+    dir_pfx = (
+        entries.where("is_dir")
+        .select(
+            "path", "parent",
+            (F.length(F.regexp_replace("path", "[^/]", ""))
+             - F.lit(rootdepth)).cast("int").alias("depth"),
+            "size", "blocks", "mode",
+            (F.col("mode").bitwiseAND(0o170000) == 0o120000)
+            .alias("is_symlink"),
+            "mtime", "uid", "gid", "device", "inode",
+        )
+        .join(n_by_parent, "path", "left")
+        .withColumn("n_entries", F.coalesce("n_entries", F.lit(0)))
+    )
+    prefixes = spark.createDataFrame(
+        [root_row], PREFIXES_SCHEMA
+    ).unionByName(dir_pfx.select(*[f.name for f in PREFIXES_SCHEMA.fields]))
+    return prefixes, entries

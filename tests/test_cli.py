@@ -394,3 +394,17 @@ def test_cli_compact_bucketed_adoption(spark, real_tree, tmp_path, capsys):
     assert "pb" not in cat.tables().prefixes.columns
     after = run(capsys, "find", "--db", db, real_tree, "type=f")
     assert sorted(before.splitlines()) == sorted(after.splitlines())
+
+
+def test_cli_find_live(spark, real_tree, capsys):
+    """find --live: the fswalk DataSource + expression language over the
+    live tree, no database involved."""
+    out = run(capsys, "find", "--live", real_tree, "re=\\.log$ && type=f")
+    assert sorted(os.path.basename(l) for l in out.strip().splitlines()) == [
+        "x.log", "z.log"
+    ]
+    # dir-granularity predicates work too (prefixes synthesized live)
+    out2 = run(capsys, "find", "--live", real_tree, "type=d")
+    assert any(l.rstrip("/").endswith("proj/a") for l in out2.splitlines())
+    with pytest.raises(SystemExit, match="--db is required"):
+        run(capsys, "find", real_tree, "type=f")

@@ -275,3 +275,48 @@ def test_snapshot_diff_sees_mode_uid_gid(spark, fs_tree):
     assert d[("file", chown)] == ("changed", 0)
     assert d[("file", chgrp)] == ("changed", 0)
     assert len(d) == 3  # nothing else surfaced
+
+
+def test_fswalk_datasource_matches_crawler(spark, tmp_path):
+    """The fswalk Python DataSource (sources/fsds.py) yields exactly the
+    crawler's entry rows — live-filesystem querying without ingest —
+    with exclusions applied and symlinks recorded but not descended."""
+    import os
+
+    from dudb_spark.sources.crawler import crawl_local
+    from dudb_spark.sources.fsds import register
+
+    root = str(tmp_path / "tree")
+    os.makedirs(f"{root}/a/sub")
+    os.makedirs(f"{root}/b")
+    for p, txt in [("top.txt", "xx"), ("a/f1.log", "yyy"),
+                   ("a/sub/f2.dat", "zzzz"), ("b/f3.tmp", "12345")]:
+        with open(f"{root}/{p}", "w") as f:
+            f.write(txt)
+    os.symlink(f"{root}/a", f"{root}/lnk")
+
+    register(spark)
+    df = spark.read.format("fswalk").load(root)
+    got = sorted(
+        (r["path"], r["is_dir"], r["size"], r["inode"]) for r in df.collect()
+    )
+    _, erows, _ = crawl_local(root)
+    want = sorted(
+        (e["path"], e["is_dir"], e["size"], e["inode"]) for e in erows
+    )
+    assert got == want and len(got) == 8
+    # the symlinked dir is recorded as a row but its target's children
+    # appear exactly once (under /a, not under /lnk)
+    paths = [p for p, _, _, _ in got]
+    assert f"{root}/lnk" in paths
+    assert not any(p.startswith(f"{root}/lnk/") for p in paths)
+
+    # exclusion regex drops matching subtrees/files at scan time
+    df2 = spark.read.format("fswalk").option("exclude", r"\.tmp$").load(root)
+    assert all(not r["path"].endswith(".tmp") for r in df2.collect())
+
+    # downstream operators run unchanged over the live tree
+    n_files = df.where("NOT is_dir AND mode % 61440 < 40960").count()
+    by_uid = df.groupBy("uid").count().collect()
+    assert by_uid and sum(r["count"] for r in by_uid) == 8
+    assert n_files >= 4
