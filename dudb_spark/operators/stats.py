@@ -31,11 +31,14 @@ by-user/by-group heaps over per-id totals (Finalize, report_stats.go:222–229).
 
 Spark design
 ------------
-One narrow **contribution** DataFrame unions the four sources above, then a
-single shuffle with ``GROUPING SETS ((prefix), (prefix,uid), (prefix,gid))``
-produces all three grains (partial aggregation happens map-side; the
-stream/fold/heap machinery of the reference collapses into Catalyst's
-partial+final HashAggregate).  Top-N never materialises a full sort:
+One narrow **contribution** DataFrame — TWO CASE-projection passes (the
+prefix records; the parent-joined entries), each emitting every counter
+column in a single scan — then a single shuffle with ``GROUPING SETS
+((prefix), (prefix,uid), (prefix,gid))`` produces all three grains
+(partial aggregation happens map-side; the stream/fold/heap machinery of
+the reference collapses into Catalyst's partial+final HashAggregate).
+An earlier five-branch union re-executed the entries join once per
+branch — the fusion is one scan of the entry set instead of three.  Top-N never materialises a full sort:
 ``orderBy(desc(metric)).limit(n)`` compiles to TakeOrderedAndProject, and
 per-id rankings use a ``row_number`` window over rows already pre-aggregated
 per (id, prefix) — the skew-mitigation noted in SURVEY.md §7.
