@@ -198,6 +198,13 @@ def cmd_stats_compute(args):
             and prev_lay == cur_lay
         ):
             buckets = prev_lay["path_buckets"]
+        else:
+            print(
+                "stats --incremental: snapshots are not (both) bucketed —"
+                " closure probes will scan the tree; run `database compact"
+                " --layout bucketed` to enable pruned probes",
+                file=sys.stderr,
+            )
         res = incremental_stats(
             prev_stats,
             prev_t.read_raw("prefixes") if buckets else prev_t.prefixes,
