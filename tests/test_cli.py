@@ -408,3 +408,34 @@ def test_cli_find_live(spark, real_tree, capsys):
     assert any(l.rstrip("/").endswith("proj/a") for l in out2.splitlines())
     with pytest.raises(SystemExit, match="--db is required"):
         run(capsys, "find", real_tree, "type=f")
+
+
+def test_cli_incremental_plain_layout_fallback(spark, real_tree, tmp_path,
+                                               capsys):
+    """stats --incremental over PLAIN-layout snapshots: the closure runs
+    unpruned (no pb column), a hint points at compact --layout bucketed,
+    and the totals still equal a from-scratch fold."""
+    import sys as _sys
+    import time
+
+    db = str(tmp_path / "db")
+    stats_dir = str(tmp_path / "stats")
+    run(capsys, "analyze", "--db", db, real_tree, "--layout", "plain")
+    run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+        real_tree)
+    time.sleep(1.1)
+    with open(os.path.join(real_tree, "proj/b/extra.dat"), "w") as f:
+        f.write("123456")
+    run(capsys, "analyze", "--db", db, real_tree, "--layout", "plain")
+
+    main(["stats", "compute", "--db", db, "--stats-dir", stats_dir,
+          "--incremental", real_tree])
+    cap = capsys.readouterr()
+    inc = json.loads(cap.out)
+    assert "compact --layout bucketed" in cap.err
+    full = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            real_tree)
+    )
+    assert inc["totals"] == full["totals"]
+    assert inc["totals"]["files"] == 4
