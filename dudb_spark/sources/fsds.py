@@ -109,7 +109,9 @@ def register(spark) -> None:
     spark.dataSource.register(FsWalkDataSource)
 
 
-def live_tables(spark, root: str, exclude: str | None = None):
+def live_tables(
+    spark, root: str, exclude: str | None = None, cache: bool = True
+):
     """(prefixes, entries) frames over the LIVE filesystem — the ingest
     tables' shapes derived from one fswalk scan, so ``find``/``stats``
     run against the tree with no database (the CLI's ``find --live``).
@@ -130,6 +132,15 @@ def live_tables(spark, root: str, exclude: str | None = None):
     if exclude:
         reader = reader.option("exclude", exclude)
     entries = reader.load(root)
+    if cache:
+        # the scan's consumers (n_entries join, the prefixes projection,
+        # the caller's query) would each RE-WALK the live tree — stat
+        # calls dominate, so one cached walk beats three cheaper than
+        # any plan trick.  MEMORY_AND_DISK: a huge tree spills instead
+        # of re-walking.  Callers doing exactly one pass can opt out.
+        from pyspark.storagelevel import StorageLevel
+
+        entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
 
     rootp = root.rstrip("/") or "/"
     rootdepth = rootp.count("/")
