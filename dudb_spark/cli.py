@@ -325,13 +325,21 @@ def cmd_du(args):
     from dudb_spark.sources.catalog import SnapshotCatalog
 
     spark = _spark()
-    t = SnapshotCatalog(spark, args.db).tables()
+    if getattr(args, "live", False):
+        # database-free du: one cached fswalk scan of the live tree
+        from dudb_spark.sources.fsds import live_tables
+
+        _, entries = live_tables(spark, args.prefix)
+    else:
+        if not args.db:
+            raise SystemExit("du: --db is required (or pass --live)")
+        entries = SnapshotCatalog(spark, args.db).tables().entries
     if args.top:
-        df = top_subtrees(t.entries, n=args.top, metric=args.sort,
+        df = top_subtrees(entries, n=args.top, metric=args.sort,
                           root=args.prefix, max_depth=args.max_depth)
     else:
         df = subtree_totals(
-            t.entries, root=args.prefix, max_depth=args.max_depth
+            entries, root=args.prefix, max_depth=args.max_depth
         ).orderBy("dir_path")
     count_metric = args.sort in ("n_files", "n_dirs")
     for r in df.toLocalIterator():
@@ -925,8 +933,12 @@ def build_parser():
     rl.set_defaults(func=cmd_reports_locate)
 
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")
-    p.add_argument("--db", required=True)
+    p.add_argument("--db", help="metadata DB (omit with --live)")
     p.add_argument("prefix", nargs="?", default="/")
+    p.add_argument(
+        "--live", action="store_true",
+        help="scan the live filesystem (fswalk DataSource) instead of a DB",
+    )
     p.add_argument("-d", "--max-depth", type=int, default=None,
                    help="limit output to N levels below prefix")
     p.add_argument("--top", type=int, default=None,

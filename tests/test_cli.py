@@ -439,3 +439,16 @@ def test_cli_incremental_plain_layout_fallback(spark, real_tree, tmp_path,
     )
     assert inc["totals"] == full["totals"]
     assert inc["totals"]["files"] == 4
+
+
+def test_cli_du_live(spark, real_tree, capsys):
+    """du --live: subtree totals straight off the live tree."""
+    du = run(capsys, "du", "--live", real_tree).strip().splitlines()
+    by_path = {l.split("\t")[-1]: l for l in du}
+    assert by_path[real_tree].endswith(f"3 files\t{real_tree}")
+    assert f"{real_tree}/proj/a" in by_path
+    top = run(capsys, "du", "--live", "--top", "1",
+              real_tree).strip().splitlines()
+    assert len(top) == 1 and top[0].endswith(real_tree)
+    with pytest.raises(SystemExit, match="--db is required"):
+        run(capsys, "du", real_tree)
