@@ -3635,11 +3635,13 @@ def q115_stored_index_search(spark, sf_dir):
 
 def q116_curriculum_bins(spark, sf_dir):
     """Curriculum binning: corpus-wide quality DECILES as explicit
-    thresholds (operators/quantiles.grouped_quantiles — spillable order
-    statistics, not a single-task global ntile window), broadcast back
-    onto the scan to label every document with its difficulty bin.
-    Ties at a threshold go to the lower bin (strict >) in both
-    engines."""
+    thresholds (operators/quantiles.grouped_quantiles with
+    ``group_cols=[]`` — the two-phase range-partitioned global rank, so
+    the corpus is never sorted in one window task; the round-6 audit
+    caught the earlier ``_g=lit(1)`` key being constant-folded into an
+    unpartitioned WindowExec), broadcast back onto the scan to label
+    every document with its difficulty bin.  Ties at a threshold go to
+    the lower bin (strict >) in both engines."""
     from dudb_spark.operators.quantiles import grouped_quantiles
     from dudb_spark.pipeline.text import quality_score
 
@@ -3649,9 +3651,7 @@ def q116_curriculum_bins(spark, sf_dir):
     )
     ps = [i / 10 for i in range(1, 10)]
     names = [f"t{i * 10}" for i in range(1, 10)]
-    th = grouped_quantiles(
-        scored.withColumn("_g", F.lit(1)), ["_g"], "score", ps, names=names
-    )
+    th = grouped_quantiles(scored, [], "score", ps, names=names)
     th_arr = th.select(
         F.array(*[F.round(F.col(n), 6) for n in names]).alias("t")
     )

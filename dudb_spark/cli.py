@@ -477,7 +477,9 @@ def cmd_pipeline_quantiles(args):
     res = grouped_quantiles(df, groups, args.value, ps)
     cols = res.columns
     print("\t".join(cols))
-    for r in res.orderBy(*groups).collect():
+    if groups:
+        res = res.orderBy(*groups)
+    for r in res.collect():
         print("\t".join(str(r[c]) for c in cols))
 
 

@@ -10,14 +10,20 @@ task.  The scalable shape is the classic two-phase parallel prefix sum:
 2. per-partition running totals — a window partitioned by
    ``spark_partition_id()``, so every task sorts only its slice;
 3. per-partition grand totals — a tiny frame (one row per partition)
-   collected into a broadcast of exclusive offsets;
-4. add the partition offset to each local running total.
+   turned into exclusive offsets by a non-equi self-join (``r._pid <
+   l._pid`` summed), NOT a window: even over #partitions rows an
+   ``orderBy``-only window is an unpartitioned WindowExec, which both
+   trips Spark's single-partition warning and would be a real serial
+   stage if a caller passed a huge partition count;
+4. broadcast-join the offsets back and add them to each local total.
 
 Total cost: one range-exchange (+ its boundary-sampling pass) and a
-broadcast of #partitions rows.  The result is identical to the
-single-task window for any partition boundaries, because range
-partitioning preserves the global order between partitions — so the
-operator is deterministic even though the sampled boundaries are not.
+broadcast of #partitions rows (the offsets join is a broadcast
+nested-loop over #partitions² ~ 10³ cells — driver-trivial).  The
+result is identical to the single-task window for any partition
+boundaries, because range partitioning preserves the global order
+between partitions — so the operator is deterministic even though the
+sampled boundaries are not.
 
 **Sequence packing** (the consumer): concat-and-chunk document packing
 for LLM training — documents in a stable order, cut into shards of
@@ -36,6 +42,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def exclusive_offsets(
+    per_pid: DataFrame, sum_col: str, out: str = "_off"
+) -> DataFrame:
+    """``(_pid, out)`` where ``out`` = sum of ``sum_col`` over all rows
+    with a strictly smaller ``_pid`` — the exclusive prefix of a tiny
+    one-row-per-partition frame, computed with a non-equi self-join so
+    the plan contains NO unpartitioned window (every WindowExec in a
+    consumer's plan stays keyed; pinned by test_prefix/test_plans)."""
+    left = per_pid.select("_pid").alias("l")
+    right = per_pid.select("_pid", sum_col).alias("r")
+    return (
+        left.join(
+            F.broadcast(right),
+            F.col("r._pid") < F.col("l._pid"),
+            "left",
+        )
+        .groupBy(F.col("l._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum(F.col(f"r.{sum_col}")), F.lit(0)).alias(out))
+    )
 
 
 def distributed_cumsum(
@@ -62,15 +89,9 @@ def distributed_cumsum(
     )
     local = d.withColumn("_local", F.sum(value_col).over(w_local))
     # one row per partition — driver-size data, broadcast back
-    w_off = (
-        Window.orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_psum"))
-        .withColumn("_off", F.coalesce(F.sum("_psum").over(w_off), F.lit(0)))
-        .select("_pid", "_off")
+    offsets = exclusive_offsets(
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_psum")),
+        "_psum",
     )
     return (
         local.join(F.broadcast(offsets), "_pid")

@@ -21,6 +21,24 @@ Cost: one count aggregate + one window shuffle/sort on the group key +
 a broadcast join of the (groups × quantiles) target frame.  Nothing
 holds more than a partition's sort run in memory.
 
+**Global quantiles are ranked in two phases, never one task.**  With
+``group_cols=[]`` (corpus-wide quantiles) — or when the caller passes a
+*constant* group key, which Catalyst folds out of the window spec,
+silently turning ``row_number().over(partitionBy(_g))`` into an
+unpartitioned window that sorts the whole input in ONE task — ranking
+routes through the classic two-phase parallel rank instead (the
+operators/prefix.py pattern): ``repartitionByRange`` on the value (so
+partition i holds a contiguous sorted slice), per-partition
+``row_number`` keyed by ``spark_partition_id()``, and a broadcast of
+per-partition exclusive count offsets.  Range partitioning preserves
+order between partitions, so local rank + offset IS the global rank;
+ties may split across a boundary, but the value at any rank is
+identical under every tie order, so quantiles are deterministic.  The
+constant-key case is caught by inspecting the optimized plan of the
+grouped window: if the partition spec folded away, the two-phase path
+is used (the folded key is provably single-group, so global rank ==
+per-group rank).
+
 The reference engine has no quantiles at all (SURVEY.md §2.3); q45 uses
 the built-in exact aggregate (bounded groups), and this operator is the
 drop-in for unbounded groups; ``percentile_approx`` remains the
@@ -31,6 +49,52 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from dudb_spark.operators.prefix import exclusive_offsets
+
+
+def _window_folded_unpartitioned(ranked: DataFrame) -> bool:
+    """True when Catalyst constant-folded the window's partition spec
+    away (a literal group key), i.e. the optimized plan's Window node has
+    only an order spec.  Plan text shape: partitioned windows print
+    ``Window [exprs], [part], [order]`` (two ``], [`` separators),
+    folded ones print ``Window [exprs], [order]`` (one)."""
+    try:
+        plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - plan text is best-effort
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:")
+        if node.startswith("Window ["):
+            return node.count("], [") < 2
+    return False
+
+
+def _two_phase_global_rank(vals: DataFrame) -> DataFrame:
+    """0-based global rank over ``_v`` without a single-task window:
+    range-partition on the value, rank locally per partition, add the
+    broadcast exclusive prefix of per-partition counts (the
+    operators/prefix.py:41 two-phase pattern).  Extra columns (e.g. a
+    constant group key) pass through untouched."""
+    n = int(
+        vals.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    d = vals.repartitionByRange(n, F.col("_v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_v")
+    local = d.withColumn("_lrn", F.row_number().over(w_local))
+    # one row per partition — exclusive prefix via the windowless
+    # non-equi join (prefix.exclusive_offsets), so NO WindowExec in the
+    # whole plan is unpartitioned
+    offsets = exclusive_offsets(
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn")), "_pn"
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rn", F.col("_lrn") - 1 + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
+    )
 
 
 def grouped_quantiles(
@@ -52,8 +116,15 @@ def grouped_quantiles(
         *group_cols, F.col(value_col).cast("double").alias("_v")
     )
 
-    w = Window.partitionBy(*group_cols).orderBy("_v")
-    ranked = vals.withColumn("_rn", F.row_number().over(w) - 1)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("_v")
+        ranked = vals.withColumn("_rn", F.row_number().over(w) - 1)
+        if _window_folded_unpartitioned(ranked):
+            # constant group key: provably one group, so the two-phase
+            # global rank is the per-group rank (see module docstring)
+            ranked = _two_phase_global_rank(vals)
+    else:
+        ranked = _two_phase_global_rank(vals)
 
     counts = vals.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
     # (group, quantile) -> the two ranks to fetch and the interpolation

@@ -304,3 +304,23 @@ def test_bucketed_snapshot_probe_prunes_partitions(spark, tmp_path):
     # and the narrow projection reaches the reader
     rs = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "size" not in rs and "mtime" not in rs, rs
+
+
+def test_q116_has_no_unpartitioned_window(spark):
+    """Round-6 scale-killer pin: q116's corpus-wide decile thresholds
+    previously passed a literal group key that Catalyst constant-folded
+    away, leaving row_number over an UNPARTITIONED window — the whole
+    corpus sorted in one task.  The fixed path (grouped_quantiles with
+    group_cols=[] → two-phase range-partitioned rank) must leave no
+    Window node without a partition spec anywhere in the q116 plan."""
+    import __spark_entry__ as em
+
+    df = em.q116_curriculum_bins(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if ln.lstrip(" +-:").startswith("Window [")
+        and ln.lstrip(" +-:").count("], [") < 2
+    ]
+    assert bad == [], bad

@@ -77,6 +77,67 @@ def test_nulls_excluded_like_builtin(spark):
     assert got["n_rows"] == 2 and got["q50"] == 2.0
 
 
+def _unpartitioned_windows(df):
+    """Optimized-plan Window nodes with no partition spec (the
+    single-task shape): ``Window [exprs], [order]`` — one ``], [``
+    separator instead of a partitioned node's two."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return [
+        ln
+        for ln in plan.splitlines()
+        if ln.lstrip(" +-:").startswith("Window [")
+        and ln.lstrip(" +-:").count("], [") < 2
+    ]
+
+
+def test_global_quantiles_match_builtin(spark):
+    """group_cols=[] (corpus-wide quantiles): bit-parity with the global
+    builtin percentile, via the two-phase range-partitioned rank."""
+    rnd = random.Random(9)
+    rows = [("x", rnd.uniform(-50, 50)) for _ in range(2500)]
+    rows += [("x", 7.0)] * 5  # heavy ties
+    df = spark.createDataFrame(rows, ["g", "v"])
+    ps = [0.0, 0.1, 0.5, 0.75, 0.99, 1.0]
+    got = tuple(grouped_quantiles(df, [], "v", ps).collect()[0])
+    want = tuple(
+        df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.expr(f"percentile(v, {p}d)").alias(f"q{int(round(p*100))}")
+                for p in ps
+            ],
+        ).collect()[0]
+    )
+    assert got == want
+
+
+def test_constant_group_key_routes_to_two_phase(spark):
+    """A literal group key constant-folds out of the window spec; the
+    operator must detect that and rank via the two-phase path — same
+    numbers, zero unpartitioned WindowExec in the plan (the round-6
+    q116 scale-killer)."""
+    rnd = random.Random(13)
+    df = spark.createDataFrame(
+        [(rnd.uniform(0, 1),) for _ in range(1200)], ["v"]
+    ).withColumn("_g", F.lit(1))
+    ps = [0.25, 0.5, 0.9]
+    res = grouped_quantiles(df, ["_g"], "v", ps)
+    assert _unpartitioned_windows(res) == []
+    got = tuple(res.collect()[0])[1:]
+    want = tuple(
+        df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.expr(f"percentile(v, {p}d)") for p in ps],
+        ).collect()[0]
+    )
+    assert got == want
+
+
+def test_global_path_plan_has_no_unpartitioned_window(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    assert _unpartitioned_windows(grouped_quantiles(df, [], "v", [0.5])) == []
+
+
 def test_no_group_buffer_in_plan(spark):
     df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
     p = plan_of(grouped_quantiles(df, ["g"], "v", [0.5, 0.9]))
