@@ -193,11 +193,17 @@ def cmd_stats_compute(args):
         prev_lay = cat.layout(prev_stats.meta["snapshot_version"])
         cur_lay = cat.layout()
         buckets = None
+        spill_rows = None
         if (
             prev_lay.get("layout") == "bucketed"
-            and prev_lay == cur_lay
+            and cur_lay.get("layout") == "bucketed"
+            and prev_lay["path_buckets"] == cur_lay["path_buckets"]
         ):
             buckets = prev_lay["path_buckets"]
+            if "spill_rows" in prev_lay and "spill_rows" in cur_lay:
+                # recorded at write time: lets the closure skip its
+                # is-the-index-empty probe job
+                spill_rows = prev_lay["spill_rows"] + cur_lay["spill_rows"]
         else:
             print(
                 "stats --incremental: snapshots are not (both) bucketed —"
@@ -217,6 +223,7 @@ def cmd_stats_compute(args):
             prev_spill=cat.spill_index(prev_stats.meta["snapshot_version"])
             if buckets else None,
             new_spill=cat.spill_index() if buckets else None,
+            spill_rows=spill_rows,
         )
     else:
         res = compute_stats(t.prefixes, t.entries, opts)
@@ -823,10 +830,20 @@ def cmd_database_compact(args):
     if args.layout == "bucketed":
         # adopt the bucketed layout on an existing DB: rewrite the
         # latest snapshot path-hash partitioned + hardlink spill index,
-        # which is what lets stats --incremental prune its closure
+        # which is what lets stats --incremental prune its closure.
+        # Scan-error rows ride over like the range-layout compact does
+        # (catalog.compact) — dropping them would make the `errors`
+        # command crash on the adopted version.
+        import os as _os
+
         t = cat.tables()
+        errs = (
+            t.errors
+            if _os.path.isdir(f"{cat.latest_path()}/errors.parquet")
+            else None
+        )
         out = cat.write_snapshot(
-            t.prefixes, t.entries,
+            t.prefixes, t.entries, errors=errs,
             layout="bucketed", path_buckets=args.path_buckets,
         )
     else:

@@ -82,6 +82,7 @@ def incremental_stats(
     path_buckets: int | None = None,
     prev_spill: DataFrame | None = None,
     new_spill: DataFrame | None = None,
+    spill_rows: int | None = None,
 ) -> StatsResult:
     """New summary tables after a merge, folding only the touched slice.
 
@@ -142,17 +143,36 @@ def incremental_stats(
     contents are in both snapshots) and to fold support (all-new-side
     groups).  Results are value-identical to the un-bucketed path
     (test_incremental.py: layout equivalence + the closure fuzz).
+
+    ``spill_rows``: the spill index's row count when the caller already
+    knows it (``SnapshotCatalog.layout()["spill_rows"]``, recorded at
+    write time) — skips the is-it-empty probe job.  Pass the SUM over
+    prev and new when both indexes are supplied.
+
+    Driver round-trips: every synchronous action (bucket/spill
+    collects, gates, checkpoints) is counted and reported in the
+    result's ``meta["closure_jobs"]`` — the local latency floor is
+    #jobs × per-job round-trip, which is what dominates t_inc on tiny
+    local fixtures (BENCH_NOTES).  The flip round gates on RECORD-MULTI
+    spill keys (index column ``rec``: keys with ≥2 prefix-record rows —
+    hardlinked directories): only those records can flip their
+    record-level dup flag, so trees without hardlinked dirs (the
+    overwhelming majority) skip the whole flip round — its bucket
+    collect, key checkpoint, and spill lookup all vanish.  Older
+    indexes without ``rec`` degrade to the conservative all-keys gate.
     """
     opts = opts or StatsOptions()
     import os as _os
     import sys as _sys
     import time as _time
     _trace_on = bool(_os.environ.get("DUDB_INC_TRACE"))
+    _jobs = [0]
 
     def _tr(label, f):
-        """Phase timing for the closure's synchronous actions, printed
-        to stderr when DUDB_INC_TRACE is set (perf diagnostics only —
-        the label names the job being forced)."""
+        """Count (and, under DUDB_INC_TRACE, time) the closure's
+        synchronous driver actions — the label names the job being
+        forced."""
+        _jobs[0] += 1
         if not _trace_on:
             return f()
         t0 = _time.perf_counter()
@@ -249,14 +269,19 @@ def incremental_stats(
     spill = None
     spill_empty = True
     if bucketed and prev_spill is not None and new_spill is not None:
-        spill = prev_spill.unionByName(new_spill)
+        spill = prev_spill.unionByName(new_spill, allowMissingColumns=True)
         # trees without hardlink groups (or whose groups were untouched
         # by compaction) have an EMPTY index: every closure member then
         # sits inside the churn's own buckets and all three index
-        # lookups below vanish.  One limit(1) job on a tiny table.
-        spill_empty = _tr(
-            "spill gate", lambda: spill.limit(1).count() == 0
-        )
+        # lookups below vanish.  The caller usually knows the count from
+        # the layout metadata; otherwise one limit(1) job on a tiny
+        # table.
+        if spill_rows is not None:
+            spill_empty = spill_rows == 0
+        else:
+            spill_empty = _tr(
+                "spill gate", lambda: spill.limit(1).count() == 0
+            )
 
     def _spill_buckets(keys: DataFrame) -> list:
         """Buckets holding out-of-churn members of multi-member groups
@@ -290,9 +315,9 @@ def incremental_stats(
         # consumed by the index lookup AND the via join: pin the
         # churn-bounded key set so each broadcast build reads a
         # checkpoint instead of re-running the probe scan
-        seed_keys = seed_keys.localCheckpoint()
+        seed_keys = _tr("seed_keys pin", seed_keys.localCheckpoint)
     via = _key_rows(mrows, seed_keys, seed_buckets).select(
-        F.col("ppath").alias("path"), "is_record"
+        F.col("ppath").alias("path"), *_KEY, "is_record"
     )
     if bucketed:
         # pinned so the flip gate below is one cheap count and the
@@ -308,16 +333,42 @@ def incremental_stats(
     # groups), restoring the exact-hardlink-closure contract for
     # dir-hardlink promotions/demotions (round-2 advice repro:
     # test_incremental.py::test_dir_hardlink_flip_cascade).
-    # Under the bucketed layout the round is skipped when no record sits
-    # in a seed group — no record membership changed, so no flag can flip.
+    # A record can flip ONLY when its key has ≥2 record rows in prev or
+    # new (a singleton record group is always canonical), i.e. the key
+    # is rec-marked in the spill index — so with an index present the
+    # round gates on (and the flip seed set *F* prunes to) records with
+    # rec-multi keys: trees without hardlinked DIRECTORIES skip the
+    # whole round, including its bucket collect and key checkpoint.  An
+    # empty index means no multi-row keys at all — no flip possible.
     run_flip = True
+    flip_seed = via_records
     if bucketed:
-        run_flip = _tr("flip gate", lambda: via_records.limit(1).count() > 0)
+        if spill is not None and spill_empty:
+            run_flip = False
+        elif spill is not None:
+            # coalesce(True): an older index without the rec column (or
+            # a mixed-schema union) degrades to the conservative
+            # all-spill-keys gate
+            rec_keys = spill.where(
+                F.coalesce(F.col("rec"), F.lit(True))
+                if "rec" in spill.columns
+                else F.lit(True)
+            ).select(*_KEY)
+            flip_seed = via.where("is_record").join(
+                _bc(rec_keys), _KEY, "left_semi"
+            ).select("path")
+            run_flip = _tr(
+                "flip gate", lambda: flip_seed.limit(1).count() > 0
+            )
+        else:
+            run_flip = _tr(
+                "flip gate", lambda: via_records.limit(1).count() > 0
+            )
     if run_flip:
-        flip_buckets = _buckets(via_records) if bucketed else None
-        flip_keys = _keys_of(via_records, path_bl=flip_buckets)
+        flip_buckets = _buckets(flip_seed) if bucketed else None
+        flip_keys = _keys_of(flip_seed, path_bl=flip_buckets)
         if not spill_empty:
-            flip_keys = flip_keys.localCheckpoint()
+            flip_keys = _tr("flip_keys pin", flip_keys.localCheckpoint)
         via2 = _key_rows(mrows, flip_keys, flip_buckets).select(
             F.col("ppath").alias("path")
         )
@@ -347,7 +398,7 @@ def incremental_stats(
         "left_semi",
     ).select(*_KEY)
     if not spill_empty:
-        support_keys = support_keys.localCheckpoint()
+        support_keys = _tr("support pin", support_keys.localCheckpoint)
     fold_src = new_entries
     if spill is not None:
         # members of support groups outside A's buckets exist only for
@@ -379,14 +430,16 @@ def incremental_stats(
         # cheap relative to the entry-side scans either way.
         parent_buckets = sorted(
             set(aff_buckets)
-            | {
-                r[0]
-                for r in fold_entries.select(
-                    _pb(F.col("parent")).alias("b")
-                )
-                .distinct()
-                .collect()
-            }
+            | set(
+                _tr("parent buckets", lambda: [
+                    r[0]
+                    for r in fold_entries.select(
+                        _pb(F.col("parent")).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ])
+            )
         )
         prefix_probe = new_prefixes.where(
             F.col("pb").isin(parent_buckets)
@@ -399,17 +452,20 @@ def incremental_stats(
     )
     # prefix-record dedup groups need the same completeness
     record_keys = fold_prefixes.select(*_KEY)
-    fold_prefixes = new_prefixes.join(
-        _bc(
-            fold_prefixes.select("path").unionByName(
-                new_prefixes.join(
-                    _bc(record_keys), _KEY, "left_semi"
-                ).select("path")
-            )
-        ),
-        "path",
-        "left_semi",
-    ).localCheckpoint()
+    fold_prefixes = _tr(
+        "fold_prefixes pin",
+        new_prefixes.join(
+            _bc(
+                fold_prefixes.select("path").unionByName(
+                    new_prefixes.join(
+                        _bc(record_keys), _KEY, "left_semi"
+                    ).select("path")
+                )
+            ),
+            "path",
+            "left_semi",
+        ).localCheckpoint,
+    )
 
     res = compute_stats(fold_prefixes, fold_entries, opts)
 
@@ -430,5 +486,5 @@ def incremental_stats(
         stitch(prev.per_prefix, res.per_prefix, "prefix"),
         stitch(prev.per_user, res.per_user, "prefix"),
         stitch(prev.per_group, res.per_group, "prefix"),
-        dict(prev.meta, incremental=True),
+        dict(prev.meta, incremental=True, closure_jobs=_jobs[0]),
     )

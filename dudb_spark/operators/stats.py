@@ -94,21 +94,6 @@ class StatsOptions:
     compile_opts: dict = field(default_factory=dict)
 
 
-def _contribution(value_map: dict, df: DataFrame, prefix_col, uid_col, gid_col):
-    """Project a source DataFrame onto the narrow contribution schema."""
-    cols = [
-        prefix_col.alias("prefix"),
-        uid_col.cast("long").alias("uid"),
-        gid_col.cast("long").alias("gid"),
-    ]
-    for name in _ZERO:
-        expr = value_map.get(name, F.lit(_ZERO[name]))
-        if isinstance(expr, int):
-            expr = F.lit(expr)
-        cols.append(expr.cast("long").alias(name))
-    return df.select(*cols)
-
-
 def _dup_flag(
     df: DataFrame,
     enabled: bool,

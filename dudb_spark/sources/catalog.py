@@ -114,31 +114,61 @@ class SnapshotCatalog:
             # the one cross-directory dependency of the stats fold; this
             # index is what lets the incremental closure find a churned
             # group's members in OTHER buckets without scanning the tree
-            # — singleton keys (the overwhelming majority) have their
-            # only member inside the churn's own buckets by definition.
-            # Size is bounded by the hardlinked subset of the tree, and
-            # the one full shuffle to build it runs at WRITE time, where
-            # a full pass is already being paid.
+            # — singleton keys have their only member inside the churn's
+            # own buckets by definition.  Size is O(directories +
+            # hardlinked files), NOT just the hardlinked subset: every
+            # non-root directory contributes two rows with its key (its
+            # own prefix record, bucketed by path, plus its entry row in
+            # the parent, bucketed by the parent path — almost always
+            # two DISTINCT buckets), so dir keys all qualify.  Dir keys
+            # are genuinely needed for cross-bucket group completeness;
+            # sizing plans should budget ~#dirs + #hardlinked rows.  The
+            # one full shuffle to build the index runs at WRITE time,
+            # where a full pass is already being paid.
+            # ``rec`` marks keys with ≥2 PREFIX-RECORD rows (hardlinked
+            # directories): the only keys whose record-level dup flag
+            # can flip, so the incremental closure's flip round gates on
+            # (and prunes to) this tiny subset — a plain directory's two
+            # rows (own record + entry in parent) make it a spill key
+            # but NOT a rec key.
             p = self.spark.read.parquet(f"{out}/prefixes.parquet")
             e = self.spark.read.parquet(f"{out}/entries.parquet")
-            rows = p.select("device", "inode", "pb").unionByName(
-                e.select("device", "inode", "pb")
+            rows = p.select(
+                "device", "inode", "pb", F.lit(True).alias("_isrec")
+            ).unionByName(
+                e.select(
+                    "device", "inode", "pb", F.lit(False).alias("_isrec")
+                )
             )
-            counts = (
+            keyinfo = (
                 rows.groupBy("device", "inode")
-                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(
+                    F.count(F.lit(1)).alias("_c"),
+                    F.sum(F.col("_isrec").cast("int")).alias("_rc"),
+                )
                 .where("_c > 1")
-                .drop("_c")
+                .select("device", "inode", (F.col("_rc") >= 2).alias("rec"))
             )
             (
-                rows.join(counts, ["device", "inode"], "left_semi")
+                rows.select("device", "inode", "pb")
+                .join(keyinfo, ["device", "inode"])
                 .distinct()
                 .write.mode("overwrite")
                 .parquet(f"{out}/hlinks.parquet")
             )
+            # row count recorded so readers can skip the is-it-empty
+            # probe job (incremental_stats(spill_rows=...))
+            n_spill = self.spark.read.parquet(
+                f"{out}/hlinks.parquet"
+            ).count()
             with open(os.path.join(out, "_layout.json"), "w") as f:
                 _json.dump(
-                    {"layout": "bucketed", "path_buckets": path_buckets}, f
+                    {
+                        "layout": "bucketed",
+                        "path_buckets": path_buckets,
+                        "spill_rows": n_spill,
+                    },
+                    f,
                 )
         os.makedirs(self.root, exist_ok=True)
         with open(os.path.join(self.root, "latest"), "w") as f:

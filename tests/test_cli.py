@@ -389,7 +389,9 @@ def test_cli_compact_bucketed_adoption(spark, real_tree, tmp_path, capsys):
     out = json.loads(run(capsys, "database", "compact", "--db", db,
                          "--layout", "bucketed", "--path-buckets", "8"))
     assert out["layout"] == "bucketed"
-    assert cat.layout() == {"layout": "bucketed", "path_buckets": 8}
+    lay = cat.layout()
+    assert lay["layout"] == "bucketed" and lay["path_buckets"] == 8
+    assert lay["spill_rows"] == cat.spill_index().count()
     assert cat.spill_index() is not None
     assert "pb" not in cat.tables().prefixes.columns
     after = run(capsys, "find", "--db", db, real_tree, "type=f")

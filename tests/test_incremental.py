@@ -174,7 +174,11 @@ def test_bucketed_layout_equivalence(spark, tmp_path):
     prev_p, prev_e, staged_p, staged_e = em._merge_fixture(spark)
     cat = SnapshotCatalog(spark, str(tmp_path / "db"))
     cat.write_snapshot(prev_p, prev_e, layout="bucketed", path_buckets=8)
-    assert cat.layout() == {"layout": "bucketed", "path_buckets": 8}
+    lay = cat.layout()
+    assert lay["layout"] == "bucketed" and lay["path_buckets"] == 8
+    # spill row count recorded at write time (skips the reader's
+    # is-it-empty probe job)
+    assert lay["spill_rows"] == cat.spill_index().count()
     pt = cat.tables()
     # logical view hides the layout column; raw view exposes it
     assert "pb" not in pt.prefixes.columns
