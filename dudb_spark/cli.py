@@ -92,6 +92,18 @@ def cmd_analyze(args):
     print(json.dumps({"snapshot": out, **summary}, default=str))
 
 
+def _warn_live_errors(errs):
+    """--live scans skip what they cannot read; say so (stderr, like
+    `du` does) instead of silently under-reporting.  The count forces
+    the walk into live_tables' cache, which the query reuses — no
+    second tree stat pass."""
+    import sys as _sys
+
+    n = errs.count()
+    if n:
+        print(f"warning: {n} path(s) unreadable, skipped", file=_sys.stderr)
+
+
 def cmd_find(args):
     from dudb_spark.operators.find import find
     from dudb_spark.sources.catalog import SnapshotCatalog
@@ -102,7 +114,10 @@ def cmd_find(args):
         # on executors and the same expression language filters it
         from dudb_spark.sources.fsds import live_tables
 
-        prefixes, entries = live_tables(spark, args.prefix)
+        prefixes, entries, errs = live_tables(
+            spark, args.prefix, with_errors=True
+        )
+        _warn_live_errors(errs)
     else:
         if not args.db:
             raise SystemExit("find: --db is required (or pass --live)")
@@ -336,7 +351,10 @@ def cmd_du(args):
         # database-free du: one cached fswalk scan of the live tree
         from dudb_spark.sources.fsds import live_tables
 
-        _, entries = live_tables(spark, args.prefix)
+        _, entries, errs = live_tables(
+            spark, args.prefix, with_errors=True
+        )
+        _warn_live_errors(errs)
     else:
         if not args.db:
             raise SystemExit("du: --db is required (or pass --live)")

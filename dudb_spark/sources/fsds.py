@@ -26,17 +26,24 @@ engine's native source API (predicates/column pruning arrive via the
 normal DataFrame planner; pushdown into the walk itself is not needed
 because the walk IS the scan).
 
-Caveats (documented, deliberate):
-- Unreadable directories are SKIPPED (an entries row has no error
-  channel); the ingest path (``crawl_local``/``crawl_distributed``)
-  remains the route that captures error rows into the catalog.
-- First-level sharding assumes top-level fan-out; a tree that is one
-  deep chain serializes into a single partition (matching the
-  reference's own concurrency limit on such trees).
+Error channel: unreadable paths are emitted IN-BAND as rows with a
+non-null ``error`` column (path/parent/name filled, stat fields null) —
+mirroring the ingest path's error bucket (S9, analyze.go:141–150) so the
+live route drops nothing silently.  ``live_tables`` filters them out of
+the entries frame and hands back a lazy errors frame; the CLI's
+``--live`` commands print the unreadable count.  Plain
+``spark.read.format("fswalk")`` consumers see ``error IS NULL`` rows as
+the walk result and can select the error rows explicitly.
+
+Caveat (documented, deliberate): sharding splits at the shallowest
+levels only (see ``partitions()``) — a tree that is one deep chain
+still serializes into a single partition (matching the reference's own
+concurrency limit on such trees).
 """
 
 from __future__ import annotations
 
+import os as _os
 import re
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -49,7 +56,7 @@ _FIELDS = (
 _DDL = (
     "parent string, name string, path string, is_dir boolean, "
     "size long, blocks long, mode long, mtime timestamp, "
-    "uid long, gid long, device long, inode long"
+    "uid long, gid long, device long, inode long, error string"
 )
 
 
@@ -65,6 +72,10 @@ class FsWalkReader(DataSourceReader):
         if not self.path:
             raise ValueError("fswalk: .load(path) is required")
         self.exclude = options.get("exclude")  # single regex, or absent
+        # expand listing levels until at least this many partitions exist
+        # (skewed trees: one huge top-level subtree must not serialize
+        # the walk into one task)
+        self.min_partitions = int(options.get("min_partitions", "16"))
 
     def partitions(self):
         from dudb_spark.sources.crawler import _scan_one
@@ -73,20 +84,47 @@ class FsWalkReader(DataSourceReader):
         root = self.path.rstrip("/") or "/"
         _, _, _, children = _scan_one(root, pats)
         # the root's own listing is one (non-recursive) partition; each
-        # first-level subtree walks independently on an executor
-        return [_Subtree(root, False)] + [_Subtree(c, True) for c in children]
+        # frontier subtree walks independently on an executor.  When the
+        # fan-out so far is below min_partitions (a skewed or narrow
+        # tree), peel another level: each frontier dir becomes a
+        # listing-only partition and its children join the frontier —
+        # driver cost is one extra listdir level, bounded to 3 levels.
+        parts = [_Subtree(root, False)]
+        frontier = children
+        for _level in range(3):
+            if len(parts) + len(frontier) >= self.min_partitions:
+                break
+            nxt = []
+            for c in frontier:
+                _, _, _, ch = _scan_one(c, pats)
+                parts.append(_Subtree(c, False))
+                nxt.extend(ch)
+            if not nxt:
+                frontier = []
+                break
+            frontier = nxt
+        return parts + [_Subtree(c, True) for c in frontier]
 
     def read(self, partition):
         from dudb_spark.sources.crawler import _scan_one
 
         pats = [re.compile(self.exclude)] if self.exclude else []
+        nf = len(_FIELDS)
         level = [partition.root]
         while level:
             nxt = []
             for p in level:
-                _, entries, _errors, children = _scan_one(p, pats)
+                _, entries, errors, children = _scan_one(p, pats)
                 for e in entries:
-                    yield tuple(e[f] for f in _FIELDS)
+                    yield tuple(e[f] for f in _FIELDS) + (None,)
+                # unreadable paths: in-band error rows (see module doc)
+                for err in errors:
+                    ep = err["path"]
+                    row = [None] * nf
+                    row[_FIELDS.index("parent")] = _os.path.dirname(ep) or None
+                    row[_FIELDS.index("name")] = _os.path.basename(ep)
+                    row[_FIELDS.index("path")] = ep
+                    yield tuple(row) + (err["detail"],)
                 if partition.recurse:
                     nxt.extend(children)
             level = nxt
@@ -110,7 +148,8 @@ def register(spark) -> None:
 
 
 def live_tables(
-    spark, root: str, exclude: str | None = None, cache: bool = True
+    spark, root: str, exclude: str | None = None, cache: bool = True,
+    with_errors: bool = False,
 ):
     """(prefixes, entries) frames over the LIVE filesystem — the ingest
     tables' shapes derived from one fswalk scan, so ``find``/``stats``
@@ -121,7 +160,12 @@ def live_tables(
     from the path and ``n_entries`` joined back from a per-parent count
     of the same scan.  Everything else stays lazy: predicates the
     caller pushes (find expressions) filter the walk's output rows the
-    moment they leave the executors."""
+    moment they leave the executors.
+
+    ``with_errors=True`` returns a third frame — the scan's unreadable
+    paths (path, error), the same rows the ingest path lands in the
+    error bucket — so ``--live`` consumers can report what the walk
+    could not see instead of silently skipping it."""
     from pyspark.sql import functions as F
 
     from dudb_spark.model import PREFIXES_SCHEMA
@@ -131,7 +175,7 @@ def live_tables(
     reader = spark.read.format("fswalk")
     if exclude:
         reader = reader.option("exclude", exclude)
-    entries = reader.load(root)
+    scan = reader.load(root)
     if cache:
         # the scan's consumers (n_entries join, the prefixes projection,
         # the caller's query) would each RE-WALK the live tree — stat
@@ -140,10 +184,14 @@ def live_tables(
         # of re-walking.  Callers doing exactly one pass can opt out.
         from pyspark.storagelevel import StorageLevel
 
-        entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
+        scan = scan.persist(StorageLevel.MEMORY_AND_DISK)
+    errors = scan.where(F.col("error").isNotNull()).select("path", "error")
+    entries = scan.where(F.col("error").isNull()).drop("error")
 
     rootp = root.rstrip("/") or "/"
-    rootdepth = rootp.count("/")
+    # match the crawler's depth base (crawler.crawl_local): for root "/"
+    # this is 0, so top-level dirs get depth 1, not the root's own 0
+    rootdepth = rootp.rstrip("/").count("/")
     pats = [re.compile(exclude)] if exclude else []
     root_row, _, _, _ = _scan_one(rootp, pats)
     if root_row is None:
@@ -172,4 +220,6 @@ def live_tables(
     prefixes = spark.createDataFrame(
         [root_row], PREFIXES_SCHEMA
     ).unionByName(dir_pfx.select(*[f.name for f in PREFIXES_SCHEMA.fields]))
+    if with_errors:
+        return prefixes, entries, errors
     return prefixes, entries

@@ -320,3 +320,80 @@ def test_fswalk_datasource_matches_crawler(spark, tmp_path):
     by_uid = df.groupBy("uid").count().collect()
     assert by_uid and sum(r["count"] for r in by_uid) == 8
     assert n_files >= 4
+
+
+def test_fswalk_shards_narrow_trees_deeper(spark, tmp_path):
+    """A tree with one huge top-level subtree must not serialize the
+    walk into one partition: partitions() peels extra listing levels
+    until the fan-out clears min_partitions (round-6 verdict item 6)."""
+    from dudb_spark.sources.fsds import FsWalkReader
+
+    root = str(tmp_path / "narrow")
+    # 1-wide at the top, fanning out only at level 3
+    os.makedirs(f"{root}/only/one")
+    for i in range(6):
+        os.makedirs(f"{root}/only/one/sub{i}")
+        with open(f"{root}/only/one/sub{i}/f.txt", "w") as f:
+            f.write("x" * (i + 1))
+    parts = FsWalkReader({"path": root, "min_partitions": "4"}).partitions()
+    assert len(parts) > 2  # pre-fix shape: [root listing, /only] == 2
+
+    # and the deeper sharding changes nothing about the rows
+    from dudb_spark.sources.crawler import crawl_local
+    from dudb_spark.sources.fsds import register
+
+    register(spark)
+    df = spark.read.format("fswalk").option("min_partitions", "4").load(root)
+    got = sorted((r["path"], r["size"]) for r in df.collect())
+    _, erows, _ = crawl_local(root)
+    assert got == sorted((e["path"], e["size"]) for e in erows)
+
+
+def test_fswalk_emits_error_rows_and_live_tables_counts_them(
+    spark, tmp_path
+):
+    """Unreadable dirs surface as in-band error rows (round-6 verdict
+    item 7): the scan keeps path+error, live_tables filters them out of
+    entries and returns them in the errors frame."""
+    from dudb_spark.sources.fsds import live_tables
+
+    root = str(tmp_path / "errtree")
+    os.makedirs(f"{root}/ok")
+    with open(f"{root}/ok/f.txt", "w") as f:
+        f.write("hello")
+    locked = f"{root}/locked"
+    os.mkdir(locked)
+    os.chmod(locked, 0)
+    if os.geteuid() == 0:
+        os.rmdir(locked)
+        pytest.skip("permission-denied dirs are unenforceable as root")
+    try:
+        prefixes, entries, errors = live_tables(
+            spark, root, with_errors=True
+        )
+        errs = errors.collect()
+        assert len(errs) == 1 and errs[0]["path"] == locked
+        assert "error" not in entries.columns
+        paths = [r["path"] for r in entries.collect()]
+        # the locked dir's own row (stat'ed from the parent) is present;
+        # nothing below it is
+        assert locked in paths
+        assert not any(p.startswith(locked + "/") for p in paths)
+    finally:
+        os.chmod(locked, 0o755)
+
+
+def test_live_tables_root_depth_base(spark, tmp_path):
+    """ADVICE round-6: depth must be computed from the crawler's base
+    (root.rstrip('/').count('/')), so a root like '/' gives top-level
+    dirs depth 1, and any root's own row stays depth 0 with children at
+    depth 1."""
+    from dudb_spark.sources.fsds import live_tables
+
+    root = str(tmp_path / "depths")
+    os.makedirs(f"{root}/a/b")
+    prefixes, _ = live_tables(spark, root)
+    d = {r["path"]: r["depth"] for r in prefixes.collect()}
+    assert d[root] == 0
+    assert d[f"{root}/a"] == 1
+    assert d[f"{root}/a/b"] == 2
