@@ -261,7 +261,7 @@ def decode_bmp(payload: bytes) -> dict:
                 raise ValueError("truncated BMP pixel array")
             region = region + b"\x00" * (need - len(region))
         px = np.frombuffer(region, np.uint8).reshape(n_rows, row_bytes)
-        sums = px[:, : width * 3].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        sums = _channel_sums(np.ascontiguousarray(px[:, : width * 3]), 3)
     return {
         "format": "bmp",
         "width": width,
@@ -365,11 +365,21 @@ def _parse_png(payload: bytes):
     return raw, h, w, ch
 
 
+def _channel_sums(px: "np.ndarray", ch: int) -> "np.ndarray":
+    """Per-channel int64 sums of a (n, ch)-shaped uint8 pixel view.
+    One strided .sum() per channel: numpy's axis=0 reduction over a
+    long-by-ch array is ~7× slower than ch independent column sums."""
+    if not px.size:
+        return np.zeros(ch, np.int64)
+    flat = px.reshape(-1, ch)
+    return np.array(
+        [flat[:, i].sum(dtype=np.int64) for i in range(ch)], np.int64
+    )
+
+
 def _png_result(recon: "np.ndarray", h: int, w: int, ch: int) -> dict:
     n_px = max(w * h, 1)
-    sums = recon.reshape(-1, ch).sum(axis=0, dtype=np.int64) if recon.size else (
-        np.zeros(ch, np.int64)
-    )
+    sums = _channel_sums(recon, ch)
     return {
         "format": "png",
         "width": w,
@@ -409,7 +419,7 @@ def _decode_image_pil(payload: bytes, fmt: str) -> dict:
         a = a[:, :, None]
     h, w, ch = a.shape
     n_px = max(w * h, 1)
-    sums = a.reshape(-1, ch).sum(axis=0, dtype=np.int64)
+    sums = _channel_sums(np.ascontiguousarray(a), ch)
     return {
         "format": fmt,
         "width": w,

@@ -119,6 +119,37 @@ def _unfilter_simple(
     return recon
 
 
+_GEOM_CACHE: dict = {}
+
+
+def _diag_geometry(h: int, w: int):
+    """Cached diagonal geometry for a (h, w) shape: the row-major →
+    diagonal-major permutation, per-diagonal extents, and the row
+    windows.  Media corpora repeat a handful of shapes (thumbnails,
+    tiles, fixed-resolution frames), and this int64 index arithmetic is
+    several passes over h·w — more memory traffic than the uint8 pixel
+    data itself — so it is built once per shape per process."""
+    g = _GEOM_CACHE.get((h, w))
+    if g is not None:
+        return g
+    D = h + w - 1
+    dd = np.arange(D)
+    r0 = np.maximum(0, dd - w + 1)
+    r1 = np.minimum(dd, h - 1)
+    cnt = r1 - r0 + 1
+    dstart = np.concatenate(([0], np.cumsum(cnt)))
+    r_ix, p_ix = np.indices((h, w), dtype=np.int64)
+    d_of = (r_ix + p_ix).ravel()
+    # int32: fancy-index scatter/gather with 4-byte indices runs
+    # measurably faster than int64 and no image approaches 2**31 cells
+    idx = (dstart[d_of] + (r_ix.ravel() - r0[d_of])).astype(np.int32)
+    if len(_GEOM_CACHE) > 64:
+        _GEOM_CACHE.clear()
+    g = (idx, dstart, int(cnt.max()), r0, r1)
+    _GEOM_CACHE[(h, w)] = g
+    return g
+
+
 def _unfilter_wavefront_uniform(
     ftypes: np.ndarray, data: np.ndarray, h: int, w: int, ch: int
 ) -> np.ndarray:
@@ -135,42 +166,55 @@ def _unfilter_wavefront_uniform(
     (row 0 / column 0) read the pad's zeros and no masks or index
     arrays exist at all.  Predictor math is presence-gated per diagonal
     (a diagonal with no Paeth rows never pays the Paeth compare chain)
-    and runs entirely in preallocated scratch."""
+    and runs entirely in preallocated scratch.
+
+    Per-diagonal filter statistics come from PER-ROW class counts (a
+    cell's filter is its row's filter, and a diagonal covers the row
+    window [r0, r1]): five h-length prefix sums replace four reduceat
+    passes over all h·w cells, and the mixed-diagonal per-cell masks
+    slice row windows of the (K, h) filter map — cell j of diagonal d
+    sits in row r0+j — so no diagonal-major filter permutation exists
+    at all."""
     K = data.shape[0]
     D = h + w - 1
     cells = data.reshape(K, h * w, ch)
-    # diagonal geometry (closed-form)
-    dd = np.arange(D)
-    r0 = np.maximum(0, dd - w + 1)
-    r1 = np.minimum(dd, h - 1)
-    cnt = r1 - r0 + 1
-    dstart = np.concatenate(([0], np.cumsum(cnt)))
-    # row-major cell -> diagonal-major position (one vectorized build)
-    r_ix, p_ix = np.indices((h, w), dtype=np.int64)
-    d_of = (r_ix + p_ix).ravel()
-    idx = dstart[d_of] + (r_ix.ravel() - r0[d_of])
+    idx, dstart, B, r0a, r1a = _diag_geometry(h, w)
     raw_d = np.empty((K, h * w, ch), np.uint8)
     raw_d[:, idx] = cells
-    f_d = np.empty((K, h * w), np.int8)
-    f_d[:, idx] = np.repeat(ftypes.astype(np.int8), w, axis=1)
-    # per-diagonal filter presence across the whole batch
-    fmax = np.maximum.reduceat(f_d, dstart[:-1], axis=1).max(axis=0)
-    fmin = np.minimum.reduceat(f_d, dstart[:-1], axis=1).min(axis=0)
-    n3 = (
-        np.add.reduceat((f_d == 3).astype(np.int32), dstart[:-1], axis=1)
-        .sum(axis=0)
+    # per-diagonal class counts from per-row counts (see docstring)
+    rowcnt = np.empty((5, h), np.int64)
+    for f in range(5):
+        rowcnt[f] = (ftypes == f).sum(axis=0)
+    csum = np.concatenate(
+        [np.zeros((5, 1), np.int64), np.cumsum(rowcnt, axis=1)], axis=1
     )
-    n4 = (
-        np.add.reduceat((f_d == 4).astype(np.int32), dstart[:-1], axis=1)
-        .sum(axis=0)
-    )
+    nf = csum[:, r1a + 1] - csum[:, r0a]  # (5, D)
+    present = nf > 0
+    fs5 = np.arange(5)[:, None]
+    fmax_l = np.where(present, fs5, -1).max(axis=0).tolist()
+    fmin_l = np.where(present, fs5, 5).min(axis=0).tolist()
+    n3_l = nf[3].tolist()
+    n4_l = nf[4].tolist()
+    # channel-expanded per-row filter map: mixed-diagonal masks compare
+    # (K, L, ch) slices of this with out= scratch — a (K, L, 1) mask
+    # broadcast against (K, L, ch) operands would collapse numpy's
+    # inner loop to ch elements and dominate the whole kernel
+    fmapc = np.repeat(ftypes.astype(np.int8)[:, :, None], ch, axis=2)
+    # plain-python per-diagonal scalars: extracting numpy array scalars
+    # inside the loop costs ~1 µs each × 6 × D, pure dispatch overhead
+    dstart_l = dstart.tolist()
+    r0_l = r0a.tolist()
 
     recon_d = np.empty((K, h * w, ch), np.uint8)
-    B = int(cnt.max())
     # rolling zero-padded previous diagonals: block at [1 : 1+cnt],
-    # slot 0 and 3 slots past the block stay zero for boundary reads
-    pad1 = np.zeros((K, B + 4, ch), np.uint8)
-    pad2 = np.zeros((K, B + 4, ch), np.uint8)
+    # slot 0 and 3 slots past the block stay zero for boundary reads.
+    # int16, NOT uint8: the predictor math below feeds these straight
+    # into subtract/add ufuncs, and numpy selects the loop from the
+    # INPUT dtypes even when out= is wider — uint8 pads would wrap
+    # mod 256 (Average's a+b sum, Paeth's signed differences) before
+    # the cast to the int16 scratch ever happens.
+    pad1 = np.zeros((K, B + 4, ch), np.int16)
+    pad2 = np.zeros((K, B + 4, ch), np.int16)
     s_p = np.empty((K, B, ch), np.int16)
     s_a = np.empty((K, B, ch), np.int16)
     s_b = np.empty((K, B, ch), np.int16)
@@ -179,13 +223,13 @@ def _unfilter_wavefront_uniform(
     m1 = np.empty((K, B, ch), np.bool_)
     m2 = np.empty((K, B, ch), np.bool_)
     for d in range(D):
-        s, e = int(dstart[d]), int(dstart[d + 1])
+        s, e = dstart_l[d], dstart_l[d + 1]
         L = e - s
-        lo, hi = int(fmin[d]), int(fmax[d])
-        has3, has4 = bool(n3[d]), bool(n4[d])
+        r0 = r0_l[d]
+        lo, hi = fmin_l[d], fmax_l[d]
+        has3, has4 = bool(n3_l[d]), bool(n4_l[d])
         raw = raw_d[:, s:e]
         if hi == 0:  # whole diagonal unfiltered
-            cur = raw
             recon_d[:, s:e] = raw
         else:
             # neighbor VIEWS into the padded previous diagonals — the
@@ -198,36 +242,43 @@ def _unfilter_wavefront_uniform(
             if has4:
                 ulo = 0 if d <= w - 1 else (1 if d == w else 2)
                 ul = pad2[:, ulo: L + ulo]
-                p = s_p[:, :L]
-                np.add(left, up, out=p)
-                p -= ul
+                # p−a = b−c, p−b = a−c, p−c = (b−c)+(a−c): two subs and
+                # an add replace the four subtractions via p
                 pa = s_a[:, :L]
-                np.subtract(p, left, out=pa)
-                np.abs(pa, out=pa)
+                np.subtract(up, ul, out=pa)
                 pb = s_b[:, :L]
-                np.subtract(p, up, out=pb)
-                np.abs(pb, out=pb)
+                np.subtract(left, ul, out=pb)
                 pc = s_c[:, :L]
-                np.subtract(p, ul, out=pc)
+                np.add(pa, pb, out=pc)
+                np.abs(pa, out=pa)
+                np.abs(pb, out=pb)
                 np.abs(pc, out=pc)
-                # nearest-of-three with ties left > up > ul, built in
-                # place: start at ul, overwrite with up then left
-                pred[:] = ul
+                # nearest-of-three with ties left > up > ul, built as
+                # arithmetic BLENDS (pred += mask·(src − pred)): a
+                # masked np.copyto(where=) drops to a per-element
+                # fallback on a mixed mask (~9× the cost of these three
+                # SIMD passes), so no masked copy appears anywhere here
                 ma = m1[:, :L]
-                np.less_equal(pb, pc, out=ma)
-                np.copyto(pred, up, where=ma)
-                np.less_equal(pa, pb, out=ma)
                 mb = m2[:, :L]
+                t = s_p[:, :L]
+                np.less_equal(pb, pc, out=ma)  # up beats ul
+                np.subtract(up, ul, out=t)
+                np.multiply(t, ma, out=t)
+                np.add(ul, t, out=pred)  # pred = ul + m·(up−ul)
+                np.less_equal(pa, pb, out=ma)  # left beats both
                 np.less_equal(pa, pc, out=mb)
-                ma &= mb
-                np.copyto(pred, left, where=ma)
+                np.bitwise_and(ma, mb, out=ma)
+                np.subtract(left, pred, out=t)
+                np.multiply(t, ma, out=t)
+                pred += t
                 if has3:
-                    p = s_p[:, :L]  # reuse as avg scratch
+                    p = s_c[:, :L]  # pc is dead now: avg scratch
                     np.add(left, up, out=p)
                     p >>= 1
-                    np.copyto(
-                        pred, p, where=(f_d[:, s:e] == 3)[..., None]
-                    )
+                    np.equal(fmapc[:, r0: r0 + L], 3, out=ma)
+                    np.subtract(p, pred, out=t)
+                    np.multiply(t, ma, out=t)
+                    pred += t
             elif has3:
                 np.add(left, up, out=pred)
                 pred >>= 1
@@ -239,22 +290,34 @@ def _unfilter_wavefront_uniform(
                 pred[:] = 0
             if lo <= 2 and not (lo == hi == 1) and not (lo == hi == 2):
                 # rows with None/Sub/Up mixed into this diagonal:
-                # overwrite their cells (pred already holds 0 for the
-                # pure-simple mixed case above)
-                fsl = f_d[:, s:e][..., None]
+                # overwrite their cells with the same blend trick
+                # (pred already holds 0 for the pure-simple mixed case)
+                frowc = fmapc[:, r0: r0 + L]
+                ma = m1[:, :L]
+                t = s_p[:, :L]
                 if lo == 0 and (has3 or has4):
-                    np.copyto(pred, 0, where=(fsl == 0))
-                np.copyto(pred, left, where=(fsl == 1))
-                np.copyto(pred, up, where=(fsl == 2))
+                    # zero the None-row cells: multiply by (f != 0)
+                    np.not_equal(frowc, 0, out=ma)
+                    np.multiply(pred, ma, out=pred)
+                np.equal(frowc, 1, out=ma)
+                np.subtract(left, pred, out=t)
+                np.multiply(t, ma, out=t)
+                pred += t
+                np.equal(frowc, 2, out=ma)
+                np.subtract(up, pred, out=t)
+                np.multiply(t, ma, out=t)
+                pred += t
             pred += raw
-            pred &= 0xFF
+            # the int16 → uint8 store truncates mod 256 — exactly the
+            # PNG wrap — so no explicit &= 0xFF pass is needed
             recon_d[:, s:e] = pred
-            cur = pred
         # roll the pads: current block becomes pad1, old pad1 -> pad2;
         # slot 0 and three slots past the block are re-zeroed so the
-        # next diagonals' shifted views read zeros at the boundaries
+        # next diagonals' shifted views read zeros at the boundaries.
+        # The block loads from the just-stored uint8 output (already
+        # wrapped), not from the raw int16 pred.
         pad1, pad2 = pad2, pad1
-        pad1[:, 1: 1 + L] = cur
+        pad1[:, 1: 1 + L] = recon_d[:, s:e]
         pad1[:, 0] = 0
         pad1[:, 1 + L: 4 + L] = 0
     out = recon_d[:, idx]
@@ -272,7 +335,16 @@ def _unfilter_wavefront(items: list[tuple]) -> list[np.ndarray]:
     no index arrays, no gathers.  Real media corpora repeat a handful of
     shapes (thumbnails, tiles, fixed-resolution frames), so grouping
     keeps the batch amortization of the original mixed-shape wavefront
-    while removing its per-cell position bookkeeping."""
+    while removing its per-cell position bookkeeping.
+
+    Smaller shapes EMBED into a larger group's canvas when the extra
+    cells are cheap: a PNG cell depends only on cells above/left of it,
+    so an image placed in the top-left corner of a larger (h, w) canvas
+    — right columns zero-filled inside its own rows, bottom rows padded
+    as filter-None zeros — reconstructs its region bit-identically, and
+    the embedded image rides the big group's existing per-diagonal
+    dispatches instead of paying its own h+w-1 rounds (ufunc dispatch,
+    not element count, is what bounds small-group throughput)."""
     for ftypes, _, _, _, _ in items:
         mx, mn = int(ftypes.max()), int(ftypes.min())
         if mx > 4 or mn < 0:
@@ -280,13 +352,49 @@ def _unfilter_wavefront(items: list[tuple]) -> list[np.ndarray]:
     groups: dict[tuple, list[int]] = {}
     for j, (_, _, h, w, ch) in enumerate(items):
         groups.setdefault((h, w, ch), []).append(j)
+    # embedding plan: host each group in the cheapest covering group
+    # (same ch, h/w no larger) whose added element work stays below
+    # half the host's own — dispatch savings dominate long before that
+    host: dict[tuple, tuple] = {}
+    by_cells = sorted(
+        groups, key=lambda g: (g[0] * g[1], g[0], g[1]), reverse=True
+    )
+    for gi, small in enumerate(by_cells):
+        hs, ws, chs = small
+        best = None
+        for big in by_cells[:gi]:
+            hb, wb, chb = big
+            if chb != chs or hb < hs or wb < ws or big in host:
+                continue
+            waste = (hb * wb - hs * ws) * len(groups[small])
+            budget = hb * wb * len(groups[big])
+            if waste <= budget // 2 and (best is None or waste < best[0]):
+                best = (waste, big)
+        if best is not None:
+            host[small] = best[1]
     results: list[np.ndarray | None] = [None] * len(items)
-    for (h, w, ch), idxs in groups.items():
-        fts = np.stack([items[j][0] for j in idxs])
-        data = np.stack([items[j][1] for j in idxs])
-        recs = _unfilter_wavefront_uniform(fts, data, h, w, ch)
-        for k, j in enumerate(idxs):
-            results[j] = recs[k]
+    for big, idxs in groups.items():
+        if big in host:
+            continue
+        hb, wb, chb = big
+        members = [(j, big) for j in idxs] + [
+            (j, small)
+            for small, hg in host.items()
+            if hg == big
+            for j in groups[small]
+        ]
+        fts = np.zeros((len(members), hb), items[0][0].dtype)
+        data = np.zeros((len(members), hb, wb * chb), np.uint8)
+        for k, (j, (h, w, ch)) in enumerate(members):
+            fts[k, :h] = items[j][0]
+            data[k, :h, : w * ch] = items[j][1]
+        recs = _unfilter_wavefront_uniform(fts, data, hb, wb, chb)
+        for k, (j, (h, w, ch)) in enumerate(members):
+            results[j] = (
+                recs[k]
+                if (h, w, ch) == big
+                else np.ascontiguousarray(recs[k][:h, : w * ch])
+            )
     return results
 
 

@@ -275,6 +275,53 @@ def test_unfilter_vectorized_matches_python_kernel():
                 assert g[r].tobytes() == ref[r], (trial, r, h, w, ch)
 
 
+def test_unfilter_wavefront_matches_python_kernel_above_threshold():
+    """Same pin, but with images LARGE enough to take the batched
+    wavefront (unfilter_batch routes images below ~4k cells through the
+    per-pixel kernel, so the small-image fuzz above never reaches it —
+    this hid a round-6 bug where the uint8 diagonal pads made numpy pick
+    wrapping uint8 loops for the Average sum and Paeth differences
+    despite the int16 out= scratch).  Covers all-Paeth, all-Average,
+    every-mix, multi-image shape groups, and degenerate 1-wide/1-tall
+    shapes."""
+    import random
+
+    import numpy as np
+
+    from dudb_spark.pipeline import unfilter as uf
+
+    def img(rng, h, w, ch, fchoices):
+        stride = w * ch
+        raw = bytearray()
+        for _r in range(h):
+            raw.append(rng.choice(fchoices))
+            raw += bytes(rng.randint(0, 255) for _ in range(stride))
+        return (bytes(raw), h, w, ch)
+
+    rng = random.Random(20260815)
+    batches = [
+        # one large image per filter regime
+        [img(rng, 80, 70, 1, [4])],
+        [img(rng, 80, 70, 1, [3])],
+        [img(rng, 64, 80, 3, [0, 1, 2, 3, 4])],
+        # same-shape group (lockstep batch) + a second shape group
+        [img(rng, 72, 60, 1, [3, 4]) for _ in range(3)]
+        + [img(rng, 60, 72, 1, [0, 4]) for _ in range(2)],
+        # degenerate extents
+        [img(rng, 5000, 1, 1, [4]), img(rng, 1, 5000, 1, [4]),
+         img(rng, 4200, 1, 3, [2, 3])],
+    ]
+    for bi, items in enumerate(batches):
+        assert sum(h * w for _, h, w, _ in items) >= 4096  # wavefront path
+        got = uf.unfilter_batch(items)
+        for (raw, h, w, ch), g in zip(items, got):
+            ref = uf.unfilter_rows_py(raw, h, w, ch)
+            ref_arr = np.frombuffer(b"".join(ref), np.uint8).reshape(
+                h, w * ch
+            )
+            assert np.array_equal(np.asarray(g), ref_arr), (bi, h, w, ch)
+
+
 def test_decoders_match_python_kernels():
     """Full vectorized decoders == the round-4 Python kernels on random
     real payloads (exact integer folds on both sides)."""
