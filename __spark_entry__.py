@@ -3777,7 +3777,17 @@ def _incremental_bench(spark, sf_dir, mult=30):
       high — 15 of 500 dirs (5+5+5, ~3 %): the stress shape the q118
              oracle certifies
 
-    Returns a dict with per-profile (t_full, t_inc, fold_fraction).
+    Before the low profile is timed, the SAME two measurements run once
+    untimed as a warm-up: the first fold in a fresh JVM pays one-time
+    whole-stage-codegen compilation and shuffle/broadcast machinery
+    startup (measured ~10 s of a ~30 s cold t_full at 18M — round-6's
+    committed 0.37× headline was a cold/warm asymmetry artifact, with
+    t_full and t_inc drawn from different warmup states across runs).
+    Post-warm-up, both sides measure work, not JVM startup.
+
+    Returns a dict with per-profile (t_full, t_inc, fold_fraction,
+    closure_jobs — the count of the closure's sequential driver
+    round-trips, whose ~0.3 s local latency each is t_inc's floor).
     fold_fraction = folded-slice rows / total rows — the scale-invariant
     quantity (incremental work grows with churn, a refold with the
     tree); the wall-clock ratio additionally carries Spark's fixed
@@ -3852,6 +3862,32 @@ def _incremental_bench(spark, sf_dir, mult=30):
         prev = compute_stats(pt.prefixes, pt.entries, StatsOptions())
         prev.per_prefix = prev.per_prefix.localCheckpoint()
 
+        spill_prev_rows = cat.layout(prev_v).get("spill_rows")
+
+        def run_full(nt):
+            t0 = _time.perf_counter()
+            full = compute_stats(nt.prefixes, nt.entries, StatsOptions())
+            full.per_prefix.localCheckpoint()
+            return _time.perf_counter() - t0, full
+
+        def run_inc(nt, touched, new_v):
+            sr = None
+            new_rows = cat.layout(new_v).get("spill_rows")
+            if spill_prev_rows is not None and new_rows is not None:
+                sr = spill_prev_rows + new_rows
+            t0 = _time.perf_counter()
+            inc = incremental_stats(
+                prev,
+                pt.read_raw("prefixes"), pt.read_raw("entries"),
+                nt.read_raw("prefixes"), nt.read_raw("entries"),
+                touched, pin_inputs=False, path_buckets=buckets,
+                prev_spill=cat.spill_index(prev_v),
+                new_spill=cat.spill_index(new_v),
+                spill_rows=sr,
+            )
+            ip = inc.per_prefix.localCheckpoint()
+            return _time.perf_counter() - t0, ip, inc.meta
+
         out = {"entries": None}
         for profile, mod in (("low", 500), ("high", 100)):
             staged_p, staged_e, is_churn = staging(mod)
@@ -3872,22 +3908,13 @@ def _incremental_bench(spark, sf_dir, mult=30):
             n = nt.entries.count()
             out["entries"] = n
 
-            t0 = _time.perf_counter()
-            full = compute_stats(nt.prefixes, nt.entries, StatsOptions())
-            full.per_prefix.localCheckpoint()
-            t_full = _time.perf_counter() - t0
+            if profile == "low":
+                # untimed warm-up of both plan shapes (see docstring)
+                run_full(nt)
+                run_inc(nt, touched, new_v)
 
-            t0 = _time.perf_counter()
-            inc = incremental_stats(
-                prev,
-                pt.read_raw("prefixes"), pt.read_raw("entries"),
-                nt.read_raw("prefixes"), nt.read_raw("entries"),
-                touched, pin_inputs=False, path_buckets=buckets,
-                prev_spill=cat.spill_index(prev_v),
-                new_spill=cat.spill_index(new_v),
-            )
-            ip = inc.per_prefix.localCheckpoint()
-            t_inc = _time.perf_counter() - t0
+            t_full, _ = run_full(nt)
+            t_inc, ip, meta = run_inc(nt, touched, new_v)
 
             folded = (
                 ip.where(is_churn)
@@ -3899,64 +3926,68 @@ def _incremental_bench(spark, sf_dir, mult=30):
                 "t_full": t_full,
                 "t_inc": t_inc,
                 "fold_fraction": round(folded / max(n, 1), 4),
+                "closure_jobs": meta.get("closure_jobs"),
             }
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def q118_incremental_at_scale(spark, sf_dir):
-    """The PRODUCTION incremental-stats path at data scale
-    (operators/incremental.py): the 600k-entry tree with ~1% churn
-    (_incremental_staging) is merged, the merged snapshot and previous
-    summary are pinned (stand-ins for the stored snapshot/summary), and
-    incremental_stats(pin_inputs=False) re-folds only the touched
-    closure — churn-proportional, the design that makes nightly stats
-    viable at 100 TB where the reference recomputes from scratch
-    (stats.go:150–209).
+_INC_SHARED: dict = {}
 
-    Output: per-kind (added/changed/linked/unchanged) rollup of the
-    incremental per-prefix summary.  The oracle restates the ENTIRE
-    merged-tree fold — cross-directory file dedup windows, churned
-    sizes, canonical migration into the added dirs — from lineitem
-    arithmetic, so value equality proves the incremental result matches
-    a from-scratch fold of the merged tree.  bench.py derives
-    incremental entries/sec and the speedup over a full refold from
-    this staging."""
-    from dudb_spark.operators.incremental import incremental_stats
+
+def _incremental_shared(spark, sf_dir):
+    """Stage the 600k-entry ~1%-churn fixture ONCE per process — round-6
+    verdict item 3: q118 and q126 each re-staged the same tree in-suite
+    (~14.9 s + 20.9 s, mostly duplicated staging).  The staging lands on
+    disk as BUCKETED snapshots in a process-lifetime temp dir (cleaned
+    at exit): previous snapshot (v0001) + its fold summary, the merged
+    snapshot (v0002) + spill indexes, and the touched set as parquet.
+    q118 consumes the PLAIN table reads (pb hidden — the un-bucketed
+    closure), q126 the raw pb-carrying scans + spill indexes (the fully
+    pruned closure); both reuse the same previous summary, so in-suite
+    the second query pays only its own closure + fold."""
+    if sf_dir in _INC_SHARED:
+        return _INC_SHARED[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
     from dudb_spark.operators.ingest import merge_scan
     from dudb_spark.operators.stats import StatsOptions, compute_stats
+    from dudb_spark.sources.catalog import SnapshotCatalog
 
     prev_p, prev_e, staged_p, staged_e = _incremental_staging(spark, sf_dir)
-    # The previous snapshot feeds (a) the prev fold and (b) the closure
-    # PROBES — and the probes only read (path/parent, device, inode), so
-    # pin just that narrow projection (two cheap checkpoint jobs) and
-    # leave the wide frame a lazy derivation for the one fold pass.
-    # Wide pins measured a wash (the pin jobs cost what the fold's
-    # branch re-derivations save); the narrow pins + a touched pin cut
-    # the closure's affected job 5.6s -> 1.6s for ~2.8s of pin cost
-    # (in-suite ~27s -> ~24.7s).  Values are pin-invariant — the q118
-    # oracle row is unchanged.
-    prev_probe_p = prev_p.select("path", "device", "inode").localCheckpoint()
-    prev_probe_e = prev_e.select(
-        "parent", "device", "inode"
-    ).localCheckpoint()
-    prev = compute_stats(prev_p, prev_e, StatsOptions())
+    base = tempfile.mkdtemp(prefix="dudb_incshared_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    cat = SnapshotCatalog(spark, f"{base}/db")
+    cat.write_snapshot(prev_p, prev_e, layout="bucketed", path_buckets=16)
+    prev_v = cat.latest_version()
+    pt = cat.tables(prev_v)
+    prev = compute_stats(pt.prefixes, pt.entries, StatsOptions())
     prev.per_prefix = prev.per_prefix.localCheckpoint()
     merge = merge_scan(
-        prev_p, prev_e, staged_p, staged_e, root="/scale",
+        pt.prefixes, pt.entries, staged_p, staged_e, root="/scale",
         with_summary=False,
     )
-    new_p = merge.prefixes.localCheckpoint()
-    new_e = merge.entries.localCheckpoint()
-    # touched is consumed three times by the closure (seed build +
-    # affected union); tiny, so the pin is ~free and saves re-running
-    # the merge classification join per consumer
-    touched = merge.touched.localCheckpoint()
-    inc = incremental_stats(
-        prev, prev_probe_p, prev_probe_e, new_p, new_e, touched,
-        pin_inputs=False,
+    cat.write_snapshot(
+        merge.prefixes, merge.entries, layout="bucketed", path_buckets=16
     )
+    new_v = cat.latest_version()
+    nt = cat.tables(new_v)
+    merge.touched.write.mode("overwrite").parquet(f"{base}/touched")
+    shared = {
+        "cat": cat, "prev": prev, "prev_v": prev_v, "new_v": new_v,
+        "pt": pt, "nt": nt,
+        "touched": spark.read.parquet(f"{base}/touched"),
+    }
+    _INC_SHARED[sf_dir] = shared
+    return shared
+
+
+def _incremental_kind_rollup(inc):
+    """The q118/q126 output shape: per-kind rollup of the incremental
+    per-prefix summary (added / changed / linked / unchanged)."""
     kd = F.substring("prefix", 9, 10).cast("long")
     kind = (
         F.when(F.col("prefix").startswith("/scale/a"), "added")
@@ -3980,6 +4011,38 @@ def q118_incremental_at_scale(spark, sf_dir):
     )
 
 
+def q118_incremental_at_scale(spark, sf_dir):
+    """The PRODUCTION incremental-stats path at data scale
+    (operators/incremental.py): the 600k-entry tree with ~1% churn
+    (_incremental_staging) is merged, the merged snapshot and previous
+    summary are pinned (stand-ins for the stored snapshot/summary), and
+    incremental_stats(pin_inputs=False) re-folds only the touched
+    closure — churn-proportional, the design that makes nightly stats
+    viable at 100 TB where the reference recomputes from scratch
+    (stats.go:150–209).
+
+    Output: per-kind (added/changed/linked/unchanged) rollup of the
+    incremental per-prefix summary.  The oracle restates the ENTIRE
+    merged-tree fold — cross-directory file dedup windows, churned
+    sizes, canonical migration into the added dirs — from lineitem
+    arithmetic, so value equality proves the incremental result matches
+    a from-scratch fold of the merged tree.  Staging is the
+    process-shared fixture (``_incremental_shared`` — q126 reuses it),
+    and the closure here runs the PLAIN (un-bucketed) path over the
+    stored snapshots' table reads: projections push to the parquet scan,
+    so the probes are narrow without explicit pins."""
+    from dudb_spark.operators.incremental import incremental_stats
+
+    sh = _incremental_shared(spark, sf_dir)
+    inc = incremental_stats(
+        sh["prev"],
+        sh["pt"].prefixes, sh["pt"].entries,
+        sh["nt"].prefixes, sh["nt"].entries,
+        sh["touched"], pin_inputs=False,
+    )
+    return _incremental_kind_rollup(inc)
+
+
 def q126_incremental_bucketed(spark, sf_dir):
     """q118's incremental gate routed through the BUCKETED snapshot
     layout — the storage path a production deployment runs (the CLI
@@ -3991,69 +4054,30 @@ def q126_incremental_bucketed(spark, sf_dir):
     equality against the from-scratch fold restatement proves the
     pruned closure loses nothing), so any divergence between the plain
     and bucketed paths shows up as exactly one of the two rows going
-    red."""
-    import shutil
-    import tempfile
-
+    red.  Staging (snapshots + spill indexes + previous summary) is the
+    process-shared fixture q118 also consumes (_incremental_shared);
+    this query's own work is the fully PRUNED closure: raw pb-carrying
+    scans, both spill indexes, and the write-time spill_rows count that
+    skips the index-empty probe job."""
     from dudb_spark.operators.incremental import incremental_stats
-    from dudb_spark.operators.ingest import merge_scan
-    from dudb_spark.operators.stats import StatsOptions, compute_stats
-    from dudb_spark.sources.catalog import SnapshotCatalog
 
-    prev_p, prev_e, staged_p, staged_e = _incremental_staging(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="dudb_q126_")
-    try:
-        cat = SnapshotCatalog(spark, f"{base}/db")
-        cat.write_snapshot(
-            prev_p, prev_e, layout="bucketed", path_buckets=16
-        )
-        prev_v = cat.latest_version()
-        pt = cat.tables()
-        prev = compute_stats(pt.prefixes, pt.entries, StatsOptions())
-        prev.per_prefix = prev.per_prefix.localCheckpoint()
-        merge = merge_scan(
-            pt.prefixes, pt.entries, staged_p, staged_e, root="/scale",
-            with_summary=False,
-        )
-        cat.write_snapshot(
-            merge.prefixes, merge.entries,
-            layout="bucketed", path_buckets=16,
-        )
-        nt = cat.tables()
-        touched = merge.touched.localCheckpoint()
-        inc = incremental_stats(
-            prev,
-            pt.read_raw("prefixes"), pt.read_raw("entries"),
-            nt.read_raw("prefixes"), nt.read_raw("entries"),
-            touched, pin_inputs=False, path_buckets=16,
-            prev_spill=cat.spill_index(prev_v),
-            new_spill=cat.spill_index(),
-        )
-        kd = F.substring("prefix", 9, 10).cast("long")
-        kind = (
-            F.when(F.col("prefix").startswith("/scale/a"), "added")
-            .when(kd.between(490, 494), "linked")
-            .when(kd % 100 == 3, "changed")
-            .otherwise("unchanged")
-        )
-        return (
-            inc.per_prefix.groupBy(kind.alias("kind"))
-            .agg(
-                F.count(F.lit(1)).alias("n_dirs"),
-                F.sum("prefixes").alias("prefixes"),
-                F.sum("files").alias("files"),
-                F.sum("bytes").alias("bytes"),
-                F.sum("storage_bytes").alias("storage_bytes"),
-                F.sum("prefix_bytes").alias("prefix_bytes"),
-                F.sum("hardlinks").alias("hardlinks"),
-                F.sum("hardlink_dirs").alias("hardlink_dirs"),
-            )
-            .orderBy("kind")
-            # materialize before the temp snapshot dir is removed
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    sh = _incremental_shared(spark, sf_dir)
+    cat = sh["cat"]
+    lay_prev = cat.layout(sh["prev_v"])
+    lay_new = cat.layout(sh["new_v"])
+    spill_rows = None
+    if "spill_rows" in lay_prev and "spill_rows" in lay_new:
+        spill_rows = lay_prev["spill_rows"] + lay_new["spill_rows"]
+    inc = incremental_stats(
+        sh["prev"],
+        sh["pt"].read_raw("prefixes"), sh["pt"].read_raw("entries"),
+        sh["nt"].read_raw("prefixes"), sh["nt"].read_raw("entries"),
+        sh["touched"], pin_inputs=False, path_buckets=16,
+        prev_spill=cat.spill_index(sh["prev_v"]),
+        new_spill=cat.spill_index(sh["new_v"]),
+        spill_rows=spill_rows,
+    )
+    return _incremental_kind_rollup(inc)
 
 
 def q120_stream_excision(spark, sf_dir):

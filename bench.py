@@ -248,6 +248,21 @@ def main():
         )
         calib.append(time.perf_counter() - t0)
     result["calib_scan_agg_sec"] = round(min(calib), 3)
+    # calib-normalized suite number + the r4-common sum, so the next
+    # cross-round comparison needs no forensics (round-6 verdict item 5):
+    # divide suite seconds by the host anchor before reading a delta as
+    # a regression, and compare the common-query sum against the same
+    # sum in the older record.
+    result["suite_seconds_norm"] = round(total / max(min(calib), 1e-9), 1)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r04.json")) as f:
+            r4q = json.load(f)["parsed"]["queries"]
+        result["r4_common_sum_sec"] = round(
+            sum(t for qid, t in short.items() if qid in r4q), 1
+        )
+    except Exception:
+        pass
 
     # production incremental-stats measurement: 10x-replicated tree (6M
     # entries at sf0.1) with ~1% churn, snapshots stored as parquet, full
@@ -307,8 +322,12 @@ lo, hi = r["low"], r["high"]
 print(json.dumps({
     "incremental_tree_entries": r["entries"],
     "incremental_entries_per_sec": round(r["entries"] / lo["t_inc"]),
-    # headline: realistic ~0.6%-of-dirs nightly churn
+    # headline: realistic ~0.6%-of-dirs nightly churn, both sides
+    # measured warm (the bench warms both plan shapes untimed first)
     "incremental_speedup_vs_refold": round(lo["t_full"] / lo["t_inc"], 2),
+    "incremental_t_full_sec": round(lo["t_full"], 2),
+    "incremental_t_inc_sec": round(lo["t_inc"], 2),
+    "incremental_closure_jobs": lo["closure_jobs"],
     "incremental_fold_fraction": lo["fold_fraction"],
     # stress profile: 3%-of-dirs churn (the q118-certified shape)
     "incremental_speedup_high_churn": round(hi["t_full"] / hi["t_inc"], 2),
