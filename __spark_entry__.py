@@ -2805,6 +2805,64 @@ def q127_fswalk_datasource(spark, sf_dir):
     return pfx.unionByName(ent).orderBy("relpath", "is_prefix")
 
 
+# q128 fixture: flat-color images make the whole JPEG pipeline exactly
+# SQL-restatable — a constant plane encodes to DC-only blocks, the luma
+# quantizer's q00=8 cancels the DC scale (8*(v-128)/8), and these ten
+# RGB constants were screened so both chroma DC quants are EVEN (the
+# x1.5 dequant stays integral) and no round() sits within 1e-6 of a
+# .5 tie anywhere in the YCbCr round-trip, so numpy's and DuckDB's
+# half-even rounding provably agree.
+_Q128_COLORS = [
+    (48, 94, 174), (122, 16, 220), (239, 249, 227), (131, 93, 63),
+    (205, 15, 109), (60, 26, 50), (63, 137, 83), (1, 147, 169),
+    (75, 69, 215), (78, 180, 248),
+]
+
+
+def q128_jpeg_decode(spark, sf_dir):
+    """Dependency-free baseline JPEG decode through the Arrow path
+    (pipeline/jpeg.py: marker parse, Huffman entropy decode, dequant +
+    batched IDCT, chroma upsample, YCbCr->RGB) — REAL bitstreams built
+    by the in-repo encoder (libjpeg-cross-checked in tests/test_jpeg.py),
+    decoded by decode_media, channel means value-checked against a full
+    SQL restatement of the decode arithmetic (see _Q128_COLORS).  Gray
+    (exact for any value), 4:4:4 and 4:2:0 color, odd non-multiple-of-8
+    dims exercising pad/crop.  Reference has no multimodal surface;
+    pipeline extension."""
+    import numpy as np
+
+    from dudb_spark.pipeline import multimodal as mm
+    from dudb_spark.pipeline.jpeg import encode_jpeg
+
+    rows = []
+
+    def add(mid, payload):
+        rows.append(
+            (mid, bytearray(payload),
+             ("image", "jpeg", None, None, None, len(payload)))
+        )
+
+    for i in range(10):
+        v = (i * 23 + 7) % 256
+        add(i, encode_jpeg(np.full((13 + i, 21 + i), v, np.uint8)))
+    for ci, rgb in enumerate(_Q128_COLORS):
+        img444 = np.full((20, 28, 3), rgb, np.uint8)
+        add(10 + ci, encode_jpeg(img444, subsample="444"))
+        img420 = np.full((18, 30, 3), rgb, np.uint8)
+        add(20 + ci, encode_jpeg(img420, subsample="420", restart=2))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    d = mm.decode_media(media)
+    return d.select(
+        "media_id", "format", "width", "height", "n_channels",
+        "sample_rate",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(F.try_element_at("mean", F.lit(1)), 6).alias("mean1"),
+        F.round(F.try_element_at("mean", F.lit(2)), 6).alias("mean2"),
+        F.round(F.try_element_at("mean", F.lit(3)), 6).alias("mean3"),
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("media_id")
+
+
 def q71_decontamination(spark, sf_dir):
     """Benchmark decontamination (pipeline/decontam.py): corpus docs
     sharing 5-gram shingles with the held-out eval slice (doc_id % 97 == 0)
@@ -4350,6 +4408,7 @@ QUERIES: dict[str, Callable] = {
     "q125_bpe_encode": q125_bpe_encode,
     "q126_incremental_bucketed": q126_incremental_bucketed,
     "q127_fswalk_datasource": q127_fswalk_datasource,
+    "q128_jpeg_decode": q128_jpeg_decode,
 }
 
 ORACLE: dict[str, str] = {
@@ -5585,6 +5644,75 @@ ORACLE["q70_crawler_walk"] = """
 
 # the DataSource route must reproduce the crawler's rows exactly
 ORACLE["q127_fswalk_datasource"] = ORACLE["q70_crawler_walk"]
+
+
+def _q128_oracle_sql() -> str:
+    """SQL restatement of the flat-image JPEG decode: RGB->YCbCr with
+    half-even rounds, DC quantization (luma q00=8 cancels; chroma q00=12
+    with the screened-even quants), dequant + IDCT of a DC-only block
+    (value/8), and the BT.601 inverse with the same operator order as
+    decode_jpeg_pixels.  round_even == numpy half-even; the fixture
+    colors were screened so no expression lands near a tie (see
+    _Q128_COLORS)."""
+    vals = ", ".join(
+        f"({ci}, {r}, {g}, {b})" for ci, (r, g, b) in enumerate(_Q128_COLORS)
+    )
+    return f"""
+    WITH gids AS (SELECT unnest(generate_series(0, 9)) AS i),
+    gray AS (
+        SELECT CAST(i AS BIGINT) AS media_id, 'jpeg' AS format,
+               CAST(21 + i AS INT) AS width, CAST(13 + i AS INT) AS height,
+               CAST(1 AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+               CAST((21 + i) * (13 + i) AS BIGINT) AS n_frames,
+               CAST((i*23 + 7) % 256 AS DOUBLE) AS mean1,
+               CAST(NULL AS DOUBLE) AS mean2, CAST(NULL AS DOUBLE) AS mean3,
+               CAST(NULL AS DOUBLE) AS rms
+        FROM gids
+    ),
+    colors(ci, r, g, b) AS (VALUES {vals}),
+    enc AS (
+        SELECT ci,
+               round_even(0.299*r + 0.587*g + 0.114*b, 0) AS y0,
+               round_even(128 - 0.168736*r - 0.331264*g + 0.5*b, 0) AS cb0,
+               round_even(128 + 0.5*r - 0.418688*g - 0.081312*b, 0) AS cr0
+        FROM colors
+    ),
+    dec AS (
+        SELECT ci, y0,
+               round_even(round_even(8*(cb0 - 128)/12.0, 0)*12/8.0, 0) + 128
+                   AS dcb,
+               round_even(round_even(8*(cr0 - 128)/12.0, 0)*12/8.0, 0) + 128
+                   AS dcr
+        FROM enc
+    ),
+    rgb AS (
+        SELECT ci,
+               GREATEST(0, LEAST(255,
+                   round_even(y0 + 1.402*(dcr - 128), 0))) AS mr,
+               GREATEST(0, LEAST(255,
+                   round_even(y0 - 0.344136*(dcb - 128)
+                                 - 0.714136*(dcr - 128), 0))) AS mg,
+               GREATEST(0, LEAST(255,
+                   round_even(y0 + 1.772*(dcb - 128), 0))) AS mb
+        FROM dec
+    ),
+    color AS (
+        SELECT CAST(10*grp + ci AS BIGINT) AS media_id, 'jpeg' AS format,
+               CAST(CASE grp WHEN 1 THEN 28 ELSE 30 END AS INT) AS width,
+               CAST(CASE grp WHEN 1 THEN 20 ELSE 18 END AS INT) AS height,
+               CAST(3 AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+               CAST(CASE grp WHEN 1 THEN 560 ELSE 540 END AS BIGINT)
+                   AS n_frames,
+               CAST(mr AS DOUBLE) AS mean1, CAST(mg AS DOUBLE) AS mean2,
+               CAST(mb AS DOUBLE) AS mean3, CAST(NULL AS DOUBLE) AS rms
+        FROM rgb, (SELECT unnest([1, 2]) AS grp)
+    )
+    SELECT * FROM (SELECT * FROM gray UNION ALL SELECT * FROM color)
+    ORDER BY media_id
+"""
+
+
+ORACLE["q128_jpeg_decode"] = _q128_oracle_sql()
 
 ORACLE["q71_decontamination"] = """
     WITH tok AS (

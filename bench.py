@@ -82,22 +82,24 @@ def decode_bench() -> dict:
     for _ in range(10):  # ~7.5s of 16 kHz stereo each
         samples = rng.integers(-32768, 32768, 120000).tolist()
         add("wav", (mm.synthetic_wav(samples, channels=2), "wav"), 120000 * 2)
-    if mm._PILImage is not None:
-        # real-corpus JPEG path (decode_media routes it to Pillow): only
-        # measurable when the optional dependency is installed — the
-        # line's absence in an environment without Pillow is the honest
-        # signal that JPEGs null-fill there
-        import io as _io
+    # baseline JPEG through the dependency-free codec (pipeline/jpeg.py);
+    # photographic 4:2:0 content, the dominant real-corpus shape.  The
+    # Huffman symbol loop is the serial core (the IDCT and color path
+    # are batched numpy), so this rate is the honest floor — Pillow,
+    # when installed, takes over transparently for out-of-envelope
+    # variants only.
+    from dudb_spark.pipeline.jpeg import encode_jpeg
 
-        for _ in range(6):
-            base = np.arange(256)[:, None] * 2 + np.arange(256 * 3)[None, :] // 3
-            px = ((base + rng.integers(-6, 7, (256, 256 * 3))) % 256).astype(
-                np.uint8
-            )
-            im = mm._PILImage.fromarray(px.reshape(256, 256, 3), "RGB")
-            buf = _io.BytesIO()
-            im.save(buf, "JPEG", quality=85)
-            add("jpeg", (buf.getvalue(), "jpeg"), 256 * 256 * 3)
+    for _ in range(4):
+        base = np.arange(256)[:, None] * 2 + np.arange(256 * 3)[None, :] // 3
+        px = ((base + rng.integers(-6, 7, (256, 256 * 3))) % 256).astype(
+            np.uint8
+        )
+        add(
+            "jpeg",
+            (encode_jpeg(px.reshape(256, 256, 3), subsample="420"), "jpeg"),
+            256 * 256 * 3,
+        )
 
     r4 = {"png": mm.decode_png_py, "bmp": mm.decode_bmp_py, "wav": mm.decode_wav_py}
     out: dict = {}

@@ -204,17 +204,19 @@ def sample_frames(
 
 
 # ---------------------------------------------------------------------------
-# Real codecs: BMP (24-bit uncompressed), WAV (16-bit PCM) and PNG
-# (8-bit gray/RGB) decode with numpy-vectorized kernels, so three
-# genuine decoders exercise the Arrow decode path end-to-end without
-# imaging/audio libraries.  PNG unfiltering (the only sequentially-
-# dependent part) lives in pipeline/unfilter.py: run-grouped modular
-# accumulates for None/Sub/Up rows, a batched anti-diagonal wavefront
-# for Average/Paeth rows — bit-identical to the per-pixel kernel, which
-# is kept below as *_py for fuzz oracles and the bench baseline.
-# When Pillow is installed, JPEG decodes for real and exotic PNGs
-# (16-bit, palette, interlaced) fall back to it; without it those stay
-# behind the declared stub boundary.
+# Real codecs: BMP (24-bit uncompressed), WAV (16-bit PCM), PNG
+# (8-bit gray/RGB) and baseline JPEG decode with dependency-free
+# kernels, so four genuine decoders exercise the Arrow decode path
+# end-to-end without imaging/audio libraries.  PNG unfiltering (the
+# only sequentially-dependent part) lives in pipeline/unfilter.py:
+# run-grouped modular accumulates for None/Sub/Up rows, a batched
+# anti-diagonal wavefront for Average/Paeth rows — bit-identical to the
+# per-pixel kernel, which is kept below as *_py for fuzz oracles and
+# the bench baseline.  JPEG lives in pipeline/jpeg.py (table-driven
+# Huffman decode + batched numpy IDCT, libjpeg-cross-checked in tests).
+# When Pillow is installed, exotic PNGs (16-bit, palette, interlaced)
+# and out-of-envelope JPEGs (progressive, 12-bit, arithmetic, CMYK)
+# fall back to it; without it those stay behind the declared boundary.
 # ---------------------------------------------------------------------------
 
 import math
@@ -433,17 +435,35 @@ def _decode_image_pil(payload: bytes, fmt: str) -> dict:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """JPEG decode — requires Pillow (optional dependency).  Without it
-    this raises ValueError, so non-strict decode_media null-fills JPEG
-    rows and strict mode surfaces the missing dependency."""
-    if _PILImage is None:
-        raise ValueError(
-            "JPEG decode requires Pillow (pip install Pillow); "
-            "not present in this environment"
-        )
+    """Decode a baseline/extended-sequential Huffman JPEG with the
+    dependency-free codec (pipeline/jpeg.py: table-driven entropy decode
+    + batched numpy IDCT, cross-checked against libjpeg in tests).
+    Variants outside that envelope (progressive, 12-bit, arithmetic,
+    CMYK) fall back to Pillow when installed; otherwise the ValueError
+    propagates and non-strict decode_media null-fills the row."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
-    return _decode_image_pil(payload, "jpeg")
+    from dudb_spark.pipeline.jpeg import decode_jpeg_pixels
+
+    try:
+        a = decode_jpeg_pixels(payload)
+    except ValueError:
+        if _PILImage is None:
+            raise
+        return _decode_image_pil(payload, "jpeg")
+    h, w, ch = a.shape
+    n_px = max(w * h, 1)
+    sums = _channel_sums(np.ascontiguousarray(a), ch)
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "n_channels": ch,
+        "sample_rate": None,
+        "n_frames": w * h,
+        "mean": [int(s) / n_px for s in sums],
+        "rms": None,
+    }
 
 
 # --- round-4 per-pixel kernels: kept as bit-exactness oracles for the
@@ -565,8 +585,8 @@ def decode_payloads(
         if dec is None:
             if strict:
                 raise NotImplementedError(
-                    f"no real decoder for format {fmt!r}; BMP/WAV/PNG "
-                    "are built in, others need imaging/audio libs"
+                    f"no real decoder for format {fmt!r}; BMP/WAV/PNG/"
+                    "JPEG are built in, others need imaging/audio libs"
                 )
             out.append(dict(_BLANK_DECODED, format=fmt))
             continue
@@ -629,8 +649,8 @@ def decode_payloads(
 
 
 def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Arrow-batched real decode: BMP/WAV/PNG payloads are parsed with
-    the vectorized codecs above (JPEG too when Pillow is installed);
+    """Arrow-batched real decode: BMP/WAV/PNG/JPEG payloads are parsed
+    with the vectorized codecs above;
     other formats yield a null-typed row (or raise under ``strict=True``,
     marking where PIL/ffmpeg would plug in).  Same plumbing contract as
     :func:`extract_features` — only (media_id, payload, format) cross

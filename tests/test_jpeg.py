@@ -1,0 +1,305 @@
+"""Dependency-free baseline JPEG codec (pipeline/jpeg.py).
+
+Three independent anchors keep the codec honest without Pillow:
+1. entropy coding is lossless, so the decoder must recover the
+   encoder's quantized coefficients BIT-EXACTLY;
+2. the batched IDCT is pinned against a literal per-element spec
+   transcription (T.81 A.3.3 double-precision sum);
+3. when gcc + libjpeg headers exist (they do in this container), a
+   compiled C harness decodes our encoder's streams with libjpeg —
+   a fully independent implementation — and pixel values must agree
+   within IDCT rounding tolerance.
+"""
+
+import os
+import shutil
+import struct
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from dudb_spark.pipeline import jpeg
+
+
+def _rng():
+    return np.random.default_rng(20260815)
+
+
+# ---------------------------------------------------------------------------
+# 1. coefficient-exact roundtrip
+# ---------------------------------------------------------------------------
+
+def test_gray_coefficients_roundtrip_exact():
+    img = _rng().integers(0, 256, (37, 53), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(img)
+    comps, H, W, qtables = jpeg._decode_coefficients(payload)
+    assert (H, W) == (37, 53)
+    qz = jpeg._QUANT_LUMA.ravel()[jpeg.ZIGZAG].astype(np.int32)
+    expect = jpeg._quantize_blocks(img, qz)
+    assert np.array_equal(comps[0].coeffs, expect)
+    # stream carries the quant table it used
+    assert np.array_equal(qtables[comps[0].tq], qz)
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_color_roundtrip_shape_and_smoothness(sub, restart):
+    """Color roundtrips decode to the right shape, and a smooth gradient
+    survives quantization nearly exactly (max error bounded by the
+    quant step, not by a decode bug)."""
+    rng = _rng()
+    h, w = 45, 61
+    base = np.add.outer(np.arange(h) * 2, np.arange(w)).astype(np.float64)
+    img = np.stack(
+        [(base + 40 * i) % 256 for i in range(3)], axis=2
+    ).astype(np.uint8)
+    payload = jpeg.encode_jpeg(img, subsample=sub, restart=restart)
+    px = jpeg.decode_jpeg_pixels(payload)
+    assert px.shape == (h, w, 3)
+    err = np.abs(px.astype(int) - img.astype(int))
+    # 444 keeps chroma; subsampled modes average 2x1 / 2x2 chroma boxes
+    # of a gradient, which costs a few more levels at wrap boundaries
+    assert err.mean() < (3.0 if sub == "444" else 8.0), (sub, err.mean())
+    # interior pixels away from the %256 wrap seams stay tight
+    assert np.median(err) <= 2.0, (sub, restart)
+    rng.shuffle(img.reshape(-1, 3))  # noise payload still decodes
+    assert jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg(img, subsample=sub, restart=restart)
+    ).shape == (h, w, 3)
+
+
+def test_restart_interval_resets_predictors():
+    """The same image with and without restart markers must decode to
+    identical pixels (predictor resets are pure bookkeeping)."""
+    img = _rng().integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    a = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(img, subsample="420"))
+    b = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg(img, subsample="420", restart=2)
+    )
+    assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# 2. IDCT pinned to the spec formula
+# ---------------------------------------------------------------------------
+
+def test_idct_matches_spec_transcription():
+    """_reconstruct_plane's tensordot IDCT == the literal T.81 A.3.3
+    double sum, per element, on random coefficient blocks."""
+    rng = _rng()
+    coeffs = rng.integers(-60, 60, (3, 8, 8)).astype(np.float64)
+
+    def spec_idct(F):
+        out = np.empty((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * F[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = s / 4.0
+        return out
+
+    got = np.tensordot(
+        np.tensordot(coeffs, jpeg._BASIS, axes=([1], [0])), jpeg._BASIS,
+        axes=([1], [0]),
+    )
+    for i in range(3):
+        assert np.allclose(got[i], spec_idct(coeffs[i]), atol=1e-9)
+
+
+def test_zigzag_is_the_standard_order():
+    # the canonical constant, spelled out (not generated) as the pin
+    expect = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert list(jpeg.ZIGZAG) == expect
+
+
+# ---------------------------------------------------------------------------
+# 3. libjpeg cross-check (independent implementation)
+# ---------------------------------------------------------------------------
+
+_HARNESS_C = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <jpeglib.h>
+int main(void) {
+    struct jpeg_decompress_struct cinfo;
+    struct jpeg_error_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr);
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, stdin);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.do_fancy_upsampling = FALSE;  /* match nearest-replication */
+    jpeg_start_decompress(&cinfo);
+    int w = cinfo.output_width, h = cinfo.output_height,
+        ch = cinfo.output_components;
+    printf("%d %d %d\n", w, h, ch);
+    fflush(stdout);
+    JSAMPARRAY buf = (*cinfo.mem->alloc_sarray)(
+        (j_common_ptr)&cinfo, JPOOL_IMAGE, w * ch, 1);
+    while (cinfo.output_scanline < cinfo.output_height) {
+        jpeg_read_scanlines(&cinfo, buf, 1);
+        fwrite(buf[0], 1, (size_t)(w * ch), stdout);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+"""
+
+_HARNESS_BIN = None
+
+
+def _libjpeg_harness():
+    """Compile the harness once per session; None when gcc/libjpeg are
+    unavailable (the test skips)."""
+    global _HARNESS_BIN
+    if _HARNESS_BIN is not None:
+        return _HARNESS_BIN or None
+    if not (shutil.which("gcc") and os.path.exists("/usr/include/jpeglib.h")):
+        _HARNESS_BIN = ""
+        return None
+    d = tempfile.mkdtemp(prefix="jpegharness_")
+    src = os.path.join(d, "dec.c")
+    binp = os.path.join(d, "dec")
+    with open(src, "w") as f:
+        f.write(_HARNESS_C)
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", binp, src, "-ljpeg"],
+        capture_output=True, text=True,
+    )
+    _HARNESS_BIN = binp if r.returncode == 0 else ""
+    return _HARNESS_BIN or None
+
+
+def _libjpeg_decode(payload: bytes):
+    binp = _libjpeg_harness()
+    r = subprocess.run([binp], input=payload, capture_output=True)
+    assert r.returncode == 0, r.stderr[-400:]
+    head, _, rest = r.stdout.partition(b"\n")
+    w, h, ch = map(int, head.split())
+    a = np.frombuffer(rest, np.uint8)
+    assert a.size == w * h * ch, (w, h, ch, a.size)
+    return a.reshape(h, w, ch)
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_encoder_streams_decode_identically_under_libjpeg(sub):
+    """Our encoder's streams are spec-valid: libjpeg (independent C
+    implementation) accepts them and reconstructs the same pixels as
+    our decoder, within IDCT/rounding tolerance (libjpeg's ISLOW is a
+    fixed-point approximation; ours is exact double)."""
+    if _libjpeg_harness() is None:
+        pytest.skip("gcc/libjpeg not available")
+    rng = _rng()
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(img, subsample=sub)
+    ref = _libjpeg_decode(payload)
+    got = jpeg.decode_jpeg_pixels(payload)
+    assert ref.shape == got.shape == (40, 56, 3)
+    diff = np.abs(ref.astype(int) - got.astype(int))
+    if sub == "444":
+        # no upsampling in play: pure IDCT + color-convert rounding
+        assert diff.max() <= 2, diff.max()
+    else:
+        # replication upsample matches do_fancy_upsampling=FALSE; allow
+        # one extra level for the chained chroma rounding
+        assert diff.max() <= 3, (sub, diff.max())
+    assert diff.mean() < 0.5, (sub, diff.mean())
+
+
+def test_gray_and_restart_streams_under_libjpeg():
+    if _libjpeg_harness() is None:
+        pytest.skip("gcc/libjpeg not available")
+    rng = _rng()
+    gray = rng.integers(0, 256, (29, 35), dtype=np.uint8)
+    ref = _libjpeg_decode(jpeg.encode_jpeg(gray))
+    got = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(gray))
+    assert ref.shape == got.shape == (29, 35, 1)
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+    color = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    p = jpeg.encode_jpeg(color, subsample="420", restart=2)
+    ref = _libjpeg_decode(p)
+    got = jpeg.decode_jpeg_pixels(p)
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 3
+
+
+# ---------------------------------------------------------------------------
+# 4. error boundaries
+# ---------------------------------------------------------------------------
+
+def test_rejects_non_jpeg_truncated_and_progressive():
+    img = _rng().integers(0, 256, (16, 16), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(img)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(payload[:40])
+    # entropy data cut off mid-scan
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(payload[:-20])
+    # flip SOF0 -> SOF2 (progressive): declared unsupported
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="coding process"):
+        jpeg.decode_jpeg_pixels(prog)
+
+
+def test_decode_jpeg_dict_contract_and_null_fill():
+    """multimodal.decode_jpeg returns the shared decoder dict, and a
+    corrupt payload null-fills through decode_payloads like the other
+    codecs."""
+    from dudb_spark.pipeline import multimodal as mm
+
+    img = _rng().integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(img, subsample="420")
+    d = mm.decode_jpeg(payload)
+    assert d["format"] == "jpeg" and (d["width"], d["height"]) == (24, 20)
+    assert d["n_channels"] == 3 and len(d["mean"]) == 3
+    px = jpeg.decode_jpeg_pixels(payload).astype(np.float64)
+    for c in range(3):
+        assert abs(d["mean"][c] - px[:, :, c].mean()) < 1e-9
+    rows = mm.decode_payloads(
+        [(payload, "jpeg"), (payload[:50], "jpeg"), (b"junk", "jpeg")]
+    )
+    assert rows[0]["width"] == 24
+    assert rows[1]["width"] is None and rows[2]["width"] is None
+    with pytest.raises(Exception):
+        mm.decode_payloads([(b"junk", "jpeg")], strict=True)
+
+
+def test_decode_media_handles_jpeg_rows(spark):
+    """The Arrow decode path carries JPEG rows end-to-end (plumbing +
+    codec in one pass through mapInPandas)."""
+    from dudb_spark.pipeline import multimodal as mm
+
+    img = _rng().integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(img)
+
+    def meta(p):
+        return {
+            "media_type": "image", "format": "jpeg", "width": None,
+            "height": None, "duration_ms": None, "n_bytes": len(p),
+        }
+
+    bad = b"\xff\xd8\xffgarbage"
+    rows = [
+        (1, bytearray(payload), meta(payload)),
+        (2, bytearray(bad), meta(bad)),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert got[1]["width"] == 16 and got[1]["format"] == "jpeg"
+    assert got[2]["width"] is None

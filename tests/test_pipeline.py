@@ -343,16 +343,14 @@ def test_decoders_match_python_kernels():
         assert multimodal.decode_wav(wav) == multimodal.decode_wav_py(wav)
 
 
-def test_decode_jpeg_requires_pillow():
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("Pillow installed: covered by the real-decode path")
-    except ImportError:
-        pass
-    with pytest.raises(ValueError, match="requires Pillow"):
+def test_decode_jpeg_corrupt_raises():
+    # JPEG decode is dependency-free (pipeline/jpeg.py); a truncated
+    # bitstream must raise ValueError so non-strict decode_media
+    # null-fills the row (the known-format corrupt path).
+    with pytest.raises(ValueError):
         multimodal.decode_jpeg(b"\xff\xd8\xff\xe0fake")
-    # and through the distributed path: null-fill non-strict
-    # (decode_jpeg raises ValueError -> the known-format corrupt path)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.decode_jpeg(b"nonsense")
 
 
 def test_real_jpeg_decode_with_pillow():
