@@ -111,17 +111,8 @@ class _HuffLUT:
         self.packed = packed
 
 
-def _extend(bits: int, ssss: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map ssss received bits to the signed value."""
-    if ssss == 0:
-        return 0
-    if bits < (1 << (ssss - 1)):
-        return bits - (1 << ssss) + 1
-    return bits
-
-
 # --------------------------------------------------------------------------
-# decoder
+# decoder (T.81 F.2.2.1 EXTEND is inlined at both magnitude reads)
 # --------------------------------------------------------------------------
 
 class _Component:
@@ -300,109 +291,136 @@ def _entropy_decode(scan, order, H, W, huff, restart):
 
     n_mcus = mcus_x * mcus_y
     per_seg = restart or n_mcus
-    # batched coefficient scatter: (component -> rows/cols/vals)
-    out_idx = {id(c): ([], [], []) for c in order}
+    # per-component decode state, hoisted out of the hot loop: packed
+    # coefficient position (block_index << 6 | zigzag_k) + value lists,
+    # LUTs and grid strides bound once per component
+    state = [
+        (
+            dc_lut[id(c)], ac_lut[id(c)], grid_w[id(c)], ch, cv,
+            [], [], ci,
+        )
+        for ci, (c, ch, cv) in enumerate(layout)
+    ]
+    npreds = len(layout)
 
     mcu = 0
     for seg in segments:
         if mcu >= n_mcus:
             break
-        preds = {id(c): 0 for c in order}
-        data = seg
-        nbytes = len(data)
+        preds = [0] * npreds
+        # 8 pad bytes let the refill skip per-byte bounds checks: a
+        # correct stream only peeks (never decodes) past its final
+        # symbol, so pad VALUE is irrelevant; a truncated stream either
+        # hits an invalid code or runs off the pad -> IndexError below
+        data = seg + b"\xff" * 8
         bitbuf = 0
         bitcnt = 0
         bpos = 0
         seg_end = min(mcu + per_seg, n_mcus)
-        while mcu < seg_end:
-            my, mx = divmod(mcu, mcus_x)
-            for c, ch, cv in layout:
-                lut_d = dc_lut[id(c)]
-                lut_a = ac_lut[id(c)]
-                rows, cols, vals = out_idx[id(c)]
-                for by in range(cv):
-                    for bx in range(ch):
-                        bi = (my * cv + by) * grid_w[id(c)] + (mx * ch + bx)
-                        # --- DC ---
-                        while bitcnt < 16:
-                            bitbuf = (bitbuf << 8) | (
-                                data[bpos] if bpos < nbytes else 0xFF
-                            )
-                            bpos += 1
-                            bitcnt += 8
-                        w16 = (bitbuf >> (bitcnt - 16)) & 0xFFFF
-                        packed = lut_d[w16]
-                        if packed == 0:
-                            raise ValueError("JPEG: invalid Huffman code")
-                        ssss = packed >> 5
-                        bitcnt -= packed & 31
-                        if ssss:
-                            if ssss > 11:
-                                raise ValueError("JPEG: bad DC magnitude")
-                            while bitcnt < ssss:
-                                bitbuf = (bitbuf << 8) | (
-                                    data[bpos] if bpos < nbytes else 0xFF
+        try:
+            while mcu < seg_end:
+                my, mx = divmod(mcu, mcus_x)
+                for lut_d, lut_a, gw, ch, cv, idx, vals, ci in state:
+                    pred = preds[ci]
+                    idx_append = idx.append
+                    vals_append = vals.append
+                    row0 = my * cv
+                    col0 = mx * ch
+                    for by in range(cv):
+                        base = ((row0 + by) * gw + col0) << 6
+                        for bx in range(ch):
+                            bi6 = base + (bx << 6)
+                            # --- DC ---
+                            if bitcnt < 16:
+                                bitbuf = (
+                                    (bitbuf << 16)
+                                    | (data[bpos] << 8) | data[bpos + 1]
                                 )
-                                bpos += 1
-                                bitcnt += 8
-                            bits = (bitbuf >> (bitcnt - ssss)) & (
-                                (1 << ssss) - 1
-                            )
-                            bitcnt -= ssss
-                            diff = _extend(bits, ssss)
-                        else:
-                            diff = 0
-                        preds[id(c)] += diff
-                        rows.append(bi)
-                        cols.append(0)
-                        vals.append(preds[id(c)])
-                        # --- AC ---
-                        k = 1
-                        while k < 64:
-                            while bitcnt < 16:
-                                bitbuf = (bitbuf << 8) | (
-                                    data[bpos] if bpos < nbytes else 0xFF
-                                )
-                                bpos += 1
-                                bitcnt += 8
-                            w16 = (bitbuf >> (bitcnt - 16)) & 0xFFFF
-                            packed = lut_a[w16]
+                                bpos += 2
+                                bitcnt += 16
+                            packed = lut_d[(bitbuf >> (bitcnt - 16)) & 0xFFFF]
                             if packed == 0:
                                 raise ValueError("JPEG: invalid Huffman code")
-                            sym = packed >> 5
+                            ssss = packed >> 5
                             bitcnt -= packed & 31
-                            if sym == 0:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            s = sym & 15
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            while bitcnt < s:
-                                bitbuf = (bitbuf << 8) | (
-                                    data[bpos] if bpos < nbytes else 0xFF
+                            if ssss:
+                                if ssss > 11:
+                                    raise ValueError("JPEG: bad DC magnitude")
+                                if bitcnt < ssss:
+                                    bitbuf = (
+                                        (bitbuf << 16)
+                                        | (data[bpos] << 8) | data[bpos + 1]
+                                    )
+                                    bpos += 2
+                                    bitcnt += 16
+                                bits = (bitbuf >> (bitcnt - ssss)) & (
+                                    (1 << ssss) - 1
                                 )
-                                bpos += 1
-                                bitcnt += 8
-                            bits = (bitbuf >> (bitcnt - s)) & ((1 << s) - 1)
-                            bitcnt -= s
-                            rows.append(bi)
-                            cols.append(k)
-                            vals.append(_extend(bits, s))
-                            k += 1
-                        # keep the rolling int bounded (Python bigint
-                        # cost grows with bit size; trim to live bits)
-                        bitbuf &= (1 << bitcnt) - 1
-            mcu += 1
+                                bitcnt -= ssss
+                                # T.81 F.2.2.1 EXTEND, inlined
+                                if bits < (1 << (ssss - 1)):
+                                    pred += bits - (1 << ssss) + 1
+                                else:
+                                    pred += bits
+                            idx_append(bi6)
+                            vals_append(pred)
+                            # --- AC ---
+                            k = 1
+                            while k < 64:
+                                if bitcnt < 16:
+                                    bitbuf = (
+                                        (bitbuf << 16)
+                                        | (data[bpos] << 8) | data[bpos + 1]
+                                    )
+                                    bpos += 2
+                                    bitcnt += 16
+                                packed = lut_a[
+                                    (bitbuf >> (bitcnt - 16)) & 0xFFFF
+                                ]
+                                if packed == 0:
+                                    raise ValueError(
+                                        "JPEG: invalid Huffman code"
+                                    )
+                                sym = packed >> 5
+                                bitcnt -= packed & 31
+                                if sym == 0:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += sym >> 4
+                                s = sym & 15
+                                if k > 63:
+                                    raise ValueError("JPEG: AC index overflow")
+                                if bitcnt < s:
+                                    bitbuf = (
+                                        (bitbuf << 16)
+                                        | (data[bpos] << 8) | data[bpos + 1]
+                                    )
+                                    bpos += 2
+                                    bitcnt += 16
+                                bits = (bitbuf >> (bitcnt - s)) & (
+                                    (1 << s) - 1
+                                )
+                                bitcnt -= s
+                                idx_append(bi6 + k)
+                                if bits < (1 << (s - 1)):
+                                    vals_append(bits - (1 << s) + 1)
+                                else:
+                                    vals_append(bits)
+                                k += 1
+                            # keep the rolling int bounded (Python bigint
+                            # cost grows with bit size; trim to live bits)
+                            bitbuf &= (1 << bitcnt) - 1
+                    preds[ci] = pred
+                mcu += 1
+        except IndexError:
+            raise ValueError("JPEG: truncated entropy data")
     if mcu < n_mcus:
         raise ValueError("JPEG: truncated entropy data")
-    for c in order:
-        rows, cols, vals = out_idx[id(c)]
-        c.coeffs[np.array(rows, np.int64), np.array(cols, np.int64)] = (
-            np.array(vals, np.int32)
-        )
+    for (c, _, _), (_, _, _, _, _, idx, vals, _) in zip(layout, state):
+        pk = np.array(idx, np.int64)
+        c.coeffs[pk >> 6, pk & 63] = np.array(vals, np.int32)
 
 
 def _reconstruct_plane(c: _Component, qtable: np.ndarray) -> np.ndarray:
