@@ -2863,6 +2863,44 @@ def q128_jpeg_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q129_budget_selection(spark, sf_dir):
+    """Greedy data selection under a global token budget
+    (operators/prefix.select_to_budget): documents ranked by an exact
+    integer quality score (stopword density, permicro) and kept
+    best-first while the running token total fits 25k tokens — the
+    "keep the best N tokens" corpus-construction cut.  The (score, id)
+    rank packs into one int64 key so the two-phase distributed prefix
+    sum applies unchanged: range partition + per-partition running
+    totals + broadcast offsets, NO unpartitioned window.  Reference has
+    no sampling/selection surface; pipeline extension."""
+    from dudb_spark.operators.prefix import select_to_budget
+    from dudb_spark.pipeline.text import stopword_hits, token_count
+
+    stops = ["the", "and", "of", "to", "a", "in", "is", "it"]
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            stopword_hits(F.col("text"), stops).cast("long").alias(
+                "stop_hits"
+            ),
+        )
+        .withColumn(
+            "score",
+            F.expr("(stop_hits * 1000000L) div greatest(n_tokens, 1L)"),
+        )
+    )
+    return (
+        select_to_budget(docs, "score", "doc_id", "n_tokens", budget=25000)
+        .select(
+            "doc_id", "n_tokens", "score",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q71_decontamination(spark, sf_dir):
     """Benchmark decontamination (pipeline/decontam.py): corpus docs
     sharing 5-gram shingles with the held-out eval slice (doc_id % 97 == 0)
@@ -4409,6 +4447,7 @@ QUERIES: dict[str, Callable] = {
     "q126_incremental_bucketed": q126_incremental_bucketed,
     "q127_fswalk_datasource": q127_fswalk_datasource,
     "q128_jpeg_decode": q128_jpeg_decode,
+    "q129_budget_selection": q129_budget_selection,
 }
 
 ORACLE: dict[str, str] = {
@@ -6748,6 +6787,34 @@ ORACLE["q104_shuffled_shards"] = r"""
            CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 2000)
                 AS BIGINT) AS shard
     FROM c ORDER BY doc_id
+"""
+
+
+ORACLE["q129_budget_selection"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> list_contains(
+                                      ['the','and','of','to','a','in',
+                                       'is','it'], t)))
+                  AS BIGINT) AS stop_hits
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             CAST((stop_hits * 1000000) // greatest(n_tokens, 1)
+                  AS BIGINT) AS score
+      FROM d
+    ), c AS (
+      SELECT doc_id, n_tokens, score,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, n_tokens, score, cum_tokens
+    FROM c WHERE cum_tokens <= 25000 ORDER BY doc_id
 """
 
 

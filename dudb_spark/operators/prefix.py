@@ -119,3 +119,39 @@ def pack_sequences(
         )
         .withColumnRenamed("_cum_tokens", "cum_tokens")
     )
+
+
+def select_to_budget(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy data selection under a global token budget: rank documents
+    by (``score_col`` DESC, ``id_col`` ASC) and keep the maximal prefix
+    whose running token total fits ``budget`` — whole documents only;
+    the first straddler and everything below it are dropped.  The
+    corpus-construction move behind "keep the best N tokens" quality
+    filtering (Gopher/FineWeb-style), made deterministic and rerun-stable.
+
+    Scale shape: the (score, id) rank is packed into ONE unique int64
+    key — ``(2^30 - score) * 2^32 + id`` — so :func:`distributed_cumsum`
+    applies unchanged: repartitionByRange on the key, per-partition
+    running totals, broadcast offset join.  No unpartitioned window, no
+    driver data; the budget cut is a scan-side filter on the summed
+    column.  Domain (documented, not checked — a check would cost an
+    action): integer score with |score| < 2^30, id in [0, 2^32); the
+    packed key then peaks at exactly 2^63 - 1 (ANSI mode verifies this
+    bound for free — an out-of-domain score overflows loudly, never
+    silently misorders).
+    """
+    key = (
+        (F.lit(1 << 30) - F.col(score_col).cast("long")) * F.lit(1 << 32)
+        + F.col(id_col).cast("long")
+    )
+    cum = distributed_cumsum(
+        df.withColumn("_bkey", key), "_bkey", tokens_col, out=cum_col
+    )
+    return cum.where(F.col(cum_col) <= budget).drop("_bkey")

@@ -65,3 +65,54 @@ def test_no_single_task_global_window(spark):
     ]
     # offsets window only — it must consume the groupBy output, never the raw table
     assert all("_psum" in ln or "Window" not in ln for ln in data_windows), plan
+
+
+def test_select_to_budget_greedy_prefix(spark):
+    """Keeps exactly the best-score-first prefix of whole documents whose
+    running total fits the budget; ties broken by ascending id."""
+    rows = [
+        # (doc_id, score, tokens)
+        (1, 9, 40), (2, 9, 30), (3, 7, 50), (4, 7, 10), (5, 3, 5),
+        (6, 11, 20), (7, 7, 25),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "tokens"])
+    from dudb_spark.operators.prefix import select_to_budget
+
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in select_to_budget(
+            df, "score", "doc_id", "tokens", budget=145
+        ).collect()
+    }
+    # order: 6(20) 1(60) 2(90) 3(140) 4(150 straddles->dropped) 7 5
+    assert got == {6: 20, 1: 60, 2: 90, 3: 140}
+    # budget exactly at a document boundary keeps it
+    got2 = sorted(
+        r.doc_id
+        for r in select_to_budget(
+            df, "score", "doc_id", "tokens", budget=150
+        ).collect()
+    )
+    assert got2 == [1, 2, 3, 4, 6]
+    # negative scores sort below all non-negative ones
+    df2 = spark.createDataFrame(
+        [(1, -5, 10), (2, 0, 10)], ["doc_id", "score", "tokens"]
+    )
+    only = select_to_budget(df2, "score", "doc_id", "tokens", 10).collect()
+    assert [r.doc_id for r in only] == [2]
+
+
+def test_select_to_budget_no_global_window(spark):
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 23).alias("score"),
+        (F.col("id") % 97 + 1).alias("tokens"),
+    )
+    from dudb_spark.operators.prefix import select_to_budget
+
+    out = select_to_budget(df, "score", "doc_id", "tokens", 10_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "pid" not in ln
+    ]
+    assert all("_psum" in ln or "Window" not in ln for ln in data_windows), plan
