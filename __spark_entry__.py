@@ -2863,6 +2863,41 @@ def q128_jpeg_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+# q130 fixture: config-path templates exercising every branch of the F3
+# column twin (braced refs for each var, unknown refs kept, adjacency,
+# tilde forms, apostrophe for quote escaping, value containing a ~ that
+# the post-expansion tilde pass must NOT touch mid-string)
+_Q130_ENV = {"DATA": "/mnt/data", "HOME_DIR": "~/nested", "N": "42"}
+_Q130_HOME = "/home/alice"
+_Q130_TEMPLATES = [
+    "${DATA}/corpus", "${N}", "${DATA}${N}", "${UNSET_XYZ}/db",
+    "~", "~/", "~/x/${DATA}", "${HOME_DIR}/y", "plain/path",
+    "", "o'brien/${N}", "a${DATA}b${DATA}c", "~not/home", "${DATA",
+]
+
+
+def q130_config_expansion(spark, sf_dir):
+    """F3 (reference config.go:22–47) as an oracle-certified computation:
+    ``${VAR}`` + leading-tilde expansion of a path column
+    (functions/config.expand_path_col — the column twin of the CLI's
+    driver-side expand_path, agreement fuzz-pinned in test_cli.py)
+    against a literal env map, restated replace-for-replace in DuckDB
+    SQL.  Pure string expressions, scan-fused, no UDF."""
+    from dudb_spark.functions.config import expand_path_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_Q130_TEMPLATES)],
+        ["template_id", "template"],
+    )
+    return df.select(
+        F.col("template_id").cast("long").alias("template_id"),
+        "template",
+        expand_path_col(F.col("template"), _Q130_ENV, _Q130_HOME).alias(
+            "expanded"
+        ),
+    ).orderBy("template_id")
+
+
 def q129_budget_selection(spark, sf_dir):
     """Greedy data selection under a global token budget
     (operators/prefix.select_to_budget): documents ranked by an exact
@@ -4448,6 +4483,7 @@ QUERIES: dict[str, Callable] = {
     "q127_fswalk_datasource": q127_fswalk_datasource,
     "q128_jpeg_decode": q128_jpeg_decode,
     "q129_budget_selection": q129_budget_selection,
+    "q130_config_expansion": q130_config_expansion,
 }
 
 ORACLE: dict[str, str] = {
@@ -6789,6 +6825,24 @@ ORACLE["q104_shuffled_shards"] = r"""
     FROM c ORDER BY doc_id
 """
 
+
+def _q130_oracle_sql() -> str:
+    from dudb_spark.functions.config import expand_path_sql
+
+    vals = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')"
+        for i, t in enumerate(_Q130_TEMPLATES)
+    )
+    exp = expand_path_sql("template", _Q130_ENV, _Q130_HOME)
+    return f"""
+    WITH t(template_id, template) AS (VALUES {vals})
+    SELECT CAST(template_id AS BIGINT) AS template_id, template,
+           {exp} AS expanded
+    FROM t ORDER BY template_id
+"""
+
+
+ORACLE["q130_config_expansion"] = _q130_oracle_sql()
 
 ORACLE["q129_budget_selection"] = r"""
     WITH d AS (

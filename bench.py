@@ -250,6 +250,28 @@ def main():
         )
         calib.append(time.perf_counter() - t0)
     result["calib_scan_agg_sec"] = round(min(calib), 3)
+    # second anchor for the PYTHON side: the JVM scan anchor above missed
+    # a round-7 drift that hit only Python-worker paths (streaming,
+    # mapInPandas, driver choreography) — a fixed Arrow round-trip
+    # through mapInPandas plus a pandas groupby captures worker spin-up,
+    # Arrow serialization, and pandas throughput on THIS host.  Read a
+    # drift in stream-heavy queries against this anchor, JVM-heavy ones
+    # against calib_scan_agg_sec.
+    import pandas as _pd
+
+    def _pysum(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {"s": [int(pdf.groupby(pdf.id % 97).id.sum().sum())]}
+            )
+
+    pycal = []
+    base = spark.range(1_000_000, numPartitions=8)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        base.mapInPandas(_pysum, "s long").agg({"s": "sum"}).collect()
+        pycal.append(time.perf_counter() - t0)
+    result["calib_pandas_udf_sec"] = round(min(pycal), 3)
     # calib-normalized suite number + the r4-common sum, so the next
     # cross-round comparison needs no forensics (round-6 verdict item 5):
     # divide suite seconds by the host anchor before reading a delta as
@@ -300,14 +322,26 @@ def main():
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL_LOCAL.json"), "w") as f:
         json.dump(result, f, indent=1)
-    for nd in (2, 1, 0):
-        slim = dict(result,
-                    queries={k: round(v, nd) for k, v in short.items()})
+    # degrade ladder: 2-dec -> 1-dec -> integer seconds (ints, not x.0 —
+    # the trailing ".0" alone is ~260 chars across 130 queries) -> ints
+    # plus dropping the per-phase incremental timings (derivable from
+    # the speedup ratio; full precision is in the sidecar regardless)
+    for nd, extra_drop in ((2, False), (1, False), (None, False),
+                           (None, True)):
+        qs = {
+            k: (int(round(v)) if nd is None else round(v, nd))
+            for k, v in short.items()
+        }
+        slim = dict(result, queries=qs)
         # derivable/constant metrics live in the sidecar only
         slim.pop("decode_mb_per_sec_r4", None)
         slim.pop("merge_unchanged_skip_ratio", None)
         slim.pop("decode_speedup_vs_r4", None)
         slim.pop("incremental_fold_fraction_high", None)
+        if extra_drop:
+            slim.pop("incremental_t_full_sec", None)
+            slim.pop("incremental_t_inc_sec", None)
+            slim.pop("incremental_closure_jobs", None)
         line = json.dumps(slim, separators=(",", ":"))
         if len(line) <= 1900:
             break

@@ -454,3 +454,42 @@ def test_cli_du_live(spark, real_tree, capsys):
     assert len(top) == 1 and top[0].endswith(real_tree)
     with pytest.raises(SystemExit, match="--db is required"):
         run(capsys, "du", real_tree)
+
+
+def test_expand_path_col_matches_python(spark, monkeypatch):
+    """F3 column twin (functions/config.expand_path_col): agreement with
+    the driver-side expand_path over the documented envelope — braced
+    ${VAR} refs with $-free values, leading ~ — plus unknown-var and
+    no-op cases.  q130 oracle-certifies the identical computation in
+    DuckDB SQL."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dudb_spark.cli import expand_path
+    from dudb_spark.functions.config import expand_path_col
+
+    env = {"DATA": "/mnt/data", "HOME_DIR": "~/nested", "N": "42"}
+    home = "/home/alice"
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("HOME", home)
+
+    rng = random.Random(31)
+    pieces = ["${DATA}", "${N}", "${HOME_DIR}", "${UNSET_XYZ}", "/logs",
+              "/a b", "x", ""]
+    temps = ["~", "~/", "~/x/${DATA}", "${HOME_DIR}/y"]
+    for _ in range(40):
+        temps.append("".join(rng.choice(pieces)
+                             for _ in range(rng.randint(1, 4))))
+    want = [expand_path(t) for t in temps]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(temps)], ["i", "t"]
+    )
+    got = [
+        r.e
+        for r in df.select(
+            "i", expand_path_col(F.col("t"), env, home).alias("e")
+        ).orderBy("i").collect()
+    ]
+    assert got == want
