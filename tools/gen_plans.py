@@ -131,6 +131,14 @@ SHOWCASE = {
     "scan-fused projection over the DISTINCT vocabulary (bounded by the "
     "lexicon, not the corpus); the word→token-count map joins back on "
     "the word key and per-doc counts aggregate with map-side partials",
+    "q116_curriculum_bins": "corpus-wide deciles WITHOUT an unpartitioned "
+    "window: the constant-group call routes through the two-phase "
+    "range-partitioned rank (repartitionByRange + per-partition "
+    "row_number + broadcast offset cumsum)",
+    "q129_budget_selection": "token-budget selection: (score,id) packed "
+    "into one int64 key, two-phase distributed cumsum "
+    "(repartitionByRange + per-partition running totals + broadcast "
+    "offsets), budget cut is a plain filter — every window keyed",
 }
 
 
