@@ -2863,6 +2863,69 @@ def q128_jpeg_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+_Q131_BOILER = "SUBSCRIBE TO OUR NEWSLETTER"
+_Q131_FOOTER = "copyright footer - all rights reserved"
+
+
+def q131_line_excision(spark, sf_dir):
+    """C4-style corpus-level repeated-line excision (Raffel 2020 §2.2;
+    pipeline/dedup.excise_frequent_lines): pages derived from the
+    documents table (5 docs = 5 body lines, a boilerplate banner on
+    every page, a footer on even pages) lose every line occurring ≥3
+    times corpus-wide — the planted banner/footer vanish everywhere,
+    natural full-text duplicates go with them, survivors keep their
+    order.  Two shuffles: the line-frequency hash aggregate and the
+    per-page reassembly; no windows, no driver data."""
+    from dudb_spark.pipeline.dedup import excise_frequent_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    body = (
+        docs.groupBy(F.expr("doc_id div 5").alias("page_id"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("body")
+        )
+    )
+    pages = body.select(
+        "page_id",
+        F.concat(
+            F.lit(_Q131_BOILER + "\n"),
+            F.col("body"),
+            F.when(
+                F.col("page_id") % 2 == 0, F.lit("\n" + _Q131_FOOTER)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        excise_frequent_lines(pages, "page_id", "text", min_count=3)
+        .select(
+            F.col("page_id").cast("long").alias("page_id"),
+            "n_lines", "n_removed", "text",
+        )
+        .orderBy("page_id")
+    )
+
+
+def q132_table_profile(spark, sf_dir):
+    """Unsupervised column profiling (operators/checks.profile_table —
+    the ANALYZE-TABLE pass before declaring quality_report checks):
+    count/nulls/min/max/mean/distinct plus exact top-3 values for the
+    documents table's scalar columns.  One aggregation job for the
+    scalars, one per-column distinct aggregate, ONE melted (column,
+    value) shuffle + keyed WindowGroupLimit for all top-k rows."""
+    from dudb_spark.operators.checks import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(
+        docs, columns=["doc_id", "lang", "source", "n_chars"], top_k=3
+    ).orderBy("column", "metric")
+
+
 # q130 fixture: config-path templates exercising every branch of the F3
 # column twin (braced refs for each var, unknown refs kept, adjacency,
 # tilde forms, apostrophe for quote escaping, value containing a ~ that
@@ -4484,6 +4547,8 @@ QUERIES: dict[str, Callable] = {
     "q128_jpeg_decode": q128_jpeg_decode,
     "q129_budget_selection": q129_budget_selection,
     "q130_config_expansion": q130_config_expansion,
+    "q131_line_excision": q131_line_excision,
+    "q132_table_profile": q132_table_profile,
 }
 
 ORACLE: dict[str, str] = {
@@ -6843,6 +6908,81 @@ def _q130_oracle_sql() -> str:
 
 
 ORACLE["q130_config_expansion"] = _q130_oracle_sql()
+
+ORACLE["q131_line_excision"] = f"""
+    WITH b AS (
+      SELECT doc_id // 5 AS page_id,
+             string_agg(text, chr(10) ORDER BY doc_id) AS body
+      FROM documents GROUP BY 1
+    ), pages AS (
+      SELECT page_id,
+             '{_Q131_BOILER}' || chr(10) || body ||
+             CASE WHEN page_id % 2 = 0
+                  THEN chr(10) || '{_Q131_FOOTER}' ELSE '' END AS text
+      FROM b
+    ), pl AS (
+      SELECT page_id, string_split(text, chr(10)) AS arr FROM pages
+    ), l AS (
+      SELECT page_id, generate_subscripts(arr, 1) AS pos,
+             unnest(arr) AS line
+      FROM pl
+    ), f AS (
+      SELECT line, count(*) AS c FROM l GROUP BY 1
+    ), k AS (
+      SELECT l.page_id, l.pos, l.line FROM l JOIN f USING (line)
+      WHERE f.c < 3
+    ), r AS (
+      SELECT page_id, count(*) AS kept_n,
+             string_agg(line, chr(10) ORDER BY pos) AS kept
+      FROM k GROUP BY 1
+    ), base AS (
+      SELECT page_id, len(string_split(text, chr(10))) AS n_lines
+      FROM pages
+    )
+    SELECT CAST(base.page_id AS BIGINT) AS page_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_lines - COALESCE(kept_n, 0) AS BIGINT) AS n_removed,
+           COALESCE(kept, '') AS text
+    FROM base LEFT JOIN r USING (page_id) ORDER BY page_id
+"""
+
+
+def _q132_oracle_sql() -> str:
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    numeric = {"doc_id", "n_chars"}
+    parts = []
+    for c in cols:
+        parts += [
+            f"SELECT '{c}' AS \"column\", 'count' AS metric, "
+            f"CAST(count({c}) AS VARCHAR) AS value FROM documents",
+            f"SELECT '{c}', 'nulls', "
+            f"CAST(count(*) - count({c}) AS VARCHAR) FROM documents",
+            f"SELECT '{c}', 'min', CAST(min({c}) AS VARCHAR) "
+            f"FROM documents",
+            f"SELECT '{c}', 'max', CAST(max({c}) AS VARCHAR) "
+            f"FROM documents",
+            f"SELECT '{c}', 'distinct', "
+            f"CAST(count(DISTINCT {c}) AS VARCHAR) FROM documents",
+            f"""SELECT '{c}', 'top_' || rk || ':' || v, CAST(c2 AS VARCHAR)
+             FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS c2,
+                          row_number() OVER (ORDER BY count(*) DESC,
+                                             CAST({c} AS VARCHAR)) AS rk
+                   FROM documents WHERE {c} IS NOT NULL GROUP BY 1)
+             WHERE rk <= 3""",
+        ]
+        if c in numeric:
+            parts.append(
+                f"SELECT '{c}', 'mean', "
+                f"CAST(CAST(avg({c}) AS DECIMAL(28,6)) AS VARCHAR) "
+                f"FROM documents"
+            )
+    return (
+        " UNION ALL ".join(parts)
+        + ' ORDER BY "column", metric'
+    )
+
+
+ORACLE["q132_table_profile"] = _q132_oracle_sql()
 
 ORACLE["q129_budget_selection"] = r"""
     WITH d AS (

@@ -134,3 +134,121 @@ def quality_report(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    top_k: int = 0,
+) -> DataFrame:
+    """Unsupervised per-column profile — the ``ANALYZE TABLE``-style
+    pass a pipeline runs on an UNKNOWN dataset before declaring
+    :func:`quality_report` checks.  Long-form output ``(column, metric,
+    value)`` with value stringified (a profile mixes types):
+
+    - ``count`` / ``nulls`` / ``distinct`` per column,
+    - ``min`` / ``max`` (native ordering, stringified),
+    - ``mean`` for numeric columns (6 decimals),
+    - with ``top_k > 0``: ``top_i:<value>`` → occurrence count for the
+      k most frequent values (ties broken by value string).
+
+    Scale shape: counts/min/max/mean come from ONE aggregation job
+    (map-side partials, single result row).  Distinct counts add one
+    hash aggregate per column over that column only (exact — swap in
+    ``approx_count_distinct`` at the 100 TB tier, same plan shape minus
+    the exactness).  The optional top-k pass melts all profiled columns
+    into ONE (column, value) shuffle + a keyed WindowGroupLimit rank —
+    k rows per column survive, nothing unpartitioned, no driver data.
+    """
+    from pyspark.sql.types import NumericType
+    from pyspark.sql.window import Window
+
+    cols = columns or [f.name for f in df.schema.fields]
+    numeric = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+    }
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+        if c in numeric:
+            # fixed-point string, not a double cast: float-to-string
+            # formatting differs across engines (Java vs C++), and the
+            # profile's contract is an engine-portable value string
+            aggs.append(
+                F.avg(F.col(c)).cast("decimal(28,6)").cast("string")
+                .alias(f"_avg_{c}")
+            )
+    base = df.agg(*aggs)
+
+    rows = []
+    for c in cols:
+        rows += [
+            (c, "count", F.col(f"_nn_{c}").cast("string")),
+            (c, "nulls",
+             (F.col("_n") - F.col(f"_nn_{c}")).cast("string")),
+            (c, "min", F.col(f"_min_{c}")),
+            (c, "max", F.col(f"_max_{c}")),
+        ]
+        if c in numeric:
+            rows.append((c, "mean", F.col(f"_avg_{c}")))
+    parts = [
+        base.select(
+            F.lit(c).alias("column"), F.lit(m).alias("metric"),
+            v.alias("value"),
+        )
+        for c, m, v in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    for c in cols:
+        # nulls are reported by their own metric; distinct counts values
+        # (SQL COUNT(DISTINCT) convention, engine-portable)
+        dq = (
+            df.select(F.col(c)).where(F.col(c).isNotNull()).distinct()
+            .agg(F.count(F.lit(1)).cast("string").alias("value"))
+        )
+        out = out.unionByName(
+            dq.select(
+                F.lit(c).alias("column"), F.lit("distinct").alias("metric"),
+                "value",
+            )
+        )
+    if top_k > 0:
+        melted = df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ])
+            ).alias("kv")
+        ).select("kv.column", "kv.v").where(F.col("v").isNotNull())
+        counted = melted.groupBy("column", "v").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.partitionBy("column").orderBy(
+            F.col("_c").desc(), F.col("v")
+        )
+        top = (
+            counted.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= top_k)
+            .select(
+                "column",
+                F.concat(
+                    F.lit("top_"), F.col("_rk").cast("string"),
+                    F.lit(":"), F.col("v"),
+                ).alias("metric"),
+                F.col("_c").cast("string").alias("value"),
+            )
+        )
+        out = out.unionByName(top)
+    return out

@@ -717,3 +717,62 @@ def edit_verified_pairs(
         .where(dist <= cap)
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
     )
+
+
+def excise_frequent_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-level repeated-LINE excision — the C4 boilerplate cut
+    (Raffel 2020 §2.2: drop any line occurring ≥3 times in the corpus;
+    reference has no text surface — pipeline extension): split each
+    document on newlines, count identical lines corpus-wide, drop every
+    line whose count reaches ``min_count``, and reassemble the survivors
+    in their original order.  Returns ``(id, n_lines, n_removed,
+    text)`` with documents kept even when everything was excised.
+
+    Scale shape: TWO shuffles — the line-frequency hash aggregate
+    (map-side partials collapse repeated boilerplate early, so the
+    shuffle carries ~distinct lines) and the per-document reassembly
+    group.  The frequency verdict joins back on the line key itself;
+    at petabyte scale pre-hash the key (xxhash64) to halve shuffle
+    bytes and verify collisions on the residue.  No driver data, no
+    windows, no cartesian anywhere.
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    freq = lines.groupBy("_line").agg(F.count(F.lit(1)).alias("_cnt"))
+    kept = lines.join(freq, "_line").where(F.col("_cnt") < min_count)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_kept_text"),
+        F.count(F.lit(1)).alias("_kept_n"),
+    )
+    base = docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), "\n", -1)).cast("long").alias(
+            "n_lines"
+        ),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_kept_n"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("_kept_text"), F.lit("")).alias(text_col),
+        )
+    )

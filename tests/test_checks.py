@@ -81,3 +81,39 @@ def test_quality_report_null_fk_values_ignored(spark, parents):
         for r in quality_report(df, fk=[("ref", parents, "pid")]).collect()
     }
     assert rows["fk:ref"]  # the null ref is not an orphan
+
+
+def test_profile_table_metrics(spark):
+    from dudb_spark.operators.checks import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "a", 30.5), (4, None, 20.5)],
+        ["id", "tag", "score"],
+    )
+    rows = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(df, top_k=2).collect()
+    }
+    assert rows[("id", "count")] == "4"
+    assert rows[("id", "nulls")] == "0"
+    assert rows[("tag", "nulls")] == "1"
+    assert rows[("tag", "distinct")] == "2"  # nulls not a distinct value
+    assert rows[("tag", "min")] == "a" and rows[("tag", "max")] == "b"
+    assert rows[("score", "mean")] == "20.333333"  # fixed-point string
+    assert rows[("tag", "top_1:a")] == "2"
+    assert rows[("tag", "top_2:b")] == "1"
+    # null never appears as a top value
+    assert not any(m.startswith("top_") and ":None" in m
+                   for (_, m) in rows if _ == "tag")
+
+
+def test_profile_table_top_ties_break_by_value(spark):
+    from dudb_spark.operators.checks import profile_table
+
+    df = spark.createDataFrame([("z",), ("y",), ("z",), ("y",)], ["v"])
+    rows = {
+        r["metric"]: r["value"]
+        for r in profile_table(df, top_k=2).collect()
+        if r["metric"].startswith("top_")
+    }
+    assert rows == {"top_1:y": "2", "top_2:z": "2"}

@@ -309,3 +309,33 @@ def test_bpe_merge_fold_overlap_rule(spark):
     # round 1 over vocab {'aa','aa'} and {'aa','b'}: (aa,aa) x1, (aa,b) x1
     # tie on count -> lexicographic (aa,aa) wins
     assert rows[1][:4] == (1, "aa", "aa", "aaaa")
+
+
+def test_excise_frequent_lines(spark):
+    from dudb_spark.pipeline.dedup import excise_frequent_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "boiler\nunique one\nboiler2"),
+            (2, "boiler\nunique two"),
+            (3, "boiler\nboiler2\nunique three\nboiler"),
+            (4, "boiler2"),
+        ],
+        ["doc_id", "text"],
+    )
+    # 'boiler' occurs 4x (>=3 -> excised), 'boiler2' 3x (excised),
+    # uniques stay in order; doc 4 empties but survives
+    out = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text)
+        for r in excise_frequent_lines(docs, min_count=3).collect()
+    }
+    assert out[1] == (3, 2, "unique one")
+    assert out[2] == (2, 1, "unique two")
+    assert out[3] == (4, 3, "unique three")
+    assert out[4] == (1, 1, "")
+    # min_count high enough keeps everything, order preserved
+    keep = {
+        r.doc_id: r.text
+        for r in excise_frequent_lines(docs, min_count=99).collect()
+    }
+    assert keep[3] == "boiler\nboiler2\nunique three\nboiler"
