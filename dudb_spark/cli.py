@@ -201,7 +201,29 @@ def cmd_stats_compute(args):
                 )
             )
             .distinct()
+            # churn-sized; pinning makes the auto-gate count below free
+            # and keeps the closure from re-running the snapshot diff
+            .localCheckpoint()
         )
+        # cost-based auto gate: the closure's fixed job overhead loses
+        # to a plain refold once churn is a real fraction of the tree
+        # (incremental.refold_recommended has the measured crossover)
+        from dudb_spark.operators.incremental import refold_recommended
+
+        thr = getattr(args, "churn_threshold", 0.02)
+        n_touched = touched.count()
+        # parquet metadata count — no data scan
+        n_tree = cat.tables(prev_stats.meta["snapshot_version"]) \
+            .prefixes.count()
+        if refold_recommended(n_touched, n_tree, thr):
+            print(
+                f"stats --incremental: churn {n_touched}/{n_tree} dirs >= "
+                f"threshold {thr:g} — full refold is the cheaper plan "
+                "(--churn-threshold 0 forces the incremental closure)",
+                file=sys.stderr,
+            )
+            incremental = False
+    if incremental:
         # both snapshots stored bucketed with the same width → hand the
         # raw (pb-carrying) scans to the closure so its path probes
         # partition-prune to the churn's buckets
@@ -944,6 +966,13 @@ def build_parser():
         "--incremental", action="store_true",
         help="re-fold only what changed since the previous stats run "
              "(same root/expr/calculator required)",
+    )
+    pc.add_argument(
+        "--churn-threshold", type=float, default=0.02,
+        help="with --incremental: fall back to a full refold when "
+             "touched dirs / tree dirs reaches this fraction (the "
+             "closure's fixed job overhead loses to one fold at high "
+             "churn); 0 forces the incremental closure",
     )
     pc.set_defaults(func=cmd_stats_compute)
     pv = ssub.add_parser("view")

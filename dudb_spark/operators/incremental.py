@@ -488,3 +488,25 @@ def incremental_stats(
         stitch(prev.per_group, res.per_group, "prefix"),
         dict(prev.meta, incremental=True, closure_jobs=_jobs[0]),
     )
+
+
+def refold_recommended(
+    touched_count: int, n_prefixes: int, threshold: float = 0.02
+) -> bool:
+    """Cost-based choice between the incremental closure and a plain
+    full refold: recommend the refold once the churn fraction
+    (touched directories / tree directories) reaches ``threshold``.
+
+    Rationale (measured, BENCH_NOTES round-6/7): the closure's cost is
+    churn-proportional data plus a FIXED overhead of ~12 driver-
+    sequential jobs, while the refold is one tree-proportional fold —
+    at 18M entries the closure wins 1.9x at 0.6% churn and LOSES
+    (0.66x) at 2.9%.  The local crossover sits between those; 2% is the
+    shipped default.  On a cluster the fixed-job floor shrinks relative
+    to the fold, so the true crossover moves UP — the threshold is a
+    floor-conservative default, not a tuning requirement.  A
+    ``threshold <= 0`` disables the gate (always incremental).
+    """
+    if threshold <= 0:
+        return False
+    return touched_count >= threshold * max(n_prefixes, 1)

@@ -169,7 +169,7 @@ def test_cli_incremental_stats_and_diff(spark, real_tree, tmp_path, capsys):
 
     inc = json.loads(
         run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
-            "--incremental", real_tree)
+            "--incremental", "--churn-threshold", "0", real_tree)
     )
     assert inc["totals"]["files"] == 3
     assert inc["totals"]["bytes"] == full0["totals"]["bytes"] + 10 - 4
@@ -215,7 +215,8 @@ def test_cli_incremental_mode_only_change(spark, real_tree, tmp_path, capsys):
 
     inc = json.loads(
         run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
-            "--incremental", real_tree, "type=x")
+            "--incremental", "--churn-threshold", "0", real_tree,
+            "type=x")
     )
     full = json.loads(
         run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
@@ -431,7 +432,7 @@ def test_cli_incremental_plain_layout_fallback(spark, real_tree, tmp_path,
     run(capsys, "analyze", "--db", db, real_tree, "--layout", "plain")
 
     main(["stats", "compute", "--db", db, "--stats-dir", stats_dir,
-          "--incremental", real_tree])
+          "--incremental", "--churn-threshold", "0", real_tree])
     cap = capsys.readouterr()
     inc = json.loads(cap.out)
     assert "compact --layout bucketed" in cap.err
@@ -493,3 +494,33 @@ def test_expand_path_col_matches_python(spark, monkeypatch):
         ).orderBy("i").collect()
     ]
     assert got == want
+
+
+def test_cli_incremental_auto_refold_gate(spark, real_tree, tmp_path,
+                                          capsys):
+    """The cost-based gate: on a tiny tree any real churn crosses the
+    default 2% threshold, so --incremental chooses the full refold (with
+    a message) and still lands the exact result; --churn-threshold 0
+    forces the closure (covered by the other incremental tests)."""
+    import time
+
+    db = str(tmp_path / "db")
+    stats_dir = str(tmp_path / "stats")
+    run(capsys, "analyze", "--db", db, real_tree)
+    run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+        real_tree)
+    time.sleep(1.1)
+    with open(os.path.join(real_tree, "proj/a/new.dat"), "w") as f:
+        f.write("0123456789")
+    run(capsys, "analyze", "--db", db, real_tree)
+
+    main(["stats", "compute", "--db", db, "--stats-dir", stats_dir,
+          "--incremental", real_tree])
+    cap = capsys.readouterr()
+    assert "cheaper plan" in cap.err
+    inc = json.loads(cap.out)
+    full = json.loads(
+        run(capsys, "stats", "compute", "--db", db, "--stats-dir", stats_dir,
+            real_tree)
+    )
+    assert inc["totals"] == full["totals"]
