@@ -797,6 +797,72 @@ def cmd_pipeline_bpe(args):
               f"{r['merged']}\t{r['pair_count']}")
 
 
+def cmd_pipeline_excise_lines(args):
+    """Corpus-level repeated-line excision (C4 boilerplate cut,
+    pipeline/dedup.excise_frequent_lines); writes the cleaned corpus and
+    prints removal counters."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.dedup import excise_frequent_lines
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = excise_frequent_lines(
+        df, args.id_col, args.text_col, min_count=args.min_count
+    )
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+    agg = res.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_lines").alias("lines"),
+        F.sum("n_removed").alias("removed"),
+        F.count(F.when(F.col("n_removed") > 0, 1)).alias("docs_touched"),
+    ).collect()[0]
+    print(json.dumps({
+        "docs": agg["docs"], "lines": agg["lines"],
+        "removed": agg["removed"], "docs_touched": agg["docs_touched"],
+        "min_count": args.min_count, "out": args.out,
+    }))
+
+
+def cmd_pipeline_profile(args):
+    """Unsupervised column profile (operators/checks.profile_table)
+    printed as TSV (column, metric, value)."""
+    from dudb_spark.operators.checks import profile_table
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    cols = args.columns.split(",") if args.columns else None
+    res = profile_table(df, columns=cols, top_k=args.top_k)
+    print("column\tmetric\tvalue")
+    for r in res.orderBy("column", "metric").collect():
+        print(f"{r['column']}\t{r['metric']}\t{r['value']}")
+
+
+def cmd_pipeline_select(args):
+    """Greedy token-budget selection (operators/prefix.select_to_budget):
+    keep the best-scoring whole-document prefix fitting the budget."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.operators.prefix import select_to_budget
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = select_to_budget(
+        df, args.score_col, args.id_col, args.tokens_col, args.budget
+    )
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+    agg = res.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.coalesce(F.sum(args.tokens_col), F.lit(0)).alias("tokens"),
+    ).collect()[0]
+    print(json.dumps({
+        "kept_docs": agg["kept"], "kept_tokens": agg["tokens"],
+        "budget": args.budget, "out": args.out,
+    }))
+
+
 def cmd_pipeline_report(args):
     """Corpus dataset card: per (source, lang) doc/token/quality/dup
     stats printed as TSV."""
@@ -1086,6 +1152,36 @@ def build_parser():
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--text-col", default="text")
     pr.set_defaults(func=cmd_pipeline_report)
+    pel = psub.add_parser(
+        "excise-lines",
+        help="drop lines occurring >= min-count times corpus-wide (C4 cut)",
+    )
+    pel.add_argument("--input", required=True)
+    pel.add_argument("--id-col", default="doc_id")
+    pel.add_argument("--text-col", default="text")
+    pel.add_argument("--min-count", type=int, default=3)
+    pel.add_argument("--out", default=None)
+    pel.set_defaults(func=cmd_pipeline_excise_lines)
+    ppr = psub.add_parser(
+        "profile", help="per-column profile: count/nulls/min/max/mean/"
+        "distinct/top-k (TSV)",
+    )
+    ppr.add_argument("--input", required=True)
+    ppr.add_argument("--columns", default=None,
+                     help="comma-separated subset (default: all)")
+    ppr.add_argument("--top-k", type=int, default=3)
+    ppr.set_defaults(func=cmd_pipeline_profile)
+    psl = psub.add_parser(
+        "select-budget",
+        help="keep the best-scoring whole docs under a global token budget",
+    )
+    psl.add_argument("--input", required=True)
+    psl.add_argument("--score-col", required=True)
+    psl.add_argument("--id-col", default="doc_id")
+    psl.add_argument("--tokens-col", required=True)
+    psl.add_argument("--budget", type=int, required=True)
+    psl.add_argument("--out", default=None)
+    psl.set_defaults(func=cmd_pipeline_select)
     pe = psub.add_parser(
         "embed", help="feature-hashing embeddings (hashing trick)"
     )

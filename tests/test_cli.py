@@ -524,3 +524,42 @@ def test_cli_incremental_auto_refold_gate(spark, real_tree, tmp_path,
             real_tree)
     )
     assert inc["totals"] == full["totals"]
+
+
+def test_cli_pipeline_new_surface(spark, tmp_path, capsys):
+    """excise-lines / profile / select-budget end-to-end over a small
+    parquet corpus: counters, TSV shape, and written outputs."""
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "boiler\nkeep one", 5, 10),
+            (2, "boiler\nkeep two", 9, 20),
+            (3, "boiler\nkeep three", 7, 30),
+            (4, "solo", 1, 40),
+        ],
+        ["doc_id", "text", "score", "n_tokens"],
+    ).write.parquet(src)
+
+    out = str(tmp_path / "clean")
+    j = json.loads(run(
+        capsys, "pipeline", "excise-lines", "--input", src, "--out", out,
+    ))
+    assert j == {"docs": 4, "lines": 7, "removed": 3, "docs_touched": 3,
+                 "min_count": 3, "out": out}
+    cleaned = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert cleaned[1] == "keep one" and cleaned[4] == "solo"
+
+    tsv = run(capsys, "pipeline", "profile", "--input", src,
+              "--columns", "score", "--top-k", "1")
+    rows = dict(
+        tuple(l.split("\t")[1:3]) for l in tsv.strip().splitlines()[1:]
+    )
+    assert rows["count"] == "4" and rows["mean"] == "5.500000"
+
+    j2 = json.loads(run(
+        capsys, "pipeline", "select-budget", "--input", src,
+        "--score-col", "score", "--tokens-col", "n_tokens",
+        "--budget", "50",
+    ))
+    # score order: 2(20) 3(50) 1(straddles) 4 -> kept 2+3, 50 tokens
+    assert j2["kept_docs"] == 2 and j2["kept_tokens"] == 50
