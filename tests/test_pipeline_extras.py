@@ -339,3 +339,69 @@ def test_excise_frequent_lines(spark):
         for r in excise_frequent_lines(docs, min_count=99).collect()
     }
     assert keep[3] == "boiler\nboiler2\nunique three\nboiler"
+
+
+def test_excise_frequent_lines_fuzz(spark):
+    """Random corpora from a tiny line alphabet vs a pure-Python oracle:
+    counts, order, and empty-document survival at several thresholds."""
+    import random
+
+    from dudb_spark.pipeline.dedup import excise_frequent_lines
+
+    rng = random.Random(77)
+    alpha = ["a", "bb", "ccc", "", "dd d"]
+    for trial in range(4):
+        docs = []
+        for i in range(rng.randint(1, 12)):
+            docs.append(
+                (i, "\n".join(rng.choice(alpha)
+                              for _ in range(rng.randint(1, 6))))
+            )
+        mc = rng.randint(2, 5)
+        freq: dict[str, int] = {}
+        for _, t in docs:
+            for ln in t.split("\n"):
+                freq[ln] = freq.get(ln, 0) + 1
+        want = {}
+        for i, t in docs:
+            lines = t.split("\n")
+            kept = [ln for ln in lines if freq[ln] < mc]
+            want[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_lines, r.n_removed, r.text)
+            for r in excise_frequent_lines(df, min_count=mc).collect()
+        }
+        assert got == want, (trial, mc)
+
+
+def test_select_to_budget_fuzz(spark):
+    """Random (id, score, tokens) frames vs the sorted-prefix Python
+    oracle, including negative scores and exact-boundary budgets."""
+    import random
+
+    from dudb_spark.operators.prefix import select_to_budget
+
+    rng = random.Random(55)
+    for trial in range(4):
+        n = rng.randint(1, 25)
+        rows = [
+            (i, rng.randint(-50, 50), rng.randint(1, 30))
+            for i in range(n)
+        ]
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        budget = rng.randint(1, sum(r[2] for r in rows))
+        want, cum = {}, 0
+        for i, s, t in order:
+            cum += t
+            if cum > budget:
+                break
+            want[i] = cum
+        df = spark.createDataFrame(rows, ["doc_id", "score", "tokens"])
+        got = {
+            r.doc_id: r.cum_tokens
+            for r in select_to_budget(
+                df, "score", "doc_id", "tokens", budget
+            ).collect()
+        }
+        assert got == want, (trial, budget)
