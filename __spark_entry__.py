@@ -2805,6 +2805,47 @@ def q127_fswalk_datasource(spark, sf_dir):
     return pfx.unionByName(ent).orderBy("relpath", "is_prefix")
 
 
+def q133_fswatch_stream(spark, sf_dir):
+    """The fswalk as a STREAMING source (sources/fsds.FsWatchReader,
+    Spark Python DataSource simple stream reader): the change-feed
+    analogue of the reference's rescan loop.  The gate certifies the
+    deterministic batch-0 full resync over the q70 staged tree — every
+    object emitted as op='added' with the crawler's exact stat values
+    (oracle = q70's entries subset + op/gen) — and the diff batches
+    (added/changed/deleted, error transitions, offset hold on no-change)
+    are pinned by tests/test_streaming.py against live mutations."""
+    import tempfile
+    import uuid
+
+    from dudb_spark.sources.fsds import register_watch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="dudb_q133_") + "/tree"
+    _build_crawl_tree(root)
+    register_watch(spark)
+    name = "q133_watch_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("fswatch")
+        .option("exclude", r"\.tmp$").load(root)
+        .writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    t = spark.table(name)
+    rel = F.coalesce(
+        F.nullif(F.expr(f"substring(path, {len(root) + 1})"), F.lit("")),
+        F.lit("/"),
+    ).alias("relpath")
+    return t.select(
+        "op",
+        rel,
+        F.when(~F.col("is_dir"), F.col("size")).cast("long").alias("size"),
+        "is_dir",
+        _fmt_ts(F.col("mtime"), "mtime"),
+        F.col("gen").cast("long").alias("gen"),
+    ).orderBy("relpath")
+
+
 # q128 fixture: flat-color images make the whole JPEG pipeline exactly
 # SQL-restatable — a constant plane encodes to DC-only blocks, the luma
 # quantizer's q00=8 cancels the DC scale (8*(v-128)/8), and these ten
@@ -4549,6 +4590,7 @@ QUERIES: dict[str, Callable] = {
     "q130_config_expansion": q130_config_expansion,
     "q131_line_excision": q131_line_excision,
     "q132_table_profile": q132_table_profile,
+    "q133_fswatch_stream": q133_fswatch_stream,
 }
 
 ORACLE: dict[str, str] = {
@@ -5784,6 +5826,36 @@ ORACLE["q70_crawler_walk"] = """
 
 # the DataSource route must reproduce the crawler's rows exactly
 ORACLE["q127_fswalk_datasource"] = ORACLE["q70_crawler_walk"]
+
+# q133: batch-0 resync = the crawler's entry rows, each op='added', gen 0
+ORACLE["q133_fswatch_stream"] = """
+    WITH dirs AS (SELECT unnest(generate_series(0, 2)) AS i),
+    fils AS (
+        SELECT d.i AS i, unnest(generate_series(0, 3)) AS j FROM dirs d
+    )
+    SELECT 'added' AS op, relpath, size, is_dir, mtime,
+           CAST(0 AS BIGINT) AS gen
+    FROM (
+        SELECT '/d' || i AS relpath, CAST(NULL AS BIGINT) AS size,
+               TRUE AS is_dir,
+               strftime(make_timestamp(CAST(1700000000 + (i+1)*1000
+                        AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS mtime
+        FROM dirs
+        UNION ALL
+        SELECT '/d' || i || '/f' || j || '.dat',
+               CAST(37*i + j + 1 AS BIGINT), FALSE,
+               strftime(make_timestamp(CAST(
+                   1700000000 + (i+1)*1000 + (j+1)*10 AS BIGINT) * 1000000),
+                   '%Y-%m-%d %H:%M:%S')
+        FROM fils
+        UNION ALL
+        SELECT '/link', 2, FALSE,
+               strftime(make_timestamp(CAST(1700000005 AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S')
+    )
+    ORDER BY relpath
+"""
 
 
 def _q128_oracle_sql() -> str:

@@ -46,7 +46,12 @@ from __future__ import annotations
 import os as _os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _FIELDS = (
     "parent", "name", "path", "is_dir", "size", "blocks", "mode",
@@ -223,3 +228,122 @@ def live_tables(
     if with_errors:
         return prefixes, entries, errors
     return prefixes, entries
+
+
+# --------------------------------------------------------------------------
+# fswatch: the walk as a STREAMING source (change stream)
+# --------------------------------------------------------------------------
+
+_WATCH_DDL = "op string, " + _DDL + ", gen long"
+
+
+class FsWatchReader(SimpleDataSourceStreamReader):
+    """Streaming change feed over a live tree (``fswatch``) — the
+    streaming analogue of the reference's rescan loop (analyze.go:104:
+    users re-run ``idu analyze`` on a schedule; here each micro-batch IS
+    the rescan, emitting only what changed).  Batch 0 is a full resync
+    (every object as ``op='added'``); every later batch re-walks and
+    diffs against the previous walk on (is_dir, size, mode, mtime, uid,
+    gid), yielding ``added`` / ``changed`` / ``deleted`` rows (deleted
+    rows carry the last-known stat).  Unreadable paths ride the SAME
+    diff with null stats and the ``error`` column set, so a path
+    flipping readable↔unreadable surfaces as ``changed``.
+
+    Scale/semantics notes (deliberate, documented):
+    - the walk runs driver-side per micro-batch (the change stream is
+      churn-sized; the partitioned-executor walk is the batch ``fswalk``
+      route) and Spark's simple-reader checkpoint persists each batch's
+      DATA, so a replayed batch never re-walks;
+    - reader state is the in-memory previous walk: after a query
+      restart the first batch is a fresh full resync (at-least-once
+      change delivery across restarts, exactly-once within a run);
+    - a no-change walk returns the same offset (no empty batch spam).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fswatch: .load(path) is required")
+        self.exclude = options.get("exclude")
+        self._prev: dict | None = None
+
+    def initialOffset(self):
+        return {"gen": 0}
+
+    # sig positions within _FIELDS: everything that marks a real change
+    _SIG = tuple(
+        _FIELDS.index(f) for f in
+        ("is_dir", "size", "mode", "mtime", "uid", "gid")
+    )
+
+    def _walk(self) -> dict:
+        from dudb_spark.sources.crawler import crawl_local
+
+        _, erows, errrows = crawl_local(
+            self.path, [self.exclude] if self.exclude else []
+        )
+        cur = {
+            e["path"]: tuple(e[f] for f in _FIELDS) + (None,)
+            for e in erows
+        }
+        nf = len(_FIELDS)
+        for err in errrows:
+            row = [None] * nf
+            row[_FIELDS.index("parent")] = (
+                _os.path.dirname(err["path"]) or None
+            )
+            row[_FIELDS.index("name")] = _os.path.basename(err["path"])
+            row[_FIELDS.index("path")] = err["path"]
+            cur[err["path"]] = tuple(row) + (err["detail"],)
+        return cur
+
+    def read(self, start: dict):
+        gen = int(start.get("gen", 0))
+        cur = self._walk()
+        sig = self._SIG
+        err_i = len(_FIELDS)  # error string rides last before gen
+        out = []
+        if self._prev is None:
+            for p in sorted(cur):
+                out.append(("added",) + cur[p] + (gen,))
+        else:
+            prev = self._prev
+            for p in sorted(cur):
+                c = cur[p]
+                pv = prev.get(p)
+                if pv is None:
+                    out.append(("added",) + c + (gen,))
+                elif (
+                    tuple(c[i] for i in sig) != tuple(pv[i] for i in sig)
+                    or c[err_i] != pv[err_i]
+                ):
+                    out.append(("changed",) + c + (gen,))
+            for p in sorted(prev):
+                if p not in cur:
+                    out.append(("deleted",) + prev[p] + (gen,))
+            if not out:
+                # nothing changed: hold the offset, no empty batch
+                self._prev = cur
+                return iter(()), start
+        self._prev = cur
+        return iter(out), {"gen": gen + 1}
+
+    def commit(self, end):
+        pass
+
+
+class FsWatchDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "fswatch"
+
+    def schema(self):
+        return _WATCH_DDL
+
+    def simpleStreamReader(self, schema):
+        return FsWatchReader(self.options)
+
+
+def register_watch(spark) -> None:
+    """Register the ``fswatch`` streaming format on a session."""
+    spark.dataSource.register(FsWatchDataSource)

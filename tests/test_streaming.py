@@ -226,3 +226,72 @@ def test_online_dedup_grows_index_across_batches(spark, tmp_path):
         20: (10, False),    # caught by the GROWN index (batch 0's doc 10)
         21: (None, True),   # new in batch 1
     }
+
+
+def test_fswatch_change_stream(spark, tmp_path):
+    """fswatch (sources/fsds.FsWatchReader): batch 0 resyncs the whole
+    tree as 'added'; live mutations surface as added/changed/deleted
+    rows in later batches with the last-known stat on deletions."""
+    import os
+    import time
+
+    from dudb_spark.sources.fsds import register_watch
+
+    root = str(tmp_path / "tree")
+    os.makedirs(f"{root}/a")
+    with open(f"{root}/a/x.txt", "w") as f:
+        f.write("hello")
+    with open(f"{root}/y.log", "w") as f:
+        f.write("123")
+
+    register_watch(spark)
+    q = (
+        spark.readStream.format("fswatch").load(root)
+        .writeStream.format("memory").queryName("fswatch_t")
+        .trigger(processingTime="1 second").start()
+    )
+    try:
+        def wait_rows(pred, timeout=60):
+            t0 = time.time()
+            rows = []
+            while time.time() - t0 < timeout:
+                rows = spark.sql(
+                    "SELECT op, path, size, gen FROM fswatch_t"
+                ).collect()
+                if pred(rows):
+                    return rows
+                time.sleep(0.5)
+            raise TimeoutError(rows)
+
+        rows = wait_rows(lambda r: len(r) >= 3)
+        resync = {(r.op, r.path.replace(root, "")) for r in rows}
+        assert resync == {
+            ("added", "/a"), ("added", "/a/x.txt"), ("added", "/y.log")
+        }
+        assert all(r.gen == 0 for r in rows)
+
+        time.sleep(1.1)  # mtime granularity
+        with open(f"{root}/a/x.txt", "w") as f:
+            f.write("hello world!")          # changed (size+mtime)
+        with open(f"{root}/new.bin", "w") as f:
+            f.write("zz")                     # added
+        os.unlink(f"{root}/y.log")            # deleted
+
+        rows = wait_rows(lambda r: len(r) >= 6)
+        diff = {
+            (r.op, r.path.replace(root, ""), r.size)
+            for r in rows if r.gen > 0
+        }
+        assert diff == {
+            ("changed", "/a/x.txt", 12),
+            ("added", "/new.bin", 2),
+            ("deleted", "/y.log", 3),  # last-known stat rides the delete
+        }
+        # no-change walks hold the offset instead of emitting empty
+        # batches, so the diff generations stay dense from 1 (a walk
+        # interleaving the three mutations may legitimately split them
+        # over two consecutive batches)
+        gens = sorted({r.gen for r in rows if r.gen > 0})
+        assert gens and gens == list(range(1, len(gens) + 1))
+    finally:
+        q.stop()
