@@ -152,11 +152,11 @@ def profile_table(
     - with ``top_k > 0``: ``top_i:<value>`` → occurrence count for the
       k most frequent values (ties broken by value string).
 
-    Scale shape: counts/min/max/mean come from ONE aggregation job
-    (map-side partials, single result row).  Distinct counts add one
-    hash aggregate per column over that column only (exact — swap in
-    ``approx_count_distinct`` at the 100 TB tier, same plan shape minus
-    the exactness).  The optional top-k pass melts all profiled columns
+    Scale shape: counts/min/max/mean AND every exact distinct count
+    come from ONE aggregation job — Catalyst plans the multi-
+    COUNT(DISTINCT) as a single Expand pass (rows × profiled columns;
+    swap in ``approx_count_distinct`` at the 100 TB tier to drop the
+    Expand).  The optional top-k pass melts all profiled columns
     into ONE (column, value) shuffle + a keyed WindowGroupLimit rank —
     k rows per column survive, nothing unpartitioned, no driver data.
     """
@@ -175,6 +175,11 @@ def profile_table(
             F.count(F.col(c)).alias(f"_nn_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            # all distinct counts ride the SAME job: Catalyst plans
+            # multi-COUNT(DISTINCT) as one Expand pass (rows × profiled
+            # columns, the same volume as the top-k melt) instead of one
+            # full scan per column
+            F.count_distinct(F.col(c)).cast("string").alias(f"_dc_{c}"),
         ]
         if c in numeric:
             # fixed-point string, not a double cast: float-to-string
@@ -194,6 +199,7 @@ def profile_table(
              (F.col("_n") - F.col(f"_nn_{c}")).cast("string")),
             (c, "min", F.col(f"_min_{c}")),
             (c, "max", F.col(f"_max_{c}")),
+            (c, "distinct", F.col(f"_dc_{c}")),
         ]
         if c in numeric:
             rows.append((c, "mean", F.col(f"_avg_{c}")))
@@ -207,19 +213,6 @@ def profile_table(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    for c in cols:
-        # nulls are reported by their own metric; distinct counts values
-        # (SQL COUNT(DISTINCT) convention, engine-portable)
-        dq = (
-            df.select(F.col(c)).where(F.col(c).isNotNull()).distinct()
-            .agg(F.count(F.lit(1)).cast("string").alias("value"))
-        )
-        out = out.unionByName(
-            dq.select(
-                F.lit(c).alias("column"), F.lit("distinct").alias("metric"),
-                "value",
-            )
-        )
     if top_k > 0:
         melted = df.select(
             F.explode(
