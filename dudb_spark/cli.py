@@ -363,6 +363,48 @@ def cmd_logs(args):
         print(json.dumps(r.asDict(), default=str))
 
 
+def cmd_watch(args):
+    """Live change feed over a tree (sources/fsds.FsWatchReader): prints
+    one TSV line per change — gen, op, size, path.  ``--once`` emits the
+    batch-0 full resync and exits; otherwise the stream re-walks every
+    ``--interval`` seconds until ``--max-batches`` non-empty batches
+    have been printed (0 = until interrupted)."""
+    from dudb_spark.sources.fsds import register_watch
+
+    spark = _spark()
+    register_watch(spark)
+    reader = spark.readStream.format("fswatch")
+    if args.exclude:
+        reader = reader.option("exclude", args.exclude[0])
+    stream = reader.load(args.prefix)
+
+    state = {"batches": 0}
+
+    def _emit(batch_df, batch_id):
+        rows = batch_df.orderBy("gen", "op", "path").collect()
+        if not rows:
+            return
+        state["batches"] += 1
+        for r in rows:
+            sz = "" if r["size"] is None else r["size"]
+            print(f"{r['gen']}\t{r['op']}\t{sz}\t{r['path']}", flush=True)
+
+    w = stream.writeStream.foreachBatch(_emit)
+    if args.once:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.trigger(processingTime=f"{args.interval} seconds").start()
+        try:
+            while q.isActive:
+                q.awaitTermination(1)
+                if args.max_batches and state["batches"] >= args.max_batches:
+                    q.stop()
+                    break
+        except KeyboardInterrupt:
+            q.stop()
+
+
 def cmd_du(args):
     from dudb_spark.functions.units import format_bytes
     from dudb_spark.operators.rollup import subtree_totals, top_subtrees
@@ -1064,6 +1106,19 @@ def build_parser():
     rl.add_argument("-n", type=int, default=1)
     rl.set_defaults(func=cmd_reports_locate)
 
+    p = sub.add_parser(
+        "watch", help="stream live filesystem changes (fswatch source)"
+    )
+    p.add_argument("prefix")
+    p.add_argument("--exclude", action="append", default=None,
+                   help="regexp of paths to skip")
+    p.add_argument("--once", action="store_true",
+                   help="print the full-resync batch and exit")
+    p.add_argument("--interval", type=float, default=2.0,
+                   help="seconds between re-walks (streaming mode)")
+    p.add_argument("--max-batches", type=int, default=0,
+                   help="stop after N non-empty batches (0 = run forever)")
+    p.set_defaults(func=cmd_watch)
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")
     p.add_argument("--db", help="metadata DB (omit with --live)")
     p.add_argument("prefix", nargs="?", default="/")

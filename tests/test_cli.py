@@ -563,3 +563,16 @@ def test_cli_pipeline_new_surface(spark, tmp_path, capsys):
     ))
     # score order: 2(20) 3(50) 1(straddles) 4 -> kept 2+3, 50 tokens
     assert j2["kept_docs"] == 2 and j2["kept_tokens"] == 50
+
+
+def test_cli_watch_once(spark, real_tree, capsys):
+    """watch --once: the batch-0 full resync as TSV (gen, op, size,
+    path), then exit — no database touched."""
+    out = run(capsys, "watch", "--once", real_tree)
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    assert all(l[0] == "0" and l[1] == "added" for l in lines)
+    paths = {l[3].replace(real_tree, "") for l in lines}
+    assert {"/proj", "/proj/a", "/proj/a/x.log", "/proj/b/z.log"} <= paths
+    sizes = {l[3].replace(real_tree, ""): l[2] for l in lines}
+    assert sizes["/proj/a/x.log"] == "2"
+    assert sizes["/proj"].isdigit()  # dirs carry their raw st_size
