@@ -132,6 +132,66 @@ def decode_bench() -> dict:
     return out
 
 
+def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
+    """fswatch steady-state latency on a REAL tree (round-7 verdict item
+    1): the reader's per-batch work must be O(dirs)+O(churn), so the
+    numbers that matter are the idle-batch floor (every dir scandir'ed +
+    dir-typed children lstat'ed, zero file stats) and the 1%-churn batch
+    (only churned dirs' files re-stat'ed + snapshot-diffed).  Direct
+    reader calls — the reader runs driver-side under Spark streaming
+    anyway, so this measures the honest per-trigger cost without
+    memory-sink choreography."""
+    import shutil
+    import tempfile
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    base = tempfile.mkdtemp(prefix="dudb_fswatch_bench_")
+    root = os.path.join(base, "tree")
+    try:
+        for i in range(n_dirs):
+            d = os.path.join(root, f"g{i // 100:02d}", f"d{i:05d}")
+            os.makedirs(d)
+            for j in range(files_per_dir):
+                with open(os.path.join(d, f"f{j}.dat"), "w") as f:
+                    f.write("x")
+        n_entries = n_dirs * files_per_dir + n_dirs + n_dirs // 100 + 1
+
+        r = FsWatchReader({"path": root})
+        t0 = time.perf_counter()
+        n0 = sum(1 for _ in r.read({"gen": 0})[0])
+        t_resync = time.perf_counter() - t0
+        assert n0 >= n_entries - 1, (n0, n_entries)
+
+        t0 = time.perf_counter()
+        r.read({"gen": 1})
+        t_idle = time.perf_counter() - t0
+
+        churn = max(1, n_dirs // 100)
+        for i in range(churn):
+            with open(
+                os.path.join(root, f"g{i % (n_dirs // 100):02d}",
+                             f"d{i * 100:05d}", "new.bin"), "w"
+            ) as f:
+                f.write("z")
+        t0 = time.perf_counter()
+        nrows = sum(1 for _ in r.read({"gen": 1})[0])
+        t_churn = time.perf_counter() - t0
+        stats = dict(r.last_batch_stats)
+        return {
+            "fswatch_tree_entries": n_entries,
+            "fswatch_resync_entries_per_sec": round(n0 / t_resync),
+            "fswatch_idle_batch_sec": round(t_idle, 3),
+            "fswatch_churn1pct_batch_sec": round(t_churn, 3),
+            "fswatch_churn_rows": nrows,
+            "fswatch_churn_files_statted": stats.get("files_statted"),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        if getattr(r, "state_dir", None):
+            shutil.rmtree(r.state_dir, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -143,6 +203,7 @@ def main():
     # spins up (measured 2-3x slower when run after the 121-query suite:
     # GC and executor threads contend for cores and memory bandwidth)
     decode_metrics = decode_bench()
+    decode_metrics.update(fswatch_bench())
 
     spark = get_spark("dudb_spark-bench")
     # warm the JVM so the first measured query isn't paying one-time JIT:

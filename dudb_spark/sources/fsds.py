@@ -242,22 +242,53 @@ class FsWatchReader(SimpleDataSourceStreamReader):
     streaming analogue of the reference's rescan loop (analyze.go:104:
     users re-run ``idu analyze`` on a schedule; here each micro-batch IS
     the rescan, emitting only what changed).  Batch 0 is a full resync
-    (every object as ``op='added'``); every later batch re-walks and
-    diffs against the previous walk on (is_dir, size, mode, mtime, uid,
-    gid), yielding ``added`` / ``changed`` / ``deleted`` rows (deleted
-    rows carry the last-known stat).  Unreadable paths ride the SAME
-    diff with null stats and the ``error`` column set, so a path
-    flipping readable↔unreadable surfaces as ``changed``.
+    (every object as ``op='added'``); every later batch rescans and
+    diffs on (is_dir, size, mode, mtime, uid, gid), yielding ``added``
+    / ``changed`` / ``deleted`` rows (deleted rows carry the last-known
+    stat).  Unreadable paths ride the SAME diff with null stats and the
+    ``error`` column set, so a path flipping readable↔unreadable
+    surfaces as ``changed``.
 
-    Scale/semantics notes (deliberate, documented):
-    - the walk runs driver-side per micro-batch (the change stream is
-      churn-sized; the partitioned-executor walk is the batch ``fswalk``
-      route) and Spark's simple-reader checkpoint persists each batch's
-      DATA, so a replayed batch never re-walks;
-    - reader state is the in-memory previous walk: after a query
-      restart the first batch is a fresh full resync (at-least-once
-      change delivery across restarts, exactly-once within a run);
-    - a no-change walk returns the same offset (no empty batch spam).
+    Scale design — state and work are bounded by dirs + churn, never by
+    total paths (round-7 fix; the previous reader held every path's stat
+    in a driver dict and re-stat'ed the whole tree per batch):
+
+    - **Driver memory is O(directories)**: one stat tuple per live dir
+      (``_dirstat``) plus a dir→snapshot-file map (``_dirgen``).  File
+      rows never live on the driver between batches — they are
+      snapshotted to log-structured Parquet under ``state_dir``.
+    - **Per-batch work is O(dirs) + O(churn)**: every batch scandirs
+      each directory and re-stats only the DIR-typed children (one
+      lstat per directory — scandir's d_type answers is_dir without a
+      syscall).  File entries are re-stat'ed only inside directories
+      whose own (mtime, mode) changed — the reference's unchanged-skip
+      (J1, analyze.go:236–242) applied to the rescan loop.  Previous
+      rows for exactly those dirs are loaded from the Parquet snapshot
+      with a pushed-down ``parent IN (...)`` filter, and only those
+      dirs' rows are rewritten; fully-superseded snapshot files are
+      deleted eagerly and partial files compact past ``compact_every``.
+    - **Semantics under pruning match the reference's** (J1): an
+      in-place file write that does not touch its directory's mtime is
+      not seen until that directory next changes (at which point the
+      rescan diffs it against the snapshot and emits the ``changed``
+      row — eventual consistency on dir churn).  Directory rows
+      themselves are always exact: every dir is lstat'ed every batch,
+      so a subdir's own mtime/mode/owner drift is emitted immediately
+      even when its parent is unchanged.  ``.option("prune", "false")``
+      restores exhaustive per-file rescans (every file stat'ed every
+      batch — detects in-place edits immediately) while keeping driver
+      memory bounded via the same disk snapshot.
+    - The scan runs driver-side (the OUTPUT is churn-sized; the
+      partitioned-executor walk is the batch ``fswalk`` route) and
+      Spark's simple-reader checkpoint persists each batch's DATA, so
+      a replayed batch never re-walks.  After a query restart the first
+      batch is a fresh full resync (at-least-once across restarts,
+      exactly-once within a run); a no-change scan returns the same
+      offset (no empty batch spam).
+
+    ``last_batch_stats`` (dirs_walked / dirs_rescanned / files_statted
+    / rows_emitted) exposes the bounded-work contract to tests and the
+    bench.
     """
 
     def __init__(self, options):
@@ -265,67 +296,329 @@ class FsWatchReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("fswatch: .load(path) is required")
         self.exclude = options.get("exclude")
-        self._prev: dict | None = None
+        self.prune = str(options.get("prune", "true")).lower() != "false"
+        self.state_dir = options.get("state_dir")
+        self.compact_every = int(options.get("compact_every", "16"))
+        # driver state: O(dirs) — dir row tuples + dir -> snapshot file id
+        self._dirstat: dict[str, tuple] | None = None
+        self._rootsig: tuple | None = None
+        self._dirgen: dict[str, int] = {}
+        self._filectr = 0
+        self.last_batch_stats: dict[str, int] = {}
 
     def initialOffset(self):
         return {"gen": 0}
 
-    # sig positions within _FIELDS: everything that marks a real change
+    # sig positions within the row tuple: everything that marks a change
     _SIG = tuple(
         _FIELDS.index(f) for f in
         ("is_dir", "size", "mode", "mtime", "uid", "gid")
     )
+    _ERR_I = len(_FIELDS)  # error string rides last
+    _MTIME_I = _FIELDS.index("mtime")
+    _MODE_I = _FIELDS.index("mode")
 
-    def _walk(self) -> dict:
-        from dudb_spark.sources.crawler import crawl_local
+    # -- snapshot store (log-structured parquet, file rows only) ----------
 
-        _, erows, errrows = crawl_local(
-            self.path, [self.exclude] if self.exclude else []
+    def _arrow_schema(self):
+        import pyarrow as pa
+
+        return pa.schema([
+            ("parent", pa.string()), ("name", pa.string()),
+            ("path", pa.string()), ("is_dir", pa.bool_()),
+            ("size", pa.int64()), ("blocks", pa.int64()),
+            ("mode", pa.int64()),
+            ("mtime", pa.timestamp("us", tz="UTC")),
+            ("uid", pa.int64()), ("gid", pa.int64()),
+            ("device", pa.int64()), ("inode", pa.int64()),
+            ("error", pa.string()),
+        ])
+
+    def _state(self) -> str:
+        if self.state_dir is None:
+            import tempfile
+
+            self.state_dir = tempfile.mkdtemp(prefix="dudb_fswatch_")
+        return self.state_dir
+
+    def _file_path(self, fid: int) -> str:
+        return _os.path.join(self._state(), f"s{fid}.parquet")
+
+    def _write_rows(self, rows: list[tuple]) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self._filectr += 1
+        names = _FIELDS + ("error",)
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(names, r)) for r in rows],
+                schema=self._arrow_schema(),
+            ),
+            self._file_path(self._filectr),
         )
-        cur = {
-            e["path"]: tuple(e[f] for f in _FIELDS) + (None,)
-            for e in erows
-        }
-        nf = len(_FIELDS)
-        for err in errrows:
-            row = [None] * nf
-            row[_FIELDS.index("parent")] = (
-                _os.path.dirname(err["path"]) or None
+        return self._filectr
+
+    def _load_rows(self, dirs) -> dict[str, tuple]:
+        """path -> row tuple for the file-space rows of ``dirs``, read
+        from the snapshot with a pushed-down parent filter."""
+        import pyarrow.parquet as pq
+        from pyarrow import compute as pc
+
+        by_fid: dict[int, list[str]] = {}
+        for d in dirs:
+            fid = self._dirgen.get(d)
+            if fid is not None:
+                by_fid.setdefault(fid, []).append(d)
+        names = _FIELDS + ("error",)
+        out: dict[str, tuple] = {}
+        for fid, ds in by_fid.items():
+            t = pq.read_table(
+                self._file_path(fid),
+                filters=pc.field("parent").isin(ds),
             )
-            row[_FIELDS.index("name")] = _os.path.basename(err["path"])
-            row[_FIELDS.index("path")] = err["path"]
-            cur[err["path"]] = tuple(row) + (err["detail"],)
-        return cur
+            for r in t.to_pylist():
+                out[r["path"]] = tuple(r[n] for n in names)
+        return out
+
+    def _gc_files(self):
+        """Drop fully-superseded snapshot files; compact partial ones
+        when the live-file count exceeds ``compact_every``."""
+        live: dict[int, int] = {}
+        for fid in self._dirgen.values():
+            live[fid] = live.get(fid, 0) + 1
+        for fid in range(1, self._filectr + 1):
+            fp = self._file_path(fid)
+            if fid not in live and _os.path.exists(fp):
+                _os.unlink(fp)
+        if len(live) > self.compact_every:
+            import pyarrow.parquet as pq
+
+            names = _FIELDS + ("error",)
+            rows: list[tuple] = []
+            for fid in sorted(live):
+                for r in pq.read_table(self._file_path(fid)).to_pylist():
+                    if self._dirgen.get(r["parent"]) == fid:
+                        rows.append(tuple(r[n] for n in names))
+            nfid = self._write_rows(rows)
+            for d in list(self._dirgen):
+                self._dirgen[d] = nfid
+            for fid in live:
+                fp = self._file_path(fid)
+                if _os.path.exists(fp):
+                    _os.unlink(fp)
+
+    # -- the bounded rescan ------------------------------------------------
+
+    def _error_row(self, path: str, detail: str) -> tuple:
+        row = [None] * len(_FIELDS)
+        row[_FIELDS.index("parent")] = _os.path.dirname(path) or None
+        row[_FIELDS.index("name")] = _os.path.basename(path)
+        row[_FIELDS.index("path")] = path
+        return tuple(row) + (detail,)
+
+    def _scan(self):
+        """One rescan pass.  Returns (cur_dirstat, cur_rootsig,
+        listings) where listings maps each RESCANNED dir to its current
+        file-space rows {path: tuple} — only dirs whose (mtime, mode)
+        changed (or all dirs when prune=false / first batch) are listed
+        with per-file stats; every dir still gets one scandir + one
+        lstat per dir-typed child."""
+        from dudb_spark.sources.crawler import _entry_row
+
+        pats = [re.compile(self.exclude)] if self.exclude else []
+        root = self.path.rstrip("/") or "/"
+        prev_dirstat = self._dirstat or {}
+        cur_dirstat: dict[str, tuple] = {}
+        listings: dict[str, dict[str, tuple]] = {}
+        dead_dirs: list[str] = []  # dirs that became unlistable
+        n_file_stats = 0
+        import stat as stat_mod
+
+        try:
+            rst = _os.lstat(root)
+            rootsig = (rst.st_mtime, rst.st_mode)
+        except OSError:
+            rootsig = None
+
+        def rescan_needed(dpath: str, row: tuple | None) -> bool:
+            if not self.prune or self._dirstat is None:
+                return True
+            if dpath == root:
+                return rootsig is None or rootsig != self._rootsig
+            pv = prev_dirstat.get(dpath)
+            if pv is None or row is None:
+                return True
+            return (
+                row[self._MTIME_I] != pv[self._MTIME_I]
+                or row[self._MODE_I] != pv[self._MODE_I]
+                or row[self._ERR_I] != pv[self._ERR_I]
+            )
+
+        names = _FIELDS
+        level: list[str] = [root]
+        while level:
+            nxt: list[str] = []
+            for d in level:
+                want_files = rescan_needed(
+                    d, cur_dirstat.get(d) if d != root else None
+                )
+                if want_files:
+                    listing: dict[str, tuple] = {}
+                    listings[d] = listing
+                try:
+                    with _os.scandir(d) as it:
+                        dents = sorted(it, key=lambda e: e.name)
+                except OSError as e:
+                    # unreadable dir: its row (under its parent) becomes
+                    # an error row, matching _scan_one's error bucket,
+                    # and its file rows leave the snapshot as deletions
+                    if d != root:
+                        cur_dirstat[d] = self._error_row(d, str(e))
+                    listings.pop(d, None)
+                    dead_dirs.append(d)
+                    continue
+                for de in dents:
+                    child = f"{d.rstrip('/')}/{de.name}"
+                    if any(x.search(child) for x in pats):
+                        continue
+                    try:
+                        is_dirtype = de.is_dir(follow_symlinks=False)
+                    except OSError:
+                        is_dirtype = False
+                    if is_dirtype:
+                        # dirs are stat'ed EVERY batch (O(dirs)): their
+                        # rows stay exact and their sig drives pruning
+                        try:
+                            st = de.stat(follow_symlinks=False)
+                        except OSError as e:
+                            cur_dirstat[child] = self._error_row(
+                                child, str(e)
+                            )
+                            dead_dirs.append(child)
+                            continue
+                        er = _entry_row(d, de.name, st, True)
+                        cur_dirstat[child] = (
+                            tuple(er[f] for f in names) + (None,)
+                        )
+                        if not stat_mod.S_ISLNK(st.st_mode):
+                            nxt.append(child)
+                    elif want_files:
+                        try:
+                            st = de.stat(follow_symlinks=False)
+                            n_file_stats += 1
+                        except OSError as e:
+                            listing[child] = self._error_row(
+                                child, str(e)
+                            )
+                            continue
+                        er = _entry_row(
+                            d, de.name, st,
+                            stat_mod.S_ISDIR(st.st_mode),
+                        )
+                        listing[child] = (
+                            tuple(er[f] for f in names) + (None,)
+                        )
+            level = nxt
+        self.last_batch_stats = {
+            "dirs_walked": len(cur_dirstat) + 1,
+            "dirs_rescanned": len(listings),
+            "files_statted": n_file_stats,
+        }
+        return cur_dirstat, rootsig, listings, dead_dirs
 
     def read(self, start: dict):
         gen = int(start.get("gen", 0))
-        cur = self._walk()
-        sig = self._SIG
-        err_i = len(_FIELDS)  # error string rides last before gen
-        out = []
-        if self._prev is None:
-            for p in sorted(cur):
-                out.append(("added",) + cur[p] + (gen,))
-        else:
-            prev = self._prev
-            for p in sorted(cur):
-                c = cur[p]
-                pv = prev.get(p)
+        first = self._dirstat is None
+        if first:
+            # fresh run: clear any stale snapshot files in state_dir
+            sd = self._state()
+            for f in _os.listdir(sd):
+                if f.startswith("s") and f.endswith(".parquet"):
+                    _os.unlink(_os.path.join(sd, f))
+        cur_dirstat, rootsig, listings, dead_dirs = self._scan()
+        root = self.path.rstrip("/") or "/"
+        sig, err_i = self._SIG, self._ERR_I
+
+        def differs(a: tuple, b: tuple) -> bool:
+            return (
+                tuple(a[i] for i in sig) != tuple(b[i] for i in sig)
+                or a[err_i] != b[err_i]
+            )
+
+        # per-path emissions; an added+deleted pair on one path (a type
+        # flip between dir-space and file-space) merges into 'changed'
+        emit: dict[str, list] = {}
+
+        def add(op: str, row: tuple):
+            emit.setdefault(row[_FIELDS.index("path")], []).append(
+                (op, row)
+            )
+
+        prev_dirstat = self._dirstat or {}
+        # dir rows: exact every batch (all dirs lstat'ed in _scan)
+        for p, row in cur_dirstat.items():
+            pv = prev_dirstat.get(p)
+            if pv is None:
+                add("added", row)
+            elif differs(row, pv):
+                add("changed", row)
+        deleted_dirs = [p for p in prev_dirstat if p not in cur_dirstat]
+        for p in deleted_dirs:
+            add("deleted", prev_dirstat[p])
+
+        # file rows: diff rescanned dirs against the disk snapshot;
+        # deleted/unlistable dirs surface their last-known file rows
+        gone_dirs = set(deleted_dirs) | set(dead_dirs)
+        prev_rows = self._load_rows(set(listings) | gone_dirs)
+        for listing in listings.values():
+            for p, row in listing.items():
+                pv = prev_rows.get(p)
                 if pv is None:
-                    out.append(("added",) + c + (gen,))
-                elif (
-                    tuple(c[i] for i in sig) != tuple(pv[i] for i in sig)
-                    or c[err_i] != pv[err_i]
-                ):
-                    out.append(("changed",) + c + (gen,))
-            for p in sorted(prev):
-                if p not in cur:
-                    out.append(("deleted",) + prev[p] + (gen,))
-            if not out:
-                # nothing changed: hold the offset, no empty batch
-                self._prev = cur
-                return iter(()), start
-        self._prev = cur
+                    add("added", row)
+                elif differs(row, pv):
+                    add("changed", row)
+        for p, pv in prev_rows.items():
+            d = pv[_FIELDS.index("parent")]
+            if (d in gone_dirs) or (
+                d in listings and p not in listings[d]
+            ):
+                add("deleted", pv)
+
+        out = []
+        for p in sorted(emit):
+            ops = emit[p]
+            if len(ops) == 2 and {o for o, _ in ops} == {
+                "added", "deleted"
+            }:
+                row = next(r for o, r in ops if o == "added")
+                out.append(("changed",) + row + (gen,))
+            else:
+                for op, row in ops:
+                    out.append((op,) + row + (gen,))
+        self.last_batch_stats["rows_emitted"] = len(out)
+
+        if not out and not first:
+            # nothing changed: hold the offset, no empty batch — but
+            # keep the fresh dir stats (they are byte-equal anyway)
+            self._dirstat, self._rootsig = cur_dirstat, rootsig
+            return iter(()), start
+
+        # snapshot update: only rescanned dirs' file rows are rewritten
+        if listings:
+            rows = [
+                r for listing in listings.values()
+                for r in listing.values()
+            ]
+            fid = self._write_rows(rows)
+            for d in listings:
+                self._dirgen[d] = fid
+        for p in deleted_dirs:
+            self._dirgen.pop(p, None)
+        for p in dead_dirs:
+            self._dirgen.pop(p, None)
+        self._gc_files()
+        self._dirstat, self._rootsig = cur_dirstat, rootsig
         return iter(out), {"gen": gen + 1}
 
     def commit(self, end):

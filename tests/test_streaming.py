@@ -231,7 +231,13 @@ def test_online_dedup_grows_index_across_batches(spark, tmp_path):
 def test_fswatch_change_stream(spark, tmp_path):
     """fswatch (sources/fsds.FsWatchReader): batch 0 resyncs the whole
     tree as 'added'; live mutations surface as added/changed/deleted
-    rows in later batches with the last-known stat on deletions."""
+    rows in later batches with the last-known stat on deletions.
+
+    Runs with ``prune=false`` (exhaustive per-file rescans) because the
+    mutation set includes an in-place file edit whose parent dir mtime
+    does not change — the default dir-mtime pruning defers that edit to
+    the dir's next churn (the reference's own J1 semantics,
+    analyze.go:236–242; pinned by test_fswatch_prune_j1_semantics)."""
     import os
     import time
 
@@ -246,7 +252,8 @@ def test_fswatch_change_stream(spark, tmp_path):
 
     register_watch(spark)
     q = (
-        spark.readStream.format("fswatch").load(root)
+        spark.readStream.format("fswatch")
+        .option("prune", "false").load(root)
         .writeStream.format("memory").queryName("fswatch_t")
         .trigger(processingTime="1 second").start()
     )
@@ -295,3 +302,183 @@ def test_fswatch_change_stream(spark, tmp_path):
         assert gens and gens == list(range(1, len(gens) + 1))
     finally:
         q.stop()
+
+
+# --------------------------------------------------------------------------
+# fswatch bounded-state/work contract (round-8 scale fix): driver state is
+# O(dirs), per-batch work is O(dirs)+O(churn), file rows live on disk.
+# Direct reader tests — no streaming choreography needed; the reader runs
+# driver-side either way.
+# --------------------------------------------------------------------------
+
+def _watch_tree(tmp_path, n_dirs=8, files_per_dir=10):
+    import os
+
+    root = str(tmp_path / "wtree")
+    for i in range(n_dirs):
+        os.makedirs(f"{root}/d{i:02d}")
+        for j in range(files_per_dir):
+            with open(f"{root}/d{i:02d}/f{j}.dat", "w") as f:
+                f.write("x" * (i + j))
+    return root
+
+
+def test_fswatch_bounded_state_and_work(tmp_path):
+    """State is keyed by DIRECTORIES (not paths) and a one-file churn
+    rescans exactly the churned dir: the round-7 verdict's scale-killer
+    (driver dict of every path + full re-stat per batch) stays dead."""
+    import os
+    import time
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path)
+    r = FsWatchReader({"path": root})
+    rows, off = r.read({"gen": 0})
+    assert len(list(rows)) == 8 + 80  # full resync
+    assert r.last_batch_stats["files_statted"] == 80
+
+    # driver state: one entry per dir — never per file
+    assert not hasattr(r, "_prev")
+    assert len(r._dirstat) == 8
+    assert set(r._dirgen) == {root} | {f"{root}/d{i:02d}" for i in range(8)}
+    # file rows are on disk, not in memory
+    assert any(f.endswith(".parquet") for f in os.listdir(r.state_dir))
+
+    # idle batch: zero file stats, offset held
+    rows, off2 = r.read(off)
+    assert off2 == off and list(rows) == []
+    assert r.last_batch_stats["files_statted"] == 0
+    assert r.last_batch_stats["dirs_rescanned"] == 0
+
+    # one added file -> exactly one dir rescanned, ~10 files statted
+    time.sleep(1.05)
+    with open(f"{root}/d03/new.bin", "w") as f:
+        f.write("zz")
+    rows, off3 = r.read(off2)
+    rows = list(rows)
+    assert {(t[0], t[3]) for t in rows} == {
+        ("changed", f"{root}/d03"), ("added", f"{root}/d03/new.bin"),
+    }
+    assert r.last_batch_stats["dirs_rescanned"] == 1
+    assert r.last_batch_stats["files_statted"] == 11  # d03's listing only
+
+
+def test_fswatch_prune_j1_semantics(tmp_path):
+    """Default pruning = the reference's unchanged-skip (J1,
+    analyze.go:236–242): an in-place edit that leaves the dir mtime
+    alone is not seen until the dir next churns — then the snapshot
+    diff emits the deferred 'changed' row.  prune=false sees it at
+    once."""
+    import time
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=2, files_per_dir=2)
+    r = FsWatchReader({"path": root})
+    _, off = r.read({"gen": 0})
+
+    time.sleep(1.05)
+    with open(f"{root}/d00/f0.dat", "w") as f:
+        f.write("rewritten-in-place")
+    rows, off = r.read(off)
+    assert list(rows) == []  # dir mtime unchanged -> deferred (J1)
+
+    # dir churn (new sibling) -> rescan diffs the snapshot and emits
+    # BOTH the new file and the deferred in-place edit
+    time.sleep(1.05)
+    with open(f"{root}/d00/sibling.txt", "w") as f:
+        f.write("s")
+    rows = list(r.read(off)[0])
+    got = {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows}
+    assert got == {
+        ("changed", "d00"), ("added", "sibling.txt"),
+        ("changed", "f0.dat"),
+    }
+
+    # prune=false: a fresh exhaustive watcher sees in-place edits now
+    r2 = FsWatchReader({"path": root, "prune": "false"})
+    _, off2 = r2.read({"gen": 0})
+    time.sleep(1.05)
+    with open(f"{root}/d01/f1.dat", "w") as f:
+        f.write("direct")
+    rows = list(r2.read(off2)[0])
+    assert {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows} == {
+        ("changed", "f1.dat")
+    }
+    assert r2.last_batch_stats["dirs_rescanned"] == 3  # exhaustive mode
+
+
+def test_fswatch_type_flip_and_compaction(tmp_path):
+    """A path flipping file->dir emits one 'changed' row (not
+    deleted+added), and the log-structured snapshot compacts: live
+    parquet files stay bounded by compact_every while diffs remain
+    exact."""
+    import os
+    import shutil
+    import time
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=4, files_per_dir=3)
+    r = FsWatchReader({"path": root, "compact_every": "2"})
+    _, off = r.read({"gen": 0})
+
+    # file -> dir flip
+    time.sleep(1.05)
+    os.unlink(f"{root}/d00/f0.dat")
+    os.makedirs(f"{root}/d00/f0.dat")
+    rows = list(r.read(off)[0])
+    by_path = {t[3]: t[0] for t in rows}
+    assert by_path[f"{root}/d00/f0.dat"] == "changed"
+    off = {"gen": 2}
+
+    # churn several dirs over several batches; compaction keeps the
+    # state dir bounded and the diff exact
+    for k, d in enumerate(["d01", "d02", "d03", "d01"]):
+        time.sleep(1.05)
+        with open(f"{root}/{d}/roll{k}.x", "w") as f:
+            f.write(str(k))
+        rows = list(r.read(off)[0])
+        off = {"gen": off["gen"] + 1}
+        assert (f"{root}/{d}/roll{k}.x", "added") in {
+            (t[3], t[0]) for t in rows
+        }
+    live = [f for f in os.listdir(r.state_dir) if f.endswith(".parquet")]
+    assert len(live) <= 3  # compact_every=2 (+1 freshly-written)
+
+    # subtree delete after compaction: last-known rows still served
+    shutil.rmtree(f"{root}/d02")
+    rows = list(r.read(off)[0])
+    dels = {t[3] for t in rows if t[0] == "deleted"}
+    assert f"{root}/d02/f0.dat" in dels and f"{root}/d02/roll1.x" in dels
+
+
+def test_fswatch_unreadable_dir_transition(tmp_path, monkeypatch):
+    """A dir that stops listing (scandir raises) flips its row to an
+    in-band error row and its file rows leave as deletions — the S9
+    error-bucket contract on the watch path."""
+    import os
+    import time
+
+    from dudb_spark.sources import fsds
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=2, files_per_dir=2)
+    r = FsWatchReader({"path": root})
+    _, off = r.read({"gen": 0})
+
+    real_scandir = os.scandir
+
+    def deny_d00(p):
+        if str(p).endswith("/d00"):
+            raise PermissionError(13, "denied", str(p))
+        return real_scandir(p)
+
+    monkeypatch.setattr(fsds._os, "scandir", deny_d00)
+    time.sleep(1.05)
+    rows = list(r.read(off)[0])
+    got = {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows}
+    assert ("deleted", "f0.dat") in got and ("deleted", "f1.dat") in got
+    err_rows = [t for t in rows if t[0] == "changed"]
+    assert len(err_rows) == 1 and err_rows[0][-2] is not None  # error col
