@@ -4169,6 +4169,9 @@ def _incremental_bench(spark, sf_dir, mult=30):
 
 
 _INC_SHARED: dict = {}
+# bump when _incremental_staging / merge / layout recipes change: the
+# on-disk fixture cache key includes it, forcing a rebuild
+_INC_FIXTURE_V = 1
 
 
 def _incremental_shared(spark, sf_dir):
@@ -4181,39 +4184,88 @@ def _incremental_shared(spark, sf_dir):
     q118 consumes the PLAIN table reads (pb hidden — the un-bucketed
     closure), q126 the raw pb-carrying scans + spill indexes (the fully
     pruned closure); both reuse the same previous summary, so in-suite
-    the second query pays only its own closure + fold."""
+    the second query pays only its own closure + fold.
+
+    Round-8 (verdict item 3): the staging additionally persists ON DISK
+    across suite runs, keyed by sf + the lineitem parquet's mtime (so a
+    regenerated testdata set rebuilds) + a fixture-version salt (bump
+    ``_INC_FIXTURE_V`` when the staging recipe changes).  The fixture is
+    deterministic from lineitem, so a cache hit is value-identical to a
+    rebuild; q118 then times the fold/closure, not 30+ s of fixture
+    construction.  Built atomically (tmp dir + rename) so a concurrent
+    bench/verify pair can't see a half-written cache."""
     if sf_dir in _INC_SHARED:
         return _INC_SHARED[sf_dir]
-    import atexit
+    import json as _json
+    import os
     import shutil
     import tempfile
 
     from dudb_spark.operators.ingest import merge_scan
-    from dudb_spark.operators.stats import StatsOptions, compute_stats
+    from dudb_spark.operators.stats import (
+        StatsOptions, StatsResult, compute_stats,
+    )
     from dudb_spark.sources.catalog import SnapshotCatalog
 
-    prev_p, prev_e, staged_p, staged_e = _incremental_staging(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="dudb_incshared_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    cache_root = os.environ.get(
+        "DUDB_FIXTURE_CACHE", "/tmp/dudb_fixture_cache"
+    )
+    try:
+        li_mtime = int(os.path.getmtime(f"{sf_dir}/lineitem.parquet"))
+    except OSError:
+        li_mtime = 0
+    base = os.path.join(
+        cache_root,
+        f"incshared_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{li_mtime}_v{_INC_FIXTURE_V}",
+    )
+    if not os.path.exists(os.path.join(base, "_COMPLETE")):
+        prev_p, prev_e, staged_p, staged_e = _incremental_staging(
+            spark, sf_dir
+        )
+        os.makedirs(cache_root, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="incshared_build_", dir=cache_root)
+        try:
+            cat = SnapshotCatalog(spark, f"{tmp}/db")
+            cat.write_snapshot(
+                prev_p, prev_e, layout="bucketed", path_buckets=16
+            )
+            pt = cat.tables(cat.latest_version())
+            prev = compute_stats(pt.prefixes, pt.entries, StatsOptions())
+            prev.save(f"{tmp}/prev_stats")
+            with open(f"{tmp}/prev_stats/meta.json", "w") as f:
+                _json.dump(prev.meta, f, default=str)
+            merge = merge_scan(
+                pt.prefixes, pt.entries, staged_p, staged_e,
+                root="/scale", with_summary=False,
+            )
+            cat.write_snapshot(
+                merge.prefixes, merge.entries,
+                layout="bucketed", path_buckets=16,
+            )
+            merge.touched.write.mode("overwrite").parquet(f"{tmp}/touched")
+            with open(f"{tmp}/_COMPLETE", "w") as f:
+                f.write("ok")
+            os.rename(tmp, base)
+        except OSError:
+            # a concurrent builder won the rename — use its result
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(base, "_COMPLETE")):
+                raise
+
     cat = SnapshotCatalog(spark, f"{base}/db")
-    cat.write_snapshot(prev_p, prev_e, layout="bucketed", path_buckets=16)
-    prev_v = cat.latest_version()
-    pt = cat.tables(prev_v)
-    prev = compute_stats(pt.prefixes, pt.entries, StatsOptions())
-    prev.per_prefix = prev.per_prefix.localCheckpoint()
-    merge = merge_scan(
-        pt.prefixes, pt.entries, staged_p, staged_e, root="/scale",
-        with_summary=False,
+    prev_v, new_v = cat.versions()[0], cat.versions()[-1]
+    with open(f"{base}/prev_stats/meta.json") as f:
+        meta = _json.load(f)
+    prev = StatsResult(
+        spark.read.parquet(f"{base}/prev_stats/per_prefix.parquet"),
+        spark.read.parquet(f"{base}/prev_stats/per_user.parquet"),
+        spark.read.parquet(f"{base}/prev_stats/per_group.parquet"),
+        meta,
     )
-    cat.write_snapshot(
-        merge.prefixes, merge.entries, layout="bucketed", path_buckets=16
-    )
-    new_v = cat.latest_version()
-    nt = cat.tables(new_v)
-    merge.touched.write.mode("overwrite").parquet(f"{base}/touched")
     shared = {
         "cat": cat, "prev": prev, "prev_v": prev_v, "new_v": new_v,
-        "pt": pt, "nt": nt,
+        "pt": cat.tables(prev_v), "nt": cat.tables(new_v),
         "touched": spark.read.parquet(f"{base}/touched"),
     }
     _INC_SHARED[sf_dir] = shared

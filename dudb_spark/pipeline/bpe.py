@@ -16,7 +16,9 @@ Spark shape, sized for 100 TB:
   round, the same boundary as the connected-components convergence
   check) → a scan-fused fold that applies the merge to every word.
   The vocabulary frame is localCheckpoint'ed per round (Pregel shape,
-  like pagerank) so plans stay flat.
+  like pagerank) so plans stay flat — LAZILY (eager=False), so the
+  checkpoint materializes inside the next round's argmax job instead of
+  paying a second job per round: one Spark job per merge round total.
 - The merge application is a LEFT-TO-RIGHT fold with the "fresh merge
   can't re-match" property falling out of string identity (the merged
   symbol ``a||b`` never equals ``a`` since ``b`` is non-empty).  The
@@ -64,7 +66,7 @@ def bpe_merges(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("sym"),
         "freq",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     out = []
     for r in range(rounds):
@@ -97,7 +99,7 @@ def bpe_merges(
                 "ELSE concat(acc, array(x)) END)"
             ).alias("sym"),
             "freq",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         out,
         "merge_round int, lhs string, rhs string, merged string, "

@@ -66,9 +66,13 @@ _DDL = (
 
 
 class _Subtree(InputPartition):
-    def __init__(self, root: str, recurse: bool):
+    def __init__(self, root: str, recurse: bool, listed=None):
         self.root = root
         self.recurse = recurse
+        # listing-only partitions peeled by partitions() carry the
+        # driver's own scan result so the executor does not re-list the
+        # same directory (bounded: <=3 peel levels x min_partitions dirs)
+        self.listed = listed
 
 
 class FsWalkReader(DataSourceReader):
@@ -87,22 +91,24 @@ class FsWalkReader(DataSourceReader):
 
         pats = [re.compile(self.exclude)] if self.exclude else []
         root = self.path.rstrip("/") or "/"
-        _, _, _, children = _scan_one(root, pats)
+        _, entries, errors, children = _scan_one(root, pats)
         # the root's own listing is one (non-recursive) partition; each
         # frontier subtree walks independently on an executor.  When the
         # fan-out so far is below min_partitions (a skewed or narrow
         # tree), peel another level: each frontier dir becomes a
         # listing-only partition and its children join the frontier —
         # driver cost is one extra listdir level, bounded to 3 levels.
-        parts = [_Subtree(root, False)]
+        # Peeled listings ride INSIDE the partition object so executors
+        # never re-list a directory the driver already scanned.
+        parts = [_Subtree(root, False, (entries, errors))]
         frontier = children
         for _level in range(3):
             if len(parts) + len(frontier) >= self.min_partitions:
                 break
             nxt = []
             for c in frontier:
-                _, _, _, ch = _scan_one(c, pats)
-                parts.append(_Subtree(c, False))
+                _, entries, errors, ch = _scan_one(c, pats)
+                parts.append(_Subtree(c, False, (entries, errors)))
                 nxt.extend(ch)
             if not nxt:
                 frontier = []
@@ -113,23 +119,30 @@ class FsWalkReader(DataSourceReader):
     def read(self, partition):
         from dudb_spark.sources.crawler import _scan_one
 
-        pats = [re.compile(self.exclude)] if self.exclude else []
         nf = len(_FIELDS)
+
+        def emit(entries, errors):
+            for e in entries:
+                yield tuple(e[f] for f in _FIELDS) + (None,)
+            # unreadable paths: in-band error rows (see module doc)
+            for err in errors:
+                ep = err["path"]
+                row = [None] * nf
+                row[_FIELDS.index("parent")] = _os.path.dirname(ep) or None
+                row[_FIELDS.index("name")] = _os.path.basename(ep)
+                row[_FIELDS.index("path")] = ep
+                yield tuple(row) + (err["detail"],)
+
+        if partition.listed is not None and not partition.recurse:
+            yield from emit(*partition.listed)
+            return
+        pats = [re.compile(self.exclude)] if self.exclude else []
         level = [partition.root]
         while level:
             nxt = []
             for p in level:
                 _, entries, errors, children = _scan_one(p, pats)
-                for e in entries:
-                    yield tuple(e[f] for f in _FIELDS) + (None,)
-                # unreadable paths: in-band error rows (see module doc)
-                for err in errors:
-                    ep = err["path"]
-                    row = [None] * nf
-                    row[_FIELDS.index("parent")] = _os.path.dirname(ep) or None
-                    row[_FIELDS.index("name")] = _os.path.basename(ep)
-                    row[_FIELDS.index("path")] = ep
-                    yield tuple(row) + (err["detail"],)
+                yield from emit(entries, errors)
                 if partition.recurse:
                     nxt.extend(children)
             level = nxt
