@@ -4171,7 +4171,8 @@ def _incremental_bench(spark, sf_dir, mult=30):
 _INC_SHARED: dict = {}
 # bump when _incremental_staging / merge / layout recipes change: the
 # on-disk fixture cache key includes it, forcing a rebuild
-_INC_FIXTURE_V = 1
+# v2: spill index drops single-bucket keys (catalog.write_snapshot)
+_INC_FIXTURE_V = 2
 
 
 def _incremental_shared(spark, sf_dir):

@@ -82,7 +82,8 @@ def cmd_analyze(args):
     else:
         prev = cat.tables()
         res = merge_scan(
-            prev.prefixes, prev.entries, staged_p, staged_e, root=args.prefix
+            prev.prefixes, prev.entries, staged_p, staged_e,
+            root=args.prefix, force=getattr(args, "force", False),
         )
         out = cat.write_snapshot(res.prefixes, res.entries, errors, **lay)
         summary = dict(res.summary, errors=len(errrows))
@@ -1039,6 +1040,12 @@ def build_parser():
     p.add_argument("prefix")
     p.add_argument("--exclude", action="append", help="exclusion regexp")
     p.add_argument("--scans", type=int, default=32, help="concurrent scans")
+    p.add_argument(
+        "--force", action="store_true",
+        help="bypass the unchanged-skip: rewrite every directory's "
+        "entries from this scan (corrupted-snapshot recovery; the "
+        "reference analyze's full-rescan override)",
+    )
     p.add_argument(
         "--layout", choices=["bucketed", "plain"], default="bucketed",
         help="snapshot storage layout (bucketed = path-hash partitioned, "

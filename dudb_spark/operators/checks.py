@@ -140,6 +140,7 @@ def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
     top_k: int = 0,
+    approx_threshold: int | None = 100_000_000,
 ) -> DataFrame:
     """Unsupervised per-column profile — the ``ANALYZE TABLE``-style
     pass a pipeline runs on an UNKNOWN dataset before declaring
@@ -152,13 +153,19 @@ def profile_table(
     - with ``top_k > 0``: ``top_i:<value>`` → occurrence count for the
       k most frequent values (ties broken by value string).
 
-    Scale shape: counts/min/max/mean AND every exact distinct count
-    come from ONE aggregation job — Catalyst plans the multi-
-    COUNT(DISTINCT) as a single Expand pass (rows × profiled columns;
-    swap in ``approx_count_distinct`` at the 100 TB tier to drop the
-    Expand).  The optional top-k pass melts all profiled columns
-    into ONE (column, value) shuffle + a keyed WindowGroupLimit rank —
-    k rows per column survive, nothing unpartitioned, no driver data.
+    Scale shape: counts/min/max/mean AND every distinct count come
+    from ONE aggregation job.  The distinct counts AUTO-TIER on table
+    size: at or below ``approx_threshold`` rows (one cheap count job —
+    parquet footer metadata at scan time — decides) Catalyst plans the
+    multi-COUNT(DISTINCT) as a single Expand pass whose volume is
+    rows × profiled columns; above it, that multiplied Expand is the
+    100 TB hazard, so the profile swaps to ``approx_count_distinct``
+    (HyperLogLog++, default 5% rsd) which drops the Expand entirely —
+    exact at gate scale, bounded at warehouse scale.  Pass
+    ``approx_threshold=None`` to force exact, ``0`` to force approx.
+    The optional top-k pass melts all profiled columns into ONE
+    (column, value) shuffle + a keyed WindowGroupLimit rank — k rows
+    per column survive, nothing unpartitioned, no driver data.
     """
     from pyspark.sql.types import NumericType
     from pyspark.sql.window import Window
@@ -168,6 +175,8 @@ def profile_table(
         f.name for f in df.schema.fields
         if isinstance(f.dataType, NumericType)
     }
+    exact = approx_threshold is None or df.count() <= approx_threshold
+    dc = F.count_distinct if exact else F.approx_count_distinct
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
@@ -175,11 +184,11 @@ def profile_table(
             F.count(F.col(c)).alias(f"_nn_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
-            # all distinct counts ride the SAME job: Catalyst plans
-            # multi-COUNT(DISTINCT) as one Expand pass (rows × profiled
-            # columns, the same volume as the top-k melt) instead of one
-            # full scan per column
-            F.count_distinct(F.col(c)).cast("string").alias(f"_dc_{c}"),
+            # all distinct counts ride the SAME job: exact plans as one
+            # Expand pass (rows × profiled columns, the same volume as
+            # the top-k melt) instead of one full scan per column; the
+            # approx tier has no Expand at all (see docstring)
+            dc(F.col(c)).cast("string").alias(f"_dc_{c}"),
         ]
         if c in numeric:
             # fixed-point string, not a double cast: float-to-string

@@ -55,8 +55,16 @@ def merge_scan(
     staged_entries: DataFrame,
     root: str = "",
     with_summary: bool = True,
+    force: bool = False,
 ) -> MergeResult:
     """Merge a staged (fresh) scan of ``root`` into the previous snapshot.
+
+    ``force=True`` bypasses the J1 unchanged-skip (the reference's
+    ``analyze`` re-scan override): every alive directory classifies as
+    changed, so its entries are rewritten from the staged scan instead
+    of reused from the previous snapshot — the corrupted-snapshot
+    recovery path.  Deletion detection and the summary counters still
+    run (``parent_unchanged`` reports 0 by construction).
 
     Contract: ``staged_prefixes`` must contain a row for EVERY directory
     currently alive under ``root`` — the scanner may skip re-statting an
@@ -83,10 +91,12 @@ def merge_scan(
         F.col("s.path").isNotNull().alias("in_new"),
         F.col("p.path").isNotNull().alias("in_old"),
         (
-            F.col("s.path").isNotNull()
-            & F.col("p.path").isNotNull()
-            & (F.col("s.mtime") == F.col("p.mtime"))
-            & (F.col("s.mode") == F.col("p.mode"))
+            F.lit(False) if force else (
+                F.col("s.path").isNotNull()
+                & F.col("p.path").isNotNull()
+                & (F.col("s.mtime") == F.col("p.mtime"))
+                & (F.col("s.mode") == F.col("p.mode"))
+            )
         ).alias("unchanged"),
     )
     j = j.cache()

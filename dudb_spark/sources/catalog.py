@@ -109,22 +109,28 @@ class SnapshotCatalog:
         if errors is not None:
             errors.write.mode("overwrite").parquet(f"{out}/errors.parquet")
         if layout == "bucketed":
-            # hardlink SPILL INDEX: (device, inode, pb) of every key that
-            # appears in ≥2 rows of this snapshot.  Hardlink groups are
-            # the one cross-directory dependency of the stats fold; this
-            # index is what lets the incremental closure find a churned
-            # group's members in OTHER buckets without scanning the tree
-            # — singleton keys have their only member inside the churn's
-            # own buckets by definition.  Size is O(directories +
-            # hardlinked files), NOT just the hardlinked subset: every
-            # non-root directory contributes two rows with its key (its
-            # own prefix record, bucketed by path, plus its entry row in
-            # the parent, bucketed by the parent path — almost always
-            # two DISTINCT buckets), so dir keys all qualify.  Dir keys
-            # are genuinely needed for cross-bucket group completeness;
-            # sizing plans should budget ~#dirs + #hardlinked rows.  The
-            # one full shuffle to build the index runs at WRITE time,
-            # where a full pass is already being paid.
+            # hardlink SPILL INDEX: (device, inode, pb) of every key
+            # whose member rows SPAN ≥2 distinct buckets, plus every
+            # rec-multi key (≥2 prefix-record rows) regardless of
+            # spread.  Hardlink groups are the one cross-directory
+            # dependency of the stats fold; this index is what lets the
+            # incremental closure find a churned group's members in
+            # OTHER buckets without scanning the tree.  A key confined
+            # to ONE bucket can never need cross-bucket closure: a seed
+            # row carrying it already sits in that bucket, so the
+            # pruned scan covers the whole group (round-7 verdict item
+            # 6 — dropping single-bucket keys cut hlinks.parquet by the
+            # same-directory hardlink class, whose entry rows all hash
+            # to the parent's bucket).  Rec-multi keys are retained
+            # even when single-bucket because the flip-round GATE reads
+            # them from the index (a hardlinked-dir pair co-located in
+            # one bucket must still trigger the flip cascade).  Size is
+            # O(directories + cross-bucket hardlinks): every non-root
+            # directory still contributes two rows in almost always two
+            # DISTINCT buckets (its own record, bucketed by path; its
+            # entry row, bucketed by the parent path).  The one full
+            # shuffle to build the index runs at WRITE time, where a
+            # full pass is already being paid.
             # ``rec`` marks keys with ≥2 PREFIX-RECORD rows (hardlinked
             # directories): the only keys whose record-level dup flag
             # can flip, so the incremental closure's flip round gates on
@@ -143,10 +149,10 @@ class SnapshotCatalog:
             keyinfo = (
                 rows.groupBy("device", "inode")
                 .agg(
-                    F.count(F.lit(1)).alias("_c"),
+                    F.count_distinct(F.col("pb")).alias("_npb"),
                     F.sum(F.col("_isrec").cast("int")).alias("_rc"),
                 )
-                .where("_c > 1")
+                .where("_npb > 1 OR _rc >= 2")
                 .select("device", "inode", (F.col("_rc") >= 2).alias("rec"))
             )
             (

@@ -117,3 +117,35 @@ def test_profile_table_top_ties_break_by_value(spark):
         if r["metric"].startswith("top_")
     }
     assert rows == {"top_1:y": "2", "top_2:z": "2"}
+
+
+def test_profile_table_auto_tiers_distinct_counts(spark):
+    """Above approx_threshold rows the profile swaps every exact
+    COUNT(DISTINCT) for approx_count_distinct: the rows×columns Expand
+    pass disappears from the plan (the 100 TB hazard), values stay
+    plausible; at/below the threshold (and with threshold=None) the
+    counts are exact."""
+    from dudb_spark.operators.checks import profile_table
+
+    df = spark.createDataFrame(
+        [(i % 7, f"s{i % 13}") for i in range(100)], ["a", "b"]
+    )
+    exact = profile_table(df)  # 100 rows <= default threshold
+    got = {(r["column"], r["metric"]): r["value"] for r in exact.collect()}
+    assert got[("a", "distinct")] == "7"
+    assert got[("b", "distinct")] == "13"
+    plan = exact._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_count_distinct" not in plan
+
+    approx = profile_table(df, approx_threshold=0)
+    plan = approx._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_count_distinct" in plan  # HLL++, no Expand anywhere
+    got = {(r["column"], r["metric"]): int(r["value"])
+           for r in approx.collect() if r["metric"] == "distinct"}
+    # HLL++ at default rsd is exact-ish at this cardinality
+    assert abs(got[("a", "distinct")] - 7) <= 1
+    assert abs(got[("b", "distinct")] - 13) <= 1
+    # None forces exact regardless of size (no pre-count job)
+    got = {(r["column"], r["metric"]): r["value"]
+           for r in profile_table(df, approx_threshold=None).collect()}
+    assert got[("a", "distinct")] == "7"

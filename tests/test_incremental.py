@@ -458,3 +458,48 @@ def test_at_scale_staging_fuzz(spark):
         )
         full = compute_stats(new_p, new_e, StatsOptions())
         assert _summaries(inc) == _summaries(full), f"seed {seed}"
+
+
+def test_spill_index_drops_single_bucket_keys(spark, tmp_path):
+    """Round-8 index shrink: a hardlink group confined to ONE bucket
+    (e.g. same-directory file hardlinks — their entry rows all hash by
+    the same parent) is excluded from hlinks.parquet; cross-bucket
+    groups stay; rec-multi keys (hardlinked DIRECTORIES) stay even when
+    single-bucket, because the flip-round gate reads them from the
+    index."""
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    prev_p = _pfx(spark, [
+        ("/t", 10, 1), ("/t/a", 20, 2), ("/t/b", 30, 3),
+        # hardlinked dir pair: same (device, inode) on two records
+        ("/t/h1", 40, 900), ("/t/h2", 40, 900),
+    ])
+    prev_e = _ent(spark, [
+        ("/t/a", True, 20, 2), ("/t/b", True, 30, 3),
+        ("/t/h1", True, 40, 900), ("/t/h2", True, 40, 900),
+        # same-dir hardlink pair: both entry rows bucket by "/t/a"
+        ("/t/a/s1", False, 7, 100), ("/t/a/s2", False, 7, 100),
+        # cross-dir hardlink pair: buckets by "/t/a" vs "/t/b"
+        ("/t/a/x1", False, 9, 200), ("/t/b/x2", False, 9, 200),
+    ])
+    cat = SnapshotCatalog(spark, str(tmp_path / "db"))
+    cat.write_snapshot(prev_p, prev_e, layout="bucketed", path_buckets=64)
+    # precondition: the two parents really hash to distinct buckets
+    pbs = {
+        r[0]: r[1] for r in spark.sql(
+            "SELECT p, pmod(xxhash64(p), 64) FROM "
+            "VALUES ('/t/a'), ('/t/b') AS t(p)"
+        ).collect()
+    }
+    assert pbs["/t/a"] != pbs["/t/b"]
+
+    idx = {
+        (r["inode"], r["rec"])
+        for r in cat.spill_index().select("inode", "rec").collect()
+    }
+    inodes = {i for i, _ in idx}
+    assert 100 not in inodes          # single-bucket group: dropped
+    assert 200 in inodes              # cross-bucket group: kept
+    assert (900, True) in idx         # hardlinked dirs: kept, rec=True
+    # plain dirs (two rows, two buckets) stay spill keys with rec=False
+    assert (2, False) in idx and (3, False) in idx

@@ -397,3 +397,35 @@ def test_live_tables_root_depth_base(spark, tmp_path):
     assert d[root] == 0
     assert d[f"{root}/a"] == 1
     assert d[f"{root}/a/b"] == 2
+
+
+def test_merge_force_bypasses_unchanged_skip(spark, fs_tree):
+    """analyze --force (the reference's full-rescan override): every
+    alive dir classifies changed — zero unchanged-skips on an untouched
+    tree — entries all come from the STAGED scan, and the post-merge
+    snapshot equals the incremental one (corrupted-snapshot recovery
+    rewrites to the same state a healthy incremental run holds)."""
+    p0, e0, _ = crawl_local(fs_tree)
+    prev_p, prev_e = _dfs(spark, p0, e0)
+    forced = merge_scan(prev_p, prev_e, prev_p, prev_e,
+                        root=fs_tree, force=True)
+    s = forced.summary
+    assert s["parent_unchanged"] == 0 and s["children_unchanged"] == 0
+    assert s["prefixes_changed"] == len(p0)
+    assert s["prefixes_added"] == 0 and s["prefixes_deleted"] == 0
+    # forced entries come from the staged scan, not the previous
+    # snapshot: poison the previous entries' sizes — a reuse would leak
+    poisoned_e = prev_e.withColumn("size", F.col("size") + 999)
+    forced2 = merge_scan(prev_p, poisoned_e, prev_p, prev_e,
+                         root=fs_tree, force=True)
+    assert forced2.entries.where(F.col("size") >= 999).count() == \
+        prev_e.where(F.col("size") >= 999).count()
+    # snapshot equivalence with the incremental merge
+    inc = merge_scan(prev_p, prev_e, prev_p, prev_e, root=fs_tree)
+    cols = ["path", "size", "mtime", "mode", "uid", "gid"]
+    assert sorted(map(tuple, forced.prefixes.select(*cols).collect())) == \
+        sorted(map(tuple, inc.prefixes.select(*cols).collect()))
+    assert forced.entries.count() == inc.entries.count()
+    # the touched seed set covers everything (incremental stats after a
+    # forced rescan refolds the world, by design)
+    assert forced.touched.count() == len(p0)
