@@ -2846,6 +2846,103 @@ def q133_fswatch_stream(spark, sf_dir):
     ).orderBy("relpath")
 
 
+def q134_cluster_balance(spark, sf_dir):
+    """Multi-round Lloyd k-means topic balance (pipeline/kmeans.py):
+    3 Lloyd rounds over the embeddings table (seed = 8 lowest-id
+    vectors, 6-decimal cosine argmax with smaller-cell tie-break,
+    DECIMAL(27,18)-exact per-cell means, empty cells re-indexed
+    ascending each round), then cluster_balance's per-cluster
+    population / share / dominant-label / purity table.  The oracle
+    unrolls all three rounds plus the final assignment in SQL (the q41
+    quantizer-chain pattern, iterated), so value equality certifies
+    the whole iterative clustering, not just one step.  Reference has
+    no clustering surface; LLM-pipeline extension."""
+    from dudb_spark.pipeline.kmeans import cluster_balance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster_balance(emb, k=8, iters=3, label_col="label")
+    return out.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "share",
+        F.col("top_label").cast("long").alias("top_label"),
+        F.col("top_label_n").cast("long").alias("top_label_n"),
+        "purity",
+    ).orderBy("cell")
+
+
+def _cluster_balance_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB restatement of q134: the q41 argmax/mean CTE pattern
+    unrolled for ``iters`` Lloyd rounds, then the balance rollup."""
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    def argmax(src, cents, out):
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT s.vec_id, s.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {cos('s.v', 'c.v')} DESC, c.cell ASC) AS rn
+                FROM {src} s CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    def lloyd_round(r):
+        return f"""
+        , {argmax('e', f'c{r}', f'a{r}')[9:]}
+        , m{r} AS (
+            SELECT cell, i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i FROM a{r})
+            GROUP BY cell, i
+        ), c{r + 1}g AS (
+            SELECT cell AS orig_cell, list(mu ORDER BY i) AS v
+            FROM m{r} GROUP BY cell
+        ), c{r + 1} AS (
+            SELECT DENSE_RANK() OVER (ORDER BY orig_cell) - 1 AS cell, v
+            FROM c{r + 1}g
+        )"""
+
+    rounds = "".join(lloyd_round(r) for r in range(iters))
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM e ORDER BY vec_id LIMIT {k}
+        ){rounds}
+        , {argmax('e', f'c{iters}', 'af')[9:]}
+        , lab AS (
+            SELECT af.cell, af.vec_id, emb.label
+            FROM af JOIN embeddings emb USING (vec_id)
+        ), per AS (
+            SELECT cell, COUNT(*) AS n_vecs FROM af GROUP BY cell
+        ), toplab AS (
+            SELECT cell, label AS top_label, n AS top_label_n FROM (
+                SELECT cell, label, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (PARTITION BY cell
+                           ORDER BY COUNT(*) DESC, label ASC) AS rn
+                FROM lab GROUP BY cell, label
+            ) WHERE rn = 1
+        )
+        SELECT per.cell::BIGINT AS cell, per.n_vecs::BIGINT AS n_vecs,
+               round(per.n_vecs / (SELECT COUNT(*) FROM e), 6) AS share,
+               toplab.top_label::BIGINT AS top_label,
+               toplab.top_label_n::BIGINT AS top_label_n,
+               round(toplab.top_label_n / per.n_vecs::DOUBLE, 6) AS purity
+        FROM per JOIN toplab USING (cell)
+        ORDER BY cell
+    """
+
+
 # q128 fixture: flat-color images make the whole JPEG pipeline exactly
 # SQL-restatable — a constant plane encodes to DC-only blocks, the luma
 # quantizer's q00=8 cancels the DC scale (8*(v-128)/8), and these ten
@@ -4644,6 +4741,7 @@ QUERIES: dict[str, Callable] = {
     "q131_line_excision": q131_line_excision,
     "q132_table_profile": q132_table_profile,
     "q133_fswatch_stream": q133_fswatch_stream,
+    "q134_cluster_balance": q134_cluster_balance,
 }
 
 ORACLE: dict[str, str] = {
@@ -5881,6 +5979,8 @@ ORACLE["q70_crawler_walk"] = """
 ORACLE["q127_fswalk_datasource"] = ORACLE["q70_crawler_walk"]
 
 # q133: batch-0 resync = the crawler's entry rows, each op='added', gen 0
+ORACLE["q134_cluster_balance"] = _cluster_balance_oracle_sql()
+
 ORACLE["q133_fswatch_stream"] = """
     WITH dirs AS (SELECT unnest(generate_series(0, 2)) AS i),
     fils AS (

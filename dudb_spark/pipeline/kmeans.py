@@ -50,6 +50,7 @@ def lloyd_kmeans(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _return_base: bool = False,
 ):
     """Run ``iters`` Lloyd rounds; return ``(assigned, centroids)``.
 
@@ -57,12 +58,22 @@ def lloyd_kmeans(
     the last round's centroids, same shape as ``ivf.fixed_cells`` so
     every downstream consumer (semantic dedup, IVF search, outliers)
     accepts it unchanged.  ``centroids`` is the final list (cell order).
+
+    ``_return_base=True`` additionally returns the PERSISTED vector
+    frame the assignment reads, so a caller that fully consumes the
+    result (cluster_balance) can ``unpersist()`` it instead of leaking
+    executor storage; callers keeping ``assigned`` around own the cache.
     """
-    c = [
-        [float(x) for x in r[vec_col]]
-        for r in emb.orderBy(id_col).limit(k).collect()
-    ]
-    dim = len(c[0])
+    raw = [r[vec_col] for r in emb.orderBy(id_col).limit(k).collect()]
+    dim = len(raw[0]) if raw else 0
+    if any(x is None for row in raw for x in row) or any(
+        len(r) != dim for r in raw
+    ):
+        raise ValueError(
+            "lloyd_kmeans: seed vectors must be non-null and share one "
+            f"dimensionality (dim={dim})"
+        )
+    c = [[float(x) for x in row] for row in raw]
     v = _as_double(F.col(vec_col))
     base = emb.select(
         id_col, v.alias("_v"), F.sqrt(dot(v, v)).alias("_nv")
@@ -81,11 +92,26 @@ def lloyd_kmeans(
         # synchronous Lloyd round pays (same class as the CC convergence
         # check); empty cells drop out and survivors re-index ascending
         means = assigned.groupBy("cell").agg(*mean_cols).collect()
+        for r in means:
+            for i in range(dim):
+                # a NULL mean (ragged/NULL vector element, or a decimal
+                # sum overflowing to NULL outside ANSI mode) would turn
+                # into CAST('None' AS DOUBLE) -> NULL cosine downstream,
+                # silently dropping the centroid from every argmax: fail
+                # loudly at the boundary instead
+                if r[f"m{i}"] is None:
+                    raise ValueError(
+                        f"lloyd_kmeans: NULL mean for cell {r['cell']} "
+                        f"dim {i} — ragged or NULL vector elements in "
+                        f"{vec_col!r}, or decimal-sum overflow"
+                    )
         c = [
             [r[f"m{i}"] for i in range(dim)]
             for r in sorted(means, key=lambda r: r["cell"])
         ]
     final = base.select(id_col, "_v", "_nv", _argmax_cell(c).alias("cell"))
+    if _return_base:
+        return final, c, base
     return final, c
 
 
@@ -107,17 +133,20 @@ def cluster_balance(
     lexicographically-smallest-label tie-break.  All reproducible by an
     exact SQL engine running the same unrolled Lloyd rounds.
     """
-    assigned, _ = lloyd_kmeans(emb, k, iters, vec_col, id_col)
+    assigned, _, base = lloyd_kmeans(
+        emb, k, iters, vec_col, id_col, _return_base=True
+    )
     if label_col is not None:
+        # dropDuplicates guards a non-unique id_col: a duplicated id
+        # would multiply assignment rows through the join, inflating
+        # n_vecs/total/purity while the unlabeled path counts each
+        # vector once
         assigned = assigned.join(
-            emb.select(id_col, label_col), id_col
+            emb.select(id_col, label_col).dropDuplicates([id_col]),
+            id_col,
         )
-    total = assigned.count()
-    per = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
-    out = per.select(
-        "cell",
-        "n_vecs",
-        F.round(F.col("n_vecs") / F.lit(total), 6).alias("share"),
+    per = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs")
     )
     if label_col is not None:
         # dominant label: max (n, reversed-label) per cell — ties pick
@@ -141,14 +170,30 @@ def cluster_balance(
                 F.col("_ln").alias("top_label_n"),
             )
         )
-        out = out.join(lbl, "cell").select(
-            "cell",
-            "n_vecs",
-            "share",
-            "top_label",
-            "top_label_n",
-            F.round(F.col("top_label_n") / F.col("n_vecs"), 6).alias(
-                "purity"
-            ),
-        )
+        per = per.join(lbl, "cell")
+    # the balance table is ≤k rows: materialize it (one job, bounded
+    # driver rows), then drop the cached vector frame — without this
+    # every call leaked a persisted dataset into executor storage
+    # (ADVICE r7).  A localCheckpoint would itself stay registered as a
+    # persistent RDD; a rebuilt local frame leaves zero cache behind.
+    per_schema, per_rows = per.schema, per.collect()
+    base.unpersist()
+    per = emb.sparkSession.createDataFrame(per_rows, per_schema)
+    total = sum(r["n_vecs"] for r in per_rows)
+    out = per.select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.lit(total), 6).alias("share"),
+        *(
+            [
+                "top_label",
+                "top_label_n",
+                F.round(
+                    F.col("top_label_n") / F.col("n_vecs"), 6
+                ).alias("purity"),
+            ]
+            if label_col is not None
+            else []
+        ),
+    )
     return out.orderBy("cell")
