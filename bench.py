@@ -117,7 +117,15 @@ def decode_bench() -> dict:
         out[f"decode_{group}_mb_per_sec"] = round(wk / t_new / 1e6, 1)
         if group == "jpeg":
             # no r4 Python JPEG decoder exists; keep the aggregate
-            # speedup comparable across environments with/without Pillow
+            # speedup comparable across environments with/without Pillow.
+            # Record which entropy path ran: the compiled kernel
+            # (jpeg_native, bit-identical, gcc-built at first use) or
+            # the pure-Python fallback floor.
+            from dudb_spark.pipeline import jpeg_native
+
+            out["decode_jpeg_native"] = int(
+                jpeg_native.get_lib() is not None
+            )
             continue
         t0 = time.perf_counter()
         for p, f in lst:

@@ -89,9 +89,17 @@ class _HuffLUT:
     an invalid prefix (corrupt stream).  One list lookup decodes one
     symbol regardless of code length."""
 
-    __slots__ = ("packed",)
+    __slots__ = ("packed", "_np")
+
+    def np32(self):
+        """The same table as a contiguous int32 array (the compiled
+        entropy kernel indexes it directly); built lazily, cached."""
+        if self._np is None:
+            self._np = np.array(self.packed, np.int32)
+        return self._np
 
     def __init__(self, counts, symbols):
+        self._np = None
         packed = [0] * 65536
         code = 0
         k = 0
@@ -109,6 +117,25 @@ class _HuffLUT:
                 code += 1
             code <<= 1
         self.packed = packed
+
+
+def _huff_cached(raw: bytes) -> _HuffLUT:
+    """DHT-payload-keyed LUT cache: a corpus encoded with one table set
+    (the overwhelmingly common case — every libjpeg-default stream
+    shares the Annex K tables) builds each 65536-entry window table
+    once per process instead of once per image.  Bounded FIFO; the
+    tables are immutable so sharing across decodes is safe."""
+    lut = _HUFF_CACHE.get(raw)
+    if lut is None:
+        counts = list(raw[:16])
+        lut = _HuffLUT(counts, list(raw[16:16 + sum(counts)]))
+        if len(_HUFF_CACHE) >= 64:
+            _HUFF_CACHE.pop(next(iter(_HUFF_CACHE)))
+        _HUFF_CACHE[raw] = lut
+    return lut
+
+
+_HUFF_CACHE: dict[bytes, _HuffLUT] = {}
 
 
 # --------------------------------------------------------------------------
@@ -171,7 +198,9 @@ def _decode_coefficients(payload: bytes):
                 symbols = list(seg[o + 17: o + 17 + nsym])
                 if len(symbols) < nsym:
                     raise ValueError("JPEG: truncated DHT")
-                huff[(tc, th)] = _HuffLUT(counts, symbols)
+                huff[(tc, th)] = _huff_cached(
+                    bytes(seg[o + 1: o + 17 + nsym])
+                )
                 o += 17 + nsym
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
             prec = seg[0]
@@ -291,6 +320,35 @@ def _entropy_decode(scan, order, H, W, huff, restart):
 
     n_mcus = mcus_x * mcus_y
     per_seg = restart or n_mcus
+
+    # compiled fast path: the SAME loop in C (pipeline/jpeg_native.py),
+    # bit-identical coefficients, pure-Python fallback below when gcc
+    # is unavailable or DUDB_JPEG_NO_NATIVE is set
+    from dudb_spark.pipeline import jpeg_native
+
+    lib = jpeg_native.get_lib()
+    if lib is not None:
+        meta = np.array(
+            [x for c, ch, cv in layout for x in (ch, cv, grid_w[id(c)])],
+            np.int32,
+        )
+        dc_arrs = [huff[(0, c.td)].np32() for c, _, _ in layout]
+        ac_arrs = [huff[(1, c.ta)].np32() for c, _, _ in layout]
+        coeff_arrs = [c.coeffs.reshape(-1) for c, _, _ in layout]
+        mcu = 0
+        for seg in segments:
+            if mcu >= n_mcus:
+                break
+            preds = np.zeros(len(layout), np.int32)
+            seg_end = min(mcu + per_seg, n_mcus)
+            jpeg_native.entropy_segment(
+                lib, seg, mcu, seg_end, mcus_x, meta,
+                dc_arrs, ac_arrs, preds, coeff_arrs,
+            )
+            mcu = seg_end
+        if mcu < n_mcus:
+            raise ValueError("JPEG: truncated entropy data")
+        return
     # per-component decode state, hoisted out of the hot loop: packed
     # coefficient position (block_index << 6 | zigzag_k) + value lists,
     # LUTs and grid strides bound once per component

@@ -303,3 +303,55 @@ def test_decode_media_handles_jpeg_rows(spark):
     got = {r["media_id"]: r for r in mm.decode_media(media).collect()}
     assert got[1]["width"] == 16 and got[1]["format"] == "jpeg"
     assert got[2]["width"] is None
+
+
+def test_native_entropy_matches_python_bit_exact():
+    """The compiled entropy kernel (pipeline/jpeg_native.py) and the
+    pure-Python loop must produce IDENTICAL pixels — same LUTs, same
+    refill discipline, transcribed line-for-line — across gray/444/420,
+    restart intervals, and odd dims.  Skips where gcc is unavailable
+    (the fallback then IS the only path)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from dudb_spark.pipeline import jpeg_native
+    from dudb_spark.pipeline.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    if jpeg_native.get_lib() is None:
+        pytest.skip("no gcc: pure-Python path is the only path")
+
+    def both(payload):
+        a = decode_jpeg_pixels(payload)
+        os.environ["DUDB_JPEG_NO_NATIVE"] = "1"
+        jpeg_native._lib_tried = False
+        jpeg_native._lib = None
+        try:
+            b = decode_jpeg_pixels(payload)
+        finally:
+            del os.environ["DUDB_JPEG_NO_NATIVE"]
+            jpeg_native._lib_tried = False
+            jpeg_native._lib = None
+        return a, b
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for t in range(18):
+        h, w = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+        if t % 3 == 0:
+            img, kw = rng.integers(0, 256, (h, w)).astype(np.uint8), {}
+        else:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            kw = {"subsample": "444" if t % 2 else "420"}
+        if t % 4 == 0:
+            kw["restart"] = int(rng.integers(1, 5))
+        cases.append(encode_jpeg(img, **kw))
+    for p in cases:
+        a, b = both(p)
+        assert np.array_equal(a, b)
+
+    # error taxonomy matches on truncation too
+    trunc = cases[0][: len(cases[0]) - 40]
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(trunc)
