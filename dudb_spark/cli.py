@@ -367,16 +367,38 @@ def cmd_logs(args):
 def cmd_watch(args):
     """Live change feed over a tree (sources/fsds.FsWatchReader): prints
     one TSV line per change — gen, op, size, path.  ``--once`` emits the
-    batch-0 full resync and exits; otherwise the stream re-walks every
+    batch-0 full resync and exits; otherwise the stream rescans every
     ``--interval`` seconds until ``--max-batches`` non-empty batches
-    have been printed (0 = until interrupted)."""
+    have been printed (0 = until interrupted).
+
+    ``--db … --apply`` turns the feed into CONTINUOUS INGEST: every
+    non-empty diff batch (gen > 0) is applied to the stored snapshot
+    via ``operators.ingest.apply_changes`` — churn-bounded set algebra,
+    the streaming analogue of ``analyze``'s merge — and lands as a new
+    snapshot version, with one JSON summary line per applied batch.
+    The snapshot WRITE is the versioned-full-copy layout every other
+    writer uses (a Delta/Iceberg MERGE INTO in a production
+    deployment); the apply computation itself is churn-sized."""
     from dudb_spark.sources.fsds import register_watch
 
     spark = _spark()
+    cat = None
+    if args.apply:
+        from dudb_spark.sources.catalog import SnapshotCatalog
+
+        if not args.db:
+            raise SystemExit("watch --apply: --db is required")
+        cat = SnapshotCatalog(spark, args.db)
+        if cat.latest_version() is None:
+            raise SystemExit(
+                "watch --apply: run `analyze` first (no snapshot in DB)"
+            )
     register_watch(spark)
     reader = spark.readStream.format("fswatch")
     if args.exclude:
         reader = reader.option("exclude", args.exclude[0])
+    if getattr(args, "no_prune", False):
+        reader = reader.option("prune", "false")
     stream = reader.load(args.prefix)
 
     state = {"batches": 0}
@@ -385,10 +407,31 @@ def cmd_watch(args):
         rows = batch_df.orderBy("gen", "op", "path").collect()
         if not rows:
             return
-        state["batches"] += 1
         for r in rows:
             sz = "" if r["size"] is None else r["size"]
             print(f"{r['gen']}\t{r['op']}\t{sz}\t{r['path']}", flush=True)
+        if cat is not None and any(r["gen"] > 0 for r in rows):
+            from pyspark.sql import functions as F
+
+            from dudb_spark.operators.ingest import apply_changes
+
+            t = cat.tables()
+            diff = batch_df.where(F.col("gen") > 0)
+            res = apply_changes(
+                t.prefixes, t.entries, diff, root=args.prefix
+            )
+            lay = cat.layout()
+            out = cat.write_snapshot(
+                res.prefixes, res.entries,
+                layout=lay.get("layout"),
+                path_buckets=lay.get("path_buckets", 64),
+            )
+            print(json.dumps({"snapshot": out, **res.summary}),
+                  flush=True)
+        # count AFTER the apply: the main loop stops the query the
+        # moment the count reaches --max-batches, and a stop mid-apply
+        # would interrupt the snapshot write
+        state["batches"] += 1
 
     w = stream.writeStream.foreachBatch(_emit)
     if args.once:
@@ -1125,6 +1168,18 @@ def build_parser():
                    help="seconds between re-walks (streaming mode)")
     p.add_argument("--max-batches", type=int, default=0,
                    help="stop after N non-empty batches (0 = run forever)")
+    p.add_argument("--db", help="metadata DB for --apply")
+    p.add_argument(
+        "--apply", action="store_true",
+        help="apply each non-empty batch to the snapshot DB as a new "
+        "version (continuous ingest; requires --db with an existing "
+        "analyze snapshot)",
+    )
+    p.add_argument(
+        "--no-prune", action="store_true",
+        help="exhaustive per-file rescans (detect in-place edits "
+        "immediately instead of on the directory's next churn)",
+    )
     p.set_defaults(func=cmd_watch)
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")
     p.add_argument("--db", help="metadata DB (omit with --live)")

@@ -233,3 +233,132 @@ def write_snapshot(result: MergeResult, db_root: str, version: str) -> None:
     out = f"{db_root.rstrip('/')}/{version}"
     result.prefixes.write.mode("overwrite").parquet(f"{out}/prefixes.parquet")
     result.entries.write.mode("overwrite").parquet(f"{out}/entries.parquet")
+
+
+def apply_changes(
+    prev_prefixes: DataFrame,
+    prev_entries: DataFrame,
+    changes: DataFrame,
+    root: str = "",
+    with_summary: bool = True,
+) -> MergeResult:
+    """Apply a CHANGE FEED batch (the ``fswatch`` stream's rows:
+    ``op`` ∈ added/changed/deleted + the entries schema) to the stored
+    snapshot — the streaming analogue of :func:`merge_scan`, with work
+    bounded by the CHURN instead of a full staged scan.  This is what
+    turns ``idu``'s scheduled-rescan loop (analyze.go:104) into
+    continuous ingest: ``watch --db … --apply`` lands one snapshot
+    version per non-empty micro-batch.
+
+    Why path-level set algebra suffices (no subtree cascades): fswatch
+    emits a row for EVERY affected object — a deleted directory arrives
+    with deletion rows for its whole subtree, and any directory whose
+    listing changed arrives as its own ``changed`` dir row — so entries
+    and prefixes both update by (anti-join on changed∪deleted paths) ∪
+    (added∪changed rows).  ``n_entries`` is recounted only for the
+    affected parents (churn-sized ``isin`` filter → with the bucketed
+    layout the probe prunes to the churn's buckets).  The ROOT prefix
+    has no watch row (the walk never emits the root itself); its
+    ``n_entries`` is recounted when root-level entries churn, its stat
+    fields refresh on the next ``analyze``.
+
+    Error rows (``error`` non-null, unreadable paths) are excluded from
+    the snapshot tables — the batch ingest path lands them in the error
+    bucket; the CLI apply does the same with the count in its summary.
+    """
+    entry_cols = [f.name for f in prev_entries.schema.fields
+                  if f.name != "pb"]
+    ch = changes.where(F.col("error").isNull()) if (
+        "error" in changes.columns
+    ) else changes
+    ch = ch.cache()
+
+    dead = ch.where(F.col("op").isin("changed", "deleted")).select("path")
+    live = ch.where(F.col("op").isin("added", "changed"))
+    # .select(*entry_cols) LAST: the path-keyed anti-join reorders
+    # columns (join key first), and positional consumers of the result
+    # (schema-pinned writes) need the entries schema order back
+    new_entries = (
+        prev_entries.join(dead, "path", "left_anti")
+        .unionByName(live.select(*entry_cols))
+        .select(*entry_cols)
+    )
+
+    rootdepth = root.rstrip("/").count("/") if root else 0
+    # prefixes: replace dir rows present in the feed, drop deleted dirs
+    dir_dead = ch.where(
+        F.col("op").isin("changed", "deleted") & F.col("is_dir")
+    ).select("path")
+    dir_live = live.where("is_dir")
+    # affected parents: every parent seeing churn + the live dirs
+    aff = (
+        ch.select(F.col("parent").alias("path"))
+        .union(dir_live.select("path"))
+        .where(F.col("path").isNotNull())
+        .distinct()
+    )
+    grouped = (
+        new_entries.join(aff, new_entries.parent == aff.path, "left_semi")
+        .groupBy(F.col("parent").alias("path"))
+        .agg(F.count(F.lit(1)).alias("_n_new"))
+    )
+    # every affected parent gets a row (0 when it lost all entries)
+    counts = aff.join(grouped, "path", "left").withColumn(
+        "_n_new", F.coalesce("_n_new", F.lit(0))
+    )
+    new_pfx_rows = (
+        dir_live.select(
+            "path", "parent",
+            (F.length(F.regexp_replace("path", "[^/]", ""))
+             - F.lit(rootdepth)).cast("int").alias("depth"),
+            "size", "blocks", "mode",
+            (F.col("mode").bitwiseAND(0o170000) == 0o120000)
+            .alias("is_symlink"),
+            "mtime", "uid", "gid", "device", "inode",
+        )
+        .join(counts, "path", "left")
+        .withColumn(
+            "n_entries", F.coalesce("_n_new", F.lit(0)).cast("long")
+        )
+        .drop("_n_new")
+    )
+    pfx_cols = [f.name for f in prev_prefixes.schema.fields
+                if f.name != "pb"]
+    kept = prev_prefixes.select(*pfx_cols).join(
+        dir_dead, "path", "left_anti"
+    )
+    # affected dirs WITHOUT a feed dir row (the root, typically): only
+    # their n_entries moves
+    kept = (
+        kept.join(counts.withColumnRenamed("path", "_cp"),
+                  kept.path == F.col("_cp"), "left")
+        .withColumn(
+            "n_entries",
+            F.when(F.col("_cp").isNotNull(), F.col("_n_new"))
+            .otherwise(F.col("n_entries")),
+        )
+        .drop("_cp", "_n_new")
+    )
+    new_prefixes = kept.unionByName(
+        new_pfx_rows.select(*pfx_cols)
+    ).select(*pfx_cols)
+
+    summary = None
+    if with_summary:
+        c = ch.agg(
+            F.count(F.when(F.col("op") == "added", 1)).alias("n_add"),
+            F.count(F.when(F.col("op") == "changed", 1)).alias("n_chg"),
+            F.count(F.when(F.col("op") == "deleted", 1)).alias("n_del"),
+        ).first()
+        summary = {
+            "operation": "watch-apply",
+            "rows_added": c["n_add"],
+            "rows_changed": c["n_chg"],
+            "rows_deleted": c["n_del"],
+        }
+    # seed set for incremental stats: every affected prefix (feed dir
+    # rows + parents of churned entries)
+    touched = aff.union(
+        ch.where("is_dir").select("path")
+    ).distinct()
+    return MergeResult(new_prefixes, new_entries, summary, touched)

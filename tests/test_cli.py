@@ -576,3 +576,66 @@ def test_cli_watch_once(spark, real_tree, capsys):
     sizes = {l[3].replace(real_tree, ""): l[2] for l in lines}
     assert sizes["/proj/a/x.log"] == "2"
     assert sizes["/proj"].isdigit()  # dirs carry their raw st_size
+
+
+def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
+                                           capsys):
+    """watch --db --apply: each non-empty diff batch lands a new
+    snapshot version via apply_changes, and the applied snapshot equals
+    a fresh crawl of the mutated tree.
+
+    The CLI runs in a worker thread and the test synchronizes on the
+    batch-0 resync OUTPUT before mutating — a fixed sleep races against
+    stream startup (a mutation landing before batch-0's walk would be
+    absorbed into the resync, no diff batch would ever arrive, and
+    ``--max-batches 2`` would wait forever)."""
+    import os
+    import threading
+    import time
+
+    from dudb_spark.sources.catalog import SnapshotCatalog
+    from dudb_spark.sources.crawler import crawl_local
+
+    db = str(tmp_path / "db")
+    json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    cat = SnapshotCatalog(spark, db)
+    assert len(cat.versions()) == 1
+
+    err = []
+
+    def run_watch():
+        try:
+            main(["watch", real_tree, "--db", db, "--apply",
+                  "--interval", "1", "--max-batches", "2"])
+        except BaseException as e:  # surfaced after join
+            err.append(e)
+
+    wt = threading.Thread(target=run_watch)
+    wt.start()
+    # batch-0's rows print only after its walk completed, so a mutation
+    # made after seeing them is guaranteed to land in a later diff batch
+    out = ""
+    deadline = time.time() + 120
+    while "x.log" not in out:
+        assert time.time() < deadline, f"no batch-0 resync output:\n{out}"
+        assert wt.is_alive() or not err, err
+        time.sleep(0.25)
+        out += capsys.readouterr().out
+    with open(f"{real_tree}/proj/a/new.dat", "w") as f:
+        f.write("fresh")
+    os.unlink(f"{real_tree}/proj/b/z.log")
+    wt.join(timeout=180)
+    assert not wt.is_alive(), "watch --apply did not stop at max-batches"
+    assert not err, err
+    assert len(cat.versions()) >= 2
+    nt = cat.tables()
+    got = sorted(
+        (r["path"], r["is_dir"], r["size"])
+        for r in nt.entries.collect()
+    )
+    _, want_e, _ = crawl_local(real_tree)
+    want = sorted((e["path"], e["is_dir"], e["size"]) for e in want_e)
+    assert got == want
+    # n_entries stays consistent on the churned dirs
+    n = {r["path"]: r["n_entries"] for r in nt.prefixes.collect()}
+    assert n[f"{real_tree}/proj/a"] == 3 and n[f"{real_tree}/proj/b"] == 0

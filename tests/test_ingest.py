@@ -429,3 +429,85 @@ def test_merge_force_bypasses_unchanged_skip(spark, fs_tree):
     # the touched seed set covers everything (incremental stats after a
     # forced rescan refolds the world, by design)
     assert forced.touched.count() == len(p0)
+
+
+def test_apply_changes_tracks_live_tree(spark, tmp_path):
+    """Continuous ingest: fswatch batches applied via apply_changes keep
+    the snapshot equal to a fresh crawl of the live tree — adds,
+    in-place edits (exhaustive watch), deletions, and a removed subtree,
+    across two batches."""
+    import os
+    import shutil
+    import time
+
+    from dudb_spark.model import ENTRIES_SCHEMA, PREFIXES_SCHEMA
+    from dudb_spark.operators.ingest import apply_changes
+    from dudb_spark.sources.fsds import FsWatchReader, _FIELDS
+
+    root = str(tmp_path / "live")
+    os.makedirs(f"{root}/a/aa")
+    os.makedirs(f"{root}/b")
+    for pth, body in [("a/f1", "x"), ("a/aa/f2", "yy"), ("b/f3", "zzz")]:
+        with open(f"{root}/{pth}", "w") as f:
+            f.write(body)
+
+    watch_cols = ["op", *(_FIELDS), "error", "gen"]
+
+    def batch_df(reader, off):
+        rows, off2 = reader.read(off)
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "op string, " + ", ".join(
+                f"{c} {'boolean' if c == 'is_dir' else 'timestamp' if c == 'mtime' else 'long' if c not in ('parent', 'name', 'path', 'error', 'op') else 'string'}"
+                for c in watch_cols[1:-1]
+            ) + ", gen long",
+        ), off2
+
+    def crawl_tables():
+        p0, e0, _ = crawl_local(root)
+        return (
+            spark.createDataFrame(p0, PREFIXES_SCHEMA),
+            spark.createDataFrame(e0, ENTRIES_SCHEMA),
+        )
+
+    def norm_e(df):
+        cols = ["path", "is_dir", "size", "mode", "uid", "gid",
+                "device", "inode"]
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    def norm_p(df):
+        cols = ["path", "depth", "n_entries", "mode", "inode"]
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    r = FsWatchReader({"path": root, "prune": "false"})
+    b0, off = batch_df(r, {"gen": 0})
+    prev_p, prev_e = crawl_tables()  # batch-0 resync == crawl; start here
+
+    time.sleep(1.05)
+    with open(f"{root}/a/f1", "w") as f:
+        f.write("rewritten")                 # in-place change
+    with open(f"{root}/b/new.bin", "w") as f:
+        f.write("nn")                        # add
+    os.unlink(f"{root}/b/f3")                # delete
+    b1, off = batch_df(r, off)
+    res = apply_changes(prev_p, prev_e, b1, root=root)
+    want_p, want_e = crawl_tables()
+    assert norm_e(res.entries) == norm_e(want_e)
+    assert norm_p(res.prefixes) == norm_p(want_p)
+    assert res.summary["rows_deleted"] == 1
+    prev_p = spark.createDataFrame(res.prefixes.collect(), PREFIXES_SCHEMA)
+    prev_e = spark.createDataFrame(res.entries.collect(), ENTRIES_SCHEMA)
+
+    time.sleep(1.05)
+    shutil.rmtree(f"{root}/a")               # subtree removal
+    os.makedirs(f"{root}/c")
+    with open(f"{root}/c/f4", "w") as f:
+        f.write("4444")
+    b2, off = batch_df(r, off)
+    res = apply_changes(prev_p, prev_e, b2, root=root)
+    want_p, want_e = crawl_tables()
+    assert norm_e(res.entries) == norm_e(want_e)
+    assert norm_p(res.prefixes) == norm_p(want_p)
+    # touched covers the churned prefixes (incremental-stats seed)
+    touched = {r["path"] for r in res.touched.collect()}
+    assert f"{root}/c" in touched and f"{root}/a" in touched
