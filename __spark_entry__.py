@@ -2871,6 +2871,108 @@ def q134_cluster_balance(spark, sf_dir):
     ).orderBy("cell")
 
 
+def _watch_feed(spark):
+    """(prev_p, prev_e, feed) for the continuous-ingest contract
+    (q135/q136): a DETERMINISTIC fswatch change-feed batch over the
+    committed fs fixture — the d0-2 subtree deleted (a deletion row for
+    every affected object, exactly what the watch emits), three files
+    under /tree/d0-0 changed in place (size+7, mtime+1h), the /tree/d0-0
+    dir row changed (its listing churned), one file and one empty dir
+    added.  The root /tree deliberately has NO feed dir row (the walk
+    never emits the root), so the apply's root-recount branch is on the
+    certified path.  Every feed row is a pure column transformation of
+    the fixture parquet, so the DuckDB oracle restates both the feed and
+    the apply's set algebra from the same files."""
+    prev_p = _fs(spark, "prefixes")
+    prev_e = _fs(spark, "entries")
+    hour = F.expr("INTERVAL 1 HOUR")
+    deleted = prev_e.where(
+        (F.col("path") == "/tree/d0-2")
+        | F.col("path").startswith("/tree/d0-2/")
+    ).withColumn("op", F.lit("deleted"))
+    chg_files = (
+        prev_e.where(
+            ~F.col("is_dir")
+            & (F.col("name") == "f2-0")
+            & F.col("path").startswith("/tree/d0-0/")
+        )
+        .withColumn("size", F.col("size") + F.lit(7))
+        .withColumn("mtime", F.col("mtime") + hour)
+        .withColumn("op", F.lit("changed"))
+    )
+    chg_dir = (
+        prev_e.where(F.col("path") == "/tree/d0-0")
+        .withColumn("mtime", F.col("mtime") + hour)
+        .withColumn("op", F.lit("changed"))
+    )
+    add_file = (
+        prev_e.where(F.col("path") == "/tree/d0-0/d1-0/f2-1")
+        .withColumn("parent", F.lit("/tree/d0-0"))
+        .withColumn("name", F.lit("zadd.bin"))
+        .withColumn("path", F.lit("/tree/d0-0/zadd.bin"))
+        .withColumn("size", F.lit(99).cast("long"))
+        .withColumn("mtime", F.col("mtime") + hour)
+        .withColumn("inode", F.col("inode") + F.lit(2_000_000))
+        .withColumn("op", F.lit("added"))
+    )
+    add_dir = (
+        prev_e.where(F.col("path") == "/tree/d0-0")
+        .withColumn("parent", F.lit("/tree"))
+        .withColumn("name", F.lit("znew-0"))
+        .withColumn("path", F.lit("/tree/znew-0"))
+        .withColumn("inode", F.col("inode") + F.lit(3_000_000))
+        .withColumn("op", F.lit("added"))
+    )
+    feed = (
+        deleted.unionByName(chg_files).unionByName(chg_dir)
+        .unionByName(add_file).unionByName(add_dir)
+        .withColumn("error", F.lit(None).cast("string"))
+    )
+    return prev_p, prev_e, feed
+
+
+def q135_watch_apply_prefixes(spark, sf_dir):
+    """Continuous ingest, prefixes side: apply_changes (the streaming
+    analogue of merge_scan — churn-bounded set algebra behind
+    ``watch --db --apply``) applied to the deterministic change feed.
+    Certifies dir replacement (feed dir rows rebuild their prefix row
+    with a recomputed n_entries), subtree deletion (every d0-2 prefix
+    gone), the added empty dir (n_entries 0, depth from the root), and
+    the root-recount branch (/tree has no feed row; only its n_entries
+    moves: -1 deleted subtree +1 added dir)."""
+    from dudb_spark.operators.ingest import apply_changes
+
+    prev_p, prev_e, feed = _watch_feed(spark)
+    res = apply_changes(prev_p, prev_e, feed, root="/tree")
+    return res.prefixes.select(
+        "path",
+        _fmt_ts(F.col("mtime"), "mtime"),
+        F.col("size").cast("long").alias("size"),
+        F.col("n_entries").cast("long").alias("n_entries"),
+    ).orderBy("path")
+
+
+def q136_watch_apply_entries(spark, sf_dir):
+    """Continuous ingest, entries side: post-apply children per parent —
+    deletion rows cascade the d0-2 subtree out, changed rows replace
+    their previous row (size+7 lands in file_bytes), added rows appear
+    under their parent."""
+    from dudb_spark.operators.ingest import apply_changes
+
+    prev_p, prev_e, feed = _watch_feed(spark)
+    res = apply_changes(prev_p, prev_e, feed, root="/tree")
+    return (
+        res.entries.groupBy("parent")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.sum(F.when(~F.col("is_dir"), F.col("size")).otherwise(0))
+            .cast("long")
+            .alias("file_bytes"),
+        )
+        .orderBy("parent")
+    )
+
+
 def _cluster_balance_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """DuckDB restatement of q134: the q41 argmax/mean CTE pattern
     unrolled for ``iters`` Lloyd rounds, then the balance rollup."""
@@ -4742,6 +4844,8 @@ QUERIES: dict[str, Callable] = {
     "q132_table_profile": q132_table_profile,
     "q133_fswatch_stream": q133_fswatch_stream,
     "q134_cluster_balance": q134_cluster_balance,
+    "q135_watch_apply_prefixes": q135_watch_apply_prefixes,
+    "q136_watch_apply_entries": q136_watch_apply_entries,
 }
 
 ORACLE: dict[str, str] = {
@@ -5980,6 +6084,89 @@ ORACLE["q127_fswalk_datasource"] = ORACLE["q70_crawler_walk"]
 
 # q133: batch-0 resync = the crawler's entry rows, each op='added', gen 0
 ORACLE["q134_cluster_balance"] = _cluster_balance_oracle_sql()
+
+# q135/q136: the deterministic change feed AND apply_changes' set algebra
+# (anti-join on changed∪deleted paths ∪ added∪changed rows; n_entries
+# recounted for affected parents only; feed dir rows rebuild their prefix
+# row, the root only recounts) restated from the same fixture parquet —
+# the SQL twin of operators/ingest.py apply_changes.
+_WATCH_FEED_SQL = f"""
+    WITH prev_p AS (
+        SELECT * FROM read_parquet('{FS_FIX}/prefixes.parquet/*.parquet')
+    ), prev_e AS (
+        SELECT * FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+    ), feed AS (
+        SELECT 'deleted' AS op, parent, name, path, is_dir, size, blocks,
+               mode, mtime, uid, gid, device, inode
+        FROM prev_e
+        WHERE path = '/tree/d0-2' OR path LIKE '/tree/d0-2/%'
+        UNION ALL
+        SELECT 'changed', parent, name, path, is_dir, size + 7, blocks,
+               mode, mtime + INTERVAL 1 HOUR, uid, gid, device, inode
+        FROM prev_e
+        WHERE NOT is_dir AND name = 'f2-0' AND path LIKE '/tree/d0-0/%'
+        UNION ALL
+        SELECT 'changed', parent, name, path, is_dir, size, blocks,
+               mode, mtime + INTERVAL 1 HOUR, uid, gid, device, inode
+        FROM prev_e WHERE path = '/tree/d0-0'
+        UNION ALL
+        SELECT 'added', '/tree/d0-0', 'zadd.bin', '/tree/d0-0/zadd.bin',
+               is_dir, 99, blocks, mode, mtime + INTERVAL 1 HOUR,
+               uid, gid, device, inode + 2000000
+        FROM prev_e WHERE path = '/tree/d0-0/d1-0/f2-1'
+        UNION ALL
+        SELECT 'added', '/tree', 'znew-0', '/tree/znew-0',
+               is_dir, size, blocks, mode, mtime,
+               uid, gid, device, inode + 3000000
+        FROM prev_e WHERE path = '/tree/d0-0'
+    ), live AS (
+        SELECT * FROM feed WHERE op IN ('added', 'changed')
+    ), new_e AS (
+        SELECT parent, name, path, is_dir, size, blocks, mode, mtime,
+               uid, gid, device, inode
+        FROM prev_e
+        WHERE path NOT IN (SELECT path FROM feed
+                           WHERE op IN ('changed', 'deleted'))
+        UNION ALL
+        SELECT parent, name, path, is_dir, size, blocks, mode, mtime,
+               uid, gid, device, inode
+        FROM live
+    ), aff AS (
+        SELECT DISTINCT parent AS path FROM feed WHERE parent IS NOT NULL
+        UNION
+        SELECT path FROM live WHERE is_dir
+    ), counts AS (
+        SELECT a.path, COALESCE(g.n, 0) AS n_new
+        FROM aff a LEFT JOIN (
+            SELECT parent, COUNT(*) AS n FROM new_e GROUP BY parent
+        ) g ON a.path = g.parent
+    ), new_p AS (
+        SELECT p.path, p.mtime, p.size,
+               CASE WHEN c.path IS NOT NULL THEN c.n_new
+                    ELSE p.n_entries END AS n_entries
+        FROM prev_p p LEFT JOIN counts c ON p.path = c.path
+        WHERE p.path NOT IN (SELECT path FROM feed
+                             WHERE op IN ('changed', 'deleted') AND is_dir)
+        UNION ALL
+        SELECT d.path, d.mtime, d.size, COALESCE(c.n_new, 0)
+        FROM (SELECT * FROM live WHERE is_dir) d
+        LEFT JOIN counts c ON d.path = c.path
+    )
+"""
+
+ORACLE["q135_watch_apply_prefixes"] = _WATCH_FEED_SQL + """
+    SELECT path, strftime(mtime, '%Y-%m-%d %H:%M:%S') AS mtime,
+           CAST(size AS BIGINT) AS size,
+           CAST(n_entries AS BIGINT) AS n_entries
+    FROM new_p ORDER BY path
+"""
+
+ORACLE["q136_watch_apply_entries"] = _WATCH_FEED_SQL + """
+    SELECT parent, CAST(COUNT(*) AS BIGINT) AS n_children,
+           CAST(SUM(CASE WHEN NOT is_dir THEN size ELSE 0 END) AS BIGINT)
+             AS file_bytes
+    FROM new_e GROUP BY parent ORDER BY parent
+"""
 
 ORACLE["q133_fswatch_stream"] = """
     WITH dirs AS (SELECT unnest(generate_series(0, 2)) AS i),

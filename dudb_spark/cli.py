@@ -428,6 +428,9 @@ def cmd_watch(args):
             )
             print(json.dumps({"snapshot": out, **res.summary}),
                   flush=True)
+            # one apply per micro-batch forever: release the apply's
+            # cached feed or executor storage grows per batch
+            res.release()
         # count AFTER the apply: the main loop stops the query the
         # moment the count reaches --max-batches, and a stop mid-apply
         # would interrupt the snapshot write

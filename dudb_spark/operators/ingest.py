@@ -46,6 +46,15 @@ class MergeResult:
     # (operators/incremental.py); unchanged and out-of-root paths are
     # absent by construction.
     touched: DataFrame = None
+    # frames this merge cached; the result's DataFrames read them
+    # lazily, so a repeated caller (the watch --apply loop: one
+    # apply_changes per micro-batch, forever) must release() AFTER
+    # consuming/writing the result or executor storage grows per batch
+    cached: tuple = ()
+
+    def release(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 def merge_scan(
@@ -158,7 +167,8 @@ def merge_scan(
     else:
         summary = None
     touched = j.where(~F.col("unchanged")).select("path")
-    return MergeResult(new_prefixes, new_entries, summary, touched)
+    return MergeResult(new_prefixes, new_entries, summary, touched,
+                       cached=(j,))
 
 
 def snapshot_diff(
@@ -361,4 +371,5 @@ def apply_changes(
     touched = aff.union(
         ch.where("is_dir").select("path")
     ).distinct()
-    return MergeResult(new_prefixes, new_entries, summary, touched)
+    return MergeResult(new_prefixes, new_entries, summary, touched,
+                       cached=(ch,))
