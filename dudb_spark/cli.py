@@ -206,77 +206,105 @@ def cmd_stats_compute(args):
             # and keeps the closure from re-running the snapshot diff
             .localCheckpoint()
         )
-        # cost-based auto gate: the closure's fixed job overhead loses
-        # to a plain refold once churn is a real fraction of the tree
-        # (incremental.refold_recommended has the measured crossover)
-        from dudb_spark.operators.incremental import refold_recommended
-
-        thr = getattr(args, "churn_threshold", 0.02)
-        n_touched = touched.count()
-        # parquet metadata count — no data scan
-        n_tree = cat.tables(prev_stats.meta["snapshot_version"]) \
-            .prefixes.count()
-        if refold_recommended(n_touched, n_tree, thr):
-            print(
-                f"stats --incremental: churn {n_touched}/{n_tree} dirs >= "
-                f"threshold {thr:g} — full refold is the cheaper plan "
-                "(--churn-threshold 0 forces the incremental closure)",
-                file=sys.stderr,
-            )
-            incremental = False
-    if incremental:
-        # both snapshots stored bucketed with the same width → hand the
-        # raw (pb-carrying) scans to the closure so its path probes
-        # partition-prune to the churn's buckets
-        prev_lay = cat.layout(prev_stats.meta["snapshot_version"])
-        cur_lay = cat.layout()
-        buckets = None
-        spill_rows = None
-        if (
-            prev_lay.get("layout") == "bucketed"
-            and cur_lay.get("layout") == "bucketed"
-            and prev_lay["path_buckets"] == cur_lay["path_buckets"]
-        ):
-            buckets = prev_lay["path_buckets"]
-            if "spill_rows" in prev_lay and "spill_rows" in cur_lay:
-                # recorded at write time: lets the closure skip its
-                # is-the-index-empty probe job
-                spill_rows = prev_lay["spill_rows"] + cur_lay["spill_rows"]
-        else:
-            print(
-                "stats --incremental: snapshots are not (both) bucketed —"
-                " closure probes will scan the tree; run `database compact"
-                " --layout bucketed` to enable pruned probes",
-                file=sys.stderr,
-            )
-        res = incremental_stats(
-            prev_stats,
-            prev_t.read_raw("prefixes") if buckets else prev_t.prefixes,
-            prev_t.read_raw("entries") if buckets else prev_t.entries,
-            t.read_raw("prefixes") if buckets else t.prefixes,
-            t.read_raw("entries") if buckets else t.entries,
-            touched, opts,
-            pin_inputs=False,  # stored snapshot scans — nothing to pin
-            path_buckets=buckets,
-            prev_spill=cat.spill_index(prev_stats.meta["snapshot_version"])
-            if buckets else None,
-            new_spill=cat.spill_index() if buckets else None,
-            spill_rows=spill_rows,
+        res = _stats_fold_update(
+            cat, prev_stats, touched, opts,
+            getattr(args, "churn_threshold", 0.02),
         )
     else:
         res = compute_stats(t.prefixes, t.entries, opts)
+    out, tot = _save_stats(res, args.stats_dir, args.calculator, cat)
+    print(json.dumps({"stats": out, "totals": tot}))
+
+
+def _stats_fold_update(cat, prev_stats, touched, opts, churn_threshold,
+                       label="stats --incremental"):
+    """Fold-update shared by ``stats compute --incremental`` and the
+    ``watch --apply --stats-dir`` continuous loop: cost-based auto-refold
+    gate (the closure's fixed job overhead loses to a plain refold once
+    churn is a real fraction of the tree — incremental.refold_recommended
+    has the measured crossover), then the incremental closure with
+    bucket-pruned probes when both snapshots share the bucketed layout.
+    ``touched`` must be churn-sized and pinned (localCheckpoint); prev
+    snapshot version comes from ``prev_stats.meta``."""
+    from dudb_spark.operators.incremental import (
+        incremental_stats,
+        refold_recommended,
+    )
+    from dudb_spark.operators.stats import compute_stats
+
+    t = cat.tables()
+    prev_v = prev_stats.meta["snapshot_version"]
+    prev_t = cat.tables(prev_v)
+    n_touched = touched.count()
+    # parquet metadata count — no data scan
+    n_tree = prev_t.prefixes.count()
+    if refold_recommended(n_touched, n_tree, churn_threshold):
+        print(
+            f"{label}: churn {n_touched}/{n_tree} dirs >= "
+            f"threshold {churn_threshold:g} — full refold is the cheaper "
+            "plan (--churn-threshold 0 forces the incremental closure)",
+            file=sys.stderr,
+        )
+        return compute_stats(t.prefixes, t.entries, opts)
+    # both snapshots stored bucketed with the same width → hand the
+    # raw (pb-carrying) scans to the closure so its path probes
+    # partition-prune to the churn's buckets
+    prev_lay = cat.layout(prev_v)
+    cur_lay = cat.layout()
+    buckets = None
+    spill_rows = None
+    if (
+        prev_lay.get("layout") == "bucketed"
+        and cur_lay.get("layout") == "bucketed"
+        and prev_lay["path_buckets"] == cur_lay["path_buckets"]
+    ):
+        buckets = prev_lay["path_buckets"]
+        if "spill_rows" in prev_lay and "spill_rows" in cur_lay:
+            # recorded at write time: lets the closure skip its
+            # is-the-index-empty probe job
+            spill_rows = prev_lay["spill_rows"] + cur_lay["spill_rows"]
+    else:
+        print(
+            f"{label}: snapshots are not (both) bucketed —"
+            " closure probes will scan the tree; run `database compact"
+            " --layout bucketed` to enable pruned probes",
+            file=sys.stderr,
+        )
+    return incremental_stats(
+        prev_stats,
+        prev_t.read_raw("prefixes") if buckets else prev_t.prefixes,
+        prev_t.read_raw("entries") if buckets else prev_t.entries,
+        t.read_raw("prefixes") if buckets else t.prefixes,
+        t.read_raw("entries") if buckets else t.entries,
+        touched, opts,
+        pin_inputs=False,  # stored snapshot scans — nothing to pin
+        path_buckets=buckets,
+        prev_spill=cat.spill_index(prev_v) if buckets else None,
+        new_spill=cat.spill_index() if buckets else None,
+        spill_rows=spill_rows,
+    )
+
+
+def _save_stats(res, stats_dir, calculator_name, cat):
+    """Land a stats run as the newest version under ``stats_dir`` and
+    move the ``latest`` pointer.  Returns (out_path, totals dict)."""
     when = datetime.now(timezone.utc).strftime("%Y-%m-%d-%H%M%S")
-    out = os.path.join(args.stats_dir, when)
+    out = os.path.join(stats_dir, when)
+    n = 0
+    while os.path.exists(out):  # watch loop: two saves within a second
+        n += 1
+        out = os.path.join(stats_dir, f"{when}-{n}")
+    when = os.path.basename(out)
     res.save(out)
-    with open(os.path.join(args.stats_dir, "latest"), "w") as f:
+    with open(os.path.join(stats_dir, "latest"), "w") as f:
         f.write(when)
-    meta = dict(res.meta, date=when, prefix=args.prefix,
-                calculator=args.calculator,
+    meta = dict(res.meta, date=when, prefix=res.meta.get("root"),
+                calculator=calculator_name,
                 snapshot_version=cat.latest_version())
     with open(os.path.join(out, "meta.json"), "w") as f:
         json.dump(meta, f)
     tot = res.totals().collect()[0].asDict()
-    print(json.dumps({"stats": out, "totals": tot}))
+    return out, tot
 
 
 def _load_stats(spark, stats_dir):
@@ -364,6 +392,48 @@ def cmd_logs(args):
         print(json.dumps(r.asDict(), default=str))
 
 
+def _watch_stats_update(spark, cat, stats_dir, touched, applied_from,
+                        churn_threshold):
+    """Continuous stats maintenance for ``watch --apply --stats-dir``:
+    after a batch lands snapshot vN, fold-update the stored summaries
+    with the apply's churn-sized touched set (apply_changes.touched is
+    the same contract as MergeResult.touched) and land a new stats
+    version.  Fold options CONTINUE the previous stats run's (root /
+    expression / calculator come from its meta) — the loop maintains
+    whatever ``stats compute`` last certified.  If the previous stats
+    run does not track the snapshot this batch applied against (someone
+    ran analyze in between), the incremental contract is void and it
+    falls back to one full refold, after which the loop is back on the
+    incremental path."""
+    from dudb_spark.functions.calculators import calculator
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    prev_stats = _load_stats(spark, stats_dir)
+    pm = prev_stats.meta
+    opts = StatsOptions(
+        root=pm.get("root") or "",
+        expr=pm.get("expression") or "",
+        calculator=calculator(pm.get("calculator") or "identity"),
+        count_hardlinks_as_files=pm.get("count_hardlinks_as_files", False),
+    )
+    if pm.get("snapshot_version") != applied_from:
+        print(
+            f"watch --stats-dir: previous stats run folded "
+            f"{pm.get('snapshot_version')!r}, batch applied against "
+            f"{applied_from!r} — full refold to resync",
+            file=sys.stderr,
+        )
+        t = cat.tables()
+        res = compute_stats(t.prefixes, t.entries, opts)
+    else:
+        res = _stats_fold_update(
+            cat, prev_stats, touched.localCheckpoint(), opts,
+            churn_threshold, label="watch --stats-dir",
+        )
+    out, tot = _save_stats(res, stats_dir, pm.get("calculator"), cat)
+    print(json.dumps({"stats": out, "totals": tot}), flush=True)
+
+
 def cmd_watch(args):
     """Live change feed over a tree (sources/fsds.FsWatchReader): prints
     one TSV line per change — gen, op, size, path.  ``--once`` emits the
@@ -378,7 +448,13 @@ def cmd_watch(args):
     snapshot version, with one JSON summary line per applied batch.
     The snapshot WRITE is the versioned-full-copy layout every other
     writer uses (a Delta/Iceberg MERGE INTO in a production
-    deployment); the apply computation itself is churn-sized."""
+    deployment); the apply computation itself is churn-sized.
+
+    ``--stats-dir`` (with ``--apply``) additionally maintains the stored
+    stats summaries: after each applied batch the incremental closure
+    folds only the batch's touched slice and lands a new stats version —
+    analyze → stats → watch keeps BOTH the snapshot and the summaries
+    continuously current."""
     from dudb_spark.sources.fsds import register_watch
 
     spark = _spark()
@@ -392,6 +468,15 @@ def cmd_watch(args):
         if cat.latest_version() is None:
             raise SystemExit(
                 "watch --apply: run `analyze` first (no snapshot in DB)"
+            )
+    stats_dir = getattr(args, "stats_dir", None)
+    if stats_dir:
+        if cat is None:
+            raise SystemExit("watch --stats-dir: requires --apply")
+        if not os.path.exists(os.path.join(stats_dir, "latest")):
+            raise SystemExit(
+                "watch --stats-dir: run `stats compute` first (no stats "
+                "snapshot to maintain)"
             )
     register_watch(spark)
     reader = spark.readStream.format("fswatch")
@@ -415,6 +500,7 @@ def cmd_watch(args):
 
             from dudb_spark.operators.ingest import apply_changes
 
+            applied_from = cat.latest_version()
             t = cat.tables()
             diff = batch_df.where(F.col("gen") > 0)
             res = apply_changes(
@@ -428,6 +514,11 @@ def cmd_watch(args):
             )
             print(json.dumps({"snapshot": out, **res.summary}),
                   flush=True)
+            if stats_dir:
+                _watch_stats_update(
+                    spark, cat, stats_dir, res.touched, applied_from,
+                    getattr(args, "churn_threshold", 0.02),
+                )
             # one apply per micro-batch forever: release the apply's
             # cached feed or executor storage grows per batch
             res.release()
@@ -1182,6 +1273,17 @@ def build_parser():
         "--no-prune", action="store_true",
         help="exhaustive per-file rescans (detect in-place edits "
         "immediately instead of on the directory's next churn)",
+    )
+    p.add_argument(
+        "--stats-dir",
+        help="with --apply: maintain the stored stats summaries after "
+        "each applied batch via the incremental closure (continues the "
+        "last `stats compute` run's fold options; requires one)",
+    )
+    p.add_argument(
+        "--churn-threshold", type=float, default=0.02,
+        help="churn fraction above which the stats update falls back to "
+        "a full refold (0 forces the incremental closure)",
     )
     p.set_defaults(func=cmd_watch)
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")

@@ -597,7 +597,10 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
     from dudb_spark.sources.crawler import crawl_local
 
     db = str(tmp_path / "db")
+    sd = str(tmp_path / "stats")
     json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    json.loads(run(capsys, "stats", "compute", "--db", db,
+                   "--stats-dir", sd, real_tree))
     cat = SnapshotCatalog(spark, db)
     assert len(cat.versions()) == 1
 
@@ -606,6 +609,7 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
     def run_watch():
         try:
             main(["watch", real_tree, "--db", db, "--apply",
+                  "--stats-dir", sd, "--churn-threshold", "0",
                   "--interval", "1", "--max-batches", "2"])
         except BaseException as e:  # surfaced after join
             err.append(e)
@@ -639,3 +643,19 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
     # n_entries stays consistent on the churned dirs
     n = {r["path"]: r["n_entries"] for r in nt.prefixes.collect()}
     assert n[f"{real_tree}/proj/a"] == 3 and n[f"{real_tree}/proj/b"] == 0
+    # --stats-dir maintained the summaries through the incremental
+    # closure (churn-threshold 0 forbids the refold path): the watch's
+    # latest stats version equals a fresh full fold of the snapshot
+    from dudb_spark.cli import _load_stats
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    maintained = _load_stats(spark, sd)
+    assert maintained.meta["snapshot_version"] == cat.latest_version()
+    fresh = compute_stats(
+        nt.prefixes, nt.entries, StatsOptions(root=real_tree)
+    )
+    got_pp = sorted(map(tuple, maintained.per_prefix.collect()))
+    want_pp = sorted(map(tuple, fresh.per_prefix.collect()))
+    assert got_pp == want_pp
+    assert (maintained.totals().collect()[0].asDict()
+            == fresh.totals().collect()[0].asDict())
