@@ -1,12 +1,15 @@
-"""Dependency-free baseline JPEG codec (ITU-T T.81 sequential DCT).
+"""Dependency-free baseline + progressive JPEG codec (ITU-T T.81).
 
 The decoder handles baseline and extended-sequential Huffman JPEGs
-(SOF0/SOF1): 8-bit precision, grayscale or YCbCr with integer sampling
-ratios (4:4:4, 4:2:2, 4:2:0), optional restart intervals.  Progressive
-(SOF2), arithmetic coding, 12-bit precision, and CMYK raise ValueError —
-``multimodal.decode_jpeg`` falls back to Pillow for those when it is
-installed, and null-fills otherwise (the same declared boundary as the
-other codecs; reference has no multimodal surface — pipeline extension).
+(SOF0/SOF1) and progressive Huffman JPEGs (SOF2, T.81 Annex G.2: DC
+first/refinement and AC first/refinement scans with EOB runs and
+successive approximation): 8-bit precision, grayscale or YCbCr with
+integer sampling ratios (4:4:4, 4:2:2, 4:2:0), optional restart
+intervals.  Arithmetic coding, 12-bit precision, and CMYK raise
+ValueError — ``multimodal.decode_jpeg`` falls back to Pillow for those
+when it is installed, and null-fills otherwise (the same declared
+boundary as the other codecs; reference has no multimodal surface —
+pipeline extension).
 
 Execution split mirrors the PNG decoder (multimodal.py / unfilter.py):
 the ONLY sequentially-dependent stage — Huffman entropy decoding — runs
@@ -161,6 +164,8 @@ def _decode_coefficients(payload: bytes):
     H = W = 0
     restart = 0
     sof_seen = False
+    progressive = False
+    scans_done = 0
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -202,7 +207,8 @@ def _decode_coefficients(payload: bytes):
                     bytes(seg[o + 1: o + 17 + nsym])
                 )
                 o += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -219,13 +225,26 @@ def _decode_coefficients(payload: bytes):
                 if not (1 <= c.h <= 4 and 1 <= c.v <= 4):
                     raise ValueError("JPEG: bad sampling factors")
                 comps.append(c)
+            if progressive:
+                # coefficients accumulate across scans: allocate every
+                # component's full MCU-padded grid up front (interleaved
+                # DC scans address the padded grid; AC scans the
+                # component's own un-padded block dims)
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mx = -(-W // (8 * hmax))
+                my = -(-H // (8 * vmax))
+                for c in comps:
+                    c.bw = mx * c.h
+                    c.bh = my * c.v
+                    c.coeffs = np.zeros((c.bh * c.bw, 64), np.int32)
             sof_seen = True
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "unsupported JPEG coding process "
-                f"(SOF marker 0xFF{marker:02X}; baseline/extended-"
-                "sequential Huffman only)"
+                f"(SOF marker 0xFF{marker:02X}; sequential/progressive "
+                "Huffman only)"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
@@ -233,7 +252,7 @@ def _decode_coefficients(payload: bytes):
             if not sof_seen:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
+            if not progressive and ns != len(comps):
                 raise ValueError("JPEG: partial scans unsupported")
             by_id = {c.cid: c for c in comps}
             order = []
@@ -246,6 +265,18 @@ def _decode_coefficients(payload: bytes):
                 order.append(c)
             scan_start = end
             scan_end = _scan_extent(payload, scan_start)
+            if progressive:
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ah = seg[3 + 2 * ns] >> 4
+                al = seg[3 + 2 * ns] & 15
+                _entropy_decode_prog(
+                    payload[scan_start:scan_end], order, comps, H, W,
+                    huff, restart, ss, se, ah, al,
+                )
+                scans_done += 1
+                pos = scan_end
+                continue
             _entropy_decode(
                 payload[scan_start:scan_end], order, H, W, huff, restart
             )
@@ -254,6 +285,11 @@ def _decode_coefficients(payload: bytes):
                     raise ValueError("JPEG: missing quantization table")
             return comps, H, W, qtables
         pos = end
+    if progressive and scans_done:
+        for c in comps:
+            if c.tq not in qtables:
+                raise ValueError("JPEG: missing quantization table")
+        return comps, H, W, qtables
     raise ValueError("JPEG: no SOS marker")
 
 
@@ -479,6 +515,223 @@ def _entropy_decode(scan, order, H, W, huff, restart):
     for (c, _, _), (_, _, _, _, _, idx, vals, _) in zip(layout, state):
         pk = np.array(idx, np.int64)
         c.coeffs[pk >> 6, pk & 63] = np.array(vals, np.int32)
+
+
+class _ProgBits:
+    """Bit reader for progressive scans (T.81 G.2): same 16-bit refill
+    discipline as the sequential loop, per restart segment.  Method-call
+    overhead is acceptable here — progressive is the rare tier; the
+    bench hot path (baseline) keeps the inlined loop + native kernel."""
+
+    __slots__ = ("data", "bitbuf", "bitcnt", "bpos")
+
+    def __init__(self, seg: bytes):
+        # 8 pad bytes: a correct stream only peeks past its last symbol
+        self.data = seg + b"\xff" * 8
+        self.bitbuf = 0
+        self.bitcnt = 0
+        self.bpos = 0
+
+    def decode(self, lut) -> int:
+        if self.bitcnt < 16:
+            self.bitbuf = (
+                (self.bitbuf << 16)
+                | (self.data[self.bpos] << 8) | self.data[self.bpos + 1]
+            )
+            self.bpos += 2
+            self.bitcnt += 16
+        packed = lut[(self.bitbuf >> (self.bitcnt - 16)) & 0xFFFF]
+        if packed == 0:
+            raise ValueError("JPEG: invalid Huffman code")
+        self.bitcnt -= packed & 31
+        self.bitbuf &= (1 << self.bitcnt) - 1
+        return packed >> 5
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.bitcnt < n:
+            self.bitbuf = (
+                (self.bitbuf << 16)
+                | (self.data[self.bpos] << 8) | self.data[self.bpos + 1]
+            )
+            self.bpos += 2
+            self.bitcnt += 16
+        bits = (self.bitbuf >> (self.bitcnt - n)) & ((1 << n) - 1)
+        self.bitcnt -= n
+        return bits
+
+    def extend(self, n: int) -> int:
+        bits = self.receive(n)
+        # T.81 F.2.2.1 EXTEND
+        return bits - (1 << n) + 1 if bits < (1 << (n - 1)) else bits
+
+
+def _entropy_decode_prog(scan, order, comps_all, H, W, huff, restart,
+                         ss, se, ah, al):
+    """One progressive scan (T.81 G.2) folded into the components'
+    coefficient arrays.  Four scan classes: DC first (Ss=Se=0, Ah=0 —
+    diffs << Al, interleaved or not), DC refinement (Ah>0 — one raw bit
+    per block ORed at Al), AC first (Ss>0, Ah=0 — single component,
+    EOB-run codes skip whole blocks), AC refinement (Ah>0 — correction
+    bits for already-nonzero coefficients plus newly ±1<<Al ones, EOB
+    runs carry correction bits through skipped blocks).  Restart
+    intervals reset predictors AND the EOB run."""
+    hmax = max(c.h for c in comps_all)
+    vmax = max(c.v for c in comps_all)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG: progressive DC scan with Se != 0")
+    if ss > 0 and len(order) != 1:
+        raise ValueError("JPEG: progressive AC scan must be one component")
+    if not (se < 64 and ss <= se):
+        raise ValueError("JPEG: bad spectral selection")
+    interleaved = len(order) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+        layout = [(c, c.h, c.v) for c in order]
+    else:
+        c = order[0]
+        # non-interleaved scans cover the component's OWN block dims
+        # (no MCU padding); positions map into the padded c.bw grid
+        cw = -(-W * c.h // hmax)
+        chh = -(-H * c.v // vmax)
+        sw = -(-cw // 8)
+        sh = -(-chh // 8)
+        n_units = sw * sh
+        layout = [(c, 1, 1)]
+    if ss == 0:
+        try:
+            dc_lut = {id(c): huff[(0, c.td)].packed for c in order}
+        except KeyError:
+            raise ValueError("JPEG: scan references missing Huffman table")
+        if ah > 0:
+            dc_lut = None  # refinement reads raw bits only
+    else:
+        c = order[0]
+        try:
+            ac_lut = huff[(1, c.ta)].packed
+        except KeyError:
+            raise ValueError("JPEG: scan references missing Huffman table")
+        coeffs = c.coeffs
+        gw = c.bw
+
+    import re as _re
+
+    if restart:
+        parts = _re.split(b"\xff[\xd0-\xd7]", scan)
+    else:
+        parts = [scan]
+    segments = [p.replace(b"\xff\x00", b"\xff") for p in parts]
+    per_seg = restart or n_units
+    p1 = 1 << al
+
+    unit = 0
+    try:
+        for seg in segments:
+            if unit >= n_units:
+                break
+            br = _ProgBits(seg)
+            preds = [0] * len(order)
+            eobrun = 0
+            seg_end = min(unit + per_seg, n_units)
+            while unit < seg_end:
+                if ss == 0:
+                    # ---- DC scans (interleaved or single-component) ----
+                    if interleaved:
+                        my, mx = divmod(unit, mcus_x)
+                    else:
+                        my, mx = divmod(unit, sw)
+                    for ci, (c, ch, cv) in enumerate(layout):
+                        row0 = my * cv
+                        col0 = mx * ch
+                        for by in range(cv):
+                            for bx in range(ch):
+                                bi = (row0 + by) * c.bw + col0 + bx
+                                if ah == 0:
+                                    sssss = br.decode(dc_lut[id(c)])
+                                    if sssss > 11:
+                                        raise ValueError(
+                                            "JPEG: bad DC magnitude"
+                                        )
+                                    if sssss:
+                                        preds[ci] += br.extend(sssss)
+                                    c.coeffs[bi, 0] = preds[ci] << al
+                                else:
+                                    if br.receive(1):
+                                        c.coeffs[bi, 0] |= p1
+                elif ah == 0:
+                    # ---- AC first scan ----
+                    my, mx = divmod(unit, sw)
+                    bi = my * gw + mx
+                    if eobrun:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            sym = br.decode(ac_lut)
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1 + br.receive(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG: AC index overflow")
+                            coeffs[bi, k] = br.extend(s) << al
+                            k += 1
+                else:
+                    # ---- AC refinement scan ----
+                    my, mx = divmod(unit, sw)
+                    bi = my * gw + mx
+                    row = coeffs[bi]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = br.decode(ac_lut)
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) + br.receive(r)
+                                    break
+                                newval = 0  # ZRL: skip 16 zero-history
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "JPEG: bad AC refinement magnitude"
+                                    )
+                                newval = p1 if br.receive(1) else -p1
+                            # advance past r zero-history coefficients,
+                            # emitting a correction bit at each nonzero
+                            while k <= se:
+                                v = row[k]
+                                if v:
+                                    if br.receive(1) and not (v & p1):
+                                        row[k] = v + (p1 if v > 0 else -p1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                row[k] = newval
+                            k += 1
+                    if eobrun:
+                        # rest of this block: correction bits only
+                        while k <= se:
+                            v = row[k]
+                            if v and br.receive(1) and not (v & p1):
+                                row[k] = v + (p1 if v > 0 else -p1)
+                            k += 1
+                        eobrun -= 1
+                unit += 1
+    except IndexError:
+        raise ValueError("JPEG: truncated entropy data")
+    if unit < n_units:
+        raise ValueError("JPEG: truncated entropy data")
 
 
 def _reconstruct_plane(c: _Component, qtable: np.ndarray) -> np.ndarray:

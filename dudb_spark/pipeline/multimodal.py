@@ -215,8 +215,9 @@ def sample_frames(
 # the bench baseline.  JPEG lives in pipeline/jpeg.py (table-driven
 # Huffman decode + batched numpy IDCT, libjpeg-cross-checked in tests).
 # When Pillow is installed, exotic PNGs (16-bit, palette, interlaced)
-# and out-of-envelope JPEGs (progressive, 12-bit, arithmetic, CMYK)
-# fall back to it; without it those stay behind the declared boundary.
+# and out-of-envelope JPEGs (12-bit, arithmetic, CMYK; progressive is
+# decoded natively since round 8) fall back to it; without it those
+# stay behind the declared boundary.
 # ---------------------------------------------------------------------------
 
 import math
@@ -435,12 +436,13 @@ def _decode_image_pil(payload: bytes, fmt: str) -> dict:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline/extended-sequential Huffman JPEG with the
-    dependency-free codec (pipeline/jpeg.py: table-driven entropy decode
-    + batched numpy IDCT, cross-checked against libjpeg in tests).
-    Variants outside that envelope (progressive, 12-bit, arithmetic,
-    CMYK) fall back to Pillow when installed; otherwise the ValueError
-    propagates and non-strict decode_media null-fills the row."""
+    """Decode a sequential (SOF0/SOF1) or progressive (SOF2) Huffman
+    JPEG with the dependency-free codec (pipeline/jpeg.py: table-driven
+    entropy decode + batched numpy IDCT, coefficient-exact against
+    libjpeg in tests for both coding processes).  Variants outside that
+    envelope (12-bit, arithmetic, CMYK) fall back to Pillow when
+    installed; otherwise the ValueError propagates and non-strict
+    decode_media null-fills the row."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     from dudb_spark.pipeline.jpeg import decode_jpeg_pixels

