@@ -3103,6 +3103,51 @@ def q128_jpeg_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q137_jpeg_progressive(spark, sf_dir):
+    """Progressive (SOF2) JPEG decode through the same Arrow path —
+    q128's exact fixture images re-encoded as spectrally-split
+    progressive streams (encode_jpeg(progressive=True): interleaved DC
+    scan + per-component full-band AC scans; the T.81 G.2 decode path,
+    libjpeg-coefficient-cross-checked in tests/test_jpeg.py incl. DC/AC
+    REFINEMENT scans from jpeg_simple_progression fixtures).  Decode is
+    pixel-identical to baseline by construction, so q128's oracle
+    certifies the progressive path verbatim.  Reference has no
+    multimodal surface; pipeline extension."""
+    import numpy as np
+
+    from dudb_spark.pipeline import multimodal as mm
+    from dudb_spark.pipeline.jpeg import encode_jpeg
+
+    rows = []
+
+    def add(mid, payload):
+        rows.append(
+            (mid, bytearray(payload),
+             ("image", "jpeg", None, None, None, len(payload)))
+        )
+
+    for i in range(10):
+        v = (i * 23 + 7) % 256
+        add(i, encode_jpeg(np.full((13 + i, 21 + i), v, np.uint8),
+                           progressive=True))
+    for ci, rgb in enumerate(_Q128_COLORS):
+        img444 = np.full((20, 28, 3), rgb, np.uint8)
+        add(10 + ci, encode_jpeg(img444, subsample="444", progressive=True))
+        img420 = np.full((18, 30, 3), rgb, np.uint8)
+        add(20 + ci, encode_jpeg(img420, subsample="420", progressive=True))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    d = mm.decode_media(media)
+    return d.select(
+        "media_id", "format", "width", "height", "n_channels",
+        "sample_rate",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(F.try_element_at("mean", F.lit(1)), 6).alias("mean1"),
+        F.round(F.try_element_at("mean", F.lit(2)), 6).alias("mean2"),
+        F.round(F.try_element_at("mean", F.lit(3)), 6).alias("mean3"),
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("media_id")
+
+
 _Q131_BOILER = "SUBSCRIBE TO OUR NEWSLETTER"
 _Q131_FOOTER = "copyright footer - all rights reserved"
 
@@ -4846,6 +4891,7 @@ QUERIES: dict[str, Callable] = {
     "q134_cluster_balance": q134_cluster_balance,
     "q135_watch_apply_prefixes": q135_watch_apply_prefixes,
     "q136_watch_apply_entries": q136_watch_apply_entries,
+    "q137_jpeg_progressive": q137_jpeg_progressive,
 }
 
 ORACLE: dict[str, str] = {
@@ -6265,6 +6311,11 @@ def _q128_oracle_sql() -> str:
 
 
 ORACLE["q128_jpeg_decode"] = _q128_oracle_sql()
+
+# q137: the progressive re-encode of q128's fixture decodes to identical
+# pixels (same quantized coefficients inside the image), so the oracle
+# is q128's verbatim — same certification pattern as q127 reusing q70's
+ORACLE["q137_jpeg_progressive"] = ORACLE["q128_jpeg_decode"]
 
 ORACLE["q71_decontamination"] = """
     WITH tok AS (

@@ -95,9 +95,20 @@ def decode_bench() -> dict:
         px = ((base + rng.integers(-6, 7, (256, 256 * 3))) % 256).astype(
             np.uint8
         )
+        img = px.reshape(256, 256, 3)
         add(
             "jpeg",
-            (encode_jpeg(px.reshape(256, 256, 3), subsample="420"), "jpeg"),
+            (encode_jpeg(img, subsample="420"), "jpeg"),
+            256 * 256 * 3,
+        )
+        # the SAME images spectrally split (SOF2): the progressive scan
+        # path is the pure-Python _ProgBits loop (round-8; the compiled
+        # kernel covers sequential only), so this rate is its honest
+        # floor and the gap to decode_jpeg_mb_per_sec is the native-
+        # extension headroom if progressive corpora ever dominate
+        add(
+            "jpeg_progressive",
+            (encode_jpeg(img, subsample="420", progressive=True), "jpeg"),
             256 * 256 * 3,
         )
 
@@ -115,6 +126,8 @@ def decode_bench() -> dict:
             mm.decode_payloads(lst)
         t_new = (time.perf_counter() - t0) / reps
         out[f"decode_{group}_mb_per_sec"] = round(wk / t_new / 1e6, 1)
+        if group == "jpeg_progressive":
+            continue  # no r4/native counterpart; rate line only
         if group == "jpeg":
             # no r4 Python JPEG decoder exists; keep the aggregate
             # speedup comparable across environments with/without Pillow.

@@ -860,8 +860,7 @@ def _quantize_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
     return q[:, ZIGZAG]  # raster -> zigzag order
 
 
-def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
-    dc = int(zz[0])
+def _encode_dc(bw: _BitWriter, dc: int, pred: int) -> int:
     diff = dc - pred
     ssss = int(diff).bit_length() if diff else 0
     if diff < 0:
@@ -872,6 +871,10 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
     bw.put(code, length)
     if ssss:
         bw.put(bits & ((1 << ssss) - 1), ssss)
+    return dc
+
+
+def _encode_ac(bw: _BitWriter, zz: np.ndarray) -> None:
     run = 0
     last = 63
     while last > 0 and zz[last] == 0:
@@ -894,16 +897,32 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
     if last < 63:
         c, ln = _AC_CODES[0x00]
         bw.put(c, ln)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    dc = _encode_dc(bw, int(zz[0]), pred)
+    _encode_ac(bw, zz)
     return dc
 
 
 def encode_jpeg(
-    img: np.ndarray, subsample: str = "444", restart: int = 0
+    img: np.ndarray, subsample: str = "444", restart: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JPEG.  ``subsample``: '444', '422' or '420' (color only).
-    ``restart``: emit DRI + RSTn every N MCUs when nonzero."""
+    ``restart``: emit DRI + RSTn every N MCUs when nonzero.
+    ``progressive=True`` emits a spectrally-split SOF2 stream instead
+    (one DC scan of all components + one full-band AC scan per
+    component, Ah=Al=0 — a minimal valid progression whose quantized
+    coefficients are IDENTICAL to the baseline stream's on every block
+    inside the image (MCU-padding blocks carry DC only: non-interleaved
+    AC scans cover the un-padded dims per T.81, and padding never
+    reaches pixels), which is what the progressive fixture tests and
+    bench pin; restart unsupported in this mode)."""
     img = np.asarray(img, np.uint8)
+    if progressive and restart:
+        raise ValueError("progressive encode does not support restart")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if not gray:
@@ -943,8 +962,9 @@ def encode_jpeg(
         out += bytes(int(v) for v in qt)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(planes), 8, h, w,
-                                     len(planes))
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * len(planes), 8, h, w,
+                             len(planes))
     for i, ((sh, sv), tq) in enumerate(zip(samp, qsel)):
         out += bytes([i + 1, (sh << 4) | sv, tq])
     for tc_th, counts, symbols in (
@@ -956,10 +976,13 @@ def encode_jpeg(
         ) + bytes([tc_th]) + bytes(counts) + bytes(symbols)
     if restart:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
-    for i in range(len(planes)):
-        out += bytes([i + 1, 0x00])  # DC table 0, AC table 0
-    out += bytes([0, 63, 0])
+    if not progressive:
+        out += b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(planes), len(planes)
+        )
+        for i in range(len(planes)):
+            out += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+        out += bytes([0, 63, 0])
 
     # per-component zigzag blocks over the padded MCU grid
     comp_blocks = []
@@ -982,9 +1005,46 @@ def encode_jpeg(
             )
             comp_blocks.append((_quantize_blocks(p, qz[tq]), gw, sh, sv))
 
+    n_mcus = mcus_x * mcus_y
+    if progressive:
+        # scan 1: DC of every component (interleaved MCU walk for >1)
+        out += b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(planes), len(planes)
+        )
+        for i in range(len(planes)):
+            out += bytes([i + 1, 0x00])
+        out += bytes([0, 0, 0])  # Ss=0 Se=0 Ah=Al=0
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        for mcu in range(n_mcus):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (zz, gw, sh, sv) in enumerate(comp_blocks):
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * gw + (mx * sh + bx)
+                        preds[ci] = _encode_dc(bw, int(zz[bi][0]), preds[ci])
+        bw.flush()
+        out += bw.out
+        # scans 2..: one full-band AC scan per component, over the
+        # component's own un-padded block dims (T.81: non-interleaved
+        # scans carry no MCU padding)
+        for ci, (zz, gw, sh, sv) in enumerate(comp_blocks):
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00, 1, 63, 0])
+            cw = -(-w * sh // hmax)
+            chh = -(-h * sv // vmax)
+            sbw, sbh = -(-cw // 8), -(-chh // 8)
+            bw = _BitWriter()
+            for row in range(sbh):
+                for col in range(sbw):
+                    _encode_ac(bw, zz[row * gw + col])
+            bw.flush()
+            out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
     bw = _BitWriter()
     preds = [0] * len(planes)
-    n_mcus = mcus_x * mcus_y
     for mcu in range(n_mcus):
         if restart and mcu and mcu % restart == 0:
             bw.flush()

@@ -591,3 +591,34 @@ def test_progressive_smooth_gradient_decodes_cleanly():
     assert px.shape == (48, 64, 1)
     err = np.abs(px[:, :, 0].astype(int) - base.astype(int))
     assert err.max() <= 12 and err.mean() < 3
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_own_progressive_encode_decodes_pixel_identical(sub):
+    """encode_jpeg(progressive=True) emits a spectrally-split SOF2
+    stream whose decode is PIXEL-IDENTICAL to the baseline stream of
+    the same image (same coefficients inside the image), and libjpeg
+    accepts it when the harness exists (spec validity)."""
+    rng = _rng()
+    img = rng.integers(0, 256, (45, 61, 3), dtype=np.uint8)
+    pb = jpeg.encode_jpeg(img, subsample=sub)
+    pp = jpeg.encode_jpeg(img, subsample=sub, progressive=True)
+    assert b"\xff\xc2" in pp and b"\xff\xc2" not in pb
+    assert np.array_equal(
+        jpeg.decode_jpeg_pixels(pb), jpeg.decode_jpeg_pixels(pp)
+    )
+    if _libjpeg_harness() is not None:
+        ref = _libjpeg_decode(pp)
+        got = jpeg.decode_jpeg_pixels(pp)
+        assert np.abs(ref.astype(int) - got.astype(int)).max() <= 3
+
+
+def test_own_progressive_gray_and_guards():
+    gray = _rng().integers(0, 256, (29, 35), dtype=np.uint8)
+    pp = jpeg.encode_jpeg(gray, progressive=True)
+    assert np.array_equal(
+        jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(gray)),
+        jpeg.decode_jpeg_pixels(pp),
+    )
+    with pytest.raises(ValueError, match="restart"):
+        jpeg.encode_jpeg(gray, progressive=True, restart=2)
