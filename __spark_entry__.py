@@ -3103,6 +3103,33 @@ def q128_jpeg_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q138_delta_chain_read(spark, sf_dir):
+    """Delta-chain storage route for continuous ingest: q135's exact
+    change feed lands as a churn-sized DELTA version (catalog.write_delta
+    — the transaction-log commit the watch loop uses between
+    compactions) on a stored full snapshot of the fs fixture, and the
+    result is read back through DeltaTables' lazy reconstruction
+    (base ⊳ replayed delta).  Same projection as q135, so its oracle
+    certifies the storage round-trip verbatim (the q127-reuses-q70
+    pattern)."""
+    import tempfile
+
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    prev_p, prev_e, feed = _watch_feed(spark)
+    db = tempfile.mkdtemp(prefix="dudb_q138_")
+    cat = SnapshotCatalog(spark, db)
+    cat.write_snapshot(prev_p, prev_e)
+    cat.write_delta(feed, root="/tree")
+    t = cat.tables()
+    return t.prefixes.select(
+        "path",
+        _fmt_ts(F.col("mtime"), "mtime"),
+        F.col("size").cast("long").alias("size"),
+        F.col("n_entries").cast("long").alias("n_entries"),
+    ).orderBy("path")
+
+
 def q137_jpeg_progressive(spark, sf_dir):
     """Progressive (SOF2) JPEG decode through the same Arrow path —
     q128's exact fixture images re-encoded as spectrally-split
@@ -4892,6 +4919,7 @@ QUERIES: dict[str, Callable] = {
     "q135_watch_apply_prefixes": q135_watch_apply_prefixes,
     "q136_watch_apply_entries": q136_watch_apply_entries,
     "q137_jpeg_progressive": q137_jpeg_progressive,
+    "q138_delta_chain_read": q138_delta_chain_read,
 }
 
 ORACLE: dict[str, str] = {
@@ -6213,6 +6241,9 @@ ORACLE["q136_watch_apply_entries"] = _WATCH_FEED_SQL + """
              AS file_bytes
     FROM new_e GROUP BY parent ORDER BY parent
 """
+
+# q138: the stored delta-chain read must reproduce the in-memory apply
+ORACLE["q138_delta_chain_read"] = ORACLE["q135_watch_apply_prefixes"]
 
 ORACLE["q133_fswatch_stream"] = """
     WITH dirs AS (SELECT unnest(generate_series(0, 2)) AS i),

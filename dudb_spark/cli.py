@@ -446,9 +446,11 @@ def cmd_watch(args):
     via ``operators.ingest.apply_changes`` — churn-bounded set algebra,
     the streaming analogue of ``analyze``'s merge — and lands as a new
     snapshot version, with one JSON summary line per applied batch.
-    The snapshot WRITE is the versioned-full-copy layout every other
-    writer uses (a Delta/Iceberg MERGE INTO in a production
-    deployment); the apply computation itself is churn-sized.
+    Batches land as churn-sized DELTA versions (catalog.write_delta —
+    the transaction-log commit of a Delta/Iceberg sink), with a full
+    compaction snapshot every ``--compact-every`` batches bounding the
+    read-side reconstruction chain; both the apply computation AND the
+    steady-state write cost track the churn, never the tree.
 
     ``--stats-dir`` (with ``--apply``) additionally maintains the stored
     stats summaries: after each applied batch the incremental closure
@@ -506,14 +508,25 @@ def cmd_watch(args):
             res = apply_changes(
                 t.prefixes, t.entries, diff, root=args.prefix
             )
-            lay = cat.layout()
-            out = cat.write_snapshot(
-                res.prefixes, res.entries,
-                layout=lay.get("layout"),
-                path_buckets=lay.get("path_buckets", 64),
-            )
-            print(json.dumps({"snapshot": out, **res.summary}),
-                  flush=True)
+            # churn-sized delta commit by default; a FULL compaction
+            # write (tree-sized, restores the bucketed layout) every
+            # --compact-every batches bounds the reconstruction chain —
+            # the transaction-log/compaction split of a Delta/Iceberg
+            # sink, so per-batch write cost tracks the churn
+            ce = max(getattr(args, "compact_every", 8), 1)
+            if ce > 1 and cat.chain_length() + 1 < ce:
+                out = cat.write_delta(diff, root=args.prefix)
+                mode = "delta"
+            else:
+                lay = cat.base_layout()
+                out = cat.write_snapshot(
+                    res.prefixes, res.entries,
+                    layout=lay.get("layout"),
+                    path_buckets=lay.get("path_buckets", 64),
+                )
+                mode = "compacted"
+            print(json.dumps({"snapshot": out, "write": mode,
+                              **res.summary}), flush=True)
             if stats_dir:
                 _watch_stats_update(
                     spark, cat, stats_dir, res.touched, applied_from,
@@ -1284,6 +1297,12 @@ def build_parser():
         "--churn-threshold", type=float, default=0.02,
         help="churn fraction above which the stats update falls back to "
         "a full refold (0 forces the incremental closure)",
+    )
+    p.add_argument(
+        "--compact-every", type=int, default=8,
+        help="with --apply: batches land as churn-sized DELTA versions, "
+        "with a full compaction snapshot every N batches bounding the "
+        "read-side reconstruction chain (1 = full snapshot every batch)",
     )
     p.set_defaults(func=cmd_watch)
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")

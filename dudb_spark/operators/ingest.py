@@ -251,6 +251,7 @@ def apply_changes(
     changes: DataFrame,
     root: str = "",
     with_summary: bool = True,
+    cache: bool = True,
 ) -> MergeResult:
     """Apply a CHANGE FEED batch (the ``fswatch`` stream's rows:
     ``op`` ∈ added/changed/deleted + the entries schema) to the stored
@@ -281,7 +282,8 @@ def apply_changes(
     ch = changes.where(F.col("error").isNull()) if (
         "error" in changes.columns
     ) else changes
-    ch = ch.cache()
+    if cache:
+        ch = ch.cache()
 
     dead = ch.where(F.col("op").isin("changed", "deleted")).select("path")
     live = ch.where(F.col("op").isin("added", "changed"))
@@ -372,4 +374,4 @@ def apply_changes(
         ch.where("is_dir").select("path")
     ).distinct()
     return MergeResult(new_prefixes, new_entries, summary, touched,
-                       cached=(ch,))
+                       cached=(ch,) if cache else ())

@@ -51,14 +51,15 @@ class SnapshotCatalog:
         return os.path.join(self.root, v) if v else None
 
     def tables(self, version: str | None = None) -> FsTables:
-        if version is not None:
-            if version not in self.versions():
-                raise FileNotFoundError(f"no version {version} under {self.root}")
-            return FsTables(self.spark, os.path.join(self.root, version))
-        p = self.latest_path()
-        if p is None:
-            raise FileNotFoundError(f"no snapshot under {self.root}")
-        return FsTables(self.spark, p)
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no snapshot under {self.root}")
+        elif version not in self.versions():
+            raise FileNotFoundError(f"no version {version} under {self.root}")
+        if self.is_delta(version):
+            return DeltaTables(self.spark, self, version)
+        return FsTables(self.spark, os.path.join(self.root, version))
 
     # -- writes ---------------------------------------------------------
 
@@ -181,6 +182,66 @@ class SnapshotCatalog:
             f.write(v)
         return out
 
+    # -- delta-chain layout (churn-sized writes for the watch loop) -----
+
+    def is_delta(self, version: str) -> bool:
+        """True when ``version`` stores a churn-sized CHANGE DELTA (the
+        fswatch feed rows) instead of full tables — readers reconstruct
+        through :class:`DeltaTables`."""
+        return os.path.exists(
+            os.path.join(self.root, version, "_delta.json")
+        )
+
+    def delta_meta(self, version: str) -> dict:
+        import json as _json
+
+        with open(os.path.join(self.root, version, "_delta.json")) as f:
+            return _json.load(f)
+
+    def write_delta(self, changes, root: str) -> str:
+        """Land a change-feed batch as the next version WITHOUT copying
+        the tables: the write is sized by the CHURN, not the tree — the
+        continuous-ingest analogue of a Delta/Iceberg transaction-log
+        commit.  Readers reconstruct latest = nearest full snapshot ⊳
+        replayed deltas (tables() → DeltaTables); the writer bounds the
+        chain with periodic full compactions (``watch --apply
+        --compact-every``), so reconstruction plan depth is O(threshold)
+        and a full rewrite is paid once per N batches instead of every
+        batch."""
+        import json as _json
+
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError("write_delta: no base snapshot")
+        v = self.next_version()
+        out = os.path.join(self.root, v)
+        changes.write.mode("overwrite").parquet(
+            os.path.join(out, "delta.parquet")
+        )
+        with open(os.path.join(out, "_delta.json"), "w") as f:
+            _json.dump({"parent": parent, "root": root}, f)
+        with open(os.path.join(self.root, "latest"), "w") as f:
+            f.write(v)
+        return out
+
+    def chain_length(self, version: str | None = None) -> int:
+        """Delta hops from ``version`` (default latest) back to the
+        nearest full snapshot (0 = it IS a full snapshot)."""
+        v = version or self.latest_version()
+        n = 0
+        while v is not None and self.is_delta(v):
+            v = self.delta_meta(v)["parent"]
+            n += 1
+        return n
+
+    def base_layout(self, version: str | None = None) -> dict:
+        """Layout metadata of the nearest FULL snapshot at or below
+        ``version`` — what a compaction write should preserve."""
+        v = version or self.latest_version()
+        while v is not None and self.is_delta(v):
+            v = self.delta_meta(v)["parent"]
+        return self.layout(v) if v else {}
+
     def spill_index(self, version: str | None = None):
         """The bucketed layout's hardlink spill index (device, inode, pb)
         — keys with ≥2 member rows in the snapshot.  None for plain
@@ -249,13 +310,23 @@ class SnapshotCatalog:
 
     def prune(self, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` snapshot versions (never the
-        one ``latest`` points to).  Returns the removed version names."""
+        one ``latest`` points to, nor any full snapshot / intermediate
+        delta a KEPT delta version still reconstructs through).
+        Returns the removed version names."""
         import shutil
 
         keep = max(keep, 1)
         vs = self.versions()
         current = self.latest_version()
-        removable = [v for v in vs[:-keep] if v != current]
+        kept = set(vs[-keep:]) | ({current} if current else set())
+        needed = set()
+        for v in list(kept):
+            while v is not None and self.is_delta(v):
+                v = self.delta_meta(v)["parent"]
+                needed.add(v)
+        removable = [
+            v for v in vs[:-keep] if v != current and v not in needed
+        ]
         for v in removable:
             shutil.rmtree(os.path.join(self.root, v))
         return removable
@@ -273,3 +344,47 @@ class SnapshotCatalog:
 
     def logs(self):
         return self.spark.read.parquet(f"{self.root}/scan_logs.parquet")
+
+
+class DeltaTables:
+    """Duck-typed :class:`FsTables` view of a DELTA version: the nearest
+    full snapshot's scans with the stored churn deltas replayed lazily on
+    top (operators/ingest.apply_changes, oldest first, no summary / no
+    caching — each delta is churn-sized).  Chain depth is bounded by the
+    writer's compaction threshold, so the reconstruction plan stays
+    O(compact_every) joins deep regardless of how long the watch ran.
+    ``errors`` delegates to the base full snapshot (the watch feed lands
+    unreadable paths in-band, not in the errors bucket)."""
+
+    def __init__(self, spark, cat: SnapshotCatalog, version: str):
+        self.spark = spark
+        chain = []  # newest -> oldest delta dirs
+        v = version
+        while cat.is_delta(v):
+            meta = cat.delta_meta(v)
+            chain.append((os.path.join(cat.root, v), meta["root"]))
+            v = meta["parent"]
+        base = FsTables(spark, os.path.join(cat.root, v))
+        self._base = base
+        from dudb_spark.operators.ingest import apply_changes
+
+        p, e = base.prefixes, base.entries
+        for dpath, droot in reversed(chain):
+            feed = spark.read.parquet(os.path.join(dpath, "delta.parquet"))
+            res = apply_changes(
+                p, e, feed, root=droot, with_summary=False, cache=False
+            )
+            p, e = res.prefixes, res.entries
+        self._p, self._e = p, e
+
+    @property
+    def prefixes(self):
+        return self._p
+
+    @property
+    def entries(self):
+        return self._e
+
+    @property
+    def errors(self):
+        return self._base.errors

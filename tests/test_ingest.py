@@ -511,3 +511,85 @@ def test_apply_changes_tracks_live_tree(spark, tmp_path):
     # touched covers the churned prefixes (incremental-stats seed)
     touched = {r["path"] for r in res.touched.collect()}
     assert f"{root}/c" in touched and f"{root}/a" in touched
+
+
+def test_delta_chain_reconstruction_equals_direct_apply(spark, tmp_path):
+    """Delta-chain versions (churn-sized writes) reconstruct through
+    DeltaTables to exactly the tables a full-copy apply would have
+    written, across a multi-delta chain; compaction folds the chain and
+    prune never removes a base a kept delta still needs."""
+    import os
+
+    from dudb_spark.model import ENTRIES_SCHEMA, PREFIXES_SCHEMA
+    from dudb_spark.operators.ingest import apply_changes
+    from dudb_spark.sources.catalog import SnapshotCatalog
+    from dudb_spark.sources.crawler import crawl_local
+    from dudb_spark.sources.fsds import FsWatchReader, _FIELDS
+
+    root = str(tmp_path / "live")
+    os.makedirs(f"{root}/a")
+    os.makedirs(f"{root}/b")
+    for pth, body in [("a/f1", "x"), ("a/f2", "yy"), ("b/f3", "zzz")]:
+        with open(f"{root}/{pth}", "w") as f:
+            f.write(body)
+    db = str(tmp_path / "db")
+    cat = SnapshotCatalog(spark, db)
+    p0, e0, _ = crawl_local(root)
+    cat.write_snapshot(
+        spark.createDataFrame(p0, PREFIXES_SCHEMA),
+        spark.createDataFrame(e0, ENTRIES_SCHEMA),
+    )
+
+    watch_cols = ["op", *(_FIELDS), "error", "gen"]
+    schema = "op string, " + ", ".join(
+        f"{c} {'boolean' if c == 'is_dir' else 'timestamp' if c == 'mtime' else 'long' if c not in ('parent', 'name', 'path', 'error', 'op') else 'string'}"
+        for c in watch_cols[1:-1]
+    ) + ", gen long"
+    r = FsWatchReader({"path": root, "prune": "false"})
+    rows, off = r.read({"gen": 0})  # batch-0 resync consumed
+
+    import time
+
+    direct_p = cat.tables().prefixes
+    direct_e = cat.tables().entries
+    for i in range(3):  # three delta batches
+        time.sleep(1.05)
+        with open(f"{root}/a/new{i}.dat", "w") as f:
+            f.write("d" * (i + 1))
+        if i == 1:
+            os.unlink(f"{root}/b/f3")
+        rows, off = r.read(off)
+        diff = spark.createDataFrame([tuple(x) for x in rows], schema)
+        # the full-copy truth, chained in memory
+        res = apply_changes(direct_p, direct_e, diff, root=root,
+                            with_summary=False, cache=False)
+        direct_p = spark.createDataFrame(
+            res.prefixes.collect(), PREFIXES_SCHEMA
+        )
+        direct_e = spark.createDataFrame(
+            res.entries.collect(), ENTRIES_SCHEMA
+        )
+        out = cat.write_delta(diff, root=root)
+        assert os.path.exists(f"{out}/_delta.json")
+
+    assert cat.chain_length() == 3
+    t = cat.tables()  # DeltaTables reconstruction
+
+    def norm(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    ecols = ["path", "is_dir", "size", "mode", "inode"]
+    pcols = ["path", "depth", "n_entries", "mode", "inode"]
+    assert norm(t.entries, ecols) == norm(direct_e, ecols)
+    assert norm(t.prefixes, pcols) == norm(direct_p, pcols)
+
+    # compaction: database compact shape — materialize + full write
+    out = cat.write_snapshot(t.prefixes, t.entries)
+    assert cat.chain_length() == 0
+    t2 = cat.tables()
+    assert norm(t2.entries, ecols) == norm(direct_e, ecols)
+
+    # prune keeps the chain's base while a kept delta still needs it
+    removed = cat.prune(keep=2)  # keeps v0005 (full) + v0004 (delta)
+    assert "v0001" not in removed, removed  # v0004's chain base survives
+    assert cat.chain_length("v0004") == 3

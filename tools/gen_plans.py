@@ -139,6 +139,14 @@ SHOWCASE = {
     "into one int64 key, two-phase distributed cumsum "
     "(repartitionByRange + per-partition running totals + broadcast "
     "offsets), budget cut is a plain filter — every window keyed",
+    "q134_cluster_balance": "Lloyd k-means: each round is ONE scan + a "
+    "≤k-row aggregate; centroids return to the plan as literals, so "
+    "assignment is a scan-side CASE chain — no per-round shuffle of the "
+    "vectors, no driver-side vector math",
+    "q135_watch_apply_prefixes": "continuous ingest apply: churn-sized "
+    "change feed drives BROADCAST anti/semi-joins against the stored "
+    "snapshot; n_entries recounts only the affected parents — nothing "
+    "shuffles proportional to tree size",
 }
 
 
