@@ -102,10 +102,9 @@ def decode_bench() -> dict:
             256 * 256 * 3,
         )
         # the SAME images spectrally split (SOF2): the progressive scan
-        # path is the pure-Python _ProgBits loop (round-8; the compiled
-        # kernel covers sequential only), so this rate is its honest
-        # floor and the gap to decode_jpeg_mb_per_sec is the native-
-        # extension headroom if progressive corpora ever dominate
+        # path (compiled dudb_prog_segment when gcc exists, _ProgBits
+        # pure-Python floor otherwise — both bit-identical, pinned in
+        # test_jpeg.py); with the kernel it tracks the baseline rate
         add(
             "jpeg_progressive",
             (encode_jpeg(img, subsample="420", progressive=True), "jpeg"),
@@ -210,6 +209,85 @@ def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
     finally:
         shutil.rmtree(base, ignore_errors=True)
         if getattr(r, "state_dir", None):
+            shutil.rmtree(r.state_dir, ignore_errors=True)
+
+
+def watch_apply_bench(spark, n_dirs: int = 400,
+                      files_per_dir: int = 25) -> dict:
+    """Continuous-ingest write cost on a REAL tree: a bucketed snapshot
+    of ~10k entries takes a 1%-churn fswatch diff, and the DELTA commit
+    (apply summary + churn-sized parquet write, what every watch --apply
+    batch pays) is timed against the FULL compaction snapshot write
+    (what the old full-copy mode paid every batch; now paid once per
+    --compact-every).  The ratio is the per-batch write saving; it GROWS
+    with tree size since the delta side is churn-proportional."""
+    import shutil
+    import tempfile
+
+    from dudb_spark.model import ENTRIES_SCHEMA, PREFIXES_SCHEMA
+    from dudb_spark.operators.ingest import apply_changes
+    from dudb_spark.sources.catalog import SnapshotCatalog
+    from dudb_spark.sources.crawler import crawl_local
+    from dudb_spark.sources.fsds import FsWatchReader, _FIELDS
+
+    base = tempfile.mkdtemp(prefix="dudb_watchapply_bench_")
+    root = os.path.join(base, "tree")
+    db = os.path.join(base, "db")
+    r = None
+    try:
+        for i in range(n_dirs):
+            d = os.path.join(root, f"g{i // 100:02d}", f"d{i:05d}")
+            os.makedirs(d)
+            for j in range(files_per_dir):
+                with open(os.path.join(d, f"f{j}.dat"), "w") as f:
+                    f.write("x")
+        cat = SnapshotCatalog(spark, db)
+        p0, e0, _ = crawl_local(root)
+        cat.write_snapshot(
+            spark.createDataFrame(p0, PREFIXES_SCHEMA),
+            spark.createDataFrame(e0, ENTRIES_SCHEMA),
+            layout="bucketed",
+        )
+        r = FsWatchReader({"path": root})
+        r.read({"gen": 0})  # resync consumed
+        for i in range(max(1, n_dirs // 100)):
+            with open(
+                os.path.join(root, f"g{i % (n_dirs // 100):02d}",
+                             f"d{i * 100:05d}", "new.bin"), "w"
+            ) as f:
+                f.write("z")
+        rows, _ = r.read({"gen": 1})
+        schema = "op string, " + ", ".join(
+            f"{c} {'boolean' if c == 'is_dir' else 'timestamp' if c == 'mtime' else 'long' if c not in ('parent', 'name', 'path', 'error', 'op') else 'string'}"
+            for c in [*_FIELDS, "error"]
+        ) + ", gen long"
+        diff = spark.createDataFrame(
+            [tuple(row) for row in rows], schema
+        ).localCheckpoint()
+
+        t = cat.tables()
+        t0 = time.perf_counter()
+        res = apply_changes(t.prefixes, t.entries, diff, root=root)
+        _ = res.summary  # the per-batch counter job
+        cat.write_delta(diff, root=root)
+        t_delta = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        lay = cat.base_layout()
+        cat.write_snapshot(
+            res.prefixes, res.entries, layout=lay.get("layout"),
+            path_buckets=lay.get("path_buckets", 64),
+        )
+        t_full = time.perf_counter() - t0
+        res.release()
+        return {
+            "watch_delta_commit_sec": round(t_delta, 3),
+            "watch_full_compact_sec": round(t_full, 3),
+            "watch_delta_write_ratio": round(t_full / max(t_delta, 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        if r is not None and getattr(r, "state_dir", None):
             shutil.rmtree(r.state_dir, ignore_errors=True)
 
 
@@ -360,6 +438,10 @@ def main():
     # a regression, and compare the common-query sum against the same
     # sum in the older record.
     result["suite_seconds_norm"] = round(total / max(min(calib), 1e-9), 1)
+    # continuous-ingest write cost: delta commit vs full compaction on a
+    # real 10k-entry tree with 1% churn (the per-batch saving of the
+    # round-8 delta-chain layout; grows with tree size)
+    result.update(watch_apply_bench(spark))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_r04.json")) as f:

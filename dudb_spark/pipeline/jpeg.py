@@ -627,6 +627,42 @@ def _entropy_decode_prog(scan, order, comps_all, H, W, huff, restart,
     per_seg = restart or n_units
     p1 = 1 << al
 
+    # compiled fast path: the SAME four scan procedures in C
+    # (jpeg_native.dudb_prog_segment), bit-identical coefficients;
+    # pure-Python loop below when gcc is unavailable
+    from dudb_spark.pipeline import jpeg_native
+
+    lib = jpeg_native.get_lib()  # honors DUDB_JPEG_NO_NATIVE
+    if lib is not None:
+        meta = np.array(
+            [x for (c, ch, cv) in layout for x in (ch, cv, c.bw)],
+            np.int32,
+        )
+        zero = np.zeros(1, np.int32)
+        dc_arrs = [
+            huff[(0, c.td)].np32() if (ss == 0 and ah == 0) else zero
+            for (c, _, _) in layout
+        ]
+        ac_np = huff[(1, order[0].ta)].np32() if ss > 0 else zero
+        coeff_arrs = [c.coeffs.reshape(-1) for (c, _, _) in layout]
+        sw_val = mcus_x if interleaved else sw
+        unit = 0
+        for seg in segments:
+            if unit >= n_units:
+                break
+            preds_np = np.zeros(len(layout), np.int32)
+            eob_np = np.zeros(1, np.int32)
+            seg_end = min(unit + per_seg, n_units)
+            jpeg_native.prog_segment(
+                lib, seg, unit, seg_end, mcus_x, sw_val, interleaved,
+                meta, dc_arrs, ac_np, ss, se, ah, al,
+                preds_np, eob_np, coeff_arrs,
+            )
+            unit = seg_end
+        if unit < n_units:
+            raise ValueError("JPEG: truncated entropy data")
+        return
+
     unit = 0
     try:
         for seg in segments:

@@ -133,6 +133,189 @@ int dudb_entropy_segment(
     }
     return 0;
 }
+
+/* Progressive scan decode of one restart segment, transcribed from
+   pipeline/jpeg.py _entropy_decode_prog: the four T.81 G.2 scan
+   classes (DC first / DC refinement on Ss==0 by Ah, AC first / AC
+   refinement on Ss>0 by Ah).  eobrun persists across units WITHIN a
+   segment, so it rides in/out via pointer.  For non-interleaved scans
+   ncomp==1 and units walk the sw-wide un-padded block grid; gw stays
+   the component's padded stride.  Same refill discipline and error
+   codes as the sequential kernel above. */
+int dudb_prog_segment(
+    const uint8_t* data, long dlen,
+    long unit_start, long unit_end,
+    long mcus_x, long sw, int interleaved,
+    int ncomp, const int32_t* meta,       /* ch, cv, gw per comp */
+    const int32_t** dc_luts, const int32_t* ac_lut,
+    int ss, int se, int ah, int al,
+    int32_t* preds, int32_t* eobrun_io,
+    int32_t** coeffs)
+{
+    uint64_t bitbuf = 0;
+    int bitcnt = 0;
+    long bpos = 0;
+    int32_t eobrun = *eobrun_io;
+    const int32_t p1 = 1 << al;
+
+#define REFILL(NEED) \
+    if (bitcnt < (NEED)) { \
+        if (bpos + 1 >= dlen) return -4; \
+        bitbuf = (bitbuf << 16) \
+            | ((uint64_t)data[bpos] << 8) | data[bpos + 1]; \
+        bpos += 2; bitcnt += 16; \
+    }
+
+    for (long unit = unit_start; unit < unit_end; unit++) {
+        if (ss == 0) {
+            /* ---- DC scans ---- */
+            long my, mx;
+            if (interleaved) { my = unit / mcus_x; mx = unit % mcus_x; }
+            else             { my = unit / sw;     mx = unit % sw; }
+            for (int ci = 0; ci < ncomp; ci++) {
+                int ch = meta[ci * 3], cv = meta[ci * 3 + 1];
+                long gw = meta[ci * 3 + 2];
+                long row0 = my * cv, col0 = mx * ch;
+                for (int by = 0; by < cv; by++) {
+                    for (int bx = 0; bx < ch; bx++) {
+                        int32_t* blk = coeffs[ci]
+                            + (((row0 + by) * gw + col0 + bx) << 6);
+                        if (ah == 0) {
+                            REFILL(16);
+                            int32_t packed = dc_luts[ci]
+                                [(bitbuf >> (bitcnt - 16)) & 0xFFFF];
+                            if (!packed) return -1;
+                            int s = packed >> 5;
+                            bitcnt -= packed & 31;
+                            if (s) {
+                                if (s > 11) return -2;
+                                REFILL(s);
+                                int32_t bits =
+                                    (bitbuf >> (bitcnt - s))
+                                    & ((1u << s) - 1);
+                                bitcnt -= s;
+                                preds[ci] += (bits < (1 << (s - 1)))
+                                    ? bits - (1 << s) + 1 : bits;
+                            }
+                            blk[0] = preds[ci] << al;
+                        } else {
+                            REFILL(1);
+                            int32_t bit =
+                                (bitbuf >> (bitcnt - 1)) & 1;
+                            bitcnt -= 1;
+                            if (bit) blk[0] |= p1;
+                        }
+                    }
+                }
+            }
+        } else {
+            /* ---- AC scans: single component, un-padded grid ---- */
+            long gw = meta[2];
+            long my = unit / sw, mx = unit % sw;
+            int32_t* row = coeffs[0] + ((my * gw + mx) << 6);
+            int k = ss;
+            if (ah == 0) {
+                /* AC first */
+                if (eobrun) { eobrun--; continue; }
+                while (k <= se) {
+                    REFILL(16);
+                    int32_t packed =
+                        ac_lut[(bitbuf >> (bitcnt - 16)) & 0xFFFF];
+                    if (!packed) return -1;
+                    int sym = packed >> 5;
+                    bitcnt -= packed & 31;
+                    int r = sym >> 4, s = sym & 15;
+                    if (s == 0) {
+                        if (r == 15) { k += 16; continue; }  /* ZRL */
+                        REFILL(r);
+                        int32_t extra = r
+                            ? (int32_t)((bitbuf >> (bitcnt - r))
+                                        & ((1u << r) - 1)) : 0;
+                        bitcnt -= r;
+                        eobrun = (1 << r) - 1 + extra;
+                        break;
+                    }
+                    k += r;
+                    if (k > se) return -3;
+                    REFILL(s);
+                    int32_t bits =
+                        (bitbuf >> (bitcnt - s)) & ((1u << s) - 1);
+                    bitcnt -= s;
+                    row[k] = ((bits < (1 << (s - 1)))
+                              ? bits - (1 << s) + 1 : bits) << al;
+                    k++;
+                }
+            } else {
+                /* AC refinement */
+                if (eobrun == 0) {
+                    while (k <= se) {
+                        REFILL(16);
+                        int32_t packed =
+                            ac_lut[(bitbuf >> (bitcnt - 16)) & 0xFFFF];
+                        if (!packed) return -1;
+                        int sym = packed >> 5;
+                        bitcnt -= packed & 31;
+                        int r = sym >> 4, s = sym & 15;
+                        int32_t newval = 0;
+                        if (s == 0) {
+                            if (r < 15) {
+                                REFILL(r);
+                                int32_t extra = r
+                                    ? (int32_t)((bitbuf >> (bitcnt - r))
+                                                & ((1u << r) - 1)) : 0;
+                                bitcnt -= r;
+                                eobrun = (1 << r) + extra;
+                                break;
+                            }
+                            /* r == 15: ZRL — skip 16 zero-history */
+                        } else {
+                            if (s != 1) return -2;
+                            REFILL(1);
+                            int32_t bit =
+                                (bitbuf >> (bitcnt - 1)) & 1;
+                            bitcnt -= 1;
+                            newval = bit ? p1 : -p1;
+                        }
+                        while (k <= se) {
+                            int32_t v = row[k];
+                            if (v) {
+                                REFILL(1);
+                                int32_t bit =
+                                    (bitbuf >> (bitcnt - 1)) & 1;
+                                bitcnt -= 1;
+                                if (bit && !(v & p1))
+                                    row[k] = v + (v > 0 ? p1 : -p1);
+                            } else {
+                                if (r == 0) break;
+                                r--;
+                            }
+                            k++;
+                        }
+                        if (newval && k <= se) row[k] = newval;
+                        k++;
+                    }
+                }
+                if (eobrun) {
+                    for (; k <= se; k++) {
+                        int32_t v = row[k];
+                        if (v) {
+                            REFILL(1);
+                            int32_t bit =
+                                (bitbuf >> (bitcnt - 1)) & 1;
+                            bitcnt -= 1;
+                            if (bit && !(v & p1))
+                                row[k] = v + (v > 0 ? p1 : -p1);
+                        }
+                    }
+                    eobrun--;
+                }
+            }
+        }
+    }
+#undef REFILL
+    *eobrun_io = eobrun;
+    return 0;
+}
 """
 
 _lock = threading.Lock()
@@ -181,6 +364,18 @@ def _build() -> "ctypes.CDLL | None":
         ctypes.POINTER(ctypes.c_int32), PP,
     ]
     fn.restype = ctypes.c_int
+    fn2 = lib.dudb_prog_segment
+    fn2.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        PP, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        PP,
+    ]
+    fn2.restype = ctypes.c_int
     return lib
 
 
@@ -221,6 +416,33 @@ def entropy_segment(lib, seg, mcu_start, mcu_end, mcus_x, meta,
         ncomp, meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         pp(dc_arrs), pp(ac_arrs),
         preds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pp(coeff_arrs),
+    )
+    if rc != 0:
+        raise ValueError(_ERRORS.get(rc, f"JPEG: native decode rc={rc}"))
+
+
+def prog_segment(lib, seg, unit_start, unit_end, mcus_x, sw, interleaved,
+                 meta, dc_arrs, ac_arr, ss, se, ah, al,
+                 preds, eobrun, coeff_arrs) -> None:
+    """ctypes shim for one PROGRESSIVE restart segment (the four T.81
+    G.2 scan classes); eobrun is a 1-element int32 array carrying the
+    EOB run across units within the segment."""
+    ncomp = len(coeff_arrs)
+    data = seg + b"\xff" * 8
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def pp(arrs):
+        return (ctypes.c_void_p * len(arrs))(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs]
+        )
+
+    rc = lib.dudb_prog_segment(
+        data, len(data), unit_start, unit_end, mcus_x, sw,
+        int(interleaved), ncomp, meta.ctypes.data_as(i32p),
+        pp(dc_arrs), ac_arr.ctypes.data_as(i32p),
+        ss, se, ah, al,
+        preds.ctypes.data_as(i32p), eobrun.ctypes.data_as(i32p),
         pp(coeff_arrs),
     )
     if rc != 0:

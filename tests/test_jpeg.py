@@ -622,3 +622,53 @@ def test_own_progressive_gray_and_guards():
     )
     with pytest.raises(ValueError, match="restart"):
         jpeg.encode_jpeg(gray, progressive=True, restart=2)
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_native_progressive_matches_python_bit_exact(sub):
+    """The compiled progressive kernel (dudb_prog_segment) and the
+    pure-Python _ProgBits loop recover IDENTICAL coefficients from the
+    same libjpeg jpeg_simple_progression streams (all four scan classes,
+    restart intervals included via the gray case below)."""
+    import importlib
+
+    from dudb_spark.pipeline import jpeg_native
+
+    if _prog_harness() is None or jpeg_native.get_lib() is None:
+        pytest.skip("gcc/libjpeg not available")
+    rng = _rng()
+    img = rng.integers(0, 256, (45, 61, 3), dtype=np.uint8)
+    payload = _encode_progressive(img, sub=sub)
+
+    native = _our_coeffs_natural(payload)
+    os.environ["DUDB_JPEG_NO_NATIVE"] = "1"
+    jpeg_native._lib, jpeg_native._lib_tried = None, False
+    try:
+        pure = _our_coeffs_natural(payload)
+    finally:
+        del os.environ["DUDB_JPEG_NO_NATIVE"]
+        jpeg_native._lib, jpeg_native._lib_tried = None, False
+    for (wb, hb, got), (pwb, phb, want) in zip(native, pure):
+        assert (wb, hb) == (pwb, phb)
+        assert np.array_equal(got, want)
+
+
+def test_native_progressive_restart_matches_python():
+    from dudb_spark.pipeline import jpeg_native
+
+    if _prog_harness() is None or jpeg_native.get_lib() is None:
+        pytest.skip("gcc/libjpeg not available")
+    rng = _rng()
+    color = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+    p = _encode_progressive(color, sub="420", restart=2)
+    native = _our_coeffs_natural(p)
+    os.environ["DUDB_JPEG_NO_NATIVE"] = "1"
+    jpeg_native._lib, jpeg_native._lib_tried = None, False
+    try:
+        pure = _our_coeffs_natural(p)
+    finally:
+        del os.environ["DUDB_JPEG_NO_NATIVE"]
+        jpeg_native._lib, jpeg_native._lib_tried = None, False
+    for (wb, hb, got), (pwb, phb, want) in zip(native, pure):
+        assert (wb, hb) == (pwb, phb)
+        assert np.array_equal(got, want)
