@@ -1,11 +1,12 @@
 """Dependency-free baseline + progressive JPEG codec (ITU-T T.81).
 
 The decoder handles baseline and extended-sequential Huffman JPEGs
-(SOF0/SOF1) and progressive Huffman JPEGs (SOF2, T.81 Annex G.2: DC
-first/refinement and AC first/refinement scans with EOB runs and
-successive approximation): 8-bit precision, grayscale or YCbCr with
-integer sampling ratios (4:4:4, 4:2:2, 4:2:0), optional restart
-intervals.  Arithmetic coding, 12-bit precision, and CMYK raise
+(SOF0/SOF1 — interleaved single-scan AND the rarer non-interleaved
+one-scan-per-component layout, T.81 A.2) and progressive Huffman JPEGs
+(SOF2, T.81 Annex G.2: DC first/refinement and AC first/refinement
+scans with EOB runs and successive approximation): 8-bit precision,
+grayscale or YCbCr with integer sampling ratios (4:4:4, 4:2:2, 4:2:0),
+optional restart intervals.  Arithmetic coding, 12-bit precision, and CMYK raise
 ValueError — ``multimodal.decode_jpeg`` falls back to Pillow for those
 when it is installed, and null-fills otherwise (the same declared
 boundary as the other codecs; reference has no multimodal surface —
@@ -166,6 +167,7 @@ def _decode_coefficients(payload: bytes):
     sof_seen = False
     progressive = False
     scans_done = 0
+    seq_done: set[int] = set()
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -252,8 +254,6 @@ def _decode_coefficients(payload: bytes):
             if not sof_seen:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            if not progressive and ns != len(comps):
-                raise ValueError("JPEG: partial scans unsupported")
             by_id = {c.cid: c for c in comps}
             order = []
             for i in range(ns):
@@ -277,9 +277,19 @@ def _decode_coefficients(payload: bytes):
                 scans_done += 1
                 pos = scan_end
                 continue
+            # sequential: interleaved single-scan is the common case;
+            # non-interleaved streams carry one scan per component
+            # (ns < ncomps, T.81 A.2) — decode each against the frame's
+            # global sampling maxima and return once every component
+            # has its coefficients
             _entropy_decode(
-                payload[scan_start:scan_end], order, H, W, huff, restart
+                payload[scan_start:scan_end], order, H, W, huff, restart,
+                hv=(max(c.h for c in comps), max(c.v for c in comps)),
             )
+            seq_done.update(id(c) for c in order)
+            if len(seq_done) < len(comps):
+                pos = scan_end
+                continue
             for c in comps:
                 if c.tq not in qtables:
                     raise ValueError("JPEG: missing quantization table")
@@ -309,13 +319,19 @@ def _scan_extent(payload: bytes, start: int):
         return nxt
 
 
-def _entropy_decode(scan, order, H, W, huff, restart):
+def _entropy_decode(scan, order, H, W, huff, restart, hv=None):
     """Huffman-decode every MCU of an (interleaved or single-component)
     scan into per-component ``coeffs`` arrays.  The symbol loop is the
     serial core: one LUT lookup per symbol + one masked shift per
-    magnitude read, with restart segments resetting predictors."""
-    hmax = max(c.h for c in order)
-    vmax = max(c.v for c in order)
+    magnitude read, with restart segments resetting predictors.
+
+    ``hv`` carries the frame-GLOBAL (hmax, vmax): a non-interleaved
+    scan of one subsampled component must size that component's block
+    grid against the frame's sampling maxima, not its own (T.81 A.1.1
+    — without it a 4:2:0 chroma scan would be sized full-resolution)."""
+    hmax, vmax = hv if hv else (
+        max(c.h for c in order), max(c.v for c in order)
+    )
     if len(order) == 1:
         c = order[0]
         # non-interleaved: the MCU is one block of the lone component

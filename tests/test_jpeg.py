@@ -377,7 +377,8 @@ _PROG_HARNESS_C = r"""
 #include <string.h>
 #include <jpeglib.h>
 
-static void encode(int w, int h, int ch, const char *sub, int restart) {
+static void encode(int w, int h, int ch, const char *sub, int restart,
+                   int prog) {
     struct jpeg_compress_struct cinfo;
     struct jpeg_error_mgr jerr;
     cinfo.err = jpeg_std_error(&jerr);
@@ -400,7 +401,21 @@ static void encode(int w, int h, int ch, const char *sub, int restart) {
         cinfo.comp_info[2].h_samp_factor = 1;
         cinfo.comp_info[2].v_samp_factor = 1;
     }
-    jpeg_simple_progression(&cinfo);
+    static jpeg_scan_info seqscans[3];
+    if (prog) {
+        jpeg_simple_progression(&cinfo);
+    } else {
+        /* non-interleaved SEQUENTIAL: one full-band scan per component
+           (T.81 A.2) — the rare-but-legal layout some encoders emit */
+        for (int i = 0; i < ch; i++) {
+            seqscans[i].comps_in_scan = 1;
+            seqscans[i].component_index[0] = i;
+            seqscans[i].Ss = 0; seqscans[i].Se = 63;
+            seqscans[i].Ah = 0; seqscans[i].Al = 0;
+        }
+        cinfo.scan_info = seqscans;
+        cinfo.num_scans = ch;
+    }
     cinfo.restart_interval = restart;
     jpeg_start_compress(&cinfo, TRUE);
     size_t stride = (size_t)w * ch;
@@ -441,14 +456,9 @@ static void coefs(void) {
 
 int main(int argc, char **argv) {
     if (argc >= 2 && !strcmp(argv[1], "coef")) { coefs(); return 0; }
-    if (argc == 6) {
+    if (argc >= 7) {
         encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]), argv[5],
-               argc > 6 ? 0 : 0);
-        return 0;
-    }
-    if (argc == 7) {
-        encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]), argv[5],
-               atoi(argv[6]));
+               atoi(argv[6]), argc > 7 ? atoi(argv[7]) : 1);
         return 0;
     }
     return 2;
@@ -478,12 +488,14 @@ def _prog_harness():
     return _PROG_BIN or None
 
 
-def _encode_progressive(img: np.ndarray, sub="444", restart=0) -> bytes:
+def _encode_progressive(img: np.ndarray, sub="444", restart=0,
+                        prog=1) -> bytes:
     binp = _prog_harness()
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 else img.shape[2]
     r = subprocess.run(
-        [binp, "enc", str(w), str(h), str(ch), sub, str(restart)],
+        [binp, "enc", str(w), str(h), str(ch), sub, str(restart),
+         str(prog)],
         input=img.tobytes(), capture_output=True,
     )
     assert r.returncode == 0, r.stderr[-400:]
@@ -672,3 +684,27 @@ def test_native_progressive_restart_matches_python():
     for (wb, hb, got), (pwb, phb, want) in zip(native, pure):
         assert (wb, hb) == (pwb, phb)
         assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_sequential_noninterleaved_multiscan(sub):
+    """Sequential (SOF0) streams with one NON-INTERLEAVED scan per
+    component (ns=1 x3, T.81 A.2): coefficients bit-exact against
+    jpeg_read_coefficients, pixels within IDCT tolerance — the
+    subsampled chroma scans must size against the frame's sampling
+    maxima, not their own."""
+    if _prog_harness() is None:
+        pytest.skip("gcc/libjpeg not available")
+    rng = _rng()
+    img = rng.integers(0, 256, (45, 61, 3), dtype=np.uint8)
+    payload = _encode_progressive(img, sub=sub, prog=0)
+    assert b"\xff\xc2" not in payload and b"\xff\xc0" in payload
+    assert payload.count(b"\xff\xda") == 3  # really three scans
+    ours = _our_coeffs_natural(payload)
+    refs = _libjpeg_coefficients(payload)
+    for (wb, hb, got), (rwb, rhb, want) in zip(ours, refs):
+        assert (wb, hb) == (rwb, rhb)
+        assert np.array_equal(got, want)
+    ref = _libjpeg_decode(payload)
+    px = jpeg.decode_jpeg_pixels(payload)
+    assert np.abs(ref.astype(int) - px.astype(int)).max() <= 3
