@@ -263,7 +263,11 @@ def _stats_fold_update(cat, prev_stats, touched, opts, churn_threshold,
             # recorded at write time: lets the closure skip its
             # is-the-index-empty probe job
             spill_rows = prev_lay["spill_rows"] + cur_lay["spill_rows"]
-    else:
+    elif not (cat.is_delta(cat.latest_version())
+              or (prev_v and cat.is_delta(prev_v))):
+        # delta versions are EXPECTED to lack the physical bucketing
+        # (the periodic compaction restores it) — only a genuinely
+        # unbucketed DB warrants the advice
         print(
             f"{label}: snapshots are not (both) bucketed —"
             " closure probes will scan the tree; run `database compact"
