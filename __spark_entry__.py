@@ -3103,6 +3103,34 @@ def q128_jpeg_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q139_watch_stats_fold(spark, sf_dir):
+    """The continuous-stats loop's math (``watch --apply --stats-dir``):
+    incremental_stats fold-updated with apply_changes' churn-sized
+    touched set must equal a FULL from-scratch fold over the applied
+    tables — the oracle is that full fold restated in SQL over the same
+    change feed (q77's certification pattern applied to the watch
+    path, including the hardlink-dedup closure under subtree deletion)."""
+    from dudb_spark.operators.incremental import incremental_stats
+    from dudb_spark.operators.ingest import apply_changes
+    from dudb_spark.operators.stats import StatsOptions, compute_stats
+
+    prev_p, prev_e, feed = _watch_feed(spark)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        prev = compute_stats(prev_p, prev_e, StatsOptions())
+        res = apply_changes(
+            prev_p, prev_e, feed, root="/tree", with_summary=False
+        )
+        inc = incremental_stats(
+            prev, prev_p, prev_e, res.prefixes, res.entries, res.touched
+        )
+        out = inc.per_prefix.orderBy("prefix").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return out
+
+
 def q138_delta_chain_read(spark, sf_dir):
     """Delta-chain storage route for continuous ingest: q135's exact
     change feed lands as a churn-sized DELTA version (catalog.write_delta
@@ -4920,6 +4948,7 @@ QUERIES: dict[str, Callable] = {
     "q136_watch_apply_entries": q136_watch_apply_entries,
     "q137_jpeg_progressive": q137_jpeg_progressive,
     "q138_delta_chain_read": q138_delta_chain_read,
+    "q139_watch_stats_fold": q139_watch_stats_fold,
 }
 
 ORACLE: dict[str, str] = {
@@ -6217,12 +6246,14 @@ _WATCH_FEED_SQL = f"""
     ), new_p AS (
         SELECT p.path, p.mtime, p.size,
                CASE WHEN c.path IS NOT NULL THEN c.n_new
-                    ELSE p.n_entries END AS n_entries
+                    ELSE p.n_entries END AS n_entries,
+               p.uid, p.gid, p.device, p.inode
         FROM prev_p p LEFT JOIN counts c ON p.path = c.path
         WHERE p.path NOT IN (SELECT path FROM feed
                              WHERE op IN ('changed', 'deleted') AND is_dir)
         UNION ALL
-        SELECT d.path, d.mtime, d.size, COALESCE(c.n_new, 0)
+        SELECT d.path, d.mtime, d.size, COALESCE(c.n_new, 0),
+               d.uid, d.gid, d.device, d.inode
         FROM (SELECT * FROM live WHERE is_dir) d
         LEFT JOIN counts c ON d.path = c.path
     )
@@ -6244,6 +6275,25 @@ ORACLE["q136_watch_apply_entries"] = _WATCH_FEED_SQL + """
 
 # q138: the stored delta-chain read must reproduce the in-memory apply
 ORACLE["q138_delta_chain_read"] = ORACLE["q135_watch_apply_prefixes"]
+
+# q139: FULL fold over the applied tables — the ground truth the
+# continuous-stats incremental update must reproduce (q77's pattern)
+ORACLE["q139_watch_stats_fold"] = (
+    _WATCH_FEED_SQL
+    + _fold_sql_tail("new_p", "new_e")
+    + """
+    SELECT prefix,
+           CAST(SUM(files) AS BIGINT) AS files,
+           CAST(SUM(prefixes) AS BIGINT) AS prefixes,
+           CAST(SUM(sub_prefixes) AS BIGINT) AS sub_prefixes,
+           CAST(SUM(bytes) AS BIGINT) AS bytes,
+           CAST(SUM(storage_bytes) AS BIGINT) AS storage_bytes,
+           CAST(SUM(prefix_bytes) AS BIGINT) AS prefix_bytes,
+           CAST(SUM(hardlinks) AS BIGINT) AS hardlinks,
+           CAST(SUM(hardlink_dirs) AS BIGINT) AS hardlink_dirs
+    FROM contrib GROUP BY prefix ORDER BY prefix
+    """
+)
 
 ORACLE["q133_fswatch_stream"] = """
     WITH dirs AS (SELECT unnest(generate_series(0, 2)) AS i),
