@@ -2878,9 +2878,12 @@ def _watch_feed(spark):
     every affected object, exactly what the watch emits), three files
     under /tree/d0-0 changed in place (size+7, mtime+1h), the /tree/d0-0
     dir row changed (its listing churned), one file and one empty dir
-    added.  The root /tree deliberately has NO feed dir row (the walk
-    never emits the root), so the apply's root-recount branch is on the
-    certified path.  Every feed row is a pure column transformation of
+    added, the /tree/d0-1/d1-2 dir TYPE-FLIPPED to a file (one changed
+    row with is_dir false + its former subtree's deletion rows — the
+    stale prefix rows must retire), and one file turned UNREADABLE (an
+    error row: retires its path, inserts nothing).  The root /tree
+    deliberately has NO feed dir row (the walk never emits the root), so
+    the apply's root-recount branch is on the certified path.  Every feed row is a pure column transformation of
     the fixture parquet, so the DuckDB oracle restates both the feed and
     the apply's set algebra from the same files."""
     prev_p = _fs(spark, "prefixes")
@@ -2923,10 +2926,37 @@ def _watch_feed(spark):
         .withColumn("inode", F.col("inode") + F.lit(3_000_000))
         .withColumn("op", F.lit("added"))
     )
+    # dir→file TYPE FLIP: /tree/d0-1/d1-2 arrives as ONE changed row
+    # with is_dir now false (fswatch merges the rm -rf + recreate pair)
+    # plus deletion rows for its former subtree — the stale prefix rows
+    # (its own + its child dirs') must all retire
+    flip_kids = prev_e.where(
+        F.col("path").startswith("/tree/d0-1/d1-2/")
+    ).withColumn("op", F.lit("deleted"))
+    flip = (
+        prev_e.where(F.col("path") == "/tree/d0-1/d1-2")
+        .withColumn("is_dir", F.lit(False))
+        .withColumn("size", F.lit(777).cast("long"))
+        .withColumn("mode", F.lit(420).cast("long"))
+        .withColumn("mtime", F.col("mtime") + hour)
+        .withColumn("inode", F.col("inode") + F.lit(4_000_000))
+        .withColumn("op", F.lit("changed"))
+    )
+    # ERROR TRANSITION: a previously-readable file turns unreadable —
+    # its path must retire from the snapshot (dead side), nothing lands
+    # on the insert side
+    err_row = (
+        prev_e.where(F.col("path") == "/tree/d0-1/d1-0/f2-1")
+        .withColumn("size", F.lit(None).cast("long"))
+        .withColumn("mtime", F.lit(None).cast("timestamp"))
+        .withColumn("op", F.lit("changed"))
+    )
     feed = (
         deleted.unionByName(chg_files).unionByName(chg_dir)
         .unionByName(add_file).unionByName(add_dir)
+        .unionByName(flip_kids).unionByName(flip)
         .withColumn("error", F.lit(None).cast("string"))
+        .unionByName(err_row.withColumn("error", F.lit("EACCES")))
     )
     return prev_p, prev_e, feed
 
@@ -6229,20 +6259,44 @@ _WATCH_FEED_SQL = f"""
                is_dir, size, blocks, mode, mtime,
                uid, gid, device, inode + 3000000
         FROM prev_e WHERE path = '/tree/d0-0'
+        UNION ALL
+        -- dir->file type flip: the former subtree's deletion rows ...
+        SELECT 'deleted', parent, name, path, is_dir, size, blocks,
+               mode, mtime, uid, gid, device, inode
+        FROM prev_e WHERE path LIKE '/tree/d0-1/d1-2/%'
+        UNION ALL
+        -- ... plus ONE changed row whose is_dir flipped to false
+        SELECT 'changed', parent, name, path, FALSE, 777, blocks, 420,
+               mtime + INTERVAL 1 HOUR, uid, gid, device,
+               inode + 4000000
+        FROM prev_e WHERE path = '/tree/d0-1/d1-2'
+    ), errfeed AS (
+        -- error transition: unreadable path retires, inserts nothing
+        SELECT 'changed' AS op, parent, name, path, is_dir,
+               CAST(NULL AS BIGINT) AS size, blocks, mode,
+               CAST(NULL AS TIMESTAMP) AS mtime, uid, gid, device, inode
+        FROM prev_e WHERE path = '/tree/d0-1/d1-0/f2-1'
+    ), dead AS (
+        -- the UNFILTERED feed: error rows still retire their path
+        SELECT path FROM feed WHERE op IN ('changed', 'deleted')
+        UNION ALL
+        SELECT path FROM errfeed
     ), live AS (
+        -- insert side excludes error rows
         SELECT * FROM feed WHERE op IN ('added', 'changed')
     ), new_e AS (
         SELECT parent, name, path, is_dir, size, blocks, mode, mtime,
                uid, gid, device, inode
         FROM prev_e
-        WHERE path NOT IN (SELECT path FROM feed
-                           WHERE op IN ('changed', 'deleted'))
+        WHERE path NOT IN (SELECT path FROM dead)
         UNION ALL
         SELECT parent, name, path, is_dir, size, blocks, mode, mtime,
                uid, gid, device, inode
         FROM live
     ), aff AS (
         SELECT DISTINCT parent AS path FROM feed WHERE parent IS NOT NULL
+        UNION
+        SELECT DISTINCT parent FROM errfeed
         UNION
         SELECT path FROM live WHERE is_dir
     ), counts AS (
@@ -6256,8 +6310,7 @@ _WATCH_FEED_SQL = f"""
                     ELSE p.n_entries END AS n_entries,
                p.uid, p.gid, p.device, p.inode
         FROM prev_p p LEFT JOIN counts c ON p.path = c.path
-        WHERE p.path NOT IN (SELECT path FROM feed
-                             WHERE op IN ('changed', 'deleted') AND is_dir)
+        WHERE p.path NOT IN (SELECT path FROM dead)
         UNION ALL
         SELECT d.path, d.mtime, d.size, COALESCE(c.n_new, 0),
                d.uid, d.gid, d.device, d.inode

@@ -168,6 +168,8 @@ def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
 
     base = tempfile.mkdtemp(prefix="dudb_fswatch_bench_")
     root = os.path.join(base, "tree")
+    r = None  # bound before the try: a fixture-build failure must not
+    # mask itself with a NameError from the finally block
     try:
         for i in range(n_dirs):
             d = os.path.join(root, f"g{i // 100:02d}", f"d{i:05d}")
@@ -208,7 +210,7 @@ def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
-        if getattr(r, "state_dir", None):
+        if r is not None and getattr(r, "state_dir", None):
             shutil.rmtree(r.state_dir, ignore_errors=True)
 
 
@@ -228,7 +230,7 @@ def watch_apply_bench(spark, n_dirs: int = 400,
     from dudb_spark.operators.ingest import apply_changes
     from dudb_spark.sources.catalog import SnapshotCatalog
     from dudb_spark.sources.crawler import crawl_local
-    from dudb_spark.sources.fsds import FsWatchReader, _FIELDS
+    from dudb_spark.sources.fsds import FsWatchReader, _WATCH_DDL
 
     base = tempfile.mkdtemp(prefix="dudb_watchapply_bench_")
     root = os.path.join(base, "tree")
@@ -257,10 +259,7 @@ def watch_apply_bench(spark, n_dirs: int = 400,
             ) as f:
                 f.write("z")
         rows, _ = r.read({"gen": 1})
-        schema = "op string, " + ", ".join(
-            f"{c} {'boolean' if c == 'is_dir' else 'timestamp' if c == 'mtime' else 'long' if c not in ('parent', 'name', 'path', 'error', 'op') else 'string'}"
-            for c in [*_FIELDS, "error"]
-        ) + ", gen long"
+        schema = _WATCH_DDL
         diff = spark.createDataFrame(
             [tuple(row) for row in rows], schema
         ).localCheckpoint()

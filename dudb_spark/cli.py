@@ -501,17 +501,37 @@ def cmd_watch(args):
         for r in rows:
             sz = "" if r["size"] is None else r["size"]
             print(f"{r['gen']}\t{r['op']}\t{sz}\t{r['path']}", flush=True)
-        if cat is not None and any(r["gen"] > 0 for r in rows):
+        if cat is not None:
             from pyspark.sql import functions as F
 
-            from dudb_spark.operators.ingest import apply_changes
+            from dudb_spark.operators.ingest import (
+                apply_changes,
+                resync_feed,
+            )
 
             applied_from = cat.latest_version()
             t = cat.tables()
-            diff = batch_df.where(F.col("gen") > 0)
+            if any(r["gen"] == 0 for r in rows):
+                # batch 0 = the restart's full resync: churn that
+                # happened while the watcher was DOWN is in neither the
+                # stored snapshot nor any later diff batch (those diff
+                # against this walk), so reconcile the resync against
+                # the snapshot — one tree-sized classification, paid
+                # once per watch start; a clean start applies nothing
+                diff = resync_feed(
+                    t.entries, batch_df.where(F.col("gen") == 0)
+                )
+            else:
+                diff = batch_df.where(F.col("gen") > 0)
             res = apply_changes(
                 t.prefixes, t.entries, diff, root=args.prefix
             )
+            s = res.summary
+            if not (s["rows_added"] or s["rows_changed"]
+                    or s["rows_deleted"]):
+                res.release()
+                state["batches"] += 1
+                return
             # churn-sized delta commit by default; a FULL compaction
             # write (tree-sized, restores the bucketed layout) every
             # --compact-every batches bounds the reconstruction chain —

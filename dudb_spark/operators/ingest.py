@@ -273,20 +273,25 @@ def apply_changes(
     ``n_entries`` is recounted when root-level entries churn, its stat
     fields refresh on the next ``analyze``.
 
-    Error rows (``error`` non-null, unreadable paths) are excluded from
-    the snapshot tables — the batch ingest path lands them in the error
-    bucket; the CLI apply does the same with the count in its summary.
+    Error rows (``error`` non-null, unreadable paths) contribute their
+    PATH to the dead set — a path that becomes unreadable (or is deleted
+    while unreadable) must leave the snapshot, exactly as the batch
+    ingest path drops it to the error bucket — but never to the insert
+    side, so no null-stat row lands in the tables.
     """
     entry_cols = [f.name for f in prev_entries.schema.fields
                   if f.name != "pb"]
-    ch = changes.where(F.col("error").isNull()) if (
-        "error" in changes.columns
-    ) else changes
+    ch = changes
     if cache:
         ch = ch.cache()
+    ok = ch.where(F.col("error").isNull()) if (
+        "error" in ch.columns
+    ) else ch
 
+    # dead from the UNFILTERED feed: error-transition rows still retire
+    # their previous snapshot row
     dead = ch.where(F.col("op").isin("changed", "deleted")).select("path")
-    live = ch.where(F.col("op").isin("added", "changed"))
+    live = ok.where(F.col("op").isin("added", "changed"))
     # .select(*entry_cols) LAST: the path-keyed anti-join reorders
     # columns (join key first), and positional consumers of the result
     # (schema-pinned writes) need the entries schema order back
@@ -297,10 +302,6 @@ def apply_changes(
     )
 
     rootdepth = root.rstrip("/").count("/") if root else 0
-    # prefixes: replace dir rows present in the feed, drop deleted dirs
-    dir_dead = ch.where(
-        F.col("op").isin("changed", "deleted") & F.col("is_dir")
-    ).select("path")
     dir_live = live.where("is_dir")
     # affected parents: every parent seeing churn + the live dirs
     aff = (
@@ -336,8 +337,12 @@ def apply_changes(
     )
     pfx_cols = [f.name for f in prev_prefixes.schema.fields
                 if f.name != "pb"]
+    # anti-join on ALL dead paths, not only dir-typed feed rows: a
+    # dir→file type flip arrives as ONE 'changed' row with is_dir=false
+    # (plus deletion rows for the old subtree), and the stale prefix row
+    # must still retire; non-prefix dead paths miss by construction
     kept = prev_prefixes.select(*pfx_cols).join(
-        dir_dead, "path", "left_anti"
+        dead, "path", "left_anti"
     )
     # affected dirs WITHOUT a feed dir row (the root, typically): only
     # their n_entries moves
@@ -357,16 +362,22 @@ def apply_changes(
 
     summary = None
     if with_summary:
+        err_col = (
+            F.col("error").isNotNull() if "error" in ch.columns
+            else F.lit(False)
+        )
         c = ch.agg(
             F.count(F.when(F.col("op") == "added", 1)).alias("n_add"),
             F.count(F.when(F.col("op") == "changed", 1)).alias("n_chg"),
             F.count(F.when(F.col("op") == "deleted", 1)).alias("n_del"),
+            F.count(F.when(err_col, 1)).alias("n_err"),
         ).first()
         summary = {
             "operation": "watch-apply",
             "rows_added": c["n_add"],
             "rows_changed": c["n_chg"],
             "rows_deleted": c["n_del"],
+            "rows_error": c["n_err"],
         }
     # seed set for incremental stats: every affected prefix (feed dir
     # rows + parents of churned entries)
@@ -375,3 +386,47 @@ def apply_changes(
     ).distinct()
     return MergeResult(new_prefixes, new_entries, summary, touched,
                        cached=(ch,) if cache else ())
+
+
+def resync_feed(prev_entries: DataFrame, resync: DataFrame) -> DataFrame:
+    """Classify a full-resync walk (fswatch batch 0: every live object,
+    op='added') against the stored entries into the change-feed shape
+    :func:`apply_changes` consumes — rows become added / changed /
+    deleted by null-safe stat comparison and unchanged rows drop out.
+
+    This is the watch loop's RESTART RECONCILIATION: churn that happened
+    while the watcher was down is in neither the stored snapshot nor any
+    later diff batch (those diff against the restart's own walk), so the
+    snapshot would silently diverge without diffing batch 0 against it.
+    One tree-sized full-outer join, paid once per watch START — the same
+    cost shape as analyze's merge classification, not a per-batch cost.
+    Error rows in the resync keep their ``error`` (they classify as
+    changed via their null stats and retire their snapshot row)."""
+    sig = ("is_dir", "size", "mode", "mtime", "uid", "gid")
+    cols = [f.name for f in prev_entries.schema.fields if f.name != "pb"]
+    n = resync.alias("n")
+    p = prev_entries.alias("p")
+    j = n.join(p, F.col("n.path") == F.col("p.path"), "full_outer")
+    same = None
+    for c in sig:
+        eq = F.col(f"n.{c}").eqNullSafe(F.col(f"p.{c}"))
+        same = eq if same is None else (same & eq)
+    op = (
+        F.when(F.col("p.path").isNull(), F.lit("added"))
+        .when(F.col("n.path").isNull(), F.lit("deleted"))
+        .when(~same, F.lit("changed"))
+    )
+    gone = F.col("n.path").isNull()
+    out_cols = [
+        F.when(gone, F.col(f"p.{c}")).otherwise(F.col(f"n.{c}")).alias(c)
+        for c in cols
+    ]
+    err = (
+        F.when(gone, F.lit(None).cast("string"))
+        .otherwise(F.col("n.error"))
+        if "error" in resync.columns
+        else F.lit(None).cast("string")
+    )
+    return j.select(
+        op.alias("op"), *out_cols, err.alias("error")
+    ).where(F.col("op").isNotNull())

@@ -500,6 +500,12 @@ def _entropy_decode(scan, order, H, W, huff, restart, hv=None):
                                     continue
                                 k += sym >> 4
                                 s = sym & 15
+                                if s == 0:
+                                    # only EOB (0x00) / ZRL (0xF0) may
+                                    # carry size 0 in sequential coding
+                                    raise ValueError(
+                                        "JPEG: invalid AC symbol"
+                                    )
                                 if k > 63:
                                     raise ValueError("JPEG: AC index overflow")
                                 if bitcnt < s:
@@ -618,12 +624,16 @@ def _entropy_decode_prog(scan, order, comps_all, H, W, huff, restart,
         n_units = sw * sh
         layout = [(c, 1, 1)]
     if ss == 0:
-        try:
-            dc_lut = {id(c): huff[(0, c.td)].packed for c in order}
-        except KeyError:
-            raise ValueError("JPEG: scan references missing Huffman table")
         if ah > 0:
-            dc_lut = None  # refinement reads raw bits only
+            dc_lut = None  # refinement reads raw bits only — a missing
+            # (never-defined) DC table destination is legal here
+        else:
+            try:
+                dc_lut = {id(c): huff[(0, c.td)].packed for c in order}
+            except KeyError:
+                raise ValueError(
+                    "JPEG: scan references missing Huffman table"
+                )
     else:
         c = order[0]
         try:

@@ -111,6 +111,10 @@ int dudb_entropy_segment(
                         if (sym == 0xF0) { k += 16; continue; } /* ZRL */
                         k += sym >> 4;
                         int s = sym & 15;
+                        /* only EOB/ZRL may carry size 0 in sequential
+                           coding: s==0 here would shift by -1 (UB) —
+                           reject like the Python loop */
+                        if (s == 0) return -1;
                         if (k > 63) return -3;
                         if (bitcnt < s) {
                             if (bpos + 1 >= dlen) return -4;

@@ -27,8 +27,17 @@ class SnapshotCatalog:
     def versions(self) -> list[str]:
         try:
             return sorted(
-                d for d in os.listdir(self.root)
-                if d.startswith("v") and os.path.isdir(os.path.join(self.root, d))
+                (
+                    d for d in os.listdir(self.root)
+                    if d.startswith("v")
+                    and os.path.isdir(os.path.join(self.root, d))
+                ),
+                # numeric order: plain lexicographic puts v10000 BEFORE
+                # v9999, so past the zero-pad width next_version() would
+                # return v10000 forever and every watch batch would
+                # overwrite it (one version per batch reaches v9999 in
+                # hours at --interval 1)
+                key=lambda d: (len(d), d),
             )
         except FileNotFoundError:
             return []

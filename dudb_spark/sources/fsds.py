@@ -85,6 +85,10 @@ class FsWalkReader(DataSourceReader):
         # (skewed trees: one huge top-level subtree must not serialize
         # the walk into one task)
         self.min_partitions = int(options.get("min_partitions", "16"))
+        # max entries a peeled listing may carry inside the partition
+        # object (larger dirs are re-listed on the executor instead of
+        # pickled through the scheduler RPC)
+        self.max_carried = int(options.get("max_carried", "100000"))
 
     def partitions(self):
         from dudb_spark.sources.crawler import _scan_one
@@ -99,8 +103,19 @@ class FsWalkReader(DataSourceReader):
         # listing-only partition and its children join the frontier —
         # driver cost is one extra listdir level, bounded to 3 levels.
         # Peeled listings ride INSIDE the partition object so executors
-        # never re-list a directory the driver already scanned.
-        parts = [_Subtree(root, False, (entries, errors))]
+        # never re-list a directory the driver already scanned — but
+        # only up to a size cap: the peel bound limits the NUMBER of
+        # dirs, not entries per dir, and a multi-million-entry directory
+        # (exactly the skewed shape that triggers peeling) must not be
+        # pickled through the scheduler RPC; above the cap the partition
+        # ships just the path and the executor re-lists it.
+        def subtree(path, listing):
+            entries, errors = listing
+            if len(entries) + len(errors) > self.max_carried:
+                return _Subtree(path, False)
+            return _Subtree(path, False, (entries, errors))
+
+        parts = [subtree(root, (entries, errors))]
         frontier = children
         for _level in range(3):
             if len(parts) + len(frontier) >= self.min_partitions:
@@ -108,7 +123,7 @@ class FsWalkReader(DataSourceReader):
             nxt = []
             for c in frontier:
                 _, entries, errors, ch = _scan_one(c, pats)
-                parts.append(_Subtree(c, False, (entries, errors)))
+                parts.append(subtree(c, (entries, errors)))
                 nxt.extend(ch)
             if not nxt:
                 frontier = []
@@ -317,6 +332,11 @@ class FsWatchReader(SimpleDataSourceStreamReader):
         self._rootsig: tuple | None = None
         self._dirgen: dict[str, int] = {}
         self._filectr = 0
+        # snapshot files currently on disk — _gc_files iterates THIS,
+        # not range(1, _filectr): the counter only grows over a
+        # run-forever watch and a full-range exists() sweep per batch
+        # would be O(batches²) syscalls cumulative
+        self._ondisk: set[int] = set()
         self.last_batch_stats: dict[str, int] = {}
 
     def initialOffset(self):
@@ -370,6 +390,7 @@ class FsWatchReader(SimpleDataSourceStreamReader):
             ),
             self._file_path(self._filectr),
         )
+        self._ondisk.add(self._filectr)
         return self._filectr
 
     def _load_rows(self, dirs) -> dict[str, tuple]:
@@ -400,10 +421,11 @@ class FsWatchReader(SimpleDataSourceStreamReader):
         live: dict[int, int] = {}
         for fid in self._dirgen.values():
             live[fid] = live.get(fid, 0) + 1
-        for fid in range(1, self._filectr + 1):
+        for fid in self._ondisk - set(live):
             fp = self._file_path(fid)
-            if fid not in live and _os.path.exists(fp):
+            if _os.path.exists(fp):
                 _os.unlink(fp)
+            self._ondisk.discard(fid)
         if len(live) > self.compact_every:
             import pyarrow.parquet as pq
 
@@ -420,6 +442,7 @@ class FsWatchReader(SimpleDataSourceStreamReader):
                 fp = self._file_path(fid)
                 if _os.path.exists(fp):
                     _os.unlink(fp)
+                self._ondisk.discard(fid)
 
     # -- the bounded rescan ------------------------------------------------
 

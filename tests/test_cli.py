@@ -603,6 +603,10 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
                    "--stats-dir", sd, real_tree))
     cat = SnapshotCatalog(spark, db)
     assert len(cat.versions()) == 1
+    # churn BEFORE the watch starts: batch-0 reconciliation must apply
+    # it (it is in neither the stored snapshot nor any later diff batch)
+    with open(f"{real_tree}/proj/b/pre.dat", "w") as f:
+        f.write("early churn")
 
     err = []
 
@@ -631,7 +635,9 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
     wt.join(timeout=180)
     assert not wt.is_alive(), "watch --apply did not stop at max-batches"
     assert not err, err
-    assert len(cat.versions()) >= 2
+    # ≥3 versions: the batch-0 reconciliation landed pre.dat, a later
+    # diff batch landed the live mutations
+    assert len(cat.versions()) >= 3
     nt = cat.tables()
     got = sorted(
         (r["path"], r["is_dir"], r["size"])
@@ -640,9 +646,10 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
     _, want_e, _ = crawl_local(real_tree)
     want = sorted((e["path"], e["is_dir"], e["size"]) for e in want_e)
     assert got == want
-    # n_entries stays consistent on the churned dirs
+    # n_entries stays consistent on the churned dirs (b: z.log deleted
+    # live, pre.dat reconciled in at batch 0)
     n = {r["path"]: r["n_entries"] for r in nt.prefixes.collect()}
-    assert n[f"{real_tree}/proj/a"] == 3 and n[f"{real_tree}/proj/b"] == 0
+    assert n[f"{real_tree}/proj/a"] == 3 and n[f"{real_tree}/proj/b"] == 1
     # --stats-dir maintained the summaries through the incremental
     # closure (churn-threshold 0 forbids the refold path): the watch's
     # latest stats version equals a fresh full fold of the snapshot

@@ -442,7 +442,7 @@ def test_apply_changes_tracks_live_tree(spark, tmp_path):
 
     from dudb_spark.model import ENTRIES_SCHEMA, PREFIXES_SCHEMA
     from dudb_spark.operators.ingest import apply_changes
-    from dudb_spark.sources.fsds import FsWatchReader, _FIELDS
+    from dudb_spark.sources.fsds import FsWatchReader, _WATCH_DDL
 
     root = str(tmp_path / "live")
     os.makedirs(f"{root}/a/aa")
@@ -451,16 +451,12 @@ def test_apply_changes_tracks_live_tree(spark, tmp_path):
         with open(f"{root}/{pth}", "w") as f:
             f.write(body)
 
-    watch_cols = ["op", *(_FIELDS), "error", "gen"]
 
     def batch_df(reader, off):
         rows, off2 = reader.read(off)
         return spark.createDataFrame(
             [tuple(r) for r in rows],
-            "op string, " + ", ".join(
-                f"{c} {'boolean' if c == 'is_dir' else 'timestamp' if c == 'mtime' else 'long' if c not in ('parent', 'name', 'path', 'error', 'op') else 'string'}"
-                for c in watch_cols[1:-1]
-            ) + ", gen long",
+            _WATCH_DDL,
         ), off2
 
     def crawl_tables():
@@ -524,7 +520,7 @@ def test_delta_chain_reconstruction_equals_direct_apply(spark, tmp_path):
     from dudb_spark.operators.ingest import apply_changes
     from dudb_spark.sources.catalog import SnapshotCatalog
     from dudb_spark.sources.crawler import crawl_local
-    from dudb_spark.sources.fsds import FsWatchReader, _FIELDS
+    from dudb_spark.sources.fsds import FsWatchReader, _WATCH_DDL
 
     root = str(tmp_path / "live")
     os.makedirs(f"{root}/a")
@@ -540,11 +536,7 @@ def test_delta_chain_reconstruction_equals_direct_apply(spark, tmp_path):
         spark.createDataFrame(e0, ENTRIES_SCHEMA),
     )
 
-    watch_cols = ["op", *(_FIELDS), "error", "gen"]
-    schema = "op string, " + ", ".join(
-        f"{c} {'boolean' if c == 'is_dir' else 'timestamp' if c == 'mtime' else 'long' if c not in ('parent', 'name', 'path', 'error', 'op') else 'string'}"
-        for c in watch_cols[1:-1]
-    ) + ", gen long"
+    schema = _WATCH_DDL
     r = FsWatchReader({"path": root, "prune": "false"})
     rows, off = r.read({"gen": 0})  # batch-0 resync consumed
 
@@ -593,3 +585,20 @@ def test_delta_chain_reconstruction_equals_direct_apply(spark, tmp_path):
     removed = cat.prune(keep=2)  # keeps v0005 (full) + v0004 (delta)
     assert "v0001" not in removed, removed  # v0004's chain base survives
     assert cat.chain_length("v0004") == 3
+
+
+def test_catalog_version_order_past_zero_pad(spark, tmp_path):
+    """Version ordering is numeric: past v9999 (reachable by a
+    long-running watch --apply at one version per batch), versions()
+    and next_version() must keep advancing instead of parking on
+    v10000 and overwriting it every batch."""
+    import os
+
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    d = str(tmp_path / "db")
+    for v in ["v9998", "v9999", "v10000"]:
+        os.makedirs(os.path.join(d, v))
+    cat = SnapshotCatalog(spark, d)
+    assert cat.versions() == ["v9998", "v9999", "v10000"]
+    assert cat.next_version() == "v10001"

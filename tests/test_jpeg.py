@@ -708,3 +708,64 @@ def test_sequential_noninterleaved_multiscan(sub):
     ref = _libjpeg_decode(payload)
     px = jpeg.decode_jpeg_pixels(payload)
     assert np.abs(ref.astype(int) - px.astype(int)).max() <= 3
+
+
+def _patch_ac_symbol(payload: bytes, old=0x01, new=0x20) -> bytes:
+    """Rewrite one symbol in the stream's AC DHT so the entropy data
+    decodes to an AC symbol with size 0 and run not in {0,15} —
+    undefined in sequential coding."""
+    i = payload.index(b"\xff\xc4")
+    i = payload.index(b"\xff\xc4", i + 2)  # second DHT = the AC table
+    seglen = int.from_bytes(payload[i + 2:i + 4], "big")
+    sym_start = i + 4 + 1 + 16
+    sym_end = i + 2 + seglen
+    syms = bytearray(payload[sym_start:sym_end])
+    syms[syms.index(old)] = new
+    return payload[:sym_start] + bytes(syms) + payload[sym_end:]
+
+
+def test_invalid_ac_symbol_rejected_on_both_entropy_paths():
+    """An AC symbol with size 0 outside EOB/ZRL (corrupt/adversarial
+    table) must raise on the compiled kernel AND the Python loop — the
+    C path previously shifted by -1 (UB) and kept decoding garbage."""
+    from dudb_spark.pipeline import jpeg_native
+
+    img = _rng().integers(0, 256, (24, 24), dtype=np.uint8)
+    bad = _patch_ac_symbol(jpeg.encode_jpeg(img))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(bad)  # native path (when gcc exists)
+    os.environ["DUDB_JPEG_NO_NATIVE"] = "1"
+    jpeg_native._lib, jpeg_native._lib_tried = None, False
+    try:
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg_pixels(bad)  # pure-Python path
+    finally:
+        del os.environ["DUDB_JPEG_NO_NATIVE"]
+        jpeg_native._lib, jpeg_native._lib_tried = None, False
+
+
+def test_dc_refinement_scan_needs_no_huffman_table():
+    """A progressive DC refinement scan (Ah>0) reads raw bits only — it
+    must decode even when its Td destination was never defined (legal
+    for encoders; previously raised 'missing Huffman table' before the
+    refinement guard ran)."""
+    from dudb_spark.pipeline import jpeg_native
+
+    def one_refinement(al):
+        c = jpeg._Component()
+        c.cid, c.h, c.v, c.tq, c.td, c.ta = 1, 1, 1, 0, 3, 0
+        c.bw = c.bh = 1
+        c.coeffs = np.zeros((1, 64), np.int32)
+        jpeg._entropy_decode_prog(
+            b"\x80", [c], [c], 8, 8, {}, 0, 0, 0, 1, al
+        )
+        return int(c.coeffs[0, 0])
+
+    assert one_refinement(0) == 1  # native path (or python without gcc)
+    os.environ["DUDB_JPEG_NO_NATIVE"] = "1"
+    jpeg_native._lib, jpeg_native._lib_tried = None, False
+    try:
+        assert one_refinement(2) == 4  # python path, bit lands at Al
+    finally:
+        del os.environ["DUDB_JPEG_NO_NATIVE"]
+        jpeg_native._lib, jpeg_native._lib_tried = None, False
