@@ -602,3 +602,68 @@ def test_catalog_version_order_past_zero_pad(spark, tmp_path):
     cat = SnapshotCatalog(spark, d)
     assert cat.versions() == ["v9998", "v9999", "v10000"]
     assert cat.next_version() == "v10001"
+
+
+def test_fswalk_max_carried_cap_falls_back_to_executor_listing(
+        spark, tmp_path):
+    """Peeled listings above max_carried are NOT pickled into the
+    partition (a multi-million-entry dir must not ride the scheduler
+    RPC) — the partition ships just the path and the executor re-lists.
+    Rows must be identical either way."""
+    import os
+
+    from dudb_spark.sources.fsds import FsWalkReader
+
+    root = str(tmp_path / "tree")
+    os.makedirs(f"{root}/big")
+    for i in range(12):
+        with open(f"{root}/big/f{i}.dat", "w") as f:
+            f.write("x")
+
+    def rows(opts):
+        r = FsWalkReader({"path": root, **opts})
+        parts = r.partitions()
+        out = []
+        for p in parts:
+            out.extend(r.read(p))
+        return parts, sorted(t[2] for t in out)  # path column
+
+    # force peeling (min_partitions high) with carrying allowed...
+    carried_parts, carried = rows({"min_partitions": "64"})
+    assert any(p.listed is not None for p in carried_parts)
+    # ...and with the cap at 0: no partition may carry a listing
+    capped_parts, capped = rows({"min_partitions": "64",
+                                 "max_carried": "0"})
+    assert all(p.listed is None for p in capped_parts)
+    assert carried == capped and len(capped) == 13  # big + 12 files
+
+
+def test_fswatch_gc_tracks_ondisk_set(tmp_path):
+    """_gc_files iterates the on-disk snapshot-file set, not the whole
+    file counter range: after many churn batches the set stays bounded
+    and superseded files are actually gone."""
+    import os
+    import time
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = str(tmp_path / "live")
+    os.makedirs(f"{root}/a")
+    with open(f"{root}/a/f0", "w") as f:
+        f.write("x")
+    r = FsWatchReader({"path": root})
+    _, off = r.read({"gen": 0})
+    for i in range(5):
+        time.sleep(1.05)
+        with open(f"{root}/a/n{i}", "w") as f:
+            f.write("y")
+        _, off = r.read(off)
+    live = set(r._dirgen.values())
+    assert r._ondisk == live or r._ondisk >= live
+    # every on-disk id really exists; every superseded one is gone
+    on_disk_real = {
+        fid for fid in range(1, r._filectr + 1)
+        if os.path.exists(r._file_path(fid))
+    }
+    assert on_disk_real == r._ondisk
+    assert len(r._ondisk) <= r.compact_every + 1
