@@ -490,6 +490,9 @@ def cmd_watch(args):
         reader = reader.option("exclude", args.exclude[0])
     if getattr(args, "no_prune", False):
         reader = reader.option("prune", "false")
+    if getattr(args, "state_dir", None):
+        os.makedirs(args.state_dir, exist_ok=True)
+        reader = reader.option("state_dir", args.state_dir)
     stream = reader.load(args.prefix)
 
     state = {"batches": 0}
@@ -1327,6 +1330,12 @@ def build_parser():
         help="with --apply: batches land as churn-sized DELTA versions, "
         "with a full compaction snapshot every N batches bounding the "
         "read-side reconstruction chain (1 = full snapshot every batch)",
+    )
+    p.add_argument(
+        "--state-dir",
+        help="directory for the watcher's file-row snapshot parquet "
+        "(default: a fresh temp dir; set it to keep a long-running "
+        "watch's state on chosen storage)",
     )
     p.set_defaults(func=cmd_watch)
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")

@@ -666,3 +666,15 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
     assert got_pp == want_pp
     assert (maintained.totals().collect()[0].asDict()
             == fresh.totals().collect()[0].asDict())
+
+
+def test_cli_watch_state_dir(spark, real_tree, tmp_path, capsys):
+    """--state-dir places the watcher's file-row snapshot parquet on
+    chosen storage instead of a throwaway temp dir."""
+    sd = str(tmp_path / "wstate")
+    run(capsys, "watch", real_tree, "--once", "--state-dir", sd)
+    import os
+
+    assert any(f.endswith(".parquet") for f in os.listdir(sd)), (
+        os.listdir(sd)
+    )
