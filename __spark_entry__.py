@@ -3161,6 +3161,38 @@ def q139_watch_stats_fold(spark, sf_dir):
     return out
 
 
+def q140_resync_reconcile(spark, sf_dir):
+    """Restart reconciliation (ingest.resync_feed, behind watch
+    --apply's batch 0): a full-resync walk classified against the
+    stored entries into the added/changed/deleted change-feed shape by
+    null-safe stat comparison — certifying that churn which happened
+    while the watcher was DOWN re-enters as a feed.  The 'resync' is
+    the applied tree's entries (q135's net effect), so the expected
+    classification is the watch feed's own net effect: the adds, the
+    stat changes (incl. the dir→file type flip), and deletions for the
+    removed subtree, the flipped dir's children, and the error-retired
+    path (a walk cannot see unreadable-ness as anything but absence)."""
+    from dudb_spark.operators.ingest import apply_changes, resync_feed
+
+    prev_p, prev_e, feed = _watch_feed(spark)
+    res = apply_changes(
+        prev_p, prev_e, feed, root="/tree", with_summary=False
+    )
+    resync = (
+        res.entries
+        .withColumn("op", F.lit("added"))
+        .withColumn("error", F.lit(None).cast("string"))
+        .withColumn("gen", F.lit(0).cast("long"))
+    )
+    out = resync_feed(prev_e, resync)
+    return out.select(
+        "op", "path",
+        _fmt_ts(F.col("mtime"), "mtime"),
+        F.col("size").cast("long").alias("size"),
+        "is_dir",
+    ).orderBy("path", "op")
+
+
 def q138_delta_chain_read(spark, sf_dir):
     """Delta-chain storage route for continuous ingest: q135's exact
     change feed lands as a churn-sized DELTA version (catalog.write_delta
@@ -4986,6 +5018,7 @@ QUERIES: dict[str, Callable] = {
     "q137_jpeg_progressive": q137_jpeg_progressive,
     "q138_delta_chain_read": q138_delta_chain_read,
     "q139_watch_stats_fold": q139_watch_stats_fold,
+    "q140_resync_reconcile": q140_resync_reconcile,
 }
 
 ORACLE: dict[str, str] = {
@@ -6335,6 +6368,33 @@ ORACLE["q136_watch_apply_entries"] = _WATCH_FEED_SQL + """
 
 # q138: the stored delta-chain read must reproduce the in-memory apply
 ORACLE["q138_delta_chain_read"] = ORACLE["q135_watch_apply_prefixes"]
+
+# q140: the restart-reconciliation classification — new_e (the applied
+# tree, what a restart walk would see) full-joined against prev_e with
+# null-safe stat comparison; unchanged rows drop out
+ORACLE["q140_resync_reconcile"] = _WATCH_FEED_SQL + """
+    SELECT op, path, strftime(mtime, '%Y-%m-%d %H:%M:%S') AS mtime,
+           CAST(size AS BIGINT) AS size, is_dir
+    FROM (
+        SELECT CASE WHEN p.path IS NULL THEN 'added'
+                    WHEN n.path IS NULL THEN 'deleted'
+                    WHEN NOT (n.is_dir IS NOT DISTINCT FROM p.is_dir
+                          AND n.size   IS NOT DISTINCT FROM p.size
+                          AND n.mode   IS NOT DISTINCT FROM p.mode
+                          AND n.mtime  IS NOT DISTINCT FROM p.mtime
+                          AND n.uid    IS NOT DISTINCT FROM p.uid
+                          AND n.gid    IS NOT DISTINCT FROM p.gid)
+                    THEN 'changed' END AS op,
+               COALESCE(n.path, p.path) AS path,
+               CASE WHEN n.path IS NULL THEN p.mtime ELSE n.mtime END
+                   AS mtime,
+               CASE WHEN n.path IS NULL THEN p.size ELSE n.size END
+                   AS size,
+               CASE WHEN n.path IS NULL THEN p.is_dir ELSE n.is_dir END
+                   AS is_dir
+        FROM new_e n FULL JOIN prev_e p ON n.path = p.path
+    ) WHERE op IS NOT NULL ORDER BY path, op
+"""
 
 # q139: FULL fold over the applied tables — the ground truth the
 # continuous-stats incremental update must reproduce (q77's pattern)
