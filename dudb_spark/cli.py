@@ -236,8 +236,14 @@ def _stats_fold_update(cat, prev_stats, touched, opts, churn_threshold,
     prev_v = prev_stats.meta["snapshot_version"]
     prev_t = cat.tables(prev_v)
     n_touched = touched.count()
-    # parquet metadata count — no data scan
-    n_tree = prev_t.prefixes.count()
+    # tree size from snapshot metadata (catalog.prefix_rows): zero jobs,
+    # and — critically — no reconstruction of a delta-chain version,
+    # which a .count() on prev_t.prefixes would execute per watch batch.
+    # Fallback (pre-metadata snapshots only): parquet metadata count for
+    # full snapshots, the reconstruction count for legacy delta chains.
+    n_tree = cat.prefix_rows(prev_v)
+    if n_tree is None:
+        n_tree = prev_t.prefixes.count()
     if refold_recommended(n_touched, n_tree, churn_threshold):
         print(
             f"{label}: churn {n_touched}/{n_tree} dirs >= "

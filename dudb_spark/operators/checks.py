@@ -136,6 +136,33 @@ def quality_report(
     return out
 
 
+def _tier_row_estimate(df: DataFrame) -> int:
+    """Row estimate for profile_table's exact-vs-approx tier decision,
+    costing a metadata job at most.  A bare file scan (optionally under
+    projections/aliases) answers ``count()`` from parquet footer
+    metadata — no data scan — so the exact count is used.  A DERIVED
+    plan (filters, joins, aggregates) would pay a full extra pass for
+    ``count()``, so instead Catalyst's propagated ``sizeInBytes``
+    estimate (computed during planning, zero jobs) divided by a crude
+    row width stands in: the tier threshold is 1e8 rows, so order-of-
+    magnitude accuracy is all the decision needs."""
+    try:
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        p = jplan
+        while p.getClass().getSimpleName() in ("Project", "SubqueryAlias"):
+            p = p.children().head()
+        if p.getClass().getSimpleName() in (
+            "LogicalRelation", "DataSourceV2Relation",
+            "DataSourceV2ScanRelation", "HiveTableRelation",
+        ):
+            return df.count()
+        size = int(jplan.stats().sizeInBytes().toString())
+        return size // max(8 * len(df.columns), 1)
+    except Exception:
+        # plan introspection unavailable (e.g. Connect): pay the count
+        return df.count()
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -155,8 +182,10 @@ def profile_table(
 
     Scale shape: counts/min/max/mean AND every distinct count come
     from ONE aggregation job.  The distinct counts AUTO-TIER on table
-    size: at or below ``approx_threshold`` rows (one cheap count job —
-    parquet footer metadata at scan time — decides) Catalyst plans the
+    size: at or below ``approx_threshold`` rows (decided by
+    :func:`_tier_row_estimate` — a metadata-only count for bare file
+    scans, Catalyst's zero-job size estimate for derived plans)
+    Catalyst plans the
     multi-COUNT(DISTINCT) as a single Expand pass whose volume is
     rows × profiled columns; above it, that multiplied Expand is the
     100 TB hazard, so the profile swaps to ``approx_count_distinct``
@@ -175,7 +204,10 @@ def profile_table(
         f.name for f in df.schema.fields
         if isinstance(f.dataType, NumericType)
     }
-    exact = approx_threshold is None or df.count() <= approx_threshold
+    exact = (
+        approx_threshold is None
+        or _tier_row_estimate(df) <= approx_threshold
+    )
     dc = F.count_distinct if exact else F.approx_count_distinct
 
     aggs = [F.count(F.lit(1)).alias("_n")]

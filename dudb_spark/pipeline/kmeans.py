@@ -65,6 +65,13 @@ def lloyd_kmeans(
     executor storage; callers keeping ``assigned`` around own the cache.
     """
     raw = [r[vec_col] for r in emb.orderBy(id_col).limit(k).collect()]
+    if not raw:
+        # fail at the boundary: an empty frame would otherwise surface
+        # as an unreadable expression error from the argmax over zero
+        # centroids (and NULL shares in cluster_balance)
+        raise ValueError(
+            "lloyd_kmeans: no seed vectors (empty embeddings frame)"
+        )
     dim = len(raw[0]) if raw else 0
     if any(x is None for row in raw for x in row) or any(
         len(r) != dim for r in raw
@@ -178,8 +185,16 @@ def cluster_balance(
     # persistent RDD; a rebuilt local frame leaves zero cache behind.
     per_schema, per_rows = per.schema, per.collect()
     base.unpersist()
-    per = emb.sparkSession.createDataFrame(per_rows, per_schema)
     total = sum(r["n_vecs"] for r in per_rows)
+    if not per_rows or total == 0:
+        # fail at the boundary like lloyd_kmeans' seed/mean validations:
+        # an empty assignment would otherwise surface as NULL shares
+        # downstream instead of naming the actual problem here
+        raise ValueError(
+            "cluster_balance: no assigned vectors (empty embeddings "
+            "frame or no usable centroids)"
+        )
+    per = emb.sparkSession.createDataFrame(per_rows, per_schema)
     out = per.select(
         "cell",
         "n_vecs",

@@ -183,6 +183,20 @@ class SnapshotCatalog:
                         "layout": "bucketed",
                         "path_buckets": path_buckets,
                         "spill_rows": n_spill,
+                        "prefix_rows": self._count_written_prefixes(out),
+                    },
+                    f,
+                )
+        else:
+            # plain layout still records the tree size: readers (the
+            # stats refold gate) need it without counting reconstructed
+            # frames, and for a delta CHAIN the count would otherwise
+            # execute the full reconstruction join per watch batch
+            with open(os.path.join(out, "_layout.json"), "w") as f:
+                _json.dump(
+                    {
+                        "layout": "plain",
+                        "prefix_rows": self._count_written_prefixes(out),
                     },
                     f,
                 )
@@ -190,6 +204,28 @@ class SnapshotCatalog:
         with open(os.path.join(self.root, "latest"), "w") as f:
             f.write(v)
         return out
+
+    def _count_written_prefixes(self, out: str) -> int:
+        """Row count of a just-written prefixes table — parquet footer
+        metadata, no data scan."""
+        return self.spark.read.parquet(f"{out}/prefixes.parquet").count()
+
+    def prefix_rows(self, version: str | None = None) -> int | None:
+        """Tree size (prefix row count) of a snapshot version WITHOUT
+        materializing it: full snapshots record the exact count in
+        ``_layout.json`` at write time; delta versions carry a running
+        count (base ± dir churn, see :meth:`write_delta`).  Returns
+        None only for snapshots written before this metadata existed —
+        callers fall back to counting then."""
+        v = version or self.latest_version()
+        if v is None:
+            return None
+        if self.is_delta(v):
+            n = self.delta_meta(v).get("prefix_rows")
+            return int(n) if n is not None else None
+        lay = self.layout(v)
+        n = lay.get("prefix_rows")
+        return int(n) if n is not None else None
 
     # -- delta-chain layout (churn-sized writes for the watch loop) -----
 
@@ -227,8 +263,39 @@ class SnapshotCatalog:
         changes.write.mode("overwrite").parquet(
             os.path.join(out, "delta.parquet")
         )
+        # running tree size (base ± dir churn, one churn-sized agg job):
+        # the stats refold gate reads this instead of counting the
+        # reconstructed prefixes frame (which would execute the full
+        # delta-replay join chain per watch batch).  An ESTIMATE: rare
+        # dir↔file type flips and readable↔unreadable transitions can
+        # drift it by their (tiny) count; each periodic compaction
+        # rewrites the exact number.
+        prefix_rows = None
+        base_rows = self.prefix_rows(parent)
+        if base_rows is not None:
+            from pyspark.sql import functions as F
+
+            err = (
+                F.col("error").isNotNull()
+                if "error" in changes.columns
+                else F.lit(False)
+            )
+            c = changes.agg(
+                F.count(
+                    F.when((F.col("op") == "added") & F.col("is_dir")
+                           & ~err, 1)
+                ).alias("n_add"),
+                F.count(
+                    F.when((F.col("op") == "deleted") & F.col("is_dir"), 1)
+                ).alias("n_del"),
+            ).first()
+            prefix_rows = base_rows + c["n_add"] - c["n_del"]
         with open(os.path.join(out, "_delta.json"), "w") as f:
-            _json.dump({"parent": parent, "root": root}, f)
+            _json.dump(
+                {"parent": parent, "root": root,
+                 "prefix_rows": prefix_rows},
+                f,
+            )
         with open(os.path.join(self.root, "latest"), "w") as f:
             f.write(v)
         return out

@@ -428,14 +428,34 @@ class FsWatchReader(SimpleDataSourceStreamReader):
             self._ondisk.discard(fid)
         if len(live) > self.compact_every:
             import pyarrow.parquet as pq
+            from pyarrow import compute as pc
 
-            names = _FIELDS + ("error",)
-            rows: list[tuple] = []
-            for fid in sorted(live):
-                for r in pq.read_table(self._file_path(fid)).to_pylist():
-                    if self._dirgen.get(r["parent"]) == fid:
-                        rows.append(tuple(r[n] for n in names))
-            nfid = self._write_rows(rows)
+            # incremental compaction: stream each live file's still-owned
+            # rows (parent's _dirgen == fid) straight into one new
+            # snapshot file through a ParquetWriter — Arrow-native filter
+            # + table write, never to_pylist — so the transient driver
+            # cost is bounded by ONE snapshot file's rows at a time, not
+            # O(total file rows) of Python tuples (keeping the documented
+            # O(directories) driver-memory contract through compaction).
+            by_fid: dict[int, list[str]] = {}
+            for d, g in self._dirgen.items():
+                by_fid.setdefault(g, []).append(d)
+            self._filectr += 1
+            nfid = self._filectr
+            writer = pq.ParquetWriter(
+                self._file_path(nfid), self._arrow_schema()
+            )
+            try:
+                for fid in sorted(by_fid):
+                    t = pq.read_table(
+                        self._file_path(fid),
+                        filters=pc.field("parent").isin(by_fid[fid]),
+                    )
+                    if t.num_rows:
+                        writer.write_table(t)
+            finally:
+                writer.close()
+            self._ondisk.add(nfid)
             for d in list(self._dirgen):
                 self._dirgen[d] = nfid
             for fid in live:

@@ -550,6 +550,8 @@ def test_delta_chain_reconstruction_equals_direct_apply(spark, tmp_path):
             f.write("d" * (i + 1))
         if i == 1:
             os.unlink(f"{root}/b/f3")
+        if i == 2:
+            os.makedirs(f"{root}/c")  # dir churn: prefix_rows must track
         rows, off = r.read(off)
         diff = spark.createDataFrame([tuple(x) for x in rows], schema)
         # the full-copy truth, chained in memory
@@ -565,6 +567,9 @@ def test_delta_chain_reconstruction_equals_direct_apply(spark, tmp_path):
         assert os.path.exists(f"{out}/_delta.json")
 
     assert cat.chain_length() == 3
+    # running tree-size metadata: the stats refold gate reads this
+    # instead of counting the reconstructed frame (zero jobs per batch)
+    assert cat.prefix_rows() == direct_p.count()
     t = cat.tables()  # DeltaTables reconstruction
 
     def norm(df, cols):
@@ -578,6 +583,7 @@ def test_delta_chain_reconstruction_equals_direct_apply(spark, tmp_path):
     # compaction: database compact shape — materialize + full write
     out = cat.write_snapshot(t.prefixes, t.entries)
     assert cat.chain_length() == 0
+    assert cat.prefix_rows() == direct_p.count()  # exact after compaction
     t2 = cat.tables()
     assert norm(t2.entries, ecols) == norm(direct_e, ecols)
 

@@ -135,3 +135,15 @@ def test_cluster_balance_duplicate_label_ids_not_inflated(spark):
         .collect()
     }
     assert sum(got2.values()) == sum(plain.values()) + 1  # 9 unique rows
+
+
+def test_cluster_balance_empty_frame_raises(spark):
+    """An empty embeddings frame must fail loudly at the boundary (like
+    lloyd_kmeans' seed/mean validations), not emit NULL shares."""
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no seed vectors"):
+        cluster_balance(empty, k=3, iters=1)
