@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from bench import get_spark  # noqa: E402
+from bench import _calib_pandas, _calib_scan, get_spark  # noqa: E402
 
 
 def main():
@@ -36,33 +36,8 @@ def main():
     spark.catalog.clearCache()
 
     out = {"queries": {}}
-    calib = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-            .groupBy("l_orderkey").agg({"l_extendedprice": "sum"})
-            .orderBy("sum(l_extendedprice)", ascending=False)
-            .limit(10).collect()
-        )
-        calib.append(time.perf_counter() - t0)
-    out["calib_scan_agg_sec"] = round(min(calib), 3)
-
-    import pandas as _pd
-
-    def _pysum(it):
-        for pdf in it:
-            yield _pd.DataFrame(
-                {"s": [int(pdf.groupby(pdf.id % 97).id.sum().sum())]}
-            )
-
-    pycal = []
-    base = spark.range(1_000_000, numPartitions=8)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        base.mapInPandas(_pysum, "s long").agg({"s": "sum"}).collect()
-        pycal.append(time.perf_counter() - t0)
-    out["calib_pandas_udf_sec"] = round(min(pycal), 3)
+    out["calib_scan_agg_sec"] = _calib_scan(spark, sf_dir)
+    out["calib_pandas_udf_sec"] = _calib_pandas(spark)
 
     for name, fn in entry_mod.queries().items():
         qid = name.split("_", 1)[0]
