@@ -2139,6 +2139,55 @@ def q64_merge_snapshot(spark, sf_dir):
     ).orderBy("path")
 
 
+def _force_fixture(spark):
+    """q141 staging: the q63 rescan PLUS an in-place file edit under an
+    UNCHANGED directory (/tree/d0-1/d1-1's files: size+13, mtime+2h —
+    the dir's own mtime/mode untouched) — exactly the churn the J1
+    unchanged-skip cannot see (the reference reuses the stored rows,
+    analyze.go:236–242) and the reason ``analyze --force`` exists."""
+    prev_p, prev_e, staged_p, staged_e = _merge_fixture(spark)
+    inplace = ~F.col("is_dir") & (F.col("parent") == "/tree/d0-1/d1-1")
+    staged_e = staged_e.withColumn(
+        "size",
+        F.when(inplace, F.col("size") + F.lit(13)).otherwise(F.col("size")),
+    ).withColumn(
+        "mtime",
+        F.when(inplace, F.col("mtime") + F.expr("INTERVAL 2 HOUR"))
+        .otherwise(F.col("mtime")),
+    )
+    return prev_p, prev_e, staged_p, staged_e
+
+
+def q141_force_rescan(spark, sf_dir):
+    """J1 override (``analyze --force`` → ingest.merge_scan(force=True),
+    the corrupted-snapshot / in-place-edit recovery path): the staged
+    scan carries file edits under a directory whose own (mtime, mode)
+    did NOT change.  A normal merge REUSES the stored rows for that
+    directory (q65's certified behavior — the edit would be lost);
+    force classifies every alive dir as changed, so the staged rows
+    land.  The oracle restates the forced merge — entries = the staged
+    scan itself (every alive dir rewritten, deletion cascade applied) —
+    which differs from q65's oracle exactly on the edited directory's
+    file_bytes (+13/file), value-proof that the bypass happened."""
+    from dudb_spark.operators.ingest import merge_scan
+
+    prev_p, prev_e, staged_p, staged_e = _force_fixture(spark)
+    res = merge_scan(
+        prev_p, prev_e, staged_p, staged_e, root="/tree",
+        with_summary=False, force=True,
+    )
+    return (
+        res.entries.groupBy("parent")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.sum(F.when(~F.col("is_dir"), F.col("size")).otherwise(0))
+            .cast("long")
+            .alias("file_bytes"),
+        )
+        .orderBy("parent")
+    )
+
+
 def q65_merge_entries_reuse(spark, sf_dir):
     """J1 unchanged-skip on the ENTRIES side: the staged scan omits the
     children of every unchanged directory (incremental scanners don't
@@ -5117,6 +5166,7 @@ QUERIES: dict[str, Callable] = {
     "q138_delta_chain_read": q138_delta_chain_read,
     "q139_watch_stats_fold": q139_watch_stats_fold,
     "q140_resync_reconcile": q140_resync_reconcile,
+    "q141_force_rescan": q141_force_rescan,
 }
 
 ORACLE: dict[str, str] = {
@@ -6247,6 +6297,37 @@ ORACLE["q65_merge_entries_reuse"] = _MERGE_FIX_SQL + """
            CAST(SUM(CASE WHEN NOT is_dir THEN size ELSE 0 END) AS BIGINT)
              AS file_bytes
     FROM merged_e GROUP BY parent ORDER BY parent
+"""
+
+# q141: the FORCED merge — every alive dir rewritten from the staged
+# scan, so the result is the staged scan itself (incl. the in-place
+# edit the unchanged-skip would have lost; compare q65's oracle, which
+# reuses prev rows for the same directory).
+ORACLE["q141_force_rescan"] = f"""
+    WITH prev_e AS (
+        SELECT * FROM read_parquet('{FS_FIX}/entries.parquet/*.parquet')
+    ), staged_e0 AS (
+        SELECT * FROM prev_e
+        WHERE parent NOT LIKE '/tree/d0-2%' AND path <> '/tree/d0-2'
+        UNION ALL
+        SELECT parent, replace(name, 'd0-', 'znew-'),
+               replace(path, 'd0-', 'znew-'), is_dir, size, blocks, mode,
+               mtime, uid, gid, device, inode + 1000000
+        FROM prev_e WHERE path IN ('/tree/d0-0', '/tree/d0-1')
+    ), staged_e AS (
+        SELECT parent, name, path, is_dir,
+               CASE WHEN NOT is_dir AND parent = '/tree/d0-1/d1-1'
+                    THEN size + 13 ELSE size END AS size,
+               blocks, mode,
+               CASE WHEN NOT is_dir AND parent = '/tree/d0-1/d1-1'
+                    THEN mtime + INTERVAL 2 HOUR ELSE mtime END AS mtime,
+               uid, gid, device, inode
+        FROM staged_e0
+    )
+    SELECT parent, CAST(COUNT(*) AS BIGINT) AS n_children,
+           CAST(SUM(CASE WHEN NOT is_dir THEN size ELSE 0 END) AS BIGINT)
+             AS file_bytes
+    FROM staged_e GROUP BY parent ORDER BY parent
 """
 
 
