@@ -172,6 +172,12 @@ def decode_bench() -> dict:
 
     r4 = {"png": mm.decode_png_py, "bmp": mm.decode_bmp_py, "wav": mm.decode_wav_py}
     out: dict = {}
+    # record which PNG unfilter path ran: the compiled per-pixel kernel
+    # (png_native, bit-identical, gcc-built at first use) or the numpy
+    # wavefront floor — same provenance flag as decode_jpeg_native
+    from dudb_spark.pipeline import png_native
+
+    out["decode_png_native"] = int(png_native.get_lib() is not None)
     tot_work = tot_new = tot_old = 0.0
     for group, (lst, wk) in groups.items():
         reps = 3

@@ -420,10 +420,25 @@ def unfilter_batch(
             wave_idx.append(j)
             wave_cells += h * w
     if wave:
+        # compiled per-pixel kernel when available (png_native.py — the
+        # jpeg_native pattern: gcc at first use, cached by source hash,
+        # bit-identical by construction and fuzz-pinned); the numpy
+        # wavefront below remains the dependency-free exact floor
+        from dudb_spark.pipeline import png_native
+
+        lib = png_native.get_lib()
+        if lib is not None:
+            for j, (ftypes, data, h, w, ch) in zip(wave_idx, wave):
+                mx = int(ftypes.max())
+                if mx > 4:
+                    raise ValueError(f"bad PNG filter type {mx}")
+                results[j] = png_native.unfilter_image(
+                    lib, images[j][0], h, w, ch
+                )
         # the wavefront's vectorized build/scan only amortizes past a few
         # thousand cells; a lone thumbnail is faster through the per-pixel
         # kernel (both paths are fuzz-pinned identical)
-        if wave_cells < 4096:
+        elif wave_cells < 4096:
             for j, (ftypes, data, h, w, ch) in zip(wave_idx, wave):
                 raw, _, _, _ = images[j]
                 rows = unfilter_rows_py(raw, h, w, ch)

@@ -245,15 +245,19 @@ def test_png_through_arrow_decode(spark):
     assert got["width"] == 4 and got["mean"] == [10.0, 20.0, 30.0]
 
 
-def test_unfilter_vectorized_matches_python_kernel():
+def test_unfilter_vectorized_matches_python_kernel(monkeypatch):
     """The numpy unfilter paths (run-grouped accumulates + batched
     anti-diagonal wavefront) are bit-identical to the round-4 per-pixel
     kernel over random images: random sizes, channels, per-row filter
-    types (all five), random pixel data, batched and single."""
+    types (all five), random pixel data, batched and single.  The
+    compiled kernel is disabled so this keeps pinning the NUMPY paths
+    (the dependency-free floor) even where gcc exists; the native
+    kernel has its own pin below."""
     import random
 
-    from dudb_spark.pipeline import unfilter as uf
+    from dudb_spark.pipeline import png_native, unfilter as uf
 
+    monkeypatch.setattr(png_native, "get_lib", lambda: None)
     rng = random.Random(20260814)
     for trial in range(80):
         n_img = rng.randint(1, 6)
@@ -275,7 +279,9 @@ def test_unfilter_vectorized_matches_python_kernel():
                 assert g[r].tobytes() == ref[r], (trial, r, h, w, ch)
 
 
-def test_unfilter_wavefront_matches_python_kernel_above_threshold():
+def test_unfilter_wavefront_matches_python_kernel_above_threshold(
+    monkeypatch,
+):
     """Same pin, but with images LARGE enough to take the batched
     wavefront (unfilter_batch routes images below ~4k cells through the
     per-pixel kernel, so the small-image fuzz above never reaches it —
@@ -283,12 +289,14 @@ def test_unfilter_wavefront_matches_python_kernel_above_threshold():
     wrapping uint8 loops for the Average sum and Paeth differences
     despite the int16 out= scratch).  Covers all-Paeth, all-Average,
     every-mix, multi-image shape groups, and degenerate 1-wide/1-tall
-    shapes."""
+    shapes.  Native kernel disabled: this pins the numpy wavefront."""
     import random
 
     import numpy as np
 
-    from dudb_spark.pipeline import unfilter as uf
+    from dudb_spark.pipeline import png_native, unfilter as uf
+
+    monkeypatch.setattr(png_native, "get_lib", lambda: None)
 
     def img(rng, h, w, ch, fchoices):
         stride = w * ch
@@ -320,6 +328,42 @@ def test_unfilter_wavefront_matches_python_kernel_above_threshold():
                 h, w * ch
             )
             assert np.array_equal(np.asarray(g), ref_arr), (bi, h, w, ch)
+
+
+def test_png_native_matches_python_bit_exact():
+    """The compiled unfilter kernel (png_native.py) is bit-identical to
+    the per-pixel Python reference over the same fuzz matrix as the
+    numpy pins: all five filters, mixed per-row, 1/3 channels, degenerate
+    1-wide/1-tall shapes — exact integer work, so identity is by
+    construction; this pin guards the transcription."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from dudb_spark.pipeline import png_native, unfilter as uf
+
+    lib = png_native.get_lib()
+    if lib is None:
+        pytest.skip("no gcc / native kernel unavailable")
+    rng = random.Random(20260816)
+    shapes = [(rng.randint(1, 40), rng.randint(1, 40), rng.choice([1, 3]))
+              for _ in range(60)]
+    shapes += [(5000, 1, 1), (1, 5000, 1), (80, 70, 3)]
+    for h, w, ch in shapes:
+        stride = w * ch
+        raw = bytearray()
+        for _r in range(h):
+            raw.append(rng.choice([0, 1, 2, 3, 4]))
+            raw += bytes(rng.randint(0, 255) for _ in range(stride))
+        got = png_native.unfilter_image(lib, bytes(raw), h, w, ch)
+        ref = uf.unfilter_rows_py(bytes(raw), h, w, ch)
+        ref_arr = np.frombuffer(b"".join(ref), np.uint8).reshape(h, stride)
+        assert np.array_equal(got, ref_arr), (h, w, ch)
+    # error taxonomy parity: a bad filter type raises the same ValueError
+    bad = bytes([7]) + bytes(3)
+    with pytest.raises(ValueError, match="bad PNG filter type 7"):
+        png_native.unfilter_image(lib, bad, 1, 1, 3)
 
 
 def test_decoders_match_python_kernels():
