@@ -265,6 +265,43 @@ def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
         nrows = sum(1 for _ in r.read({"gen": 1})[0])
         t_churn = time.perf_counter() - t0
         stats = dict(r.last_batch_stats)
+
+        # SEEDED start (round-9): the same tree, 1%-churned again,
+        # through a watcher initialized from a stored-snapshot seed —
+        # batch 0 is the restart reconciliation as a churn-sized diff,
+        # so its wall-time tracks dirs + churn, never the tree (compare
+        # fswatch_resync_entries_per_sec above: the --full-resync walk
+        # stats every entry).  Seed write = fixture staging, untimed.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dudb_spark.sources.crawler import crawl_local
+
+        _, e0, _ = crawl_local(root)
+        seed_dir = os.path.join(base, "seed")
+        os.makedirs(seed_dir)
+        rs_schema = r._arrow_schema()
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(x, error=None)
+                 for x in sorted(e0, key=lambda x: x["parent"])],
+                schema=rs_schema,
+            ),
+            os.path.join(seed_dir, "part-0.parquet"),
+        )
+        for i in range(max(1, n_dirs // 100)):
+            with open(
+                os.path.join(root, f"g{i % (n_dirs // 100):02d}",
+                             f"d{i * 100:05d}", "seedchurn.bin"), "w"
+            ) as f:
+                f.write("s")
+        rs = FsWatchReader({"path": root, "seed": seed_dir})
+        t0 = time.perf_counter()
+        ns = sum(1 for _ in rs.read({"gen": 0})[0])
+        t_seeded = time.perf_counter() - t0
+        seeded_stats = dict(rs.last_batch_stats)
+        if getattr(rs, "state_dir", None):
+            shutil.rmtree(rs.state_dir, ignore_errors=True)
         return {
             "fswatch_tree_entries": n_entries,
             "fswatch_resync_entries_per_sec": round(n0 / t_resync),
@@ -272,6 +309,10 @@ def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
             "fswatch_churn1pct_batch_sec": round(t_churn, 3),
             "fswatch_churn_rows": nrows,
             "fswatch_churn_files_statted": stats.get("files_statted"),
+            "fswatch_seeded_start_sec": round(t_seeded, 3),
+            "fswatch_seeded_rows": ns,
+            "fswatch_seeded_files_statted":
+                seeded_stats.get("files_statted"),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -452,10 +452,15 @@ def cmd_watch(args):
     have been printed (0 = until interrupted).
 
     ``--db … --apply`` turns the feed into CONTINUOUS INGEST: every
-    non-empty diff batch (gen > 0) is applied to the stored snapshot
-    via ``operators.ingest.apply_changes`` — churn-bounded set algebra,
+    non-empty diff batch is applied to the stored snapshot via
+    ``operators.ingest.apply_changes`` — churn-bounded set algebra,
     the streaming analogue of ``analyze``'s merge — and lands as a new
     snapshot version, with one JSON summary line per applied batch.
+    The start is SEEDED by default: the stored entries are exported
+    (one executor-parallel write) and the watcher initializes from
+    them, so batch 0 is the restart reconciliation as a churn-sized
+    diff — the driver never walks or materializes the full tree
+    (``--full-resync`` restores the exhaustive walk).
     Batches land as churn-sized DELTA versions (catalog.write_delta —
     the transaction-log commit of a Delta/Iceberg sink), with a full
     compaction snapshot every ``--compact-every`` batches bounding the
@@ -499,6 +504,46 @@ def cmd_watch(args):
     if getattr(args, "state_dir", None):
         os.makedirs(args.state_dir, exist_ok=True)
         reader = reader.option("state_dir", args.state_dir)
+    seeded = False
+    if cat is not None and not getattr(args, "full_resync", False):
+        # SEEDED START (round-8 verdict item: shard the batch-0 resync
+        # off the driver): export the stored snapshot's live entries as
+        # the watcher's seed — an executor-parallel write, the only
+        # tree-sized pass of the whole start — so batch 0 becomes a
+        # normal pruned rescan against the snapshot (O(dirs)+O(churn)
+        # driver work) emitting exactly the changes since it, instead
+        # of a tree-sized driver-side walk reconciled through a
+        # tree-sized full-outer join.  --full-resync restores the old
+        # exhaustive route (it re-stats every file, so it also catches
+        # in-place edits under unchanged dir mtimes immediately;
+        # --no-prune on a seeded start gives the same exhaustiveness
+        # with bounded memory).
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from dudb_spark.operators.find import subtree_pred
+
+        seed_dir = tempfile.mkdtemp(prefix="dudb_watch_seed_")
+        ent = cat.tables().entries.where(
+            subtree_pred(F.col("parent"), args.prefix)
+            | (F.col("path") == args.prefix.rstrip("/"))
+        )
+        # one parent per file (the seed contract): size files so each
+        # holds a few hundred thousand rows — dirs × fanout estimated
+        # from the snapshot metadata, falling back to default
+        # parallelism for pre-metadata snapshots
+        n_dirs = cat.prefix_rows()
+        k = (
+            max(1, min(256, (n_dirs * 40) // 250_000))
+            if n_dirs
+            else spark.sparkContext.defaultParallelism
+        )
+        ent.repartitionByRange(k, "parent").write.mode(
+            "overwrite"
+        ).parquet(seed_dir)
+        reader = reader.option("seed", seed_dir)
+        seeded = True
     stream = reader.load(args.prefix)
 
     state = {"batches": 0}
@@ -520,18 +565,19 @@ def cmd_watch(args):
 
             applied_from = cat.latest_version()
             t = cat.tables()
-            if any(r["gen"] == 0 for r in rows):
-                # batch 0 = the restart's full resync: churn that
-                # happened while the watcher was DOWN is in neither the
-                # stored snapshot nor any later diff batch (those diff
-                # against this walk), so reconcile the resync against
-                # the snapshot — one tree-sized classification, paid
-                # once per watch start; a clean start applies nothing
+            if not seeded and any(r["gen"] == 0 for r in rows):
+                # --full-resync batch 0: the walk emits the whole tree,
+                # so churn that happened while the watcher was DOWN is
+                # in neither the stored snapshot nor any later diff
+                # batch — reconcile the resync against the snapshot,
+                # one tree-sized classification paid once per start.
+                # (The default SEEDED start never takes this branch:
+                # its batch 0 is already the reconciliation diff.)
                 diff = resync_feed(
                     t.entries, batch_df.where(F.col("gen") == 0)
                 )
             else:
-                diff = batch_df.where(F.col("gen") > 0)
+                diff = batch_df
             res = apply_changes(
                 t.prefixes, t.entries, diff, root=args.prefix
             )
@@ -574,19 +620,25 @@ def cmd_watch(args):
         state["batches"] += 1
 
     w = stream.writeStream.foreachBatch(_emit)
-    if args.once:
-        q = w.trigger(availableNow=True).start()
-        q.awaitTermination()
-    else:
-        q = w.trigger(processingTime=f"{args.interval} seconds").start()
-        try:
-            while q.isActive:
-                q.awaitTermination(1)
-                if args.max_batches and state["batches"] >= args.max_batches:
-                    q.stop()
-                    break
-        except KeyboardInterrupt:
-            q.stop()
+    try:
+        if args.once:
+            q = w.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = w.trigger(processingTime=f"{args.interval} seconds").start()
+            try:
+                while q.isActive:
+                    q.awaitTermination(1)
+                    if args.max_batches and state["batches"] >= args.max_batches:
+                        q.stop()
+                        break
+            except KeyboardInterrupt:
+                q.stop()
+    finally:
+        if seeded:
+            import shutil
+
+            shutil.rmtree(seed_dir, ignore_errors=True)
 
 
 def cmd_du(args):
@@ -1342,6 +1394,17 @@ def build_parser():
         help="directory for the watcher's file-row snapshot parquet "
         "(default: a fresh temp dir; set it to keep a long-running "
         "watch's state on chosen storage)",
+    )
+    p.add_argument(
+        "--full-resync", action="store_true",
+        help="with --apply: start with a full driver-side tree walk "
+        "reconciled against the snapshot instead of the default SEEDED "
+        "start (which initializes the watcher from the stored entries "
+        "and emits only the changes since the snapshot, O(dirs)+O(churn) "
+        "driver work).  The full walk re-stats every file, so it also "
+        "catches in-place edits under unchanged directory mtimes; "
+        "--no-prune on a seeded start gives the same exhaustiveness "
+        "with bounded memory",
     )
     p.set_defaults(func=cmd_watch)
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")

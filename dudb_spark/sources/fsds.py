@@ -270,12 +270,16 @@ class FsWatchReader(SimpleDataSourceStreamReader):
     streaming analogue of the reference's rescan loop (analyze.go:104:
     users re-run ``idu analyze`` on a schedule; here each micro-batch IS
     the rescan, emitting only what changed).  Batch 0 is a full resync
-    (every object as ``op='added'``); every later batch rescans and
-    diffs on (is_dir, size, mode, mtime, uid, gid), yielding ``added``
-    / ``changed`` / ``deleted`` rows (deleted rows carry the last-known
-    stat).  Unreadable paths ride the SAME diff with null stats and the
-    ``error`` column set, so a path flipping readable↔unreadable
-    surfaces as ``changed``.
+    (every object as ``op='added'``) — UNLESS a ``seed`` is supplied
+    (see :meth:`_load_seed`): then the watcher initializes from the
+    stored snapshot's entries and batch 0 emits only the changes since
+    it, O(dirs)+O(churn) driver work with no tree-sized pass anywhere
+    (the ``watch --apply`` default; round-9).  Every later batch
+    rescans and diffs on (is_dir, size, mode, mtime, uid, gid),
+    yielding ``added`` / ``changed`` / ``deleted`` rows (deleted rows
+    carry the last-known stat).  Unreadable paths ride the SAME diff
+    with null stats and the ``error`` column set, so a path flipping
+    readable↔unreadable surfaces as ``changed``.
 
     Scale design — state and work are bounded by dirs + churn, never by
     total paths (round-7 fix; the previous reader held every path's stat
@@ -310,9 +314,10 @@ class FsWatchReader(SimpleDataSourceStreamReader):
       partitioned-executor walk is the batch ``fswalk`` route) and
       Spark's simple-reader checkpoint persists each batch's DATA, so
       a replayed batch never re-walks.  After a query restart the first
-      batch is a fresh full resync (at-least-once across restarts,
-      exactly-once within a run); a no-change scan returns the same
-      offset (no empty batch spam).
+      batch is a fresh full resync — or, SEEDED, the churn-sized
+      reconciliation diff (at-least-once across restarts, exactly-once
+      within a run); a no-change scan returns the same offset (no empty
+      batch spam).
 
     ``last_batch_stats`` (dirs_walked / dirs_rescanned / files_statted
     / rows_emitted) exposes the bounded-work contract to tests and the
@@ -327,6 +332,13 @@ class FsWatchReader(SimpleDataSourceStreamReader):
         self.prune = str(options.get("prune", "true")).lower() != "false"
         self.state_dir = options.get("state_dir")
         self.compact_every = int(options.get("compact_every", "16"))
+        # seed: a directory of parquet files holding the stored
+        # snapshot's entries (the CLI writes it from the database before
+        # starting the stream — see _load_seed).  Batch 0 then emits the
+        # CHANGES since that snapshot instead of the whole tree as
+        # 'added', and the driver never stats the full tree: the
+        # round-8 verdict's remaining tree-sized driver pass.
+        self.seed = options.get("seed")
         # driver state: O(dirs) — dir row tuples + dir -> snapshot file id
         self._dirstat: dict[str, tuple] | None = None
         self._rootsig: tuple | None = None
@@ -464,6 +476,74 @@ class FsWatchReader(SimpleDataSourceStreamReader):
                     _os.unlink(fp)
                 self._ondisk.discard(fid)
 
+    def _load_seed(self) -> None:
+        """Initialize driver state + the file-row snapshot from a STORED
+        entries table instead of a full tree walk (the batch-0 resync
+        sharded off the driver): dir rows become ``_dirstat`` (O(dirs)
+        driver memory — the standing contract), and each seed parquet
+        file's file-space rows land verbatim as one snapshot file
+        (Arrow filter + write, no per-row Python), so transient driver
+        memory is bounded by ONE seed file.  The stream's first batch
+        then runs the NORMAL pruned rescan against this state: only
+        directories whose (mtime, mode) moved since the snapshot are
+        re-stat'ed, and the emissions are exactly the changes since the
+        snapshot — the restart reconciliation, with O(dirs)+O(churn)
+        driver work instead of the old tree-sized walk + tree-sized
+        full-outer join.  ``prune=false`` restores the exhaustive
+        per-file comparison (every file stat'ed once) while keeping
+        memory bounded.
+
+        Seed contract (the CLI's ``watch --apply`` writer satisfies
+        it): entries-schema parquet under one directory, every parent's
+        rows confined to one file (``repartitionByRange(parent)``);
+        an ``error`` column is optional (stored snapshots drop
+        unreadable paths — they re-emit as harmless error rows when
+        their directory next rescans).  The root's own record is not an
+        entries row, so ``_rootsig`` stays None and the root directory
+        always rescans on the first batch (one scandir)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import compute as pc
+        from glob import glob as _glob
+
+        names = _FIELDS + ("error",)
+        schema = self._arrow_schema()
+        dirstat: dict[str, tuple] = {}
+        files = sorted(
+            _glob(_os.path.join(self.seed, "*.parquet"))
+            or _glob(_os.path.join(self.seed, "**", "*.parquet"),
+                     recursive=True)
+        )
+        if not files:
+            raise ValueError(f"fswatch: empty seed {self.seed!r}")
+        for f in files:
+            t = pq.read_table(f)
+            # normalize to the snapshot schema: drop layout columns
+            # (pb), add a null error column when absent, cast mtime to
+            # µs UTC (a Spark INT96/ns write must compare equal to the
+            # scan's µs datetimes)
+            cols = []
+            for fld in schema:
+                if fld.name in t.column_names:
+                    cols.append(t[fld.name].cast(fld.type))
+                else:
+                    cols.append(pa.nulls(len(t), fld.type))
+            t = pa.Table.from_arrays(cols, schema=schema)
+            is_dir = pc.fill_null(t["is_dir"], False)
+            tf = t.filter(pc.invert(is_dir))
+            if tf.num_rows:
+                self._filectr += 1
+                fid = self._filectr
+                pq.write_table(tf, self._file_path(fid))
+                self._ondisk.add(fid)
+                for d in pc.unique(tf["parent"]).to_pylist():
+                    if d is not None:
+                        self._dirgen[d] = fid
+            for r in t.filter(is_dir).to_pylist():
+                dirstat[r["path"]] = tuple(r[n] for n in names)
+        self._dirstat = dirstat
+        self._rootsig = None
+
     # -- the bounded rescan ------------------------------------------------
 
     def _error_row(self, path: str, detail: str) -> tuple:
@@ -592,6 +672,13 @@ class FsWatchReader(SimpleDataSourceStreamReader):
             for f in _os.listdir(sd):
                 if f.startswith("s") and f.endswith(".parquet"):
                     _os.unlink(_os.path.join(sd, f))
+            if self.seed:
+                # seeded start: state comes from the stored snapshot and
+                # this batch emits only the diff against it (see
+                # _load_seed) — it is NOT a full resync, so the
+                # no-change fast path below applies from batch 0 on
+                self._load_seed()
+                first = False
         cur_dirstat, rootsig, listings, dead_dirs = self._scan()
         root = self.path.rstrip("/") or "/"
         sig, err_i = self._SIG, self._ERR_I

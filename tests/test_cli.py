@@ -582,12 +582,14 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
                                            capsys):
     """watch --db --apply: each non-empty diff batch lands a new
     snapshot version via apply_changes, and the applied snapshot equals
-    a fresh crawl of the mutated tree.
+    a fresh crawl of the mutated tree.  The start is SEEDED (round-9):
+    batch 0 emits only the churn since the stored snapshot (pre.dat's
+    add + its parent's changed dir row), never the whole tree.
 
     The CLI runs in a worker thread and the test synchronizes on the
-    batch-0 resync OUTPUT before mutating — a fixed sleep races against
-    stream startup (a mutation landing before batch-0's walk would be
-    absorbed into the resync, no diff batch would ever arrive, and
+    batch-0 reconciliation OUTPUT before mutating — a fixed sleep races
+    against stream startup (a mutation landing before batch-0's rescan
+    would be absorbed into it, no diff batch would ever arrive, and
     ``--max-batches 2`` would wait forever)."""
     import os
     import threading
@@ -620,15 +622,19 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
 
     wt = threading.Thread(target=run_watch)
     wt.start()
-    # batch-0's rows print only after its walk completed, so a mutation
-    # made after seeing them is guaranteed to land in a later diff batch
+    # batch-0's rows print only after its rescan completed, so a
+    # mutation made after seeing them lands in a later diff batch.
+    # SEEDED semantics pin: batch 0 prints the reconciliation diff
+    # (pre.dat), NOT the whole tree (x.log is in the stored snapshot
+    # and unchanged — it must never appear in the feed).
     out = ""
     deadline = time.time() + 120
-    while "x.log" not in out:
-        assert time.time() < deadline, f"no batch-0 resync output:\n{out}"
+    while "pre.dat" not in out:
+        assert time.time() < deadline, f"no batch-0 reconcile output:\n{out}"
         assert wt.is_alive() or not err, err
         time.sleep(0.25)
         out += capsys.readouterr().out
+    assert "x.log" not in out, "seeded batch 0 must not emit the tree"
     with open(f"{real_tree}/proj/a/new.dat", "w") as f:
         f.write("fresh")
     os.unlink(f"{real_tree}/proj/b/z.log")

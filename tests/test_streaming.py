@@ -482,3 +482,115 @@ def test_fswatch_unreadable_dir_transition(tmp_path, monkeypatch):
     assert ("deleted", "f0.dat") in got and ("deleted", "f1.dat") in got
     err_rows = [t for t in rows if t[0] == "changed"]
     assert len(err_rows) == 1 and err_rows[0][-2] is not None  # error col
+
+
+def _seed_from_crawl(spark, root, seed_dir):
+    """Write a seed the way the CLI does: the crawled entries as
+    parquet, parents confined to one file each."""
+    from dudb_spark.model import ENTRIES_SCHEMA
+    from dudb_spark.sources.crawler import crawl_local
+
+    _, e0, _ = crawl_local(root)
+    df = spark.createDataFrame(e0, ENTRIES_SCHEMA)
+    df.repartitionByRange(2, "parent").write.mode("overwrite").parquet(
+        seed_dir
+    )
+    return df
+
+
+def test_fswatch_seeded_start_matches_resync_feed(spark, tmp_path):
+    """SEEDED start (round-9: the batch-0 resync sharded off the
+    driver): a watcher initialized from the stored entries emits, as
+    its first batch, exactly the classification resync_feed would
+    compute from a fresh walk — for dir-mtime-visible churn — while
+    statting only the churned dirs' files, never the tree."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dudb_spark.model import ENTRIES_SCHEMA
+    from dudb_spark.operators.ingest import resync_feed
+    from dudb_spark.sources.crawler import crawl_local
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=6, files_per_dir=5)
+    seed_dir = str(tmp_path / "seed")
+    stored = _seed_from_crawl(spark, root, seed_dir)
+
+    # churn while the watcher is "down": add (d00), delete (d01),
+    # delete a whole dir (d02) — all dir-mtime-visible
+    time.sleep(1.05)
+    with open(f"{root}/d00/new.bin", "w") as f:
+        f.write("zz")
+    os.unlink(f"{root}/d01/f2.dat")
+    import shutil
+
+    shutil.rmtree(f"{root}/d02")
+
+    r = FsWatchReader({"path": root, "seed": seed_dir})
+    rows = list(r.read({"gen": 0})[0])
+    got = sorted((t[0], t[3]) for t in rows)
+
+    # the oracle: resync_feed over a fresh walk vs the stored entries
+    _, e1, _ = crawl_local(root)
+    resync = (
+        spark.createDataFrame(e1, ENTRIES_SCHEMA)
+        .withColumn("op", F.lit("added"))
+        .withColumn("error", F.lit(None).cast("string"))
+    )
+    want = sorted(
+        (x["op"], x["path"])
+        for x in resync_feed(stored, resync).select("op", "path").collect()
+    )
+    assert got == want, (got, want)
+
+    # bounded work: only churned dirs' files statted (d00: 6, d01: 4;
+    # d02 is gone, unchanged d03-d05 skipped; root has no files)
+    assert r.last_batch_stats["files_statted"] == 10
+    # driver state never held the full tree's file rows
+    assert len(r._dirstat) == 5  # live dirs
+    # later batches keep working normally off the seeded state
+    time.sleep(1.05)
+    with open(f"{root}/d03/late.txt", "w") as f:
+        f.write("l")
+    rows2 = list(r.read({"gen": 1})[0])
+    assert {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows2} == {
+        ("changed", "d03"), ("added", "late.txt"),
+    }
+
+
+def test_fswatch_seeded_prune_false_exhaustive(spark, tmp_path):
+    """Seeded start with prune=false: every file is re-stat'ed once
+    (bounded memory, no tree in the driver dict) and in-place edits
+    under unchanged dir mtimes surface immediately — the exhaustive
+    reconciliation --full-resync used to provide, without the
+    driver-side tree walk."""
+    import os
+    import time
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=3, files_per_dir=4)
+    seed_dir = str(tmp_path / "seed")
+    _seed_from_crawl(spark, root, seed_dir)
+
+    # in-place edit, dir mtime restored (invisible to pruning)
+    d = f"{root}/d01"
+    st = os.stat(d)
+    time.sleep(1.05)
+    with open(f"{d}/f1.dat", "w") as f:
+        f.write("rewritten-in-place-longer")
+    os.utime(d, (st.st_atime, st.st_mtime))
+
+    # pruned seeded start misses it (J1 contract)
+    r1 = FsWatchReader({"path": root, "seed": seed_dir})
+    assert list(r1.read({"gen": 0})[0]) == []
+
+    # exhaustive seeded start catches it
+    r2 = FsWatchReader({"path": root, "seed": seed_dir, "prune": "false"})
+    rows = list(r2.read({"gen": 0})[0])
+    assert {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows} == {
+        ("changed", "f1.dat")
+    }
+    assert r2.last_batch_stats["files_statted"] == 12  # each file once
