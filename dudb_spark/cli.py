@@ -476,12 +476,16 @@ def cmd_watch(args):
 
     spark = _spark()
     cat = None
-    if args.apply:
+    if args.db:
+        # --db without --apply still seeds the feed: the printed stream
+        # becomes "changes since the stored snapshot" instead of a
+        # batch-0 dump of the whole tree
         from dudb_spark.sources.catalog import SnapshotCatalog
 
-        if not args.db:
-            raise SystemExit("watch --apply: --db is required")
         cat = SnapshotCatalog(spark, args.db)
+    if args.apply:
+        if cat is None:
+            raise SystemExit("watch --apply: --db is required")
         if cat.latest_version() is None:
             raise SystemExit(
                 "watch --apply: run `analyze` first (no snapshot in DB)"
@@ -505,7 +509,11 @@ def cmd_watch(args):
         os.makedirs(args.state_dir, exist_ok=True)
         reader = reader.option("state_dir", args.state_dir)
     seeded = False
-    if cat is not None and not getattr(args, "full_resync", False):
+    if (
+        cat is not None
+        and cat.latest_version() is not None
+        and not getattr(args, "full_resync", False)
+    ):
         # SEEDED START (round-8 verdict item: shard the batch-0 resync
         # off the driver): export the stored snapshot's live entries as
         # the watcher's seed — an executor-parallel write, the only
@@ -555,7 +563,7 @@ def cmd_watch(args):
         for r in rows:
             sz = "" if r["size"] is None else r["size"]
             print(f"{r['gen']}\t{r['op']}\t{sz}\t{r['path']}", flush=True)
-        if cat is not None:
+        if cat is not None and args.apply:
             from pyspark.sql import functions as F
 
             from dudb_spark.operators.ingest import (

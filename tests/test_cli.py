@@ -684,3 +684,21 @@ def test_cli_watch_state_dir(spark, real_tree, tmp_path, capsys):
     assert any(f.endswith(".parquet") for f in os.listdir(sd)), (
         os.listdir(sd)
     )
+
+
+def test_cli_watch_db_without_apply_seeds(spark, real_tree, tmp_path,
+                                          capsys):
+    """watch --db WITHOUT --apply: the feed is seeded from the stored
+    snapshot, so --once prints only the churn since it (and applies
+    nothing — the DB keeps one version)."""
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    db = str(tmp_path / "db")
+    json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    with open(f"{real_tree}/proj/a/since.dat", "w") as f:
+        f.write("post-snapshot churn")
+    out = run(capsys, "watch", "--once", "--db", db, real_tree)
+    assert "since.dat" in out
+    assert "x.log" not in out  # unchanged rows never emitted
+    cat = SnapshotCatalog(spark, db)
+    assert len(cat.versions()) == 1  # nothing applied
