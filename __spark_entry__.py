@@ -2895,6 +2895,75 @@ def q133_fswatch_stream(spark, sf_dir):
     ).orderBy("relpath")
 
 
+def q142_seeded_watch_reconcile(spark, sf_dir):
+    """SEEDED watch start (round-9: the batch-0 resync sharded off the
+    driver — fsds.FsWatchReader._load_seed behind ``watch --apply``):
+    the watcher initializes from a stored snapshot's entries (written
+    exactly like the CLI writes its seed) and its FIRST batch emits the
+    changes since that snapshot as a churn-sized diff — deletion of a
+    whole subtree (last-known stats), an added file (its dir emits
+    changed), and an in-place size change — with the unchanged rest of
+    the tree never emitted and the driver never statting it.  All
+    mutation stats are pinned with utime, so the oracle is the expected
+    classification stated literally."""
+    import os
+    import tempfile
+    import uuid
+
+    from dudb_spark.model import ENTRIES_SCHEMA
+    from dudb_spark.sources.crawler import crawl_local
+    from dudb_spark.sources.fsds import register_watch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = tempfile.mkdtemp(prefix="dudb_q142_")
+    root = base + "/tree"
+    _build_crawl_tree(root)
+
+    # the seed = the stored snapshot's entries, written the way the CLI
+    # writes it (parents confined to one file each)
+    _, e0, _ = crawl_local(root)
+    seed = base + "/seed"
+    (
+        spark.createDataFrame(e0, ENTRIES_SCHEMA)
+        .repartitionByRange(2, "parent")
+        .write.mode("overwrite").parquet(seed)
+    )
+
+    # churn while the watcher is "down", stats pinned for determinism
+    import shutil
+
+    shutil.rmtree(f"{root}/d2")
+    with open(f"{root}/d0/znew.dat", "wb") as f:
+        f.write(b"z" * 99)
+    with open(f"{root}/d1/f0.dat", "wb") as f:
+        f.write(b"y" * 5)
+    t0 = _CRAWL_BASE
+    os.utime(f"{root}/d0/znew.dat", (t0 + 7777, t0 + 7777))
+    os.utime(f"{root}/d1/f0.dat", (t0 + 8888, t0 + 8888))
+    os.utime(f"{root}/d0", (t0 + 7000, t0 + 7000))
+    os.utime(f"{root}/d1", (t0 + 8000, t0 + 8000))
+
+    register_watch(spark)
+    name = "q142_watch_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("fswatch")
+        .option("seed", seed).load(root)
+        .writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    t = spark.table(name)
+    rel = F.expr(f"substring(path, {len(root) + 1})").alias("relpath")
+    return t.select(
+        "op",
+        rel,
+        F.when(~F.col("is_dir"), F.col("size")).cast("long").alias("size"),
+        "is_dir",
+        _fmt_ts(F.col("mtime"), "mtime"),
+        F.col("gen").cast("long").alias("gen"),
+    ).orderBy("relpath", "op")
+
+
 def q134_cluster_balance(spark, sf_dir):
     """Multi-round Lloyd k-means topic balance (pipeline/kmeans.py):
     3 Lloyd rounds over the embeddings table (seed = 8 lowest-id
@@ -5167,6 +5236,7 @@ QUERIES: dict[str, Callable] = {
     "q139_watch_stats_fold": q139_watch_stats_fold,
     "q140_resync_reconcile": q140_resync_reconcile,
     "q141_force_rescan": q141_force_rescan,
+    "q142_seeded_watch_reconcile": q142_seeded_watch_reconcile,
 }
 
 ORACLE: dict[str, str] = {
@@ -6621,6 +6691,29 @@ ORACLE["q133_fswatch_stream"] = """
                         '%Y-%m-%d %H:%M:%S')
     )
     ORDER BY relpath
+"""
+
+
+# q142: the seeded-start reconciliation, stated literally — every
+# mutation stat is utime-pinned, the unchanged tree must NOT appear
+ORACLE["q142_seeded_watch_reconcile"] = """
+    WITH expect(op, relpath, size, is_dir, epoch) AS (VALUES
+        ('changed', '/d0',          CAST(NULL AS BIGINT), TRUE,  1700007000),
+        ('added',   '/d0/znew.dat', CAST(99 AS BIGINT),   FALSE, 1700007777),
+        ('changed', '/d1',          CAST(NULL AS BIGINT), TRUE,  1700008000),
+        ('changed', '/d1/f0.dat',   CAST(5 AS BIGINT),    FALSE, 1700008888),
+        ('deleted', '/d2',          CAST(NULL AS BIGINT), TRUE,  1700003000),
+        ('deleted', '/d2/f0.dat',   CAST(75 AS BIGINT),   FALSE, 1700003010),
+        ('deleted', '/d2/f1.dat',   CAST(76 AS BIGINT),   FALSE, 1700003020),
+        ('deleted', '/d2/f2.dat',   CAST(77 AS BIGINT),   FALSE, 1700003030),
+        ('deleted', '/d2/f3.dat',   CAST(78 AS BIGINT),   FALSE, 1700003040),
+        ('deleted', '/d2/skip.tmp', CAST(8 AS BIGINT),    FALSE, 0)
+    )
+    SELECT op, relpath, size, is_dir,
+           strftime(make_timestamp(CAST(epoch AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS mtime,
+           CAST(0 AS BIGINT) AS gen
+    FROM expect ORDER BY relpath, op
 """
 
 
