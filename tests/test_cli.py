@@ -384,7 +384,11 @@ def test_cli_compact_bucketed_adoption(spark, real_tree, tmp_path, capsys):
     db = str(tmp_path / "db")
     run(capsys, "analyze", "--db", db, real_tree, "--layout", "plain")
     cat = SnapshotCatalog(spark, db)
-    assert cat.layout() == {}
+    lay0 = cat.layout()
+    # plain layout records only the tree-size metadata (round-9: the
+    # refold gate reads prefix_rows instead of counting), no bucketing
+    assert lay0.get("layout", "plain") == "plain"
+    assert lay0.get("prefix_rows") == cat.tables().prefixes.count()
     before = run(capsys, "find", "--db", db, real_tree, "type=f")
 
     out = json.loads(run(capsys, "database", "compact", "--db", db,
