@@ -56,12 +56,39 @@ def cmd_analyze(args):
 
     spark = _spark()
     start = datetime.now(timezone.utc)
-    prows, erows, errrows = crawl_local(
-        args.prefix, exclusions=args.exclude or [], concurrent_scans=args.scans
-    )
-    staged_p = spark.createDataFrame(prows, PREFIXES_SCHEMA)
-    staged_e = spark.createDataFrame(erows, ENTRIES_SCHEMA)
-    errors = spark.createDataFrame(errrows or [], ERRORS_SCHEMA)
+    staging = None
+    if getattr(args, "distributed", False):
+        # executor-parallel walk (crawl_distributed): scan results land
+        # in staging parquet FROM the executors and nothing row-shaped
+        # ever materializes on the driver — the ingest route for trees
+        # larger than driver memory (the fswalk/q127 scale contract
+        # applied to analyze).  Counters below are parquet metadata /
+        # narrow-column jobs over the staged scan.
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from dudb_spark.sources.crawler import crawl_distributed
+
+        staging = tempfile.mkdtemp(prefix="dudb_analyze_staging_")
+        staged_p, staged_e, errors = crawl_distributed(
+            spark, args.prefix, exclusions=args.exclude or [],
+            staging_dir=staging,
+        )
+        n_prefixes = staged_p.count()
+        n_files = staged_e.where(~F.col("is_dir")).count()
+        n_errors = errors.count()
+    else:
+        prows, erows, errrows = crawl_local(
+            args.prefix, exclusions=args.exclude or [],
+            concurrent_scans=args.scans,
+        )
+        staged_p = spark.createDataFrame(prows, PREFIXES_SCHEMA)
+        staged_e = spark.createDataFrame(erows, ENTRIES_SCHEMA)
+        errors = spark.createDataFrame(errrows or [], ERRORS_SCHEMA)
+        n_prefixes = len(prows)
+        n_files = sum(1 for e in erows if not e["is_dir"])
+        n_errors = len(errrows)
 
     cat = SnapshotCatalog(spark, args.db)
     # snapshots store bucketed by default: the layout is what lets
@@ -74,10 +101,10 @@ def cmd_analyze(args):
         out = cat.write_snapshot(staged_p, staged_e, errors, **lay)
         summary = {
             "operation": "analyze",
-            "prefixes_started": len(prows),
-            "prefixes_finished": len(prows),
-            "files": sum(1 for e in erows if not e["is_dir"]),
-            "errors": len(errrows),
+            "prefixes_started": n_prefixes,
+            "prefixes_finished": n_prefixes,
+            "files": n_files,
+            "errors": n_errors,
         }
     else:
         prev = cat.tables()
@@ -86,7 +113,11 @@ def cmd_analyze(args):
             root=args.prefix, force=getattr(args, "force", False),
         )
         out = cat.write_snapshot(res.prefixes, res.entries, errors, **lay)
-        summary = dict(res.summary, errors=len(errrows))
+        summary = dict(res.summary, errors=n_errors)
+    if staging is not None:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     stop = datetime.now(timezone.utc)
     summary["duration_ns"] = int((stop - start).total_seconds() * 1e9)
     cat.append_log(start, stop, summary)
@@ -1297,6 +1328,14 @@ def build_parser():
     p.add_argument(
         "--path-buckets", type=int, default=64,
         help="bucket count for --layout bucketed",
+    )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="walk the tree on EXECUTORS (crawl_distributed): scan rows "
+        "land in staging parquet from the executors and never "
+        "materialize on the driver — the route for trees larger than "
+        "driver memory.  On a cluster, staging must be on shared "
+        "storage; --scans is ignored (parallelism = executor tasks)",
     )
     p.set_defaults(func=cmd_analyze)
 

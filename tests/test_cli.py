@@ -706,3 +706,49 @@ def test_cli_watch_db_without_apply_seeds(spark, real_tree, tmp_path,
     assert "x.log" not in out  # unchanged rows never emitted
     cat = SnapshotCatalog(spark, db)
     assert len(cat.versions()) == 1  # nothing applied
+
+
+def test_cli_analyze_distributed_equals_local(spark, real_tree, tmp_path,
+                                              capsys):
+    """analyze --distributed (executor-parallel crawl, rows never on the
+    driver) writes a snapshot identical to the thread-pool crawl's, on
+    both the initial write and an incremental re-analyze."""
+    import time
+
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    db_l = str(tmp_path / "db_local")
+    db_d = str(tmp_path / "db_dist")
+    s_l = json.loads(run(capsys, "analyze", "--db", db_l, real_tree))
+    s_d = json.loads(
+        run(capsys, "analyze", "--db", db_d, real_tree, "--distributed")
+    )
+    for k in ("prefixes_finished", "files", "errors"):
+        assert s_d[k] == s_l[k], k
+
+    # incremental: add one file, delete one; both routes must classify
+    # identically
+    time.sleep(1.05)
+    with open(f"{real_tree}/proj/a/dist.dat", "w") as f:
+        f.write("dd")
+    import os
+
+    os.unlink(f"{real_tree}/proj/b/z.log")
+    s_l2 = json.loads(run(capsys, "analyze", "--db", db_l, real_tree))
+    s_d2 = json.loads(
+        run(capsys, "analyze", "--db", db_d, real_tree, "--distributed")
+    )
+    for k in ("prefixes_added", "prefixes_changed", "prefixes_deleted",
+              "parent_unchanged", "files"):
+        assert s_d2[k] == s_l2[k], k
+
+    cols = ["path", "is_dir", "size", "mode", "inode"]
+    got_l = sorted(
+        tuple(r[c] for c in cols)
+        for r in SnapshotCatalog(spark, db_l).tables().entries.collect()
+    )
+    got_d = sorted(
+        tuple(r[c] for c in cols)
+        for r in SnapshotCatalog(spark, db_d).tables().entries.collect()
+    )
+    assert got_l == got_d
