@@ -604,11 +604,37 @@ def main():
                            "BENCH_FULL_LOCAL.json"), "w") as f:
         json.dump(result, f, indent=1)
     # degrade ladder: 2-dec -> 1-dec -> integer seconds (ints, not x.0 —
-    # the trailing ".0" alone is ~260 chars across 130 queries) -> ints
-    # plus dropping the per-phase incremental timings (derivable from
-    # the speedup ratio; full precision is in the sidecar regardless)
-    for nd, extra_drop in ((2, False), (1, False), (None, False),
-                           (None, True)):
+    # the trailing ".0" alone is ~260 chars across 130 queries), then
+    # drop sidecar-covered metrics one at a time in priority order
+    # (most-derivable / least-read first) until the line fits.  The
+    # full-precision record ALWAYS lands in BENCH_FULL_LOCAL.json —
+    # which the committed bench run writes in-repo — so nothing dropped
+    # here is lost, only de-duplicated out of the driver's 2000-char
+    # tail window.
+    _DROP_PRIORITY = (
+        "incremental_t_full_sec", "incremental_t_inc_sec",
+        "incremental_closure_jobs", "load1_start", "load1_end",
+        "suite_jvm_norm", "suite_py_norm",      # = sums / anchors
+        "fswatch_seeded_rows",                  # == churn_rows
+        "fswatch_tree_entries",                 # fixture constant
+        "incremental_tree_entries",             # fixture constant
+        "incremental_high_churn_auto",          # constant policy string
+        "fswatch_churn_rows",
+        "decode_bmp_mb_per_sec", "decode_wav_mb_per_sec",
+        "decode_png_smooth_mb_per_sec",
+        "calib_scan_agg_mid_sec", "calib_pandas_mid_sec",
+        "incremental_speedup_high_churn",
+        "fswatch_idle_batch_sec",
+        "decode_png_native", "decode_jpeg_native",
+        "fswatch_churn_files_statted",
+        "hash_embed_docs_per_sec",
+        "watch_full_compact_sec",
+        "fswatch_churn1pct_batch_sec",
+        "decode_mb_per_sec",
+        "watch_delta_commit_sec",
+        "rollup_entries_per_sec",
+    )
+    for nd in (2, 1, None):
         qs = {
             k: (int(round(v)) if nd is None else round(v, nd))
             for k, v in short.items()
@@ -619,15 +645,14 @@ def main():
         slim.pop("merge_unchanged_skip_ratio", None)
         slim.pop("decode_speedup_vs_r4", None)
         slim.pop("incremental_fold_fraction_high", None)
-        # norms derive from the family sums / anchors above them
         slim.pop("watch_delta_write_ratio", None)
-        if extra_drop:
-            slim.pop("incremental_t_full_sec", None)
-            slim.pop("incremental_t_inc_sec", None)
-            slim.pop("incremental_closure_jobs", None)
-            slim.pop("load1_start", None)
-            slim.pop("load1_end", None)
         line = json.dumps(slim, separators=(",", ":"))
+        if nd is None:
+            for k in _DROP_PRIORITY:
+                if len(line) <= 1900:
+                    break
+                slim.pop(k, None)
+                line = json.dumps(slim, separators=(",", ":"))
         if len(line) <= 1900:
             break
     print(line)
