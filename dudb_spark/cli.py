@@ -475,6 +475,49 @@ def _watch_stats_update(spark, cat, stats_dir, touched, applied_from,
     print(json.dumps({"stats": out, "totals": tot}), flush=True)
 
 
+def _watch_land(spark, cat, args, diff, stats_dir) -> bool:
+    """Apply one change-feed diff to the stored snapshot and land it:
+    churn-sized delta commit by default, a FULL compaction write
+    (tree-sized, restores the bucketed layout) every --compact-every
+    batches bounding the reconstruction chain — the transaction-log/
+    compaction split of a Delta/Iceberg sink — plus the JSON summary
+    line and the optional incremental stats fold.  Shared by the
+    stream's per-batch apply and --full-resync's pre-stream
+    reconciliation.  Returns True when the diff had any effect."""
+    from dudb_spark.operators.ingest import apply_changes
+
+    applied_from = cat.latest_version()
+    t = cat.tables()
+    res = apply_changes(t.prefixes, t.entries, diff, root=args.prefix)
+    s = res.summary
+    if not (s["rows_added"] or s["rows_changed"] or s["rows_deleted"]):
+        res.release()
+        return False
+    ce = max(getattr(args, "compact_every", 8), 1)
+    if ce > 1 and cat.chain_length() + 1 < ce:
+        out = cat.write_delta(diff, root=args.prefix)
+        mode = "delta"
+    else:
+        lay = cat.base_layout()
+        out = cat.write_snapshot(
+            res.prefixes, res.entries,
+            layout=lay.get("layout"),
+            path_buckets=lay.get("path_buckets", 64),
+        )
+        mode = "compacted"
+    print(json.dumps({"snapshot": out, "write": mode, **res.summary}),
+          flush=True)
+    if stats_dir:
+        _watch_stats_update(
+            spark, cat, stats_dir, res.touched, applied_from,
+            getattr(args, "churn_threshold", 0.02),
+        )
+    # one apply per micro-batch forever: release the apply's cached
+    # feed or executor storage grows per batch
+    res.release()
+    return True
+
+
 def cmd_watch(args):
     """Live change feed over a tree (sources/fsds.FsWatchReader): prints
     one TSV line per change — gen, op, size, path.  ``--once`` emits the
@@ -539,11 +582,50 @@ def cmd_watch(args):
     if getattr(args, "state_dir", None):
         os.makedirs(args.state_dir, exist_ok=True)
         reader = reader.option("state_dir", args.state_dir)
+    if (
+        cat is not None
+        and cat.latest_version() is not None
+        and getattr(args, "full_resync", False)
+        and args.apply
+    ):
+        # --full-resync under --apply: EXHAUSTIVE reconciliation, but
+        # executor-parallel (the fswalk DataSource walks the tree on
+        # executors and re-stats every file) instead of the old
+        # driver-side reader walk.  resync_feed classifies the walk
+        # against the stored entries into a churn-sized diff that lands
+        # exactly like a stream batch; the stream then starts SEEDED
+        # from the now-current snapshot.  Result: even the opt-out path
+        # never materializes the tree on the driver.
+        from pyspark.sql import functions as F
+
+        from dudb_spark.operators.find import subtree_pred
+        from dudb_spark.operators.ingest import resync_feed
+        from dudb_spark.sources.fsds import register as _register_walk
+
+        _register_walk(spark)
+        rdr = spark.read.format("fswalk")
+        if args.exclude:
+            rdr = rdr.option("exclude", args.exclude[0])
+        scan = rdr.load(args.prefix).withColumn("op", F.lit("added"))
+        prev_sub = cat.tables().entries.where(
+            subtree_pred(F.col("parent"), args.prefix)
+            | (F.col("path") == args.prefix.rstrip("/"))
+        )
+        # churn-sized after the classification; pin it so the apply's
+        # consumers don't re-run the tree-sized walk+join
+        diff = resync_feed(prev_sub, scan).withColumn(
+            "gen", F.lit(0).cast("long")
+        ).localCheckpoint()
+        for r in diff.orderBy("op", "path").collect():
+            sz = "" if r["size"] is None else r["size"]
+            print(f"0\t{r['op']}\t{sz}\t{r['path']}", flush=True)
+        _watch_land(spark, cat, args, diff, stats_dir)
+
     seeded = False
     if (
         cat is not None
         and cat.latest_version() is not None
-        and not getattr(args, "full_resync", False)
+        and (args.apply or not getattr(args, "full_resync", False))
     ):
         # SEEDED START (round-8 verdict item: shard the batch-0 resync
         # off the driver): export the stored snapshot's live entries as
@@ -552,11 +634,9 @@ def cmd_watch(args):
         # normal pruned rescan against the snapshot (O(dirs)+O(churn)
         # driver work) emitting exactly the changes since it, instead
         # of a tree-sized driver-side walk reconciled through a
-        # tree-sized full-outer join.  --full-resync restores the old
-        # exhaustive route (it re-stats every file, so it also catches
-        # in-place edits under unchanged dir mtimes immediately;
-        # --no-prune on a seeded start gives the same exhaustiveness
-        # with bounded memory).
+        # tree-sized full-outer join.  Under --full-resync the
+        # executor-parallel reconciliation above already ran, so the
+        # stream continues seeded from the reconciled snapshot.
         import tempfile
 
         from pyspark.sql import functions as F
@@ -595,64 +675,10 @@ def cmd_watch(args):
             sz = "" if r["size"] is None else r["size"]
             print(f"{r['gen']}\t{r['op']}\t{sz}\t{r['path']}", flush=True)
         if cat is not None and args.apply:
-            from pyspark.sql import functions as F
-
-            from dudb_spark.operators.ingest import (
-                apply_changes,
-                resync_feed,
-            )
-
-            applied_from = cat.latest_version()
-            t = cat.tables()
-            if not seeded and any(r["gen"] == 0 for r in rows):
-                # --full-resync batch 0: the walk emits the whole tree,
-                # so churn that happened while the watcher was DOWN is
-                # in neither the stored snapshot nor any later diff
-                # batch — reconcile the resync against the snapshot,
-                # one tree-sized classification paid once per start.
-                # (The default SEEDED start never takes this branch:
-                # its batch 0 is already the reconciliation diff.)
-                diff = resync_feed(
-                    t.entries, batch_df.where(F.col("gen") == 0)
-                )
-            else:
-                diff = batch_df
-            res = apply_changes(
-                t.prefixes, t.entries, diff, root=args.prefix
-            )
-            s = res.summary
-            if not (s["rows_added"] or s["rows_changed"]
-                    or s["rows_deleted"]):
-                res.release()
-                state["batches"] += 1
-                return
-            # churn-sized delta commit by default; a FULL compaction
-            # write (tree-sized, restores the bucketed layout) every
-            # --compact-every batches bounds the reconstruction chain —
-            # the transaction-log/compaction split of a Delta/Iceberg
-            # sink, so per-batch write cost tracks the churn
-            ce = max(getattr(args, "compact_every", 8), 1)
-            if ce > 1 and cat.chain_length() + 1 < ce:
-                out = cat.write_delta(diff, root=args.prefix)
-                mode = "delta"
-            else:
-                lay = cat.base_layout()
-                out = cat.write_snapshot(
-                    res.prefixes, res.entries,
-                    layout=lay.get("layout"),
-                    path_buckets=lay.get("path_buckets", 64),
-                )
-                mode = "compacted"
-            print(json.dumps({"snapshot": out, "write": mode,
-                              **res.summary}), flush=True)
-            if stats_dir:
-                _watch_stats_update(
-                    spark, cat, stats_dir, res.touched, applied_from,
-                    getattr(args, "churn_threshold", 0.02),
-                )
-            # one apply per micro-batch forever: release the apply's
-            # cached feed or executor storage grows per batch
-            res.release()
+            # every batch is a change-feed diff: the SEEDED batch 0 is
+            # already the reconciliation, and --full-resync reconciled
+            # before the stream started
+            _watch_land(spark, cat, args, batch_df, stats_dir)
         # count AFTER the apply: the main loop stops the query the
         # moment the count reaches --max-batches, and a stop mid-apply
         # would interrupt the snapshot write
@@ -1444,14 +1470,12 @@ def build_parser():
     )
     p.add_argument(
         "--full-resync", action="store_true",
-        help="with --apply: start with a full driver-side tree walk "
-        "reconciled against the snapshot instead of the default SEEDED "
-        "start (which initializes the watcher from the stored entries "
-        "and emits only the changes since the snapshot, O(dirs)+O(churn) "
-        "driver work).  The full walk re-stats every file, so it also "
-        "catches in-place edits under unchanged directory mtimes; "
-        "--no-prune on a seeded start gives the same exhaustiveness "
-        "with bounded memory",
+        help="with --apply: reconcile an EXHAUSTIVE executor-parallel "
+        "walk (fswalk, every file re-stat'ed) against the snapshot "
+        "before the stream starts — catches in-place edits under "
+        "unchanged directory mtimes that the default seeded start "
+        "defers (J1) — then continue seeded from the reconciled "
+        "snapshot.  --no-prune gives per-batch exhaustiveness instead",
     )
     p.set_defaults(func=cmd_watch)
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")

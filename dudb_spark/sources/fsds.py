@@ -666,6 +666,7 @@ class FsWatchReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         gen = int(start.get("gen", 0))
         first = self._dirstat is None
+        gen_advance = False
         if first:
             # fresh run: clear any stale snapshot files in state_dir
             sd = self._state()
@@ -675,10 +676,15 @@ class FsWatchReader(SimpleDataSourceStreamReader):
             if self.seed:
                 # seeded start: state comes from the stored snapshot and
                 # this batch emits only the diff against it (see
-                # _load_seed) — it is NOT a full resync, so the
-                # no-change fast path below applies from batch 0 on
+                # _load_seed).  The batch still ADVANCES the offset even
+                # when the diff is empty: holding the offset on the very
+                # first read leaves Spark's simple-reader prefetch cache
+                # without a batch-0 entry, and a replay then dies in
+                # readBetweenOffsets (not implemented for simple
+                # readers).  Later no-change batches hold as usual.
                 self._load_seed()
                 first = False
+                gen_advance = True
         cur_dirstat, rootsig, listings, dead_dirs = self._scan()
         root = self.path.rstrip("/") or "/"
         sig, err_i = self._SIG, self._ERR_I
@@ -741,7 +747,7 @@ class FsWatchReader(SimpleDataSourceStreamReader):
                     out.append((op,) + row + (gen,))
         self.last_batch_stats["rows_emitted"] = len(out)
 
-        if not out and not first:
+        if not out and not first and not gen_advance:
             # nothing changed: hold the offset, no empty batch — but
             # keep the fresh dir stats (they are byte-equal anyway)
             self._dirstat, self._rootsig = cur_dirstat, rootsig

@@ -752,3 +752,41 @@ def test_cli_analyze_distributed_equals_local(spark, real_tree, tmp_path,
         for r in SnapshotCatalog(spark, db_d).tables().entries.collect()
     )
     assert got_l == got_d
+
+
+def test_cli_watch_apply_full_resync_exhaustive(spark, real_tree,
+                                                tmp_path, capsys):
+    """watch --apply --full-resync: the pre-stream reconciliation is an
+    executor-parallel exhaustive walk — it catches an in-place edit
+    under an UNCHANGED directory mtime (which the default seeded start
+    defers, J1) and lands it before the stream starts; the applied
+    snapshot equals a fresh crawl."""
+    import os
+    import time
+
+    from dudb_spark.sources.catalog import SnapshotCatalog
+    from dudb_spark.sources.crawler import crawl_local
+
+    db = str(tmp_path / "db")
+    json.loads(run(capsys, "analyze", "--db", db, real_tree))
+
+    # in-place edit, dir mtime restored: invisible to the seeded start
+    d = f"{real_tree}/proj/a"
+    st = os.stat(d)
+    time.sleep(1.05)
+    with open(f"{d}/x.log", "w") as f:
+        f.write("rewritten-in-place-much-longer")
+    os.utime(d, (st.st_atime, st.st_mtime))
+
+    out = run(capsys, "watch", "--once", "--db", db, "--apply",
+              "--full-resync", real_tree)
+    assert "changed" in out and "x.log" in out  # the deferred edit
+    assert "y.txt" not in out  # unchanged rows never printed
+
+    cat = SnapshotCatalog(spark, db)
+    got = sorted(
+        (r["path"], r["size"]) for r in cat.tables().entries.collect()
+    )
+    _, want_e, _ = crawl_local(real_tree)
+    want = sorted((e["path"], e["size"]) for e in want_e)
+    assert got == want
