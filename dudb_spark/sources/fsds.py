@@ -537,8 +537,22 @@ class FsWatchReader(SimpleDataSourceStreamReader):
                 pq.write_table(tf, self._file_path(fid))
                 self._ondisk.add(fid)
                 for d in pc.unique(tf["parent"]).to_pylist():
-                    if d is not None:
-                        self._dirgen[d] = fid
+                    if d is None:
+                        continue
+                    # seed contract check: a parent split across two
+                    # seed files would leave the earlier file's rows
+                    # orphaned in the snapshot (only _dirgen[d]'s file
+                    # is consulted) and every later batch would emit
+                    # them as spurious adds — fail loudly instead
+                    prev_fid = self._dirgen.get(d)
+                    if prev_fid is not None and prev_fid != fid:
+                        raise ValueError(
+                            f"fswatch seed: parent {d!r} spans multiple "
+                            "seed files — write the seed with "
+                            "repartitionByRange(parent) so each parent "
+                            "is confined to one file"
+                        )
+                    self._dirgen[d] = fid
             for r in t.filter(is_dir).to_pylist():
                 dirstat[r["path"]] = tuple(r[n] for n in names)
         self._dirstat = dirstat

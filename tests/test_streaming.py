@@ -594,3 +594,41 @@ def test_fswatch_seeded_prune_false_exhaustive(spark, tmp_path):
         ("changed", "f1.dat")
     }
     assert r2.last_batch_stats["files_statted"] == 12  # each file once
+
+
+def test_fswatch_seed_contract_violation_raises(spark, tmp_path):
+    """A seed whose parent spans two files would silently orphan rows
+    in the snapshot (only _dirgen's file is consulted per parent) —
+    the loader must fail loudly instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=1, files_per_dir=2)
+    seed_dir = tmp_path / "badseed"
+    seed_dir.mkdir()
+    r0 = FsWatchReader({"path": root})
+    schema = r0._arrow_schema()
+
+    def row(name):
+        import datetime as dt
+
+        return {
+            "parent": f"{root}/d00", "name": name,
+            "path": f"{root}/d00/{name}", "is_dir": False,
+            "size": 1, "blocks": 0, "mode": 0o100644,
+            "mtime": dt.datetime(2024, 1, 1,
+                                 tzinfo=dt.timezone.utc),
+            "uid": 0, "gid": 0, "device": 1, "inode": 1,
+            "error": None,
+        }
+
+    pq.write_table(pa.Table.from_pylist([row("a")], schema=schema),
+                   str(seed_dir / "p0.parquet"))
+    pq.write_table(pa.Table.from_pylist([row("b")], schema=schema),
+                   str(seed_dir / "p1.parquet"))
+    r = FsWatchReader({"path": root, "seed": str(seed_dir)})
+    with pytest.raises(ValueError, match="spans multiple seed files"):
+        r.read({"gen": 0})
