@@ -48,15 +48,27 @@ def _spark():
     return get_spark("dudb_spark-cli")
 
 
+def _exclude_regex(patterns) -> str | None:
+    """Collapse ``--exclude`` (action=append, so possibly several
+    patterns) into the ONE regex the fswalk/fswatch option accepts.
+    Passing only ``patterns[0]`` silently dropped the rest — paths the
+    analyze-time crawler excluded were then seen by the walk, classified
+    as 'added' and APPLIED into the snapshot (round-9 ADVICE, medium).
+    Each pattern keeps its own non-capturing group so alternation can't
+    change any pattern's meaning."""
+    if not patterns:
+        return None
+    if len(patterns) == 1:
+        return patterns[0]
+    return "|".join(f"(?:{p})" for p in patterns)
+
+
 def cmd_analyze(args):
     from dudb_spark.model import ERRORS_SCHEMA, ENTRIES_SCHEMA, PREFIXES_SCHEMA
-    from dudb_spark.operators.ingest import merge_scan
-    from dudb_spark.sources.catalog import SnapshotCatalog
     from dudb_spark.sources.crawler import crawl_local
 
     spark = _spark()
     start = datetime.now(timezone.utc)
-    staging = None
     if getattr(args, "distributed", False):
         # executor-parallel walk (crawl_distributed): scan results land
         # in staging parquet FROM the executors and nothing row-shaped
@@ -71,13 +83,22 @@ def cmd_analyze(args):
         from dudb_spark.sources.crawler import crawl_distributed
 
         staging = tempfile.mkdtemp(prefix="dudb_analyze_staging_")
-        staged_p, staged_e, errors = crawl_distributed(
-            spark, args.prefix, exclusions=args.exclude or [],
-            staging_dir=staging,
-        )
-        n_prefixes = staged_p.count()
-        n_files = staged_e.where(~F.col("is_dir")).count()
-        n_errors = errors.count()
+        try:
+            return _analyze_body(
+                spark, args, start,
+                *crawl_distributed(
+                    spark, args.prefix, exclusions=args.exclude or [],
+                    staging_dir=staging,
+                ),
+                distributed=True,
+            )
+        finally:
+            # the staged tree-sized parquet must not outlive the run —
+            # success OR failure (round-9 ADVICE: the old success-path
+            # rmtree leaked it on any crawl/merge/write exception)
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     else:
         prows, erows, errrows = crawl_local(
             args.prefix, exclusions=args.exclude or [],
@@ -86,9 +107,37 @@ def cmd_analyze(args):
         staged_p = spark.createDataFrame(prows, PREFIXES_SCHEMA)
         staged_e = spark.createDataFrame(erows, ENTRIES_SCHEMA)
         errors = spark.createDataFrame(errrows or [], ERRORS_SCHEMA)
-        n_prefixes = len(prows)
-        n_files = sum(1 for e in erows if not e["is_dir"])
-        n_errors = len(errrows)
+        _analyze_body(
+            spark, args, start, staged_p, staged_e, errors,
+            counts=(
+                len(prows),
+                sum(1 for e in erows if not e["is_dir"]),
+                len(errrows),
+            ),
+        )
+
+
+def _analyze_body(
+    spark, args, start, staged_p, staged_e, errors,
+    counts=None, distributed=False,
+):
+    """Merge-and-land half of ``analyze``, shared by the local and
+    distributed crawl routes (split so the distributed route's staging
+    dir can be cleaned in a try/finally around the WHOLE body)."""
+    from dudb_spark.operators.ingest import merge_scan
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    if counts is None:
+        # distributed route: parquet metadata / narrow-column jobs over
+        # the staged scan
+        from pyspark.sql import functions as F
+
+        counts = (
+            staged_p.count(),
+            staged_e.where(~F.col("is_dir")).count(),
+            errors.count(),
+        )
+    n_prefixes, n_files, n_errors = counts
 
     cat = SnapshotCatalog(spark, args.db)
     # snapshots store bucketed by default: the layout is what lets
@@ -114,10 +163,6 @@ def cmd_analyze(args):
         )
         out = cat.write_snapshot(res.prefixes, res.entries, errors, **lay)
         summary = dict(res.summary, errors=n_errors)
-    if staging is not None:
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
     stop = datetime.now(timezone.utc)
     summary["duration_ns"] = int((stop - start).total_seconds() * 1e9)
     cat.append_log(start, stop, summary)
@@ -573,10 +618,15 @@ def cmd_watch(args):
                 "watch --stats-dir: run `stats compute` first (no stats "
                 "snapshot to maintain)"
             )
+    if getattr(args, "full_resync", False) and not args.apply:
+        # without --apply the reconciliation has nowhere to land: the
+        # old code silently fell through to the unseeded whole-tree dump
+        # (round-9 ADVICE, low) — refuse like the --apply/--db check
+        raise SystemExit("watch --full-resync requires --apply")
     register_watch(spark)
     reader = spark.readStream.format("fswatch")
     if args.exclude:
-        reader = reader.option("exclude", args.exclude[0])
+        reader = reader.option("exclude", _exclude_regex(args.exclude))
     if getattr(args, "no_prune", False):
         reader = reader.option("prune", "false")
     if getattr(args, "state_dir", None):
@@ -605,7 +655,7 @@ def cmd_watch(args):
         _register_walk(spark)
         rdr = spark.read.format("fswalk")
         if args.exclude:
-            rdr = rdr.option("exclude", args.exclude[0])
+            rdr = rdr.option("exclude", _exclude_regex(args.exclude))
         scan = rdr.load(args.prefix).withColumn("op", F.lit("added"))
         prev_sub = cat.tables().entries.where(
             subtree_pred(F.col("parent"), args.prefix)

@@ -136,16 +136,29 @@ def quality_report(
     return out
 
 
-def _tier_row_estimate(df: DataFrame) -> int:
-    """Row estimate for profile_table's exact-vs-approx tier decision,
-    costing a metadata job at most.  A bare file scan (optionally under
-    projections/aliases) answers ``count()`` from parquet footer
-    metadata — no data scan — so the exact count is used.  A DERIVED
-    plan (filters, joins, aggregates) would pay a full extra pass for
-    ``count()``, so instead Catalyst's propagated ``sizeInBytes``
-    estimate (computed during planning, zero jobs) divided by a crude
-    row width stands in: the tier threshold is 1e8 rows, so order-of-
-    magnitude accuracy is all the decision needs."""
+def _jnum(v) -> int:
+    """A numeric py4j result as int: scala BigInt usually arrives
+    auto-converted to a Python int, but fall back to toString for any
+    gateway that hands the JavaObject through."""
+    return v if isinstance(v, int) else int(v.toString())
+
+
+def _tier_row_estimate(df: DataFrame) -> tuple[int, bool]:
+    """(row estimate, is_exact) for profile_table's exact-vs-approx tier
+    decision, costing a metadata job at most.  A bare file scan
+    (optionally under projections/aliases) answers ``count()`` from
+    parquet footer metadata — no data scan — so the exact count is used.
+    A DERIVED plan (filters, joins, aggregates) would pay a full extra
+    pass for ``count()``, so instead the plan's own statistics stand in
+    (zero jobs): ``rowCount`` when Catalyst propagated one, else
+    ``sizeInBytes`` divided by a crude row width.  The size-based path
+    is flagged inexact so the caller can bias the tier decision safe:
+    for parquet-rooted plans ``sizeInBytes`` is the COMPRESSED file
+    size, and dictionary/RLE-heavy tables compress far below
+    8 bytes/value — taking the quotient at face value near the
+    threshold could mis-tier a huge table into the exact
+    multi-COUNT(DISTINCT) Expand pass, the very 100 TB hazard the
+    threshold exists to prevent (round-9 ADVICE, medium)."""
     try:
         jplan = df._jdf.queryExecution().optimizedPlan()
         p = jplan
@@ -154,13 +167,26 @@ def _tier_row_estimate(df: DataFrame) -> int:
         if p.getClass().getSimpleName() in (
             "LogicalRelation", "DataSourceV2Relation",
             "DataSourceV2ScanRelation", "HiveTableRelation",
+            # RDD-backed / driver-local leaves: their sizeInBytes is the
+            # pessimistic defaultSizeInBytes (Long.MaxValue), useless as
+            # an estimate — count() them (one cheap pass; these frames
+            # are driver-created, never the 100 TB table)
+            "LogicalRDD", "LocalRelation",
         ):
-            return df.count()
-        size = int(jplan.stats().sizeInBytes().toString())
-        return size // max(8 * len(df.columns), 1)
+            return df.count(), True
+        stats = jplan.stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return _jnum(rc.get()), True
+        # NB: py4j hands scala BigInt back as a plain Python int here
+        # (the old `.toString()` call raised on it, silently demoting
+        # every derived plan to the except-branch df.count() — i.e. the
+        # "zero-job" tier was paying a full count job)
+        size = _jnum(stats.sizeInBytes())
+        return size // max(8 * len(df.columns), 1), False
     except Exception:
         # plan introspection unavailable (e.g. Connect): pay the count
-        return df.count()
+        return df.count(), True
 
 
 def profile_table(
@@ -184,7 +210,9 @@ def profile_table(
     from ONE aggregation job.  The distinct counts AUTO-TIER on table
     size: at or below ``approx_threshold`` rows (decided by
     :func:`_tier_row_estimate` — a metadata-only count for bare file
-    scans, Catalyst's zero-job size estimate for derived plans)
+    scans, the plan's zero-job rowCount/size statistics for derived
+    plans, with size-derived estimates required to clear the threshold
+    by 10x before the exact tier is chosen)
     Catalyst plans the
     multi-COUNT(DISTINCT) as a single Expand pass whose volume is
     rows × profiled columns; above it, that multiplied Expand is the
@@ -204,10 +232,20 @@ def profile_table(
         f.name for f in df.schema.fields
         if isinstance(f.dataType, NumericType)
     }
-    exact = (
-        approx_threshold is None
-        or _tier_row_estimate(df) <= approx_threshold
-    )
+    if approx_threshold is None:
+        exact = True
+    else:
+        est, est_exact = _tier_row_estimate(df)
+        # size-derived estimates (compressed bytes / crude width) can be
+        # low by orders of magnitude on well-compressed data: demand a
+        # 10x margin below the threshold before choosing the Expand
+        # pass; anything closer tiers approx (the bounded plan).  Exact
+        # counts compare directly.
+        exact = (
+            est <= approx_threshold
+            if est_exact
+            else est * 10 <= approx_threshold
+        )
     dc = F.count_distinct if exact else F.approx_count_distinct
 
     aggs = [F.count(F.lit(1)).alias("_n")]

@@ -266,10 +266,17 @@ class SnapshotCatalog:
         # running tree size (base ± dir churn, one churn-sized agg job):
         # the stats refold gate reads this instead of counting the
         # reconstructed prefixes frame (which would execute the full
-        # delta-replay join chain per watch batch).  An ESTIMATE: rare
-        # dir↔file type flips and readable↔unreadable transitions can
-        # drift it by their (tiny) count; each periodic compaction
-        # rewrites the exact number.
+        # delta-replay join chain per watch batch).  An ESTIMATE, biased
+        # by exactly two rare row classes (round-9 ADVICE): (1) a
+        # dir↔file TYPE FLIP arrives as op='changed' — the feed reader
+        # merges the added+deleted pair and only the NEW is_dir
+        # survives, so the old type is unrecoverable here and each flip
+        # drifts the count by ±1 until compaction; (2) readable↔
+        # unreadable transitions (error rows).  Both are bounded by
+        # their occurrence count per chain, the gate consuming this is
+        # itself a heuristic (churn ratio), and each periodic compaction
+        # rewrites the exact number — accepted and documented rather
+        # than widening the feed schema with an old-type column.
         prefix_rows = None
         base_rows = self.prefix_rows(parent)
         if base_rows is not None:

@@ -149,3 +149,40 @@ def test_profile_table_auto_tiers_distinct_counts(spark):
     got = {(r["column"], r["metric"]): r["value"]
            for r in profile_table(df, approx_threshold=None).collect()}
     assert got[("a", "distinct")] == "7"
+
+
+def test_tier_estimate_prefers_plan_rowcount(spark):
+    """A plan that carries a rowCount statistic (Range does, even
+    without CBO) tiers on the exact number — no count job, no
+    size-derived guesswork."""
+    from dudb_spark.operators.checks import _tier_row_estimate
+
+    est, is_exact = _tier_row_estimate(spark.range(12345))
+    assert (est, is_exact) == (12345, True)
+
+
+def test_tier_estimate_size_path_biases_safe(spark):
+    """Size-derived estimates come from COMPRESSED bytes and can be low
+    by orders of magnitude, so the exact multi-COUNT(DISTINCT) Expand
+    tier is only chosen when the estimate clears the threshold by 10x;
+    anything nearer tiers approx (the bounded plan) — the 100 TB/OOM
+    hazard stays closed even when the heuristic under-estimates."""
+    from dudb_spark.operators.checks import _tier_row_estimate, profile_table
+
+    # a Filter drops the rowCount statistic -> the size heuristic path
+    df = (
+        spark.range(200)
+        .selectExpr("cast(id % 7 as int) AS a")
+        .where("a >= 0")
+    )
+    est, is_exact = _tier_row_estimate(df)
+    assert not is_exact and est > 0
+
+    def plan(threshold):
+        p = profile_table(df, columns=["a"], approx_threshold=threshold)
+        return p._jdf.queryExecution().optimizedPlan().toString()
+
+    # within 10x of the threshold: approx despite est <= threshold
+    assert "approx_count_distinct" in plan(est * 5)
+    # comfortably above: exact
+    assert "approx_count_distinct" not in plan(est * 20)

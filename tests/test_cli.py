@@ -790,3 +790,81 @@ def test_cli_watch_apply_full_resync_exhaustive(spark, real_tree,
     _, want_e, _ = crawl_local(real_tree)
     want = sorted((e["path"], e["size"]) for e in want_e)
     assert got == want
+
+
+def test_cli_watch_full_resync_requires_apply(spark, real_tree, tmp_path,
+                                              capsys):
+    """watch --db --full-resync WITHOUT --apply has nowhere to land the
+    reconciliation: it must refuse loudly (the old code silently fell
+    through to the unseeded whole-tree dump)."""
+    db = str(tmp_path / "db")
+    json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    with pytest.raises(SystemExit, match="full-resync requires --apply"):
+        main(["watch", "--once", "--db", db, "--full-resync", real_tree])
+
+
+def test_cli_watch_multi_exclude_respected(spark, real_tree, tmp_path,
+                                           capsys):
+    """TWO --exclude patterns reach the watch reader AND the
+    --full-resync fswalk: paths matching the SECOND pattern must not be
+    emitted or applied (the old code passed only exclude[0], so
+    analyze-time exclusions re-entered the snapshot as 'added')."""
+    from dudb_spark.sources.catalog import SnapshotCatalog
+
+    db = str(tmp_path / "db")
+    ex = ["\\.log$", "\\.tmp$"]
+    json.loads(run(capsys, "analyze", "--db", db, real_tree,
+                   "--exclude", ex[0], "--exclude", ex[1]))
+    with open(f"{real_tree}/proj/a/junk.tmp", "w") as f:
+        f.write("both patterns must hold")
+    with open(f"{real_tree}/proj/a/keep.dat", "w") as f:
+        f.write("kk")
+
+    # seeded watch (no apply): the .tmp file is invisible, keep.dat isn't
+    out = run(capsys, "watch", "--once", "--db", db, real_tree,
+              "--exclude", ex[0], "--exclude", ex[1])
+    assert "keep.dat" in out
+    assert "junk.tmp" not in out and "x.log" not in out
+
+    # --full-resync --apply: the exhaustive walk must also drop BOTH
+    # patterns — otherwise excluded paths are applied into the snapshot
+    out = run(capsys, "watch", "--once", "--db", db, "--apply",
+              "--full-resync", real_tree,
+              "--exclude", ex[0], "--exclude", ex[1])
+    assert "junk.tmp" not in out and "x.log" not in out
+    paths = [
+        r["path"]
+        for r in SnapshotCatalog(spark, db).tables().entries.collect()
+    ]
+    assert not any(p.endswith(".tmp") or p.endswith(".log") for p in paths)
+    assert any(p.endswith("keep.dat") for p in paths)
+
+
+def test_cli_analyze_distributed_cleans_staging_on_failure(
+    spark, real_tree, tmp_path, capsys, monkeypatch
+):
+    """analyze --distributed removes its staging dir even when the body
+    throws (the old code only cleaned the success path, leaking a
+    tree-sized parquet per failed run in $TMPDIR)."""
+    import tempfile
+
+    made = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def track(*a, **kw):
+        d = real_mkdtemp(*a, **kw)
+        if kw.get("prefix", "").startswith("dudb_analyze_staging"):
+            made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", track)
+    import dudb_spark.sources.crawler as crawler
+
+    def boom(*a, **kw):
+        raise RuntimeError("crawl exploded")
+
+    monkeypatch.setattr(crawler, "crawl_distributed", boom)
+    db = str(tmp_path / "db")
+    with pytest.raises(RuntimeError, match="crawl exploded"):
+        main(["analyze", "--db", db, real_tree, "--distributed"])
+    assert made and not os.path.exists(made[0])
