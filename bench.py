@@ -217,15 +217,23 @@ def decode_bench() -> dict:
     return out
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
     """fswatch steady-state latency on a REAL tree (round-7 verdict item
-    1): the reader's per-batch work must be O(dirs)+O(churn), so the
-    numbers that matter are the idle-batch floor (every dir scandir'ed +
-    dir-typed children lstat'ed, zero file stats) and the 1%-churn batch
-    (only churned dirs' files re-stat'ed + snapshot-diffed).  Direct
-    reader calls — the reader runs driver-side under Spark streaming
-    anyway, so this measures the honest per-trigger cost without
-    memory-sink choreography."""
+    1; tightened round-10): the reader's per-batch work must be O(dirs)
+    lstats + O(churn) everything else, so the numbers that matter are
+    the idle-batch floor (one direct lstat per dir, ZERO dirent reads,
+    zero file stats — dirs_listed pins the getdents-free contract), its
+    entry-independence (same dirs, 1/10 files → same idle cost), and
+    the 1%-churn batch (only churned dirs enumerated + their files
+    re-stat'ed + snapshot-diffed).  Direct reader calls — the reader
+    runs driver-side under Spark streaming anyway, so this measures the
+    honest per-trigger cost without memory-sink choreography."""
     import shutil
     import tempfile
 
@@ -250,9 +258,35 @@ def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
         t_resync = time.perf_counter() - t0
         assert n0 >= n_entries - 1, (n0, n_entries)
 
-        t0 = time.perf_counter()
-        r.read({"gen": 1})
-        t_idle = time.perf_counter() - t0
+        # idle batch, min of 3 (milliseconds-scale, scheduler-noisy).
+        # Round-10 contract: GETDENTS-FREE — one lstat per dir, zero
+        # dirent enumeration, zero file stats (dirs_listed pins it).
+        t_idle = min(
+            _timed(lambda: r.read({"gen": 1})) for _ in range(3)
+        )
+        idle_listed = r.last_batch_stats.get("dirs_listed")
+
+        # entry-independence: a SECOND tree with the SAME dir count but
+        # 1/10th the files must idle at ~the same cost — per-batch idle
+        # work is O(dirs), not O(entries) (the old pass read every
+        # dirent in the tree every batch, so this ratio was ~the entry
+        # ratio)
+        sparse_root = os.path.join(base, "sparse")
+        for i in range(n_dirs):
+            d = os.path.join(
+                sparse_root, f"g{i // 100:02d}", f"d{i:05d}"
+            )
+            os.makedirs(d)
+            for j in range(max(1, files_per_dir // 10)):
+                with open(os.path.join(d, f"f{j}.dat"), "w") as f:
+                    f.write("x")
+        r_sp = FsWatchReader({"path": sparse_root})
+        sum(1 for _ in r_sp.read({"gen": 0})[0])
+        t_idle_sparse = min(
+            _timed(lambda: r_sp.read({"gen": 1})) for _ in range(3)
+        )
+        if getattr(r_sp, "state_dir", None):
+            shutil.rmtree(r_sp.state_dir, ignore_errors=True)
 
         churn = max(1, n_dirs // 100)
         for i in range(churn):
@@ -306,6 +340,8 @@ def fswatch_bench(n_dirs: int = 1500, files_per_dir: int = 40) -> dict:
             "fswatch_tree_entries": n_entries,
             "fswatch_resync_entries_per_sec": round(n0 / t_resync),
             "fswatch_idle_batch_sec": round(t_idle, 3),
+            "fswatch_idle_batch_sec_sparse": round(t_idle_sparse, 3),
+            "fswatch_idle_dirs_listed": idle_listed,
             "fswatch_churn1pct_batch_sec": round(t_churn, 3),
             "fswatch_churn_rows": nrows,
             "fswatch_churn_files_statted": stats.get("files_statted"),
@@ -615,6 +651,8 @@ def main():
         "incremental_t_full_sec", "incremental_t_inc_sec",
         "incremental_closure_jobs", "load1_start", "load1_end",
         "suite_jvm_norm", "suite_py_norm",      # = sums / anchors
+        "fswatch_idle_dirs_listed",             # contract constant (0)
+        "fswatch_idle_batch_sec_sparse",        # ~= idle_batch_sec
         "fswatch_seeded_rows",                  # == churn_rows
         "fswatch_tree_entries",                 # fixture constant
         "incremental_tree_entries",             # fixture constant

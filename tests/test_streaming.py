@@ -455,9 +455,12 @@ def test_fswatch_type_flip_and_compaction(tmp_path):
 
 
 def test_fswatch_unreadable_dir_transition(tmp_path, monkeypatch):
-    """A dir that stops listing (scandir raises) flips its row to an
-    in-band error row and its file rows leave as deletions — the S9
-    error-bucket contract on the watch path."""
+    """A dir that stops listing flips its row to an in-band error row
+    and its file rows leave as deletions — the S9 error-bucket contract
+    on the watch path.  The revocation is modeled as chmod + denial
+    (the real-world shape: mode is in the rescan sig, so the pruned
+    pass notices and probes; running as root, the denial itself must
+    be monkeypatched)."""
     import os
     import time
 
@@ -477,6 +480,7 @@ def test_fswatch_unreadable_dir_transition(tmp_path, monkeypatch):
 
     monkeypatch.setattr(fsds._os, "scandir", deny_d00)
     time.sleep(1.05)
+    os.chmod(f"{root}/d00", 0o300)  # the sig-visible revocation
     rows = list(r.read(off)[0])
     got = {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows}
     assert ("deleted", "f0.dat") in got and ("deleted", "f1.dat") in got
@@ -632,3 +636,111 @@ def test_fswatch_seed_contract_violation_raises(spark, tmp_path):
     r = FsWatchReader({"path": root, "seed": str(seed_dir)})
     with pytest.raises(ValueError, match="spans multiple seed files"):
         r.read({"gen": 0})
+
+
+def test_fswatch_idle_batch_is_getdents_free(tmp_path):
+    """Round-10 scale fix: a steady-state batch with NO churn performs
+    one lstat per known dir and ZERO directory enumerations / file
+    stats — the old pass read every dirent in the tree every batch.
+    Churn re-lists exactly the churned lineage."""
+    import time
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=6, files_per_dir=4)
+    r = FsWatchReader({"path": root})
+    _, off = r.read({"gen": 0})
+    assert r.last_batch_stats["dirs_listed"] == 7  # batch 0: exhaustive
+
+    rows, off = r.read(off)
+    assert list(rows) == []
+    assert r.last_batch_stats["dirs_listed"] == 0
+    assert r.last_batch_stats["files_statted"] == 0
+    assert r.last_batch_stats["dir_lstats"] == 7  # root + 6 dirs
+
+    # one churned dir -> exactly one scandir
+    time.sleep(1.05)
+    with open(f"{root}/d02/new.bin", "w") as f:
+        f.write("zz")
+    rows = list(r.read(off)[0])
+    assert {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows} == {
+        ("changed", "d02"), ("added", "new.bin"),
+    }
+    assert r.last_batch_stats["dirs_listed"] == 1
+    assert r.last_batch_stats["files_statted"] == 5
+
+
+def test_fswatch_pruned_discovers_new_deep_subtree(tmp_path):
+    """A brand-new multi-level subtree under a churned dir is walked in
+    full by the pruned pass (new dirs are churn by definition), and the
+    NEXT batch's lstat set includes the new dirs."""
+    import os
+    import time
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=2, files_per_dir=1)
+    r = FsWatchReader({"path": root})
+    _, off = r.read({"gen": 0})
+
+    time.sleep(1.05)
+    os.makedirs(f"{root}/d00/sub/deeper")
+    with open(f"{root}/d00/sub/deeper/leaf.txt", "w") as f:
+        f.write("leaf")
+    rows = list(r.read(off)[0])
+    got = {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows}
+    assert got == {
+        ("changed", "d00"), ("added", "sub"),
+        ("added", "deeper"), ("added", "leaf.txt"),
+    }
+    # d00 + sub + deeper listed; nothing else
+    assert r.last_batch_stats["dirs_listed"] == 3
+    assert f"{root}/d00/sub/deeper" in r._dirstat
+
+    # a later edit inside the new subtree is caught by its own lstat
+    time.sleep(1.05)
+    with open(f"{root}/d00/sub/deeper/leaf2.txt", "w") as f:
+        f.write("l2")
+    rows = list(r.read({"gen": 2})[0])
+    assert {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows} == {
+        ("changed", "deeper"), ("added", "leaf2.txt"),
+    }
+    assert r.last_batch_stats["dirs_listed"] == 1
+
+
+def test_fswatch_pruned_symlinked_ancestor_drops_lineage(tmp_path):
+    """Replace a dir with a symlink to an equivalent tree: direct
+    lstat of the old child paths still RESOLVES (path traversal
+    follows the symlinked ancestor), but the watch never descends
+    symlinks, so the whole lineage must leave as deletions — the
+    gone-lineage force-drop in the pruned pass."""
+    import os
+    import shutil
+    import time
+
+    from dudb_spark.sources.fsds import FsWatchReader
+
+    root = _watch_tree(tmp_path, n_dirs=1, files_per_dir=2)
+    os.makedirs(f"{root}/d00/inner")
+    with open(f"{root}/d00/inner/deep.dat", "w") as f:
+        f.write("deep")
+    elsewhere = str(tmp_path / "elsewhere")
+    shutil.copytree(f"{root}/d00", elsewhere)
+
+    r = FsWatchReader({"path": root})
+    _, off = r.read({"gen": 0})
+
+    time.sleep(1.05)
+    shutil.rmtree(f"{root}/d00")
+    os.symlink(elsewhere, f"{root}/d00")
+    # lstat through the symlink still resolves the old inner path
+    assert os.lstat(f"{root}/d00/inner")
+
+    rows = list(r.read(off)[0])
+    by = {(t[0], t[3].rsplit("/", 1)[-1]) for t in rows}
+    # d00 flips dir->symlink (file-space 'changed'), inner + files gone
+    assert ("changed", "d00") in by
+    assert ("deleted", "inner") in by
+    assert ("deleted", "deep.dat") in by
+    assert ("deleted", "f0.dat") in by and ("deleted", "f1.dat") in by
+    assert f"{root}/d00/inner" not in r._dirstat
