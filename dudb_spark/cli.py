@@ -718,12 +718,20 @@ def cmd_watch(args):
     state = {"batches": 0}
 
     def _emit(batch_df, batch_id):
-        rows = batch_df.orderBy("gen", "op", "path").collect()
-        if not rows:
-            return
-        for r in rows:
+        # stream the sorted batch through the driver one partition at a
+        # time (round-9 verdict item 3): without --db the first batch is
+        # the WHOLE TREE, and a collect() here is the one remaining
+        # tree-sized driver materialization of the watch family.
+        # orderBy → toLocalIterator preserves the global order (each
+        # fetched partition is a sorted key range), so the printed
+        # output is byte-identical; peak driver memory is one partition.
+        any_rows = False
+        for r in batch_df.orderBy("gen", "op", "path").toLocalIterator():
+            any_rows = True
             sz = "" if r["size"] is None else r["size"]
             print(f"{r['gen']}\t{r['op']}\t{sz}\t{r['path']}", flush=True)
+        if not any_rows:
+            return
         if cat is not None and args.apply:
             # every batch is a change-feed diff: the SEEDED batch 0 is
             # already the reconciliation, and --full-resync reconciled

@@ -582,6 +582,35 @@ def test_cli_watch_once(spark, real_tree, capsys):
     assert sizes["/proj"].isdigit()  # dirs carry their raw st_size
 
 
+def test_cli_watch_print_path_never_collects_batch(spark, real_tree,
+                                                   capsys, monkeypatch):
+    """The watch print path streams batches through toLocalIterator —
+    a full-batch collect() would materialize the WHOLE TREE on the
+    driver at batch 0 of an unseeded watch (round-9 verdict item 3).
+    Pin it: with DataFrame.collect poisoned for any frame carrying the
+    watch feed schema, `watch --once` must still print the identical
+    TSV."""
+    from pyspark.sql import DataFrame
+
+    feed_cols = {"gen", "op", "path", "size"}
+    orig_collect = DataFrame.collect
+
+    def poisoned(self):
+        if feed_cols <= set(self.columns):
+            raise AssertionError(
+                "watch print path called collect() on a feed-schema "
+                "frame — must stream via toLocalIterator"
+            )
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", poisoned)
+    out = run(capsys, "watch", "--once", real_tree)
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    assert all(l[0] == "0" and l[1] == "added" for l in lines)
+    paths = {l[3].replace(real_tree, "") for l in lines}
+    assert {"/proj", "/proj/a", "/proj/a/x.log", "/proj/b/z.log"} <= paths
+
+
 def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
                                            capsys):
     """watch --db --apply: each non-empty diff batch lands a new
