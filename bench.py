@@ -392,6 +392,16 @@ def watch_apply_bench(spark, n_dirs: int = 400,
             spark.createDataFrame(e0, ENTRIES_SCHEMA),
             layout="bucketed",
         )
+        # watch-seed artifact (round-10): first start pays the one
+        # executor-parallel export; a restart on the unchanged snapshot
+        # version reuses it — metadata-only, O(1) in tree size
+        t0 = time.perf_counter()
+        cat.watch_seed(root)
+        t_seed_export = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cat.watch_seed(root)
+        t_seed_cached = time.perf_counter() - t0
+
         r = FsWatchReader({"path": root})
         r.read({"gen": 0})  # resync consumed
         for i in range(max(1, n_dirs // 100)):
@@ -425,6 +435,8 @@ def watch_apply_bench(spark, n_dirs: int = 400,
             "watch_delta_commit_sec": round(t_delta, 3),
             "watch_full_compact_sec": round(t_full, 3),
             "watch_delta_write_ratio": round(t_full / max(t_delta, 1e-9), 1),
+            "watch_seed_export_sec": round(t_seed_export, 3),
+            "watch_seed_cached_start_sec": round(t_seed_cached, 4),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)

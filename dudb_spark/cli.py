@@ -671,48 +671,25 @@ def cmd_watch(args):
             print(f"0\t{r['op']}\t{sz}\t{r['path']}", flush=True)
         _watch_land(spark, cat, args, diff, stats_dir)
 
-    seeded = False
     if (
         cat is not None
         and cat.latest_version() is not None
         and (args.apply or not getattr(args, "full_resync", False))
     ):
         # SEEDED START (round-8 verdict item: shard the batch-0 resync
-        # off the driver): export the stored snapshot's live entries as
-        # the watcher's seed — an executor-parallel write, the only
-        # tree-sized pass of the whole start — so batch 0 becomes a
+        # off the driver): the stored snapshot's live entries, exported
+        # one-parent-per-file, seed the watcher so batch 0 becomes a
         # normal pruned rescan against the snapshot (O(dirs)+O(churn)
         # driver work) emitting exactly the changes since it, instead
         # of a tree-sized driver-side walk reconciled through a
-        # tree-sized full-outer join.  Under --full-resync the
-        # executor-parallel reconciliation above already ran, so the
-        # stream continues seeded from the reconciled snapshot.
-        import tempfile
-
-        from pyspark.sql import functions as F
-
-        from dudb_spark.operators.find import subtree_pred
-
-        seed_dir = tempfile.mkdtemp(prefix="dudb_watch_seed_")
-        ent = cat.tables().entries.where(
-            subtree_pred(F.col("parent"), args.prefix)
-            | (F.col("path") == args.prefix.rstrip("/"))
-        )
-        # one parent per file (the seed contract): size files so each
-        # holds a few hundred thousand rows — dirs × fanout estimated
-        # from the snapshot metadata, falling back to default
-        # parallelism for pre-metadata snapshots
-        n_dirs = cat.prefix_rows()
-        k = (
-            max(1, min(256, (n_dirs * 40) // 250_000))
-            if n_dirs
-            else spark.sparkContext.defaultParallelism
-        )
-        ent.repartitionByRange(k, "parent").write.mode(
-            "overwrite"
-        ).parquet(seed_dir)
-        reader = reader.option("seed", seed_dir)
-        seeded = True
+        # tree-sized full-outer join.  The export is a PERSISTENT
+        # versioned artifact (<db>/_watch_seed/<version>/, round-9
+        # verdict item 4): a restart on an unchanged snapshot version
+        # reuses it and pays O(1) driver work, tree size irrelevant.
+        # Under --full-resync the executor-parallel reconciliation
+        # above already ran, so the stream continues seeded from the
+        # now-current snapshot.
+        reader = reader.option("seed", cat.watch_seed(args.prefix))
     stream = reader.load(args.prefix)
 
     state = {"batches": 0}
@@ -743,25 +720,19 @@ def cmd_watch(args):
         state["batches"] += 1
 
     w = stream.writeStream.foreachBatch(_emit)
-    try:
-        if args.once:
-            q = w.trigger(availableNow=True).start()
-            q.awaitTermination()
-        else:
-            q = w.trigger(processingTime=f"{args.interval} seconds").start()
-            try:
-                while q.isActive:
-                    q.awaitTermination(1)
-                    if args.max_batches and state["batches"] >= args.max_batches:
-                        q.stop()
-                        break
-            except KeyboardInterrupt:
-                q.stop()
-    finally:
-        if seeded:
-            import shutil
-
-            shutil.rmtree(seed_dir, ignore_errors=True)
+    if args.once:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.trigger(processingTime=f"{args.interval} seconds").start()
+        try:
+            while q.isActive:
+                q.awaitTermination(1)
+                if args.max_batches and state["batches"] >= args.max_batches:
+                    q.stop()
+                    break
+        except KeyboardInterrupt:
+            q.stop()
 
 
 def cmd_du(args):

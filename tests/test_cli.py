@@ -737,6 +737,54 @@ def test_cli_watch_db_without_apply_seeds(spark, real_tree, tmp_path,
     assert len(cat.versions()) == 1  # nothing applied
 
 
+def test_cli_watch_seed_artifact_reused_across_starts(spark, real_tree,
+                                                      tmp_path, capsys):
+    """The seeded start's tree-sized entries export is a PERSISTENT
+    versioned artifact (<db>/_watch_seed/<version>/): a second watch
+    start on an unchanged snapshot version must reuse it byte-for-byte
+    (no re-export — round-9 verdict item 4), and a version bump must
+    invalidate and replace it."""
+    import glob
+    import time
+
+    db = str(tmp_path / "db")
+    json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    out1 = run(capsys, "watch", "--once", "--db", db, real_tree)
+    v1 = open(os.path.join(db, "latest")).read().strip()
+    seed = os.path.join(db, "_watch_seed", v1)
+    meta = json.load(open(os.path.join(seed, "_seed.json")))
+    assert meta == {"version": v1, "prefix": real_tree}
+    sig = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(os.path.join(seed, "*.parquet"))
+    }
+    assert sig, "seed artifact must contain parquet files"
+
+    # unchanged tree + unchanged version: reuse, identical (empty) output
+    out2 = run(capsys, "watch", "--once", "--db", db, real_tree)
+    assert out1 == out2 == ""
+    sig2 = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(os.path.join(seed, "*.parquet"))
+    }
+    assert sig2 == sig, "second start must not re-export the seed"
+
+    # version bump (re-analyze after churn): stale seed dropped, new one
+    # keyed to the new version, and the watch still emits only the churn
+    time.sleep(1.05)
+    with open(f"{real_tree}/proj/b/fresh.dat", "w") as f:
+        f.write("new")
+    json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    time.sleep(1.05)
+    with open(f"{real_tree}/proj/b/later.dat", "w") as f:
+        f.write("after-snapshot")
+    out3 = run(capsys, "watch", "--once", "--db", db, real_tree)
+    assert "later.dat" in out3 and "fresh.dat" not in out3
+    v2 = open(os.path.join(db, "latest")).read().strip()
+    assert v2 != v1
+    assert os.listdir(os.path.join(db, "_watch_seed")) == [v2]
+
+
 def test_cli_analyze_distributed_equals_local(spark, real_tree, tmp_path,
                                               capsys):
     """analyze --distributed (executor-parallel crawl, rows never on the
