@@ -2622,7 +2622,12 @@ def q91_streaming_ingest(spark, sf_dir):
     state = tempfile.mkdtemp(prefix="dudb_q91_state_")
     for k, (p, e) in enumerate(((v2_p, v2_e), (v3_p, v3_e))):
         out = f"{src}/v{k + 2}"
-        dump(p, e).coalesce(1).write.mode("overwrite").parquet(out)
+        # repartition(1), not coalesce(1): coalesce collapses the WHOLE
+        # staging computation (lineitem scan + _scale_fs derivation)
+        # into one task; repartition keeps the upstream parallel and
+        # pays one small shuffle for the single-file output the
+        # maxFilesPerTrigger=1 replay needs
+        dump(p, e).repartition(1).write.mode("overwrite").parquet(out)
         for f in _glob(f"{out}/part-*.parquet"):
             os.rename(f, f"{src}/dump-{k + 2}.parquet")
     for k, f in enumerate(sorted(_glob(f"{src}/dump-*.parquet"))):

@@ -207,8 +207,21 @@ class SnapshotCatalog:
 
     def _count_written_prefixes(self, out: str) -> int:
         """Row count of a just-written prefixes table — parquet footer
-        metadata, no data scan."""
-        return self.spark.read.parquet(f"{out}/prefixes.parquet").count()
+        metadata read driver-side with pyarrow, no Spark job.  (Was a
+        ``spark.read.parquet(...).count()``: metadata-only at the scan
+        level but still a full job submission + file-index build, ~0.2 s
+        per snapshot write — measured while profiling q91, which pays
+        this three times.)"""
+        import pyarrow.parquet as pq
+        from glob import glob as _glob
+
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob(
+                os.path.join(out, "prefixes.parquet", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
 
     def prefix_rows(self, version: str | None = None) -> int | None:
         """Tree size (prefix row count) of a snapshot version WITHOUT
