@@ -74,6 +74,37 @@ def _stream_parts(spark, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _stage_mod_buckets(incoming, n, src, key="doc_id"):
+    """Stage ``incoming`` as ``src/b{k}.parquet``, one file per
+    ``key % n`` bucket, in ONE Spark job: repartition(n, bucket) hashes
+    each bucket value to exactly one task, so partitionBy emits exactly
+    one file per bucket dir.  (Was n sequential ``coalesce(1)`` writes —
+    n full plan executions, each collapsed into a single task.)"""
+    import os
+    import shutil
+    import tempfile
+    from glob import glob as _glob
+
+    tmp = tempfile.mkdtemp(prefix="dudb_stage_b_")
+    (
+        incoming.withColumn("_b", (F.col(key) % n).cast("int"))
+        .repartition(n, "_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for b in range(n):
+        parts = _glob(os.path.join(tmp, f"_b={b}", "part-*.parquet"))
+        assert len(parts) == 1, f"bucket {b}: {len(parts)} files"
+        dst = os.path.join(src, f"b{b}.parquet")
+        shutil.move(parts[0], dst)
+        # replay order: the file stream source orders by mtime — the old
+        # sequential writes got ascending stamps for free, the single
+        # job writes them all at once, so stamp explicitly
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Queries.  Each function: (spark, sf_dir) -> DataFrame
 # ---------------------------------------------------------------------------
@@ -4142,16 +4173,7 @@ def q100_online_dedup_growing(spark, sf_dir):
     incoming = d.where(F.col("doc_id") >= cut)
 
     src = tempfile.mkdtemp(prefix="dudb_q100_src_")
-    for b in range(4):
-        tmp = tempfile.mkdtemp(prefix="dudb_q100_b_")
-        incoming.where(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = _glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"b{b}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _stage_mod_buckets(incoming, 4, src)
 
     index_dir = tempfile.mkdtemp(prefix="dudb_q100_idx_") + "/idx"
     out_dir = tempfile.mkdtemp(prefix="dudb_q100_out_") + "/out"
@@ -4986,14 +5008,7 @@ def q120_stream_excision(spark, sf_dir):
         (F.col("doc_id") % 97 != 0) & (F.col("doc_id") >= cut)
     )
     src = tempfile.mkdtemp(prefix="dudb_q120_src_")
-    for b in range(4):
-        tmp = tempfile.mkdtemp(prefix="dudb_q120_b_")
-        incoming.where(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = _glob(os.path.join(tmp, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"b{b}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _stage_mod_buckets(incoming, 4, src)
     out = os.path.join(tempfile.mkdtemp(prefix="dudb_q120_out_"), "res")
 
     def _excise_batch(batch, _epoch):

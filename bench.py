@@ -77,6 +77,24 @@ def _calib_pandas(spark, reps: int = 3) -> float:
     return round(best, 3)
 
 
+def _calib_jobs(spark, reps: int = 3) -> float:
+    """Job-submission host anchor (round-10): 20 SEQUENTIAL tiny jobs,
+    best-of.  The q91 record closure showed suite drift concentrated in
+    many-small-jobs queries (streaming gates: tens of sequential
+    scheduler round-trips) while the single-job scan/pandas anchors
+    moved far less — this anchor makes that drift class attributable
+    in-record instead of inferable."""
+    base = spark.range(1000)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _k in range(20):
+            base.selectExpr("sum(id)").collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def decode_bench() -> dict:
     """Media-decode throughput: the vectorized codecs (multimodal.py +
     the unfilter.py wavefront, exactly what decode_media's Arrow kernel
@@ -576,6 +594,11 @@ def main():
     # queries against this anchor, JVM-bound ones against
     # calib_scan_agg_sec.
     result["calib_pandas_udf_sec"] = _calib_pandas(spark)
+    # third anchor for JOB-SUBMISSION latency: the q91 closure (round
+    # 10) found a 2x drift confined to many-small-jobs queries while
+    # both anchors above moved <35%.  Streaming/choreography queries
+    # (q85/q91/q100/q118/q120) should be read against this one.
+    result["calib_jobs_sec"] = _calib_jobs(spark)
     result.update(mid_calib)
     if load1_start is not None:
         result["load1_start"] = load1_start
