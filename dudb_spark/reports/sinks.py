@@ -39,6 +39,71 @@ def write_json_report(df: DataFrame, out_dir: str) -> None:
     df.write.mode("overwrite").json(out_dir)
 
 
+def _summary_bundle(
+    stats: StatsResult,
+    display_n: int,
+    users: DataFrame | None,
+    groups: DataFrame | None,
+) -> DataFrame:
+    """Every bounded row the Markdown template prints, as ONE union frame
+    (section, key, value, name) — so the renderer pays a single collect
+    instead of eight (totals + 5 top-metric tables + 2 id rankings) plus
+    two dim-table collects.  Each sequential action costs a full job
+    submission (~hundreds of ms on a busy driver); the branches are all
+    TakeOrderedAndProject / single-row aggregates, so the union stays
+    bounded at 7·n + 8 rows regardless of corpus size, and the id→name
+    dims fold in as broadcast joins instead of collected dicts."""
+    from pyspark.sql import functions as F
+
+    tot_cols = list(stats.totals().columns)
+    null_name = F.lit(None).cast("string").alias("name")
+    branches = [
+        stats.totals().select(
+            F.lit("totals").alias("section"),
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(c) for c in tot_cols]),
+                    F.array(*[F.col(c).cast("long") for c in tot_cols]),
+                )
+            ).alias("key", "value"),
+            null_name,
+        )
+    ]
+    for m in METRICS:
+        branches.append(
+            stats.top_prefixes(m, display_n).select(
+                F.lit(f"top:{m}").alias("section"),
+                F.col("prefix").alias("key"),
+                F.col(m).cast("long").alias("value"),
+                null_name,
+            )
+        )
+    for dim, dim_df, id_col in (("user", users, "uid"), ("group", groups, "gid")):
+        ids = stats.top_ids("bytes", display_n, dim)
+        if dim_df is not None:
+            ids = ids.join(
+                F.broadcast(
+                    dim_df.select(F.col(id_col).alias("id"), "name")
+                ),
+                "id",
+                "left",
+            )
+        else:
+            ids = ids.withColumn("name", F.lit(None).cast("string"))
+        branches.append(
+            ids.select(
+                F.lit(f"ids:{dim}").alias("section"),
+                F.col("id").cast("string").alias("key"),
+                F.col("bytes").cast("long").alias("value"),
+                "name",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def write_markdown_report(
     stats: StatsResult,
     path: str,
@@ -48,14 +113,15 @@ def write_markdown_report(
 ) -> str:
     """S13: Markdown summary — TOC, global totals, per-metric top-N tables,
     per-user/per-group sections (markdown.go:32–179 template structure).
-    ``users``/``groups`` are the tiny id→name dims (J3): joined broadcast-
-    style via a collected dict since they are bounded by the id space."""
-    uid_names = (
-        {r["uid"]: r["name"] for r in users.collect()} if users is not None else {}
-    )
-    gid_names = (
-        {r["gid"]: r["name"] for r in groups.collect()} if groups is not None else {}
-    )
+    All bounded table rows arrive in one collected union frame
+    (:func:`_summary_bundle`); the id→name dims (J3) ride along as
+    broadcast joins.  Row order within each table is re-derived
+    client-side with the same (value desc, key asc) tie-break the frames
+    use, so the rendered template is byte-identical to the
+    one-collect-per-table version."""
+    bundle: dict[str, list] = {}
+    for r in _summary_bundle(stats, display_n, users, groups).collect():
+        bundle.setdefault(r["section"], []).append(r)
 
     lines: list[str] = []
     meta = stats.meta
@@ -75,27 +141,31 @@ def write_markdown_report(
         "## Totals",
         "",
     ]
-    tot = stats.totals().collect()[0].asDict()
+    tot = {r["key"]: r["value"] for r in bundle.get("totals", [])}
+    tot_order = list(stats.totals().columns)
     lines += ["| metric | value |", "|---|---|"]
-    lines += [f"| {k} | {v} |" for k, v in tot.items()]
+    lines += [f"| {k} | {tot[k]} |" for k in tot_order]
     lines += ["", "## Top prefixes", ""]
 
     for metric in METRICS:
-        rows = stats.top_prefixes(metric, display_n).collect()
+        rows = sorted(
+            bundle.get(f"top:{metric}", []),
+            key=lambda r: (-r["value"], r["key"]),
+        )
         lines += [f"### Top {display_n} by {metric}", ""]
         lines += [f"| prefix | {metric} |", "|---|---|"]
-        lines += [f"| {r['prefix']} | {r[metric]} |" for r in rows]
+        lines += [f"| {r['key']} | {r['value']} |" for r in rows]
         lines += [""]
 
-    for title, dim, names in (
-        ("Per user", "user", uid_names),
-        ("Per group", "group", gid_names),
-    ):
+    for title, dim in (("Per user", "user"), ("Per group", "group")):
         lines += [f"## {title}", ""]
-        rows = stats.top_ids("bytes", display_n, dim).collect()
+        rows = sorted(
+            bundle.get(f"ids:{dim}", []),
+            key=lambda r: (-r["value"], int(r["key"])),
+        )
         lines += ["| id | name | bytes |", "|---|---|---|"]
         lines += [
-            f"| {r['id']} | {names.get(r['id'], str(r['id']))} | {r['bytes']} |"
+            f"| {r['key']} | {r['name'] if r['name'] is not None else r['key']} | {r['value']} |"
             for r in rows
         ]
         lines += [""]
