@@ -5118,6 +5118,27 @@ def q119_ivf_pq_residual(spark, sf_dir):
     )
 
 
+def q143_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al., NeurIPS 2023) as a
+    first-class data-selection operator (pipeline/dsir.py): hashed
+    unigram+bigram bucket features built from the MinHash-shared Horner
+    token hashes, target(lang='en')/raw bucket distributions estimated
+    in ONE bounded-key aggregation, per-document log-likelihood-ratio
+    weights folded scan-side against a constant array literal, and
+    Gumbel-top-k selection (deterministic via the MINSTD row hash) —
+    sampling-without-replacement proportional to the importance weight.
+    The oracle replays feature hashing, add-1 smoothing, the round-6
+    log-ratios, the weight fold, and the Gumbel keys end-to-end in
+    SQL."""
+    from dudb_spark.pipeline.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d, "doc_id", "text", F.col("lang") == "en",
+        k=50, n_buckets=256, smoothing=1.0, salt=13,
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -5260,6 +5281,7 @@ QUERIES: dict[str, Callable] = {
     "q140_resync_reconcile": q140_resync_reconcile,
     "q141_force_rescan": q141_force_rescan,
     "q142_seeded_watch_reconcile": q142_seeded_watch_reconcile,
+    "q143_dsir_select": q143_dsir_select,
 }
 
 ORACLE: dict[str, str] = {
@@ -8465,6 +8487,74 @@ def _pagerank_oracle_sql(
 ORACLE["q106_pagerank"] = _pagerank_oracle_sql(
     ORACLE["q37_fingerprint_overlap"]
 )
+
+
+def _dsir_oracle_sql(
+    n_buckets: int = 256, k: int = 50, salt: int = 13
+) -> str:
+    """DuckDB restatement of q143's DSIR pipeline: same Horner token
+    hashes (B=257 mod 2^31-1, the q16 construction), same unigram+bigram
+    bucket features, add-1 smoothing over the same bucket universe,
+    round-6 log-ratios (quantized BEFORE the weight fold on both sides,
+    so libm-vs-JVM last-ulp ln differences cannot accumulate), the same
+    left-fold weight, and the same MINSTD-uniform Gumbel keys."""
+    from dudb_spark.pipeline.sampling import sample_hash_sql
+
+    M = (1 << 31) - 1
+    B = n_buckets
+    u = f"(({sample_hash_sql('doc_id', salt)}) + 1.0) / 1000001.0"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT doc_id, lang, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), gb AS (
+            SELECT doc_id, lang,
+                   list_transform(
+                       list_concat(th,
+                           [ (th[i]*257 + th[i+1]) % {M}
+                             FOR i IN range(1, len(th)) ]),
+                       g -> g % {B}) AS gb
+            FROM tkh
+        ), cnt AS (
+            SELECT b AS bucket, COUNT(*) AS r_cnt,
+                   COUNT(*) FILTER (WHERE lang = 'en') AS t_cnt
+            FROM (SELECT lang, unnest(gb) AS b FROM gb)
+            GROUP BY 1
+        ), tot AS (
+            SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM cnt
+        ), ratios AS (
+            SELECT a.i AS bucket,
+                   ROUND(ln((COALESCE(c.t_cnt, 0) + 1.0) / (tot.t_tot + {B}.0))
+                       - ln((COALESCE(c.r_cnt, 0) + 1.0) / (tot.r_tot + {B}.0)),
+                         6) AS lr
+            FROM range(0, {B}) a(i) LEFT JOIN cnt c ON c.bucket = a.i, tot
+        ), lrv AS (
+            SELECT list(lr ORDER BY bucket) AS lr FROM ratios
+        ), scored AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0.0,
+                           list_transform(gb, g -> lrv.lr[g + 1])),
+                       (a, v) -> a + v) AS logw,
+                   -ln(-ln({u})) AS gk
+            FROM gb, lrv
+        )
+        SELECT doc_id, ROUND(logw, 6) AS log_weight,
+               ROUND(logw + gk, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+ORACLE["q143_dsir_select"] = _dsir_oracle_sql()
 
 ORACLE["q107_decayed_activity"] = """
     WITH tref AS (SELECT max(ts) AS tmax FROM events)
