@@ -5139,6 +5139,25 @@ def q143_dsir_select(spark, sf_dir):
     )
 
 
+def q144_knn_label_noise(spark, sf_dir):
+    """kNN label-noise audit (pipeline/labelcheck.py — the
+    edited-nearest-neighbor rule, Wilson 1972 / Confident-Learning-style
+    neighborhood check): each embedding's 5 nearest same-cell neighbors
+    vote; a row whose own label disagrees with the neighbor majority is
+    flagged as a mislabel candidate.  Shares the q41/q88/q134 quantizer
+    pass; candidate pairs are confined to quantizer cells (never
+    all-pairs), the k-nearest filter is a WindowGroupLimit-prunable rank
+    window, and the votes are bounded hash aggregates.  The oracle
+    replays quantizer, 6-decimal cosine ranking, majority vote, and the
+    flag end-to-end."""
+    from dudb_spark.pipeline.labelcheck import knn_label_noise
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label_noise(
+        emb, k=5, cells=_quantizer_cells(spark, sf_dir)
+    ).orderBy("vec_id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -5282,6 +5301,7 @@ QUERIES: dict[str, Callable] = {
     "q141_force_rescan": q141_force_rescan,
     "q142_seeded_watch_reconcile": q142_seeded_watch_reconcile,
     "q143_dsir_select": q143_dsir_select,
+    "q144_knn_label_noise": q144_knn_label_noise,
 }
 
 ORACLE: dict[str, str] = {
@@ -8555,6 +8575,95 @@ def _dsir_oracle_sql(
 
 
 ORACLE["q143_dsir_select"] = _dsir_oracle_sql()
+
+
+def _knn_label_noise_oracle_sql(n_clusters: int = 16, k: int = 5) -> str:
+    """DuckDB restatement of q144: the q41/q88 quantizer chain (seed
+    centroids, 6-decimal argmax, decimal-exact Lloyd means,
+    re-assignment), then same-cell kNN by rounded cosine, neighbor
+    majority vote (ties → smaller label) and the noise flag."""
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    def argmax(src, cents, out):
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT s.vec_id, s.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY {cos('s.v', 'c.v')} DESC, c.cell ASC) AS rn
+                FROM {src} s CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        ), c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM e ORDER BY vec_id LIMIT {n_clusters}
+        ), {argmax('e', 'c0', 'a0')}
+        , m AS (
+            SELECT cell, i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i FROM a0)
+            GROUP BY cell, i
+        ), c1g AS (
+            SELECT cell AS orig_cell, list(mu ORDER BY i) AS v
+            FROM m GROUP BY cell
+        ), c1 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY orig_cell) - 1 AS cell, v
+            FROM c1g
+        ), {argmax('e', 'c1', 'a1')}
+        , pairs AS (
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   {cos('x.v', 'y.v')} AS cs
+            FROM a1 x JOIN a1 y
+              ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        ), knn AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       ROW_NUMBER() OVER (PARTITION BY id_a
+                           ORDER BY cs DESC, id_b ASC) AS rn
+                FROM pairs) WHERE rn <= {k}
+        ), nb AS (
+            SELECT n.id_a, le.label AS nb_label, lo.label AS own_label
+            FROM knn n
+            JOIN e le ON n.id_b = le.vec_id
+            JOIN e lo ON n.id_a = lo.vec_id
+        ), votes AS (
+            SELECT id_a, nb_label, COUNT(*) AS n FROM nb GROUP BY 1, 2
+        ), maj AS (
+            SELECT id_a, nb_label AS maj_label, n AS maj_n FROM (
+                SELECT id_a, nb_label, n,
+                       ROW_NUMBER() OVER (PARTITION BY id_a
+                           ORDER BY n DESC, nb_label ASC) AS rk
+                FROM votes) WHERE rk = 1
+        ), agree AS (
+            SELECT id_a, COUNT(*) AS n_neighbors,
+                   COUNT(*) FILTER (WHERE nb_label = own_label) AS n_agree
+            FROM nb GROUP BY 1
+        )
+        SELECT e.vec_id, e.label,
+               COALESCE(g.n_neighbors, 0) AS n_neighbors,
+               COALESCE(g.n_agree, 0) AS n_agree,
+               m.maj_label, m.maj_n,
+               COALESCE(m.maj_label <> e.label, FALSE) AS noise_candidate
+        FROM e
+        LEFT JOIN maj m ON e.vec_id = m.id_a
+        LEFT JOIN agree g ON e.vec_id = g.id_a
+        ORDER BY e.vec_id
+    """
+
+
+ORACLE["q144_knn_label_noise"] = _knn_label_noise_oracle_sql()
 
 ORACLE["q107_decayed_activity"] = """
     WITH tref AS (SELECT max(ts) AS tmax FROM events)

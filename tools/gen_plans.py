@@ -84,6 +84,14 @@ SHOWCASE = {
     "q94_skew_profile": "skew diagnosis: per-key counts, "
     "TakeOrderedAndProject for the hot keys, scalar totals BROADCAST onto "
     "them — never a global window over the billion-key count frame",
+    "q143_dsir_select": "DSIR selection: log-ratio vector constant-folded "
+    "into the scan-side weight fold (no join, no broadcast exchange); "
+    "Gumbel-top-k compiles to TakeOrderedAndProject — bounded heaps, "
+    "never a global sort",
+    "q144_knn_label_noise": "kNN label audit: candidate pairs confined "
+    "to quantizer cells (equi-join on cell, no cartesian); the k-nearest "
+    "rank window is WindowGroupLimit-prunable; votes are bounded hash "
+    "aggregates",
     "q96_clean_corpus": "end-to-end corpus cleaning: scan-side "
     "scoring/fingerprinting, ONE fingerprint-window shuffle, broadcast "
     "eval shingles for decontamination, redaction fused into the final "
