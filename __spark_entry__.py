@@ -5158,6 +5158,24 @@ def q144_knn_label_noise(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q145_corpus_drift(spark, sf_dir):
+    """Corpus drift monitor (pipeline/drift.py): per-source KL and
+    total-variation divergence of the hashed unigram+bigram bucket
+    distribution vs the whole-corpus reference — the mixture-health
+    check a crawl pipeline runs per source/day before re-weighting
+    (same feature space DSIR selects with, q143).  One bounded-key
+    corpus aggregation (|sources| × 256 keys, map-side combine), then
+    broadcast-joined bounded frames; each divergence term is quantized
+    to integer nano-units before the final sum (the q90 micro-unit
+    pattern) so the result is exact, order-free, and engine-identical.
+    The oracle replays grams, smoothing grid, nano terms, and both
+    divergences in SQL."""
+    from dudb_spark.pipeline.drift import corpus_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_drift(d, "text", "source", n_buckets=256).orderBy("source")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -5302,6 +5320,7 @@ QUERIES: dict[str, Callable] = {
     "q142_seeded_watch_reconcile": q142_seeded_watch_reconcile,
     "q143_dsir_select": q143_dsir_select,
     "q144_knn_label_noise": q144_knn_label_noise,
+    "q145_corpus_drift": q145_corpus_drift,
 }
 
 ORACLE: dict[str, str] = {
@@ -8664,6 +8683,79 @@ def _knn_label_noise_oracle_sql(n_clusters: int = 16, k: int = 5) -> str:
 
 
 ORACLE["q144_knn_label_noise"] = _knn_label_noise_oracle_sql()
+
+
+def _corpus_drift_oracle_sql(n_buckets: int = 256) -> str:
+    """DuckDB restatement of q145: same Horner token hashes and
+    unigram+bigram buckets as q143, add-1 smoothing over the full
+    group×bucket grid, per-term integer-nano quantization, exact long
+    sums, round-6 divergences."""
+    M = (1 << 31) - 1
+    B = n_buckets
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT doc_id, source, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), gbl AS (
+            SELECT doc_id, source,
+                   list_transform(
+                       list_concat(th,
+                           [ (th[i]*257 + th[i+1]) % {M}
+                             FOR i IN range(1, len(th)) ]),
+                       g -> g % {B}) AS gb
+            FROM tkh
+        ), ex AS (
+            SELECT source AS grp, unnest(gb) AS bucket FROM gbl
+        ), counts AS (
+            SELECT grp, bucket, COUNT(*) AS c FROM ex GROUP BY 1, 2
+        ), g_tot AS (
+            SELECT grp, CAST(SUM(c) AS BIGINT) AS gt FROM counts GROUP BY 1
+        ), ref AS (
+            SELECT bucket, CAST(SUM(c) AS BIGINT) AS rc FROM counts GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(rc) AS BIGINT) AS rt FROM ref
+        ), grid AS (
+            SELECT g.grp, g.gt, b.i AS bucket
+            FROM g_tot g CROSS JOIN range(0, {B}) b(i)
+        ), fullg AS (
+            SELECT grid.grp, grid.gt,
+                   (COALESCE(c.c, 0) + 1.0) / (grid.gt + {B}.0) AS pg,
+                   (COALESCE(r.rc, 0) + 1.0) / (tot.rt + {B}.0) AS pr
+            FROM grid
+            LEFT JOIN counts c ON c.grp = grid.grp AND c.bucket = grid.bucket
+            LEFT JOIN ref r ON r.bucket = grid.bucket, tot
+        ), terms AS (
+            SELECT grp, gt,
+                   CAST(ROUND(pg * ln(pg / pr) * 1e9) AS BIGINT) AS kl_n,
+                   CAST(ROUND(abs(pg - pr) * 1e9) AS BIGINT) AS tv_n
+            FROM fullg
+        ), drift AS (
+            SELECT grp, gt,
+                   ROUND(SUM(kl_n) / 1e9, 6) AS kl,
+                   ROUND(SUM(tv_n) / 2e9, 6) AS tvd
+            FROM terms GROUP BY 1, 2
+        ), nd AS (
+            SELECT source AS grp, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        )
+        SELECT nd.grp AS source, nd.n_docs,
+               COALESCE(d.gt, 0) AS n_grams,
+               COALESCE(d.kl, 0.0) AS kl,
+               COALESCE(d.tvd, 0.0) AS tvd
+        FROM nd LEFT JOIN drift d ON nd.grp = d.grp
+        ORDER BY source
+    """
+
+
+ORACLE["q145_corpus_drift"] = _corpus_drift_oracle_sql()
 
 ORACLE["q107_decayed_activity"] = """
     WITH tref AS (SELECT max(ts) AS tmax FROM events)
