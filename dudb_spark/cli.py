@@ -1211,6 +1211,92 @@ def cmd_pipeline_profile(args):
         print(f"{r['column']}\t{r['metric']}\t{r['value']}")
 
 
+def cmd_pipeline_dsir(args):
+    """DSIR importance resampling toward a target domain
+    (pipeline/dsir.dsir_select): Gumbel-top-k over hashed-ngram
+    log-likelihood-ratio weights."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.dsir import dsir_select
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    pred = F.col(args.target_col) == args.target_value
+    res = dsir_select(
+        df, args.id_col, args.text_col, pred,
+        k=args.k, n_buckets=args.buckets, salt=args.salt,
+        gumbel=not args.no_gumbel,
+    )
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+    rows = res.collect()  # bounded: k rows
+    n_tgt = (
+        df.where(pred)
+        .join(
+            spark.createDataFrame(
+                [(r[args.id_col],) for r in rows], f"{args.id_col} long"
+            ),
+            args.id_col,
+            "left_semi",
+        )
+        .count()
+        if rows
+        else 0
+    )
+    print(json.dumps({
+        "selected": len(rows),
+        "from_target_domain": n_tgt,
+        "mean_log_weight": (
+            round(sum(r["log_weight"] for r in rows) / len(rows), 6)
+            if rows else None
+        ),
+        "out": args.out,
+    }))
+
+
+def cmd_pipeline_labelcheck(args):
+    """kNN label-noise audit (pipeline/labelcheck.knn_label_noise):
+    flag rows whose neighbor majority disagrees with their label."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.labelcheck import knn_label_noise
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = knn_label_noise(
+        df, k=args.k, n_clusters=args.clusters,
+        vec_col=args.vec_col, id_col=args.id_col, label_col=args.label,
+    )
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("noise_candidate"), 1)).alias("flagged"),
+    ).collect()[0]
+    print(json.dumps({
+        "rows": agg["n"], "flagged": agg["flagged"], "k": args.k,
+        "out": args.out,
+    }))
+
+
+def cmd_pipeline_drift(args):
+    """Corpus drift monitor (pipeline/drift.corpus_drift) printed as
+    TSV (group, n_docs, n_grams, kl, tvd)."""
+    from dudb_spark.pipeline.drift import corpus_drift
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = corpus_drift(
+        df, args.text_col, args.group, n_buckets=args.buckets
+    )
+    print(f"{args.group}\tn_docs\tn_grams\tkl\ttvd")
+    for r in res.orderBy(args.group).collect():
+        print(
+            f"{r[args.group]}\t{r['n_docs']}\t{r['n_grams']}"
+            f"\t{r['kl']}\t{r['tvd']}"
+        )
+
+
 def cmd_pipeline_select(args):
     """Greedy token-budget selection (operators/prefix.select_to_budget):
     keep the best-scoring whole-document prefix fitting the budget."""
@@ -1750,6 +1836,46 @@ def build_parser():
     pol.add_argument("--k", type=int, default=3,
                      help="outliers to keep per label")
     pol.set_defaults(func=cmd_pipeline_outliers)
+    pds = psub.add_parser(
+        "dsir",
+        help="DSIR importance resampling toward a target domain",
+    )
+    pds.add_argument("--input", required=True)
+    pds.add_argument("--id-col", default="doc_id")
+    pds.add_argument("--text-col", default="text")
+    pds.add_argument("--target-col", required=True,
+                     help="column defining the target domain")
+    pds.add_argument("--target-value", required=True,
+                     help="value of --target-col marking target rows")
+    pds.add_argument("--k", type=int, required=True,
+                     help="documents to select")
+    pds.add_argument("--buckets", type=int, default=256)
+    pds.add_argument("--salt", type=int, default=0)
+    pds.add_argument("--no-gumbel", action="store_true",
+                     help="deterministic top-k by weight instead of "
+                          "Gumbel resampling")
+    pds.add_argument("--out", default=None)
+    pds.set_defaults(func=cmd_pipeline_dsir)
+    plc = psub.add_parser(
+        "labelcheck", help="kNN label-noise audit over embeddings"
+    )
+    plc.add_argument("--input", required=True,
+                     help="parquet with id/label/embedding columns")
+    plc.add_argument("--id-col", default="vec_id")
+    plc.add_argument("--vec-col", default="embedding")
+    plc.add_argument("--label", default="label")
+    plc.add_argument("--k", type=int, default=5)
+    plc.add_argument("--clusters", type=int, default=16)
+    plc.add_argument("--out", default=None)
+    plc.set_defaults(func=cmd_pipeline_labelcheck)
+    pdr = psub.add_parser(
+        "drift", help="per-group KL/TVD drift vs the corpus distribution"
+    )
+    pdr.add_argument("--input", required=True)
+    pdr.add_argument("--text-col", default="text")
+    pdr.add_argument("--group", default="source")
+    pdr.add_argument("--buckets", type=int, default=256)
+    pdr.set_defaults(func=cmd_pipeline_drift)
     pbm = psub.add_parser(
         "bpe", help="BPE merge-table induction over the corpus"
     )

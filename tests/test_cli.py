@@ -569,6 +569,46 @@ def test_cli_pipeline_new_surface(spark, tmp_path, capsys):
     assert j2["kept_docs"] == 2 and j2["kept_tokens"] == 50
 
 
+def test_cli_pipeline_selection_surface(spark, tmp_path, capsys):
+    """dsir / labelcheck / drift end-to-end over small parquet inputs:
+    JSON counters, TSV shape, planted-signal sanity."""
+    docs = str(tmp_path / "docs2")
+    rows = [(i, "alpha beta alpha", "tgt") for i in range(20)]
+    rows += [(i, "gamma delta epsilon", "bg") for i in range(20, 60)]
+    spark.createDataFrame(rows, ["doc_id", "text", "dom"]).write.parquet(docs)
+
+    j = json.loads(run(
+        capsys, "pipeline", "dsir", "--input", docs,
+        "--target-col", "dom", "--target-value", "tgt",
+        "--k", "10", "--buckets", "64", "--no-gumbel",
+    ))
+    assert j["selected"] == 10
+    # pure top-k by weight picks only target-vocabulary docs
+    assert j["from_target_domain"] == 10
+    assert j["mean_log_weight"] > 0
+
+    emb = str(tmp_path / "emb2")
+    erows = [(i, [1.0 + 0.01 * i, 0.0], 1 if i == 7 else 0) for i in range(10)]
+    erows += [(i, [0.0, 1.0 + 0.01 * (i - 10)], 1) for i in range(10, 20)]
+    spark.createDataFrame(
+        erows, "vec_id long, embedding array<double>, label int"
+    ).write.parquet(emb)
+    j2 = json.loads(run(
+        capsys, "pipeline", "labelcheck", "--input", emb,
+        "--k", "5", "--clusters", "2",
+    ))
+    assert j2["rows"] == 20 and j2["flagged"] == 1  # the planted mislabel
+
+    tsv = run(capsys, "pipeline", "drift", "--input", docs,
+              "--group", "dom", "--buckets", "64")
+    lines = [l.split("\t") for l in tsv.strip().splitlines()]
+    assert lines[0] == ["dom", "n_docs", "n_grams", "kl", "tvd"]
+    vals = {l[0]: l for l in lines[1:]}
+    assert vals["tgt"][1] == "20" and vals["bg"][1] == "40"
+    # the minority-vocabulary group diverges more from the pooled corpus
+    assert float(vals["tgt"][3]) > float(vals["bg"][3])
+
+
 def test_cli_watch_once(spark, real_tree, capsys):
     """watch --once: the batch-0 full resync as TSV (gen, op, size,
     path), then exit — no database touched."""

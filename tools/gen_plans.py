@@ -92,6 +92,9 @@ SHOWCASE = {
     "to quantizer cells (equi-join on cell, no cartesian); the k-nearest "
     "rank window is WindowGroupLimit-prunable; votes are bounded hash "
     "aggregates",
+    "q145_corpus_drift": "drift monitor: one groups×buckets bounded-key "
+    "aggregate over the corpus; reference/totals/grid ride broadcast "
+    "joins; nano-quantized terms make the double sums order-free",
     "q96_clean_corpus": "end-to-end corpus cleaning: scan-side "
     "scoring/fingerprinting, ONE fingerprint-window shuffle, broadcast "
     "eval shingles for decontamination, redaction fused into the final "
