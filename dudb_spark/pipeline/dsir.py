@@ -58,19 +58,30 @@ def gram_buckets_from(th: Column, n_buckets: int, bigrams: bool = True) -> Colum
     from a BOUND token-hash array attribute.  ``th`` must be its own
     projection (see poly_shingle_hashes_from on why inlining it would
     re-evaluate the tokenization per reference).  Bag semantics: no
-    array_distinct — counts are the feature."""
+    array_distinct — counts are the feature.
+
+    Bigrams pair each hash with its successor via ``zip_with`` over a
+    shifted slice — NEVER ``element_at(th, i)`` inside an index lambda:
+    when an optimizer rule substitutes the projection (measured:
+    InferFiltersFromGenerate pushes a ``size(grams) > 0`` filter below
+    the projection that defines ``th``), an indexed lambda re-evaluates
+    the whole inlined token-hash array PER POSITION — O(tokens²) per
+    document (measured 30× on the sf0.1 corpus).  zip_with binds the
+    paired ELEMENTS as lambda variables, so the array expression is
+    evaluated once per row no matter what gets inlined."""
     grams = th
     if bigrams:
-        bi = F.when(
-            F.size(th) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(th) - 1),
-                lambda i: F.pmod(
-                    F.element_at(th, i) * _POLY_B + F.element_at(th, i + 1),
-                    F.lit(_POLY_M),
+        nxt = F.slice(th, 2, F.greatest(F.size(th) - 1, F.lit(0)))
+        bi = F.filter(
+            F.zip_with(
+                th,
+                nxt,
+                lambda x, y: F.when(
+                    y.isNotNull(), F.pmod(x * _POLY_B + y, F.lit(_POLY_M))
                 ),
             ),
-        ).otherwise(F.array().cast("array<long>"))
+            lambda g: g.isNotNull(),
+        )
         grams = F.concat(th, bi)
     return F.transform(grams, lambda g: F.pmod(g, F.lit(n_buckets)))
 
