@@ -66,3 +66,17 @@ def test_deterministic_under_repartition(spark, corpus):
         key=lambda r: r["source"],
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_drift_plan_contract(spark, corpus):
+    """The corpus-sized aggregation partial-aggregates map-side
+    (bounded groups×buckets keys) and the bounded frames ride
+    broadcasts — nothing cartesian over data-sized inputs."""
+    plan = (
+        corpus_drift(corpus, "text", "source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

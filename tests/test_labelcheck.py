@@ -102,3 +102,17 @@ def test_majority_tie_breaks_to_smaller_label(spark):
     out = {r["vec_id"]: r for r in knn_label_noise(df, k=4, n_clusters=1).collect()}
     assert out[0]["maj_label"] == 3
     assert out[0]["noise_candidate"] is True
+
+
+def test_knn_plan_prunes_topk_before_shuffle(spark, planted):
+    """The row_number<=k filter must compile to WindowGroupLimit (the
+    q07 contract) so each partition keeps only its top-k candidate
+    neighbors before the window shuffle."""
+    plan = (
+        knn_label_noise(planted, k=5, n_clusters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
