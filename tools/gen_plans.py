@@ -171,6 +171,19 @@ def plan_of(df) -> str:
 def main():
     spark = get_spark("gen_plans")
     sf = "/root/testdata/sf0.01"
+    sections = []
+    census = []  # (query, SinglePartition exchange count) where > 0
+    for name, note in SHOWCASE.items():
+        df = m.QUERIES[name](spark, sf)
+        plan = plan_of(df)
+        n_single = plan.count("SinglePartition")
+        if n_single:
+            census.append((name, n_single))
+        # keep the operator tree + the first scan detail blocks, cap length
+        sections += [f"## {name}", "", f"**Scale property:** {note}", "",
+                     "```"]
+        sections += plan.splitlines()[:120]
+        sections += ["```", ""]
     out = [
         "# PLANS — physical plans of headline queries",
         "",
@@ -178,17 +191,20 @@ def main():
         "Each plan is the `.explain('formatted')` output at sf0.01; the",
         "note above each names the property that matters at 100 TB.",
         "",
+        "**SinglePartition census** (every `Exchange SinglePartition` in",
+        "the showcased plans — each must be a bounded final aggregate or",
+        "broadcast-scalar staging, never data-proportional):",
+        "",
     ]
-    for name, note in SHOWCASE.items():
-        df = m.QUERIES[name](spark, sf)
-        plan = plan_of(df)
-        # keep the operator tree + the first scan detail blocks, cap length
-        out += [f"## {name}", "", f"**Scale property:** {note}", "", "```"]
-        out += plan.splitlines()[:120]
-        out += ["```", ""]
+    for name, n in census:
+        out.append(f"- {name}: {n}")
+    out += ["", f"Total: {sum(n for _, n in census)} across "
+            f"{len(SHOWCASE)} showcased plans.", ""]
+    out += sections
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(out)} lines)")
+    print(f"wrote PLANS.md ({len(out)} lines); SinglePartition census: "
+          f"{census}")
 
 
 if __name__ == "__main__":
