@@ -5176,6 +5176,94 @@ def q145_corpus_drift(spark, sf_dir):
     return corpus_drift(d, "text", "source", n_buckets=256).orderBy("source")
 
 
+def q146_hll_cardinality(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (pipeline/sketch.py): per-source
+    vocabulary size (distinct token hashes) estimated from 256 registers
+    — the bounded-state answer to the exact COUNT(DISTINCT) Expand that
+    checks.py's approx gate routes around at scale.  The register fold is
+    one groupBy(source, register) whose key space is |sources|×256
+    regardless of corpus size; exact distinct rides alongside for the
+    certified relative error.  rho is pure integer comparisons (no libm
+    log2), the harmonic sum adds exact powers of two (order-free), and
+    the oracle replays registers, corrections, and estimate in SQL."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import hll_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    th = d.select(
+        "source", F.explode(poly_token_hash_array(F.col("text"))).alias("h")
+    )
+    est = hll_distinct(th, ["source"], "h", p=8)
+    exact = th.groupBy("source").agg(
+        F.countDistinct("h").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+def q147_leakage_free_split(spark, sf_dir):
+    """Leakage-free train/val/test split (pipeline/cluster.py
+    leakage_free_split): documents are split by the hash of their
+    duplicate-cluster REPRESENTATIVE (q44's components; min doc id),
+    so a near-dup pair can never straddle train and eval — the
+    contamination-proof property a per-doc hash split lacks.  The
+    cluster frame broadcasts (bounded by clustered docs), the split is
+    the scan-side MINSTD CASE (sampling.assign_split); the oracle
+    replays components (recursive CTE) + the identical hash CASE."""
+    from dudb_spark.pipeline.cluster import leakage_free_split
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = _dup_clusters(spark, sf_dir)
+    return leakage_free_split(
+        d, clusters, {"train": 0.9, "val": 0.05, "test": 0.05}, salt=11
+    ).orderBy("doc_id")
+
+
+_HARDNEG_QIDS = [1, 7, 13, 21]
+
+
+def q148_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval training
+    (pipeline/retrieval.hard_negatives): four corpus documents act as
+    queries; per query, the top-5 BM25-scored documents AFTER excluding
+    the query doc itself and its whole near-dup cluster (q44's
+    components) — the false-negative guard contrastive training needs.
+    Exclusions are applied to the full scored frame BEFORE ranking via
+    a broadcast anti-join; the oracle replays BM25 (q103's restatement)
+    + components + the exclusion in SQL."""
+    from dudb_spark.pipeline.retrieval import hard_negatives
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = _dup_clusters(spark, sf_dir)
+    qdocs = d.where(F.col("doc_id").isin(_HARDNEG_QIDS))
+    qs = qdocs.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    pos = qdocs.select(
+        F.col("doc_id").alias("query_id"), F.col("doc_id")
+    )
+    qcl = clusters.where(F.col("doc_id").isin(_HARDNEG_QIDS)).select(
+        F.col("doc_id").alias("query_id"), "cluster_id"
+    )
+    mates = qcl.join(
+        clusters.select("doc_id", "cluster_id"), "cluster_id"
+    ).select("query_id", "doc_id")
+    exclude = pos.unionByName(mates)
+    return hard_negatives(d, qs, exclude, k=5).orderBy("query_id", "rank")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -5321,6 +5409,9 @@ QUERIES: dict[str, Callable] = {
     "q143_dsir_select": q143_dsir_select,
     "q144_knn_label_noise": q144_knn_label_noise,
     "q145_corpus_drift": q145_corpus_drift,
+    "q146_hll_cardinality": q146_hll_cardinality,
+    "q147_leakage_free_split": q147_leakage_free_split,
+    "q148_hard_negatives": q148_hard_negatives,
 }
 
 ORACLE: dict[str, str] = {
@@ -8756,6 +8847,137 @@ def _corpus_drift_oracle_sql(n_buckets: int = 256) -> str:
 
 
 ORACLE["q145_corpus_drift"] = _corpus_drift_oracle_sql()
+
+
+def _hll_cardinality_oracle_sql(p: int = 8) -> str:
+    """DuckDB restatement of q146: same Horner token hashes, same
+    integer-comparison rho ladder, same register max / harmonic sum /
+    correction branches (pipeline/sketch.hll_sql_cte), alongside the
+    exact distinct for the relative error."""
+    from dudb_spark.pipeline.sketch import hll_sql_cte
+
+    M = (1 << 31) - 1
+    cte = hll_sql_cte("SELECT source AS g, h FROM ex", "g", "h", p=p)
+    return f"""
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT source, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), ex AS (
+            SELECT source, unnest(th) AS h FROM tkh
+        ),
+        {cte},
+        exact AS (
+            SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct
+            FROM ex GROUP BY source
+        )
+        SELECT e.source, hll.est_distinct, e.exact_distinct,
+               ROUND((hll.est_distinct - e.exact_distinct)
+                     / e.exact_distinct, 6) AS rel_err
+        FROM exact e JOIN hll ON hll.grp = e.source
+        ORDER BY e.source
+    """
+
+
+ORACLE["q146_hll_cardinality"] = _hll_cardinality_oracle_sql()
+
+
+def _leakage_free_split_oracle_sql() -> str:
+    """DuckDB restatement of q147: q44's recursive-CTE components, every
+    document's representative = COALESCE(cluster id, own id), then the
+    identical MINSTD split CASE on the representative."""
+    from dudb_spark.pipeline.sampling import assign_split_sql
+
+    case = assign_split_sql(
+        "rep_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt=11
+    )
+    return (
+        _cc_cte()
+        + f"""
+        , rep AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT doc_id, rep_id, {case} AS split FROM rep ORDER BY doc_id
+    """
+    )
+
+
+ORACLE["q147_leakage_free_split"] = _leakage_free_split_oracle_sql()
+
+
+def _hard_negatives_oracle_sql(k: int = 5) -> str:
+    """DuckDB restatement of q148: q103's BM25 restatement with the
+    query set drawn from the corpus itself, minus the query doc and its
+    whole component (q44's recursive CTE) before ranking."""
+    qids = ", ".join(str(q) for q in _HARDNEG_QIDS)
+    return (
+        _cc_cte()
+        + rf"""
+        , q AS (
+            SELECT doc_id AS query_id, text AS qtext FROM documents
+            WHERE doc_id IN ({qids})
+        ), toks AS (
+            SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                              t -> t <> '')) AS term
+            FROM documents
+        ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        post AS (SELECT tf.doc_id, term, tf, dl FROM tf JOIN dl USING (doc_id)),
+        qt AS (
+            SELECT query_id, unnest(list_filter(string_split_regex(qtext, '\s+'),
+                                                t -> t <> '')) AS term
+            FROM q
+        ), qterms AS (
+            SELECT query_id, term, count(*) AS qtf FROM qt GROUP BY 1, 2
+        ), consts AS (
+            SELECT count(DISTINCT doc_id) AS n_docs,
+                   CAST(SUM(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+            FROM post
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM post
+            WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1
+        ), scored AS (
+            SELECT query_id, doc_id,
+                   ROUND(SUM(qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf * 2.2)
+                             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                         6) AS score
+            FROM post JOIN qterms USING (term) JOIN dfreq USING (term)
+            CROSS JOIN consts
+            GROUP BY 1, 2
+        ), excl AS (
+            SELECT query_id, query_id AS doc_id FROM q
+            UNION
+            SELECT qc.doc_id AS query_id, c2.doc_id
+            FROM comp qc JOIN comp c2 ON qc.cluster_id = c2.cluster_id
+            WHERE qc.doc_id IN ({qids})
+        ), kept AS (
+            SELECT s.* FROM scored s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM excl e
+                WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id)
+        )
+        SELECT query_id, rank, doc_id, score FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM kept) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+    )
+
+
+ORACLE["q148_hard_negatives"] = _hard_negatives_oracle_sql()
 
 ORACLE["q107_decayed_activity"] = """
     WITH tref AS (SELECT max(ts) AS tmax FROM events)

@@ -163,6 +163,42 @@ def _propagate(sym, labels, prev_sum, max_iter, parts, small):
     return labels
 
 
+def leakage_free_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates can NEVER
+    straddle: every document is split by the hash of its duplicate-
+    cluster REPRESENTATIVE (the component's min doc id), not its own id,
+    so the whole near-dup cluster lands in one split — the property a
+    held-out eval set needs, since a per-doc hash split leaks ~every
+    clustered duplicate across the train/test boundary
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022, §6 observed exactly this leak).
+
+    ``clusters`` is :func:`duplicate_clusters` output (``doc_id``,
+    ``cluster_id``); unclustered documents are their own representative.
+    The cluster frame is bounded by the clustered-document count (tiny
+    vs the corpus), so the join broadcasts and the split stays a
+    scan-side projection — same zero-shuffle shape as
+    pipeline/sampling.assign_split, which supplies the hash CASE."""
+    from dudb_spark.pipeline.sampling import assign_split
+
+    rep = docs.select(id_col).join(
+        F.broadcast(
+            clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
+        ),
+        id_col,
+        "left",
+    ).select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("rep_id")
+    )
+    return assign_split(rep, "rep_id", weights, salt)
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

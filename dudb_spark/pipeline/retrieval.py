@@ -47,21 +47,18 @@ def postings(
     return tf.join(dl, "doc_id")
 
 
-def bm25_retrieve(
+def bm25_scored(
     docs: DataFrame,
     queries: DataFrame,
-    k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-``k`` corpus documents per query, BM25-scored.
-
-    ``queries`` is a small frame ``(query_id, qtext)``.  Returns
-    ``(query_id, rank, doc_id, score)``; a query term's multiplicity in
-    the query weights its contribution (standard bag-of-words query).
-    """
+    """The pre-ranking scored frame ``(query_id, doc_id, score)`` —
+    every corpus document whose posting lists a query term touches,
+    scored.  Factored out of :func:`bm25_retrieve` so ranking variants
+    (top-k, exclusion-aware negative mining) share one plan."""
     post = postings(docs, id_col, text_col)
 
     qterms = queries.select(
@@ -104,6 +101,10 @@ def bm25_retrieve(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("_w"), 6).alias("score"))
     )
+    return scored
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -112,3 +113,50 @@ def bm25_retrieve(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def bm25_retrieve(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus documents per query, BM25-scored.
+
+    ``queries`` is a small frame ``(query_id, qtext)``.  Returns
+    ``(query_id, rank, doc_id, score)``; a query term's multiplicity in
+    the query weights its contribution (standard bag-of-words query).
+    """
+    return _rank_topk(bm25_scored(docs, queries, k1, b, id_col, text_col), k)
+
+
+def hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    exclude: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training: per query, the
+    top-``k`` highest-BM25 corpus documents AFTER removing ``exclude``
+    — the positives and anything that would make a false negative
+    (near-duplicates of the positives, same-cluster documents).
+
+    ``exclude`` is a ``(query_id, doc_id)`` pair frame.  The exclusion
+    is applied to the full scored frame BEFORE ranking (a top-k-then-
+    filter would under-fill), as a broadcast anti-join: the exclusion
+    set is positives-per-query-sized, never corpus-sized, so the scored
+    frame is filtered map-side with no extra shuffle."""
+    scored = bm25_scored(docs, queries, k1, b, id_col, text_col)
+    kept = scored.join(
+        F.broadcast(exclude.select("query_id", "doc_id").distinct()),
+        ["query_id", "doc_id"],
+        "left_anti",
+    )
+    return _rank_topk(kept, k)

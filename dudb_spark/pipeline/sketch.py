@@ -1,0 +1,215 @@
+"""HyperLogLog distinct-count sketch as a pure DataFrame fold.
+
+Exact ``COUNT(DISTINCT x)`` is the classic 100 TB trap: Catalyst plans
+it as an Expand + re-shuffle of EVERY distinct value (see
+operators/checks.py's approx gate, which exists to route around it).
+The sketch path bounds the state instead: each group folds into
+``m = 2**p`` registers no matter how many distinct values it holds, so
+the shuffle moves O(groups × m) rows and the answer costs two
+bounded-key aggregations (Flajolet et al., "HyperLogLog: the analysis
+of a near-optimal cardinality estimation algorithm", AofA 2007).
+
+Spark shape / the 100 TB story
+------------------------------
+- **Register fold**: ``groupBy(group, register).agg(max(rho))`` —
+  map-side partial aggregation collapses every partition to
+  ≤ groups×m rows before the exchange, so the shuffle is constant in
+  the corpus size.  The estimate pass is a second ≤ groups-row agg.
+- **No driver state**: registers never collect; the estimator is a
+  column expression over the ≤ m-row-per-group register frame.
+- **Mergeable by construction**: ``max(rho)`` is associative, so
+  per-shard register frames union + re-max into a corpus-wide sketch —
+  the property that lets incremental ingest keep running cardinalities
+  without re-scanning history.
+
+Cross-engine determinism (the oracle story, same discipline as
+pipeline/dsir.py): the production default hashes with ``xxhash64``
+(JVM-side, 64-bit); the oracle-certified configuration instead feeds
+the engine's Horner token hashes (pipeline/dedup.poly_token_hash_array,
+values in [0, 2^31-1)), whose SQL restatement already exists.  Every
+arithmetic step is chosen to be bit-reproducible in any IEEE engine:
+
+- ``rho`` is computed with INTEGER comparisons only — never
+  ``floor(log2(w))``, whose libm-vs-JVM last-ulp can flip the floor at
+  exact powers of two.  ``floor_log2(w) = Σ_k [w >= 2^k]``.
+- the harmonic sum adds exact powers of two spanning < 53 bits, so
+  every partial sum is exact and the total is order-independent — the
+  one property a distributed sum needs to be deterministic.
+- the two ``ln`` correction branches are the only inexact ops; the
+  final estimate is rounded to 4 decimals, 9 orders of magnitude above
+  their cross-library last-ulp drift.
+
+The reference engine has no sketches (its distinct-shaped state is the
+per-prefix user/group id sets, stats.go); this extends the stats
+surface (SURVEY.md §7 step 9) with the cardinality operator a corpus
+profiler needs at scales where exact distinct is unpayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# poly_token_hash_array values live in [0, _POLY_M); 2^31 is the
+# power-of-two hash-space bound the estimator corrections use
+_POLY_BITS = 31
+
+
+def _floor_log2(w: Column, width: int) -> Column:
+    """``floor(log2(w))`` for ``w`` in [1, 2**width) via a comparison
+    ladder — pure integer arithmetic, no libm."""
+    out = F.lit(0)
+    for k in range(1, width):
+        out = out + (w >= F.lit(1 << k)).cast("int")
+    return out
+
+
+def hll_register(h: Column, p: int) -> Column:
+    """Register index: the low ``p`` bits (well, ``h mod 2**p`` — the
+    Horner hashes are non-negative so pmod == mod)."""
+    return F.pmod(h, F.lit(1 << p)).cast("int")
+
+
+def hll_rho(h: Column, p: int, hash_bits: int = _POLY_BITS) -> Column:
+    """Rank of the first set bit of the remaining ``hash_bits - p`` bits
+    (1-based; all-zero suffix ranks ``width + 1``), counted from the
+    most significant end as in the paper."""
+    width = hash_bits - p
+    w = F.floor(h / F.lit(1 << p)).cast("long")
+    return (
+        F.when(w == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) - _floor_log2(w, width))
+        .cast("int")
+    )
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], hash_col: str, p: int = 8,
+    hash_bits: int = _POLY_BITS,
+) -> DataFrame:
+    """The register fold: ``(group..., reg, rho)`` with rho the max rank
+    seen — ≤ groups×m rows, mergeable with further unions + re-max."""
+    h = F.col(hash_col)
+    return (
+        df.select(
+            *group_cols,
+            hll_register(h, p).alias("reg"),
+            hll_rho(h, p, hash_bits).alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], p: int = 8,
+    hash_bits: int = _POLY_BITS,
+) -> DataFrame:
+    """Estimate per group from a register frame: raw harmonic-mean
+    estimate with the paper's small-range (linear counting) and
+    large-range (hash-collision) corrections, rounded to 4 decimals."""
+    m = 1 << p
+    space = float(1 << hash_bits)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s_present"),
+    )
+    s = F.col("_s_present") + (F.lit(m) - F.col("_present"))
+    v = (F.lit(m) - F.col("_present")).cast("double")
+    raw = F.lit(_alpha(m) * m * m) / s
+    est = (
+        F.when((raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v))
+        .when(raw > F.lit(space / 30.0), -F.lit(space) * F.log(F.lit(1.0) - raw / F.lit(space)))
+        .otherwise(raw)
+    )
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], hash_col: str, p: int = 8,
+    hash_bits: int = _POLY_BITS,
+) -> DataFrame:
+    """``(group..., est_distinct)`` — the full sketch pipeline: register
+    fold + estimator, two bounded-key shuffles total."""
+    return hll_estimate(
+        hll_registers(df, group_cols, hash_col, p, hash_bits),
+        group_cols, p, hash_bits,
+    )
+
+
+def floor_log2_sql(expr: str, width: int) -> str:
+    """The identical comparison-ladder floor(log2) as ANSI SQL."""
+    terms = " + ".join(
+        f"CASE WHEN {expr} >= {1 << k} THEN 1 ELSE 0 END"
+        for k in range(1, width)
+    )
+    return f"({terms})"
+
+
+def hll_sql_cte(
+    source_sql: str, group_expr: str, hash_expr: str, p: int = 8,
+    hash_bits: int = _POLY_BITS,
+) -> str:
+    """Oracle restatement: the whole sketch as SQL CTEs over
+    ``source_sql`` (must yield ``{group_expr}`` and ``{hash_expr}``
+    columns).  Ends with ``hll(grp, est_distinct)``.  Keep in lockstep
+    with hll_registers/hll_estimate above."""
+    m = 1 << p
+    width = hash_bits - p
+    # every float literal is CAST(... AS DOUBLE): DuckDB parses bare
+    # decimal literals as DECIMAL and its fixed-point arithmetic both
+    # overflows (alpha*m*m) and rounds differently from the IEEE ops
+    # the Spark side uses
+    alpha = f"CAST({_alpha(m)!r} AS DOUBLE)"
+    fm = f"CAST({float(m)!r} AS DOUBLE)"
+    fspace = f"CAST({float(1 << hash_bits)!r} AS DOUBLE)"
+    small_thr = f"CAST({2.5 * m!r} AS DOUBLE)"
+    large_thr = f"CAST({float(1 << hash_bits) / 30.0!r} AS DOUBLE)"
+    fl2 = floor_log2_sql(f"({hash_expr} // {m})", width)
+    return f"""
+        hsrc AS ({source_sql}),
+        hreg AS (
+            SELECT {group_expr} AS grp,
+                   CAST({hash_expr} % {m} AS INT) AS reg,
+                   CAST(CASE WHEN ({hash_expr} // {m}) = 0 THEN {width + 1}
+                        ELSE {width} - {fl2}
+                        END AS INT) AS rho
+            FROM hsrc
+        ),
+        hmax AS (
+            SELECT grp, reg, MAX(rho) AS rho FROM hreg GROUP BY grp, reg
+        ),
+        hagg AS (
+            SELECT grp, COUNT(*) AS _present,
+                   SUM(power(2.0, -rho)) AS _s_present
+            FROM hmax GROUP BY grp
+        ),
+        hll AS (
+            SELECT grp,
+                   ROUND(CASE
+                     WHEN ({alpha} * {m} * {m})
+                          / (_s_present + ({m} - _present)) <= {small_thr}
+                          AND ({m} - _present) > 0
+                       THEN {fm} * ln({fm}
+                            / CAST({m} - _present AS DOUBLE))
+                     WHEN ({alpha} * {m} * {m})
+                          / (_s_present + ({m} - _present)) > {large_thr}
+                       THEN -{fspace} * ln(CAST(1.0 AS DOUBLE)
+                            - (({alpha} * {m} * {m})
+                            / (_s_present + ({m} - _present))) / {fspace})
+                     ELSE ({alpha} * {m} * {m})
+                          / (_s_present + ({m} - _present))
+                   END, 4) AS est_distinct
+            FROM hagg
+        )
+    """

@@ -1,0 +1,157 @@
+"""HyperLogLog sketch (pipeline/sketch.py), leakage-free split
+(pipeline/cluster.leakage_free_split) and hard-negative mining
+(pipeline/retrieval.hard_negatives)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dudb_spark.pipeline.sketch import (
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+    hll_sql_cte,
+)
+
+
+def _mix31(v: int) -> int:
+    # xor-shift avalanche (the low-bias 32-bit mix), folded to 31 bits.
+    # rho reads the LEADING bits, so the test hash must avalanche into
+    # them — a plain multiplicative hash biases high bits and skews the
+    # estimate far beyond the sketch's own error bound.
+    v = ((v ^ (v >> 16)) * 0x45D9F3B) & 0xFFFFFFFF
+    v = ((v ^ (v >> 16)) * 0x45D9F3B) & 0xFFFFFFFF
+    return (v ^ (v >> 16)) % ((1 << 31) - 1)
+
+
+def _hash_df(spark, values):
+    # deterministic 31-bit hashes with uniform leading bits
+    rows = [(g, _mix31(v)) for g, v in values]
+    return spark.createDataFrame(rows, ["g", "h"])
+
+
+def test_hll_estimate_within_expected_error(spark):
+    # m=256 registers -> relative standard error 1.04/sqrt(256) = 6.5%;
+    # assert within 4 sigma for three decades of cardinality
+    for n in (100, 1_000, 10_000):
+        df = _hash_df(spark, ((1, v) for v in range(n)))
+        est = hll_distinct(df, ["g"], "h", p=8).collect()[0]["est_distinct"]
+        assert abs(est - n) / n < 0.26, (n, est)
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    uniq = _hash_df(spark, ((1, v) for v in range(500)))
+    dup = uniq.unionByName(uniq).unionByName(uniq)
+    a = hll_distinct(uniq, ["g"], "h", p=8).collect()[0]["est_distinct"]
+    b = hll_distinct(dup, ["g"], "h", p=8).collect()[0]["est_distinct"]
+    assert a == b
+
+
+def test_hll_registers_merge_like_union(spark):
+    # sketch(A ∪ B) == merge(sketch(A), sketch(B)) via union + re-max:
+    # the property that lets per-shard sketches fold into a corpus total
+    a = _hash_df(spark, ((1, v) for v in range(0, 700)))
+    b = _hash_df(spark, ((1, v) for v in range(400, 1_100)))
+    whole = hll_estimate(
+        hll_registers(a.unionByName(b), ["g"], "h"), ["g"]
+    ).collect()
+    merged = hll_estimate(
+        hll_registers(a, ["g"], "h")
+        .unionByName(hll_registers(b, ["g"], "h"))
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho")),
+        ["g"],
+    ).collect()
+    assert whole == merged
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    # tiny cardinalities fall in the V>0 branch and come out near-exact
+    df = _hash_df(spark, ((1, v) for v in range(20)))
+    est = hll_distinct(df, ["g"], "h", p=8).collect()[0]["est_distinct"]
+    assert abs(est - 20) <= 2
+
+
+def test_hll_sql_cte_matches_spark(spark):
+    duckdb = pytest.importorskip("duckdb")
+    values = [(g, v) for g in (1, 2) for v in range(300 * g)]
+    df = _hash_df(spark, values)
+    got = {
+        r["g"]: r["est_distinct"]
+        for r in hll_distinct(df, ["g"], "h", p=8).collect()
+    }
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("src", pdf)
+    sql = "WITH " + hll_sql_cte("SELECT g, h FROM src", "g", "h", p=8) + \
+        " SELECT grp, est_distinct FROM hll"
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_leakage_free_split_never_straddles_clusters(spark):
+    from dudb_spark.pipeline.cluster import (
+        duplicate_clusters,
+        leakage_free_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(0, 100, 3)], ["id_a", "id_b"]
+    )
+    clusters = duplicate_clusters(pairs)
+    out = leakage_free_split(
+        docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, salt=3
+    )
+    # every near-dup pair lands in ONE split
+    s = out.select("doc_id", "split")
+    straddled = (
+        pairs.join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(s.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .where(F.col("split") != F.col("split_a"))
+        .count()
+    )
+    assert straddled == 0
+    # all splits materialize and unclustered docs are their own rep
+    assert out.count() == 200
+    own = out.where(F.col("doc_id") == F.col("rep_id")).count()
+    assert own > 100
+
+
+def test_leakage_free_split_matches_per_doc_split_for_singletons(spark):
+    from dudb_spark.pipeline.cluster import leakage_free_split
+    from dudb_spark.pipeline.sampling import assign_split
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    empty = spark.createDataFrame([], "doc_id long, cluster_id long")
+    w = {"train": 0.9, "test": 0.1}
+    a = leakage_free_split(docs, empty, w, salt=5).select("doc_id", "split")
+    b = assign_split(docs, "doc_id", w, salt=5).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hard_negatives_excludes_and_refills(spark):
+    from dudb_spark.pipeline.retrieval import bm25_retrieve, hard_negatives
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i % 4} gamma" + " alpha" * (i % 3))
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame([(1, "alpha beta gamma")],
+                               ["query_id", "qtext"])
+    base = bm25_retrieve(docs, qs, k=5).collect()
+    top_ids = [r["doc_id"] for r in base]
+    excl = spark.createDataFrame(
+        [(1, top_ids[0]), (1, top_ids[1])], ["query_id", "doc_id"]
+    )
+    mined = hard_negatives(docs, qs, excl, k=5).collect()
+    mined_ids = [r["doc_id"] for r in mined]
+    # excluded docs are gone, ranking refills to k from below, and the
+    # survivors keep their relative BM25 order
+    assert top_ids[0] not in mined_ids and top_ids[1] not in mined_ids
+    assert len(mined_ids) == 5
+    assert mined_ids[:3] == top_ids[2:5]
+    assert [r["rank"] for r in mined] == [1, 2, 3, 4, 5]
