@@ -828,7 +828,17 @@ def cmd_pipeline_split(args):
     for spec in args.weights.split(","):
         name, frac = spec.split("=")
         weights[name] = float(frac)
-    res = assign_split(df, args.id_col, weights, salt=args.salt)
+    if args.clusters:
+        # leakage-free mode: split by the duplicate-cluster
+        # representative so near-dups never straddle train/eval
+        from dudb_spark.pipeline.cluster import leakage_free_split
+
+        clusters = spark.read.parquet(expand_path(args.clusters))
+        res = leakage_free_split(
+            df, clusters, weights, id_col=args.id_col, salt=args.salt
+        )
+    else:
+        res = assign_split(df, args.id_col, weights, salt=args.salt)
     if args.out:
         res.write.mode("overwrite").parquet(expand_path(args.out))
     counts = {
@@ -1297,6 +1307,60 @@ def cmd_pipeline_drift(args):
         )
 
 
+def cmd_pipeline_cardinality(args):
+    """HyperLogLog distinct-count per group (pipeline/sketch.py): either
+    distinct TOKENS of --text-col (the oracle-certified Horner-hash
+    path, q146) or distinct VALUES of --value-col (xxhash64, the
+    production 61-bit path for id-shaped columns).  Prints TSV
+    (group, est_distinct)."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.sketch import hll_distinct
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    if args.value_col:
+        hashed = df.select(
+            args.group,
+            F.pmod(F.xxhash64(F.col(args.value_col)), F.lit(1 << 61))
+            .alias("h"),
+        )
+        bits = 61
+    else:
+        from dudb_spark.pipeline.dedup import poly_token_hash_array
+
+        hashed = df.select(
+            args.group,
+            F.explode(
+                poly_token_hash_array(F.col(args.text_col))
+            ).alias("h"),
+        )
+        bits = 31
+    res = hll_distinct(hashed, [args.group], "h", p=args.p, hash_bits=bits)
+    print(f"{args.group}\test_distinct")
+    for r in res.orderBy(args.group).collect():
+        print(f"{r[args.group]}\t{r['est_distinct']}")
+
+
+def cmd_pipeline_hardneg(args):
+    """Hard-negative mining (pipeline/retrieval.hard_negatives): top-k
+    BM25 negatives per query after excluding the (query_id, doc_id)
+    pairs in --exclude.  Prints TSV (query_id, rank, doc_id, score)."""
+    from dudb_spark.pipeline.retrieval import hard_negatives
+
+    spark = _spark()
+    docs = spark.read.parquet(expand_path(args.input))
+    queries = spark.read.parquet(expand_path(args.queries))
+    exclude = spark.read.parquet(expand_path(args.exclude))
+    res = hard_negatives(
+        docs, queries, exclude, k=args.k,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    print("query_id\trank\tdoc_id\tscore")
+    for r in res.orderBy("query_id", "rank").collect():
+        print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
+
+
 def cmd_pipeline_select(args):
     """Greedy token-budget selection (operators/prefix.select_to_budget):
     keep the best-scoring whole-document prefix fitting the budget."""
@@ -1674,6 +1738,10 @@ def build_parser():
     ps.add_argument("--id-col", default="doc_id")
     ps.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")
     ps.add_argument("--salt", type=int, default=0)
+    ps.add_argument("--clusters", default=None,
+                    help="duplicate-clusters parquet (doc_id, cluster_id): "
+                         "split by cluster representative so near-dups "
+                         "never straddle splits")
     ps.add_argument("--out", default=None)
     ps.set_defaults(func=cmd_pipeline_split)
     pr = psub.add_parser("report", help="corpus dataset card (TSV)")
@@ -1876,6 +1944,31 @@ def build_parser():
     pdr.add_argument("--group", default="source")
     pdr.add_argument("--buckets", type=int, default=256)
     pdr.set_defaults(func=cmd_pipeline_drift)
+    pca = psub.add_parser(
+        "cardinality", help="HyperLogLog distinct-count per group"
+    )
+    pca.add_argument("--input", required=True)
+    pca.add_argument("--group", default="source")
+    pca.add_argument("--text-col", default="text",
+                     help="count distinct tokens of this column")
+    pca.add_argument("--value-col", default=None,
+                     help="count distinct values of this column instead "
+                          "(xxhash64 path)")
+    pca.add_argument("--p", type=int, default=8,
+                     help="register exponent: m = 2**p registers")
+    pca.set_defaults(func=cmd_pipeline_cardinality)
+    phn = psub.add_parser(
+        "hardneg", help="BM25 hard-negative mining with exclusions"
+    )
+    phn.add_argument("--input", required=True, help="corpus parquet")
+    phn.add_argument("--queries", required=True,
+                     help="parquet with (query_id, qtext)")
+    phn.add_argument("--exclude", required=True,
+                     help="parquet with (query_id, doc_id) to exclude")
+    phn.add_argument("--id-col", default="doc_id")
+    phn.add_argument("--text-col", default="text")
+    phn.add_argument("--k", type=int, default=5)
+    phn.set_defaults(func=cmd_pipeline_hardneg)
     pbm = psub.add_parser(
         "bpe", help="BPE merge-table induction over the corpus"
     )

@@ -609,6 +609,60 @@ def test_cli_pipeline_selection_surface(spark, tmp_path, capsys):
     assert float(vals["tgt"][3]) > float(vals["bg"][3])
 
 
+def test_cli_pipeline_sketch_surface(spark, tmp_path, capsys):
+    """cardinality / split --clusters / hardneg end-to-end: TSV shape,
+    planted-signal sanity, leakage-free property."""
+    import json
+
+    docs = str(tmp_path / "docs3")
+    rows = [(i, "alpha beta gamma delta"[: 11 + (i % 3) * 6], "a")
+            for i in range(30)]
+    rows += [(i, "epsilon zeta eta theta iota", "b") for i in range(30, 70)]
+    spark.createDataFrame(rows, ["doc_id", "text", "src"]).write.parquet(docs)
+
+    tsv = run(capsys, "pipeline", "cardinality", "--input", docs,
+              "--group", "src")
+    lines = [l.split("\t") for l in tsv.strip().splitlines()]
+    assert lines[0] == ["src", "est_distinct"]
+    vals = {l[0]: float(l[1]) for l in lines[1:]}
+    # tiny vocabularies land in the linear-counting branch: near-exact
+    assert abs(vals["a"] - 4) <= 1 and abs(vals["b"] - 5) <= 1
+
+    tsv = run(capsys, "pipeline", "cardinality", "--input", docs,
+              "--group", "src", "--value-col", "doc_id")
+    vals = {l.split("\t")[0]: float(l.split("\t")[1])
+            for l in tsv.strip().splitlines()[1:]}
+    assert abs(vals["a"] - 30) <= 3 and abs(vals["b"] - 40) <= 4
+
+    cl = str(tmp_path / "cl3")
+    spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(30)], ["doc_id", "cluster_id"]
+    ).write.parquet(cl)
+    j = json.loads(run(
+        capsys, "pipeline", "split", "--input", docs, "--clusters", cl,
+        "--weights", "train=0.5,test=0.5", "--salt", "3",
+        "--out", str(tmp_path / "split3"),
+    ))
+    assert sum(j["splits"].values()) == 70
+    out = spark.read.parquet(str(tmp_path / "split3"))
+    pairs = {r["doc_id"]: r["split"] for r in out.collect()}
+    for even in range(0, 30, 2):
+        assert pairs[even] == pairs[even + 1]  # cluster-mates co-split
+
+    qs = str(tmp_path / "qs3")
+    ex = str(tmp_path / "ex3")
+    spark.createDataFrame([(1, "alpha beta")], ["query_id", "qtext"]
+                          ).write.parquet(qs)
+    spark.createDataFrame([(1, 0), (1, 1)], ["query_id", "doc_id"]
+                          ).write.parquet(ex)
+    tsv = run(capsys, "pipeline", "hardneg", "--input", docs,
+              "--queries", qs, "--exclude", ex, "--k", "3")
+    lines = [l.split("\t") for l in tsv.strip().splitlines()]
+    assert lines[0] == ["query_id", "rank", "doc_id", "score"]
+    got_ids = [int(l[2]) for l in lines[1:]]
+    assert len(got_ids) == 3 and 0 not in got_ids and 1 not in got_ids
+
+
 def test_cli_watch_once(spark, real_tree, capsys):
     """watch --once: the batch-0 full resync as TSV (gen, op, size,
     path), then exit — no database touched."""
