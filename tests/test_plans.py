@@ -18,6 +18,13 @@ from dudb_spark.operators.find import find
 from dudb_spark.operators.stats import StatsOptions, compute_stats
 
 
+def simple_plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -324,3 +331,57 @@ def test_q116_has_no_unpartitioned_window(spark):
         and ln.lstrip(" +-:").count("], [") < 2
     ]
     assert bad == [], bad
+
+
+def test_hll_sketch_no_expand_and_bounded_aggs(spark):
+    """The sketch's whole point vs exact COUNT(DISTINCT): no Expand
+    node (the distinct-rewrite that shuffles every distinct value), just
+    partial+final HashAggregates over the bounded (group, register) key
+    — constant shuffle state however large the corpus."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import hll_distinct
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    th = docs.select(
+        "source", F.explode(poly_token_hash_array(F.col("text"))).alias("h")
+    )
+    plan = simple_plan_of(hll_distinct(th, ["source"], "h", p=8))
+    assert "Expand" not in plan, plan
+    # register fold + estimator: two partial+final agg pairs, two
+    # bounded-key exchanges, nothing else
+    assert plan.count("HashAggregate") == 4, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_leakage_free_split_broadcasts_clusters(spark):
+    """The cluster-representative join must broadcast (cluster frame is
+    bounded by clustered docs); the split itself adds no Exchange."""
+    from dudb_spark.pipeline.cluster import leakage_free_split
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    clusters = spark.createDataFrame(
+        [(i, i - i % 2) for i in range(10)], ["doc_id", "cluster_id"]
+    )
+    plan = simple_plan_of(
+        leakage_free_split(docs, clusters, {"train": 0.9, "test": 0.1})
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the only exchange is the cluster-side broadcast: no data shuffle
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_hard_negatives_exclusion_is_broadcast_anti(spark):
+    """Exclusions must anti-join broadcast-side (map-side filter on the
+    scored frame), never shuffle the corpus for the exclusion."""
+    from dudb_spark.pipeline.retrieval import hard_negatives
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = spark.createDataFrame([(1, "table scan")], ["query_id", "qtext"])
+    ex = spark.createDataFrame([(1, 3)], ["query_id", "doc_id"])
+    plan = simple_plan_of(hard_negatives(docs, qs, ex, k=5))
+    assert "CartesianProduct" not in plan, plan
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("BroadcastHashJoin" in ln for ln in anti), (
+        anti or plan
+    )

@@ -158,6 +158,13 @@ SHOWCASE = {
     "change feed drives BROADCAST anti/semi-joins against the stored "
     "snapshot; n_entries recounts only the affected parents — nothing "
     "shuffles proportional to tree size",
+    "q146_hll_cardinality": "HyperLogLog sketch: the register fold is "
+    "partial+final HashAggregate over a groups×256 key — NO Expand, "
+    "constant shuffle state at any corpus size (the exact-distinct arm "
+    "alongside shows the Expand it replaces)",
+    "q148_hard_negatives": "hard-negative mining: BM25 scoring through "
+    "broadcast query/df joins, exclusions anti-joined broadcast-side "
+    "BEFORE ranking — the corpus postings frame is never re-shuffled",
 }
 
 
