@@ -5231,6 +5231,53 @@ def q147_leakage_free_split(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q149_stream_distinct_sketch(spark, sf_dir):
+    """Streaming distinct-count sketch (streaming/rollup.
+    hourly_hll_registers): per-hour distinct users estimated from HLL
+    registers maintained THROUGH Structured Streaming — the bounded-
+    state answer to the streamed COUNT DISTINCT Spark refuses outright
+    (unbounded state).  State is ≤256 rows per open window; max(rho) is
+    associative, so micro-batches merge registers exactly like batch
+    shard unions, certified here by estimating from the streamed sink
+    and matching the oracle's batch restatement value-exactly.  Users
+    hash through the same Horner fold the dedup family uses, so the
+    registers, corrections, and estimate all replay in SQL."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import hll_estimate
+    from dudb_spark.streaming.rollup import (
+        hourly_hll_registers,
+        stream_events,
+    )
+
+    src = _staged_events(spark, sf_dir)
+    uhash = F.element_at(
+        poly_token_hash_array(F.col("user_id").cast("string")), 1
+    )
+    with _stream_parts(spark):
+        stream = stream_events(spark, src)
+        q = (
+            hourly_hll_registers(stream, uhash, p=8)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("dudb_q149_regs")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    regs = spark.table("dudb_q149_regs").select(
+        _fmt_ts(F.col("win.start"), "hour"), "reg", "rho"
+    )
+    est = hll_estimate(regs, ["hour"], p=8).withColumnRenamed(
+        "est_distinct", "est_users"
+    )
+    exact = _events(spark, sf_dir).groupBy(
+        F.window("ts", "1 hour").alias("win")
+    ).agg(F.countDistinct("user_id").alias("exact_users")).select(
+        _fmt_ts(F.col("win.start"), "hour"), "exact_users"
+    )
+    return est.join(exact, "hour").orderBy("hour")
+
+
 _HARDNEG_QIDS = [1, 7, 13, 21]
 
 
@@ -5412,6 +5459,7 @@ QUERIES: dict[str, Callable] = {
     "q146_hll_cardinality": q146_hll_cardinality,
     "q147_leakage_free_split": q147_leakage_free_split,
     "q148_hard_negatives": q148_hard_negatives,
+    "q149_stream_distinct_sketch": q149_stream_distinct_sketch,
 }
 
 ORACLE: dict[str, str] = {
@@ -8978,6 +9026,41 @@ def _hard_negatives_oracle_sql(k: int = 5) -> str:
 
 
 ORACLE["q148_hard_negatives"] = _hard_negatives_oracle_sql()
+
+
+def _stream_distinct_sketch_oracle_sql(p: int = 8) -> str:
+    """DuckDB restatement of q149: the same per-hour registers the
+    stream maintains, re-derived batch-side — streamed register merge
+    must equal the batch fold exactly."""
+    from dudb_spark.pipeline.sketch import hll_sql_cte
+
+    M = (1 << 31) - 1
+    cte = hll_sql_cte("SELECT hour AS g, h FROM ev", "g", "h", p=p)
+    return f"""
+        WITH ev AS (
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour,
+                   user_id,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           [ord(s[i])::BIGINT FOR i IN range(1, len(s)+1)]),
+                       (a, b) -> (a*257+b) % {M}) AS h
+            FROM (SELECT ts, user_id, CAST(user_id AS VARCHAR) AS s
+                  FROM events)
+        ),
+        {cte},
+        exact AS (
+            SELECT hour, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS exact_users
+            FROM ev GROUP BY hour
+        )
+        SELECT e.hour, hll.est_distinct AS est_users, e.exact_users
+        FROM exact e JOIN hll ON hll.grp = e.hour
+        ORDER BY e.hour
+    """
+
+
+ORACLE["q149_stream_distinct_sketch"] = _stream_distinct_sketch_oracle_sql()
 
 ORACLE["q107_decayed_activity"] = """
     WITH tref AS (SELECT max(ts) AS tmax FROM events)

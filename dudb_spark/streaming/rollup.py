@@ -68,6 +68,38 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def hourly_hll_registers(
+    events: DataFrame,
+    hash_expr,
+    p: int = 8,
+    hash_bits: int = 31,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-hour HyperLogLog register stream: ``(win, reg, rho)`` with
+    rho the max rank seen — distinct counting with BOUNDED streaming
+    state (≤ 2**p rows per open window, vs one state row per distinct
+    value for a streamed COUNT DISTINCT, which Spark refuses on streams
+    precisely because that state is unbounded).
+
+    ``max(rho)`` is associative and monotone, so micro-batches merge
+    registers exactly like shard unions do in batch
+    (pipeline/sketch.hll_registers); apply pipeline/sketch.hll_estimate
+    to the sink whenever an estimate is needed.  Works on batch frames
+    too (same code path, no watermark)."""
+    from dudb_spark.pipeline.sketch import hll_register, hll_rho
+
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.select(F.col("ts"), hash_expr.alias("_h"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            hll_register(F.col("_h"), p).alias("reg"),
+        )
+        .agg(F.max(hll_rho(F.col("_h"), p, hash_bits)).alias("rho"))
+    )
+
+
 def run_rollup_to_memory(
     spark, source_dir: str, query_name: str = "rollup", watermark: str = "2 hours"
 ):

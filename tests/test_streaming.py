@@ -744,3 +744,42 @@ def test_fswatch_pruned_symlinked_ancestor_drops_lineage(tmp_path):
     assert ("deleted", "deep.dat") in by
     assert ("deleted", "f0.dat") in by and ("deleted", "f1.dat") in by
     assert f"{root}/d00/inner" not in r._dirstat
+
+
+def test_stream_hll_registers_equal_batch_fold(spark, events_dir):
+    """Streamed HLL register maintenance must merge micro-batches into
+    EXACTLY the batch register fold (max(rho) associativity is the whole
+    mergeability claim), and the per-window state is bounded at 2**p
+    rows — the property that makes streamed distinct counting legal
+    where a streamed COUNT DISTINCT is refused."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.streaming.rollup import hourly_hll_registers, stream_events
+
+    uhash = F.element_at(
+        poly_token_hash_array(F.col("user_id").cast("string")), 1
+    )
+    batch = hourly_hll_registers(
+        spark.read.parquet(events_dir), uhash, p=4
+    )
+    want = sorted(
+        (r["win"]["start"], r["reg"], r["rho"]) for r in batch.collect()
+    )
+
+    stream = stream_events(spark, events_dir)
+    q = (
+        hourly_hll_registers(stream, uhash, p=4)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_hll_regs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_hll_regs").collect()
+    got = sorted((r["win"]["start"], r["reg"], r["rho"]) for r in rows)
+    assert got == want and len(got) > 50
+    # bounded state: no window ever holds more than 2**p register rows
+    from collections import Counter
+
+    per_win = Counter(r["win"]["start"] for r in rows)
+    assert max(per_win.values()) <= 16
