@@ -181,16 +181,17 @@ def leakage_free_split(
 
     ``clusters`` is :func:`duplicate_clusters` output (``doc_id``,
     ``cluster_id``); unclustered documents are their own representative.
-    The cluster frame is bounded by the clustered-document count (tiny
-    vs the corpus), so the join broadcasts and the split stays a
-    scan-side projection — same zero-shuffle shape as
-    pipeline/sampling.assign_split, which supplies the hash CASE."""
+    The join strategy is deliberately left to the planner: the cluster
+    frame is usually tiny vs the corpus (AQE broadcasts it and the
+    split stays a scan-side projection), but a heavily-duplicated
+    100 TB crawl can have billions of clustered docs — a forced
+    broadcast hint would OOM exactly there, while the planner falls
+    back to an equi-join on the id key.  The split itself is always the
+    shuffle-free hash CASE from pipeline/sampling.assign_split."""
     from dudb_spark.pipeline.sampling import assign_split
 
     rep = docs.select(id_col).join(
-        F.broadcast(
-            clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
-        ),
+        clusters.select(F.col("doc_id").alias(id_col), "cluster_id"),
         id_col,
         "left",
     ).select(

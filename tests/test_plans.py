@@ -353,9 +353,12 @@ def test_hll_sketch_no_expand_and_bounded_aggs(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
-def test_leakage_free_split_broadcasts_clusters(spark):
-    """The cluster-representative join must broadcast (cluster frame is
-    bounded by clustered docs); the split itself adds no Exchange."""
+def test_leakage_free_split_join_is_planner_chosen_and_split_scan_side(spark):
+    """The representative join is an equi-join the PLANNER sizes (no
+    forced broadcast hint — a billion-row cluster frame must be allowed
+    to shuffle-join; AQE broadcasts it when it is actually small), and
+    the split itself is a scan-side CASE adding no exchange of its own:
+    at most the join's two side exchanges appear, nothing downstream."""
     from dudb_spark.pipeline.cluster import leakage_free_split
 
     docs = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
@@ -365,10 +368,10 @@ def test_leakage_free_split_broadcasts_clusters(spark):
     plan = simple_plan_of(
         leakage_free_split(docs, clusters, {"train": 0.9, "test": 0.1})
     )
-    assert "BroadcastHashJoin" in plan, plan
-    # the only exchange is the cluster-side broadcast: no data shuffle
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 2, plan
+    # the CASE projection sits above the join: no Window, no extra agg
+    assert "Window" not in plan and "HashAggregate" not in plan, plan
 
 
 def test_hard_negatives_exclusion_is_broadcast_anti(spark):
