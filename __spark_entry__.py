@@ -5278,6 +5278,40 @@ def q149_stream_distinct_sketch(spark, sf_dir):
     return est.join(exact, "hour").orderBy("hour")
 
 
+def q150_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimation (pipeline/sketch.cms_cells
+    / cms_estimate): corpus term counts estimated from a 4×1024-cell
+    table — bounded shuffle state at any corpus size, where the exact
+    path (q54's salted count) shuffles every distinct term.  The top-20
+    terms carry exact count, CMS estimate, and the overestimate (the
+    one-sided CMS guarantee: est ≥ exact, pinned in tests).  Registers,
+    row hashes, and min-over-rows estimate all replay in SQL."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import cms_cells, cms_estimate
+    from dudb_spark.pipeline.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("term")).select(
+        "term",
+        F.element_at(poly_token_hash_array(F.col("term")), 1).alias("h"),
+    )
+    cells = cms_cells(occ, "h", d=4, w=1024)
+    cand = occ.groupBy("term", "h").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    est = cms_estimate(cand, cells, "h", d=4, w=1024)
+    return (
+        est.select(
+            "term",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overest"),
+        )
+        .orderBy(F.desc("exact_count"), "term")
+        .limit(20)
+    )
+
+
 _HARDNEG_QIDS = [1, 7, 13, 21]
 
 
@@ -5460,6 +5494,7 @@ QUERIES: dict[str, Callable] = {
     "q147_leakage_free_split": q147_leakage_free_split,
     "q148_hard_negatives": q148_hard_negatives,
     "q149_stream_distinct_sketch": q149_stream_distinct_sketch,
+    "q150_cms_heavy_hitters": q150_cms_heavy_hitters,
 }
 
 ORACLE: dict[str, str] = {
@@ -9061,6 +9096,45 @@ def _stream_distinct_sketch_oracle_sql(p: int = 8) -> str:
 
 
 ORACLE["q149_stream_distinct_sketch"] = _stream_distinct_sketch_oracle_sql()
+
+
+def _cms_heavy_hitters_oracle_sql(d: int = 4, w: int = 1024) -> str:
+    """DuckDB restatement of q150: per-term Horner hashes, the same d×w
+    cell build, min-over-rows estimates, top-20 by exact count."""
+    from dudb_spark.pipeline.sketch import cms_estimate_sql, cms_sql_cte
+
+    M = (1 << 31) - 1
+    cte = cms_sql_cte("SELECT h FROM occ", "h", d=d, w=w)
+    est = cms_estimate_sql("h", d=d, w=w)
+    return f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ), occ AS (
+            SELECT term,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           [ord(term[i])::BIGINT
+                            FOR i IN range(1, len(term)+1)]),
+                       (a, b) -> (a*257+b) % {M}) AS h
+            FROM toks
+        ),
+        {cte},
+        cand AS (
+            SELECT term, h, COUNT(*) AS exact_count
+            FROM occ GROUP BY term, h
+        )
+        SELECT term,
+               CAST(exact_count AS BIGINT) AS exact_count,
+               CAST({est} AS BIGINT) AS est_count,
+               CAST({est} - exact_count AS BIGINT) AS overest
+        FROM cand
+        ORDER BY exact_count DESC, term LIMIT 20
+    """
+
+
+ORACLE["q150_cms_heavy_hitters"] = _cms_heavy_hitters_oracle_sql()
 
 ORACLE["q107_decayed_activity"] = """
     WITH tref AS (SELECT max(ts) AS tmax FROM events)

@@ -147,6 +147,102 @@ def hll_distinct(
     )
 
 
+# Count-min row constants: bucket_j(h) = ((h*A_j + B_j) mod M) mod w.
+# h < 2^31 and A_j <= 149 keep every product far inside int64.
+_CMS_A = (131, 137, 139, 149)
+_CMS_B = (17, 19, 23, 29)
+_CMS_M = (1 << 31) - 1
+
+
+def cms_bucket(h: Column, j: int, w: int) -> Column:
+    """Row-``j`` bucket for a 31-bit item hash."""
+    return F.pmod(
+        F.pmod(h * F.lit(_CMS_A[j]) + F.lit(_CMS_B[j]), F.lit(_CMS_M)),
+        F.lit(w),
+    ).cast("int")
+
+
+def cms_cells(
+    df: DataFrame, hash_col: str, d: int = 4, w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch table ``(j, bucket, cnt)`` — ≤ d×w rows no
+    matter how many items flow in (Cormode & Muthukrishnan, "An
+    improved data stream summary: the count-min sketch", J.Alg 2005).
+    One explode to d rows per item + one bounded-key groupBy whose
+    map-side combine collapses every partition to ≤ d×w rows before the
+    exchange — the same constant-state shuffle shape as the HLL fold,
+    for FREQUENCY instead of cardinality.  ``weight_col`` counts
+    pre-aggregated items (e.g. (term, tf) pairs) without re-expansion.
+    Mergeable by construction: union + re-sum."""
+    h = F.col(hash_col)
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
+    rows = df.select(
+        F.posexplode(
+            F.array(*[cms_bucket(h, j, w) for j in range(d)])
+        ).alias("j", "bucket"),
+        wcol.alias("_w"),
+    )
+    return rows.groupBy("j", "bucket").agg(F.sum("_w").alias("cnt"))
+
+
+def cms_estimate(
+    items: DataFrame, cells: DataFrame, hash_col: str,
+    d: int = 4, w: int = 1024,
+) -> DataFrame:
+    """Point estimates for candidate items: min over the d row cells —
+    always ≥ the true count (the one-sided CMS guarantee).  ``cells``
+    is ≤ d×w rows, so the join broadcasts and the estimate is a
+    map-side lookup + a per-item min."""
+    h = F.col(hash_col)
+    probes = items.select(
+        "*",
+        F.posexplode(
+            F.array(*[cms_bucket(h, j, w) for j in range(d)])
+        ).alias("j", "bucket"),
+    )
+    keep = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"], "left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_sql_cte(
+    source_sql: str, hash_expr: str, d: int = 4, w: int = 1024,
+    weight_expr: str = "1",
+) -> str:
+    """Oracle restatement of the sketch build: CTEs ending with
+    ``cms(j, bucket, cnt)``.  ``source_sql`` must yield ``{hash_expr}``
+    (and ``{weight_expr}`` if weighted)."""
+    buckets = " UNION ALL ".join(
+        f"SELECT {j} AS j, "
+        f"CAST((({hash_expr} * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) % {w}"
+        f" AS INT) AS bucket, {weight_expr} AS wgt FROM csrc"
+        for j in range(d)
+    )
+    return f"""
+        csrc AS ({source_sql}),
+        cprobe AS ({buckets}),
+        cms AS (
+            SELECT j, bucket, SUM(wgt) AS cnt FROM cprobe GROUP BY j, bucket
+        )
+    """
+
+
+def cms_estimate_sql(hash_expr: str, d: int = 4, w: int = 1024) -> str:
+    """Scalar SQL for the min-over-rows estimate of one item hash
+    (correlated against the ``cms`` CTE from :func:`cms_sql_cte`)."""
+    lookups = ", ".join(
+        f"(SELECT COALESCE(MAX(cnt), 0) FROM cms WHERE j = {j} AND bucket = "
+        f"CAST((({hash_expr} * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) % {w}"
+        f" AS INT))"
+        for j in range(d)
+    )
+    return f"least({lookups})"
+
+
 def floor_log2_sql(expr: str, width: int) -> str:
     """The identical comparison-ladder floor(log2) as ANSI SQL."""
     terms = " + ".join(

@@ -155,3 +155,76 @@ def test_hard_negatives_excludes_and_refills(spark):
     assert len(mined_ids) == 5
     assert mined_ids[:3] == top_ids[2:5]
     assert [r["rank"] for r in mined] == [1, 2, 3, 4, 5]
+
+
+def test_cms_never_underestimates_and_is_exact_off_collisions(spark):
+    from dudb_spark.pipeline.sketch import cms_cells, cms_estimate
+
+    # zipf-ish: item i appears (200 - i) times
+    rows = [(i,) for i in range(200) for _ in range(200 - i)]
+    df = _hash_df(spark, ((1, v[0]) for v in rows)).select("h")
+    cells = cms_cells(df, "h", d=4, w=1024)
+    cand = df.groupBy("h").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(cand, cells, "h", d=4, w=1024).collect()
+    assert all(r["est_count"] >= r["exact"] for r in est)
+    # 200 items in 1024 buckets x 4 rows: the heavy head is exact
+    heavy = [r for r in est if r["exact"] >= 150]
+    assert heavy and all(r["est_count"] == r["exact"] for r in heavy)
+
+
+def test_cms_cells_bounded_and_mergeable(spark):
+    from dudb_spark.pipeline.sketch import cms_cells
+
+    a = _hash_df(spark, ((1, v) for v in range(3_000))).select("h")
+    b = _hash_df(spark, ((1, v) for v in range(2_000, 5_000))).select("h")
+    whole = cms_cells(a.unionByName(b), "h", d=4, w=256)
+    assert whole.count() <= 4 * 256
+    merged = (
+        cms_cells(a, "h", d=4, w=256)
+        .unionByName(cms_cells(b, "h", d=4, w=256))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, whole.collect()))
+    assert got == want
+
+
+def test_cms_weighted_equals_expanded(spark):
+    from dudb_spark.pipeline.sketch import cms_cells
+
+    pairs = [(_mix31(v), 1 + v % 5) for v in range(500)]
+    wdf = spark.createDataFrame(pairs, ["h", "tf"])
+    expanded = spark.createDataFrame(
+        [(h,) for h, tf in pairs for _ in range(tf)], ["h"]
+    )
+    a = sorted(map(tuple, cms_cells(wdf, "h", weight_col="tf").collect()))
+    b = sorted(map(tuple, cms_cells(expanded, "h").collect()))
+    assert a == b
+
+
+def test_cms_sql_cte_matches_spark(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from dudb_spark.pipeline.sketch import (
+        cms_cells,
+        cms_estimate,
+        cms_estimate_sql,
+        cms_sql_cte,
+    )
+
+    df = _hash_df(spark, ((1, v % 300) for v in range(2_000))).select("h")
+    cells = cms_cells(df, "h", d=4, w=512)
+    cand = df.groupBy("h").agg(F.count(F.lit(1)).alias("exact"))
+    got = sorted(
+        (r["h"], r["est_count"])
+        for r in cms_estimate(cand, cells, "h", d=4, w=512).collect()
+    )
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = (
+        "WITH " + cms_sql_cte("SELECT h FROM src", "h", d=4, w=512)
+        + ", cand AS (SELECT h FROM src GROUP BY h) SELECT h, "
+        + cms_estimate_sql("h", d=4, w=512) + " AS e FROM cand"
+    )
+    want = sorted(con.execute(sql).fetchall())
+    assert got == want
