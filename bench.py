@@ -36,6 +36,7 @@ PY_FAMILY = frozenset((
     "q30", "q38", "q44", "q50", "q56", "q59", "q76", "q77", "q85",
     "q86", "q91", "q95", "q100", "q106", "q118", "q120", "q124",
     "q125", "q126", "q127", "q128", "q133", "q134", "q137", "q139",
+    "q149",
 ))
 
 
