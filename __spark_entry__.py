@@ -5312,6 +5312,79 @@ def q150_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q151_sketch_source_overlap(spark, sf_dir):
+    """Sketch set-operations (pipeline/sketch.hll_pair_union_estimates):
+    pairwise cross-source vocabulary overlap by HLL inclusion–exclusion
+    — |A∩B| ≈ |A| + |B| − |A∪B|, with the union estimated from the
+    register-wise max-merge of the SAME per-source register frame the
+    cardinality pass built (one corpus scan total; pair work is bounded
+    by pairs × 256 register rows, the corpus is never re-scanned per
+    pair — vs q122's exact overlap matrix whose gram join is bounded by
+    vocabulary).  The exact intersection rides alongside; the oracle
+    replays both sketches (distinct CTE prefixes), the merge, and the
+    inclusion–exclusion in SQL."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import (
+        hll_estimate,
+        hll_pair_union_estimates,
+        hll_registers,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select(
+        "source", F.explode(poly_token_hash_array(F.col("text"))).alias("h")
+    )
+    regs = hll_registers(occ, ["source"], "h", p=8)
+    per = hll_estimate(regs, ["source"], p=8)
+    uni = hll_pair_union_estimates(regs, "source", p=8)
+    est = (
+        uni.join(
+            per.select(
+                F.col("source").alias("src_a"),
+                F.col("est_distinct").alias("_ea"),
+            ),
+            "src_a",
+        )
+        .join(
+            per.select(
+                F.col("source").alias("src_b"),
+                F.col("est_distinct").alias("_eb"),
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("_ea") + F.col("_eb") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+        )
+    )
+    dist = occ.distinct()
+    exact = (
+        dist.alias("a")
+        .join(dist.alias("b"), "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_intersection",
+            F.coalesce("exact_intersection", F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 _HARDNEG_QIDS = [1, 7, 13, 21]
 
 
@@ -5495,6 +5568,7 @@ QUERIES: dict[str, Callable] = {
     "q148_hard_negatives": q148_hard_negatives,
     "q149_stream_distinct_sketch": q149_stream_distinct_sketch,
     "q150_cms_heavy_hitters": q150_cms_heavy_hitters,
+    "q151_sketch_source_overlap": q151_sketch_source_overlap,
 }
 
 ORACLE: dict[str, str] = {
@@ -9135,6 +9209,71 @@ def _cms_heavy_hitters_oracle_sql(d: int = 4, w: int = 1024) -> str:
 
 
 ORACLE["q150_cms_heavy_hitters"] = _cms_heavy_hitters_oracle_sql()
+
+
+def _sketch_source_overlap_oracle_sql(p: int = 8) -> str:
+    """DuckDB restatement of q151: per-source sketch (prefix 'p'),
+    pair-union sketch over the concatenated pair key (prefix 'u'),
+    inclusion–exclusion, exact intersection alongside."""
+    from dudb_spark.pipeline.sketch import hll_sql_cte
+
+    M = (1 << 31) - 1
+    per = hll_sql_cte("SELECT source AS g, h FROM ex", "g", "h", p=p,
+                      prefix="p")
+    uni = hll_sql_cte("SELECT pk AS g, h FROM uext", "g", "h", p=p,
+                      prefix="u")
+    return f"""
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT source, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), ex AS (
+            SELECT source, unnest(th) AS h FROM tkh
+        ),
+        {per},
+        prs AS (
+            SELECT a.grp AS src_a, b.grp AS src_b
+            FROM (SELECT DISTINCT grp FROM pll) a
+            JOIN (SELECT DISTINCT grp FROM pll) b ON a.grp < b.grp
+        ),
+        uext AS (
+            SELECT prs.src_a || '|' || prs.src_b AS pk, ex.h
+            FROM prs JOIN ex
+              ON ex.source = prs.src_a OR ex.source = prs.src_b
+        ),
+        {uni},
+        exact AS (
+            SELECT da.source AS src_a, db.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS exact_intersection
+            FROM (SELECT DISTINCT source, h FROM ex) da
+            JOIN (SELECT DISTINCT source, h FROM ex) db
+              ON da.h = db.h AND da.source < db.source
+            GROUP BY 1, 2
+        )
+        SELECT prs.src_a, prs.src_b,
+               ROUND(pa.est_distinct + pb.est_distinct - u.est_distinct, 4)
+                 AS est_intersection,
+               COALESCE(e.exact_intersection, 0) AS exact_intersection
+        FROM prs
+        JOIN pll pa ON pa.grp = prs.src_a
+        JOIN pll pb ON pb.grp = prs.src_b
+        JOIN ull u ON u.grp = prs.src_a || '|' || prs.src_b
+        LEFT JOIN exact e
+          ON e.src_a = prs.src_a AND e.src_b = prs.src_b
+        ORDER BY prs.src_a, prs.src_b
+    """
+
+
+ORACLE["q151_sketch_source_overlap"] = _sketch_source_overlap_oracle_sql()
 
 ORACLE["q107_decayed_activity"] = """
     WITH tref AS (SELECT max(ts) AS tmax FROM events)

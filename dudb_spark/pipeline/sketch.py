@@ -254,12 +254,13 @@ def floor_log2_sql(expr: str, width: int) -> str:
 
 def hll_sql_cte(
     source_sql: str, group_expr: str, hash_expr: str, p: int = 8,
-    hash_bits: int = _POLY_BITS,
+    hash_bits: int = _POLY_BITS, prefix: str = "h",
 ) -> str:
     """Oracle restatement: the whole sketch as SQL CTEs over
     ``source_sql`` (must yield ``{group_expr}`` and ``{hash_expr}``
-    columns).  Ends with ``hll(grp, est_distinct)``.  Keep in lockstep
-    with hll_registers/hll_estimate above."""
+    columns).  Ends with ``{prefix}ll(grp, est_distinct)`` (``hll`` by
+    default; pass distinct prefixes to use several sketches in one
+    statement).  Keep in lockstep with hll_registers/hll_estimate."""
     m = 1 << p
     width = hash_bits - p
     # every float literal is CAST(... AS DOUBLE): DuckDB parses bare
@@ -272,25 +273,26 @@ def hll_sql_cte(
     small_thr = f"CAST({2.5 * m!r} AS DOUBLE)"
     large_thr = f"CAST({float(1 << hash_bits) / 30.0!r} AS DOUBLE)"
     fl2 = floor_log2_sql(f"({hash_expr} // {m})", width)
+    x = prefix
     return f"""
-        hsrc AS ({source_sql}),
-        hreg AS (
+        {x}src AS ({source_sql}),
+        {x}reg AS (
             SELECT {group_expr} AS grp,
                    CAST({hash_expr} % {m} AS INT) AS reg,
                    CAST(CASE WHEN ({hash_expr} // {m}) = 0 THEN {width + 1}
                         ELSE {width} - {fl2}
                         END AS INT) AS rho
-            FROM hsrc
+            FROM {x}src
         ),
-        hmax AS (
-            SELECT grp, reg, MAX(rho) AS rho FROM hreg GROUP BY grp, reg
+        {x}max AS (
+            SELECT grp, reg, MAX(rho) AS rho FROM {x}reg GROUP BY grp, reg
         ),
-        hagg AS (
+        {x}agg AS (
             SELECT grp, COUNT(*) AS _present,
                    SUM(power(2.0, -rho)) AS _s_present
-            FROM hmax GROUP BY grp
+            FROM {x}max GROUP BY grp
         ),
-        hll AS (
+        {x}ll AS (
             SELECT grp,
                    ROUND(CASE
                      WHEN ({alpha} * {m} * {m})
@@ -306,6 +308,43 @@ def hll_sql_cte(
                      ELSE ({alpha} * {m} * {m})
                           / (_s_present + ({m} - _present))
                    END, 4) AS est_distinct
-            FROM hagg
+            FROM {x}agg
         )
     """
+
+
+def hll_pair_union_estimates(
+    regs: DataFrame, src_col: str, p: int = 8,
+    hash_bits: int = _POLY_BITS,
+) -> DataFrame:
+    """Union-cardinality estimates for every pair of groups from ONE
+    per-group register frame — the sketch set-operation that makes
+    cross-source overlap auditing free once the registers exist:
+    ``|A ∪ B|`` is the estimate of the register-wise max-merge (exactly
+    the property streamed/sharded merges already rely on), and
+    ``|A ∩ B| ≈ |A| + |B| − |A ∪ B|`` by inclusion–exclusion.
+
+    Returns ``(src_a, src_b, est_union)`` for ``src_a < src_b``.  Work
+    is bounded by pairs × m register rows — the corpus is never
+    re-scanned; both joins are equi-joins against the tiny distinct-
+    group frame (no nested-loop)."""
+    srcs = regs.select(src_col).distinct()
+    pairs = (
+        srcs.select(F.col(src_col).alias("src_a"))
+        .crossJoin(F.broadcast(srcs.select(F.col(src_col).alias("src_b"))))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    ca = regs.join(
+        F.broadcast(pairs), F.col(src_col) == F.col("src_a")
+    ).select("src_a", "src_b", "reg", "rho")
+    cb = regs.join(
+        F.broadcast(pairs), F.col(src_col) == F.col("src_b")
+    ).select("src_a", "src_b", "reg", "rho")
+    uni = (
+        ca.unionByName(cb)
+        .groupBy("src_a", "src_b", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate(uni, ["src_a", "src_b"], p, hash_bits).select(
+        "src_a", "src_b", F.col("est_distinct").alias("est_union")
+    )

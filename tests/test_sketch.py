@@ -228,3 +228,30 @@ def test_cms_sql_cte_matches_spark(spark):
     )
     want = sorted(con.execute(sql).fetchall())
     assert got == want
+
+
+def test_hll_pair_union_equals_combined_sketch(spark):
+    from dudb_spark.pipeline.sketch import (
+        hll_pair_union_estimates,
+        hll_registers,
+    )
+
+    rows = [("a", v) for v in range(600)] + \
+           [("b", v) for v in range(400, 900)] + \
+           [("c", v) for v in range(2_000, 2_050)]
+    df = _hash_df(spark, rows)
+    regs = hll_registers(df, ["g"], "h")
+    uni = {
+        (r["src_a"], r["src_b"]): r["est_union"]
+        for r in hll_pair_union_estimates(regs, "g").collect()
+    }
+    assert set(uni) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # the pair-union estimate must equal sketching the concatenated
+    # multiset directly — max-merge is lossless on registers
+    for sa, sb in uni:
+        both = [(g, v) for g, v in rows if g in (sa, sb)]
+        combined = _hash_df(spark, ((1, v) for _, v in both))
+        direct = hll_distinct(combined, ["g"], "h").collect()[0][
+            "est_distinct"
+        ]
+        assert uni[(sa, sb)] == direct, (sa, sb)
