@@ -9285,6 +9285,42 @@ ORACLE["q107_decayed_activity"] = """
 """
 
 
+# Plan-linter allowlist (dudb_spark/plans/linter.py): every entry is an
+# INTENTIONAL scale exception with its justification — the linter still
+# reports these, marked allowed, so they stay visible.  Anything not
+# listed here fails tests/test_plan_lint.py's zero-findings sweep.
+_BCAST_SCALAR = (
+    "broadcast scalar/constants crossJoin: build side is a bounded "
+    "≤k-row frame (corpus stats, offsets, codebooks), audited per-op "
+    "in tests/test_plans.py"
+)
+PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
+    **{
+        q: {"nested-loop": _BCAST_SCALAR}
+        for q in (
+            "q18_ann_batch_topk", "q47_sequence_packing", "q48_tfidf_terms",
+            "q52_unigram_logprob", "q57_mixture_sample", "q74_bm25_terms",
+            "q79_sq8_ann", "q80_zorder_key", "q93_hash_embed_topk",
+            "q94_skew_profile", "q99_ivf_sq8_search", "q103_bm25_retrieval",
+            "q104_shuffled_shards", "q107_decayed_activity",
+            "q112_data_quality", "q116_curriculum_bins",
+            "q117_mixture_weights", "q129_budget_selection",
+            "q145_corpus_drift", "q148_hard_negatives",
+            "q151_sketch_source_overlap",
+        )
+    },
+    "q112_data_quality": {
+        "nested-loop": _BCAST_SCALAR,
+        "single-partition-run": "per-check bounded global aggregates "
+        "(≤1-row each), one per quality rule",
+    },
+    "q132_table_profile": {
+        "single-partition-run": "ANALYZE-pass per-column bounded final "
+        "aggregates (≤1-row each, one per profiled column)",
+    },
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(QUERIES)

@@ -1361,6 +1361,48 @@ def cmd_pipeline_hardneg(args):
         print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
 
 
+def cmd_plan_lint(args):
+    """Scale-audit the suite's query plans (plans/linter.py): TSV of
+    (query, rule, allowed?, detail) findings; exit 1 if any finding is
+    not allowlisted.  Dev tool — needs the suite registry
+    (__spark_entry__.py at the repo root) importable."""
+    import importlib
+
+    from dudb_spark.plans.linter import lint_queries
+
+    try:
+        em = importlib.import_module("__spark_entry__")
+    except ImportError:
+        raise SystemExit(
+            "plan-lint needs the suite registry (__spark_entry__.py) "
+            "on sys.path — run from the repo root"
+        )
+    spark = _spark()
+    qs = em.queries()
+    if args.queries:
+        missing = [q for q in args.queries if q not in qs]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        qs = {q: qs[q] for q in args.queries}
+    results = lint_queries(
+        qs, spark, expand_path(args.sf),
+        allow=getattr(em, "PLAN_LINT_ALLOW", {}),
+    )
+    n_bad = 0
+    print("query\trule\tallowed\tdetail")
+    for name, fs in sorted(results.items()):
+        for f in fs:
+            ok = "yes" if f.allowed is not None else "NO"
+            if f.allowed is None:
+                n_bad += 1
+            print(f"{name}\t{f.rule}\t{ok}\t{f.allowed or f.detail}")
+    print(f"# {len(qs)} plans linted, "
+          f"{sum(len(v) for v in results.values())} findings, "
+          f"{n_bad} not allowlisted")
+    if n_bad:
+        raise SystemExit(1)
+
+
 def cmd_pipeline_select(args):
     """Greedy token-budget selection (operators/prefix.select_to_budget):
     keep the best-scoring whole-document prefix fitting the budget."""
@@ -1980,6 +2022,16 @@ def build_parser():
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)
     p.set_defaults(func=cmd_config)
+
+    p = sub.add_parser(
+        "plan-lint",
+        help="lint query plans for 100TB scale anti-patterns",
+    )
+    p.add_argument("queries", nargs="*",
+                   help="query names from the suite registry (default all)")
+    p.add_argument("--sf", default="/root/testdata/sf0.001",
+                   help="table directory the plans are built against")
+    p.set_defaults(func=cmd_plan_lint)
 
     p = sub.add_parser("expression-syntax", help="print the predicate grammar")
     p.set_defaults(func=lambda a: print(EXPRESSION_SYNTAX))
