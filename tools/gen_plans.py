@@ -165,6 +165,10 @@ SHOWCASE = {
     "q148_hard_negatives": "hard-negative mining: BM25 scoring through "
     "broadcast query/df joins, exclusions anti-joined broadcast-side "
     "BEFORE ranking — the corpus postings frame is never re-shuffled",
+    "q151_sketch_source_overlap": "sketch set-ops: pairwise union "
+    "estimates from ONE per-source register frame (pairs×256-row "
+    "max-merge, equi-joins against the broadcast pair list) — the "
+    "corpus is scanned once, never per pair",
 }
 
 
