@@ -663,6 +663,26 @@ def test_cli_pipeline_sketch_surface(spark, tmp_path, capsys):
     assert len(got_ids) == 3 and 0 not in got_ids and 1 not in got_ids
 
 
+def test_cli_plan_lint(spark, capsys):
+    """plan-lint: clean plans exit 0; allowlisted findings are printed
+    with their reason; unknown query names are a hard error."""
+    import pytest as _pytest
+
+    out = run(capsys, "plan-lint", "--sf", "/root/testdata/sf0.001",
+              "q01_pricing_summary", "q132_table_profile")
+    lines = out.strip().splitlines()
+    assert lines[0] == "query\trule\tallowed\tdetail"
+    assert any(
+        l.startswith("q132_table_profile\tsingle-partition-run\tyes")
+        for l in lines
+    ), out
+    assert lines[-1].startswith("# 2 plans linted")
+
+    with _pytest.raises(SystemExit) as ei:
+        run(capsys, "plan-lint", "q999_nope")
+    assert "unknown queries" in str(ei.value)
+
+
 def test_cli_watch_once(spark, real_tree, capsys):
     """watch --once: the batch-0 full resync as TSV (gen, op, size,
     path), then exit — no database touched."""
