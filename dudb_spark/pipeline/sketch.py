@@ -31,10 +31,18 @@ arithmetic step is chosen to be bit-reproducible in any IEEE engine:
 
 - ``rho`` is computed with INTEGER comparisons only — never
   ``floor(log2(w))``, whose libm-vs-JVM last-ulp can flip the floor at
-  exact powers of two.  ``floor_log2(w) = Σ_k [w >= 2^k]``.
-- the harmonic sum adds exact powers of two spanning < 53 bits, so
-  every partial sum is exact and the total is order-independent — the
-  one property a distributed sum needs to be deterministic.
+  exact powers of two.  ``floor_log2(w) = Σ_k [w >= 2^k]``; the
+  register/suffix split itself is an integer ``shiftright`` (a double
+  division would round 2^53+ hashes onto the wrong side of a 2^k
+  boundary — round-10 ADVICE).
+- the harmonic sum adds exact powers of two, and determinism requires
+  every PARTIAL sum exact: the terms span exponents ``p-1`` (the
+  ≤ m/2 total) down to ``-(width+1)``, i.e. ``hash_bits + 1`` bits, so
+  the sum is order-independent iff ``hash_bits <= 52``
+  (:data:`_MAX_EXACT_BITS`).  Both shipped hash paths obey it: Horner
+  tokens are 31-bit, and the xxhash64 id path folds to 52 bits
+  (cli.py cmd_pipeline_cardinality).  Wider hashes still estimate
+  correctly but forfeit the bit-determinism claim.
 - the two ``ln`` correction branches are the only inexact ops; the
   final estimate is rounded to 4 decimals, 9 orders of magnitude above
   their cross-library last-ulp drift.
@@ -53,6 +61,18 @@ from pyspark.sql import functions as F
 # poly_token_hash_array values live in [0, _POLY_M); 2^31 is the
 # power-of-two hash-space bound the estimator corrections use
 _POLY_BITS = 31
+
+# widest hash for which the harmonic sum's partial sums are all exact
+# doubles (p + width + 1 <= 53 for every p) — the order-independence
+# bound the module docstring derives; callers wanting bit-determinism
+# must fold wider hashes down to this
+_MAX_EXACT_BITS = 52
+
+# large-range clamp: ln(1 - raw/space) is undefined once raw reaches
+# the hash space (every register saturated); clamp the argument to the
+# smallest power of two both engines represent identically.  2^-52 is
+# exact in IEEE754 and round-trips through a DuckDB CAST(... AS DOUBLE)
+_LN_FLOOR = 2.0 ** -52
 
 
 def _floor_log2(w: Column, width: int) -> Column:
@@ -75,7 +95,10 @@ def hll_rho(h: Column, p: int, hash_bits: int = _POLY_BITS) -> Column:
     (1-based; all-zero suffix ranks ``width + 1``), counted from the
     most significant end as in the paper."""
     width = hash_bits - p
-    w = F.floor(h / F.lit(1 << p)).cast("long")
+    # integer shift, NOT floor(h / 2^p): the double division rounds
+    # longs past 2^53 and can land w on the wrong side of a 2^k
+    # boundary (rho off-by-one on wide-hash inputs)
+    w = F.shiftright(h.cast("long"), p)
     return (
         F.when(w == 0, F.lit(width + 1))
         .otherwise(F.lit(width) - _floor_log2(w, width))
@@ -129,7 +152,15 @@ def hll_estimate(
     raw = F.lit(_alpha(m) * m * m) / s
     est = (
         F.when((raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v))
-        .when(raw > F.lit(space / 30.0), -F.lit(space) * F.log(F.lit(1.0) - raw / F.lit(space)))
+        .when(
+            raw > F.lit(space / 30.0),
+            # clamp: raw can exceed space when every register saturates
+            # (alpha*m*2^(width+1) > 2^hash_bits) — unclamped this is
+            # ln of a non-positive number (NaN)
+            -F.lit(space)
+            * F.log(F.greatest(F.lit(1.0) - raw / F.lit(space),
+                               F.lit(_LN_FLOOR))),
+        )
         .otherwise(raw)
     )
     return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
@@ -216,10 +247,12 @@ def cms_sql_cte(
     """Oracle restatement of the sketch build: CTEs ending with
     ``cms(j, bucket, cnt)``.  ``source_sql`` must yield ``{hash_expr}``
     (and ``{weight_expr}`` if weighted)."""
+    # every interpolation is parenthesized: a compound expression
+    # argument ('a + b') must not rebind against the template's * / %
     buckets = " UNION ALL ".join(
         f"SELECT {j} AS j, "
-        f"CAST((({hash_expr} * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) % {w}"
-        f" AS INT) AS bucket, {weight_expr} AS wgt FROM csrc"
+        f"CAST(((({hash_expr}) * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) % {w}"
+        f" AS INT) AS bucket, ({weight_expr}) AS wgt FROM csrc"
         for j in range(d)
     )
     return f"""
@@ -236,7 +269,7 @@ def cms_estimate_sql(hash_expr: str, d: int = 4, w: int = 1024) -> str:
     (correlated against the ``cms`` CTE from :func:`cms_sql_cte`)."""
     lookups = ", ".join(
         f"(SELECT COALESCE(MAX(cnt), 0) FROM cms WHERE j = {j} AND bucket = "
-        f"CAST((({hash_expr} * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) % {w}"
+        f"CAST(((({hash_expr}) * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) % {w}"
         f" AS INT))"
         for j in range(d)
     )
@@ -272,14 +305,17 @@ def hll_sql_cte(
     fspace = f"CAST({float(1 << hash_bits)!r} AS DOUBLE)"
     small_thr = f"CAST({2.5 * m!r} AS DOUBLE)"
     large_thr = f"CAST({float(1 << hash_bits) / 30.0!r} AS DOUBLE)"
-    fl2 = floor_log2_sql(f"({hash_expr} // {m})", width)
+    ln_floor = f"CAST({_LN_FLOOR!r} AS DOUBLE)"
+    # parenthesized interpolations (compound group/hash expressions must
+    # not rebind against % and //)
+    fl2 = floor_log2_sql(f"(({hash_expr}) // {m})", width)
     x = prefix
     return f"""
         {x}src AS ({source_sql}),
         {x}reg AS (
-            SELECT {group_expr} AS grp,
-                   CAST({hash_expr} % {m} AS INT) AS reg,
-                   CAST(CASE WHEN ({hash_expr} // {m}) = 0 THEN {width + 1}
+            SELECT ({group_expr}) AS grp,
+                   CAST(({hash_expr}) % {m} AS INT) AS reg,
+                   CAST(CASE WHEN (({hash_expr}) // {m}) = 0 THEN {width + 1}
                         ELSE {width} - {fl2}
                         END AS INT) AS rho
             FROM {x}src
@@ -302,9 +338,10 @@ def hll_sql_cte(
                             / CAST({m} - _present AS DOUBLE))
                      WHEN ({alpha} * {m} * {m})
                           / (_s_present + ({m} - _present)) > {large_thr}
-                       THEN -{fspace} * ln(CAST(1.0 AS DOUBLE)
+                       THEN -{fspace} * ln(greatest(CAST(1.0 AS DOUBLE)
                             - (({alpha} * {m} * {m})
-                            / (_s_present + ({m} - _present))) / {fspace})
+                            / (_s_present + ({m} - _present))) / {fspace},
+                            {ln_floor}))
                      ELSE ({alpha} * {m} * {m})
                           / (_s_present + ({m} - _present))
                    END, 4) AS est_distinct

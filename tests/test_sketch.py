@@ -255,3 +255,40 @@ def test_hll_pair_union_equals_combined_sketch(spark):
             "est_distinct"
         ]
         assert uni[(sa, sb)] == direct, (sa, sb)
+
+
+def test_hll_error_shrinks_with_p_and_preset_mapping(spark):
+    """Round-10 verdict item 7: the CLI's --error-target presets exist
+    so a user doesn't ship the 6.5% demo default unknowingly.  Pin (a)
+    the preset → p mapping and its mutual exclusion with --p, and (b)
+    that on a fixed fixture the higher-p estimate is strictly more
+    accurate than the demo default."""
+    import argparse
+    import math
+
+    import pytest as _pytest
+
+    from dudb_spark.cli import _hll_pick_p
+
+    def ns(p=None, error_target=None):
+        return argparse.Namespace(p=p, error_target=error_target)
+
+    # 1.04/sqrt(2**p): 6.5% → 8, 3.3% → 10, 1.6% → 13 (12 gives 1.625%)
+    assert _hll_pick_p(ns(error_target=6.5)) == 8
+    assert _hll_pick_p(ns(error_target=3.3)) == 10
+    assert _hll_pick_p(ns(error_target=1.6)) == 13
+    assert _hll_pick_p(ns(p=9)) == 9
+    assert _hll_pick_p(ns()) == 8
+    with _pytest.raises(SystemExit):
+        _hll_pick_p(ns(p=8, error_target=1.6))
+    with _pytest.raises(SystemExit):
+        _hll_pick_p(ns(error_target=-1.0))
+
+    n = 20_000
+    df = _hash_df(spark, ((1, v) for v in range(n)))
+    errs = {}
+    for p in (8, 12):
+        est = hll_distinct(df, ["g"], "h", p=p).collect()[0]["est_distinct"]
+        errs[p] = abs(est - n) / n
+    assert errs[12] < errs[8], errs
+    assert errs[12] < 1.04 / math.sqrt(1 << 12) * 4

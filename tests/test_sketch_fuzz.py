@@ -49,8 +49,96 @@ def _py_hll(hashes, p=8, hash_bits=31):
     if e <= 2.5 * m and v > 0:
         e = m * math.log(m / v)
     elif e > space / 30.0:
-        e = -space * math.log(1.0 - e / space)
+        # same clamp as sketch._LN_FLOOR: saturated registers can push
+        # raw past the hash space, where ln(1 - raw/space) is undefined
+        e = -space * math.log(max(1.0 - e / space, 2.0 ** -52))
     return e
+
+
+# --- pure-Python XXH64 (Collet's public algorithm; Spark's xxhash64
+# --- is XXH64 with seed 42 over the 8-byte-LE long / UTF-8 bytes) ----
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc, inp):
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def _xxh_merge(acc, val):
+    acc ^= _xxh_round(0, val)
+    return (acc * _P1 + _P4) & _M64
+
+
+def _xxh_fmix(h):
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def py_xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 over ``data`` — the restatement Spark's ``F.xxhash64``
+    must match bit-for-bit (signed 64-bit result)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) \
+            & _M64
+        h = _xxh_merge(h, v1)
+        h = _xxh_merge(h, v2)
+        h = _xxh_merge(h, v3)
+        h = _xxh_merge(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        h ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h = _xxh_fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def py_xxh64_long(v: int, seed: int = 42) -> int:
+    """Spark ``xxhash64(bigint)``: XXH64 of the 8-byte-LE two's
+    complement."""
+    return py_xxh64((v & _M64).to_bytes(8, "little"), seed)
+
+
+def py_xxh64_str(s: str, seed: int = 42) -> int:
+    """Spark ``xxhash64(string)``: XXH64 of the UTF-8 bytes."""
+    return py_xxh64(s.encode("utf-8"), seed)
 
 
 def _py_cms(hashes, d=4, w=1024):
@@ -121,6 +209,134 @@ def test_hll_fuzz_duckdb_lockstep(spark):
            + " SELECT grp, est_distinct FROM hll ORDER BY grp")
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want  # bit-exact, no tolerance
+
+
+def test_xxhash64_python_restatement_matches_spark(spark):
+    """The pure-Python XXH64 must equal Spark's ``F.xxhash64``
+    bit-for-bit on longs (8-byte LE) and strings (UTF-8, every tail
+    length 0..40) — the primitive the --value-col certification below
+    stands on."""
+    rnd = random.Random(20260819)
+    longs = [0, 1, -1, 2**31, -(2**31), 2**53 + 1, 2**63 - 1, -(2**63)] + [
+        rnd.randrange(-(2**63), 2**63) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = [r[0] for r in
+           df.select(F.xxhash64("v")).collect()]
+    assert got == [py_xxh64_long(v) for v in longs]
+
+    strs = ["", "a", "é", "snow❄"] + [
+        "x" * n for n in range(1, 41)
+    ] + ["tok%d" % rnd.randrange(10**9) for _ in range(100)]
+    dfs = spark.createDataFrame([(s,) for s in strs], "s string")
+    gots = [r[0] for r in dfs.select(F.xxhash64("s")).collect()]
+    assert gots == [py_xxh64_str(s) for s in strs]
+
+
+def test_hll_value_col_path_lockstep(spark):
+    """Certifies the production --value-col configuration end to end
+    (round-10 verdict item 2): xxhash64 folded to 52 bits
+    (sketch._MAX_EXACT_BITS), register fold + estimate at width 52-p,
+    against BOTH the pure-Python model (hashes from py_xxh64_long) and
+    the DuckDB CTE over the python-precomputed hashes — three
+    independent paths, bit-exact."""
+    duckdb = pytest.importorskip("duckdb")
+    from dudb_spark.pipeline.sketch import _MAX_EXACT_BITS
+
+    rnd = random.Random(20260820)
+    rows = []
+    for g in range(12):
+        n = rnd.choice([1, 3, 50, 400, 2500])
+        ids = [rnd.randrange(-(2**63), 2**63) for _ in range(n)]
+        ids += ids[: n // 3]  # duplicates
+        rows += [(g, v) for v in ids]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    fold = F.pmod(F.xxhash64("v"), F.lit(1 << _MAX_EXACT_BITS))
+    got = sorted(
+        (r["g"], r["est_distinct"])
+        for r in hll_distinct(
+            df.select("g", fold.alias("h")), ["g"], "h",
+            p=8, hash_bits=_MAX_EXACT_BITS,
+        ).collect()
+    )
+
+    by_group = {}
+    for g, v in rows:
+        h = py_xxh64_long(v) % (1 << _MAX_EXACT_BITS)
+        by_group.setdefault(g, []).append(h)
+    want_py = sorted(
+        (g, round(_py_hll(hs, p=8, hash_bits=_MAX_EXACT_BITS), 4))
+        for g, hs in by_group.items()
+    )
+    assert got == want_py
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    hashed = pd.DataFrame(
+        [(g, h) for g, hs in by_group.items() for h in hs],
+        columns=["g", "h"],
+    )
+    con.register("pyhashed", hashed)
+    sql = ("WITH " + hll_sql_cte(
+        "SELECT g, h FROM pyhashed", "g", "h",
+        p=8, hash_bits=_MAX_EXACT_BITS,
+    ) + " SELECT grp, est_distinct FROM hll ORDER BY grp")
+    want_duck = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want_duck
+
+
+def test_hll_saturation_clamp(spark):
+    """Adversarial saturation: every register at max rho pushes the raw
+    estimate past the hash space — previously ln(<=0) = NaN (round-10
+    ADVICE).  The clamped estimator must return the same FINITE value
+    in Spark, the Python model, and DuckDB."""
+    duckdb = pytest.importorskip("duckdb")
+    p, bits = 4, 8
+    # h == register index: suffix w == 0 everywhere, rho = width+1
+    rows = [(0, r) for r in range(1 << p)]
+    df = spark.createDataFrame(rows, ["g", "h"])
+    got = hll_distinct(df, ["g"], "h", p=p, hash_bits=bits).collect()
+    est = got[0]["est_distinct"]
+    assert est == est and est != float("inf")  # finite, not NaN
+    want = round(_py_hll([h for _, h in rows], p=p, hash_bits=bits), 4)
+    assert est == want
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = ("WITH " + hll_sql_cte("SELECT g, h FROM src", "g", "h",
+                                 p=p, hash_bits=bits)
+           + " SELECT est_distinct FROM hll")
+    assert con.execute(sql).fetchone()[0] == est
+
+
+def test_sketch_sql_templates_parenthesize_compound_exprs(spark):
+    """Round-10 ADVICE: a compound hash expression ('h + 1') fed to the
+    SQL template helpers must bind as a unit, matching the DataFrame
+    side computed on the same shifted hashes."""
+    duckdb = pytest.importorskip("duckdb")
+    rnd = random.Random(20260821)
+    hashes = [rnd.randrange(M31 - 1) for _ in range(500)]
+    df = spark.createDataFrame([(h,) for h in hashes], ["h"])
+    shifted = df.select((F.col("h") + 1).alias("h2"))
+    got = sorted(
+        (r["grp"] if "grp" in r else 0, r["est_distinct"])
+        for r in hll_distinct(
+            shifted.withColumn("g", F.lit(0)), ["g"], "h2", p=6
+        ).select(F.col("g").alias("grp"), "est_distinct").collect()
+    )
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = ("WITH " + hll_sql_cte("SELECT 0 AS g, h FROM src", "g",
+                                 "h + 1", p=6)
+           + " SELECT grp, est_distinct FROM hll")
+    assert got == [tuple(r) for r in con.execute(sql).fetchall()]
+
+    cells = cms_cells(shifted, "h2", d=4, w=128)
+    got_cells = {(r["j"], r["bucket"]): r["cnt"] for r in cells.collect()}
+    sqlc = ("WITH " + cms_sql_cte("SELECT h FROM src", "h + 1", d=4, w=128)
+            + " SELECT j, bucket, cnt FROM cms")
+    want_cells = {(j, b): c for j, b, c in con.execute(sqlc).fetchall()}
+    assert got_cells == want_cells
 
 
 def test_cms_fuzz_vs_python_model_and_duckdb(spark):
