@@ -5385,6 +5385,88 @@ def q151_sketch_source_overlap(spark, sf_dir):
     )
 
 
+def q152_cms_meanmin(spark, sf_dir):
+    """Count-MEAN-min debiased frequency estimates
+    (pipeline/sketch.cms_estimate_meanmin, Deng & Rafiei 2007): the
+    classic CMS min estimate is one-sided (est ≥ exact) with error
+    ε = e/w of TOTAL stream weight — material on Zipfian tails (q150
+    prints it).  The mean-min variant subtracts each row's expected
+    collision noise, cnt_j − (N − cnt_j)/(w−1), and takes the median
+    over rows — integer-scaled so the median arithmetic is exact and
+    order-free cross-engine, with one final double division.  Output:
+    the 12 LOWEST-frequency terms of a fixed probe band (where the
+    debias matters most) with exact count, min estimate, and mean-min
+    estimate; the oracle replays both estimators in SQL.  Same bounded
+    d×w cell state as q150 — the variant changes READ math only, so
+    the sketch build, merges, and the 100 TB shuffle shape are
+    untouched."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import cms_cells, cms_estimate_meanmin
+    from dudb_spark.pipeline.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("term")).select(
+        "term",
+        F.element_at(poly_token_hash_array(F.col("term")), 1).alias("h"),
+    )
+    cells = cms_cells(occ, "h", d=4, w=256)
+    cand = occ.groupBy("term", "h").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    est = cms_estimate_meanmin(cand, cells, "h", d=4, w=256)
+    return (
+        est.select(
+            "term",
+            "exact_count",
+            F.col("est_count").alias("est_min"),
+            "est_meanmin",
+        )
+        .orderBy("exact_count", "term")
+        .limit(12)
+    )
+
+
+def _cms_meanmin_oracle_sql(dd: int = 4, w: int = 256) -> str:
+    """DuckDB restatement of q152: same cell build as q150's oracle,
+    min AND mean-min estimates, 12 lowest-frequency terms."""
+    from dudb_spark.pipeline.sketch import (
+        cms_estimate_sql,
+        cms_meanmin_sql,
+        cms_sql_cte,
+    )
+
+    M = (1 << 31) - 1
+    cte = cms_sql_cte("SELECT h FROM occ", "h", d=dd, w=w)
+    est = cms_estimate_sql("h", d=dd, w=w)
+    mm = cms_meanmin_sql("h", d=dd, w=w)
+    return f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ), occ AS (
+            SELECT term,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           [ord(term[i])::BIGINT
+                            FOR i IN range(1, len(term)+1)]),
+                       (a, b) -> (a*257+b) % {M}) AS h
+            FROM toks
+        ),
+        {cte},
+        cand AS (
+            SELECT term, h, COUNT(*) AS exact_count
+            FROM occ GROUP BY term, h
+        )
+        SELECT term,
+               CAST(exact_count AS BIGINT) AS exact_count,
+               CAST({est} AS BIGINT) AS est_min,
+               {mm} AS est_meanmin
+        FROM cand
+        ORDER BY exact_count, term LIMIT 12
+    """
+
+
 _HARDNEG_QIDS = [1, 7, 13, 21]
 
 
@@ -5569,6 +5651,7 @@ QUERIES: dict[str, Callable] = {
     "q149_stream_distinct_sketch": q149_stream_distinct_sketch,
     "q150_cms_heavy_hitters": q150_cms_heavy_hitters,
     "q151_sketch_source_overlap": q151_sketch_source_overlap,
+    "q152_cms_meanmin": q152_cms_meanmin,
 }
 
 ORACLE: dict[str, str] = {
@@ -9209,6 +9292,7 @@ def _cms_heavy_hitters_oracle_sql(d: int = 4, w: int = 1024) -> str:
 
 
 ORACLE["q150_cms_heavy_hitters"] = _cms_heavy_hitters_oracle_sql()
+ORACLE["q152_cms_meanmin"] = _cms_meanmin_oracle_sql()
 
 
 def _sketch_source_overlap_oracle_sql(p: int = 8) -> str:
@@ -9294,6 +9378,11 @@ _BCAST_SCALAR = (
     "≤k-row frame (corpus stats, offsets, codebooks), audited per-op "
     "in tests/test_plans.py"
 )
+_TOKENIZER_FILTER = (
+    "tokenizer predicate over text (size/split/coalesce) — computed "
+    "per row, unpushable by construction; the scan reads only the "
+    "pruned columns it needs for that same tokenization"
+)
 PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
     **{
         q: {"nested-loop": _BCAST_SCALAR}
@@ -9306,7 +9395,7 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
             "q112_data_quality", "q116_curriculum_bins",
             "q117_mixture_weights", "q129_budget_selection",
             "q145_corpus_drift", "q148_hard_negatives",
-            "q151_sketch_source_overlap",
+            "q151_sketch_source_overlap", "q152_cms_meanmin",
         )
     },
     "q112_data_quality": {
@@ -9317,6 +9406,28 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
     "q132_table_profile": {
         "single-partition-run": "ANALYZE-pass per-column bounded final "
         "aggregates (≤1-row each, one per profiled column)",
+    },
+    # unpruned-scan exceptions: tokenizer predicates (size(split(text))
+    # comparisons, nullable-safe via coalesce) are computed per row and
+    # inherently unpushable — the scan must read the full text column to
+    # evaluate them regardless, and column pruning still applies.  Round
+    # 11: rule added; these are the suite's only Filter-on-scan sites
+    # with nothing pushable.
+    **{
+        q: {"unpruned-scan": _TOKENIZER_FILTER}
+        for q in ("q101_span_dedup", "q121_chunk_windows",
+                  "q131_line_excision")
+    },
+    # q116/q145 carry BOTH exceptions (their nested-loop entries are in
+    # the broadcast-scalar block above; a plain dict merge would drop
+    # them)
+    "q116_curriculum_bins": {
+        "nested-loop": _BCAST_SCALAR,
+        "unpruned-scan": _TOKENIZER_FILTER,
+    },
+    "q145_corpus_drift": {
+        "nested-loop": _BCAST_SCALAR,
+        "unpruned-scan": _TOKENIZER_FILTER,
     },
 }
 

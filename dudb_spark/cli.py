@@ -623,6 +623,60 @@ def cmd_watch(args):
         # old code silently fell through to the unseeded whole-tree dump
         # (round-9 ADVICE, low) — refuse like the --apply/--db check
         raise SystemExit("watch --full-resync requires --apply")
+    if getattr(args, "lstat_mode", "driver") == "distributed":
+        # the dir-signature sweep as a Spark job (sources/watchdist.py):
+        # driver work is O(churn) + one root lstat per batch, tree size
+        # irrelevant.  Needs the stored snapshot as both seed and
+        # per-batch file baseline, hence --db --apply.
+        if cat is None or not args.apply:
+            raise SystemExit(
+                "watch --lstat-mode distributed requires --db --apply"
+            )
+        if getattr(args, "no_prune", False):
+            raise SystemExit(
+                "watch --lstat-mode distributed is the pruned pass by "
+                "construction — --no-prune needs the stream reader, or "
+                "use --full-resync/analyze for exhaustive re-stats"
+            )
+        if getattr(args, "full_resync", False):
+            raise SystemExit(
+                "watch --full-resync reconciles through the stream "
+                "path; drop --lstat-mode distributed for that run"
+            )
+        import tempfile
+        import time as _time
+
+        from dudb_spark.sources.watchdist import DistributedWatcher
+
+        sd = args.state_dir or tempfile.mkdtemp(prefix="dudb_watchdist_")
+        os.makedirs(sd, exist_ok=True)
+        w = DistributedWatcher(
+            spark, cat, args.prefix, sd,
+            exclude=_exclude_regex(args.exclude) if args.exclude else None,
+        )
+        gen = 0
+        batches = 0
+        try:
+            while True:
+                rows = w.batch(gen)
+                for t in sorted(rows, key=lambda t: (t[0], t[3])):
+                    # t = (op, parent, name, path, is_dir, size, ...)
+                    op, path, size = t[0], t[3], t[5]
+                    sz = "" if size is None else size
+                    print(f"{gen}\t{op}\t{sz}\t{path}", flush=True)
+                if rows:
+                    diff = w.diff_frame(rows).localCheckpoint()
+                    _watch_land(spark, cat, args, diff, stats_dir)
+                    batches += 1
+                    gen += 1
+                if args.once or (
+                    args.max_batches and batches >= args.max_batches
+                ):
+                    break
+                _time.sleep(args.interval)
+        except KeyboardInterrupt:
+            pass
+        return
     register_watch(spark)
     reader = spark.readStream.format("fswatch")
     if args.exclude:
@@ -921,7 +975,9 @@ def cmd_pipeline_quantiles(args):
     print("\t".join(cols))
     if groups:
         res = res.orderBy(*groups)
-    for r in res.collect():
+    # streamed: one row per GROUP — data-proportional on a
+    # high-cardinality group column, so never collect()
+    for r in res.toLocalIterator():
         print("\t".join(str(r[c]) for c in cols))
 
 
@@ -1074,7 +1130,7 @@ def cmd_pipeline_retrieve(args):
         df, qs, k=args.k, id_col=args.id_col, text_col=args.text_col
     )
     print("\t".join(["query_id", "rank", "doc_id", "score"]))
-    for r in res.orderBy("query_id", "rank").collect():
+    for r in res.orderBy("query_id", "rank").toLocalIterator():
         print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
 
 
@@ -1109,7 +1165,7 @@ def cmd_pipeline_vocab(args):
         df, top_v=args.top_v, text_col=args.text_col, group_col=args.group
     )
     print("\t".join([args.group, "n_tokens", "n_oov", "oov_rate"]))
-    for r in res.orderBy(args.group).collect():
+    for r in res.orderBy(args.group).toLocalIterator():
         print(
             f"{r[args.group]}\t{r['n_tokens']}\t{r['n_oov']}\t{r['oov_rate']}"
         )
@@ -1174,7 +1230,7 @@ def cmd_pipeline_outliers(args):
         vec_col=args.vec_col, id_col=args.id_col,
     )
     print("label\tvec_id\tcos_centroid\trank")
-    for r in res.orderBy("label", "rank").collect():
+    for r in res.orderBy("label", "rank").toLocalIterator():
         print(f"{r['label']}\t{r['vec_id']}\t{r['cos_centroid']}\t{r['rank']}")
 
 
@@ -1313,7 +1369,7 @@ def cmd_pipeline_drift(args):
         df, args.text_col, args.group, n_buckets=args.buckets
     )
     print(f"{args.group}\tn_docs\tn_grams\tkl\ttvd")
-    for r in res.orderBy(args.group).collect():
+    for r in res.orderBy(args.group).toLocalIterator():
         print(
             f"{r[args.group]}\t{r['n_docs']}\t{r['n_grams']}"
             f"\t{r['kl']}\t{r['tvd']}"
@@ -1385,7 +1441,7 @@ def cmd_pipeline_cardinality(args):
         bits = 31
     res = hll_distinct(hashed, [args.group], "h", p=args.p, hash_bits=bits)
     print(f"{args.group}\test_distinct")
-    for r in res.orderBy(args.group).collect():
+    for r in res.orderBy(args.group).toLocalIterator():
         print(f"{r[args.group]}\t{r['est_distinct']}")
 
 
@@ -1404,18 +1460,40 @@ def cmd_pipeline_hardneg(args):
         id_col=args.id_col, text_col=args.text_col,
     )
     print("query_id\trank\tdoc_id\tscore")
-    for r in res.orderBy("query_id", "rank").collect():
+    for r in res.orderBy("query_id", "rank").toLocalIterator():
         print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
 
 
 def cmd_plan_lint(args):
     """Scale-audit the suite's query plans (plans/linter.py): TSV of
     (query, rule, allowed?, detail) findings; exit 1 if any finding is
-    not allowlisted.  Dev tool — needs the suite registry
-    (__spark_entry__.py at the repo root) importable."""
+    not allowlisted.  ``--collect-audit`` instead audits the package
+    SOURCE for driver materializations: every .collect()/.toPandas()
+    site must carry a boundedness reason in linter.COLLECT_ALLOW (the
+    one 100 TB hazard no plan can show).  Dev tool — needs the suite
+    registry (__spark_entry__.py at the repo root) importable."""
     import importlib
 
     from dudb_spark.plans.linter import lint_queries
+
+    if getattr(args, "collect_audit", False):
+        from dudb_spark.plans.linter import COLLECT_ALLOW, collect_sites
+
+        unallowed = 0
+        print("site\trule\tallowed\treason")
+        for rel, qual, lineno in collect_sites():
+            key = f"{rel}::{qual}"
+            reason = COLLECT_ALLOW.get(key)
+            ok = "yes" if reason is not None else "NO"
+            if reason is None:
+                unallowed += 1
+            print(f"{key}:{lineno}\tbounded-collect\t{ok}"
+                  f"\t{reason or 'no boundedness reason registered'}")
+        print(f"# {len(collect_sites())} collect sites, "
+              f"{unallowed} not allowlisted")
+        if unallowed:
+            raise SystemExit(1)
+        return
 
     try:
         em = importlib.import_module("__spark_entry__")
@@ -1744,6 +1822,14 @@ def build_parser():
         "unchanged directory mtimes that the default seeded start "
         "defers (J1) — then continue seeded from the reconciled "
         "snapshot.  --no-prune gives per-batch exhaustiveness instead",
+    )
+    p.add_argument(
+        "--lstat-mode", choices=("driver", "distributed"),
+        default="driver",
+        help="where the per-batch dir-signature sweep runs: 'driver' "
+        "(the stream reader's serial/pooled lstat pass) or "
+        "'distributed' (a Spark job over the dir artifact — driver "
+        "work O(churn) regardless of tree size; requires --db --apply)",
     )
     p.set_defaults(func=cmd_watch)
     p = sub.add_parser("du", help="recursive subtree totals (du analog)")
@@ -2084,6 +2170,9 @@ def build_parser():
                    help="query names from the suite registry (default all)")
     p.add_argument("--sf", default="/root/testdata/sf0.001",
                    help="table directory the plans are built against")
+    p.add_argument("--collect-audit", action="store_true",
+                   help="audit package source for driver "
+                        "materializations instead of linting plans")
     p.set_defaults(func=cmd_plan_lint)
 
     p = sub.add_parser("expression-syntax", help="print the predicate grammar")

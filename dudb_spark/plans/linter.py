@@ -27,15 +27,35 @@ Rules (each names the failure mode it guards):
                       legitimately collapse to one partition once or
                       twice; a run of them means data-proportional work
                       is being serialized through one task.
+- ``unpruned-scan``   a Filter sitting DIRECTLY on a parquet scan whose
+                      ``PushedFilters`` and ``PartitionFilters`` are
+                      both empty — the predicate was pushable-shaped
+                      (nothing but ColumnarToRow between them) yet the
+                      scan reads every row group.  A Filter above a
+                      Project is NOT flagged: Catalyst pushes filters
+                      below projections whenever legal, so surviving
+                      above one means the condition needs a computed
+                      column and genuinely cannot reach the scan.
 
 ``lint_plan`` inspects one DataFrame; ``lint_queries`` sweeps a
 queries() registry with a per-query allowlist of (rule, reason) pairs —
 an allowlisted finding is REPORTED with its reason, never silently
 dropped, so intentional exceptions stay visible.
+
+The one 100 TB hazard invisible to any PLAN is a data-proportional
+``collect()`` — the plan of a collected frame looks identical at every
+scale.  :func:`collect_sites` / :func:`lint_collect_sites` audit the
+SOURCE instead: every ``.collect()`` / ``.toPandas()`` call site in the
+package must carry a written boundedness reason in
+:data:`COLLECT_ALLOW`, keyed by function so line drift never churns the
+registry; stale entries fail the sweep exactly like the plan allowlist.
 """
 
 from __future__ import annotations
 
+import ast
+import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -52,6 +72,58 @@ class Finding:
 
 def _optimized(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+_NODE_RE = re.compile(r"^(?P<pad>[\s:+*-]*)(?P<name>.*?)\s*\((?P<id>\d+)\)\s*$")
+
+# nodes that sit between a Filter and the scan without reshaping columns
+# — a Filter seen through ONLY these is "directly on the scan"
+_PASSTHROUGH = {"ColumnarToRow", "InputAdapter", "WholeStageCodegen"}
+
+
+def _unpruned_scans(df: DataFrame) -> list[Finding]:
+    """Parse the FORMATTED physical plan: flag every parquet scan with
+    empty PushedFilters AND empty PartitionFilters whose nearest
+    non-passthrough ancestor is a Filter (see module doc for why a
+    Filter above a Project is exempt)."""
+    txt = plan_of(df, "formatted")
+    head, _, details = txt.partition("\n\n")
+    nodes: list[tuple[int, str, str]] = []  # (indent, name, id)
+    for ln in head.splitlines():
+        m = _NODE_RE.match(ln)
+        if m and m.group("name"):
+            nodes.append((len(m.group("pad")), m.group("name"),
+                          m.group("id")))
+    # parent = nearest earlier line with smaller indent
+    parent: dict[int, int | None] = {}
+    for i, (ind, _, _) in enumerate(nodes):
+        parent[i] = next(
+            (j for j in range(i - 1, -1, -1) if nodes[j][0] < ind), None
+        )
+    out: list[Finding] = []
+    for i, (_, name, nid) in enumerate(nodes):
+        if not name.startswith("Scan parquet"):
+            continue
+        m = re.search(
+            rf"^\({nid}\) Scan parquet.*?(?=^\(\d+\) |\Z)",
+            details, re.S | re.M,
+        )
+        block = m.group(0) if m else ""
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", block, re.S)
+        part = re.search(r"PartitionFilters: \[(.*?)\]", block, re.S)
+        if (pushed and pushed.group(1).strip()) or \
+                (part and part.group(1).strip()):
+            continue
+        j = parent[i]
+        while j is not None and nodes[j][1].split(" ")[0] in _PASSTHROUGH:
+            j = parent[j]
+        if j is not None and nodes[j][1].split(" ")[0] == "Filter":
+            out.append(Finding(
+                "unpruned-scan",
+                f"Filter directly on {name} (node {nid}) with no pushed "
+                "or partition filters — the scan reads every row group",
+            ))
+    return out
 
 
 def lint_plan(
@@ -101,7 +173,136 @@ def lint_plan(
         tail = body.rsplit("], [", 1)[1]
         if " ASC" in tail or " DESC" in tail:
             out.append(Finding("global-window", body[:160]))
+    out.extend(_unpruned_scans(df))
     return out
+
+
+def collect_sites(pkg_dir: str | None = None) -> list[tuple[str, str, int]]:
+    """Every ``.collect()`` / ``.toPandas()`` call site in the package
+    source: (relpath, enclosing qualname, lineno).  AST-based, so
+    comments and strings never false-positive."""
+    if pkg_dir is None:
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sites: list[tuple[str, str, int]] = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg_dir)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=rel)
+            stack: list[str] = []
+
+            def visit(node):
+                pushed = isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                           ast.ClassDef)
+                )
+                if pushed:
+                    stack.append(node.name)
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in ("collect", "toPandas")
+                ):
+                    qual = ".".join(stack) or "<module>"
+                    sites.append((rel, qual, node.lineno))
+                for ch in ast.iter_child_nodes(node):
+                    visit(ch)
+                if pushed:
+                    stack.pop()
+
+            visit(tree)
+    return sites
+
+
+# Boundedness registry for every driver materialization in the package
+# (round-10 verdict item 5a: a data-proportional collect() is invisible
+# to any PLAN — the audit must read the source).  Key: relpath::qualname
+# of the enclosing function; value: WHY every frame that function
+# collects is bounded at 100 TB.  A new collect() in an unlisted
+# function fails tests/test_plan_lint.py; a stale entry fails it too.
+COLLECT_ALLOW: dict[str, str] = {
+    "cli.py::_save_stats":
+        "totals() is exactly one global-accumulation row",
+    "cli.py::cmd_stats_view":
+        "totals() scalar row + top-N report frames bounded by --n",
+    "cli.py::cmd_pipeline_split":
+        "one count row per split NAME (the --weights spec, 2-3 entries)",
+    "cli.py::cmd_pipeline_skew":
+        "skew_profile returns top_n + 1 rows by contract",
+    "cli.py::cmd_pipeline_check":
+        "one row per registered quality check (fixed check list)",
+    "cli.py::cmd_pipeline_pagerank":
+        ".limit(--top) applied before collect",
+    "cli.py::cmd_pipeline_bpe":
+        "one row per merge round: --rounds rows",
+    "cli.py::cmd_pipeline_excise_lines":
+        "one scalar summary row (count/sum agg)",
+    "cli.py::cmd_pipeline_profile":
+        "one row per (column, metric) — schema-bounded",
+    "cli.py::cmd_pipeline_dsir":
+        "k sampled rows by construction (commented at the site)",
+    "cli.py::cmd_pipeline_labelcheck":
+        "one scalar summary row (count/flagged agg)",
+    "cli.py::cmd_pipeline_select":
+        "one scalar summary row (kept docs/tokens agg)",
+    "operators/incremental.py::incremental_stats":
+        "key-frame rows are churn-sized by the incremental contract",
+    "operators/incremental.py::incremental_stats._buckets":
+        "distinct path-bucket ids of the CHURNED paths: <= path_buckets "
+        "ints, bounded by the layout constant",
+    "operators/incremental.py::incremental_stats._spill_buckets":
+        "distinct spill-bucket ids semi-joined to the churn keys: "
+        "<= path_buckets ints",
+    "pipeline/dsir.py::bucket_log_ratios":
+        "<= n_buckets distribution rows (the bounded-key agg)",
+    "pipeline/kmeans.py::lloyd_kmeans":
+        "k seed rows via .limit(k), then <= k centroid rows per iter",
+    "pipeline/kmeans.py::cluster_balance":
+        "one row per cluster: <= k",
+    "pipeline/cluster.py::connected_components":
+        "one scalar (sum of labels) per round — the convergence test",
+    "pipeline/pq.py::fixed_pq_codebooks":
+        "ksub seed rows via .limit(ksub)",
+    "pipeline/pq.py::fixed_residual_codebooks":
+        "<= n_coarse x ksub codebook rows — both constants",
+    "pipeline/ivf.py::fixed_cells":
+        "n_clusters seed rows via .limit(); <= n_clusters means per "
+        "iteration — the centroids enter the plan as literals",
+    "pipeline/similarity.py::label_outliers":
+        "one centroid row per label; the centroids must become plan "
+        "literals for the scan-side cosine",
+    "sources/watchdist.py::DistributedWatcher.batch":
+        "sweep output is churn-only by construction (executors return "
+        "only sig-changed dirs); lineage descendants and child probes "
+        "are subsets of that churn",
+    "sources/watchdist.py::DistributedWatcher._prev_file_rows":
+        "pushed-down parent IN (churned dirs) read — churn-sized",
+    "reports/sinks.py::write_markdown_report":
+        "the summary bundle is top-N-bounded per section (one union "
+        "frame, 10 jobs -> 1, round-10)",
+    "reports/sinks.py::to_json_lines":
+        ".limit(limit) applied before collect",
+}
+
+
+def lint_collect_sites(
+    pkg_dir: str | None = None,
+) -> tuple[dict[str, list[int]], set[str]]:
+    """(unallowed, stale): call sites whose enclosing function carries
+    no written boundedness reason, and registry entries matching no
+    remaining site."""
+    sites = collect_sites(pkg_dir)
+    seen = {f"{rel}::{qual}" for rel, qual, _ in sites}
+    unallowed: dict[str, list[int]] = {}
+    for rel, qual, lineno in sites:
+        key = f"{rel}::{qual}"
+        if key not in COLLECT_ALLOW:
+            unallowed.setdefault(key, []).append(lineno)
+    stale = set(COLLECT_ALLOW) - seen
+    return unallowed, stale
 
 
 def lint_queries(

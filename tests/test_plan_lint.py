@@ -87,3 +87,62 @@ def test_whole_suite_sweep_has_no_unallowed_findings(spark):
         if (name, rule) not in fired
     }
     assert stale == set(), stale
+
+
+def test_linter_flags_unpruned_scan(spark):
+    """A null-safe wrapper (coalesce) around a scan-column predicate
+    blocks BOTH the comparison pushdown and the IsNotNull inference —
+    the scan reads every row group while looking innocently filtered.
+    The rule fires only for a Filter DIRECTLY on the scan: a filter
+    that survives above a Project needs a computed column and genuinely
+    cannot push."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad = d.where(
+        F.coalesce(F.col("source"), F.lit("x")) == "cc"
+    ).groupBy("lang").count()
+    assert any(f.rule == "unpruned-scan" for f in lint_plan(bad))
+
+    good = d.where(F.col("source") == "cc").groupBy("lang").count()
+    assert [f for f in lint_plan(good) if f.rule == "unpruned-scan"] == []
+
+    # filter on a derived column: sits above a Project, exempt
+    derived = (
+        d.select((F.length("text") % 7).alias("b"), "lang")
+        .where(F.col("b") == 3)
+        .groupBy("lang").count()
+    )
+    assert [f for f in lint_plan(derived)
+            if f.rule == "unpruned-scan"] == []
+
+
+def test_collect_site_audit_has_no_unallowed_or_stale():
+    """Round-10 verdict item 5a: a data-proportional collect() is
+    invisible to any plan, so the audit reads the SOURCE — every
+    .collect()/.toPandas() in the package must carry a written
+    boundedness reason in linter.COLLECT_ALLOW, and every reason must
+    still match a live site."""
+    from dudb_spark.plans.linter import lint_collect_sites
+
+    unallowed, stale = lint_collect_sites()
+    assert unallowed == {}, unallowed
+    assert stale == set(), stale
+
+
+def test_collect_site_scanner_sees_through_nesting(tmp_path):
+    """The AST scanner attributes sites to their nested qualname and
+    ignores comments/strings."""
+    from dudb_spark.plans.linter import collect_sites
+
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "m.py").write_text(
+        "def outer():\n"
+        "    def inner(df):\n"
+        "        return df.collect()\n"
+        "    # df.collect() in a comment\n"
+        "    s = 'df.collect()'\n"
+        "    return inner\n"
+        "x = None\n"
+    )
+    sites = collect_sites(str(pkg))
+    assert sites == [("m.py", "outer.inner", 3)]
