@@ -5467,6 +5467,207 @@ def _cms_meanmin_oracle_sql(dd: int = 4, w: int = 256) -> str:
     """
 
 
+def q153_hist_quantiles(spark, sf_dir):
+    """Histogram quantile sketch (pipeline/sketch.hist_cells /
+    hist_quantiles): per-source p25/p50/p90/p99 of document length from
+    a 64-bin fixed-grid fold — ≤ groups × 64 rows of state out of any
+    corpus, where the EXACT grouped quantiles (q98/q116's
+    operators/quantiles.py) sort data-proportional partitions.  The
+    trade is written down: error ≤ one bin width = 16 chars here.
+    Binning is pure int64 (value*n_bins div span, clamped), ranks and
+    interpolation are single IEEE ops — the whole sketch replays
+    bit-exactly in SQL.  Windows partition by (source[, q]) over ≤ 64
+    rows; mergeable via union + re-sum like every fold in this family."""
+    from dudb_spark.pipeline.sketch import hist_cells, hist_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    lv = d.select("source", F.length("text").alias("clen"))
+    cells = hist_cells(lv, ["source"], "clen", lo=0, hi=1024, n_bins=64)
+    return (
+        hist_quantiles(cells, ["source"], [0.25, 0.5, 0.9, 0.99],
+                       lo=0, hi=1024, n_bins=64)
+        .orderBy("source", "q")
+    )
+
+
+def _hist_quantiles_oracle_sql() -> str:
+    from dudb_spark.pipeline.sketch import hist_quantiles_sql_cte
+
+    cte = hist_quantiles_sql_cte(
+        "SELECT source, length(text) AS clen FROM documents",
+        "source", "clen", [0.25, 0.5, 0.9, 0.99],
+        lo=0, hi=1024, n_bins=64,
+    )
+    return f"""
+        WITH {cte}
+        SELECT grp AS source, q, est FROM hq ORDER BY source, q
+    """
+
+
+def q154_bloom_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination
+    (pipeline/sketch.bloom_bits/bloom_probe, Bloom 1970): q71's exact
+    n-gram decontamination broadcasts the member shingle set verbatim —
+    fine for benchmark-sized eval sets, unpayable when the filter side
+    is the 100 TB TRAINING corpus (dedup-against-train, the reverse
+    direction).  The bloom filter caps that broadcast at m bits
+    regardless of corpus size, with the one guarantee decontamination
+    needs: NO false negatives — a miss is definitely clean, only hits
+    pay the exact check.  Here: 3-token shingle Horner hashes (q16's
+    certified chain), train = every source but src0, eval = src0;
+    per eval doc, total / bloom-maybe / exact shingle hits, with
+    maybe ≥ exact pinned in tests and both the filter build and the
+    all-k-bits probe replayed in SQL."""
+    from dudb_spark.pipeline.dedup import (
+        poly_shingle_hashes_from,
+        poly_token_hash_array,
+    )
+    from dudb_spark.pipeline.sketch import bloom_bits, bloom_probe
+
+    m_bits, k = 1 << 16, 4
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        poly_token_hash_array(F.col("text")).alias("_th"),
+    )
+    sg = base.select(
+        "doc_id", "source",
+        F.explode_outer(
+            poly_shingle_hashes_from(F.col("_th"), 3)
+        ).alias("h"),
+    ).where(F.col("h").isNotNull())
+    train = sg.where(F.col("source") != "src0").select("h")
+    ev = sg.where(F.col("source") == "src0").select("doc_id", "h")
+    bits = bloom_bits(train, "h", m_bits, k)
+    probed = bloom_probe(ev, bits, "h", m_bits, k)
+    exact = probed.join(
+        train.distinct().withColumn("_x", F.lit(1)), "h", "left"
+    )
+    return (
+        exact.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).alias(
+                "n_maybe"
+            ),
+            F.sum(F.when(F.col("_x").isNotNull(), 1).otherwise(0)).alias(
+                "n_exact"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_decontam_oracle_sql(m_bits: int = 1 << 16, k: int = 4) -> str:
+    from dudb_spark.pipeline.sketch import bloom_probe_sql, bloom_sql_cte
+
+    M = (1 << 31) - 1
+    bloom = bloom_sql_cte("SELECT h FROM trsh", "h", m_bits, k)
+    probe = bloom_probe_sql("ev.h", m_bits, k)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT doc_id, source, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT
+                         FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), hsx AS (
+            SELECT doc_id, source, list_distinct([
+                list_reduce(list_prepend(0::BIGINT, th[i:i+2]),
+                            (a, v) -> (a*257+v) % {M})
+                FOR i IN range(1, greatest(len(th)-2, 1) + 1)]) AS hs
+            FROM tkh
+        ), trsh AS (
+            SELECT unnest(hs) AS h FROM hsx WHERE source <> 'src0'
+        ), trdist AS (
+            SELECT DISTINCT h FROM trsh
+        ), ev AS (
+            SELECT doc_id, unnest(hs) AS h FROM hsx
+            WHERE source = 'src0'
+        ),
+        {bloom},
+        flags AS (
+            SELECT ev.doc_id,
+                   CASE WHEN {probe} THEN 1 ELSE 0 END AS mm,
+                   CASE WHEN td.h IS NOT NULL THEN 1 ELSE 0 END AS ex
+            FROM ev LEFT JOIN trdist td ON ev.h = td.h
+        )
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(mm) AS BIGINT) AS n_maybe,
+               CAST(SUM(ex) AS BIGINT) AS n_exact
+        FROM flags GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def q155_stream_freq_sketch(spark, sf_dir):
+    """Streaming per-window frequency sketch (streaming/rollup.
+    hourly_cms_cells): per-hour event-type counts estimated from a
+    count-min cell stream maintained THROUGH Structured Streaming —
+    q149's bounded-state argument applied to FREQUENCY: ≤ d×w = 256
+    state rows per open window at any key cardinality, where an exact
+    streamed per-key count holds one row per distinct key.  sum is
+    associative, so micro-batch merges equal batch shard unions —
+    certified by estimating from the streamed sink and matching the
+    batch SQL restatement value-exactly, with exact counts alongside
+    (est ≥ exact, the one-sided guarantee, pinned in tests)."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import cms_bucket
+    from dudb_spark.streaming.rollup import (
+        hourly_cms_cells,
+        stream_events,
+    )
+
+    d_rows, w = 4, 64
+    src = _staged_events(spark, sf_dir)
+    thash = F.element_at(poly_token_hash_array(F.col("event_type")), 1)
+    with _stream_parts(spark):
+        stream = stream_events(spark, src)
+        q = (
+            hourly_cms_cells(stream, thash, d=d_rows, w=w)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("dudb_q155_cells")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    cells = spark.table("dudb_q155_cells").select(
+        _fmt_ts(F.col("win.start"), "hour"), "j", "bucket", "cnt"
+    )
+    ev = _events(spark, sf_dir).select(
+        F.date_format(
+            F.window(F.col("ts"), "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour"),
+        "event_type",
+        thash.alias("h"),
+    )
+    cand = ev.groupBy("hour", "event_type", "h").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    probes = cand.select(
+        "*",
+        F.posexplode(
+            F.array(*[cms_bucket(F.col("h"), j, w) for j in range(d_rows)])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["hour", "j", "bucket"], "left")
+        .groupBy("hour", "event_type", "exact_count")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+    return est.select(
+        "hour", "event_type", "exact_count", "est_count"
+    ).orderBy("hour", "event_type")
+
+
 _HARDNEG_QIDS = [1, 7, 13, 21]
 
 
@@ -5652,6 +5853,9 @@ QUERIES: dict[str, Callable] = {
     "q150_cms_heavy_hitters": q150_cms_heavy_hitters,
     "q151_sketch_source_overlap": q151_sketch_source_overlap,
     "q152_cms_meanmin": q152_cms_meanmin,
+    "q153_hist_quantiles": q153_hist_quantiles,
+    "q154_bloom_decontam": q154_bloom_decontam,
+    "q155_stream_freq_sketch": q155_stream_freq_sketch,
 }
 
 ORACLE: dict[str, str] = {
@@ -9255,6 +9459,54 @@ def _stream_distinct_sketch_oracle_sql(p: int = 8) -> str:
 ORACLE["q149_stream_distinct_sketch"] = _stream_distinct_sketch_oracle_sql()
 
 
+def _stream_freq_sketch_oracle_sql(d: int = 4, w: int = 64) -> str:
+    """DuckDB restatement of q155: the same per-hour cells the stream
+    maintains, re-derived batch-side, min-over-rows estimates per
+    (hour, event_type)."""
+    from dudb_spark.pipeline.sketch import _CMS_A, _CMS_B, _CMS_M
+
+    M = (1 << 31) - 1
+    probe_sel = " UNION ALL ".join(
+        f"SELECT hour, {j} AS j, "
+        f"CAST(((h * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) % {w} AS INT)"
+        f" AS bucket FROM ev"
+        for j in range(d)
+    )
+    lookups = ", ".join(
+        f"(SELECT COALESCE(MAX(cnt), 0) FROM cells c WHERE "
+        f"c.hour = cand.hour AND c.j = {j} AND c.bucket = "
+        f"CAST(((cand.h * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) % {w} "
+        f"AS INT))"
+        for j in range(d)
+    )
+    return f"""
+        WITH ev AS (
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           [ord(event_type[i])::BIGINT
+                            FOR i IN range(1, len(event_type)+1)]),
+                       (a, b) -> (a*257+b) % {M}) AS h
+            FROM events
+        ), probes AS ({probe_sel}),
+        cells AS (
+            SELECT hour, j, bucket, COUNT(*) AS cnt
+            FROM probes GROUP BY hour, j, bucket
+        ),
+        cand AS (
+            SELECT hour, event_type, h, COUNT(*) AS exact_count
+            FROM ev GROUP BY hour, event_type, h
+        )
+        SELECT hour, event_type,
+               CAST(exact_count AS BIGINT) AS exact_count,
+               CAST(least({lookups}) AS BIGINT) AS est_count
+        FROM cand
+        ORDER BY hour, event_type
+    """
+
+
 def _cms_heavy_hitters_oracle_sql(d: int = 4, w: int = 1024) -> str:
     """DuckDB restatement of q150: per-term Horner hashes, the same d×w
     cell build, min-over-rows estimates, top-20 by exact count."""
@@ -9293,6 +9545,9 @@ def _cms_heavy_hitters_oracle_sql(d: int = 4, w: int = 1024) -> str:
 
 ORACLE["q150_cms_heavy_hitters"] = _cms_heavy_hitters_oracle_sql()
 ORACLE["q152_cms_meanmin"] = _cms_meanmin_oracle_sql()
+ORACLE["q153_hist_quantiles"] = _hist_quantiles_oracle_sql()
+ORACLE["q154_bloom_decontam"] = _bloom_decontam_oracle_sql()
+ORACLE["q155_stream_freq_sketch"] = _stream_freq_sketch_oracle_sql()
 
 
 def _sketch_source_overlap_oracle_sql(p: int = 8) -> str:

@@ -963,14 +963,29 @@ def cmd_pipeline_skew(args):
 
 def cmd_pipeline_quantiles(args):
     """Exact grouped quantiles via the scale-safe order-statistics
-    operator (operators/quantiles.py)."""
-    from dudb_spark.operators.quantiles import grouped_quantiles
-
+    operator (operators/quantiles.py) — or, with ``--sketch LO:HI:BINS``,
+    the fixed-grid histogram sketch (pipeline/sketch.hist_quantiles):
+    ≤ groups×bins state out of any corpus, error ≤ one bin width, for
+    when even the exact operator's per-group sort is unpayable."""
     spark = _spark()
     df = spark.read.parquet(expand_path(args.input))
     groups = [g for g in args.group.split(",") if g]
     ps = [float(x) for x in args.ps.split(",")]
-    res = grouped_quantiles(df, groups, args.value, ps)
+    if getattr(args, "sketch", None):
+        from dudb_spark.pipeline.sketch import hist_cells, hist_quantiles
+
+        try:
+            lo, hi, n_bins = (int(x) for x in args.sketch.split(":"))
+        except ValueError:
+            raise SystemExit(
+                "pipeline quantiles --sketch wants LO:HI:BINS (ints)"
+            )
+        cells = hist_cells(df, groups, args.value, lo, hi, n_bins)
+        res = hist_quantiles(cells, groups, ps, lo, hi, n_bins)
+    else:
+        from dudb_spark.operators.quantiles import grouped_quantiles
+
+        res = grouped_quantiles(df, groups, args.value, ps)
     cols = res.columns
     print("\t".join(cols))
     if groups:
@@ -1977,6 +1992,9 @@ def build_parser():
     pq.add_argument("--group", required=True, help="comma-separated group cols")
     pq.add_argument("--value", required=True)
     pq.add_argument("--ps", default="0.5,0.9,0.99")
+    pq.add_argument("--sketch", default=None, metavar="LO:HI:BINS",
+                    help="histogram-sketch mode: bounded groups×BINS "
+                         "state, error ≤ (HI-LO)/BINS")
     pq.set_defaults(func=cmd_pipeline_quantiles)
     px = psub.add_parser(
         "spandedup", help="exact n-gram span dedup (substring dedup)"

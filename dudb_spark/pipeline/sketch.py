@@ -446,6 +446,209 @@ def hll_sql_cte(
     """
 
 
+def bloom_bits(
+    df: DataFrame, hash_col: str, m_bits: int = 1 << 16, k: int = 4,
+) -> DataFrame:
+    """Bloom filter build as a DataFrame fold: the distinct set bit
+    positions ``(bit)`` — ≤ m_bits rows out of any corpus (Bloom 1970).
+    Bit positions reuse the CMS affine row hashes (``k ≤ 4``), so the
+    whole filter is exact int64 arithmetic and bit-deterministic.
+    Mergeable via union + distinct.  False-positive contract:
+    p ≈ (1 − e^(−k·n/m))^k for n inserted items — at the default
+    m=65536, k=4 that is <2.4% up to n=8192; size m to your n, the
+    state is always ≤ m rows / m bits.  No false NEGATIVES ever — the
+    property a decontamination pre-filter needs (a miss is definitely
+    clean; only hits pay the exact check)."""
+    if k > len(_CMS_A):
+        raise ValueError(f"bloom_bits: k <= {len(_CMS_A)}")
+    h = F.col(hash_col)
+    return (
+        df.select(
+            F.explode(
+                F.array(*[cms_bucket(h, j, m_bits) for j in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    items: DataFrame, bits: DataFrame, hash_col: str,
+    m_bits: int = 1 << 16, k: int = 4,
+) -> DataFrame:
+    """Membership probe: ``maybe_member`` true iff ALL k bit positions
+    are set.  ``bits`` is ≤ m_bits rows, so the join broadcasts and the
+    probe is a map-side lookup + a per-item count — the bounded-state
+    replacement for broadcasting the exact member set when that set is
+    huge (decontam.py's shingle broadcast at 100 TB)."""
+    h = F.col(hash_col)
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(*[cms_bucket(h, j, m_bits) for j in range(k)])
+        ).alias("bit"),
+    )
+    keep = [c for c in items.columns]
+    hit = F.when(F.col("_set").isNotNull(), 1).otherwise(0)
+    return (
+        probes.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+        )
+        .groupBy(*keep)
+        .agg((F.sum(hit) == F.lit(k)).alias("maybe_member"))
+    )
+
+
+def bloom_sql_cte(
+    source_sql: str, hash_expr: str, m_bits: int = 1 << 16, k: int = 4,
+) -> str:
+    """Oracle restatement of the filter build: CTEs ending with
+    ``bloom(bit)``."""
+    sel = " UNION ALL ".join(
+        f"SELECT CAST(((({hash_expr}) * {_CMS_A[j]} + {_CMS_B[j]}) "
+        f"% {_CMS_M}) % {m_bits} AS INT) AS bit FROM bsrc"
+        for j in range(k)
+    )
+    return f"""
+        bsrc AS ({source_sql}),
+        bloom AS (SELECT DISTINCT bit FROM ({sel}))
+    """
+
+
+def bloom_probe_sql(hash_expr: str, m_bits: int = 1 << 16,
+                    k: int = 4) -> str:
+    """Scalar SQL: true iff every bit position of ``hash_expr`` is in
+    the ``bloom`` CTE."""
+    terms = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bloom WHERE bit = "
+        f"CAST(((({hash_expr}) * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_M}) "
+        f"% {m_bits} AS INT))"
+        for j in range(k)
+    )
+    return f"({terms})"
+
+
+def hist_cells(
+    df: DataFrame, group_cols: list[str], value_col: str,
+    lo: int, hi: int, n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-grid histogram fold over an INTEGER value column:
+    ``(group..., bin, cnt)`` with ``bin = (v - lo) * n_bins div
+    (hi - lo)`` clamped into [0, n_bins) — pure int64 arithmetic, so
+    the fold is bit-deterministic and mergeable (union + re-sum), the
+    same constant-state shuffle shape as the CMS/HLL folds: ≤
+    groups × n_bins rows out of any corpus.  Out-of-range values
+    saturate into the edge bins (documented: the estimate is then the
+    edge-bin bound, not the true tail value)."""
+    v = F.col(value_col).cast("long")
+    num = ((v - F.lit(lo)) * F.lit(n_bins)).alias("_num")
+    proj = df.select(*group_cols, num)
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.expr(f"_num DIV {hi - lo}").cast("int")),
+    )
+    return (
+        proj.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    cells: DataFrame, group_cols: list[str], qs: list[float],
+    lo: int, hi: int, n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a histogram fold: per (group, q), the
+    first bin whose cumulative count reaches ``rank = ceil(q * total)``
+    (clamped to ≥ 1), linearly interpolated within the bin —
+    ``est = lo + (bin + (rank - cum_prev)/cnt) * width``.  Error is
+    bounded by one bin width, ``(hi - lo) / n_bins``, the contract a
+    fixed-grid sketch trades for constant state (vs the exact grouped
+    quantiles in operators/quantiles.py, whose window sorts data-
+    proportional partitions).  Every step up to the final interpolation
+    is integer arithmetic; the interpolation and ``ceil(q * total)``
+    are single IEEE ops identical in any engine.  Windows partition by
+    group (and q) over ≤ n_bins rows — never a global sort."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_bins
+    wcum = Window.partitionBy(*group_cols).orderBy("bin")
+    tot = cells.groupBy(*group_cols).agg(F.sum("cnt").alias("_tot"))
+    cum = (
+        cells.withColumn("_cum", F.sum("cnt").over(wcum))
+        .join(tot, group_cols)
+        .select(
+            *group_cols, "bin", "cnt", "_cum", "_tot",
+            F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"),
+        )
+        .withColumn(
+            "_rank",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("q") * F.col("_tot").cast("double"))
+                .cast("long"),
+            ),
+        )
+        .where(F.col("_cum") >= F.col("_rank"))
+    )
+    wfirst = Window.partitionBy(*group_cols, "q").orderBy("bin")
+    first = cum.withColumn("_rn", F.row_number().over(wfirst)).where(
+        F.col("_rn") == 1
+    )
+    frac = (F.col("_rank") - (F.col("_cum") - F.col("cnt"))).cast(
+        "double"
+    ) / F.col("cnt").cast("double")
+    est = F.lit(float(lo)) + (F.col("bin").cast("double") + frac) \
+        * F.lit(width)
+    return first.select(*group_cols, "q", F.round(est, 4).alias("est"))
+
+
+def hist_quantiles_sql_cte(
+    source_sql: str, group_expr: str, value_expr: str, qs: list[float],
+    lo: int, hi: int, n_bins: int = 64,
+) -> str:
+    """Oracle restatement of hist_cells + hist_quantiles as CTEs ending
+    with ``hq(grp, q, est)`` — lockstep with the DataFrame path (same
+    int64 binning, same rank/interpolation expressions)."""
+    width = f"CAST({(hi - lo) / n_bins!r} AS DOUBLE)"
+    qlist = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in qs)
+    return f"""
+        hsrc AS ({source_sql}),
+        hcell AS (
+            SELECT ({group_expr}) AS grp,
+                   least({n_bins - 1}, greatest(0,
+                       CAST((CAST(({value_expr}) AS BIGINT) - {lo})
+                            * {n_bins} // {hi - lo} AS INT))) AS bin,
+                   COUNT(*) AS cnt
+            FROM hsrc GROUP BY 1, 2
+        ),
+        hcum AS (
+            SELECT grp, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY grp) AS tot
+            FROM hcell
+        ),
+        hq AS (
+            SELECT grp, q,
+                   ROUND({lo} + (CAST(bin AS DOUBLE)
+                         + CAST(rank_ - (cum - cnt) AS DOUBLE)
+                           / CAST(cnt AS DOUBLE)) * {width}, 4) AS est
+            FROM (
+                SELECT grp, bin, cnt, cum, q,
+                       greatest(1, CAST(ceil(q * CAST(tot AS DOUBLE))
+                                        AS BIGINT)) AS rank_,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY grp, q ORDER BY bin
+                       ) AS rn_pre
+                FROM hcum, (SELECT unnest([{qlist}]) AS q) qs
+                WHERE cum >= greatest(1, CAST(ceil(q * CAST(tot AS DOUBLE))
+                                              AS BIGINT))
+            )
+            WHERE rn_pre = 1
+        )
+    """
+
+
 def hll_pair_union_estimates(
     regs: DataFrame, src_col: str, p: int = 8,
     hash_bits: int = _POLY_BITS,

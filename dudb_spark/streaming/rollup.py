@@ -100,6 +100,37 @@ def hourly_hll_registers(
     )
 
 
+def hourly_cms_cells(
+    events: DataFrame,
+    hash_expr,
+    d: int = 4,
+    w: int = 64,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-hour count-min cell stream: ``(win, j, bucket, cnt)`` —
+    frequency sketching with BOUNDED streaming state (≤ d×w rows per
+    open window, vs one state row per distinct key for an exact
+    streamed per-key count).  ``sum`` is associative, so micro-batches
+    merge cells exactly like batch shard unions
+    (pipeline/sketch.cms_cells); estimate with the min-over-rows (or
+    mean-min) lookup whenever needed.  Works on batch frames too."""
+    from dudb_spark.pipeline.sketch import cms_bucket
+
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.select(F.col("ts"), hash_expr.alias("_h"))
+        .select(
+            "ts",
+            F.posexplode(
+                F.array(*[cms_bucket(F.col("_h"), j, w) for j in range(d)])
+            ).alias("j", "bucket"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("win"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def run_rollup_to_memory(
     spark, source_dir: str, query_name: str = "rollup", watermark: str = "2 hours"
 ):

@@ -292,3 +292,120 @@ def test_hll_error_shrinks_with_p_and_preset_mapping(spark):
         errs[p] = abs(est - n) / n
     assert errs[12] < errs[8], errs
     assert errs[12] < 1.04 / math.sqrt(1 << 12) * 4
+
+
+def test_hist_quantile_sketch_properties(spark):
+    """Histogram quantile sketch (round 11): (a) estimate within one
+    bin width of the exact quantile, (b) shard-merge (union + re-sum)
+    equals the whole-corpus fold, (c) out-of-range values saturate
+    into edge bins, (d) bit-exact DuckDB lockstep."""
+    import random
+
+    duckdb = pytest.importorskip("duckdb")
+    from dudb_spark.pipeline.sketch import (
+        hist_cells,
+        hist_quantiles,
+        hist_quantiles_sql_cte,
+    )
+
+    rnd = random.Random(20260823)
+    lo, hi, n_bins = 0, 1000, 50
+    vals = [rnd.randrange(1100) - 40 for _ in range(4000)]  # over+under
+    rows = [(1, v) for v in vals]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    qs = [0.1, 0.5, 0.9]
+    cells = hist_cells(df, ["g"], "v", lo, hi, n_bins)
+    got = {r["q"]: r["est"]
+           for r in hist_quantiles(cells, ["g"], qs, lo, hi, n_bins
+                                   ).collect()}
+    width = (hi - lo) / n_bins
+    sv = sorted(vals)
+    import math
+    for q in qs:
+        exact = sv[max(1, math.ceil(q * len(sv))) - 1]
+        if lo <= exact < hi:  # saturated tails carry edge-bin bounds
+            assert abs(got[q] - exact) <= width, (q, got[q], exact)
+
+    # merge: two shards' cells unioned + re-summed == one fold
+    from pyspark.sql import functions as FF
+    half = len(rows) // 2
+    c1 = hist_cells(spark.createDataFrame(rows[:half], ["g", "v"]),
+                    ["g"], "v", lo, hi, n_bins)
+    c2 = hist_cells(spark.createDataFrame(rows[half:], ["g", "v"]),
+                    ["g"], "v", lo, hi, n_bins)
+    merged = (c1.unionByName(c2).groupBy("g", "bin")
+              .agg(FF.sum("cnt").alias("cnt")))
+    got_m = {r["q"]: r["est"]
+             for r in hist_quantiles(merged, ["g"], qs, lo, hi, n_bins
+                                     ).collect()}
+    assert got_m == got
+
+    # saturation: every bin index inside [0, n_bins)
+    bins = [r["bin"] for r in cells.collect()]
+    assert min(bins) == 0 and max(bins) == n_bins - 1
+
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = ("WITH " + hist_quantiles_sql_cte(
+        "SELECT g, v FROM src", "g", "v", qs, lo, hi, n_bins)
+        + " SELECT q, est FROM hq ORDER BY q")
+    want = {q: est for q, est in con.execute(sql).fetchall()}
+    assert want == got  # bit-exact
+
+
+def test_bloom_filter_properties(spark):
+    """Bloom membership sketch (round 11): (a) NO false negatives —
+    every inserted item probes maybe_member (the decontamination
+    guarantee), (b) false-positive rate on non-members within 4x the
+    analytic bound, (c) merge via union+distinct equals the whole-set
+    build, (d) bit-exact DuckDB lockstep for build and probe."""
+    duckdb = pytest.importorskip("duckdb")
+    from dudb_spark.pipeline.sketch import (
+        bloom_bits,
+        bloom_probe,
+        bloom_probe_sql,
+        bloom_sql_cte,
+    )
+    import math
+    import random
+
+    rnd = random.Random(20260824)
+    m, k = 1 << 14, 4
+    members = [_mix31(v) for v in range(2000)]
+    others = [_mix31(v) for v in range(100_000, 104_000)]
+    others = [h for h in others if h not in set(members)]
+    mdf = spark.createDataFrame([(h,) for h in members], ["h"])
+    bits = bloom_bits(mdf, "h", m, k)
+
+    probe_all = spark.createDataFrame(
+        [(h, True) for h in members] + [(h, False) for h in others],
+        ["h", "is_member"],
+    )
+    res = bloom_probe(probe_all, bits, "h", m, k).collect()
+    fp = fn = 0
+    for r in res:
+        if r["is_member"] and not r["maybe_member"]:
+            fn += 1
+        if not r["is_member"] and r["maybe_member"]:
+            fp += 1
+    assert fn == 0  # never a false negative
+    bound = (1 - math.exp(-k * len(members) / m)) ** k
+    assert fp / len(others) <= 4 * bound, (fp, bound)
+
+    half = len(members) // 2
+    b1 = bloom_bits(spark.createDataFrame(
+        [(h,) for h in members[:half]], ["h"]), "h", m, k)
+    b2 = bloom_bits(spark.createDataFrame(
+        [(h,) for h in members[half:]], ["h"]), "h", m, k)
+    merged = sorted(r["bit"] for r in b1.unionByName(b2).distinct().collect())
+    assert merged == sorted(r["bit"] for r in bits.collect())
+
+    con = duckdb.connect()
+    con.register("msrc", mdf.toPandas())
+    con.register("probe_src", probe_all.toPandas())
+    sql = ("WITH " + bloom_sql_cte("SELECT h FROM msrc", "h", m, k)
+           + " SELECT p.h, " + bloom_probe_sql("p.h", m, k)
+           + " AS mm FROM probe_src p")
+    want = {h: mm for h, mm in con.execute(sql).fetchall()}
+    for r in res:
+        assert want[r["h"]] == r["maybe_member"]

@@ -783,3 +783,65 @@ def test_stream_hll_registers_equal_batch_fold(spark, events_dir):
 
     per_win = Counter(r["win"]["start"] for r in rows)
     assert max(per_win.values()) <= 16
+
+
+def test_stream_cms_cells_equal_batch_fold(spark, events_dir):
+    """Streamed count-min cell maintenance must merge micro-batches
+    into EXACTLY the batch cell fold (sum associativity — the CMS
+    mergeability claim), with per-window state bounded at d×w rows,
+    and the per-(window, key) min-over-rows estimate never below the
+    exact count."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import cms_bucket
+    from dudb_spark.streaming.rollup import hourly_cms_cells, stream_events
+
+    d, w = 4, 32
+    thash = F.element_at(poly_token_hash_array(F.col("event_type")), 1)
+    batch = hourly_cms_cells(
+        spark.read.parquet(events_dir), thash, d=d, w=w
+    )
+    want = sorted(
+        (r["win"]["start"], r["j"], r["bucket"], r["cnt"])
+        for r in batch.collect()
+    )
+
+    stream = stream_events(spark, events_dir)
+    q = (
+        hourly_cms_cells(stream, thash, d=d, w=w)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_cms_cells")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_cms_cells").collect()
+    got = sorted(
+        (r["win"]["start"], r["j"], r["bucket"], r["cnt"]) for r in rows
+    )
+    assert got == want and len(got) > 50
+    from collections import Counter
+
+    per_win = Counter(r["win"]["start"] for r in rows)
+    assert max(per_win.values()) <= d * w
+
+    # one-sided estimate: min over rows >= exact per (window, key)
+    ev = spark.read.parquet(events_dir).select(
+        F.window("ts", "1 hour").alias("win"),
+        "event_type", thash.alias("h"),
+    )
+    cand = ev.groupBy("win", "event_type", "h").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    probes = cand.select(
+        "*",
+        F.posexplode(
+            F.array(*[cms_bucket(F.col("h"), j, w) for j in range(d)])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(batch), ["win", "j", "bucket"], "left")
+        .groupBy("win", "event_type", "exact")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+    assert all(r["est"] >= r["exact"] for r in est.collect())
