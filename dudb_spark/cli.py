@@ -1233,6 +1233,69 @@ def cmd_pipeline_overlap(args):
         print("\t".join(str(r[c]) for c in cols))
 
 
+def cmd_pipeline_contam(args):
+    """Benchmark decontamination (pipeline/decontam.ngram_contamination):
+    corpus docs sharing word n-grams with --eval, as TSV.  ``--bloom
+    M:K`` pre-filters through a Bloom membership sketch instead of
+    broadcasting the exact shingle set (pipeline/sketch.bloom_bits) —
+    the bounded-broadcast mode for when the FILTER side is huge; bloom
+    hits are candidates (no false negatives), so the printed counts are
+    the maybe-contaminated superset to feed the exact check."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    corpus = spark.read.parquet(expand_path(args.input))
+    ev = spark.read.parquet(expand_path(args.eval))
+    if args.bloom:
+        from dudb_spark.pipeline.dedup import (
+            poly_shingle_hashes_from,
+            poly_token_hash_array,
+        )
+        from dudb_spark.pipeline.sketch import bloom_bits, bloom_probe
+
+        try:
+            m_bits, k = (int(x) for x in args.bloom.split(":"))
+        except ValueError:
+            raise SystemExit("pipeline contam --bloom wants M:K (ints)")
+
+        def shingled(df):
+            base = df.select(
+                args.id_col,
+                poly_token_hash_array(F.col(args.text_col)).alias("_th"),
+            )
+            return base.select(
+                args.id_col,
+                F.explode_outer(
+                    poly_shingle_hashes_from(F.col("_th"), args.n)
+                ).alias("h"),
+            ).where(F.col("h").isNotNull())
+
+        bits = bloom_bits(shingled(ev).select("h"), "h", m_bits, k)
+        probed = bloom_probe(shingled(corpus), bits, "h", m_bits, k)
+        res = (
+            probed.groupBy(args.id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+                .alias("n_maybe"),
+            )
+            .where(F.col("n_maybe") > 0)
+        )
+        order = [args.id_col]
+    else:
+        from dudb_spark.pipeline.decontam import ngram_contamination
+
+        res = ngram_contamination(
+            corpus, ev, n=args.n, text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        order = [args.id_col]
+    cols = res.columns
+    print("\t".join(cols))
+    for r in res.orderBy(*order).toLocalIterator():
+        print("\t".join(str(r[c]) for c in cols))
+
+
 def cmd_pipeline_outliers(args):
     """Embedding-space outliers (pipeline/similarity.label_outliers):
     the k vectors least similar to their own label centroid, as TSV."""
@@ -2086,6 +2149,20 @@ def build_parser():
                      help="subcorpus column for the matrix axes")
     pov.add_argument("--n", type=int, default=8, help="gram length")
     pov.set_defaults(func=cmd_pipeline_overlap)
+    pct = psub.add_parser(
+        "contam", help="benchmark decontamination (n-gram overlap)"
+    )
+    pct.add_argument("--input", required=True, help="corpus parquet")
+    pct.add_argument("--eval", required=True, help="eval-set parquet")
+    pct.add_argument("--id-col", default="doc_id")
+    pct.add_argument("--text-col", default="text")
+    pct.add_argument("--n", type=int, default=5, help="gram length")
+    pct.add_argument("--bloom", default=None, metavar="M:K",
+                     help="Bloom pre-filter mode: bounded M-bit "
+                          "broadcast, K hashes; prints the "
+                          "maybe-contaminated superset (no false "
+                          "negatives)")
+    pct.set_defaults(func=cmd_pipeline_contam)
     pol = psub.add_parser(
         "outliers", help="per-label embedding-centroid outliers"
     )

@@ -1106,3 +1106,30 @@ def test_cli_analyze_distributed_cleans_staging_on_failure(
     with pytest.raises(RuntimeError, match="crawl exploded"):
         main(["analyze", "--db", db, real_tree, "--distributed"])
     assert made and not os.path.exists(made[0])
+
+
+def test_cli_pipeline_contam_exact_and_bloom(spark, tmp_path, capsys):
+    """pipeline contam: exact mode prints contaminated docs; --bloom
+    mode prints a maybe-superset (no false negatives — every exactly
+    contaminated doc must appear in the bloom candidates)."""
+    docs = [(i, f"alpha beta gamma delta tok{i} epsilon zeta") for i
+            in range(20)]
+    ev = [(100, "alpha beta gamma delta shared phrase")]
+    corpus = str(tmp_path / "corpus")
+    evp = str(tmp_path / "eval")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(corpus)
+    spark.createDataFrame(ev, ["doc_id", "text"]).write.parquet(evp)
+
+    out = run(capsys, "pipeline", "contam", "--input", corpus,
+              "--eval", evp, "--n", "3")
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    assert lines[0][0] == "doc_id"
+    exact_ids = {int(l[0]) for l in lines[1:]}
+    assert exact_ids == set(range(20))  # all share 'alpha beta gamma'
+
+    out = run(capsys, "pipeline", "contam", "--input", corpus,
+              "--eval", evp, "--n", "3", "--bloom", "16384:4")
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    assert lines[0] == ["doc_id", "n_shingles", "n_maybe"]
+    bloom_ids = {int(l[0]) for l in lines[1:]}
+    assert exact_ids <= bloom_ids  # never a false negative
