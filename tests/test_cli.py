@@ -1133,3 +1133,27 @@ def test_cli_pipeline_contam_exact_and_bloom(spark, tmp_path, capsys):
     assert lines[0] == ["doc_id", "n_shingles", "n_maybe"]
     bloom_ids = {int(l[0]) for l in lines[1:]}
     assert exact_ids <= bloom_ids  # never a false negative
+
+
+def test_cli_pipeline_quantiles_sketch_mode(spark, tmp_path, capsys):
+    """pipeline quantiles --sketch LO:HI:BINS: histogram-sketch route,
+    estimates within one bin width of the exact mode's answers."""
+    rows = [("g", v) for v in range(1, 401)]
+    inp = str(tmp_path / "qv")
+    spark.createDataFrame(rows, ["grp", "v"]).write.parquet(inp)
+    exact = run(capsys, "pipeline", "quantiles", "--input", inp,
+                "--group", "grp", "--value", "v", "--ps", "0.5,0.9")
+    sk = run(capsys, "pipeline", "quantiles", "--input", inp,
+             "--group", "grp", "--value", "v", "--ps", "0.5,0.9",
+             "--sketch", "0:400:40")
+    # exact mode is WIDE (grp, n_rows, q50, q90); sketch mode is LONG
+    eh, erow = (l.split("\t") for l in exact.strip().splitlines())
+    e = {0.5: float(erow[eh.index("q50")]), 0.9: float(erow[eh.index("q90")])}
+    s = {float(l.split("\t")[1]): float(l.split("\t")[2])
+         for l in sk.strip().splitlines()[1:]}
+    assert set(s) == {0.5, 0.9}
+    for q in e:
+        assert abs(e[q] - s[q]) <= 10.0  # one bin width
+    with pytest.raises(SystemExit, match="LO:HI:BINS"):
+        main(["pipeline", "quantiles", "--input", inp, "--group", "grp",
+              "--value", "v", "--sketch", "bad"])

@@ -196,3 +196,28 @@ def test_distributed_respects_exclude(spark, tree, tmp_path, capsys):
               "--lstat-mode", "distributed", "--exclude", r"\.tmp$",
               "--state-dir", str(tmp_path / "state"), tree)
     assert "keep.dat" in out and "skip.tmp" not in out
+
+
+def test_distributed_watch_maintains_stats(spark, tree, tmp_path,
+                                           capsys):
+    """--lstat-mode distributed composes with --stats-dir: the batch
+    lands through the same _watch_land, so the stored stats summaries
+    fold-update per applied batch and equal a fresh full fold."""
+    db = str(tmp_path / "db")
+    sd = str(tmp_path / "stats")
+    json.loads(run(capsys, "analyze", "--db", db, tree))
+    json.loads(run(capsys, "stats", "compute", "--db", db,
+                   "--stats-dir", sd, tree))
+    _mutate(tree)
+    out = run(capsys, "watch", "--once", "--db", db, "--apply",
+              "--lstat-mode", "distributed", "--stats-dir", sd,
+              "--churn-threshold", "0",
+              "--state-dir", str(tmp_path / "state"), tree)
+    stats_lines = [json.loads(ln) for ln in out.strip().splitlines()
+                   if ln.startswith("{") and '"stats"' in ln]
+    assert stats_lines, out
+    maintained = stats_lines[-1]["totals"]
+    fresh = json.loads(run(capsys, "stats", "compute", "--db", db,
+                           "--stats-dir", str(tmp_path / "stats2"),
+                           tree))
+    assert maintained == fresh["totals"]
