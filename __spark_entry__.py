@@ -9673,9 +9673,34 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
         for q in ("q101_span_dedup", "q121_chunk_windows",
                   "q131_line_excision")
     },
+    # Whether these four surface a Filter DIRECTLY on the scan depends
+    # on session parallelism (they fire under the test session's
+    # local[4]; a wider session plans the same predicate above a
+    # Project) — in both shapes the predicate is computed per row and
+    # unpushable BY DESIGN: the operators must read every row.
+    "q31_fs_stats_at_scale": {
+        "unpruned-scan": "staged-fixture path-synthesis predicate "
+        "(isnotnull over concat of computed path parts); the at-scale "
+        "stats fold measures the FULL tree by definition",
+    },
+    "q35_fs_rollup_at_scale": {
+        "unpruned-scan": "staged-fixture subtree predicate on computed "
+        "paths; the rollup reads the whole staged tree by design",
+    },
+    "q73_pii_scan": {
+        "unpruned-scan": "PII regex predicate over synthesized text — "
+        "computed per row, unpushable; the scan must read text for the "
+        "redaction pass regardless",
+    },
     # q116/q145 carry BOTH exceptions (their nested-loop entries are in
     # the broadcast-scalar block above; a plain dict merge would drop
     # them)
+    "q57_mixture_sample": {
+        "nested-loop": _BCAST_SCALAR,
+        "unpruned-scan": "deterministic MINSTD mixture-sampling "
+        "predicate (CASE over source + hash threshold) — computed per "
+        "row; sampling must evaluate every row by design",
+    },
     "q116_curriculum_bins": {
         "nested-loop": _BCAST_SCALAR,
         "unpruned-scan": _TOKENIZER_FILTER,
