@@ -5701,6 +5701,125 @@ def q148_hard_negatives(spark, sf_dir):
     return hard_negatives(d, qs, exclude, k=5).orderBy("query_id", "rank")
 
 
+def q156_props_json(spark, sf_dir):
+    """Semi-structured column extraction: events.props is a JSON string
+    (the universal "everything else" column of event pipelines);
+    ``get_json_object`` pulls ``$.k`` JVM-side — no UDF, fused into the
+    scan projection with column pruning intact (the scan reads only
+    props/event_type/user_id) — then a grouped rollup by event type and
+    k-decile.  Certifies that the engine's JSON path extraction agrees
+    with DuckDB's ``json_extract_string`` byte-for-byte through a cast,
+    a bucketing div, sums, and a distinct count.
+
+    Scale: one shuffle (the groupBy), key space bounded by
+    |event_types| × 10 buckets; the distinct-user count is the only
+    expansion and stays partial-aggregated per key.  At 100 TB the JSON
+    parse is the dominant per-row cost — still whole-stage-codegen'd,
+    no Python."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select(
+            "event_type", k.alias("k"), "user_id"
+        )
+        .groupBy("event_type", F.expr("k div 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+def q157_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality filter (pipeline/text.bigram_logprob,
+    Wenzek et al. 2020): every document scored by its mean bigram
+    log-probability under a Laplace-smoothed first-order Markov model
+    estimated on the corpus's English slice — the word-ORDER
+    complement to q52's unigram filter (shuffled text keeps its q52
+    score, collapses here).  Add-one smoothing keeps the whole model
+    integer, so both engines estimate the identical model; only the
+    final ln() terms are floats, rounded to 6 dp per the q52
+    discipline.  Bigrams via zip_with over a shifted slice (the
+    dsir.gram_buckets_from rule — indexed lambdas re-evaluate O(n²)
+    under optimizer inlining); model joins are the AQE skew-join shape
+    with the vocabulary size riding as a broadcast scalar."""
+    from dudb_spark.pipeline.text import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d, F.col("lang") == "en").orderBy("doc_id")
+
+
+def q158_stratified_budget(spark, sf_dir):
+    """Exact-budget stratified sampling
+    (pipeline/sampling.stratified_exact_sample): EXACTLY 137 documents
+    allocated across sources by the largest-remainder method — every
+    quota step integer (base = n_s·B div N, +1 to the largest
+    remainders), so the allocation replays bit-for-bit in any engine,
+    where the rate-based samplers (q46/q57) hit a budget only in
+    expectation.  In-stratum selection by hash rank (q46's certified
+    MINSTD coordinate), ranked under a constant ``rn ≤ max(quota)``
+    bound so Catalyst keeps a group-limit prune on the shuffle plus the
+    per-stratum quota trim.  Output: per-source audit — population,
+    quota, selected count, and the id-sum checksum that pins the exact
+    selected SET against the oracle."""
+    from dudb_spark.pipeline.sampling import stratified_exact_sample
+
+    d = _t(spark, sf_dir, "documents")
+    sel = stratified_exact_sample(d, "doc_id", "source", 137, salt=7)
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.max("n_rows").alias("n_docs"),
+            F.max("quota").alias("quota"),
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("doc_id").alias("sum_sel_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+def q159_rolling_anomaly(spark, sf_dir):
+    """Rolling-window anomaly detection
+    (operators/timeseries.rolling_anomalies): events whose value sits
+    more than 3σ from their user's trailing 12-event window (window
+    excludes the current row; ≥6 history rows required).  The decision
+    is ENTIRELY int64 — values quantized to centi-units, then
+    dev² > 9·var tested as (n·q−s)² > 9·(n·Σq²−s²) — because sliding
+    float aggregates do NOT replay across engines (Spark re-scans each
+    frame in row order, DuckDB folds a segment tree; the last ulp
+    diverges and flips boundary flags).  One Exchange on user_id, frame
+    cost bounded by the 13-row window regardless of user skew."""
+    from dudb_spark.operators.timeseries import rolling_anomalies
+
+    e = _events(spark, sf_dir)
+    return (
+        rolling_anomalies(e)
+        .where("is_anomaly")
+        .select("id", "key", "value", "n_prior", "dev_n", "var_n")
+        .orderBy("id")
+    )
+
+
+def q160_event_islands(spark, sf_dir):
+    """Gaps-and-islands (operators/timeseries.event_islands): maximal
+    runs of ≥3 consecutive same-type events per user in (ts, id) order
+    — the classic rn−rn_within_label difference, all integer.  Both
+    row_numbers share one ordering, so Catalyst plans them in a single
+    Window chain after ONE Exchange on user_id; the island fold's key
+    count is the island count.  The op the reference's sequential
+    scans get for free and a shuffle engine has to earn."""
+    from dudb_spark.operators.timeseries import event_islands
+
+    e = _events(spark, sf_dir)
+    return (
+        event_islands(e, min_len=3)
+        .select("key", "label", "run_len", "min_id", "max_id")
+        .orderBy("key", "min_id")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -5856,6 +5975,11 @@ QUERIES: dict[str, Callable] = {
     "q153_hist_quantiles": q153_hist_quantiles,
     "q154_bloom_decontam": q154_bloom_decontam,
     "q155_stream_freq_sketch": q155_stream_freq_sketch,
+    "q156_props_json": q156_props_json,
+    "q157_bigram_lm_score": q157_bigram_lm_score,
+    "q158_stratified_budget": q158_stratified_budget,
+    "q159_rolling_anomaly": q159_rolling_anomaly,
+    "q160_event_islands": q160_event_islands,
 }
 
 ORACLE: dict[str, str] = {
@@ -9549,6 +9673,125 @@ ORACLE["q153_hist_quantiles"] = _hist_quantiles_oracle_sql()
 ORACLE["q154_bloom_decontam"] = _bloom_decontam_oracle_sql()
 ORACLE["q155_stream_freq_sketch"] = _stream_freq_sketch_oracle_sql()
 
+ORACLE["q156_props_json"] = """
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+             AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+ORACLE["q157_bigram_lm_score"] = """
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+        -- parallel unnests zip: t[i] with t[i+1]; empty when len(t) < 2
+        SELECT doc_id, lang,
+               unnest(t[1:len(t) - 1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM toks
+    ), tf AS (
+        SELECT doc_id, lang, w1, w2, COUNT(*) AS tf
+        FROM pairs GROUP BY 1, 2, 3, 4
+    ), model AS (
+        SELECT w1, w2, SUM(tf) AS c12 FROM tf
+        WHERE lang = 'en' GROUP BY 1, 2
+    ), ctx AS (
+        SELECT w1, SUM(c12) AS c1 FROM model GROUP BY 1
+    ), vocab AS (
+        SELECT COUNT(*) AS v FROM ctx
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(tf.tf * ln(
+               CAST(COALESCE(model.c12, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(ctx.c1, 0) + vocab.v AS DOUBLE)
+           )) / SUM(tf.tf), 6) AS mean_lp
+    FROM tf
+    LEFT JOIN model ON tf.w1 = model.w1 AND tf.w2 = model.w2
+    LEFT JOIN ctx ON tf.w1 = ctx.w1
+    CROSS JOIN vocab
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+"""
+
+
+def _stratified_budget_oracle_sql() -> str:
+    from dudb_spark.pipeline.sampling import (
+        largest_remainder_quotas_sql,
+        sample_hash_sql,
+    )
+
+    cte = largest_remainder_quotas_sql("documents", "source", 137)
+    h = sample_hash_sql("d.doc_id", 7)
+    return f"""
+        WITH {cte},
+        picked AS (
+            SELECT d.source, d.doc_id, q.quota, q.n_rows,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.source ORDER BY {h}, d.doc_id
+                   ) AS rn
+            FROM documents d JOIN quotas q ON d.source = q.stratum
+        )
+        SELECT source,
+               CAST(MAX(n_rows) AS BIGINT) AS n_docs,
+               CAST(MAX(quota) AS BIGINT) AS quota,
+               COUNT(*) AS n_sel,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_sel_ids
+        FROM picked WHERE rn <= quota
+        GROUP BY source ORDER BY source
+    """
+
+
+ORACLE["q158_stratified_budget"] = _stratified_budget_oracle_sql()
+
+ORACLE["q159_rolling_anomaly"] = """
+    WITH q AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(ROUND(value * 100) AS BIGINT) AS qv
+        FROM events
+    ), wn AS (
+        SELECT event_id, user_id, value, qv,
+               COUNT(*) OVER w AS n_prior,
+               CAST(SUM(qv) OVER w AS BIGINT) AS s,
+               CAST(SUM(qv * qv) OVER w AS BIGINT) AS ss
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS id, user_id AS key, value, n_prior,
+           CAST(n_prior * qv - s AS BIGINT) AS dev_n,
+           CAST(n_prior * ss - s * s AS BIGINT) AS var_n
+    FROM wn
+    WHERE n_prior >= 6
+      AND (n_prior * qv - s) * (n_prior * qv - s)
+            > 9 * (n_prior * ss - s * s)
+    ORDER BY id
+"""
+
+ORACLE["q160_event_islands"] = """
+    WITH marked AS (
+        SELECT user_id AS key, event_type AS label, event_id AS id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                 AS island
+        FROM events
+    )
+    SELECT key, label, COUNT(*) AS run_len,
+           MIN(id) AS min_id, MAX(id) AS max_id
+    FROM marked
+    GROUP BY key, label, island
+    HAVING COUNT(*) >= 3
+    ORDER BY key, min_id
+"""
+
 
 def _sketch_source_overlap_oracle_sql(p: int = 8) -> str:
     """DuckDB restatement of q151: per-source sketch (prefix 'p'),
@@ -9651,7 +9894,14 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
             "q117_mixture_weights", "q129_budget_selection",
             "q145_corpus_drift", "q148_hard_negatives",
             "q151_sketch_source_overlap", "q152_cms_meanmin",
+            "q157_bigram_lm_score",
         )
+    },
+    "q158_stratified_budget": {
+        "global-window": "largest-remainder quota windows (rank, "
+        "n_total, leftover) run over the ≤|strata|-row counts fold "
+        "(20 sources here) — bounded by construction, like the "
+        "q112/q132 final aggregates",
     },
     "q112_data_quality": {
         "nested-loop": _BCAST_SCALAR,

@@ -1454,6 +1454,131 @@ def cmd_pipeline_drift(args):
         )
 
 
+def cmd_pipeline_lmscore(args):
+    """CCNet-style bigram LM quality scoring
+    (pipeline/text.bigram_logprob): score every document's mean bigram
+    log-prob under a model estimated on the --train-col == --train-value
+    slice; writes (doc_id, n_bigrams, mean_lp) parquet or prints a
+    bounded head/middle/tail summary (the CCNet bucketing)."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.text import bigram_logprob
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = bigram_logprob(
+        df,
+        F.col(args.train_col) == args.train_value,
+        text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+        print(json.dumps({"out": args.out}))
+        return
+    # CCNet tail report: terciles of the score distribution — one
+    # 3-row aggregate, never the corpus
+    cuts = res.select(
+        F.percentile_approx("mean_lp", [1 / 3, 2 / 3], 10_000).alias("c")
+    ).head()["c"]
+    binned = res.select(
+        F.when(F.col("mean_lp") >= cuts[1], "head")
+        .when(F.col("mean_lp") >= cuts[0], "middle")
+        .otherwise("tail")
+        .alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).alias("n_docs"))
+    print("bin\tn_docs")
+    for r in binned.orderBy("bin").toLocalIterator():
+        print(f"{r['bin']}\t{r['n_docs']}")
+
+
+def cmd_pipeline_sample_exact(args):
+    """Exact-budget stratified sample
+    (pipeline/sampling.stratified_exact_sample): EXACTLY --budget rows,
+    largest-remainder allocation across --stratum, MINSTD hash-rank
+    selection inside each stratum.  Prints the per-stratum quota audit
+    (≤|strata| rows) and optionally writes the selected rows."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.sampling import stratified_exact_sample
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    sel = stratified_exact_sample(
+        df, args.id_col, args.stratum, args.budget, salt=args.salt
+    )
+    if args.out:
+        sel.drop("rn", "quota", "n_rows").write.mode("overwrite").parquet(
+            expand_path(args.out)
+        )
+    audit = sel.groupBy(args.stratum).agg(
+        F.max("n_rows").alias("population"),
+        F.max("quota").alias("quota"),
+        F.count(F.lit(1)).alias("selected"),
+    )
+    print(f"{args.stratum}\tpopulation\tquota\tselected")
+    for r in audit.orderBy(args.stratum).toLocalIterator():
+        print(
+            f"{r[args.stratum]}\t{r['population']}\t{r['quota']}"
+            f"\t{r['selected']}"
+        )
+
+
+def cmd_events_anomaly(args):
+    """Rolling-window anomaly detection over an event parquet
+    (operators/timeseries.rolling_anomalies).  Prints flagged rows as
+    TSV (streamed, never collected) or writes them to parquet."""
+    from dudb_spark.operators.timeseries import rolling_anomalies
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = rolling_anomalies(
+        df,
+        key_col=args.key_col,
+        ts_col=args.ts_col,
+        id_col=args.id_col,
+        value_col=args.value_col,
+        scale=args.scale,
+        lookback=args.lookback,
+        min_prior=args.min_prior,
+        z=args.z,
+    ).where("is_anomaly")
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+        print(json.dumps({"out": args.out}))
+        return
+    print("id\tkey\tts\tvalue\tn_prior")
+    for r in res.orderBy("id").toLocalIterator():
+        print(f"{r['id']}\t{r['key']}\t{r['ts']}\t{r['value']}"
+              f"\t{r['n_prior']}")
+
+
+def cmd_events_islands(args):
+    """Gaps-and-islands run detection over an event parquet
+    (operators/timeseries.event_islands): maximal same-label runs per
+    key, TSV streamed or parquet."""
+    from dudb_spark.operators.timeseries import event_islands
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = event_islands(
+        df,
+        key_col=args.key_col,
+        ts_col=args.ts_col,
+        id_col=args.id_col,
+        label_col=args.label_col,
+        min_len=args.min_len,
+    )
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+        print(json.dumps({"out": args.out}))
+        return
+    print("key\tlabel\trun_len\tmin_id\tmax_id")
+    for r in res.orderBy("key", "start_ts").toLocalIterator():
+        print(f"{r['key']}\t{r['label']}\t{r['run_len']}"
+              f"\t{r['min_id']}\t{r['max_id']}")
+
+
 def _hll_pick_p(args) -> int:
     """Resolve the register exponent: an explicit ``--p``, or the
     smallest p meeting ``--error-target`` (HLL rel. error ≈
@@ -2252,6 +2377,61 @@ def build_parser():
     pbm.add_argument("--text-col", default="text")
     pbm.add_argument("--rounds", type=int, default=8)
     pbm.set_defaults(func=cmd_pipeline_bpe)
+    plm = psub.add_parser(
+        "lmscore",
+        help="bigram LM quality scoring (CCNet-style head/middle/tail)",
+    )
+    plm.add_argument("--input", required=True)
+    plm.add_argument("--id-col", default="doc_id")
+    plm.add_argument("--text-col", default="text")
+    plm.add_argument("--train-col", default="lang",
+                     help="column selecting the reference slice")
+    plm.add_argument("--train-value", default="en",
+                     help="value of --train-col marking reference rows")
+    plm.add_argument("--out", default=None)
+    plm.set_defaults(func=cmd_pipeline_lmscore)
+    pse = psub.add_parser(
+        "sample-exact",
+        help="exact-budget stratified sample (largest remainder)",
+    )
+    pse.add_argument("--input", required=True)
+    pse.add_argument("--id-col", default="doc_id")
+    pse.add_argument("--stratum", default="source")
+    pse.add_argument("--budget", type=int, required=True,
+                     help="exact total rows to select (≤ population)")
+    pse.add_argument("--salt", type=int, default=0)
+    pse.add_argument("--out", default=None)
+    pse.set_defaults(func=cmd_pipeline_sample_exact)
+
+    p = sub.add_parser("events", help="event-stream analytics")
+    esub = p.add_subparsers(dest="events_cmd", required=True)
+    ea = esub.add_parser(
+        "anomaly",
+        help="rolling-window anomaly detection (integer-exact z-test)",
+    )
+    ea.add_argument("--input", required=True, help="event parquet")
+    ea.add_argument("--key-col", default="user_id")
+    ea.add_argument("--ts-col", default="ts")
+    ea.add_argument("--id-col", default="event_id")
+    ea.add_argument("--value-col", default="value")
+    ea.add_argument("--scale", type=int, default=100,
+                    help="integer quantization: value units per 1.0")
+    ea.add_argument("--lookback", type=int, default=12)
+    ea.add_argument("--min-prior", type=int, default=6)
+    ea.add_argument("--z", type=int, default=3)
+    ea.add_argument("--out", default=None)
+    ea.set_defaults(func=cmd_events_anomaly)
+    ei = esub.add_parser(
+        "islands", help="maximal same-label runs per key (gaps & islands)"
+    )
+    ei.add_argument("--input", required=True, help="event parquet")
+    ei.add_argument("--key-col", default="user_id")
+    ei.add_argument("--ts-col", default="ts")
+    ei.add_argument("--id-col", default="event_id")
+    ei.add_argument("--label-col", default="event_type")
+    ei.add_argument("--min-len", type=int, default=2)
+    ei.add_argument("--out", default=None)
+    ei.set_defaults(func=cmd_events_islands)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

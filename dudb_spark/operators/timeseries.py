@@ -1,0 +1,145 @@
+"""Ordered time-series operators over event streams: rolling-window
+anomaly detection and gaps-and-islands run detection.
+
+Both are pure window-function compositions — one shuffle on the
+partition key (user), per-partition ordered evaluation, no UDFs, no
+driver participation — the same scale shape as operators/asof.py and
+operators/retention.py.  At 100 TB the cost is the single Exchange on
+``user_id`` plus a per-partition sort; skewed users are bounded by the
+frame width (anomaly) or by run structure (islands), and AQE handles
+partition-size imbalance.
+
+**Cross-engine determinism is designed in, not hoped for.**  A naive
+rolling z-score (``avg``/``stddev`` over a sliding frame) is NOT
+reproducible across engines: Spark re-scans each frame in row order
+while DuckDB aggregates sliding frames through a segment tree, so the
+double additions associate differently and the last ulp diverges —
+which flips ``|z| > 3`` on boundary rows.  Instead the detector
+quantizes the value to integer centi-units once (the q90/q145
+"nano-unit" discipline, here exact because the synthetic values carry
+two decimals), folds integer sums, and tests ``dev² > z²·var`` with
+BOTH sides held in int64:
+
+    mean = s/n,  dev = q − s/n  →  n·q − s          (int)
+    var  = (n·Σq² − s²)/n²                           (int numerator)
+    z² > Z²  ⇔  (n·q − s)² > Z² · (n·Σq² − s²)       (all int64)
+
+No division, no sqrt, no doubles anywhere in the decision — any engine
+with 64-bit integers and the same frame semantics produces the
+identical flag set.  Overflow headroom is documented at the callsite
+(centi-units keep ``(n·q)²`` under 2^63 for values ≤ ~9·10⁵ at frame
+width 13).
+
+The reference has no time-series surface (its domain is filesystem
+metadata snapshots); this extends the events-analytics family next to
+sessionization (streaming/sessions.py) and funnels (retention.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+    lookback: int = 12,
+    min_prior: int = 6,
+    z: int = 3,
+) -> DataFrame:
+    """Flag events whose value deviates more than ``z`` standard
+    deviations from the trailing ``lookback``-event window of the same
+    key (the window EXCLUDES the current row, so an anomaly can't mask
+    itself).  Rows with fewer than ``min_prior`` history rows are not
+    judged.  All arithmetic integer — see the module docstring for the
+    derivation and why floats would not replay cross-engine.
+
+    A zero-variance history flags ANY deviation (``dev² > 0``): a value
+    breaking a constant run is the strongest anomaly signal, and the
+    integer test handles it with no epsilon.
+
+    Output: (id, key, ts, value, n_prior, dev_n, var_n, is_anomaly)
+    where dev_n = n·q − s and var_n = n·Σq² − s² are the integer test
+    terms (exposed so thresholds can be re-derived downstream).
+    """
+    q = F.round(F.col(value_col) * scale).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(q).over(w)
+    ss = F.sum(q * q).over(w)
+    dev_n = n * q - s
+    var_n = n * ss - s * s
+    return (
+        events.select(
+            F.col(id_col).alias("id"),
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("value"),
+            n.alias("n_prior"),
+            dev_n.alias("dev_n"),
+            var_n.alias("var_n"),
+        )
+        .where(F.col("n_prior") >= min_prior)
+        .withColumn(
+            "is_anomaly",
+            F.col("dev_n") * F.col("dev_n")
+            > F.lit(int(z * z)) * F.col("var_n"),
+        )
+    )
+
+
+def event_islands(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    label_col: str = "event_type",
+    min_len: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive identical labels
+    per key in event order — the classic two-row_number difference
+    (rn_overall − rn_within_label is constant exactly along a run),
+    entirely integer, then one fold per island.
+
+    Scale: two window passes over the SAME (key, ts, id) ordering —
+    Catalyst evaluates both in one Window operator chain after a single
+    Exchange on the key — plus a groupBy whose key count is the number
+    of islands (≤ rows).  Nothing data-proportional on the driver.
+
+    Output: (key, label, run_len, min_id, max_id, start_ts, end_ts),
+    one row per island with run_len ≥ ``min_len``.  min/max_id are set
+    extrema over the island (ids need not be time-monotone; the
+    time-ordered endpoints are start_ts/end_ts)."""
+    w_all = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    w_lbl = Window.partitionBy(key_col, label_col).orderBy(ts_col, id_col)
+    marked = events.select(
+        F.col(key_col).alias("key"),
+        F.col(label_col).alias("label"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        (F.row_number().over(w_all) - F.row_number().over(w_lbl)).alias(
+            "island"
+        ),
+    )
+    return (
+        marked.groupBy("key", "label", "island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .where(F.col("run_len") >= min_len)
+        .drop("island")
+    )

@@ -213,3 +213,140 @@ def reservoir_per_group(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def largest_remainder_quotas(
+    df: DataFrame,
+    stratum_col: str,
+    budget: int,
+) -> DataFrame:
+    """Exact per-stratum sample quotas by the largest-remainder
+    (Hamilton) method: quotas are proportional to stratum size, sum to
+    EXACTLY ``budget``, and every arithmetic step is integer — base
+    quota ``(budget*n_s) div n_total``, remainder ``(budget*n_s) mod
+    n_total``, and the ``budget - sum(base)`` leftover units go to the
+    largest remainders (ties: larger stratum, then stratum name).  No
+    floats anywhere, so any engine reproduces the allocation bit-for-bit
+    (the rate-based samplers above can only hit the budget in
+    expectation; corpus contracts are often "exactly N documents").
+
+    The reference has no sampling surface (scans are exhaustive); this
+    extends the LLM-pipeline family (SURVEY.md §7 step 9).
+
+    Scale shape: one groupBy fold to ≤|strata| rows, then windows over
+    that bounded frame — the data-proportional pass is the count
+    aggregation only.  Output: (stratum, n_rows, quota).
+
+    ``budget`` must be ≤ n_total; then quota ≤ n_rows holds provably
+    (floor(n_s·B/N) = n_s forces B = N and remainder 0, so the +1 only
+    lands where base < n_s)."""
+    from pyspark.sql.window import Window
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    b = F.lit(int(budget))
+    # windows over the ≤|strata|-row counts frame (bounded, one
+    # partition by construction — see PLAN_LINT single-partition notes)
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.col("rem").desc(), F.col("n_rows").desc(), F.col("stratum")
+    )
+    quoted = (
+        counts
+        .withColumn("n_total", F.sum("n_rows").over(w_all))
+        .withColumn("base", F.expr("(n_rows * {b}) div n_total".format(b=int(budget))))
+        .withColumn("rem", (F.col("n_rows") * b) % F.col("n_total"))
+        .withColumn("leftover", b - F.sum("base").over(w_all))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "quota",
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    return quoted.select("stratum", "n_rows", "quota")
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly ``budget`` rows overall, allocated across strata by
+    largest remainder and chosen inside each stratum by hash rank
+    (ties by id) — deterministic, rerun- and engine-stable, and
+    subset-consistent in the ranking coordinate.
+
+    Scale shape: the quota table is ≤|strata| rows and broadcast; the
+    ranking window shuffles once on the stratum key.  Per-stratum
+    quotas vary, which defeats WindowGroupLimit's constant-k pruning —
+    so the filter carries a SECOND, constant bound ``rn <= max(quota)``
+    (one collected scalar) that Catalyst CAN push into a group-limit,
+    restoring the ≤k-rows-per-partition shuffle bound; the per-stratum
+    quota then trims inside it.  Output: input columns + (quota, rn)."""
+    from pyspark.sql.window import Window
+
+    quotas = largest_remainder_quotas(df, stratum_col, budget)
+    # bounded driver scalars: ONE row (budget-feasibility check — the
+    # quota ≤ n_rows proof needs budget ≤ n_total — plus the constant
+    # group-limit bound)
+    max_q, n_total = quotas.agg(
+        F.max("quota"), F.sum("n_rows")
+    ).collect()[0]
+    max_q, n_total = max_q or 0, n_total or 0
+    if budget > n_total:
+        raise ValueError(
+            f"budget {budget} exceeds population {n_total}: "
+            "exact allocation is undefined (quotas would exceed strata)"
+        )
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.join(
+            F.broadcast(quotas.withColumnRenamed("stratum", stratum_col)),
+            stratum_col,
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= F.lit(int(max_q))) & (F.col("rn") <= F.col("quota")))
+    )
+
+
+def largest_remainder_quotas_sql(
+    from_sql: str, stratum_expr: str, budget: int
+) -> str:
+    """The identical allocation as an ANSI-SQL CTE body (oracle
+    restatement): ``WITH <this> SELECT ... FROM quotas``.  Integer
+    arithmetic end-to-end — both engines agree bit-for-bit."""
+    b = int(budget)
+    return f"""
+        counts AS (
+            SELECT {stratum_expr} AS stratum, COUNT(*) AS n_rows
+            FROM {from_sql} GROUP BY 1
+        ), sized AS (
+            SELECT stratum, n_rows,
+                   SUM(n_rows) OVER () AS n_total,
+                   (n_rows * {b}) // SUM(n_rows) OVER () AS base,
+                   (n_rows * {b}) % SUM(n_rows) OVER () AS rem
+            FROM counts
+        ), ranked AS (
+            SELECT *,
+                   {b} - SUM(base) OVER () AS leftover,
+                   ROW_NUMBER() OVER (
+                       ORDER BY rem DESC, n_rows DESC, stratum
+                   ) AS rk
+            FROM sized
+        ), quotas AS (
+            SELECT stratum, n_rows,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     AS quota
+            FROM ranked
+        )
+    """

@@ -693,3 +693,81 @@ def chunk_documents(
         F.size("_c").alias("n_tokens"),
         F.array_join("_c", " ").alias("chunk_text"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    train_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a Laplace-smoothed
+    bigram model estimated on a reference slice — the CCNet quality
+    filter (Wenzek et al. 2020, *CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data*) with the KenLM swapped
+    for a self-estimated first-order Markov model: documents whose word
+    sequences look unlike the reference slice score low and can be
+    binned head/middle/tail exactly as CCNet does.  q52's unigram filter
+    scores vocabulary; this scores WORD ORDER — shuffled or boilerplate
+    text keeps its unigram score but collapses here.
+
+    Model: p(w2|w1) = (c12 + 1) / (c1 + V) with c12/c1 counts over the
+    ``train_pred`` slice and V the slice's context-vocabulary size —
+    add-one smoothing keeps every model quantity an integer, so both
+    engines build the identical model and the only floats are the final
+    per-bigram ln() terms (rounded to 6 dp at the output, the q52
+    discipline).  Unseen contexts fall back to 1/V.
+
+    Scale shape: bigrams pair each token with its successor via
+    ``zip_with`` over a shifted slice (NEVER an indexed lambda — see
+    dsir.gram_buckets_from on the O(tokens²) inlining hazard), one
+    exploded pass shared by model and scoring sides; the model joins
+    are term-keyed big×medium with stopword-pair skew — the AQE
+    skew-join shape, exactly like q52; V rides as a broadcast scalar.
+    Documents with < 2 tokens have no bigrams and drop out (scored
+    vacuously; callers that need them keep them with a left join).
+
+    Output: (doc_id, n_bigrams, mean_lp)."""
+    t = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        train_pred.alias("_is_train"),
+        t.alias("_t"),
+    )
+    nxt = F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0)))
+    pair = F.filter(
+        F.zip_with(
+            F.col("_t"), nxt,
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    pairs = base.select(
+        "doc_id", "_is_train", F.explode(pair).alias("bg")
+    ).select("doc_id", "_is_train", F.col("bg.w1"), F.col("bg.w2"))
+    tf = pairs.groupBy("doc_id", "_is_train", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    model = (
+        tf.where("_is_train")
+        .groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("c12"))
+    )
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = ctx.select(F.count(F.lit(1)).alias("v"))
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+    )
+    return (
+        tf.join(model, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * lp) / F.sum("tf"), 6).alias(
+                "mean_lp"
+            ),
+        )
+    )

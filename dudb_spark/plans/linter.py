@@ -258,6 +258,9 @@ COLLECT_ALLOW: dict[str, str] = {
         "<= path_buckets ints",
     "pipeline/dsir.py::bucket_log_ratios":
         "<= n_buckets distribution rows (the bounded-key agg)",
+    "pipeline/sampling.py::stratified_exact_sample":
+        "ONE row: max(quota)+sum(n_rows) over the <=|strata| quota "
+        "frame (the constant group-limit bound + feasibility check)",
     "pipeline/kmeans.py::lloyd_kmeans":
         "k seed rows via .limit(k), then <= k centroid rows per iter",
     "pipeline/kmeans.py::cluster_balance":

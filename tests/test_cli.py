@@ -1157,3 +1157,58 @@ def test_cli_pipeline_quantiles_sketch_mode(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="LO:HI:BINS"):
         main(["pipeline", "quantiles", "--input", inp, "--group", "grp",
               "--value", "v", "--sketch", "bad"])
+
+
+def test_cli_pipeline_lmscore_and_sample_exact(spark, tmp_path, capsys):
+    """lmscore bins the corpus into head/middle/tail over the LM score;
+    sample-exact's audit sums to exactly the budget and its written
+    parquet has exactly budget rows."""
+    docs = [
+        (i, "en" if i % 2 == 0 else "fr",
+         "the quick brown fox " * (1 + i % 3) + f"tail{i}")
+        for i in range(60)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, text string"
+    ).write.parquet(inp)
+    out = run(capsys, "pipeline", "lmscore", "--input", inp)
+    lines = out.strip().splitlines()
+    assert lines[0] == "bin\tn_docs"
+    bins = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines[1:]}
+    assert sum(bins.values()) == 60 and set(bins) <= {"head", "middle",
+                                                      "tail"}
+    sel_out = str(tmp_path / "sel")
+    audit = run(capsys, "pipeline", "sample-exact", "--input", inp,
+                "--stratum", "lang", "--budget", "17", "--salt", "3",
+                "--out", sel_out)
+    rows = [l.split("\t") for l in audit.strip().splitlines()[1:]]
+    assert sum(int(r[3]) for r in rows) == 17
+    assert all(r[2] == r[3] for r in rows)  # selected == quota
+    written = spark.read.parquet(sel_out)
+    assert written.count() == 17
+    assert "rn" not in written.columns and "quota" not in written.columns
+
+
+def test_cli_events_anomaly_and_islands(spark, tmp_path, capsys):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), 1,
+             "a" if i < 9 else "b", 5.0) for i in range(12)]
+    rows.append((12, base + dt.timedelta(minutes=12), 1, "b", 90.0))
+    inp = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    ).write.parquet(inp)
+    out = run(capsys, "events", "anomaly", "--input", inp)
+    lines = out.strip().splitlines()
+    assert lines[0].startswith("id\tkey")
+    flagged = [l.split("\t") for l in lines[1:]]
+    assert [f[0] for f in flagged] == ["12"]  # only the spike
+    out = run(capsys, "events", "islands", "--input", inp,
+              "--min-len", "4")
+    runs = [l.split("\t") for l in out.strip().splitlines()[1:]]
+    assert sorted((r[1], int(r[2])) for r in runs) == [("a", 9), ("b", 4)]

@@ -405,3 +405,49 @@ def test_select_to_budget_fuzz(spark):
             ).collect()
         }
         assert got == want, (trial, budget)
+
+
+def test_bigram_logprob_hand_model(spark):
+    """Laplace bigram model on the train slice, hand-replayed: p(w2|w1)
+    = (c12+1)/(c1+V), unseen contexts fall back to 1/V, <2-token docs
+    drop out."""
+    import math
+
+    from dudb_spark.pipeline.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "a b a b c"),
+            (1, "en", "a b"),
+            (2, "fr", "b a x"),
+            (3, "fr", "z"),
+            (4, "fr", "q r"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    res = {r["doc_id"]: r for r in bigram_logprob(
+        docs, F.col("lang") == "en"
+    ).collect()}
+    # train model: c(a,b)=3, c(b,a)=1, c(b,c)=1; ctx a=3, b=2; V=2
+    lp_ab = math.log(4 / 5)
+    lp_ba = math.log(2 / 4)
+    lp_bc = math.log(2 / 4)
+    lp_ax = math.log(1 / 5)   # unseen bigram, seen context a
+    lp_qr = math.log(1 / 2)   # unseen context: 1/V
+    assert 3 not in res  # single-token doc has no bigrams
+    assert res[0]["n_bigrams"] == 4
+    assert res[0]["mean_lp"] == round((2 * lp_ab + lp_ba + lp_bc) / 4, 6)
+    assert res[1]["mean_lp"] == round(lp_ab, 6)
+    assert res[2]["mean_lp"] == round((lp_ba + lp_ax) / 2, 6)
+    assert res[4]["mean_lp"] == round(lp_qr, 6)
+    # word ORDER sensitivity — the property q52's unigram filter lacks:
+    # same bag of words, shuffled, scores strictly lower
+    shuf = spark.createDataFrame(
+        [(10, "xx", "a b a b c"), (11, "xx", "b b a c a")],
+        "doc_id long, lang string, text string",
+    )
+    both = docs.unionByName(shuf)
+    r2 = {r["doc_id"]: r["mean_lp"] for r in bigram_logprob(
+        both, F.col("lang") == "en"
+    ).collect()}
+    assert r2[11] < r2[10]

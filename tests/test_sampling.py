@@ -163,3 +163,73 @@ def test_assign_split_partitions_and_ratios(spark):
     assert all(full[r["doc_id"]] == r["split"] for r in sub.collect())
     with pytest.raises(ValueError):
         assign_split(df, "doc_id", {"train": 0.5, "val": 0.4}, salt=7)
+
+
+def _hamilton(counts: dict[str, int], budget: int) -> dict[str, int]:
+    n = sum(counts.values())
+    base = {s: (c * budget) // n for s, c in counts.items()}
+    rem = {s: (c * budget) % n for s, c in counts.items()}
+    left = budget - sum(base.values())
+    order = sorted(counts, key=lambda s: (-rem[s], -counts[s], s))
+    for s in order[:left]:
+        base[s] += 1
+    return base
+
+
+def test_largest_remainder_quotas_match_python(spark):
+    from dudb_spark.pipeline.sampling import largest_remainder_quotas
+
+    counts = {"a": 7, "b": 13, "c": 29, "d": 2, "e": 49}
+    rows = [(f"{s}{i}", s) for s, c in counts.items() for i in range(c)]
+    df = spark.createDataFrame(rows, "id string, src string")
+    for budget in (0, 1, 17, 50, 99, 100):
+        got = {r["stratum"]: r["quota"]
+               for r in largest_remainder_quotas(df, "src", budget).collect()}
+        assert got == _hamilton(counts, budget), budget
+        assert sum(got.values()) == budget
+
+
+def test_stratified_exact_sample_properties(spark):
+    import pytest
+
+    from dudb_spark.pipeline.sampling import stratified_exact_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("src"),
+    )
+    sel = stratified_exact_sample(df, "doc_id", "src", 123, salt=3)
+    rows = sel.collect()
+    assert len(rows) == 123  # EXACTLY the budget
+    per = {}
+    for r in rows:
+        per.setdefault(r["src"], []).append(r["doc_id"])
+    for src, ids in per.items():
+        quota = next(r["quota"] for r in rows if r["src"] == src)
+        assert len(ids) == quota
+    # rerun-stable under repartitioning: identical selected SET
+    again = stratified_exact_sample(
+        df.repartition(13, "doc_id"), "doc_id", "src", 123, salt=3
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in rows
+    )
+    # infeasible budget is an error, not a silent truncation
+    with pytest.raises(ValueError):
+        stratified_exact_sample(df, "doc_id", "src", 1001)
+
+
+def test_stratified_exact_sample_group_limit_plan(spark):
+    # the constant rn <= max(quota) bound must reach a group-limit
+    # prune so the per-stratum sort shuffles at most max_q rows per
+    # input partition
+    from dudb_spark.pipeline.sampling import stratified_exact_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("src"),
+    )
+    plan = stratified_exact_sample(
+        df, "doc_id", "src", 50, salt=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

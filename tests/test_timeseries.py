@@ -1,0 +1,112 @@
+"""operators/timeseries.py: rolling integer-exact anomaly detection and
+gaps-and-islands — semantics against hand-built Python folds, plus the
+determinism properties the module's design leans on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dudb_spark.operators.timeseries import event_islands, rolling_anomalies
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, v)
+            for (i, m, u, t, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+def test_rolling_anomaly_flags_spike_not_noise(spark):
+    # user 1: a flat-ish history then a spike; user 2: too short to judge
+    rows = [(i, i, 1, "x", 10.0 + (i % 2) * 0.02) for i in range(10)]
+    rows.append((10, 10, 1, "x", 50.0))  # the spike
+    rows += [(100 + i, i, 2, "x", 5.0) for i in range(4)]  # < min_prior
+    res = rolling_anomalies(_ev(spark, rows)).collect()
+    by_id = {r["id"]: r for r in res}
+    assert 10 in by_id and by_id[10]["is_anomaly"]
+    # noise rows inside the band are judged but NOT flagged
+    judged = [r for r in res if r["id"] < 10]
+    assert judged and not any(r["is_anomaly"] for r in judged)
+    # user 2 never reaches min_prior: absent entirely
+    assert not any(r["key"] == 2 for r in res)
+
+
+def test_rolling_anomaly_integer_terms_match_python(spark):
+    # replay the int64 test in plain Python over the same frame
+    vals = [3.25, 7.5, 1.01, 9.99, 4.44, 6.0, 5.55, 8.2, 2.0, 7.77]
+    rows = [(i, i, 1, "x", v) for i, v in enumerate(vals)]
+    res = {r["id"]: r for r in rolling_anomalies(
+        _ev(spark, rows), lookback=5, min_prior=3
+    ).collect()}
+    q = [round(v * 100) for v in vals]
+    for i in range(len(vals)):
+        hist = q[max(0, i - 5):i]
+        n = len(hist)
+        if n < 3:
+            assert i not in res
+            continue
+        s, ss = sum(hist), sum(x * x for x in hist)
+        dev_n, var_n = n * q[i] - s, n * ss - s * s
+        r = res[i]
+        assert (r["n_prior"], r["dev_n"], r["var_n"]) == (n, dev_n, var_n)
+        assert r["is_anomaly"] == (dev_n * dev_n > 9 * var_n)
+
+
+def test_rolling_anomaly_zero_variance_history(spark):
+    # constant history: ANY deviation flags, staying constant doesn't
+    rows = [(i, i, 1, "x", 4.0) for i in range(8)]
+    rows += [(8, 8, 1, "x", 4.0), (9, 9, 1, "x", 4.01)]
+    res = {r["id"]: r["is_anomaly"]
+           for r in rolling_anomalies(_ev(spark, rows)).collect()}
+    assert res[8] is False and res[9] is True
+
+
+def test_event_islands_runs_and_min_len(spark):
+    rows = [
+        (0, 0, 1, "a", 0.0), (1, 1, 1, "a", 0.0), (2, 2, 1, "a", 0.0),
+        (3, 3, 1, "b", 0.0),
+        (4, 4, 1, "a", 0.0), (5, 5, 1, "a", 0.0),
+        (6, 0, 2, "a", 0.0), (7, 1, 2, "a", 0.0), (8, 2, 2, "a", 0.0),
+        (9, 3, 2, "a", 0.0),
+    ]
+    got = sorted(
+        (r["key"], r["label"], r["run_len"], r["min_id"], r["max_id"])
+        for r in event_islands(_ev(spark, rows)).collect()
+    )
+    assert got == [
+        (1, "a", 2, 4, 5), (1, "a", 3, 0, 2), (1, "b", 1, 3, 3),
+        (2, "a", 4, 6, 9),
+    ]
+    long_only = event_islands(_ev(spark, rows), min_len=3).collect()
+    assert sorted((r["key"], r["run_len"]) for r in long_only) == [
+        (1, 3), (2, 4)
+    ]
+
+
+def test_event_islands_ts_order_not_id_order(spark):
+    # ids deliberately NOT time-monotone: runs follow ts, min/max_id are
+    # set extrema over the island
+    rows = [
+        (5, 0, 1, "a", 0.0), (1, 1, 1, "a", 0.0), (9, 2, 1, "b", 0.0),
+        (2, 3, 1, "a", 0.0),
+    ]
+    got = sorted(
+        (r["label"], r["run_len"], r["min_id"], r["max_id"])
+        for r in event_islands(_ev(spark, rows)).collect()
+    )
+    assert got == [("a", 1, 2, 2), ("a", 2, 1, 5), ("b", 1, 9, 9)]
+
+
+def test_rolling_anomaly_single_exchange_plan(spark):
+    # the frame + filter must plan as ONE shuffle on the key: no extra
+    # Exchange beyond the window's hashpartitioning(user_id)
+    plan = rolling_anomalies(
+        _ev(spark, [(0, 0, 1, "x", 1.0)])
+    ).where("is_anomaly")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
