@@ -5701,6 +5701,72 @@ def q148_hard_negatives(spark, sf_dir):
     return hard_negatives(d, qs, exclude, k=5).orderBy("query_id", "rank")
 
 
+_STAGED_ORDERED_MEMO: dict = {}
+
+
+def _staged_events_ordered(spark, sf_dir, n_files: int = 4) -> str:
+    """Events staged as ``n_files`` time-ordered, mtime-stamped parquet
+    files (range-partitioned by ts) so maxFilesPerTrigger=1 replays them
+    as time-ordered micro-batches — the q85 staging, shared and memoized
+    for operators whose cross-batch contract is per-key ts order."""
+    import os
+    import tempfile
+    from glob import glob as _glob
+
+    key = (id(spark), sf_dir, n_files)
+    got = _STAGED_ORDERED_MEMO.get(key)
+    if got is not None and got[0] is spark:
+        return got[1]
+    src = tempfile.mkdtemp(prefix="dudb_ordstream_src_")
+    _events(spark, sf_dir).repartitionByRange(n_files, "ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    for k, p in enumerate(
+        sorted(_glob(os.path.join(src, "part-*.parquet")))
+    ):
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    _STAGED_ORDERED_MEMO[key] = (spark, src)
+    return src
+
+
+def q161_stream_anomaly(spark, sf_dir):
+    """Streaming rolling-anomaly detection
+    (streaming/anomaly.stream_rolling_anomalies): q159's trailing
+    12-event 3σ detector as a custom stateful operator — Structured
+    Streaming has no sliding ROWS-frame window, so the state IS the
+    frame: the last 12 (ts, id, centi-value) triples per user, O(12)
+    rows per key forever, where the batch plan sorts each user's whole
+    partition.  Four time-ordered micro-batches (maxFilesPerTrigger=1)
+    carry windows ACROSS batch boundaries through the state buffer; the
+    int64 z-test makes streamed == batch an equality, not an
+    approximation — certified against the SAME SQL oracle as q159,
+    value-exact."""
+    from dudb_spark.streaming.anomaly import stream_rolling_anomalies
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+
+    src = _staged_events_ordered(spark, sf_dir, 4)
+    with _stream_parts(spark):
+        reader = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+        )
+        q = (
+            stream_rolling_anomalies(reader.parquet(src))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dudb_q161_anom")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table("dudb_q161_anom")
+        .where("is_anomaly")
+        .select("id", "key", "value", "n_prior", "dev_n", "var_n")
+        .orderBy("id")
+    )
+
+
 def q156_props_json(spark, sf_dir):
     """Semi-structured column extraction: events.props is a JSON string
     (the universal "everything else" column of event pipelines);
@@ -5980,6 +6046,7 @@ QUERIES: dict[str, Callable] = {
     "q158_stratified_budget": q158_stratified_budget,
     "q159_rolling_anomaly": q159_rolling_anomaly,
     "q160_event_islands": q160_event_islands,
+    "q161_stream_anomaly": q161_stream_anomaly,
 }
 
 ORACLE: dict[str, str] = {
@@ -9773,6 +9840,8 @@ ORACLE["q159_rolling_anomaly"] = """
             > 9 * (n_prior * ss - s * s)
     ORDER BY id
 """
+
+ORACLE["q161_stream_anomaly"] = ORACLE["q159_rolling_anomaly"]
 
 ORACLE["q160_event_islands"] = """
     WITH marked AS (

@@ -845,3 +845,78 @@ def test_stream_cms_cells_equal_batch_fold(spark, events_dir):
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
     assert all(r["est"] >= r["exact"] for r in est.collect())
+
+
+def test_stream_anomaly_state_spans_batches(spark, tmp_path):
+    """Cross-batch correctness of the O(lookback) state: windows that
+    span micro-batch boundaries, within-batch disorder, and flag parity
+    with the batch operator — all integer-exact, no tolerance."""
+    import datetime as dt
+    import os
+
+    from dudb_spark.operators.timeseries import rolling_anomalies
+    from dudb_spark.streaming.anomaly import stream_rolling_anomalies
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(i, minute, user, val):
+        return (i, base + dt.timedelta(minutes=minute), user, "x", val,
+                "{}")
+
+    # user 1: flat history split across batches, spike lands in batch 1
+    # with ONLY batch-0 history in its window; user 2: disorder inside
+    # batch 1 (later-id, earlier-ts) must sort before judging
+    b0 = [ev(i, i, 1, 7.0 + (i % 2) * 0.04) for i in range(8)]
+    b1 = ([ev(8, 8, 1, 55.5)]
+          + [ev(100 + i, i, 2, 3.0) for i in range(7)]
+          + [ev(110, 7.5, 2, 3.0), ev(109, 7.25, 2, 44.4)])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for k, rows in enumerate([b0, b1]):
+        bdf = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        tmp = str(tmp_path / f"w{k}")
+        bdf.coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_rolling_anomalies(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_anom_span")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["n_prior"], r["dev_n"], r["var_n"], r["is_anomaly"])
+        for r in spark.table("t_anom_span").collect()
+    }
+    # batch parity: the same events through the batch operator
+    all_rows = spark.createDataFrame(
+        b0 + b1,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    want = {
+        r["id"]: (r["n_prior"], r["dev_n"], r["var_n"], r["is_anomaly"])
+        for r in rolling_anomalies(all_rows).collect()
+    }
+    assert got == want
+    # the spike's window is batch-0 history only: state crossed batches
+    assert got[8][3] is True and got[8][0] == 8
+    # disorder: 109 (earlier ts) judged before 110 despite id order
+    assert 109 in got and got[109][3] is True
+    assert got[110][0] == 8  # 110's window includes 109 (7 flats + it)
