@@ -5846,6 +5846,37 @@ def q158_stratified_budget(spark, sf_dir):
     )
 
 
+def q162_temperature_mixture(spark, sf_dir):
+    """Temperature-rebalanced corpus sampling
+    (pipeline/sampling.temperature_quotas / temperature_sample):
+    allocation ∝ n_s^0.5 instead of n_s — the multilingual rebalancing
+    exponent XLM-R/mT5 train with — integerized by the same Hamilton
+    step as q158, so small sources gain share at the expense of head
+    sources and the whole allocation still sums to EXACTLY the budget.
+    α=0.5 is the certified point: IEEE sqrt is correctly rounded in
+    every engine, so even the one float step replays bit-for-bit
+    (general α goes through libm pow and is supported-not-certified,
+    documented in the module).  Output: per-source audit with the
+    allocated quota, the population cap, and the selected-set id-sum
+    checksum."""
+    from dudb_spark.pipeline.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    sel = temperature_sample(d, "doc_id", "source", 137, alpha=0.5,
+                             salt=11)
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.max("n_rows").alias("n_docs"),
+            F.max("quota").alias("quota"),
+            F.max("capped").alias("capped"),
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("doc_id").alias("sum_sel_ids"),
+        )
+        .orderBy("source")
+    )
+
+
 def q159_rolling_anomaly(spark, sf_dir):
     """Rolling-window anomaly detection
     (operators/timeseries.rolling_anomalies): events whose value sits
@@ -6047,6 +6078,7 @@ QUERIES: dict[str, Callable] = {
     "q159_rolling_anomaly": q159_rolling_anomaly,
     "q160_event_islands": q160_event_islands,
     "q161_stream_anomaly": q161_stream_anomaly,
+    "q162_temperature_mixture": q162_temperature_mixture,
 }
 
 ORACLE: dict[str, str] = {
@@ -9843,6 +9875,37 @@ ORACLE["q159_rolling_anomaly"] = """
 
 ORACLE["q161_stream_anomaly"] = ORACLE["q159_rolling_anomaly"]
 
+
+def _temperature_mixture_oracle_sql() -> str:
+    from dudb_spark.pipeline.sampling import (
+        sample_hash_sql,
+        temperature_quotas_sql,
+    )
+
+    cte = temperature_quotas_sql("documents", "source", 137)
+    h = sample_hash_sql("d.doc_id", 11)
+    return f"""
+        WITH {cte},
+        picked AS (
+            SELECT d.source, d.doc_id, q.quota, q.capped, q.n_rows,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.source ORDER BY {h}, d.doc_id
+                   ) AS rn
+            FROM documents d JOIN quotas q ON d.source = q.stratum
+        )
+        SELECT source,
+               CAST(MAX(n_rows) AS BIGINT) AS n_docs,
+               CAST(MAX(quota) AS BIGINT) AS quota,
+               CAST(MAX(capped) AS BIGINT) AS capped,
+               COUNT(*) AS n_sel,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_sel_ids
+        FROM picked WHERE rn <= capped
+        GROUP BY source ORDER BY source
+    """
+
+
+ORACLE["q162_temperature_mixture"] = _temperature_mixture_oracle_sql()
+
 ORACLE["q160_event_islands"] = """
     WITH marked AS (
         SELECT user_id AS key, event_type AS label, event_id AS id,
@@ -9971,6 +10034,11 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
         "n_total, leftover) run over the ≤|strata|-row counts fold "
         "(20 sources here) — bounded by construction, like the "
         "q112/q132 final aggregates",
+    },
+    "q162_temperature_mixture": {
+        "global-window": "temperature-quota windows (rank, w_total, "
+        "leftover) over the same ≤|strata|-row counts fold as q158 — "
+        "bounded by construction",
     },
     "q112_data_quality": {
         "nested-loop": _BCAST_SCALAR,

@@ -1500,28 +1500,52 @@ def cmd_pipeline_sample_exact(args):
     (≤|strata| rows) and optionally writes the selected rows."""
     from pyspark.sql import functions as F
 
-    from dudb_spark.pipeline.sampling import stratified_exact_sample
+    from dudb_spark.pipeline.sampling import (
+        stratified_exact_sample,
+        temperature_sample,
+    )
 
     spark = _spark()
     df = spark.read.parquet(expand_path(args.input))
-    sel = stratified_exact_sample(
-        df, args.id_col, args.stratum, args.budget, salt=args.salt
-    )
+    if args.alpha is not None:
+        # temperature rebalancing: allocation ∝ n_s**alpha; a quota may
+        # exceed its stratum, the audit's shortfall column reports it
+        sel = temperature_sample(
+            df, args.id_col, args.stratum, args.budget,
+            alpha=args.alpha, salt=args.salt,
+        )
+        drop_cols = ["rn", "quota", "capped", "shortfall", "n_rows"]
+        extra = [F.max("capped").alias("capped"),
+                 F.max("shortfall").alias("shortfall")]
+        hdr = f"{args.stratum}\tpopulation\tquota\tcapped\tshortfall\tselected"
+
+        def line(r):
+            return (f"{r[args.stratum]}\t{r['population']}\t{r['quota']}"
+                    f"\t{r['capped']}\t{r['shortfall']}\t{r['selected']}")
+    else:
+        sel = stratified_exact_sample(
+            df, args.id_col, args.stratum, args.budget, salt=args.salt
+        )
+        drop_cols = ["rn", "quota", "n_rows"]
+        extra = []
+        hdr = f"{args.stratum}\tpopulation\tquota\tselected"
+
+        def line(r):
+            return (f"{r[args.stratum]}\t{r['population']}\t{r['quota']}"
+                    f"\t{r['selected']}")
     if args.out:
-        sel.drop("rn", "quota", "n_rows").write.mode("overwrite").parquet(
+        sel.drop(*drop_cols).write.mode("overwrite").parquet(
             expand_path(args.out)
         )
     audit = sel.groupBy(args.stratum).agg(
         F.max("n_rows").alias("population"),
         F.max("quota").alias("quota"),
+        *extra,
         F.count(F.lit(1)).alias("selected"),
     )
-    print(f"{args.stratum}\tpopulation\tquota\tselected")
+    print(hdr)
     for r in audit.orderBy(args.stratum).toLocalIterator():
-        print(
-            f"{r[args.stratum]}\t{r['population']}\t{r['quota']}"
-            f"\t{r['selected']}"
-        )
+        print(line(r))
 
 
 def cmd_events_anomaly(args):
@@ -2400,6 +2424,10 @@ def build_parser():
     pse.add_argument("--budget", type=int, required=True,
                      help="exact total rows to select (≤ population)")
     pse.add_argument("--salt", type=int, default=0)
+    pse.add_argument("--alpha", type=float, default=None,
+                     help="temperature exponent: allocate ∝ n**alpha "
+                          "(0.5 = XLM-R-style rebalancing; default "
+                          "proportional)")
     pse.add_argument("--out", default=None)
     pse.set_defaults(func=cmd_pipeline_sample_exact)
 

@@ -350,3 +350,142 @@ def largest_remainder_quotas_sql(
             FROM ranked
         )
     """
+
+
+def temperature_quotas(
+    df: DataFrame,
+    stratum_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled exact quotas: allocation proportional to
+    ``n_s**alpha`` instead of ``n_s`` — the multilingual rebalancing
+    rule (alpha < 1 upweights low-resource strata; XLM-R and mT5 train
+    with exactly this exponent family) — then the same largest-remainder
+    integerization as :func:`largest_remainder_quotas`.
+
+    Weights enter the Hamilton step as ``floor(n_s**alpha * 1e6)``
+    int64s, so every allocation step after the single power is integer
+    and engine-exact.  The certified configuration is ``alpha=0.5``:
+    IEEE-754 sqrt is correctly rounded on every engine, so even the
+    weight step is bit-reproducible; other alphas go through pow(),
+    whose last ulp may differ across libm implementations — supported,
+    but the oracle contract covers 0.5.
+
+    A temperature quota can EXCEED its stratum (that's the point —
+    upsampling small strata), which selection-without-replacement can't
+    honor; the output keeps both numbers honest: ``quota`` (allocated),
+    ``capped`` = min(quota, n_rows) (selectable), ``shortfall`` =
+    quota − capped for the caller to resolve by repetition/epochs.
+    Scale shape identical to largest_remainder_quotas: one count fold,
+    windows over ≤|strata| rows."""
+    from pyspark.sql.window import Window
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    if alpha == 0.5:
+        wexpr = F.floor(F.sqrt(F.col("n_rows")) * F.lit(1_000_000))
+    else:
+        wexpr = F.floor(
+            F.pow(F.col("n_rows"), F.lit(float(alpha))) * F.lit(1_000_000)
+        )
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    b = F.lit(int(budget))
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.col("rem").desc(), F.col("w").desc(), F.col("stratum")
+    )
+    quoted = (
+        counts
+        .withColumn("w", wexpr.cast("long"))
+        .withColumn("w_total", F.sum("w").over(w_all))
+        .withColumn("base", F.expr(f"(w * {int(budget)}) div w_total"))
+        .withColumn("rem", (F.col("w") * b) % F.col("w_total"))
+        .withColumn("leftover", b - F.sum("base").over(w_all))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "quota",
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("capped", F.least(F.col("quota"), F.col("n_rows")))
+        .withColumn("shortfall", F.col("quota") - F.col("capped"))
+    )
+    return quoted.select(
+        "stratum", "n_rows", "quota", "capped", "shortfall"
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-rebalanced deterministic sample: ``capped`` rows per
+    stratum (see :func:`temperature_quotas`), chosen by the MINSTD hash
+    rank exactly like :func:`stratified_exact_sample` (same constant
+    group-limit bound).  Total rows = budget − Σ shortfall."""
+    from pyspark.sql.window import Window
+
+    quotas = temperature_quotas(df, stratum_col, budget, alpha)
+    max_q = (
+        quotas.agg(F.max("capped")).collect()[0][0] or 0
+    )  # bounded driver scalar: ONE row over ≤|strata| quotas
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.join(
+            F.broadcast(quotas.withColumnRenamed("stratum", stratum_col)),
+            stratum_col,
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("rn") <= F.lit(int(max_q)))
+            & (F.col("rn") <= F.col("capped"))
+        )
+    )
+
+
+def temperature_quotas_sql(
+    from_sql: str, stratum_expr: str, budget: int
+) -> str:
+    """The alpha=0.5 allocation as an ANSI-SQL CTE body ending in
+    ``quotas`` — sqrt is the one float op and it's correctly rounded
+    everywhere, so the whole chain replays bit-for-bit."""
+    b = int(budget)
+    return f"""
+        counts AS (
+            SELECT {stratum_expr} AS stratum, COUNT(*) AS n_rows
+            FROM {from_sql} GROUP BY 1
+        ), weighted AS (
+            SELECT stratum, n_rows,
+                   CAST(FLOOR(SQRT(n_rows) * 1000000) AS BIGINT) AS w
+            FROM counts
+        ), sized AS (
+            SELECT stratum, n_rows, w,
+                   (w * {b}) // SUM(w) OVER () AS base,
+                   (w * {b}) % SUM(w) OVER () AS rem
+            FROM weighted
+        ), ranked AS (
+            SELECT *,
+                   {b} - SUM(base) OVER () AS leftover,
+                   ROW_NUMBER() OVER (
+                       ORDER BY rem DESC, w DESC, stratum
+                   ) AS rk
+            FROM sized
+        ), quotas AS (
+            SELECT stratum, n_rows,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     AS quota,
+                   LEAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                         n_rows) AS capped
+            FROM ranked
+        )
+    """

@@ -261,6 +261,9 @@ COLLECT_ALLOW: dict[str, str] = {
     "pipeline/sampling.py::stratified_exact_sample":
         "ONE row: max(quota)+sum(n_rows) over the <=|strata| quota "
         "frame (the constant group-limit bound + feasibility check)",
+    "pipeline/sampling.py::temperature_sample":
+        "ONE row: max(capped) over the <=|strata| quota frame (the "
+        "constant group-limit bound)",
     "pipeline/kmeans.py::lloyd_kmeans":
         "k seed rows via .limit(k), then <= k centroid rows per iter",
     "pipeline/kmeans.py::cluster_balance":

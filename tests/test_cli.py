@@ -1212,3 +1212,20 @@ def test_cli_events_anomaly_and_islands(spark, tmp_path, capsys):
               "--min-len", "4")
     runs = [l.split("\t") for l in out.strip().splitlines()[1:]]
     assert sorted((r[1], int(r[2])) for r in runs) == [("a", 9), ("b", 4)]
+
+
+def test_cli_sample_exact_temperature(spark, tmp_path, capsys):
+    """--alpha adds the capped/shortfall audit columns and rebalances
+    toward small strata."""
+    rows = [(i, "big" if i < 180 else "tiny") for i in range(200)]
+    inp = str(tmp_path / "tdocs")
+    spark.createDataFrame(rows, "doc_id long, lang string").write.parquet(
+        inp)
+    out = run(capsys, "pipeline", "sample-exact", "--input", inp,
+              "--stratum", "lang", "--budget", "40", "--alpha", "0.5")
+    lines = out.strip().splitlines()
+    assert lines[0].endswith("quota\tcapped\tshortfall\tselected")
+    got = {l.split("\t")[0]: l.split("\t") for l in lines[1:]}
+    assert sum(int(v[5]) for v in got.values()) == 40
+    # proportional would give tiny 40*20/200 = 4; sqrt gives ~10
+    assert int(got["tiny"][2]) > 4

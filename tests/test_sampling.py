@@ -233,3 +233,48 @@ def test_stratified_exact_sample_group_limit_plan(spark):
         df, "doc_id", "src", 50, salt=1
     )._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_temperature_quotas_flatten_and_cap(spark):
+    import math
+
+    from dudb_spark.pipeline.sampling import (
+        temperature_quotas,
+        temperature_sample,
+    )
+
+    counts = {"big": 900, "mid": 90, "tiny": 10}
+    rows, nxt = [], 0
+    for s, c in counts.items():
+        for _ in range(c):
+            rows.append((nxt, s))
+            nxt += 1
+    df = spark.createDataFrame(rows, "id long, src string")
+    got = {r["stratum"]: r for r in
+           temperature_quotas(df, "src", 100, alpha=0.5).collect()}
+    # python replay of the weighted Hamilton step
+    w = {s: math.floor(math.sqrt(c) * 1_000_000) for s, c in counts.items()}
+    W = sum(w.values())
+    base = {s: (wv * 100) // W for s, wv in w.items()}
+    rem = {s: (wv * 100) % W for s, wv in w.items()}
+    left = 100 - sum(base.values())
+    for s in sorted(counts, key=lambda s: (-rem[s], -w[s], s))[:left]:
+        base[s] += 1
+    assert {s: r["quota"] for s, r in got.items()} == base
+    assert sum(r["quota"] for r in got.values()) == 100
+    # temperature flattens: tiny's share ∝ sqrt grows vs proportional
+    assert got["tiny"]["quota"] > 10 * 100 // 1000
+    assert got["big"]["quota"] < 900 * 100 // 1000
+    # capping: a budget that over-allocates tiny reports the shortfall
+    big = {r["stratum"]: r for r in
+           temperature_quotas(df, "src", 600, alpha=0.5).collect()}
+    assert big["tiny"]["quota"] > 10
+    assert big["tiny"]["capped"] == 10
+    assert (big["tiny"]["shortfall"]
+            == big["tiny"]["quota"] - 10 > 0)
+    sel = temperature_sample(df, "id", "src", 600, alpha=0.5).collect()
+    assert len(sel) == 600 - sum(r["shortfall"] for r in big.values())
+    per = {}
+    for r in sel:
+        per[r["src"]] = per.get(r["src"], 0) + 1
+    assert per["tiny"] == 10  # never more than the population
