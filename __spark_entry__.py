@@ -9853,7 +9853,7 @@ ORACLE["q159_rolling_anomaly"] = """
     WITH q AS (
         SELECT event_id, user_id, ts, value,
                CAST(ROUND(value * 100) AS BIGINT) AS qv
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), wn AS (
         SELECT event_id, user_id, value, qv,
                COUNT(*) OVER w AS n_prior,

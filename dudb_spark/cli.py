@@ -1481,6 +1481,10 @@ def cmd_pipeline_lmscore(args):
     cuts = res.select(
         F.percentile_approx("mean_lp", [1 / 3, 2 / 3], 10_000).alias("c")
     ).head()["c"]
+    if cuts is None:
+        # every document had <2 tokens (no bigrams) — nothing to bin
+        print("bin\tn_docs")
+        return
     binned = res.select(
         F.when(F.col("mean_lp") >= cuts[1], "head")
         .when(F.col("mean_lp") >= cuts[0], "middle")
@@ -1501,7 +1505,9 @@ def cmd_pipeline_sample_exact(args):
     from pyspark.sql import functions as F
 
     from dudb_spark.pipeline.sampling import (
+        largest_remainder_quotas,
         stratified_exact_sample,
+        temperature_quotas,
         temperature_sample,
     )
 
@@ -1514,9 +1520,10 @@ def cmd_pipeline_sample_exact(args):
             df, args.id_col, args.stratum, args.budget,
             alpha=args.alpha, salt=args.salt,
         )
+        quotas = temperature_quotas(
+            df, args.stratum, args.budget, alpha=args.alpha
+        )
         drop_cols = ["rn", "quota", "capped", "shortfall", "n_rows"]
-        extra = [F.max("capped").alias("capped"),
-                 F.max("shortfall").alias("shortfall")]
         hdr = f"{args.stratum}\tpopulation\tquota\tcapped\tshortfall\tselected"
 
         def line(r):
@@ -1526,8 +1533,8 @@ def cmd_pipeline_sample_exact(args):
         sel = stratified_exact_sample(
             df, args.id_col, args.stratum, args.budget, salt=args.salt
         )
+        quotas = largest_remainder_quotas(df, args.stratum, args.budget)
         drop_cols = ["rn", "quota", "n_rows"]
-        extra = []
         hdr = f"{args.stratum}\tpopulation\tquota\tselected"
 
         def line(r):
@@ -1537,11 +1544,18 @@ def cmd_pipeline_sample_exact(args):
         sel.drop(*drop_cols).write.mode("overwrite").parquet(
             expand_path(args.out)
         )
-    audit = sel.groupBy(args.stratum).agg(
-        F.max("n_rows").alias("population"),
-        F.max("quota").alias("quota"),
-        *extra,
-        F.count(F.lit(1)).alias("selected"),
+    # audit from the QUOTA frame (left-joined with selection counts),
+    # not from the selected rows — a stratum allocated quota 0 must
+    # still print its line, or 'allocated 0' is indistinguishable from
+    # 'stratum absent'
+    counts = sel.groupBy(args.stratum).agg(
+        F.count(F.lit(1)).alias("selected")
+    )
+    audit = (
+        quotas.withColumnRenamed("stratum", args.stratum)
+        .join(counts, args.stratum, "left")
+        .withColumn("selected", F.coalesce("selected", F.lit(0)))
+        .withColumnRenamed("n_rows", "population")
     )
     print(hdr)
     for r in audit.orderBy(args.stratum).toLocalIterator():

@@ -79,6 +79,11 @@ def rolling_anomalies(
     ss = F.sum(q * q).over(w)
     dev_n = n * q - s
     var_n = n * ss - s * s
+    # NULL values are dropped UP FRONT: counting them in n while the
+    # sums skip them would corrupt the integer test terms, and the
+    # streaming twin (streaming/anomaly.py) must see the identical
+    # event sequence for streamed == batch to hold
+    events = events.where(F.col(value_col).isNotNull())
     return (
         events.select(
             F.col(id_col).alias("id"),

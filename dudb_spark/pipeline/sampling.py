@@ -239,7 +239,10 @@ def largest_remainder_quotas(
 
     ``budget`` must be ≤ n_total; then quota ≤ n_rows holds provably
     (floor(n_s·B/N) = n_s forces B = N and remainder 0, so the +1 only
-    lands where base < n_s)."""
+    lands where base < n_s).  Overflow headroom: n_s·B must stay in
+    int64 (Spark wraps silently with ANSI off where DuckDB promotes to
+    HUGEINT) — holds for B·N < 2^62; the samplers enforce it, direct
+    callers at extreme scale must too."""
     from pyspark.sql.window import Window
 
     if budget < 0:
@@ -294,17 +297,38 @@ def stratified_exact_sample(
     from pyspark.sql.window import Window
 
     quotas = largest_remainder_quotas(df, stratum_col, budget)
-    # bounded driver scalars: ONE row (budget-feasibility check — the
-    # quota ≤ n_rows proof needs budget ≤ n_total — plus the constant
-    # group-limit bound)
-    max_q, n_total = quotas.agg(
-        F.max("quota"), F.sum("n_rows")
+    # bounded driver scalars: ONE row (budget-feasibility + NULL-stratum
+    # + overflow checks — the quota ≤ n_rows proof needs budget ≤
+    # n_total — plus the constant group-limit bound).  NOTE: the quota
+    # fold executes twice (this scalar job + the join side re-evaluates
+    # the uncached lineage); at extreme input scale persist df or
+    # pre-compute quotas — kept re-evaluated here so the returned plan
+    # stays the certified shape.
+    max_q, n_total, null_rows = quotas.agg(
+        F.max("quota"),
+        F.sum("n_rows"),
+        F.sum(F.when(F.col("stratum").isNull(), F.col("n_rows"))),
     ).collect()[0]
     max_q, n_total = max_q or 0, n_total or 0
+    if null_rows:
+        # a NULL stratum gets a quota but the equi-join below drops its
+        # rows (NULL != NULL) — the EXACTLY-budget contract would break
+        # silently, and cross-engine NULL orderings diverge; refuse
+        raise ValueError(
+            f"{null_rows} rows have NULL {stratum_col!r}: fill or "
+            "filter the stratum column before exact allocation"
+        )
     if budget > n_total:
         raise ValueError(
             f"budget {budget} exceeds population {n_total}: "
             "exact allocation is undefined (quotas would exceed strata)"
+        )
+    if n_total and budget > (1 << 62) // n_total:
+        # n_rows*budget must stay in int64 (Spark wraps silently with
+        # ANSI off; DuckDB promotes to HUGEINT — a cross-engine split)
+        raise ValueError(
+            f"budget {budget} × population {n_total} would overflow "
+            "the int64 quota arithmetic"
         )
     w = Window.partitionBy(stratum_col).orderBy(
         sample_hash(F.col(id_col), salt), F.col(id_col)
@@ -366,7 +390,9 @@ def temperature_quotas(
 
     Weights enter the Hamilton step as ``floor(n_s**alpha * 1e6)``
     int64s, so every allocation step after the single power is integer
-    and engine-exact.  The certified configuration is ``alpha=0.5``:
+    and engine-exact (overflow headroom: w_s·B < 2^63 ⇒ B < 2^43 at
+    α=0.5 even for trillion-row strata — the ×1e6 weight scale spends
+    20 of the 63 bits).  The certified configuration is ``alpha=0.5``:
     IEEE-754 sqrt is correctly rounded on every engine, so even the
     weight step is bit-reproducible; other alphas go through pow(),
     whose last ulp may differ across libm implementations — supported,
@@ -434,9 +460,19 @@ def temperature_sample(
     from pyspark.sql.window import Window
 
     quotas = temperature_quotas(df, stratum_col, budget, alpha)
-    max_q = (
-        quotas.agg(F.max("capped")).collect()[0][0] or 0
-    )  # bounded driver scalar: ONE row over ≤|strata| quotas
+    # bounded driver scalar: ONE row over ≤|strata| quotas (group-limit
+    # bound + the same NULL-stratum refusal as stratified_exact_sample —
+    # the equi-join below would silently drop a NULL stratum's quota)
+    max_q, null_rows = quotas.agg(
+        F.max("capped"),
+        F.sum(F.when(F.col("stratum").isNull(), F.col("n_rows"))),
+    ).collect()[0]
+    max_q = max_q or 0
+    if null_rows:
+        raise ValueError(
+            f"{null_rows} rows have NULL {stratum_col!r}: fill or "
+            "filter the stratum column before exact allocation"
+        )
     w = Window.partitionBy(stratum_col).orderBy(
         sample_hash(F.col(id_col), salt), F.col(id_col)
     )

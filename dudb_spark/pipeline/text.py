@@ -755,6 +755,14 @@ def bigram_logprob(
     )
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = ctx.select(F.count(F.lit(1)).alias("v"))
+    # an empty reference slice would make V=0 and every score
+    # ln(x/0) = +Inf — a silent misconfiguration; refuse loudly
+    # (cheap: tf is persisted, the probe folds ≤|vocab| rows)
+    if ctx.limit(1).count() == 0:
+        raise ValueError(
+            "bigram_logprob: train_pred matched no rows with ≥2 "
+            "tokens — the reference slice is empty"
+        )
     lp = F.log(
         (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")

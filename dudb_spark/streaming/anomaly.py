@@ -157,6 +157,10 @@ def stream_rolling_anomalies(
     batch operator), so the kernel's integers are bit-identical to the
     batch plan's."""
     qv = F.round(F.col(value_col) * scale).cast("long").alias("qv")
+    # NULL values dropped up front, matching the batch operator — a NaN
+    # reaching the kernel's int64 cast would kill the query, and a null
+    # occupying a frame slot would diverge from the batch window
+    events = events.where(F.col(value_col).isNotNull())
     return (
         events.select(
             F.col(id_col).alias("event_id"),

@@ -1229,3 +1229,19 @@ def test_cli_sample_exact_temperature(spark, tmp_path, capsys):
     assert sum(int(v[5]) for v in got.values()) == 40
     # proportional would give tiny 40*20/200 = 4; sqrt gives ~10
     assert int(got["tiny"][2]) > 4
+
+
+def test_cli_sample_exact_zero_quota_stratum_still_printed(
+    spark, tmp_path, capsys
+):
+    rows = [(i, "a" if i < 10 else "b") for i in range(15)]
+    inp = str(tmp_path / "zq")
+    spark.createDataFrame(rows, "doc_id long, lang string").write.parquet(
+        inp)
+    out = run(capsys, "pipeline", "sample-exact", "--input", inp,
+              "--stratum", "lang", "--budget", "1")
+    got = {l.split("\t")[0]: l.split("\t") for l in
+           out.strip().splitlines()[1:]}
+    # 'b' gets quota 0 — its audit line must still appear, selected=0
+    assert set(got) == {"a", "b"}
+    assert got["a"][2:4] == ["1", "1"] and got["b"][2:4] == ["0", "0"]

@@ -278,3 +278,21 @@ def test_temperature_quotas_flatten_and_cap(spark):
     for r in sel:
         per[r["src"]] = per.get(r["src"], 0) + 1
     assert per["tiny"] == 10  # never more than the population
+
+
+def test_exact_samplers_refuse_null_strata(spark):
+    import pytest
+
+    from dudb_spark.pipeline.sampling import (
+        stratified_exact_sample,
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, None), (3, "b")],
+        "doc_id long, src string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        stratified_exact_sample(df, "doc_id", "src", 2).collect()
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_sample(df, "doc_id", "src", 2).collect()

@@ -110,3 +110,19 @@ def test_rolling_anomaly_single_exchange_plan(spark):
         _ev(spark, [(0, 0, 1, "x", 1.0)])
     ).where("is_anomaly")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rolling_anomaly_null_values_dropped(spark):
+    # a NULL value must not occupy a frame slot nor corrupt the test
+    # terms (count vs sum mismatch); batch and stream share the contract
+    rows = [(i, i, 1, "x", 5.0) for i in range(8)]
+    rows[3] = (3, 3, 1, "x", None)
+    rows.append((8, 8, 1, "x", 40.0))
+    res = {r["id"]: r for r in rolling_anomalies(
+        _ev(spark, rows), lookback=5, min_prior=3
+    ).collect()}
+    assert 3 not in res  # the null event itself is never judged
+    # id 8's window = last 5 NON-NULL events, all 5.0 → flagged
+    r = res[8]
+    assert r["n_prior"] == 5 and r["is_anomaly"]
+    assert r["var_n"] == 0 and r["dev_n"] == 5 * (4000 - 500) // 1  # 5*q - s
