@@ -5917,6 +5917,71 @@ def q160_event_islands(spark, sf_dir):
     )
 
 
+def q163_kmv_set_overlap(spark, sf_dir):
+    """KMV (theta) sketch set-operations (pipeline/sketch.kmv_minima /
+    kmv_pair_set_estimates, Beyer et al. SIGMOD 2007): per-source
+    vocabulary sketches of the k=64 smallest distinct token hashes,
+    then DIRECT union / intersection / difference estimates for all
+    190 source pairs from the pair's shared θ-sample — the set algebra
+    q151's HLL registers cannot express (inclusion–exclusion's error
+    grows with |A∪B|; the θ-sample estimates the intersection itself).
+    The fold is dense_rank ≤ k compiling to a PARTIAL WindowGroupLimit
+    (bounded map-side heap, shuffle constant in corpus size,
+    plan-pinned); sketches merge by union + re-rank like HLL
+    registers.  Exact intersection rides alongside; the oracle replays
+    the fold, θ, and every scaled count in SQL."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import (
+        kmv_estimate,
+        kmv_minima,
+        kmv_pair_set_estimates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select(
+        "source", F.explode(poly_token_hash_array(F.col("text"))).alias("h")
+    )
+    minima = kmv_minima(occ, ["source"], "h", k=64)
+    per = kmv_estimate(minima, ["source"], 64)
+    pair = kmv_pair_set_estimates(minima, "source", k=64)
+    dist = occ.distinct()
+    exact = (
+        dist.alias("a")
+        .join(dist.alias("b"), "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        pair.join(
+            F.broadcast(
+                per.select(F.col("source").alias("src_a"),
+                           F.col("est_distinct").alias("est_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                per.select(F.col("source").alias("src_b"),
+                           F.col("est_distinct").alias("est_b"))
+            ),
+            "src_b",
+        )
+        .join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a", "src_b", "est_a", "est_b",
+            "est_union", "est_intersection", "est_diff_ab",
+            F.coalesce("exact_intersection", F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6079,6 +6144,7 @@ QUERIES: dict[str, Callable] = {
     "q160_event_islands": q160_event_islands,
     "q161_stream_anomaly": q161_stream_anomaly,
     "q162_temperature_mixture": q162_temperature_mixture,
+    "q163_kmv_set_overlap": q163_kmv_set_overlap,
 }
 
 ORACLE: dict[str, str] = {
@@ -9906,6 +9972,94 @@ def _temperature_mixture_oracle_sql() -> str:
 
 ORACLE["q162_temperature_mixture"] = _temperature_mixture_oracle_sql()
 
+
+def _kmv_set_overlap_oracle_sql(k: int = 64) -> str:
+    """DuckDB restatement of q163: same Horner token hashes, same
+    dense_rank-≤-k KMV fold (kmv_sql_cte), same per-pair θ = least of
+    the two thetas, same θ-filtered union/intersection/difference
+    counts scaled by space/θ, exact intersection alongside."""
+    from dudb_spark.pipeline.sketch import _POLY_M, kmv_sql_cte
+
+    M = (1 << 31) - 1
+    cte = kmv_sql_cte("SELECT source AS g, h FROM ex", "g", "h", k=k)
+    space_d = f"CAST({_POLY_M} AS DOUBLE)"
+    return f"""
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT source, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), ex AS (
+            SELECT source, unnest(th) AS h FROM tkh
+        ),
+        {cte},
+        kth AS (
+            SELECT grp, COUNT(*) AS n_sample,
+                   CASE WHEN COUNT(*) < {k} THEN {_POLY_M}
+                        ELSE MAX(h) END AS theta
+            FROM kmin GROUP BY grp
+        ),
+        prs AS (
+            SELECT a.grp AS src_a, b.grp AS src_b,
+                   least(a.theta, b.theta) AS theta
+            FROM kth a JOIN kth b ON a.grp < b.grp
+        ),
+        mm AS (
+            SELECT p.src_a, p.src_b, p.theta, m.h,
+                   MAX(CASE WHEN m.grp = p.src_a THEN 1 ELSE 0 END) AS ia,
+                   MAX(CASE WHEN m.grp = p.src_b THEN 1 ELSE 0 END) AS ib
+            FROM prs p
+            JOIN kmin m ON m.grp = p.src_a OR m.grp = p.src_b
+            WHERE m.h < p.theta
+            GROUP BY 1, 2, 3, 4
+        ),
+        agg AS (
+            SELECT src_a, src_b, theta,
+                   COUNT(*) AS cu,
+                   SUM(ia * ib) AS ci,
+                   SUM(ia * (1 - ib)) AS cda
+            FROM mm GROUP BY 1, 2, 3
+        ),
+        exact AS (
+            SELECT da.source AS src_a, db.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS exact_intersection
+            FROM (SELECT DISTINCT source, h FROM ex) da
+            JOIN (SELECT DISTINCT source, h FROM ex) db
+              ON da.h = db.h AND da.source < db.source
+            GROUP BY 1, 2
+        )
+        SELECT p.src_a, p.src_b,
+               ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+               COALESCE(ROUND(CAST(g.cu AS DOUBLE) * {space_d}
+                              / CAST(g.theta AS DOUBLE), 4), 0.0)
+                   AS est_union,
+               COALESCE(ROUND(CAST(g.ci AS DOUBLE) * {space_d}
+                              / CAST(g.theta AS DOUBLE), 4), 0.0)
+                   AS est_intersection,
+               COALESCE(ROUND(CAST(g.cda AS DOUBLE) * {space_d}
+                              / CAST(g.theta AS DOUBLE), 4), 0.0)
+                   AS est_diff_ab,
+               COALESCE(e.exact_intersection, 0) AS exact_intersection
+        FROM prs p
+        JOIN kest ea ON ea.grp = p.src_a
+        JOIN kest eb ON eb.grp = p.src_b
+        LEFT JOIN agg g ON g.src_a = p.src_a AND g.src_b = p.src_b
+        LEFT JOIN exact e
+          ON e.src_a = p.src_a AND e.src_b = p.src_b
+        ORDER BY p.src_a, p.src_b
+    """
+
+
+ORACLE["q163_kmv_set_overlap"] = _kmv_set_overlap_oracle_sql()
+
 ORACLE["q160_event_islands"] = """
     WITH marked AS (
         SELECT user_id AS key, event_type AS label, event_id AS id,
@@ -10026,7 +10180,7 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
             "q117_mixture_weights", "q129_budget_selection",
             "q145_corpus_drift", "q148_hard_negatives",
             "q151_sketch_source_overlap", "q152_cms_meanmin",
-            "q157_bigram_lm_score",
+            "q157_bigram_lm_score", "q163_kmv_set_overlap",
         )
     },
     "q158_stratified_budget": {

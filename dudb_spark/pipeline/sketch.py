@@ -684,3 +684,221 @@ def hll_pair_union_estimates(
     return hll_estimate(uni, ["src_a", "src_b"], p, hash_bits).select(
         "src_a", "src_b", F.col("est_distinct").alias("est_union")
     )
+
+
+# --------------------------------------------------------------------- KMV
+# k-minimum-values ("theta") sketch: keep the k smallest DISTINCT hash
+# values per group.  The capability HLL registers cannot provide: a KMV
+# sketch is a uniform θ-sample of each group's distinct values, so two
+# sketches estimate their INTERSECTION and DIFFERENCE directly (Beyer et
+# al., "On synopses for distinct-value estimation under multiset
+# operations", SIGMOD 2007; the theta-sketch framing of Dasgupta et al.,
+# "Theta sketch framework", 2016) — where the HLL route (q151) is stuck
+# with inclusion–exclusion, whose error grows with |A∪B| even when the
+# true intersection is tiny.
+#
+# Spark shape / the 100 TB story: dense_rank() ≤ k over (group ORDER BY
+# hash) compiles to a PARTIAL-mode WindowGroupLimit BEFORE the exchange
+# (plan-pinned in tests/test_sketch.py) — each map task keeps a bounded
+# heap of k distinct values per group, so the shuffle moves at most
+# partitions × k values per group (plus duplicates of those k values;
+# callers with heavy duplication pre-collapse with a (group, h) agg).
+# Merge = union the shards' minima and re-rank: the k smallest of the
+# union of per-shard k-minima ARE the k smallest of the union, the same
+# shard-merge property the HLL register fold has (pinned in tests).
+#
+# Determinism (the oracle story): the sketch itself is a set of int64
+# hashes — no floats anywhere.  The estimators perform ONE double
+# division each ((k-1)·space/h_k; count·space/θ) and round to 4
+# decimals, the same single-IEEE-op discipline as the HLL corrections.
+
+# Horner token hashes are uniform over [0, 2^31 - 1) — the prime modulus
+# in pipeline/dedup.py.  KMV's estimators divide by the TRUE hash-space
+# size, so this is the modulus itself, not the 2^31 power-of-two bound
+# the HLL register split uses.
+_POLY_M = (1 << 31) - 1
+
+
+def kmv_minima(
+    df: DataFrame, group_cols: list[str], hash_col: str, k: int = 64
+) -> DataFrame:
+    """Fold ``(group..., hash)`` rows into the per-group KMV sketch:
+    the ``k`` smallest DISTINCT hash values, as rows ``(group..., h)``.
+    dense_rank (not row_number) so duplicate hashes cannot evict
+    genuinely distinct values from the heap."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(hash_col)
+    return (
+        df.select(*group_cols, F.col(hash_col).alias("h"))
+        .withColumn("_dr", F.dense_rank().over(w))
+        .where(F.col("_dr") <= k)
+        .select(*group_cols, "h")
+        .distinct()
+    )
+
+
+def kmv_theta(
+    minima: DataFrame, group_cols: list[str], k: int,
+    space: int = _POLY_M,
+) -> DataFrame:
+    """Per-group sampling threshold θ: the k-th smallest value when the
+    sketch is full, else ``space`` (a group with < k distinct values is
+    held EXHAUSTIVELY — its θ-sample is the whole set, and every
+    estimate built on it degrades gracefully to exact counting).
+    Returns ``(group..., n_sample, theta)``."""
+    return minima.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.when(F.count(F.lit(1)) < k, F.lit(space))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+
+
+def kmv_estimate(
+    minima: DataFrame, group_cols: list[str], k: int,
+    space: int = _POLY_M,
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: the Beyer et al.
+    unbiased estimator ``(k-1)·space / h_k`` (values strictly below the
+    k-th minimum are a uniform sample at rate h_k/space and number
+    k-1); a partial sketch (< k values) IS its group's value set, so
+    the estimate is the exact count.  One double division, rounded to
+    4 decimals.  Returns ``(group..., n_sample, est_distinct)``."""
+    th = kmv_theta(minima, group_cols, k, space)
+    est = F.when(
+        F.col("n_sample") < k, F.col("n_sample").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * space))
+        / F.greatest(F.col("theta"), F.lit(1)).cast("double")
+    )
+    return th.select(
+        *group_cols, "n_sample", F.round(est, 4).alias("est_distinct")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], hash_col: str, k: int = 64,
+    space: int = _POLY_M,
+) -> DataFrame:
+    """Convenience: fold + estimate in one call."""
+    return kmv_estimate(kmv_minima(df, group_cols, hash_col, k),
+                        group_cols, k, space)
+
+
+def kmv_pair_set_estimates(
+    minima: DataFrame, src_col: str, k: int, space: int = _POLY_M,
+) -> DataFrame:
+    """Set-operation estimates for every group pair from ONE per-group
+    minima frame: union, intersection, and difference — the direct
+    theta-sketch estimates HLL registers cannot express.  For a pair,
+    ``θ = min(θ_a, θ_b)``; each sketch's values below θ are a uniform
+    θ/space-rate sample of its group's distinct set, so
+    ``|A ∘ B| ≈ |{h < θ in sample(A) ∘ sample(B)}| · space / θ`` for
+    ∘ ∈ {∪, ∩, \\}.  When both groups are exhaustive (θ = space) the
+    estimates ARE the exact counts.
+
+    Work is bounded by pairs × 2k sketch rows — the corpus is never
+    re-scanned; the pair list and per-group θ frames ride as
+    broadcasts.  Returns ``(src_a, src_b, est_union, est_intersection,
+    est_diff_ab)`` for ``src_a < src_b``."""
+    th = kmv_theta(minima, [src_col], k, space)
+    srcs = th.select(src_col).distinct()
+    pairs = (
+        srcs.select(F.col(src_col).alias("src_a"))
+        .crossJoin(F.broadcast(srcs.select(F.col(src_col).alias("src_b"))))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    pth = (
+        pairs.join(
+            F.broadcast(th.select(F.col(src_col).alias("src_a"),
+                                  F.col("theta").alias("_tha"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(th.select(F.col(src_col).alias("src_b"),
+                                  F.col("theta").alias("_thb"))),
+            "src_b",
+        )
+        .select("src_a", "src_b",
+                F.least("_tha", "_thb").alias("theta"))
+    )
+    ma = minima.join(
+        F.broadcast(pairs), F.col(src_col) == F.col("src_a")
+    ).select("src_a", "src_b", "h",
+             F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    mb = minima.join(
+        F.broadcast(pairs), F.col(src_col) == F.col("src_b")
+    ).select("src_a", "src_b", "h",
+             F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    mm = (
+        ma.unionByName(mb)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+        .join(F.broadcast(pth), ["src_a", "src_b"])
+        .where(F.col("h") < F.col("theta"))
+    )
+    agg = mm.groupBy("src_a", "src_b", "theta").agg(
+        F.count(F.lit(1)).alias("_cu"),
+        F.sum(F.col("ia") * F.col("ib")).alias("_ci"),
+        F.sum(F.col("ia") * (1 - F.col("ib"))).alias("_cda"),
+    )
+
+    def _scale(c: str) -> Column:
+        return F.round(
+            F.col(c).cast("double") * F.lit(float(space))
+            / F.col("theta").cast("double"),
+            4,
+        )
+
+    # a pair can drop out of `agg` only if BOTH θ-samples are empty —
+    # possible when a group's single smallest value equals θ; restore
+    # it with zero counts so every pair reports
+    return (
+        pairs.join(agg, ["src_a", "src_b"], "left")
+        .select(
+            "src_a", "src_b",
+            F.coalesce(_scale("_cu"), F.lit(0.0)).alias("est_union"),
+            F.coalesce(_scale("_ci"), F.lit(0.0))
+            .alias("est_intersection"),
+            F.coalesce(_scale("_cda"), F.lit(0.0)).alias("est_diff_ab"),
+        )
+    )
+
+
+def kmv_sql_cte(
+    source_sql: str, group_expr: str, hash_expr: str, k: int,
+    space: int = _POLY_M, prefix: str = "k",
+) -> str:
+    """Oracle restatement of kmv_minima + kmv_estimate as CTEs ending
+    with ``{prefix}min(grp, h)`` (the sketch) and ``{prefix}est(grp,
+    n_sample, est_distinct)`` — lockstep with the DataFrame path (same
+    dense_rank fold, same (k-1)·space/h_k single division)."""
+    p = prefix
+    return f"""
+        {p}src AS ({source_sql}),
+        {p}rk AS (
+            SELECT ({group_expr}) AS grp, ({hash_expr}) AS h,
+                   DENSE_RANK() OVER (
+                       PARTITION BY ({group_expr}) ORDER BY ({hash_expr})
+                   ) AS dr
+            FROM {p}src
+        ),
+        {p}min AS (
+            SELECT DISTINCT grp, h FROM {p}rk WHERE dr <= {k}
+        ),
+        {p}est AS (
+            SELECT grp, n_sample,
+                   ROUND(CASE WHEN n_sample < {k}
+                         THEN CAST(n_sample AS DOUBLE)
+                         ELSE CAST({(k - 1) * space} AS DOUBLE)
+                              / CAST(greatest(theta, 1) AS DOUBLE)
+                         END, 4) AS est_distinct
+            FROM (
+                SELECT grp, COUNT(*) AS n_sample,
+                       CASE WHEN COUNT(*) < {k} THEN {space}
+                            ELSE MAX(h) END AS theta
+                FROM {p}min GROUP BY grp
+            )
+        )
+    """

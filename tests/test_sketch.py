@@ -409,3 +409,123 @@ def test_bloom_filter_properties(spark):
     want = {h: mm for h, mm in con.execute(sql).fetchall()}
     for r in res:
         assert want[r["h"]] == r["maybe_member"]
+
+
+# ------------------------------------------------------------------- KMV
+
+
+def _kmv_imports():
+    from dudb_spark.pipeline.sketch import (
+        kmv_distinct,
+        kmv_estimate,
+        kmv_minima,
+        kmv_pair_set_estimates,
+        kmv_sql_cte,
+    )
+
+    return (kmv_minima, kmv_estimate, kmv_distinct,
+            kmv_pair_set_estimates, kmv_sql_cte)
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    kmv_minima, _, kmv_distinct, _, _ = _kmv_imports()
+    # group 1: 20 distinct (< k) -> exact; group 2: 5000 distinct -> est
+    values = [(1, v) for v in range(20)] + [(2, v) for v in range(5000)]
+    df = _hash_df(spark, values)
+    est = {
+        r["g"]: (r["n_sample"], r["est_distinct"])
+        for r in kmv_distinct(df, ["g"], "h", k=64).collect()
+    }
+    assert est[1] == (20, 20.0)
+    n, e = est[2]
+    assert n == 64
+    assert abs(e - 5000) / 5000 < 3 / (64 ** 0.5)  # 3σ ≈ 37%
+
+
+def test_kmv_duplicates_do_not_move_the_sketch(spark):
+    kmv_minima, _, _, _, _ = _kmv_imports()
+    base = [(1, v) for v in range(500)]
+    dup = base + [(1, v) for v in range(100)] * 7
+    a = sorted(r["h"] for r in
+               kmv_minima(_hash_df(spark, base), ["g"], "h", k=32).collect())
+    b = sorted(r["h"] for r in
+               kmv_minima(_hash_df(spark, dup), ["g"], "h", k=32).collect())
+    assert a == b and len(a) == 32
+
+
+def test_kmv_shard_merge_equals_whole(spark):
+    kmv_minima, kmv_estimate, _, _, _ = _kmv_imports()
+    values = [(1, v) for v in range(4000)]
+    whole = kmv_minima(_hash_df(spark, values), ["g"], "h", k=48)
+    sh1 = kmv_minima(_hash_df(spark, values[:1500]), ["g"], "h", k=48)
+    sh2 = kmv_minima(_hash_df(spark, values[1500:]), ["g"], "h", k=48)
+    merged = kmv_minima(sh1.unionByName(sh2), ["g"], "h", k=48)
+    assert sorted(r["h"] for r in merged.collect()) == \
+        sorted(r["h"] for r in whole.collect())
+    ew = kmv_estimate(whole, ["g"], 48).collect()[0]["est_distinct"]
+    em = kmv_estimate(merged, ["g"], 48).collect()[0]["est_distinct"]
+    assert ew == em
+
+
+def test_kmv_minima_plan_has_partial_window_group_limit(spark):
+    kmv_minima, _, _, _, _ = _kmv_imports()
+    df = _hash_df(spark, [(1, v) for v in range(100)])
+    plan = kmv_minima(df, ["g"], "h", k=16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_kmv_pair_set_estimates_exact_when_exhaustive(spark):
+    _, _, _, kmv_pair_set_estimates, _ = _kmv_imports()
+    from dudb_spark.pipeline.sketch import kmv_minima
+    # 3 groups, all < k distinct: estimates must equal exact set ops
+    va = set(range(0, 30))
+    vb = set(range(20, 45))
+    vc = set(range(40, 50))
+    values = [("a", v) for v in va] + [("b", v) for v in vb] + \
+        [("c", v) for v in vc]
+    df = _hash_df(spark, values)
+    minima = kmv_minima(df, ["g"], "h", k=64)
+    got = {
+        (r["src_a"], r["src_b"]):
+            (r["est_union"], r["est_intersection"], r["est_diff_ab"])
+        for r in kmv_pair_set_estimates(minima, "g", k=64).collect()
+    }
+    sets = {"a": va, "b": vb, "c": vc}
+    for (x, y), (eu, ei, ed) in got.items():
+        assert eu == float(len(sets[x] | sets[y]))
+        assert ei == float(len(sets[x] & sets[y]))
+        assert ed == float(len(sets[x] - sets[y]))
+
+
+def test_kmv_pair_set_estimates_close_on_big_overlap(spark):
+    _, _, _, kmv_pair_set_estimates, _ = _kmv_imports()
+    from dudb_spark.pipeline.sketch import kmv_minima
+    va = range(0, 6000)
+    vb = range(3000, 9000)  # |∩| = 3000, |∪| = 9000
+    df = _hash_df(spark, [("a", v) for v in va] + [("b", v) for v in vb])
+    minima = kmv_minima(df, ["g"], "h", k=256)
+    r = kmv_pair_set_estimates(minima, "g", k=256).collect()[0]
+    assert abs(r["est_union"] - 9000) / 9000 < 0.25
+    assert abs(r["est_intersection"] - 3000) / 3000 < 0.35
+    assert abs(r["est_diff_ab"] - 3000) / 3000 < 0.35
+    # the three estimates share one θ-sample: ∩ + (A\B) counts A's
+    # sample exactly, so est_inter + est_diff_ab ≤ est_union always
+    assert r["est_intersection"] + r["est_diff_ab"] <= r["est_union"] + 1e-6
+
+
+def test_kmv_sql_cte_matches_spark(spark):
+    duckdb = pytest.importorskip("duckdb")
+    _, _, kmv_distinct, _, kmv_sql_cte = _kmv_imports()
+    values = [(g, v) for g in (1, 2) for v in range(40 * g * g)]
+    df = _hash_df(spark, values)
+    got = {
+        r["g"]: (r["n_sample"], r["est_distinct"])
+        for r in kmv_distinct(df, ["g"], "h", k=32).collect()
+    }
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = "WITH " + kmv_sql_cte("SELECT g, h FROM src", "g", "h", k=32) + \
+        " SELECT grp, n_sample, est_distinct FROM kest"
+    want = {g: (n, e) for g, n, e in con.execute(sql).fetchall()}
+    assert got == want
