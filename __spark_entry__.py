@@ -5982,6 +5982,28 @@ def q163_kmv_set_overlap(spark, sf_dir):
     )
 
 
+def q164_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement
+    (pipeline/sampling.weighted_sample, Efraimidis–Spirakis IPL 2006):
+    30 documents PER LANGUAGE drawn with probability ∝ n_chars at each
+    draw — the "sample ∝ score" primitive (quality-weighted corpus
+    selection, freshness-weighted events) that df.sample cannot make
+    rerun-stable and rate-samplers cannot make size-exact.  Key
+    ``ln(u)/w`` from the exact 31-bit MINSTD coordinate; the grouped
+    top-n compiles to a Partial WindowGroupLimit (bounded map-side
+    heap, plan-pinned in tests).  The oracle replays the pmod chain,
+    the key, and the per-lang ranked cut in SQL."""
+    from dudb_spark.pipeline.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    sel = weighted_sample(
+        d, "doc_id", "n_chars", 30, salt=13, group_col="lang"
+    )
+    return sel.select("doc_id", "lang", "source", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6145,6 +6167,7 @@ QUERIES: dict[str, Callable] = {
     "q161_stream_anomaly": q161_stream_anomaly,
     "q162_temperature_mixture": q162_temperature_mixture,
     "q163_kmv_set_overlap": q163_kmv_set_overlap,
+    "q164_weighted_sample": q164_weighted_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -10059,6 +10082,31 @@ def _kmv_set_overlap_oracle_sql(k: int = 64) -> str:
 
 
 ORACLE["q163_kmv_set_overlap"] = _kmv_set_overlap_oracle_sql()
+
+
+def _weighted_sample_oracle_sql() -> str:
+    """DuckDB restatement of q164: identical MINSTD uniform, identical
+    ln(u)/w key, identical per-lang ranked cut (ties by doc_id)."""
+    from dudb_spark.pipeline.sampling import aes_key_sql
+
+    key = aes_key_sql("doc_id", "n_chars", salt=13)
+    return f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {key} DESC, doc_id
+                   ) AS rn
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        WHERE rn <= 30
+        ORDER BY doc_id
+    """
+
+
+ORACLE["q164_weighted_sample"] = _weighted_sample_oracle_sql()
 
 ORACLE["q160_event_islands"] = """
     WITH marked AS (

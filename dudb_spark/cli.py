@@ -1496,6 +1496,69 @@ def cmd_pipeline_lmscore(args):
         print(f"{r['bin']}\t{r['n_docs']}")
 
 
+def cmd_pipeline_sample_weighted(args):
+    """Weight-proportional sample without replacement
+    (pipeline/sampling.weighted_sample, Efraimidis–Spirakis A-ES):
+    --n rows (per --group-col, if given) drawn ∝ --weight-col,
+    deterministic under rerun and repartitioning.  Prints a bounded
+    per-group audit (population, positive-weight population, selected,
+    selected weight share) and optionally writes the rows."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.sampling import weighted_sample
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    if args.weight_col not in df.columns:
+        raise SystemExit(
+            f"pipeline sample-weighted: no column {args.weight_col!r} "
+            f"in {args.input}"
+        )
+    sel = weighted_sample(
+        df, args.id_col, args.weight_col, args.n,
+        salt=args.salt, group_col=args.group_col,
+    )
+    if args.out:
+        sel.write.mode("overwrite").parquet(expand_path(args.out))
+    w = F.col(args.weight_col)
+    gcols = [args.group_col] if args.group_col else []
+    pop = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("population"),
+        F.sum(F.when(w.isNotNull() & (w > 0), 1).otherwise(0)).alias(
+            "pos_weight_pop"
+        ),
+        F.sum(F.when(w.isNotNull() & (w > 0), w).otherwise(F.lit(0.0)))
+        .alias("_wtot"),
+    )
+    got = sel.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("selected"),
+        F.sum(w).alias("_wsel"),
+    )
+    audit = (
+        pop.join(got, gcols, "left") if gcols
+        else pop.crossJoin(F.broadcast(got))
+    ).select(
+        *gcols, "population", "pos_weight_pop",
+        F.coalesce("selected", F.lit(0)).alias("selected"),
+        F.round(
+            F.coalesce(F.col("_wsel"), F.lit(0.0))
+            / F.greatest(F.col("_wtot"), F.lit(1e-300)), 4
+        ).alias("weight_share"),
+    )
+    hdr = ("population\tpos_weight_pop\tselected\tweight_share")
+    if gcols:
+        hdr = f"{args.group_col}\t" + hdr
+    print(hdr)
+    # bounded: ≤|groups| rows (1 row when ungrouped)
+    for r in audit.orderBy(*gcols).collect() if gcols \
+            else audit.collect():
+        cells = ([str(r[args.group_col])] if gcols else []) + [
+            str(r["population"]), str(r["pos_weight_pop"]),
+            str(r["selected"]), str(r["weight_share"]),
+        ]
+        print("\t".join(cells))
+
+
 def cmd_pipeline_sample_exact(args):
     """Exact-budget stratified sample
     (pipeline/sampling.stratified_exact_sample): EXACTLY --budget rows,
@@ -2428,6 +2491,22 @@ def build_parser():
                      help="value of --train-col marking reference rows")
     plm.add_argument("--out", default=None)
     plm.set_defaults(func=cmd_pipeline_lmscore)
+    psw = psub.add_parser(
+        "sample-weighted",
+        help="weight-proportional sample without replacement (A-ES)",
+    )
+    psw.add_argument("--input", required=True)
+    psw.add_argument("--id-col", default="doc_id")
+    psw.add_argument("--weight-col", required=True,
+                     help="positive weight column; NULL/non-positive "
+                          "rows are excluded (w→0 limit)")
+    psw.add_argument("--n", type=int, required=True,
+                     help="rows to draw (per group if --group-col)")
+    psw.add_argument("--group-col", default=None)
+    psw.add_argument("--salt", type=int, default=0)
+    psw.add_argument("--out", default=None)
+    psw.set_defaults(func=cmd_pipeline_sample_weighted)
+
     pse = psub.add_parser(
         "sample-exact",
         help="exact-budget stratified sample (largest remainder)",

@@ -525,3 +525,102 @@ def temperature_quotas_sql(
             FROM ranked
         )
     """
+
+
+# ------------------------------------------------- weighted (A-ES) sampling
+
+
+def sample_uniform(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic uniform coordinate in (0, 1] at full 31-bit
+    resolution — ``sample_hash``'s MINSTD double-round WITHOUT the final
+    1e6 fold (weighted keys need the resolution: a 1e6 grid would tie
+    ~1 in 2k documents onto identical keys and hand their ordering to
+    the tie-break instead of the weights).  ``(h + 1) / (2^31 - 1)`` is
+    one exact int step and one IEEE division — bit-identical anywhere."""
+    h = F.pmod(
+        (id_col.cast("long") + F.lit(salt)) * F.lit(_MULT), F.lit(_MOD)
+    )
+    h = F.pmod(h * F.lit(_MULT) + F.lit(salt), F.lit(_MOD))
+    return (h + F.lit(1)).cast("double") / F.lit(float(_MOD))
+
+
+def aes_key(id_col: Column, weight_col: Column, salt: int = 0) -> Column:
+    """Efraimidis–Spirakis selection key ``ln(u) / w`` (the log form of
+    ``u^(1/w)``; order-isomorphic, and ln keeps the exponent range sane
+    where u^(1/w) underflows for tiny weights).  Larger is better: the
+    top-n keys ARE the weighted sample."""
+    return F.log(sample_uniform(id_col, salt)) / weight_col.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: int = 0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: exactly ``n`` rows (per
+    group, if ``group_col``), selected with probability proportional to
+    ``weight_col`` at each of the n draws — the A-ES reservoir scheme of
+    Efraimidis & Spirakis ("Weighted random sampling with a reservoir",
+    IPL 2006): every row gets key ``u^(1/w)`` and the n largest keys are
+    EXACTLY a weight-proportional draw-by-draw sample.  The corpus ops
+    that need it: quality-score-weighted corpus selection, freshness-
+    weighted event sampling (operators/retention.py's decay feature),
+    length-balanced eval picks — anywhere "sample ∝ score" must also be
+    rerun-stable.
+
+    Determinism: u is the exact 31-bit MINSTD coordinate, so the key is
+    ``ln`` of a bit-identical double divided by the weight — the one
+    libm op in the pipeline (same budget as the HLL correction
+    branches).  Engines agree on ln to ≤1 ulp, so orderings replay
+    cross-engine whenever adjacent key gaps exceed ~2⁻⁵²·|key| — at
+    random-hash key spacings the selection boundary gap is orders of
+    magnitude wider (ties broken by id close the residual).  Emit the
+    selected ROWS, not the key, so nothing downstream depends on the
+    last ulp.
+
+    Rows with NULL or non-positive weight are EXCLUDED — the w → 0⁺
+    limit of the scheme (key → −∞: never drawn while any positive-
+    weight row remains); if fewer than n positive-weight rows exist the
+    sample is all of them.
+
+    Scale shape: the key is a scan-side expression (no shuffle to build
+    it); global top-n compiles to TakeOrderedAndProject (each partition
+    ships only its n best), grouped top-n to a Partial WindowGroupLimit
+    — both bounded-state, both plan-pinned in tests."""
+    from pyspark.sql.window import Window
+
+    if n < 0:
+        raise ValueError("n must be non-negative")
+    w = F.col(weight_col)
+    key = aes_key(F.col(id_col), w, salt)
+    pos = df.where(w.isNotNull() & (w > 0))
+    if group_col is None:
+        return (
+            pos.orderBy(key.desc(), F.col(id_col))
+            .limit(int(n))
+        )
+    win = Window.partitionBy(group_col).orderBy(key.desc(), F.col(id_col))
+    return (
+        pos.withColumn("_aes_rn", F.row_number().over(win))
+        .where(F.col("_aes_rn") <= int(n))
+        .drop("_aes_rn")
+    )
+
+
+def aes_key_sql(id_expr: str, weight_expr: str, salt: int = 0) -> str:
+    """The identical A-ES key as ANSI SQL (oracle restatement): the
+    sample_hash_sql pmod chain at full 31-bit resolution, then
+    ``ln((h+1)/M) / w``."""
+
+    def pmod(x: str, m: int) -> str:
+        return f"(((({x}) % {m}) + {m}) % {m})"
+
+    h1 = pmod(f"(({id_expr}) + {salt}) * {_MULT}", _MOD)
+    h2 = pmod(f"({h1}) * {_MULT} + {salt}", _MOD)
+    return (
+        f"ln(CAST(({h2}) + 1 AS DOUBLE) / {float(_MOD)!r})"
+        f" / CAST(({weight_expr}) AS DOUBLE)"
+    )

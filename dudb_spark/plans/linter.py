@@ -228,6 +228,9 @@ COLLECT_ALLOW: dict[str, str] = {
         "totals() is exactly one global-accumulation row",
     "cli.py::cmd_stats_view":
         "totals() scalar row + top-N report frames bounded by --n",
+    "cli.py::cmd_pipeline_sample_weighted":
+        "audit frame is ≤|groups| rows (1 row ungrouped): per-group "
+        "count/sum aggregates only",
     "cli.py::cmd_pipeline_split":
         "one count row per split NAME (the --weights spec, 2-3 entries)",
     "cli.py::cmd_pipeline_skew":

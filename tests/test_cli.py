@@ -1245,3 +1245,33 @@ def test_cli_sample_exact_zero_quota_stratum_still_printed(
     # 'b' gets quota 0 — its audit line must still appear, selected=0
     assert set(got) == {"a", "b"}
     assert got["a"][2:4] == ["1", "1"] and got["b"][2:4] == ["0", "0"]
+
+
+def test_cli_sample_weighted(spark, tmp_path, capsys):
+    """A-ES weighted sampling: exact size, weight-proportional share,
+    NULL/non-positive weights excluded from the positive population."""
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(2, 400)]
+    rows += [(0, None), (1, -3.0)]
+    inp = str(tmp_path / "wdocs")
+    spark.createDataFrame(rows, "doc_id long, w double").write.parquet(inp)
+    outdir = str(tmp_path / "wsel")
+    out = run(capsys, "pipeline", "sample-weighted", "--input", inp,
+              "--weight-col", "w", "--n", "60", "--out", outdir)
+    lines = out.strip().splitlines()
+    assert lines[0] == "population\tpos_weight_pop\tselected\tweight_share"
+    pop, pos, sel, share = lines[1].split("\t")
+    assert (pop, pos, sel) == ("400", "398", "60")
+    written = spark.read.parquet(outdir)
+    assert written.count() == 60
+    heavy = written.where("w = 10.0").count()
+    assert heavy >= 45  # 10:1 weights dominate the draw
+    assert written.where("doc_id in (0, 1)").count() == 0
+
+
+def test_cli_sample_weighted_missing_column(spark, tmp_path, capsys):
+    inp = str(tmp_path / "mdocs")
+    spark.createDataFrame([(1, 2.0)], "doc_id long, w double") \
+        .write.parquet(inp)
+    with pytest.raises(SystemExit, match="no column 'nope'"):
+        run(capsys, "pipeline", "sample-weighted", "--input", inp,
+            "--weight-col", "nope", "--n", "5")

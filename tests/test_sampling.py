@@ -296,3 +296,94 @@ def test_exact_samplers_refuse_null_strata(spark):
         stratified_exact_sample(df, "doc_id", "src", 2).collect()
     with pytest.raises(ValueError, match="NULL"):
         temperature_sample(df, "doc_id", "src", 2).collect()
+
+
+# ------------------------------------------------ weighted (A-ES) sampling
+
+
+def _wdf(spark):
+    # 2000 rows: even ids weight 10, odd ids weight 1; ids 0/1 get
+    # NULL / non-positive weights to pin the exclusion contract
+    return spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit(None).cast("double"))
+        .when(F.col("id") == 1, F.lit(-5.0))
+        .when(F.col("id") % 2 == 0, F.lit(10.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+        (F.col("id") % 4).alias("grp"),
+    )
+
+
+def test_weighted_sample_size_determinism_and_monotonicity(spark):
+    from dudb_spark.pipeline.sampling import weighted_sample
+
+    df = _wdf(spark)
+    a = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 200).collect()}
+    b = {r.doc_id for r in
+         weighted_sample(df.repartition(13), "doc_id", "w", 200).collect()}
+    assert len(a) == 200 and a == b  # rerun + repartition stable
+    small = {r.doc_id for r in
+             weighted_sample(df, "doc_id", "w", 50).collect()}
+    assert small <= a  # top-n keys: growing n only adds rows
+    assert 0 not in a and 1 not in a  # NULL / non-positive excluded
+
+
+def test_weighted_sample_respects_weights(spark):
+    from dudb_spark.pipeline.sampling import weighted_sample
+
+    df = _wdf(spark)
+    sel = weighted_sample(df, "doc_id", "w", 200).collect()
+    heavy = sum(1 for r in sel if r.w == 10.0)
+    # 10:1 weights on a 50/50 population: expected heavy share ≈ 0.9
+    # for early draws; even after without-replacement depletion the
+    # 200-draw share stays far above parity
+    assert heavy >= 150, heavy
+
+
+def test_weighted_sample_takes_all_when_short(spark):
+    from dudb_spark.pipeline.sampling import weighted_sample
+
+    df = _wdf(spark).where("doc_id < 10")
+    sel = weighted_sample(df, "doc_id", "w", 200).collect()
+    # 8 positive-weight rows exist (0 NULL, 1 negative)
+    assert sorted(r.doc_id for r in sel) == [2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_weighted_sample_plan_contracts(spark):
+    from dudb_spark.pipeline.sampling import weighted_sample
+
+    df = _wdf(spark)
+    gplan = weighted_sample(df, "doc_id", "w", 25)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in gplan, gplan
+    grp = weighted_sample(df, "doc_id", "w", 25, group_col="grp")
+    pplan = grp._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in pplan and "Partial" in pplan, pplan
+    per = {r["grp"]: r["cnt"] for r in
+           grp.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_weighted_sample_duckdb_lockstep(spark):
+    import pytest
+    duckdb = pytest.importorskip("duckdb")
+    from dudb_spark.pipeline.sampling import aes_key_sql, weighted_sample
+
+    df = _wdf(spark)
+    got = sorted(
+        r.doc_id for r in weighted_sample(df, "doc_id", "w", 120,
+                                          salt=7).collect()
+    )
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    key = aes_key_sql("doc_id", "w", salt=7)
+    want = sorted(
+        r[0] for r in con.execute(f"""
+            SELECT doc_id FROM src
+            WHERE w IS NOT NULL AND w > 0
+            ORDER BY {key} DESC, doc_id
+            LIMIT 120
+        """).fetchall()
+    )
+    assert got == want
