@@ -6004,6 +6004,58 @@ def q164_weighted_sample(spark, sf_dir):
     )
 
 
+def q165_stream_window_quantiles(spark, sf_dir):
+    """Streaming per-window quantile sketch (streaming/rollup.
+    hourly_hist_cells + pipeline/sketch.hist_quantiles): per-hour
+    p50/p95/p99 of the event value estimated from a 64-bin histogram
+    stream maintained THROUGH Structured Streaming — q149's
+    bounded-state argument applied to QUANTILES, which Spark refuses
+    to stream at all (no streamed percentile; exact state is
+    per-value).  State is ≤ 64 rows per open window; count is
+    associative, so micro-batch merges equal batch shard unions —
+    certified by estimating from the streamed sink and matching the
+    batch SQL restatement value-exactly.  Values quantize to integer
+    centi-units (the q159 discipline), so binning, ranks, and
+    interpolation replay bit-for-bit; error ≤ one bin = 8.0 units,
+    written into the oracle's grid."""
+    from dudb_spark.pipeline.sketch import hist_quantiles
+    from dudb_spark.streaming.rollup import (
+        hourly_hist_cells,
+        stream_events,
+    )
+
+    lo, hi, n_bins = 0, 51_200, 64
+    src = _staged_events(spark, sf_dir)
+    centi = F.round(F.col("value") * 100).cast("long")
+    with _stream_parts(spark):
+        stream = stream_events(spark, src)
+        q = (
+            hourly_hist_cells(stream, centi, lo=lo, hi=hi, n_bins=n_bins)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("dudb_q165_cells")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    cells = spark.table("dudb_q165_cells").select(
+        _fmt_ts(F.col("win.start"), "hour"), "bin", "cnt"
+    )
+    est = hist_quantiles(cells, ["hour"], [0.5, 0.95, 0.99],
+                         lo=lo, hi=hi, n_bins=n_bins)
+    n = cells.groupBy("hour").agg(F.sum("cnt").alias("n_events"))
+    return (
+        est.join(n, "hour")
+        .select(
+            "hour", "q",
+            F.col("est").alias("est_centi"),
+            F.round(F.col("est") / 100.0, 4).alias("est_value"),
+            "n_events",
+        )
+        .orderBy("hour", "q")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6168,6 +6220,7 @@ QUERIES: dict[str, Callable] = {
     "q162_temperature_mixture": q162_temperature_mixture,
     "q163_kmv_set_overlap": q163_kmv_set_overlap,
     "q164_weighted_sample": q164_weighted_sample,
+    "q165_stream_window_quantiles": q165_stream_window_quantiles,
 }
 
 ORACLE: dict[str, str] = {
@@ -10107,6 +10160,39 @@ def _weighted_sample_oracle_sql() -> str:
 
 
 ORACLE["q164_weighted_sample"] = _weighted_sample_oracle_sql()
+
+
+def _stream_window_quantiles_oracle_sql() -> str:
+    """DuckDB restatement of q165: the same per-hour histogram cells
+    the stream maintains, re-derived batch-side (identical centi-unit
+    quantization + int64 binning), then the identical rank /
+    interpolation quantile read — streamed cell merge must equal the
+    batch fold exactly."""
+    from dudb_spark.pipeline.sketch import hist_quantiles_sql_cte
+
+    cte = hist_quantiles_sql_cte(
+        "SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), "
+        "'%Y-%m-%d %H:%M:%S') AS hour, "
+        "CAST(round(value * 100) AS BIGINT) AS centi FROM events",
+        "hour", "centi", [0.5, 0.95, 0.99],
+        lo=0, hi=51_200, n_bins=64,
+    )
+    return f"""
+        WITH {cte},
+        n AS (
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT hq.grp AS hour, hq.q, hq.est AS est_centi,
+               ROUND(hq.est / 100.0, 4) AS est_value, n.n_events
+        FROM hq JOIN n ON n.hour = hq.grp
+        ORDER BY hour, q
+    """
+
+
+ORACLE["q165_stream_window_quantiles"] = _stream_window_quantiles_oracle_sql()
 
 ORACLE["q160_event_islands"] = """
     WITH marked AS (

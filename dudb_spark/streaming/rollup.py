@@ -131,6 +131,42 @@ def hourly_cms_cells(
     )
 
 
+def hourly_hist_cells(
+    events: DataFrame,
+    value_expr,
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-hour histogram cell stream: ``(win, bin, cnt)`` — quantile
+    sketching with BOUNDED streaming state (≤ n_bins rows per open
+    window, vs the per-value state an exact streamed quantile would
+    need — which is why Spark offers no streamed percentile at all).
+    The binning is the identical int64 arithmetic as the batch fold
+    (pipeline/sketch.hist_cells: ``(v − lo)·n_bins div (hi − lo)``,
+    clamped into the edge bins); ``count`` is associative, so
+    micro-batches merge cells exactly like batch shard unions — apply
+    pipeline/sketch.hist_quantiles to the sink for p50/p95/p99
+    whenever needed.  Works on batch frames too."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    proj = events.select(
+        F.col("ts"),
+        ((value_expr.cast("long") - F.lit(lo)) * F.lit(n_bins))
+        .alias("_num"),
+    )
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.expr(f"_num DIV {hi - lo}").cast("int")),
+    )
+    return (
+        proj.groupBy(F.window("ts", "1 hour").alias("win"),
+                     b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def run_rollup_to_memory(
     spark, source_dir: str, query_name: str = "rollup", watermark: str = "2 hours"
 ):

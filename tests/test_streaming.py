@@ -920,3 +920,72 @@ def test_stream_anomaly_state_spans_batches(spark, tmp_path):
     # disorder: 109 (earlier ts) judged before 110 despite id order
     assert 109 in got and got[109][3] is True
     assert got[110][0] == 8  # 110's window includes 109 (7 flats + it)
+
+
+def test_stream_hist_cells_equal_batch_fold(spark, events_dir):
+    """Streamed histogram cell maintenance must merge micro-batches
+    into EXACTLY the batch cell fold (count associativity — the
+    mergeability claim behind streamed quantiles, which Spark refuses
+    natively), with per-window state bounded at n_bins rows, and the
+    quantile read never further than one bin width from the exact
+    per-window quantile."""
+    from dudb_spark.pipeline.sketch import hist_quantiles
+    from dudb_spark.streaming.rollup import hourly_hist_cells, stream_events
+
+    lo, hi, n_bins = 0, 51_200, 64
+    centi = F.round(F.col("value") * 100).cast("long")
+    batch = hourly_hist_cells(
+        spark.read.parquet(events_dir), centi, lo=lo, hi=hi, n_bins=n_bins
+    )
+    want = sorted(
+        (r["win"]["start"], r["bin"], r["cnt"]) for r in batch.collect()
+    )
+
+    stream = stream_events(spark, events_dir)
+    q = (
+        hourly_hist_cells(stream, centi, lo=lo, hi=hi, n_bins=n_bins)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_hist_cells")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_hist_cells").collect()
+    got = sorted((r["win"]["start"], r["bin"], r["cnt"]) for r in rows)
+    assert got == want and len(got) > 50
+    from collections import Counter
+
+    per_win = Counter(r["win"]["start"] for r in rows)
+    assert max(per_win.values()) <= n_bins
+
+    # error contract: est within one bin width of the exact quantile
+    cells = spark.sql("SELECT * FROM t_hist_cells").select(
+        F.col("win.start").alias("hour"), "bin", "cnt"
+    )
+    est = hist_quantiles(cells, ["hour"], [0.5], lo=lo, hi=hi,
+                         n_bins=n_bins)
+    # the sketch estimates the rank-based quantile (the ceil(q·n)-th
+    # order statistic) — compare against THAT definition, not the
+    # interpolated percentile(), which diverges at tiny per-window n
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("hour").orderBy("v")
+    exact = (
+        spark.read.parquet(events_dir)
+        .select(F.window("ts", "1 hour").start.alias("hour"),
+                centi.alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy("hour")))
+        .where(F.col("rn") == F.greatest(
+            F.lit(1), F.ceil(F.lit(0.5) * F.col("n"))))
+        .select("hour", F.col("v").alias("p50"))
+    )
+    width = (hi - lo) / n_bins
+    bad = (
+        est.join(exact, "hour")
+        .where(F.abs(F.col("est") - F.col("p50")) > width)
+        .count()
+    )
+    assert bad == 0
