@@ -1717,14 +1717,54 @@ def cmd_pipeline_cardinality(args):
     52 bits — the widest hash whose register/suffix split and harmonic
     sum stay bit-deterministic, sketch._MAX_EXACT_BITS; certified by
     the pure-Python xxhash64 lockstep in test_sketch_fuzz.py).  Prints
-    TSV (group, est_distinct)."""
+    TSV (group, est_distinct).
+
+    ``--method kmv`` swaps the register fold for the k-minimum-values
+    theta sketch (same hash paths, state = k hash values per group):
+    exact below k, enables intersection/difference set estimates
+    downstream (pipeline/sketch.kmv_pair_set_estimates), rel. error
+    ≈ 1/sqrt(k-2)."""
     from pyspark.sql import functions as F
 
-    from dudb_spark.pipeline.sketch import _MAX_EXACT_BITS, hll_distinct
+    from dudb_spark.pipeline.sketch import (
+        _MAX_EXACT_BITS,
+        hll_distinct,
+        kmv_distinct,
+    )
 
     spark = _spark()
     df = spark.read.parquet(expand_path(args.input))
-    args.p = _hll_pick_p(args)
+    if args.method == "kmv":
+        if args.p is not None:
+            raise SystemExit(
+                "pipeline cardinality: --p is an HLL register count; "
+                "use --k with --method kmv"
+            )
+        if args.error_target is not None:
+            if args.k is not None:
+                raise SystemExit(
+                    "pipeline cardinality: --k and --error-target are "
+                    "alternatives"
+                )
+            import math
+
+            tgt = args.error_target / 100.0
+            # KMV rel. error ≈ 1/sqrt(k-2) (Beyer et al. 2007)
+            args.k = math.ceil(1.0 / (tgt * tgt)) + 2
+            print(f"# error-target {args.error_target}% -> k={args.k} "
+                  f"({args.k} hash values/group state)")
+        k = args.k or 64
+        if k < 3:
+            raise SystemExit("pipeline cardinality: --k must be >= 3 "
+                             "(the estimator divides by k-2's error "
+                             "margin; k=64 is the default)")
+    else:
+        if args.k is not None:
+            raise SystemExit(
+                "pipeline cardinality: --k is a KMV sketch size; use "
+                "--p with --method hll (the default)"
+            )
+        args.p = _hll_pick_p(args)
     if args.value_col:
         hashed = df.select(
             args.group,
@@ -1743,7 +1783,12 @@ def cmd_pipeline_cardinality(args):
             ).alias("h"),
         )
         bits = 31
-    res = hll_distinct(hashed, [args.group], "h", p=args.p, hash_bits=bits)
+    if args.method == "kmv":
+        res = kmv_distinct(hashed, [args.group], "h", k=k,
+                           space=(1 << bits) - (1 if bits == 31 else 0))
+    else:
+        res = hll_distinct(hashed, [args.group], "h", p=args.p,
+                           hash_bits=bits)
     print(f"{args.group}\test_distinct")
     for r in res.orderBy(args.group).toLocalIterator():
         print(f"{r[args.group]}\t{r['est_distinct']}")
@@ -2441,8 +2486,15 @@ def build_parser():
     pdr.add_argument("--buckets", type=int, default=256)
     pdr.set_defaults(func=cmd_pipeline_drift)
     pca = psub.add_parser(
-        "cardinality", help="HyperLogLog distinct-count per group"
+        "cardinality", help="sketched distinct-count per group (HLL/KMV)"
     )
+    pca.add_argument("--method", choices=("hll", "kmv"), default="hll",
+                     help="hll: fixed 2**p-register state, union-only "
+                          "merges; kmv: k-minimum-values theta sketch "
+                          "(enables intersection/difference set ops)")
+    pca.add_argument("--k", type=int, default=None,
+                     help="KMV sketch size (default 64 ≈ 12.7%% rel. "
+                          "error; rel. error ≈ 1/sqrt(k-2))")
     pca.add_argument("--input", required=True)
     pca.add_argument("--group", default="source")
     pca.add_argument("--text-col", default="text",

@@ -1275,3 +1275,38 @@ def test_cli_sample_weighted_missing_column(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="no column 'nope'"):
         run(capsys, "pipeline", "sample-weighted", "--input", inp,
             "--weight-col", "nope", "--n", "5")
+
+
+def test_cli_cardinality_kmv_method(spark, tmp_path, capsys):
+    """--method kmv: exact below k, the value-col 52-bit path works,
+    and the guards keep the HLL/KMV knobs from crossing."""
+    docs = str(tmp_path / "kdocs")
+    rows = [(i, "alpha beta gamma delta epsilon", "a") for i in range(20)]
+    rows += [(i, " ".join(f"tok{j}" for j in range(i % 7, i % 7 + 5)), "b")
+             for i in range(20, 60)]
+    spark.createDataFrame(rows, ["doc_id", "text", "src"]).write.parquet(
+        docs)
+    tsv = run(capsys, "pipeline", "cardinality", "--method", "kmv",
+              "--input", docs, "--group", "src")
+    vals = {l.split("\t")[0]: float(l.split("\t")[1])
+            for l in tsv.strip().splitlines()[1:]}
+    assert vals["a"] == 5.0  # exact below k: 5 distinct tokens
+    assert vals["b"] == 11.0  # tok0..tok10
+
+    # value-col path (xxhash64 52-bit space), still exact below k
+    tsv = run(capsys, "pipeline", "cardinality", "--method", "kmv",
+              "--input", docs, "--group", "src", "--value-col", "doc_id")
+    vals = {l.split("\t")[0]: float(l.split("\t")[1])
+            for l in tsv.strip().splitlines()[1:]}
+    assert vals["a"] == 20.0 and vals["b"] == 40.0
+
+    with pytest.raises(SystemExit, match="--p is an HLL register"):
+        run(capsys, "pipeline", "cardinality", "--method", "kmv",
+            "--input", docs, "--group", "src", "--p", "8")
+    with pytest.raises(SystemExit, match="--k is a KMV sketch size"):
+        run(capsys, "pipeline", "cardinality", "--input", docs,
+            "--group", "src", "--k", "64")
+    with pytest.raises(SystemExit, match="--k and --error-target"):
+        run(capsys, "pipeline", "cardinality", "--method", "kmv",
+            "--input", docs, "--group", "src", "--k", "64",
+            "--error-target", "5")
