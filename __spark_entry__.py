@@ -6056,6 +6056,29 @@ def q165_stream_window_quantiles(spark, sf_dir):
     )
 
 
+def q166_incremental_dedup(spark, sf_dir):
+    """Incremental cross-corpus near-dup detection
+    (pipeline/dedup.minhash_band_index / incremental_verified_pairs):
+    a NEW shard (doc_id ≡ 0 mod 3) deduped against the ALREADY-INGESTED
+    corpus (the rest) by banding only the new docs and equi-joining the
+    history's band index — signature work ∝ new shard, verify
+    re-shingles only colliding old docs (candidate-bounded semi-join);
+    history is never re-sketched, vs re-running q16's self-dedup over
+    old ∪ new every crawl.  merge_scan's unchanged-work-skipped
+    contract (reference analyze.go:104–123) applied to near-dup
+    detection.  hash_fn='poly' end-to-end, so signatures, banding,
+    history cap, estimates, and exact-Jaccard verify all replay in the
+    oracle."""
+    from dudb_spark.pipeline.dedup import incremental_verified_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 3 == 0)
+    old = d.where(F.col("doc_id") % 3 != 0)
+    return incremental_verified_pairs(
+        new, old, num_perm=32, bands=8, min_est=0.5, min_jaccard=0.3
+    ).orderBy("new_id", "old_id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6221,6 +6244,7 @@ QUERIES: dict[str, Callable] = {
     "q163_kmv_set_overlap": q163_kmv_set_overlap,
     "q164_weighted_sample": q164_weighted_sample,
     "q165_stream_window_quantiles": q165_stream_window_quantiles,
+    "q166_incremental_dedup": q166_incremental_dedup,
 }
 
 ORACLE: dict[str, str] = {
@@ -10193,6 +10217,94 @@ def _stream_window_quantiles_oracle_sql() -> str:
 
 
 ORACLE["q165_stream_window_quantiles"] = _stream_window_quantiles_oracle_sql()
+
+
+def _incremental_dedup_oracle_sql(
+    num_perm: int = 32, bands: int = 8, shingle_k: int = 3, seed: int = 42
+) -> str:
+    """DuckDB restatement of q166: the q16 MinHash CTEs (same Horner
+    hashes, permutations, band folds) with the corpus split into
+    new/old shards, the bucket cap applied to the HISTORY side only
+    (exactly as incremental_verified_pairs caps the index), the
+    new×old band join, and exact-Jaccard verification."""
+    import random
+
+    M = (1 << 31) - 1
+    r = num_perm // bands
+    rnd = random.Random(seed)
+    coeff_cap = min(1 << 30, M)
+    perms = [(rnd.randrange(1, coeff_cap), rnd.randrange(0, coeff_cap))
+             for _ in range(num_perm)]
+    sig_exprs = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a}*h+{b}) % {M}), 'min')"
+        for a, b in perms
+    )
+    bucket_exprs = ", ".join(
+        f"list_reduce(list_prepend(0::BIGINT, sig[{b * r + 1}:{b * r + r}]),"
+        f" (a, v) -> (a*257+v) % {M})"
+        for b in range(bands)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    matches = (
+        f"len([i FOR i IN range(1, {num_perm + 1}) "
+        "IF a.sig[i] = b.sig[i]])"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT doc_id, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), hsx AS (
+            SELECT doc_id, list_distinct([
+                list_reduce(list_prepend(0::BIGINT, th[i:i+{shingle_k - 1}]),
+                            (a, v) -> (a*257+v) % {M})
+                FOR i IN range(1, greatest(len(th)-{shingle_k - 1}, 1) + 1)]) AS hs
+            FROM tkh
+        ), sigs AS (
+            SELECT doc_id, [{sig_exprs}] AS sig FROM hsx
+        ), banded AS (
+            SELECT doc_id, sig,
+                   unnest([{band_ids}]) AS band,
+                   unnest([{bucket_exprs}]) AS bucket
+            FROM sigs
+        ), oldb AS (
+            SELECT * FROM banded WHERE doc_id % 3 <> 0
+        ), newb AS (
+            SELECT * FROM banded WHERE doc_id % 3 = 0
+        ), sizes AS (
+            SELECT band, bucket, COUNT(*) AS _n FROM oldb GROUP BY band, bucket
+        ), capped AS (
+            SELECT o.* FROM oldb o JOIN sizes USING (band, bucket)
+            WHERE _n <= 1000
+        ), cand AS (
+            SELECT * FROM (
+                SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+                       ROUND({matches} / {float(num_perm)}, 6) AS est_jaccard
+                FROM newb a JOIN capped b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id <> b.doc_id
+            ) WHERE est_jaccard >= 0.5
+        )
+        SELECT c.new_id, c.old_id, c.est_jaccard,
+               ROUND(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))::DOUBLE
+                     / len(list_distinct(sa.hs || sb.hs)), 6) AS jaccard
+        FROM cand c JOIN hsx sa ON c.new_id = sa.doc_id
+                    JOIN hsx sb ON c.old_id = sb.doc_id
+        WHERE ROUND(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))::DOUBLE
+              / len(list_distinct(sa.hs || sb.hs)), 6) >= 0.3
+        ORDER BY new_id, old_id
+    """
+
+
+ORACLE["q166_incremental_dedup"] = _incremental_dedup_oracle_sql()
 
 ORACLE["q160_event_islands"] = """
     WITH marked AS (

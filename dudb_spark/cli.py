@@ -833,6 +833,16 @@ def cmd_pipeline_dedup(args):
     """Corpus dedup from the command line: read a parquet table of
     documents (or embeddings for --method semantic), emit the dedup
     result as parquet (--out) or a JSON summary to stdout."""
+    if args.against and args.method != "minhash":
+        raise SystemExit(
+            "pipeline dedup: --against (incremental new-vs-history) is "
+            "a minhash mode"
+        )
+    if args.band_index and not args.against:
+        raise SystemExit(
+            "pipeline dedup: --band-index only makes sense with "
+            "--against"
+        )
     spark = _spark()
     df = spark.read.parquet(expand_path(args.input))
     if args.method == "exact":
@@ -840,11 +850,29 @@ def cmd_pipeline_dedup(args):
 
         res = exact_duplicates(df, args.text_col, args.id_col)
     elif args.method == "minhash":
-        from dudb_spark.pipeline.dedup import minhash_verified_pairs
+        if args.against:
+            # incremental: dedup --input (new shard) AGAINST an
+            # already-ingested corpus; optionally reuse its persisted
+            # band index so history is never re-sketched
+            from dudb_spark.pipeline.dedup import (
+                incremental_verified_pairs,
+            )
 
-        res = minhash_verified_pairs(
-            df, args.text_col, args.id_col, min_jaccard=args.threshold
-        )
+            old = spark.read.parquet(expand_path(args.against))
+            idx = (
+                spark.read.parquet(expand_path(args.band_index))
+                if args.band_index else None
+            )
+            res = incremental_verified_pairs(
+                df, old, args.text_col, args.id_col,
+                min_jaccard=args.threshold, index=idx,
+            )
+        else:
+            from dudb_spark.pipeline.dedup import minhash_verified_pairs
+
+            res = minhash_verified_pairs(
+                df, args.text_col, args.id_col, min_jaccard=args.threshold
+            )
     elif args.method == "simhash":
         from dudb_spark.pipeline.dedup import simhash_near_duplicates
 
@@ -2255,6 +2283,14 @@ def build_parser():
     pd.add_argument("--vec-col", default="embedding")
     pd.add_argument("--threshold", type=float, default=0.8)
     pd.add_argument("--max-hamming", type=int, default=3)
+    pd.add_argument("--against", default=None,
+                    help="minhash only: treat --input as a NEW shard "
+                         "and dedup it against this already-ingested "
+                         "corpus (incremental; history never "
+                         "re-sketched when --band-index is given)")
+    pd.add_argument("--band-index", default=None,
+                    help="persisted minhash_band_index parquet of the "
+                         "--against corpus (written at ingest)")
     pd.add_argument("--out", default=None)
     pd.set_defaults(func=cmd_pipeline_dedup)
     ps = psub.add_parser("split", help="deterministic train/val/test split")

@@ -181,30 +181,30 @@ def poly_shingle_base(
     return base.localCheckpoint() if materialize else base
 
 
-def minhash_candidates(
-    df: DataFrame,
+def minhash_band_index(
+    df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
-    max_bucket: int = 1000,
     hash_fn: str = "xxhash64",
     base: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """The LSH band index of a corpus: one row per (doc, band) —
+    ``(id, sig, band, bucket)``.  This is the PERSISTABLE ingest
+    artifact for incremental dedup: write it (partitioned by band)
+    when a corpus lands, and a future shard is deduped against history
+    by banding ONLY the new docs and equi-joining the index — history
+    is never re-shingled (:func:`incremental_verified_pairs`).  The
+    same unchanged-work-is-skipped contract the engine's incremental
+    metadata scan makes (operators/ingest.merge_scan; reference
+    analyze.go:104–123), applied to near-dup detection.
 
-    rows-per-band r = num_perm/bands; two docs collide iff some band of
-    their signatures is identical.  est_jaccard = matching signature
-    positions / num_perm, computed only for candidates.
-
-    ``hash_fn``: ``"xxhash64"`` (native JVM hash) or ``"poly"`` (Horner
-    modular fold — same sketch structure, but every hash is reproducible by
-    an oracle engine, making the whole pipeline value-checkable).
-
-    ``base``: a precomputed :func:`poly_shingle_base` frame (poly path
-    only) so a candidates→verify pipeline shingles the corpus once.
+    Two corpora band-joined this way must share ``num_perm``, ``bands``,
+    ``shingle_k``, ``seed`` and ``hash_fn`` — the coefficients are
+    derived from the seed, so equal parameters ⇒ comparable buckets.
     """
     assert num_perm % bands == 0
     assert hash_fn in ("xxhash64", "poly")
@@ -275,7 +275,7 @@ def minhash_candidates(
             lambda acc, v: F.pmod(acc * _POLY_B + v, F.lit(_POLY_M)),
         )
 
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -289,9 +289,40 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # NB: the self-join below re-scans this lineage, but caching it here
-    # measures ~2x SLOWER (the materialization barrier defeats AQE and
-    # pipelining); recompute-in-place wins for signature-sized data
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    hash_fn: str = "xxhash64",
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    rows-per-band r = num_perm/bands; two docs collide iff some band of
+    their signatures is identical.  est_jaccard = matching signature
+    positions / num_perm, computed only for candidates.
+
+    ``hash_fn``: ``"xxhash64"`` (native JVM hash) or ``"poly"`` (Horner
+    modular fold — same sketch structure, but every hash is reproducible by
+    an oracle engine, making the whole pipeline value-checkable).
+
+    ``base``: a precomputed :func:`poly_shingle_base` frame (poly path
+    only) so a candidates→verify pipeline shingles the corpus once.
+    """
+    banded = minhash_band_index(
+        df, text_col, id_col, num_perm, bands, shingle_k, seed,
+        hash_fn, base,
+    )
+    # NB: the self-join below re-scans the index lineage, but caching it
+    # here measures ~2x SLOWER (the materialization barrier defeats AQE
+    # and pipelining); recompute-in-place wins for signature-sized data
 
     # cap pathological buckets (boilerplate shingle sets) before pairing
     bucket_sizes = banded.groupBy("band", "bucket").agg(
@@ -369,6 +400,107 @@ def minhash_verified_pairs(
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def incremental_verified_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    min_est: float = 0.5,
+    min_jaccard: float = 0.3,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup a NEW shard against an ALREADY-INGESTED corpus — the
+    continuous-crawl operation: band only the new docs, equi-join the
+    history's persisted band index, verify candidates with exact
+    Jaccard.  History is never re-shingled: signature work is
+    proportional to the NEW shard, the join to band collisions, and
+    the verify step re-shingles only the old docs that actually
+    collided (a candidate-bounded semi-join back to the old corpus) —
+    vs re-running self-dedup over old ∪ new, which re-pays the whole
+    history every shard.  The incremental contract of
+    operators/ingest.merge_scan (reference analyze.go:104–123) applied
+    to near-dup detection.
+
+    ``index``: the persisted :func:`minhash_band_index` of the old
+    corpus (poly path).  Built from ``old_df`` when absent; pass the
+    loaded artifact in production.  Parameters must match the index.
+
+    Returns ``(new_id, old_id, est_jaccard, jaccard)`` with
+    ``jaccard >= min_jaccard`` — every hash replayable in SQL, so the
+    whole incremental pipeline is oracle-checkable."""
+    new_base = poly_shingle_base(new_df, text_col, id_col, shingle_k)
+    if index is None:
+        index = minhash_band_index(
+            old_df, text_col, id_col, num_perm, bands, shingle_k, seed,
+            hash_fn="poly",
+        )
+    new_banded = minhash_band_index(
+        None, text_col, id_col, num_perm, bands, shingle_k, seed,
+        hash_fn="poly", base=new_base,
+    )
+    # boilerplate-bucket cap on the HISTORY side (the side whose bucket
+    # population is corpus-sized; the new shard inherits the protection
+    # through the join)
+    sizes = index.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    idx = index.join(
+        sizes.where(F.col("_n") <= max_bucket), ["band", "bucket"]
+    ).select(
+        "band", "bucket",
+        F.col("id").alias("old_id"), F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        new_banded.select(
+            "band", "bucket",
+            F.col("id").alias("new_id"), F.col("sig").alias("sig_a"),
+        )
+        .join(idx, ["band", "bucket"])
+        .where(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                           lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    cand = pairs.select(
+        "new_id", "old_id", F.round(est, 6).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= min_est)
+    # verify: shingle ONLY the colliding old docs (candidate-bounded)
+    old_hit = old_df.join(
+        cand.select(F.col("old_id").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    )
+    ob = poly_shingle_base(old_hit, text_col, id_col, shingle_k,
+                           materialize=False)
+    a = new_base.select(F.col("id").alias("new_id"),
+                        F.col("base").alias("b_a"))
+    b = ob.select(F.col("id").alias("old_id"), F.col("base").alias("b_b"))
+    inter = F.size(F.array_intersect("b_a", "b_b")).cast("double")
+    union = F.size(F.array_union("b_a", "b_b")).cast("double")
+    return (
+        cand.join(a, "new_id")
+        .join(b, "old_id")
+        .select(
+            "new_id", "old_id", "est_jaccard",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= min_jaccard)
     )
 

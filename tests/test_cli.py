@@ -1310,3 +1310,45 @@ def test_cli_cardinality_kmv_method(spark, tmp_path, capsys):
         run(capsys, "pipeline", "cardinality", "--method", "kmv",
             "--input", docs, "--group", "src", "--k", "64",
             "--error-target", "5")
+
+
+def test_cli_dedup_incremental_against(spark, tmp_path, capsys):
+    """pipeline dedup --against: new shard vs history, with and without
+    a persisted band index; guards for the non-minhash combinations."""
+    import json
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog by the river"),
+        (1, "the quick brown fox jumps over the lazy dog by the shore"),
+        (2, "completely unrelated text about engines and query planners"),
+        (3, "the quick brown fox jumps over the lazy dog by the river"),
+    ]
+    allp = str(tmp_path / "all")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(allp)
+    newp, oldp = str(tmp_path / "new"), str(tmp_path / "old")
+    d = spark.read.parquet(allp)
+    d.where("doc_id >= 3").write.parquet(newp)
+    d.where("doc_id < 3").write.parquet(oldp)
+
+    j = json.loads(run(capsys, "pipeline", "dedup", "--method", "minhash",
+                       "--input", newp, "--against", oldp,
+                       "--threshold", "0.3"))
+    assert j["rows"] == 2  # doc 3 matches history docs 0 and 1
+
+    from dudb_spark.pipeline.dedup import minhash_band_index
+
+    idxp = str(tmp_path / "idx")
+    minhash_band_index(
+        spark.read.parquet(oldp), num_perm=32, bands=8, hash_fn="poly"
+    ).write.parquet(idxp)
+    j2 = json.loads(run(capsys, "pipeline", "dedup", "--method", "minhash",
+                        "--input", newp, "--against", oldp,
+                        "--band-index", idxp, "--threshold", "0.3"))
+    assert j2["rows"] == 2
+
+    with pytest.raises(SystemExit, match="is a minhash mode"):
+        run(capsys, "pipeline", "dedup", "--method", "exact",
+            "--input", newp, "--against", oldp)
+    with pytest.raises(SystemExit, match="only makes sense"):
+        run(capsys, "pipeline", "dedup", "--method", "minhash",
+            "--input", newp, "--band-index", idxp)

@@ -619,3 +619,46 @@ def test_tfidf_top_terms_golden(spark):
     assert rows[(3, 1)][0] == (
         "cherry" if 2 * idf(2) > idf(1) else "durian"
     )
+
+
+def test_incremental_dedup_matches_cross_shard_self_dedup(docs, tmp_path):
+    """Incremental new-vs-history dedup must find EXACTLY the
+    cross-shard subset of full self-dedup (same params, data below the
+    bucket cap), and a band index persisted to parquet and reloaded
+    must give the identical answer — the artifact contract."""
+    new = docs.where("doc_id % 3 = 0")   # 0, 3
+    old = docs.where("doc_id % 3 != 0")  # 1, 2, 4, 5
+    inc = dedup.incremental_verified_pairs(
+        new, old, num_perm=32, bands=16, min_est=0.3, min_jaccard=0.3
+    )
+    got = {(r["new_id"], r["old_id"]): (r["est_jaccard"], r["jaccard"])
+           for r in inc.collect()}
+
+    full = dedup.minhash_verified_pairs(
+        docs, num_perm=32, bands=16, min_est=0.3, min_jaccard=0.3
+    )
+    want = {}
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a % 3 == 0) != (b % 3 == 0):  # straddles the shard split
+            nid, oid = (a, b) if a % 3 == 0 else (b, a)
+            want[(nid, oid)] = r["jaccard"]
+    assert set(got) == set(want)
+    for k, (_, jac) in got.items():
+        assert jac == want[k]
+    # 0↔1 near-dup and 0↔3 exact dup straddle this split via doc 3/0
+    assert (0, 1) in got and (3, 1) in got
+
+    # persisted index round-trip
+    idx_dir = str(tmp_path / "band_index")
+    dedup.minhash_band_index(
+        old, num_perm=32, bands=16, hash_fn="poly"
+    ).write.parquet(idx_dir)
+    loaded = new.sparkSession.read.parquet(idx_dir)
+    inc2 = dedup.incremental_verified_pairs(
+        new, old, num_perm=32, bands=16, min_est=0.3, min_jaccard=0.3,
+        index=loaded,
+    )
+    got2 = {(r["new_id"], r["old_id"]): (r["est_jaccard"], r["jaccard"])
+            for r in inc2.collect()}
+    assert got2 == got
