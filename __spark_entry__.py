@@ -6079,6 +6079,28 @@ def q166_incremental_dedup(spark, sf_dir):
     ).orderBy("new_id", "old_id")
 
 
+def q167_weighted_mass_sample(spark, sf_dir):
+    """Weight-everything exact sampling
+    (pipeline/sampling.weighted_mass_quotas / weighted_exact_sample):
+    a 137-document budget ALLOCATED across sources by integer n_chars
+    mass (Hamilton integerization — q158's allocator pointed at weight
+    mass instead of row count) and DRAWN within each source ∝ n_chars
+    (q164's A-ES key) — both halves of "sample by size/quality" in one
+    deterministic pass, total = budget − Σ shortfall when mass
+    concentrates in small strata.  All allocation arithmetic int64
+    (integrality refused otherwise, overflow guarded BEFORE the quota
+    fold executes — ANSI throws there first); the oracle replays the
+    mass quotas and the ranked A-ES cut in SQL."""
+    from dudb_spark.pipeline.sampling import weighted_exact_sample
+
+    d = _t(spark, sf_dir, "documents")
+    sel = weighted_exact_sample(d, "doc_id", "source", "n_chars", 137,
+                                salt=17)
+    return sel.select(
+        "doc_id", "source", "n_chars", "quota", "capped", "rn"
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6245,6 +6267,7 @@ QUERIES: dict[str, Callable] = {
     "q164_weighted_sample": q164_weighted_sample,
     "q165_stream_window_quantiles": q165_stream_window_quantiles,
     "q166_incremental_dedup": q166_incremental_dedup,
+    "q167_weighted_mass_sample": q167_weighted_mass_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -10306,6 +10329,40 @@ def _incremental_dedup_oracle_sql(
 
 ORACLE["q166_incremental_dedup"] = _incremental_dedup_oracle_sql()
 
+
+def _weighted_mass_sample_oracle_sql() -> str:
+    """DuckDB restatement of q167: identical integer mass quotas
+    (weighted_mass_quotas_sql) and the identical per-source A-ES
+    ranked cut."""
+    from dudb_spark.pipeline.sampling import (
+        aes_key_sql,
+        weighted_mass_quotas_sql,
+    )
+
+    cte = weighted_mass_quotas_sql(
+        "(SELECT * FROM documents)", "source", "n_chars", 137
+    )
+    key = aes_key_sql("doc_id", "n_chars", salt=17)
+    return f"""
+        WITH {cte}
+        SELECT doc_id, source, n_chars, quota, capped, rn
+        FROM (
+            SELECT p.doc_id, p.source, p.n_chars,
+                   CAST(q.quota AS BIGINT) AS quota,
+                   CAST(q.capped AS BIGINT) AS capped,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.source
+                       ORDER BY {key} DESC, p.doc_id
+                   ) AS rn
+            FROM wpos p JOIN quotas q ON q.stratum = p.source
+        )
+        WHERE rn <= capped
+        ORDER BY doc_id
+    """
+
+
+ORACLE["q167_weighted_mass_sample"] = _weighted_mass_sample_oracle_sql()
+
 ORACLE["q160_event_islands"] = """
     WITH marked AS (
         SELECT user_id AS key, event_type AS label, event_id AS id,
@@ -10438,6 +10495,11 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
     "q162_temperature_mixture": {
         "global-window": "temperature-quota windows (rank, w_total, "
         "leftover) over the same ≤|strata|-row counts fold as q158 — "
+        "bounded by construction",
+    },
+    "q167_weighted_mass_sample": {
+        "global-window": "mass-quota windows (rank, w_total, leftover) "
+        "over the same ≤|strata|-row counts fold as q158/q162 — "
         "bounded by construction",
     },
     "q112_data_quality": {

@@ -1600,11 +1600,37 @@ def cmd_pipeline_sample_exact(args):
         stratified_exact_sample,
         temperature_quotas,
         temperature_sample,
+        weighted_exact_sample,
+        weighted_mass_quotas,
     )
 
     spark = _spark()
     df = spark.read.parquet(expand_path(args.input))
-    if args.alpha is not None:
+    if args.alpha is not None and args.weight_col is not None:
+        raise SystemExit(
+            "pipeline sample-exact: --alpha (temperature on row "
+            "counts) and --weight-col (mass allocation) are "
+            "alternatives"
+        )
+    if args.weight_col is not None:
+        # mass mode: allocate ∝ Σ weight per stratum, draw ∝ weight
+        # within each stratum (A-ES)
+        sel = weighted_exact_sample(
+            df, args.id_col, args.stratum, args.weight_col,
+            args.budget, salt=args.salt,
+        )
+        quotas = weighted_mass_quotas(
+            df, args.stratum, args.weight_col, args.budget
+        )
+        drop_cols = ["rn", "quota", "capped"]
+        hdr = (f"{args.stratum}\tpopulation\tw_mass\tquota\tcapped"
+               "\tshortfall\tselected")
+
+        def line(r):
+            return (f"{r[args.stratum]}\t{r['population']}"
+                    f"\t{r['w_mass']}\t{r['quota']}\t{r['capped']}"
+                    f"\t{r['shortfall']}\t{r['selected']}")
+    elif args.alpha is not None:
         # temperature rebalancing: allocation ∝ n_s**alpha; a quota may
         # exceed its stratum, the audit's shortfall column reports it
         sel = temperature_sample(
@@ -2609,6 +2635,11 @@ def build_parser():
                      help="temperature exponent: allocate ∝ n**alpha "
                           "(0.5 = XLM-R-style rebalancing; default "
                           "proportional)")
+    pse.add_argument("--weight-col", default=None,
+                     help="mass mode: allocate the budget ∝ Σ of this "
+                          "integral column per stratum and draw ∝ it "
+                          "within each stratum (A-ES) — alternative "
+                          "to --alpha")
     pse.add_argument("--out", default=None)
     pse.set_defaults(func=cmd_pipeline_sample_exact)
 

@@ -624,3 +624,204 @@ def aes_key_sql(id_expr: str, weight_expr: str, salt: int = 0) -> str:
         f"ln(CAST(({h2}) + 1 AS DOUBLE) / {float(_MOD)!r})"
         f" / CAST(({weight_expr}) AS DOUBLE)"
     )
+
+
+def weighted_mass_quotas(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Exact per-stratum quotas proportional to each stratum's WEIGHT
+    MASS (sum of an integral weight column) instead of its row count —
+    "allocate the document budget by where the tokens/quality mass is":
+    the corpus-construction rule when strata differ in document size or
+    score, where count-proportional allocation (largest_remainder_quotas)
+    over-serves strata of many tiny documents.  Same Hamilton
+    integerization, and with an integral weight column every step is
+    int64 — engine-exact, no floats anywhere.
+
+    Rows with NULL or non-positive weight carry no mass and are not
+    selectable (:func:`weighted_exact_sample` draws ∝ weight — their
+    draw probability is the w→0 limit, zero), so they are excluded
+    here too: quota mass and selectability stay consistent.
+
+    A mass quota can EXCEED its stratum's population (mass concentrated
+    in few big rows); like :func:`temperature_quotas` the output keeps
+    both numbers honest: ``quota`` (allocated), ``capped`` =
+    min(quota, n_rows), ``shortfall`` = quota − capped.
+
+    Output: (stratum, n_rows, w_mass, n_nonint, quota, capped,
+    shortfall) — ``n_nonint`` counts fractional weights for the
+    caller's integrality refusal (the Hamilton arithmetic is only
+    engine-exact over integers).  Scale shape: one fold to ≤|strata|
+    rows, windows over that bounded frame."""
+    from pyspark.sql.window import Window
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    wc = F.col(weight_col)
+    pos = df.where(wc.isNotNull() & (wc > 0))
+    counts = pos.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(wc.cast("long")).alias("w_mass"),
+        F.sum(
+            F.when(wc != F.floor(wc), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_nonint"),
+    )
+    b = F.lit(int(budget))
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.col("rem").desc(), F.col("w_mass").desc(), F.col("stratum")
+    )
+    quoted = (
+        counts
+        .withColumn("w_total", F.sum("w_mass").over(w_all))
+        .withColumn(
+            "base", F.expr(f"(w_mass * {int(budget)}) div w_total")
+        )
+        .withColumn("rem", (F.col("w_mass") * b) % F.col("w_total"))
+        .withColumn("leftover", b - F.sum("base").over(w_all))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "quota",
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("capped", F.least(F.col("quota"), F.col("n_rows")))
+        .withColumn("shortfall", F.col("quota") - F.col("capped"))
+    )
+    return quoted.select(
+        "stratum", "n_rows", "w_mass", "n_nonint", "quota", "capped",
+        "shortfall",
+    )
+
+
+def weighted_exact_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weight_col: str,
+    budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Weight-everything exact sampling: the budget is ALLOCATED across
+    strata by integer weight mass (:func:`weighted_mass_quotas`) and
+    rows are DRAWN within each stratum ∝ weight (the A-ES key of
+    :func:`weighted_sample`) — both halves of "sample by quality/size"
+    in one deterministic, engine-replayable pass.  Total rows =
+    budget − Σ shortfall (a mass quota can exceed a small stratum's
+    population; shortfall is reported, not silently redistributed).
+
+    Refuses NULL strata (the quota equi-join would silently drop them
+    — the stratified_exact_sample contract), fractional weights (the
+    Hamilton arithmetic is engine-exact only over integers), and
+    budget × total mass beyond int64.
+
+    Scale shape: quota table ≤|strata| rows, broadcast; ONE shuffle on
+    the stratum key; the ranking filter carries the constant
+    ``rn <= max(capped)`` bound so Catalyst plans a group limit, the
+    per-stratum quota trims inside it.  Output: input columns +
+    (quota, capped, rn)."""
+    from pyspark.sql.window import Window
+
+    wc = F.col(weight_col)
+    pos = df.where(wc.isNotNull() & (wc > 0))
+    # bounded driver scalars, TWO jobs by necessity: the guards must
+    # run BEFORE any quota arithmetic executes — with ANSI on, an
+    # overflowing w_mass×budget in the quota fold throws before a
+    # guard reading the same frame could fire
+    null_rows, nonint, w_total = pos.groupBy(
+        F.col(stratum_col).alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(wc.cast("long")).alias("w_mass"),
+        F.sum(
+            F.when(wc != F.floor(wc), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_nonint"),
+    ).agg(
+        F.sum(F.when(F.col("stratum").isNull(), F.col("n_rows"))),
+        F.sum("n_nonint"),
+        F.sum("w_mass"),
+    ).collect()[0]
+    w_total = w_total or 0
+    if null_rows:
+        raise ValueError(
+            f"{null_rows} positive-weight rows have NULL "
+            f"{stratum_col!r}: fill or filter the stratum column "
+            "before exact allocation"
+        )
+    if nonint:
+        raise ValueError(
+            f"{nonint} rows have fractional {weight_col!r}: the "
+            "mass-quota arithmetic is engine-exact only over integral "
+            "weights (scale them up, e.g. ×1000, first)"
+        )
+    if w_total and budget > (1 << 62) // w_total:
+        raise ValueError(
+            f"budget {budget} × weight mass {w_total} would overflow "
+            "the int64 quota arithmetic"
+        )
+    quotas = weighted_mass_quotas(df, stratum_col, weight_col, budget)
+    max_q = quotas.agg(F.max("capped")).collect()[0][0] or 0
+    win = Window.partitionBy(stratum_col).orderBy(
+        aes_key(F.col(id_col), wc, salt).desc(), F.col(id_col)
+    )
+    return (
+        df.where(wc.isNotNull() & (wc > 0))
+        .join(
+            F.broadcast(
+                quotas.select("stratum", "quota", "capped")
+                .withColumnRenamed("stratum", stratum_col)
+            ),
+            stratum_col,
+        )
+        .withColumn("rn", F.row_number().over(win))
+        .where(
+            (F.col("rn") <= F.lit(int(max_q)))
+            & (F.col("rn") <= F.col("capped"))
+        )
+    )
+
+
+def weighted_mass_quotas_sql(
+    from_sql: str, stratum_expr: str, weight_expr: str, budget: int
+) -> str:
+    """The identical mass allocation as an ANSI-SQL CTE body ending in
+    ``quotas(stratum, n_rows, w_mass, quota, capped, shortfall)`` —
+    integer arithmetic end-to-end over the positive-weight rows."""
+    b = int(budget)
+    return f"""
+        wpos AS (
+            SELECT * FROM {from_sql}
+            WHERE ({weight_expr}) IS NOT NULL AND ({weight_expr}) > 0
+        ), counts AS (
+            SELECT {stratum_expr} AS stratum, COUNT(*) AS n_rows,
+                   SUM(CAST(({weight_expr}) AS BIGINT)) AS w_mass
+            FROM wpos GROUP BY 1
+        ), sized AS (
+            SELECT stratum, n_rows, w_mass,
+                   SUM(w_mass) OVER () AS w_total,
+                   (w_mass * {b}) // SUM(w_mass) OVER () AS base,
+                   (w_mass * {b}) % SUM(w_mass) OVER () AS rem
+            FROM counts
+        ), ranked AS (
+            SELECT *,
+                   {b} - SUM(base) OVER () AS leftover,
+                   ROW_NUMBER() OVER (
+                       ORDER BY rem DESC, w_mass DESC, stratum
+                   ) AS rk
+            FROM sized
+        ), quotas AS (
+            SELECT stratum, n_rows, w_mass,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     AS quota,
+                   least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                         END, n_rows) AS capped,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     - least(base + CASE WHEN rk <= leftover THEN 1
+                             ELSE 0 END, n_rows) AS shortfall
+            FROM ranked
+        )
+    """

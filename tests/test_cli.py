@@ -1352,3 +1352,28 @@ def test_cli_dedup_incremental_against(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="only makes sense"):
         run(capsys, "pipeline", "dedup", "--method", "minhash",
             "--input", newp, "--band-index", idxp)
+
+
+def test_cli_sample_exact_weight_col_mass_mode(spark, tmp_path, capsys):
+    """--weight-col: budget allocated by weight mass, shortfall audit
+    for a mass-heavy tiny stratum, --alpha crossing guard."""
+    rows = [(i, "many", 1) for i in range(90)]
+    rows += [(100, "big", 900)]  # 90% of the mass, one row
+    inp = str(tmp_path / "mass")
+    spark.createDataFrame(rows, "doc_id long, lang string, w long") \
+        .write.parquet(inp)
+    out = run(capsys, "pipeline", "sample-exact", "--input", inp,
+              "--stratum", "lang", "--budget", "20",
+              "--weight-col", "w")
+    lines = out.strip().splitlines()
+    assert lines[0] == ("lang\tpopulation\tw_mass\tquota\tcapped"
+                        "\tshortfall\tselected")
+    got = {l.split("\t")[0]: l.split("\t") for l in lines[1:]}
+    # big: quota 18 by mass, capped at its 1 row, shortfall 17
+    assert got["big"][2:7] == ["900", "18", "1", "17", "1"]
+    assert got["many"][3] == "2" and got["many"][6] == "2"
+
+    with pytest.raises(SystemExit, match="alternatives"):
+        run(capsys, "pipeline", "sample-exact", "--input", inp,
+            "--stratum", "lang", "--budget", "20",
+            "--weight-col", "w", "--alpha", "0.5")

@@ -387,3 +387,98 @@ def test_weighted_sample_duckdb_lockstep(spark):
         """).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------- weighted-mass exact sampling
+
+
+def test_weighted_mass_quotas_exact_and_capped(spark):
+    from dudb_spark.pipeline.sampling import weighted_mass_quotas
+
+    # stratum a: 3 rows of mass 300; b: 30 rows of mass 60; c: one
+    # huge-mass row that forces quota > population (capped + shortfall)
+    rows = [(i, "a", 100) for i in range(3)]
+    rows += [(100 + i, "b", 2) for i in range(30)]
+    rows += [(200, "c", 640)]
+    rows += [(201, "c", None), (202, "a", -7)]  # massless, excluded
+    df = spark.createDataFrame(rows, "doc_id long, s string, w long")
+    q = {r["stratum"]: r for r in
+         weighted_mass_quotas(df, "s", "w", 10).collect()}
+    assert sum(r["quota"] for r in q.values()) == 10
+    assert q["a"]["w_mass"] == 300 and q["b"]["w_mass"] == 60
+    assert q["c"]["quota"] > 1 and q["c"]["capped"] == 1
+    assert q["c"]["shortfall"] == q["c"]["quota"] - 1
+    assert q["a"]["n_rows"] == 3  # the negative-weight row carries none
+
+
+def test_weighted_exact_sample_contract_and_guards(spark):
+    from dudb_spark.pipeline.sampling import (
+        weighted_exact_sample,
+        weighted_mass_quotas,
+    )
+
+    rows = [(i, "a" if i < 40 else "b", (i % 5 + 1) * 10)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, s string, w long")
+    sel = weighted_exact_sample(df, "doc_id", "s", "w", 30, salt=3)
+    got = sel.collect()
+    q = {r["stratum"]: r for r in
+         weighted_mass_quotas(df, "s", "w", 30).collect()}
+    per = {}
+    for r in got:
+        per[r["s"]] = per.get(r["s"], 0) + 1
+    assert per == {s: q[s]["capped"] for s in per}
+    assert len(got) == 30 - sum(r["shortfall"] for r in q.values())
+    # rerun + repartition stable
+    again = weighted_exact_sample(
+        df.repartition(7), "doc_id", "s", "w", 30, salt=3
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == \
+        sorted(r["doc_id"] for r in got)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="NULL"):
+        weighted_exact_sample(
+            df.withColumn("s", F.when(F.col("doc_id") < 5, None)
+                          .otherwise(F.col("s"))),
+            "doc_id", "s", "w", 10)
+    with _pt.raises(ValueError, match="fractional"):
+        weighted_exact_sample(
+            df.withColumn("w", F.col("w") + 0.5), "doc_id", "s", "w", 10)
+    with _pt.raises(ValueError, match="overflow"):
+        weighted_exact_sample(
+            df.withColumn("w", F.col("w") * F.lit(1 << 40)),
+            "doc_id", "s", "w", 1 << 22)
+
+
+def test_weighted_exact_sample_duckdb_lockstep(spark):
+    import pytest as _pt
+    duckdb = _pt.importorskip("duckdb")
+    from dudb_spark.pipeline.sampling import (
+        aes_key_sql,
+        weighted_exact_sample,
+        weighted_mass_quotas_sql,
+    )
+
+    rows = [(i, "s" + str(i % 4), (i % 7 + 1) * 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, s string, w long")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_exact_sample(df, "doc_id", "s", "w", 50,
+                                       salt=9).collect()
+    )
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    cte = weighted_mass_quotas_sql("src", "s", "w", 50)
+    key = aes_key_sql("doc_id", "w", salt=9)
+    want = sorted(r[0] for r in con.execute(f"""
+        WITH {cte}
+        SELECT doc_id FROM (
+            SELECT p.doc_id, q.capped,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.s ORDER BY {key} DESC, p.doc_id
+                   ) AS rn
+            FROM wpos p JOIN quotas q ON q.stratum = p.s
+        ) WHERE rn <= capped
+    """).fetchall())
+    assert got == want
