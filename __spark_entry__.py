@@ -6101,6 +6101,28 @@ def q167_weighted_mass_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q168_exact_similarity_join(spark, sf_dir):
+    """EXACT set-similarity self-join (pipeline/dedup.
+    similarity_join_exact, All-Pairs/PPJoin prefix filtering —
+    Bayardo et al. WWW 2007): every document pair with shingle-set
+    Jaccard ≥ 0.6, with ZERO false negatives — the recall guarantee
+    the probabilistic dedup family (q16 MinHash, q19 SimHash) trades
+    away, completing the dedup surface with its one exact-recall
+    member.  Candidates come from an equi-join on rarest-first prefix
+    tokens (never all-pairs; the prefix lemma bounds the index at
+    |x|−⌈t·|x|⌉+1 tokens per doc); the threshold runs as the rational
+    ⌈t·1e6⌉/1e6 so prefix lengths and the |∩|·1e6 ≥ tn·|∪| verify are
+    pure int64 — a float ceil can shorten a prefix into a missed
+    boundary pair (pinned against brute force in tests).  The oracle
+    replays hashes, frequencies, prefixes, and the integer verify."""
+    from dudb_spark.pipeline.dedup import similarity_join_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return similarity_join_exact(d, threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6268,6 +6290,7 @@ QUERIES: dict[str, Callable] = {
     "q165_stream_window_quantiles": q165_stream_window_quantiles,
     "q166_incremental_dedup": q166_incremental_dedup,
     "q167_weighted_mass_sample": q167_weighted_mass_sample,
+    "q168_exact_similarity_join": q168_exact_similarity_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -10362,6 +10385,68 @@ def _weighted_mass_sample_oracle_sql() -> str:
 
 
 ORACLE["q167_weighted_mass_sample"] = _weighted_mass_sample_oracle_sql()
+
+
+def _exact_similarity_join_oracle_sql(
+    threshold: float = 0.6, shingle_k: int = 3
+) -> str:
+    """DuckDB restatement of q168: same Horner shingle hashes, same
+    df·2³¹+h global order, same integer prefix length and integer
+    threshold verify."""
+    M = (1 << 31) - 1
+    tn = int(-(-threshold * 1_000_000 // 1))
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT doc_id, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), hsx AS (
+            SELECT doc_id, list_distinct([
+                list_reduce(list_prepend(0::BIGINT, th[i:i+{shingle_k - 1}]),
+                            (a, v) -> (a*257+v) % {M})
+                FOR i IN range(1, greatest(len(th)-{shingle_k - 1}, 1) + 1)]) AS hs
+            FROM tkh
+        ), ex AS (
+            SELECT doc_id, unnest(hs) AS h FROM hsx
+        ), freq AS (
+            SELECT h, COUNT(*) AS dfq FROM ex GROUP BY h
+        ), keyed AS (
+            SELECT e.doc_id, f.dfq * {1 << 31} + e.h AS k
+            FROM ex e JOIN freq f USING (h)
+        ), sets AS (
+            SELECT doc_id, list_sort(list(k)) AS ks
+            FROM keyed GROUP BY doc_id
+        ), pref AS (
+            SELECT doc_id,
+                   unnest(ks[1:greatest(
+                       len(ks) - (len(ks) * {tn} + 999999) // 1000000 + 1,
+                       0)]) AS k
+            FROM sets
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM pref a JOIN pref b
+              ON a.k = b.k AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))::DOUBLE
+                     / len(list_distinct(sa.hs || sb.hs)), 6) AS jaccard
+        FROM cand c JOIN hsx sa ON c.id_a = sa.doc_id
+                    JOIN hsx sb ON c.id_b = sb.doc_id
+        WHERE len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) * 1000000
+              >= {tn} * len(list_distinct(sa.hs || sb.hs))
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLE["q168_exact_similarity_join"] = _exact_similarity_join_oracle_sql()
 
 ORACLE["q160_event_islands"] = """
     WITH marked AS (

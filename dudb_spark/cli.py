@@ -873,6 +873,14 @@ def cmd_pipeline_dedup(args):
             res = minhash_verified_pairs(
                 df, args.text_col, args.id_col, min_jaccard=args.threshold
             )
+    elif args.method == "jaccard":
+        # EXACT set-similarity join (prefix filtering): zero false
+        # negatives at the threshold, vs minhash's probabilistic recall
+        from dudb_spark.pipeline.dedup import similarity_join_exact
+
+        res = similarity_join_exact(
+            df, args.text_col, args.id_col, threshold=args.threshold
+        )
     elif args.method == "simhash":
         from dudb_spark.pipeline.dedup import simhash_near_duplicates
 
@@ -2302,8 +2310,8 @@ def build_parser():
     pd = psub.add_parser("dedup", help="exact/minhash/simhash/semantic dedup")
     pd.add_argument("--input", required=True, help="parquet path")
     pd.add_argument("--method", default="exact",
-                    choices=["exact", "minhash", "simhash", "semantic",
-                             "cluster"])
+                    choices=["exact", "minhash", "jaccard", "simhash",
+                             "semantic", "cluster"])
     pd.add_argument("--id-col", default="doc_id")
     pd.add_argument("--text-col", default="text")
     pd.add_argument("--vec-col", default="embedding")

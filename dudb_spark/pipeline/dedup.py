@@ -505,6 +505,88 @@ def incremental_verified_pairs(
     )
 
 
+def similarity_join_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering: EVERY pair
+    with Jaccard ≥ threshold over the hashed-shingle sets — zero false
+    negatives, the guarantee the probabilistic family trades away
+    (MinHash banding misses a J=0.5 pair with ~(1−0.5^r)^b
+    probability; this operator's candidate set provably contains all
+    qualifying pairs).  All-Pairs/PPJoin prefix filtering (Bayardo et
+    al. WWW 2007; Xiao et al. WWW 2008): order every set by one GLOBAL
+    rarest-first key; if J(x,y) ≥ t, x and y must share an element
+    among each one's first ``|x| − ⌈t·|x|⌉ + 1`` elements — so only
+    prefix tokens are indexed and the candidate join is an equi-join
+    on them, never all-pairs.
+
+    Engine-exactness: the threshold enters as the rational
+    ``⌈t·1e6⌉/1e6``, so the prefix length ``n − (tn·n + 999999) div
+    1e6 + 1`` and the verification ``|∩|·1e6 ≥ tn·|∪|`` are pure int64
+    — a float ``ceil(0.7·n)`` can land on the wrong integer
+    (0.7·10 → 7.000…1 → 8) and silently SHORTEN the prefix into a
+    false negative.  The global order key is ``df·2³¹ + h`` (document
+    frequency, then hash) — one sortable int64, identical in any
+    engine.
+
+    Scale shape: one (shingle → df) fold, one equi-join back, a
+    per-doc sort of its own shingle set (scan-side, no window), the
+    prefix equi-join, and id-keyed verification joins bounded by the
+    candidate set.  Returns (id_a, id_b, jaccard ≥ threshold).
+
+    The reference has no similarity surface; this completes the dedup
+    family (SURVEY.md §7 step 9) with its only exact-recall member."""
+    tn = int(-(-threshold * 1_000_000 // 1))  # ceil(t·1e6)
+    if not 0 < tn <= 1_000_000:
+        raise ValueError("threshold must be in (0, 1]")
+    if base is None:
+        base = poly_shingle_base(df, text_col, id_col, shingle_k)
+    ex = base.select("id", F.explode("base").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    keyed = ex.join(freq, "h").select(
+        "id", (F.col("_df") * F.lit(1 << 31) + F.col("h")).alias("k")
+    )
+    sets = keyed.groupBy("id").agg(
+        F.sort_array(F.collect_list("k")).alias("ks")
+    )
+    n = F.size("ks")
+    # prefix length n − ⌈t·n⌉ + 1, all integer: ⌈tn·n/1e6⌉ via div
+    plen = (
+        n - F.expr(f"(size(ks) * {tn} + 999999) div 1000000").cast("int")
+        + F.lit(1)
+    )
+    pref = sets.select(
+        "id", F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
+        .alias("k"),
+    )
+    cand = (
+        pref.select(F.col("id").alias("id_a"), "k")
+        .join(pref.select(F.col("id").alias("id_b"), "k"), "k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("base").alias("b_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("base").alias("b_b"))
+    inter = F.size(F.array_intersect("b_a", "b_b")).cast("long")
+    union = F.size(F.array_union("b_a", "b_b")).cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(inter * F.lit(1_000_000) >= F.lit(tn) * union)
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / union.cast("double"), 6)
+            .alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,

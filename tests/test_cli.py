@@ -1377,3 +1377,18 @@ def test_cli_sample_exact_weight_col_mass_mode(spark, tmp_path, capsys):
         run(capsys, "pipeline", "sample-exact", "--input", inp,
             "--stratum", "lang", "--budget", "20",
             "--weight-col", "w", "--alpha", "0.5")
+
+
+def test_cli_dedup_jaccard_exact(spark, tmp_path, capsys):
+    import json
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g x"),
+        (2, "totally different words here now"),
+    ]
+    inp = str(tmp_path / "jdocs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+    j = json.loads(run(capsys, "pipeline", "dedup", "--method", "jaccard",
+                       "--input", inp, "--threshold", "0.5"))
+    assert j["rows"] == 1  # only the (0,1) boundary pair qualifies

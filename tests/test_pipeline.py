@@ -662,3 +662,47 @@ def test_incremental_dedup_matches_cross_shard_self_dedup(docs, tmp_path):
     got2 = {(r["new_id"], r["old_id"]): (r["est_jaccard"], r["jaccard"])
             for r in inc2.collect()}
     assert got2 == got
+
+
+def test_similarity_join_exact_equals_brute_force(spark):
+    """The exact-recall contract: prefix-filtered output == all-pairs
+    brute force at the same threshold, including boundary pairs — the
+    guarantee LSH can't give.  Also pins the integer threshold
+    arithmetic (a float ceil(0.7*10)=8 would shorten the prefix and
+    drop a boundary pair)."""
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i k"),   # high overlap with 0
+        (2, "a b c d e f z y x w"),   # moderate overlap with 0/1
+        (3, "q r s t u v w x y z"),
+        (4, "a b c d e f g h i j"),   # exact dup of 0
+        (5, "m n o p"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.7, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.similarity_join_exact(
+                docs, threshold=t, shingle_k=2
+            ).collect()
+        }
+        base = dedup.poly_shingle_base(docs, shingle_k=2)
+        bf = {}
+        rowsb = {r["id"]: set(r["base"]) for r in base.collect()}
+        for a in rowsb:
+            for b in rowsb:
+                if a < b and rowsb[a] and rowsb[b]:
+                    j = len(rowsb[a] & rowsb[b]) / len(rowsb[a] | rowsb[b])
+                    # same rational comparison as the operator
+                    if len(rowsb[a] & rowsb[b]) * 1_000_000 >= \
+                            int(-(-t * 1_000_000 // 1)) * \
+                            len(rowsb[a] | rowsb[b]):
+                        bf[(a, b)] = round(j, 6)
+        assert got == bf, (t, got, bf)
+    # exact dup pair survives t=1.0
+    assert (0, 4) in {
+        (r["id_a"], r["id_b"])
+        for r in dedup.similarity_join_exact(
+            docs, threshold=1.0, shingle_k=2
+        ).collect()
+    }
