@@ -6123,6 +6123,56 @@ def q168_exact_similarity_join(spark, sf_dir):
     )
 
 
+def q169_stream_weighted_reservoir(spark, sf_dir):
+    """Streaming weighted reservoir
+    (streaming/reservoir.stream_weighted_reservoir): keep the 15
+    events per type drawn ∝ value from everything seen so far — the
+    A-ES reservoir (Efraimidis–Spirakis IPL 2006) as bounded streaming
+    state, where Structured Streaming has no top-n at all (rank
+    windows refused on streams; exact state would be every row).  The
+    A-ES key makes the reservoir mergeable (top-n of per-shard top-n's
+    == top-n of the union), so state is O(n) per group across four
+    time-ordered micro-batches; the final reservoir (max batch_seq
+    emission per group) must equal the BATCH A-ES top-n value-for-value
+    — certified against the batch SQL restatement of the same MINSTD
+    key and ranked cut."""
+    from pyspark.sql.window import Window
+
+    from dudb_spark.streaming.reservoir import stream_weighted_reservoir
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+
+    src = _staged_events_ordered(spark, sf_dir, 4)
+    with _stream_parts(spark):
+        reader = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+        )
+        q = (
+            stream_weighted_reservoir(
+                reader.parquet(src), "event_type", "event_id", "value",
+                n=15, salt=21,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dudb_q169_res")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sink = spark.table("dudb_q169_res")
+    last = Window.partitionBy("grp")
+    return (
+        sink.withColumn("_mx", F.max("batch_seq").over(last))
+        .where(F.col("batch_seq") == F.col("_mx"))
+        .select(
+            F.col("grp").alias("event_type"),
+            F.col("item_id").alias("event_id"),
+            F.round("weight", 6).alias("value"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6291,6 +6341,7 @@ QUERIES: dict[str, Callable] = {
     "q166_incremental_dedup": q166_incremental_dedup,
     "q167_weighted_mass_sample": q167_weighted_mass_sample,
     "q168_exact_similarity_join": q168_exact_similarity_join,
+    "q169_stream_weighted_reservoir": q169_stream_weighted_reservoir,
 }
 
 ORACLE: dict[str, str] = {
@@ -10447,6 +10498,32 @@ def _exact_similarity_join_oracle_sql(
 
 
 ORACLE["q168_exact_similarity_join"] = _exact_similarity_join_oracle_sql()
+
+
+def _stream_weighted_reservoir_oracle_sql(n: int = 15, salt: int = 21) -> str:
+    """DuckDB restatement of q169: the BATCH A-ES top-n per event type
+    — streamed reservoir merges must reproduce it exactly."""
+    from dudb_spark.pipeline.sampling import aes_key_sql
+
+    key = aes_key_sql("event_id", "value", salt=salt)
+    return f"""
+        SELECT event_type, event_id, ROUND(value, 6) AS value
+        FROM (
+            SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY {key} DESC, event_id
+                   ) AS rn
+            FROM events
+            WHERE value IS NOT NULL AND value > 0
+        )
+        WHERE rn <= {n}
+        ORDER BY event_type, event_id
+    """
+
+
+ORACLE["q169_stream_weighted_reservoir"] = \
+    _stream_weighted_reservoir_oracle_sql()
 
 ORACLE["q160_event_islands"] = """
     WITH marked AS (

@@ -989,3 +989,48 @@ def test_stream_hist_cells_equal_batch_fold(spark, events_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_stream_weighted_reservoir_equals_batch_topn(spark, events_dir):
+    """The streamed A-ES reservoir must equal the BATCH weighted
+    sample exactly under any micro-batch split (top-n mergeability of
+    the A-ES key), with state/emissions bounded at n rows per group."""
+    from dudb_spark.pipeline.sampling import weighted_sample
+    from dudb_spark.streaming.reservoir import stream_weighted_reservoir
+    from pyspark.sql.window import Window
+
+    n = 7
+    batch = weighted_sample(
+        spark.read.parquet(events_dir)
+        .withColumn("event_type", F.col("event_type").cast("string")),
+        "event_id", "value", n, salt=5, group_col="event_type",
+    )
+    want = sorted(
+        (r["event_type"], r["event_id"]) for r in batch.collect()
+    )
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).option("maxFilesPerTrigger", 2).parquet(events_dir)
+    q = (
+        stream_weighted_reservoir(
+            stream, "event_type", "event_id", "value", n=n, salt=5
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wres")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table("t_wres")
+    # every emission is a whole reservoir: never more than n rows
+    per = sink.groupBy("grp", "batch_seq").count().collect()
+    assert per and max(r["count"] for r in per) <= n
+    last = Window.partitionBy("grp")
+    got = sorted(
+        (r["grp"], r["item_id"])
+        for r in sink.withColumn("_m", F.max("batch_seq").over(last))
+        .where("batch_seq = _m").collect()
+    )
+    assert got == want
