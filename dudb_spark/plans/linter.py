@@ -259,6 +259,11 @@ COLLECT_ALLOW: dict[str, str] = {
     "operators/incremental.py::incremental_stats._spill_buckets":
         "distinct spill-bucket ids semi-joined to the churn keys: "
         "<= path_buckets ints",
+    "pipeline/sampling.py::weighted_exact_sample":
+        "two bounded scalar jobs: a 1-row guard agg over the ≤|strata| "
+        "counts fold (must run BEFORE the quota arithmetic — ANSI "
+        "throws in the fold first) and the 1-row max(capped) "
+        "group-limit bound",
     "pipeline/dsir.py::bucket_log_ratios":
         "<= n_buckets distribution rows (the bounded-key agg)",
     "pipeline/sampling.py::stratified_exact_sample":
