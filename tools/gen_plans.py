@@ -169,6 +169,20 @@ SHOWCASE = {
     "estimates from ONE per-source register frame (pairs×256-row "
     "max-merge, equi-joins against the broadcast pair list) — the "
     "corpus is scanned once, never per pair",
+    "q163_kmv_set_overlap": "KMV theta sketch: dense_rank ≤ k compiles "
+    "to a PARTIAL-mode WindowGroupLimit BEFORE the exchange (bounded "
+    "map-side heap per group — the sketch fold's shuffle is constant "
+    "in corpus size); pair set-ops are equi-joins against broadcast "
+    "pair/θ frames over ≤ pairs×2k sketch rows",
+    "q167_weighted_mass_sample": "weight-mass allocation: quota windows "
+    "run over the ≤|strata|-row counts fold; selection is ONE shuffle "
+    "on the stratum key with the constant rn ≤ max(capped) bound "
+    "keeping the group-limit prune, quotas broadcast",
+    "q168_exact_similarity_join": "exact similarity join: candidates "
+    "from an equi-join on rarest-first PREFIX tokens only (the prefix "
+    "lemma bounds the index; no cartesian anywhere); df fold + per-doc "
+    "scan-side sort; verification joins keyed on doc id, bounded by "
+    "the candidate set",
 }
 
 
