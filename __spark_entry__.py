@@ -6173,6 +6173,53 @@ def q169_stream_weighted_reservoir(spark, sf_dir):
     )
 
 
+def q170_kmv_rollup(spark, sf_dir):
+    """Hierarchical sketch rollup (pipeline/sketch.kmv_minima applied
+    to its own output): vocabulary cardinality at THREE grains —
+    (source, lang), source, corpus — where only the finest grain ever
+    scans the corpus; each coarser sketch is the k smallest of the
+    finer sketches' union (re-rank over ≤ groups×k rows).  The k
+    smallest of a union ARE the k smallest of the per-part k-minima,
+    so the rolled-up sketch is IDENTICAL to one built from scratch —
+    and the oracle certifies exactly that: it computes every grain
+    directly from the base hashes, and the values must match.  The
+    OLAP pattern this enables at 100 TB: materialize the finest-grain
+    sketch once at ingest, answer every coarser distinct-count from
+    it, never rescan.  Exact distincts ride alongside."""
+    from dudb_spark.pipeline.dedup import poly_token_hash_array
+    from dudb_spark.pipeline.sketch import kmv_estimate, kmv_minima
+
+    k = 64
+    d = _t(spark, sf_dir, "documents")
+    th = d.select(
+        "source", "lang",
+        F.explode(poly_token_hash_array(F.col("text"))).alias("h"),
+    )
+    fine = kmv_minima(th, ["source", "lang"], "h", k)
+    mid = kmv_minima(fine, ["source"], "h", k)
+    top = kmv_minima(mid.select(F.lit("all").alias("corpus"), "h"),
+                     ["corpus"], "h", k)
+    est_f = kmv_estimate(fine, ["source", "lang"], k).select(
+        F.lit("source_lang").alias("grain"), "source", "lang",
+        "n_sample", "est_distinct",
+    )
+    est_m = kmv_estimate(mid, ["source"], k).select(
+        F.lit("source").alias("grain"), "source",
+        F.lit(None).cast("string").alias("lang"),
+        "n_sample", "est_distinct",
+    )
+    est_t = kmv_estimate(top, ["corpus"], k).select(
+        F.lit("all").alias("grain"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("lang"),
+        "n_sample", "est_distinct",
+    )
+    return (
+        est_f.unionByName(est_m).unionByName(est_t)
+        .orderBy("grain", "source", "lang")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6342,6 +6389,7 @@ QUERIES: dict[str, Callable] = {
     "q167_weighted_mass_sample": q167_weighted_mass_sample,
     "q168_exact_similarity_join": q168_exact_similarity_join,
     "q169_stream_weighted_reservoir": q169_stream_weighted_reservoir,
+    "q170_kmv_rollup": q170_kmv_rollup,
 }
 
 ORACLE: dict[str, str] = {
@@ -10525,6 +10573,60 @@ def _stream_weighted_reservoir_oracle_sql(n: int = 15, salt: int = 21) -> str:
 ORACLE["q169_stream_weighted_reservoir"] = \
     _stream_weighted_reservoir_oracle_sql()
 
+
+def _kmv_rollup_oracle_sql(k: int = 64) -> str:
+    """DuckDB restatement of q170 — every grain computed DIRECTLY from
+    the base token hashes (no rollup): equality with the Spark side's
+    re-ranked sketches certifies the union-of-k-minima property
+    cross-engine."""
+    from dudb_spark.pipeline.sketch import kmv_sql_cte
+
+    M = (1 << 31) - 1
+    f = kmv_sql_cte("SELECT source || '|' || lang AS g, h FROM ex",
+                    "g", "h", k=k, prefix="f")
+    m = kmv_sql_cte("SELECT source AS g, h FROM ex", "g", "h", k=k,
+                    prefix="m")
+    t = kmv_sql_cte("SELECT 'all' AS g, h FROM ex", "g", "h", k=k,
+                    prefix="t")
+    return f"""
+        WITH t0 AS (
+            SELECT source, lang,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT source, lang, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t0
+        ), ex AS (
+            SELECT source, lang, unnest(th) AS h FROM tkh
+        ),
+        {f},
+        {m},
+        {t}
+        SELECT 'source_lang' AS grain,
+               string_split(grp, '|')[1] AS source,
+               string_split(grp, '|')[2] AS lang,
+               n_sample, est_distinct
+        FROM fest
+        UNION ALL
+        SELECT 'source' AS grain, grp AS source, NULL AS lang,
+               n_sample, est_distinct
+        FROM mest
+        UNION ALL
+        SELECT 'all' AS grain, NULL AS source, NULL AS lang,
+               n_sample, est_distinct
+        FROM test
+        ORDER BY grain, source, lang
+    """
+
+
+ORACLE["q170_kmv_rollup"] = _kmv_rollup_oracle_sql()
+
 ORACLE["q160_event_islands"] = """
     WITH marked AS (
         SELECT user_id AS key, event_type AS label, event_id AS id,
@@ -10663,6 +10765,12 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
         "global-window": "mass-quota windows (rank, w_total, leftover) "
         "over the same ≤|strata|-row counts fold as q158/q162 — "
         "bounded by construction",
+    },
+    "q170_kmv_rollup": {
+        "global-window": "the corpus-grain re-rank partitions by a "
+        "constant, but its INPUT is the mid-grain sketch frame — "
+        "≤ sources×k rows by the KMV bound, never the corpus; the "
+        "rollup's whole point is that only the finest grain scans data",
     },
     "q112_data_quality": {
         "nested-loop": _BCAST_SCALAR,

@@ -529,3 +529,21 @@ def test_kmv_sql_cte_matches_spark(spark):
         " SELECT grp, n_sample, est_distinct FROM kest"
     want = {g: (n, e) for g, n, e in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_kmv_rollup_equals_direct_fold(spark):
+    """The q170 property in isolation: re-ranking fine-grain minima to
+    a coarser grouping yields the IDENTICAL sketch (and estimate) as
+    folding the coarse grain from scratch."""
+    kmv_minima, kmv_estimate, _, _, _ = _kmv_imports()
+    values = [((v % 3, v % 5), v) for v in range(3000)]
+    rows = [(a, b, _mix31(v)) for (a, b), v in values]
+    df = spark.createDataFrame(rows, ["s", "l", "h"])
+    fine = kmv_minima(df, ["s", "l"], "h", k=32)
+    rolled = kmv_minima(fine, ["s"], "h", k=32)
+    direct = kmv_minima(df, ["s"], "h", k=32)
+    assert sorted(map(tuple, rolled.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    er = sorted(map(tuple, kmv_estimate(rolled, ["s"], 32).collect()))
+    ed = sorted(map(tuple, kmv_estimate(direct, ["s"], 32).collect()))
+    assert er == ed
