@@ -6220,6 +6220,56 @@ def q170_kmv_rollup(spark, sf_dir):
     )
 
 
+def q171_stream_neardup_flagging(spark, sf_dir):
+    """Streaming near-dup flagging against the persisted band index
+    (streaming/dedup.neardup_against_index): q166's incremental dedup
+    moved to the continuous-crawl front door — every arriving document
+    checked against history's MinHash index the moment it lands.
+    Entirely STATELESS: per-row HOF signatures (value-identical to the
+    batch aggregate form — same coefficients, same modulus), scan-side
+    banding, one stream–static equi-join; per-band emissions dedupe at
+    the sink (streaming pair-dedup would hold unbounded state).  The
+    new shard (doc_id ≡ 0 mod 3) streams in 4 micro-batches; the
+    deduped sink must equal the batch candidate stage value-exactly —
+    the same SQL oracle family as q166, stopped at est (exact-Jaccard
+    verification is the batch follow-up, q166)."""
+    import tempfile
+
+    from dudb_spark.pipeline.dedup import minhash_band_index
+    from dudb_spark.streaming.dedup import neardup_against_index
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 3 == 0)
+    old = d.where(F.col("doc_id") % 3 != 0)
+    index = minhash_band_index(old, num_perm=32, bands=8,
+                               hash_fn="poly").localCheckpoint()
+    src = tempfile.mkdtemp(prefix="dudb_neardup_src_")
+    new.repartition(4).write.mode("overwrite").parquet(src)
+    with _stream_parts(spark):
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            neardup_against_index(
+                stream, index, num_perm=32, bands=8, min_est=0.5
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dudb_q171_flags")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table("dudb_q171_flags")
+        .select("new_id", "old_id", "est_jaccard")
+        .dropDuplicates(["new_id", "old_id"])
+        .orderBy("new_id", "old_id")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6390,6 +6440,7 @@ QUERIES: dict[str, Callable] = {
     "q168_exact_similarity_join": q168_exact_similarity_join,
     "q169_stream_weighted_reservoir": q169_stream_weighted_reservoir,
     "q170_kmv_rollup": q170_kmv_rollup,
+    "q171_stream_neardup_flagging": q171_stream_neardup_flagging,
 }
 
 ORACLE: dict[str, str] = {
@@ -10626,6 +10677,22 @@ def _kmv_rollup_oracle_sql(k: int = 64) -> str:
 
 
 ORACLE["q170_kmv_rollup"] = _kmv_rollup_oracle_sql()
+
+
+def _stream_neardup_oracle_sql() -> str:
+    """DuckDB restatement of q171: the q166 CTE chain stopped at the
+    candidate stage (streamed per-row signatures must equal the batch
+    aggregate signatures, so the deduped stream sink == batch cand)."""
+    whole = _incremental_dedup_oracle_sql()
+    head, _, _ = whole.rpartition("        SELECT c.new_id")
+    return head + """
+        SELECT new_id, old_id, est_jaccard
+        FROM cand
+        ORDER BY new_id, old_id
+    """
+
+
+ORACLE["q171_stream_neardup_flagging"] = _stream_neardup_oracle_sql()
 
 ORACLE["q160_event_islands"] = """
     WITH marked AS (

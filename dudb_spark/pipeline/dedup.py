@@ -136,18 +136,16 @@ def minhash_signature(
     Operand widths keep every product under 2^62 (Spark 4 runs ANSI mode —
     long overflow throws).  All JVM-side.
     """
-    mins = []
-    for a, b in _perm_coeffs(num_perm, seed, mod):
-        mins.append(
-            F.array_min(
-                F.transform(
-                    base_hashes,
-                    lambda h, a=a, b=b: F.pmod(
-                        F.lit(a) * h + F.lit(b), F.lit(mod)
-                    ),
-                )
-            )
-        )
+    # closure factory, NOT `lambda h, a=a, b=b:` — pyspark's HOF arity
+    # inspection reads default args as parameters and rejects the
+    # 3-parameter lambda (found the day a stream first used this path)
+    def _affine(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(mod))
+
+    mins = [
+        F.array_min(F.transform(base_hashes, _affine(a, b)))
+        for a, b in _perm_coeffs(num_perm, seed, mod)
+    ]
     return F.array(*mins)
 
 

@@ -194,3 +194,117 @@ def online_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_against_index(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """NEAR-dup flagging of a document stream against the persisted
+    MinHash band index of an already-ingested corpus
+    (pipeline/dedup.minhash_band_index) — the streaming form of
+    incremental_verified_pairs' candidate stage, and the near-dup
+    sibling of :func:`dedup_against_corpus` (which only catches exact
+    fingerprints).  The continuous-crawl front door: every arriving
+    doc is checked against history's index the moment it lands.
+
+    Entirely STATELESS: the signature is the per-row HOF form
+    (pipeline/dedup.minhash_signature — the batch aggregate form needs
+    a groupBy a stream cannot run without state; same coefficients,
+    same modulus, value-identical sigs), banding is a scan-side
+    explode, and the index lookup is a stream–static equi-join on
+    (band, bucket).  Emits one row per COLLIDING BAND —
+    ``(new_id, old_id, band, est_jaccard)`` with est ≥ min_est — a
+    streaming dropDuplicates over pairs would hold unbounded state, so
+    pair-level dedup belongs at the sink (est is identical across a
+    pair's bands, so the dedup is trivial).  The boilerplate-bucket
+    cap applies to the HISTORY side, exactly as the batch operator."""
+    from dudb_spark.pipeline.dedup import (
+        _POLY_B,
+        _POLY_M,
+        minhash_signature,
+        poly_shingle_hashes_from,
+        poly_token_hash_array,
+    )
+
+    assert num_perm % bands == 0
+    r = num_perm // bands
+
+    def band_bucket(b):
+        return F.aggregate(
+            F.slice(F.col("sig"), b * r + 1, r),
+            F.lit(0).cast("long"),
+            lambda acc, v: F.pmod(acc * _POLY_B + v, F.lit(_POLY_M)),
+        )
+
+    # STAGED projections, one per hop — each alias is multiply
+    # referenced downstream, which is exactly what keeps
+    # CollapseProject from inlining it (shingle_hashes' documented
+    # boundary rule): flattening these into one expression re-evaluates
+    # tokenization inside every permutation lambda — measured 39 s →
+    # 13 s on the q171 gate staging
+    banded = (
+        stream_docs.select(
+            F.col(id_col).alias("new_id"),
+            poly_token_hash_array(F.col(text_col)).alias("_th"),
+        )
+        .select(
+            "new_id",
+            poly_shingle_hashes_from(F.col("_th"), shingle_k)
+            .alias("_base"),
+        )
+        .select(
+            "new_id",
+            minhash_signature(F.col("_base"), num_perm, seed,
+                              mod=_POLY_M).alias("sig"),
+        )
+        .select(
+            "new_id", "sig",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band"),
+                             band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        )
+        .select("new_id", "sig",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    sizes = index.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    idx = index.join(
+        sizes.where(F.col("_n") <= max_bucket), ["band", "bucket"]
+    ).select(
+        "band", "bucket",
+        F.col("id").alias("old_id"), F.col("sig").alias("sig_b"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig"), F.col("sig_b"),
+                           lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    return (
+        banded.join(idx, ["band", "bucket"])
+        .where(F.col("new_id") != F.col("old_id"))
+        .select(
+            "new_id", "old_id", "band",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= min_est)
+    )

@@ -1034,3 +1034,67 @@ def test_stream_weighted_reservoir_equals_batch_topn(spark, events_dir):
         .where("batch_seq = _m").collect()
     )
     assert got == want
+
+
+def test_stream_neardup_flags_equal_batch_candidates(spark, tmp_path):
+    """Streamed near-dup flagging against the persisted band index must
+    equal the batch incremental candidate stage (per-row HOF signatures
+    == batch aggregate signatures), under multi-batch splits."""
+    from pyspark.sql import types as T
+
+    from dudb_spark.pipeline.dedup import (
+        incremental_verified_pairs,
+        minhash_band_index,
+    )
+    from dudb_spark.streaming.dedup import neardup_against_index
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog by the river"),
+        (3, "the quick brown fox jumps over the lazy dog by the river"),
+        (6, "the quick brown fox jumps over the lazy dog by the shore"),
+        (9, "nothing like the others at all in any way whatsoever"),
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "completely unrelated text about engines and planners"),
+        (4, "the quick brown fox jumps over the lazy dog by the creek"),
+        (5, "other unrelated filler content goes here for padding"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    new = docs.where("doc_id % 3 = 0")
+    old = docs.where("doc_id % 3 != 0")
+    index = minhash_band_index(old, num_perm=32, bands=16,
+                               hash_fn="poly").localCheckpoint()
+
+    # batch truth: candidate stage = verified pairs at min_jaccard=0
+    # with min_est matching (est identical, jaccard column dropped)
+    want = sorted(
+        (r["new_id"], r["old_id"], r["est_jaccard"])
+        for r in incremental_verified_pairs(
+            new, old, num_perm=32, bands=16, min_est=0.25,
+            min_jaccard=0.0, index=index,
+        ).select("new_id", "old_id", "est_jaccard").collect()
+    )
+
+    src = str(tmp_path / "nd_src")
+    new.repartition(3).write.parquet(src)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        neardup_against_index(stream, index, num_perm=32, bands=16,
+                              min_est=0.25)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ndflags")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["new_id"], r["old_id"], r["est_jaccard"])
+        for r in spark.table("t_ndflags")
+        .dropDuplicates(["new_id", "old_id"]).collect()
+    )
+    assert got == want and got, got
