@@ -6270,6 +6270,43 @@ def q171_stream_neardup_flagging(spark, sf_dir):
     )
 
 
+def q172_triangle_census(spark, sf_dir):
+    """Triangle counting + clustering coefficients
+    (pipeline/graph.triangle_counts, Suri & Vassilvitskii WWW 2011)
+    over the user co-activity graph: users who share ≥ 4 distinct
+    (event_type, hour) slots.  Why the orientation matters at 100 TB:
+    a naive wedge join fans out Σ deg², so one hub node generates
+    billions of wedges — orienting every edge from its (degree, id)-
+    smaller endpoint bounds every out-degree at O(√m), each triangle
+    generated exactly once at its degree-minimal corner; three
+    equi-joins, no windows, no state (the graph sibling of the LSH
+    bucket cap).  Completes the graph family (q44 components, q106
+    PageRank) with the local-density primitive.  All-integer until
+    the one rounded coefficient division; the oracle replays slots,
+    edges, orientation, wedges, and corners in SQL."""
+    from dudb_spark.pipeline.graph import triangle_counts
+
+    e = _events(spark, sf_dir)
+    slots = e.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).distinct()
+    a = slots.select(F.col("user_id").alias("src"), "event_type", "hr")
+    b = slots.select(F.col("user_id").alias("dst"), "event_type", "hr")
+    edges = (
+        a.join(b, ["event_type", "hr"])
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= 4)
+        .select("src", "dst")
+    )
+    return (
+        triangle_counts(edges)
+        .withColumnRenamed("id", "user_id")
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6441,6 +6478,7 @@ QUERIES: dict[str, Callable] = {
     "q169_stream_weighted_reservoir": q169_stream_weighted_reservoir,
     "q170_kmv_rollup": q170_kmv_rollup,
     "q171_stream_neardup_flagging": q171_stream_neardup_flagging,
+    "q172_triangle_census": q172_triangle_census,
 }
 
 ORACLE: dict[str, str] = {
@@ -10693,6 +10731,60 @@ def _stream_neardup_oracle_sql() -> str:
 
 
 ORACLE["q171_stream_neardup_flagging"] = _stream_neardup_oracle_sql()
+
+ORACLE["q172_triangle_census"] = """
+    WITH slots AS (
+        SELECT DISTINCT user_id, event_type,
+               date_trunc('hour', ts) AS hr
+        FROM events
+    ), e AS (
+        SELECT src, dst FROM (
+            SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS sh
+            FROM slots a
+            JOIN slots b ON a.event_type = b.event_type
+                        AND a.hr = b.hr AND a.user_id < b.user_id
+            GROUP BY 1, 2
+        ) WHERE sh >= 4
+    ), deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+        ) GROUP BY 1
+    ), o AS (
+        SELECT CASE WHEN (da.degree < db.degree)
+                      OR (da.degree = db.degree AND e.src < e.dst)
+                    THEN e.src ELSE e.dst END AS u,
+               CASE WHEN (da.degree < db.degree)
+                      OR (da.degree = db.degree AND e.src < e.dst)
+                    THEN e.dst ELSE e.src END AS v,
+               CASE WHEN (da.degree < db.degree)
+                      OR (da.degree = db.degree AND e.src < e.dst)
+                    THEN db.degree ELSE da.degree END AS degv
+        FROM e JOIN deg da ON da.id = e.src
+               JOIN deg db ON db.id = e.dst
+    ), w AS (
+        SELECT e1.u, e1.v, e2.v AS w
+        FROM o e1 JOIN o e2 ON e1.u = e2.u
+        WHERE (e1.degv < e2.degv)
+           OR (e1.degv = e2.degv AND e1.v < e2.v)
+    ), tri AS (
+        SELECT w.u, w.v, w.w FROM w
+        JOIN o ON o.u = w.v AND o.v = w.w
+    ), corners AS (
+        SELECT id, COUNT(*) AS n_tri FROM (
+            SELECT u AS id FROM tri
+            UNION ALL SELECT v AS id FROM tri
+            UNION ALL SELECT w AS id FROM tri
+        ) GROUP BY 1
+    )
+    SELECT d.id AS user_id, d.degree,
+           COALESCE(c.n_tri, 0) AS n_tri,
+           CASE WHEN d.degree >= 2 THEN
+               ROUND(CAST(COALESCE(c.n_tri, 0) * 2 AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+           ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN corners c ON c.id = d.id
+    ORDER BY user_id
+"""
 
 ORACLE["q160_event_islands"] = """
     WITH marked AS (

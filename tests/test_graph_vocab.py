@@ -86,3 +86,31 @@ def test_decayed_activity_golden(spark):
     assert got[1][0] == 2
     assert got[1][1] == pytest.approx(round(1 + math.exp(-1), 6), abs=1e-6)
     assert got[2][1] == pytest.approx(round(math.exp(-2), 6), abs=1e-6)
+
+
+def test_triangle_counts_goldens(spark):
+    """K4 (every corner in 3 triangles, coefficient 1), a path (none),
+    and a star+closure (one triangle at all three corners); reversed /
+    duplicate edges collapse."""
+    from dudb_spark.pipeline.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r["id"]: (r["degree"], r["n_tri"], r["clustering"])
+           for r in triangle_counts(
+               spark.createDataFrame(k4, ["src", "dst"])).collect()}
+    assert got == {i: (3, 3, 1.0) for i in range(4)}
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    got = {r["id"]: r["n_tri"] for r in triangle_counts(
+        spark.createDataFrame(path, ["src", "dst"])).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    # hub 0 with leaves 1..5, plus closure 1-2; noisy input: reversed
+    # duplicates and a self-loop must not change anything
+    star = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 1), (3, 3), (0, 1)]
+    res = {r["id"]: (r["degree"], r["n_tri"], r["clustering"])
+           for r in triangle_counts(
+               spark.createDataFrame(star, ["src", "dst"])).collect()}
+    assert res[0] == (5, 1, 0.1)
+    assert res[1] == (2, 1, 1.0) and res[2] == (2, 1, 1.0)
+    assert res[4] == (1, 0, 0.0)
