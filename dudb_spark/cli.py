@@ -1742,6 +1742,45 @@ def cmd_events_islands(args):
               f"\t{r['min_id']}\t{r['max_id']}")
 
 
+def cmd_events_triangles(args):
+    """Triangle census over the user co-activity graph
+    (pipeline/graph.triangle_counts): users sharing ≥ --min-shared
+    distinct (event_type, hour) slots are connected; per-user triangle
+    count + clustering coefficient via the degree-ordered wedge join
+    (hub-safe: O(√m) oriented out-degrees)."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.graph import triangle_counts
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    slots = df.select(
+        args.key_col, args.label_col,
+        F.date_trunc("hour", args.ts_col).alias("_hr"),
+    ).distinct()
+    a = slots.select(F.col(args.key_col).alias("src"),
+                     args.label_col, "_hr")
+    b = slots.select(F.col(args.key_col).alias("dst"),
+                     args.label_col, "_hr")
+    edges = (
+        a.join(b, [args.label_col, "_hr"])
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_sh"))
+        .where(F.col("_sh") >= args.min_shared)
+        .select("src", "dst")
+    )
+    res = triangle_counts(edges)
+    if args.out:
+        res.write.mode("overwrite").parquet(expand_path(args.out))
+        print(json.dumps({"out": args.out}))
+        return
+    print("id\tdegree\tn_tri\tclustering")
+    for r in res.orderBy("id").toLocalIterator():
+        print(f"{r['id']}\t{r['degree']}\t{r['n_tri']}"
+              f"\t{r['clustering']}")
+
+
 def _hll_pick_p(args) -> int:
     """Resolve the register exponent: an explicit ``--p``, or the
     smallest p meeting ``--error-target`` (HLL rel. error ≈
@@ -2680,6 +2719,19 @@ def build_parser():
     ei.add_argument("--min-len", type=int, default=2)
     ei.add_argument("--out", default=None)
     ei.set_defaults(func=cmd_events_islands)
+    et = esub.add_parser(
+        "triangles",
+        help="triangle census of the user co-activity graph",
+    )
+    et.add_argument("--input", required=True, help="event parquet")
+    et.add_argument("--key-col", default="user_id")
+    et.add_argument("--ts-col", default="ts")
+    et.add_argument("--label-col", default="event_type")
+    et.add_argument("--min-shared", type=int, default=4,
+                    help="distinct (label, hour) slots two users must "
+                         "share to be connected")
+    et.add_argument("--out", default=None)
+    et.set_defaults(func=cmd_events_triangles)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

@@ -1392,3 +1392,34 @@ def test_cli_dedup_jaccard_exact(spark, tmp_path, capsys):
     j = json.loads(run(capsys, "pipeline", "dedup", "--method", "jaccard",
                        "--input", inp, "--threshold", "0.5"))
     assert j["rows"] == 1  # only the (0,1) boundary pair qualifies
+
+
+def test_cli_events_triangles(spark, tmp_path, capsys):
+    """events triangles: K3 co-activity (three users sharing the same
+    slots) shows up with clustering 1.0."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    # users 1,2,3 share 5 (type, hour) slots -> a triangle; user 9 only
+    # overlaps user 1 twice -> below --min-shared, isolated
+    for h in range(5):
+        for u in (1, 2, 3):
+            rows.append((eid, f"2024-02-0{1 + h % 3} 0{h}:10:00", u,
+                         "click", 1.0, "{}"))
+            eid += 1
+    for h in range(2):
+        rows.append((eid, f"2024-02-01 0{h}:20:00", 9, "click", 1.0, "{}"))
+        eid += 1
+    inp = str(tmp_path / "tri_ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(inp)
+    out = run(capsys, "events", "triangles", "--input", inp,
+              "--min-shared", "4")
+    got = {l.split("\t")[0]: l.split("\t")
+           for l in out.strip().splitlines()[1:]}
+    assert set(got) == {"1", "2", "3"}
+    for u in ("1", "2", "3"):
+        assert got[u][1:] == ["2", "1", "1.0"]
