@@ -10441,7 +10441,7 @@ def _stream_window_quantiles_oracle_sql() -> str:
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
                             '%Y-%m-%d %H:%M:%S') AS hour,
                    COUNT(*) AS n_events
-            FROM events GROUP BY 1
+            FROM events WHERE value IS NOT NULL GROUP BY 1
         )
         SELECT hq.grp AS hour, hq.q, hq.est AS est_centi,
                ROUND(hq.est / 100.0, 4) AS est_value, n.n_events

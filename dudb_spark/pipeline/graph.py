@@ -106,7 +106,10 @@ def triangle_counts(
 
     Returns ``(id, degree, n_tri, clustering)`` for every node of the
     edge set, n_tri = 0 rows included (a node with no triangles is a
-    finding, not an absence)."""
+    finding, not an absence).  Self-loops, reversed duplicates, and
+    NULL-endpoint rows are dropped by the canonicalization
+    (least/greatest skip NULLs, collapsing such a row to a
+    self-loop)."""
     s, d = F.col(src_col), F.col(dst_col)
     # canonicalize: self-loops dropped, reversed duplicates collapse
     und = edges.select(

@@ -539,10 +539,13 @@ def hist_cells(
     same constant-state shuffle shape as the CMS/HLL folds: ≤
     groups × n_bins rows out of any corpus.  Out-of-range values
     saturate into the edge bins (documented: the estimate is then the
-    edge-bin bound, not the true tail value)."""
+    edge-bin bound, not the true tail value).  NULL values drop up
+    front: they would otherwise fold into a NULL bin whose ordering
+    the cumulative window reads NULLS-FIRST in Spark but NULLS-LAST in
+    DuckDB — a NULL measurement is a missing observation, not a bin."""
     v = F.col(value_col).cast("long")
     num = ((v - F.lit(lo)) * F.lit(n_bins)).alias("_num")
-    proj = df.select(*group_cols, num)
+    proj = df.where(v.isNotNull()).select(*group_cols, num)
     b = F.least(
         F.lit(n_bins - 1),
         F.greatest(F.lit(0), F.expr(f"_num DIV {hi - lo}").cast("int")),
@@ -620,7 +623,9 @@ def hist_quantiles_sql_cte(
                        CAST((CAST(({value_expr}) AS BIGINT) - {lo})
                             * {n_bins} // {hi - lo} AS INT))) AS bin,
                    COUNT(*) AS cnt
-            FROM hsrc GROUP BY 1, 2
+            FROM hsrc
+            WHERE ({value_expr}) IS NOT NULL
+            GROUP BY 1, 2
         ),
         hcum AS (
             SELECT grp, bin, cnt,
@@ -725,12 +730,17 @@ def kmv_minima(
     """Fold ``(group..., hash)`` rows into the per-group KMV sketch:
     the ``k`` smallest DISTINCT hash values, as rows ``(group..., h)``.
     dense_rank (not row_number) so duplicate hashes cannot evict
-    genuinely distinct values from the heap."""
+    genuinely distinct values from the heap.  NULL hashes are dropped
+    up front: Spark's ASC window puts NULLS FIRST, so one NULL would
+    enter every sketch as its "smallest value" (and DuckDB's
+    NULLS-LAST default would disagree) — a NULL hash is a missing
+    observation, not a value."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*group_cols).orderBy(hash_col)
     return (
         df.select(*group_cols, F.col(hash_col).alias("h"))
+        .where(F.col("h").isNotNull())
         .withColumn("_dr", F.dense_rank().over(w))
         .where(F.col("_dr") <= k)
         .select(*group_cols, "h")
@@ -883,6 +893,7 @@ def kmv_sql_cte(
                        PARTITION BY ({group_expr}) ORDER BY ({hash_expr})
                    ) AS dr
             FROM {p}src
+            WHERE ({hash_expr}) IS NOT NULL
         ),
         {p}min AS (
             SELECT DISTINCT grp, h FROM {p}rk WHERE dr <= {k}

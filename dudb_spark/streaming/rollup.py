@@ -151,7 +151,10 @@ def hourly_hist_cells(
     whenever needed.  Works on batch frames too."""
     if events.isStreaming:
         events = events.withWatermark("ts", watermark)
-    proj = events.select(
+    # NULL values drop up front — the batch fold's contract
+    # (pipeline/sketch.hist_cells: a NULL bin's window ordering
+    # diverges across engines)
+    proj = events.where(value_expr.isNotNull()).select(
         F.col("ts"),
         ((value_expr.cast("long") - F.lit(lo)) * F.lit(n_bins))
         .alias("_num"),

@@ -547,3 +547,28 @@ def test_kmv_rollup_equals_direct_fold(spark):
     er = sorted(map(tuple, kmv_estimate(rolled, ["s"], 32).collect()))
     ed = sorted(map(tuple, kmv_estimate(direct, ["s"], 32).collect()))
     assert er == ed
+
+
+def test_kmv_and_hist_drop_null_observations(spark):
+    """NULL hardening: a NULL hash must not enter a KMV sketch as its
+    'smallest value' (Spark windows sort NULLS FIRST; DuckDB NULLS
+    LAST — the sketch would diverge cross-engine), and a NULL value
+    must not fold into a NULL histogram bin."""
+    from dudb_spark.pipeline.sketch import (
+        hist_cells,
+        kmv_distinct,
+        kmv_minima,
+    )
+
+    rows = [(1, _mix31(v)) for v in range(40)] + [(1, None)] * 5
+    df = spark.createDataFrame(rows, "g long, h long")
+    m = kmv_minima(df, ["g"], "h", k=16).collect()
+    assert all(r["h"] is not None for r in m) and len(m) == 16
+    est = kmv_distinct(df, ["g"], "h", k=64).collect()[0]
+    assert (est["n_sample"], est["est_distinct"]) == (40, 40.0)
+
+    hrows = [(1, v) for v in range(100)] + [(1, None)] * 7
+    hdf = spark.createDataFrame(hrows, "g long, v long")
+    cells = hist_cells(hdf, ["g"], "v", lo=0, hi=128, n_bins=8).collect()
+    assert all(r["bin"] is not None for r in cells)
+    assert sum(r["cnt"] for r in cells) == 100
