@@ -6307,6 +6307,23 @@ def q172_triangle_census(spark, sf_dir):
     )
 
 
+def q173_entropy_quality(spark, sf_dir):
+    """Per-document entropy quality signals
+    (pipeline/text.entropy_scores): Shannon entropy of each doc's
+    character and token distributions — repetition/gibberish crashes
+    char entropy toward 0 while natural prose sits near its language's
+    3–4 nats, the signal quality pipelines read alongside the
+    rule-based filters (q21) and LM scores (q157).  Every entropy term
+    is quantized to integer nano-units before the sum (the q145 drift
+    discipline), so the fold is order- and engine-independent; the
+    oracle replays the char/token splits, the quantized terms, and the
+    integer sums in SQL."""
+    from dudb_spark.pipeline.text import entropy_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return entropy_scores(d).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6479,6 +6496,7 @@ QUERIES: dict[str, Callable] = {
     "q170_kmv_rollup": q170_kmv_rollup,
     "q171_stream_neardup_flagging": q171_stream_neardup_flagging,
     "q172_triangle_census": q172_triangle_census,
+    "q173_entropy_quality": q173_entropy_quality,
 }
 
 ORACLE: dict[str, str] = {
@@ -10731,6 +10749,54 @@ def _stream_neardup_oracle_sql() -> str:
 
 
 ORACLE["q171_stream_neardup_flagging"] = _stream_neardup_oracle_sql()
+
+ORACLE["q173_entropy_quality"] = """
+    WITH csym AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ''),
+                                  x -> x <> '')) AS sym
+        FROM documents
+    ), cc AS (
+        SELECT doc_id, sym, COUNT(*) AS c FROM csym GROUP BY 1, 2
+    ), ct AS (
+        SELECT doc_id, SUM(c) AS n FROM cc GROUP BY 1
+    ), cterm AS (
+        SELECT cc.doc_id,
+               CAST(ROUND(1e9 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)))
+                    AS BIGINT) AS tn
+        FROM cc JOIN ct ON cc.doc_id = ct.doc_id
+    ), cent AS (
+        SELECT doc_id, ROUND(SUM(tn) / 1e9, 6) AS char_entropy
+        FROM cterm GROUP BY 1
+    ), tsym AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS sym
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, sym, COUNT(*) AS c FROM tsym GROUP BY 1, 2
+    ), tt AS (
+        SELECT doc_id, SUM(c) AS n FROM tc GROUP BY 1
+    ), tterm AS (
+        SELECT tc.doc_id,
+               CAST(ROUND(1e9 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)))
+                    AS BIGINT) AS tn
+        FROM tc JOIN tt ON tc.doc_id = tt.doc_id
+    ), tent AS (
+        SELECT doc_id, ROUND(SUM(tn) / 1e9, 6) AS token_entropy
+        FROM tterm GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(length(d.text), 0) AS n_chars,
+           COALESCE(c.char_entropy, 0.0) AS char_entropy,
+           COALESCE(t.token_entropy, 0.0) AS token_entropy
+    FROM documents d
+    LEFT JOIN cent c ON c.doc_id = d.doc_id
+    LEFT JOIN tent t ON t.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
 
 ORACLE["q172_triangle_census"] = """
     WITH slots AS (

@@ -779,3 +779,77 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def symbol_entropy(
+    sym_rows: DataFrame, id_col: str = "id", sym_col: str = "sym",
+    out_col: str = "entropy",
+) -> DataFrame:
+    """Shannon entropy (nats) of a per-document symbol distribution
+    given as ``(id, sym)`` occurrence rows: ``H = Σ (c/n)·ln(n/c)``
+    over the distinct symbols.  Each term is quantized to INTEGER
+    nano-units before the sum (the drift.py discipline): the division,
+    ln, product, and round are single IEEE ops over exact integers —
+    identical in any engine — and the int64 sum is order-free, so the
+    fold replays bit-for-bit where a float Σ would drift with
+    partitioning.  Scale shape: two keyed aggregations, state bounded
+    by (docs × alphabet)."""
+    cnts = sym_rows.groupBy(id_col, sym_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = cnts.groupBy(id_col).agg(F.sum("_c").alias("_n"))
+    term = F.round(
+        F.lit(1e9)
+        * (F.col("_c").cast("double") / F.col("_n").cast("double"))
+        * F.log(F.col("_n").cast("double") / F.col("_c").cast("double"))
+    ).cast("long")
+    return (
+        cnts.join(tot, id_col)
+        .select(id_col, term.alias("_tn"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_tn") / 1e9, 6).alias(out_col))
+    )
+
+
+def entropy_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character- and token-distribution entropies — the
+    repetition/gibberish signal quality pipelines read alongside the
+    rule-based filters (q21 Gopher, q157 bigram LM): machine-generated
+    repetition crashes char entropy toward 0, while natural prose sits
+    near its language's ~3-4 nats; token entropy separates "same words
+    over and over" from varied text at equal char statistics.  Empty
+    or NULL text scores 0 by convention (kept, not dropped — a doc
+    with no signal is a finding).  Returns ``(id_col, n_chars,
+    char_entropy, token_entropy)``.
+
+    Unicode boundary (documented, not certified): the char split runs
+    on JVM UTF-16 code units while an oracle engine splits UTF-8
+    codepoints — identical for BMP text (all fixture languages incl.
+    zh), divergent on supplementary-plane chars (emoji), where each
+    surrogate half counts as a symbol."""
+    chars = df.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        ).alias("sym"),
+    )
+    toks = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("sym")
+    )
+    ch = symbol_entropy(chars, id_col, out_col="char_entropy")
+    th = symbol_entropy(toks, id_col, out_col="token_entropy")
+    return (
+        df.select(id_col,
+                  F.coalesce(F.length(text_col), F.lit(0))
+                  .alias("n_chars"))
+        .join(ch, id_col, "left")
+        .join(th, id_col, "left")
+        .select(
+            id_col, "n_chars",
+            F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+            F.coalesce("token_entropy", F.lit(0.0))
+            .alias("token_entropy"),
+        )
+    )

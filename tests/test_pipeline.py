@@ -706,3 +706,29 @@ def test_similarity_join_exact_equals_brute_force(spark):
             docs, threshold=1.0, shingle_k=2
         ).collect()
     }
+
+
+def test_entropy_scores_goldens(spark):
+    """Known entropies: a one-symbol doc scores 0, a uniform 4-char doc
+    ln(4), repetition sits below varied text, empty/NULL score 0."""
+    import math
+
+    rows = [
+        (0, "aaaaaaaa"),
+        (1, "abcd"),
+        (2, "the the the the the the"),
+        (3, "one two three four five six"),
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.entropy_scores(docs).collect()}
+    assert got[0]["char_entropy"] == 0.0
+    assert got[0]["token_entropy"] == 0.0  # a single distinct token
+    assert abs(got[1]["char_entropy"] - math.log(4)) < 1e-6
+    assert got[2]["token_entropy"] == 0.0  # 'the' repeated
+    assert got[3]["token_entropy"] > 1.7  # 6 distinct tokens: ln 6
+    assert got[2]["char_entropy"] < got[3]["char_entropy"]
+    assert got[4]["char_entropy"] == 0.0 and got[4]["n_chars"] == 0
+    assert got[5]["char_entropy"] == 0.0 and got[5]["n_chars"] == 0
+    assert len(got) == 6  # empty/NULL docs kept, not dropped
