@@ -6324,6 +6324,63 @@ def q173_entropy_quality(spark, sf_dir):
     return entropy_scores(d).orderBy("doc_id")
 
 
+def q174_rrf_hybrid_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion
+    (pipeline/retrieval.rrf_fuse, Cormack & Clarke SIGIR 2009): four
+    query documents retrieve from the corpus through BOTH channels a
+    RAG pipeline runs — sparse BM25 over the inverted index (the q103
+    plan: postings ⋈ broadcast query terms) and dense embedding cosine
+    (the q18 plan: corpus ⋈ broadcast query vectors) — then the two
+    top-20 pools fuse with 1/(60+rank) reciprocal terms quantized to
+    integer nano-units so the fused sum is order- and engine-exact for
+    any number of lists.  The fusion stage only ever sees pool-bounded
+    frames (queries × 20 rows), never the corpus: at 100 TB the cost
+    stays in the two rankers, both already broadcast-join shaped.  The
+    oracle replays postings, cosine ranks, and the nano-int fusion."""
+    from dudb_spark.pipeline.retrieval import (
+        _rank_topk,
+        bm25_scored,
+        rrf_fuse,
+    )
+    from dudb_spark.pipeline.similarity import cosine
+    from dudb_spark.pipeline.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    qs = docs.where(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 12), " ").alias(
+            "qtext"
+        ),
+    )
+    sparse = _rank_topk(
+        bm25_scored(docs, qs).where(F.col("doc_id") != F.col("query_id")),
+        20,
+    ).select("query_id", "doc_id", "rank")
+
+    q = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("cv"), F.col("qv"))), "vec_id"
+    )
+    dense = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+
+    return rrf_fuse({"bm25": sparse, "cos": dense}, k_const=60, topk=10) \
+        .orderBy("query_id", "rank")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6497,6 +6554,7 @@ QUERIES: dict[str, Callable] = {
     "q171_stream_neardup_flagging": q171_stream_neardup_flagging,
     "q172_triangle_census": q172_triangle_census,
     "q173_entropy_quality": q173_entropy_quality,
+    "q174_rrf_hybrid_fusion": q174_rrf_hybrid_fusion,
 }
 
 ORACLE: dict[str, str] = {
@@ -10942,6 +11000,82 @@ ORACLE["q107_decayed_activity"] = """
                            / 86400000000.0))), 6) AS decayed_score
     FROM events, tref
     GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE["q174_rrf_hybrid_fusion"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    post AS (SELECT tf.doc_id, term, tf, dl FROM tf JOIN dl USING (doc_id)),
+    qsrc AS (
+      SELECT doc_id AS query_id,
+             array_to_string(
+               list_slice(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> ''), 1, 12), ' ') AS qtext
+      FROM documents WHERE doc_id < 4
+    ), qt AS (
+      SELECT query_id, unnest(list_filter(string_split_regex(qtext, '\s+'),
+                                          t -> t <> '')) AS term
+      FROM qsrc
+    ), qterms AS (SELECT query_id, term, count(*) AS qtf FROM qt GROUP BY 1, 2),
+    consts AS (
+      SELECT count(DISTINCT doc_id) AS n_docs,
+             CAST(SUM(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+      FROM post
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1
+    ), scored AS (
+      SELECT query_id, doc_id,
+             ROUND(SUM(qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS score
+      FROM post JOIN qterms USING (term) JOIN dfreq USING (term)
+      CROSS JOIN consts
+      GROUP BY 1, 2
+    ), sparse AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored WHERE doc_id != query_id) WHERE rank <= 20
+    ), dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(c.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[])
+                          / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[])))
+                          DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 4) WHERE rank <= 20
+    ), u AS (
+      SELECT query_id, doc_id, 'bm25' AS l, rank FROM sparse
+      UNION ALL
+      SELECT query_id, doc_id, 'cos', rank FROM dense
+    ), fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(ROUND(1e9 / (60.0 + rank)) AS BIGINT))
+                  AS BIGINT) AS rrf_nano,
+             MAX(CASE WHEN l = 'bm25' THEN rank END) AS bm25_rank,
+             MAX(CASE WHEN l = 'cos' THEN rank END) AS cos_rank
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id, rrf_nano, bm25_rank, cos_rank FROM (
+      SELECT query_id, doc_id, rrf_nano, bm25_rank, cos_rank,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_nano DESC, doc_id) AS rank
+      FROM fused)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
 """
 
 

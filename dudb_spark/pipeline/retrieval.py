@@ -160,3 +160,77 @@ def hard_negatives(
         "left_anti",
     )
     return _rank_topk(kept, k)
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    k_const: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of N
+    ranked retrieval lists — the standard hybrid-search combiner for
+    sparse (BM25) + dense (embedding) candidate pools in RAG data
+    pipelines.
+
+    Each frame in ``ranked`` is ``(query_id, id_col, rank)`` (rank
+    1-based within query).  Fused score for a doc is
+    ``sum over lists of 1/(k_const + rank)`` — docs missing from a
+    list simply contribute nothing (the standard union-of-pools form).
+
+    Determinism discipline: each reciprocal term is quantized to
+    integer NANO-units (``round(1e9/(k+rank))``) before the sum, so
+    the fold is order- and engine-independent for any number of lists
+    (the q145/q173 nano-int pattern) — float addition order can never
+    flip a tie.  Final ties break on ascending id.
+
+    Scale shape: one union of top-k-bounded pools (each ≤ queries ×
+    topk rows — tiny relative to the corpus regardless of corpus
+    size), one groupBy on (query_id, id), one per-query window over a
+    pool-bounded partition.  Nothing here ever touches the corpus
+    again; the expensive work stays in the upstream rankers.
+
+    Returns ``(query_id, rank, <id_col>, rrf_nano, <name>_rank ...)``
+    with NULL list-ranks where a doc was absent from that list.
+    """
+    names = list(ranked)
+    parts = [
+        df.select(
+            "query_id",
+            F.col(id_col).alias("_id"),
+            F.lit(name).alias("_list"),
+            F.col("rank").alias("_rank"),
+        )
+        for name, df in ranked.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    terms = u.withColumn(
+        "_nano",
+        F.round(F.lit(1e9) / (F.lit(float(k_const)) + F.col("_rank")))
+        .cast("long"),
+    )
+    fused = terms.groupBy("query_id", "_id").agg(
+        F.sum("_nano").alias("rrf_nano"),
+        *[
+            F.max(
+                F.when(F.col("_list") == name, F.col("_rank"))
+            ).alias(f"{name}_rank")
+            for name in names
+        ],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_nano"), F.asc("_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "rank",
+            F.col("_id").alias(id_col),
+            "rrf_nano",
+            *[f"{n}_rank" for n in names],
+        )
+    )

@@ -216,3 +216,43 @@ def test_edit_verify_drops_reordered_near_jaccard_pair(spark):
     }
     assert edit[(1, 2)] == 0
     assert (1, 3) not in edit  # rotation costs more than 10% edits
+
+
+def test_rrf_fuse_math_and_union_of_pools(spark):
+    """Fused score = sum of nano-quantized 1/(k+rank) terms; docs in
+    only one list still surface with a NULL rank for the other."""
+    from dudb_spark.pipeline.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], ["query_id", "doc_id", "rank"]
+    )
+    out = rrf_fuse({"a": a, "b": b}, k_const=60, topk=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    def nano(rank):
+        return round(1e9 / (60 + rank))
+
+    # doc 11 in both lists: terms add
+    assert rows[11]["rrf_nano"] == nano(2) + nano(1)
+    assert rows[11]["a_rank"] == 2 and rows[11]["b_rank"] == 1
+    # doc 13 only in b: single term, a_rank NULL
+    assert rows[13]["rrf_nano"] == nano(2)
+    assert rows[13]["a_rank"] is None
+    # fused order: 11 (two terms) first, then rank-1-single docs
+    ordered = [r["doc_id"] for r in out.orderBy("rank").collect()]
+    assert ordered[0] == 11 and set(ordered) == {10, 11, 12, 13}
+
+
+def test_rrf_fuse_tie_breaks_on_id_and_topk_bounds(spark):
+    from dudb_spark.pipeline.retrieval import rrf_fuse
+
+    # two docs with identical (single-list, same-rank) scores across
+    # different lists -> tie broken by ascending doc id
+    a = spark.createDataFrame([(7, 5, 1)], ["query_id", "doc_id", "rank"])
+    b = spark.createDataFrame([(7, 3, 1)], ["query_id", "doc_id", "rank"])
+    out = rrf_fuse({"a": a, "b": b}, k_const=60, topk=1).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 3
