@@ -6381,6 +6381,80 @@ def q174_rrf_hybrid_fusion(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def _coactivity_edges(spark, sf_dir, threshold: int) -> DataFrame:
+    """The q172 user co-activity graph at a configurable density:
+    undirected (src < dst) edges between users sharing >= threshold
+    distinct (event_type, hour) slots.  One self-equi-join on the
+    bounded slot key + one groupBy — never an all-pairs product."""
+    e = _events(spark, sf_dir)
+    slots = e.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).distinct()
+    a = slots.select(F.col("user_id").alias("src"), "event_type", "hr")
+    b = slots.select(F.col("user_id").alias("dst"), "event_type", "hr")
+    return (
+        a.join(b, ["event_type", "hr"])
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= threshold)
+        .select("src", "dst")
+    )
+
+
+def q175_label_communities(spark, sf_dir):
+    """Community detection by deterministic synchronous label
+    propagation (pipeline/graph.label_propagation, Raghavan et al.
+    2007) over the user co-activity graph (shared slots >= 3 — denser
+    than q172's >= 4 so real communities form).  Four synchronous
+    rounds, ties to the smallest label: per round ONE equi-join
+    (adjacency x labels) and two map-side-combining aggregations, the
+    argmax as min(struct(-count, label)) so there is no window and no
+    global sort; labels localCheckpoint-ed per round so the lazy plan
+    never stacks join trees.  At 100 TB each round's shuffle is keyed
+    by node id — the same bounded shape as q44's pointer-doubling
+    components.  The oracle unrolls the identical four rounds as
+    MATERIALIZED CTEs."""
+    from dudb_spark.pipeline.graph import label_propagation
+
+    edges = _coactivity_edges(spark, sf_dir, 3)
+    return label_propagation(edges, rounds=4).orderBy("id")
+
+
+def q177_partition_modularity(spark, sf_dir):
+    """Newman modularity of the q175 partition
+    (pipeline/graph.modularity, Newman & Girvan 2004): the quality
+    gate that says whether label propagation found real structure
+    (Q ≈ 0.3–0.7) or noise (Q ≈ 0).  Per-community rows carry exact
+    integer (n_nodes, intra_edges, degree_sum) plus the contribution
+    (4mL_c − d_c²)/4m² — formed in double in the same operation order
+    on both engines, so the 9-place rounding is engine-exact.  Two
+    community-keyed aggregations + a single-row broadcast m; never a
+    window, never all-pairs.  The oracle replays the four LPA rounds
+    (shared CTE generator) and the modularity algebra."""
+    from dudb_spark.pipeline.graph import label_propagation, modularity
+
+    edges = _coactivity_edges(spark, sf_dir, 3)
+    comm = label_propagation(edges, rounds=4).select("id", "community")
+    return modularity(edges, comm)
+
+
+def q176_kcore_peel(spark, sf_dir):
+    """k-core peeling (pipeline/graph.k_core, Seidman 1983): six
+    deterministic peel rounds at k=10 over the shared>=3 co-activity
+    graph — the dense-cohesion triage primitive (spam rings, bot
+    clusters) completing the graph family (q44 components, q106
+    PageRank, q172 triangles, q175 communities).  Each round is one
+    degree aggregation + two semi-joins, localCheckpoint-ed; every
+    round strictly shrinks the edge set or is a fixpoint, so a fixed
+    round count is SQL-unrollable and scale-independent in plan shape.
+    The oracle peels the same six rounds as MATERIALIZED CTEs."""
+    from dudb_spark.pipeline.graph import k_core
+
+    edges = _coactivity_edges(spark, sf_dir, 3)
+    return k_core(edges, k=10, rounds=6).orderBy("id")
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_expr_find": q02_expr_find,
@@ -6555,6 +6629,9 @@ QUERIES: dict[str, Callable] = {
     "q172_triangle_census": q172_triangle_census,
     "q173_entropy_quality": q173_entropy_quality,
     "q174_rrf_hybrid_fusion": q174_rrf_hybrid_fusion,
+    "q175_label_communities": q175_label_communities,
+    "q176_kcore_peel": q176_kcore_peel,
+    "q177_partition_modularity": q177_partition_modularity,
 }
 
 ORACLE: dict[str, str] = {
@@ -11078,6 +11155,111 @@ ORACLE["q174_rrf_hybrid_fusion"] = r"""
     ORDER BY query_id, rank
 """
 
+# Co-activity edge CTE shared by the q175/q176 oracles (threshold 3).
+# MATERIALIZED is load-bearing: each round's CTE is referenced 2-3
+# times, and inlining would re-expand the whole prefix exponentially.
+_COACTIVITY_CTE = """
+    slots AS (SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS hr FROM events),
+    e AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS sh
+        FROM slots a JOIN slots b
+          ON a.event_type = b.event_type AND a.hr = b.hr
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2) WHERE sh >= 3)"""
+
+
+def _lpa_cte_parts(rounds: int = 4) -> list[str]:
+    """The unrolled synchronous LPA rounds as CTE fragments — per
+    round, neighbor-label counts then argmax as ROW_NUMBER ordered
+    (count DESC, label), i.e. highest count, ties to the smallest
+    label — exactly min(struct(-c, label)).  Shared by the q175 and
+    q177 oracles."""
+    parts = [_COACTIVITY_CTE, """
+    adj AS MATERIALIZED (SELECT src AS id, dst AS nb FROM e
+            UNION ALL SELECT dst AS id, src AS nb FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT id, id AS label FROM adj)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    l{r} AS MATERIALIZED (SELECT id, label FROM (
+        SELECT id, label, ROW_NUMBER() OVER (
+            PARTITION BY id ORDER BY c DESC, label) AS rn
+        FROM (SELECT a.id, l.label, COUNT(*) AS c
+              FROM adj a JOIN l{r - 1} l ON l.id = a.nb
+              GROUP BY 1, 2)) WHERE rn = 1)""")
+    return parts
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """DuckDB restatement of q175."""
+    parts = _lpa_cte_parts(rounds)
+    parts.append(f"""
+    sizes AS (SELECT label, COUNT(*) AS community_size
+              FROM l{rounds} GROUP BY 1)""")
+    return "WITH " + ",".join(parts) + f"""
+    SELECT l.id, l.label AS community, s.community_size
+    FROM l{rounds} l JOIN sizes s ON s.label = l.label
+    ORDER BY l.id"""
+
+
+def _modularity_oracle_sql(rounds: int = 4) -> str:
+    """DuckDB restatement of q177: q175's unrolled LPA rounds, then
+    Newman modularity per community — intra-edge and degree-mass
+    aggregations as exact integers, the contribution formed in double
+    IN THE SAME OPERATION ORDER as the Spark expression so the rounded
+    quotient is engine-exact.  degree_sum CAST to BIGINT (DuckDB
+    widens SUM to HUGEINT, which would hash as a different type
+    family)."""
+    parts = _lpa_cte_parts(rounds)
+    parts.append(f"""
+    m AS (SELECT COUNT(*) AS m FROM e),
+    lab AS (SELECT id, label AS c FROM l{rounds}),
+    intra AS (SELECT la.c AS community, COUNT(*) AS intra_edges
+              FROM e JOIN lab la ON la.id = e.src
+                     JOIN lab lb ON lb.id = e.dst
+              WHERE la.c = lb.c GROUP BY 1),
+    deg AS (SELECT id, COUNT(*) AS deg FROM (
+        SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+        GROUP BY 1),
+    perc AS (SELECT lab.c AS community, COUNT(*) AS n_nodes,
+                    CAST(SUM(deg.deg) AS BIGINT) AS degree_sum
+             FROM deg JOIN lab ON lab.id = deg.id GROUP BY 1)""")
+    return "WITH " + ",".join(parts) + """
+    SELECT p.community, p.n_nodes,
+           COALESCE(i.intra_edges, 0) AS intra_edges, p.degree_sum,
+           ROUND((4.0 * m.m * COALESCE(i.intra_edges, 0)
+                  - p.degree_sum * p.degree_sum)
+                 / (4.0 * m.m * m.m), 9) AS q_contrib
+    FROM perc p LEFT JOIN intra i ON i.community = p.community
+    CROSS JOIN m
+    ORDER BY p.community"""
+
+
+def _kcore_oracle_sql(k: int = 10, rounds: int = 6) -> str:
+    """DuckDB restatement of q176: the same peel rounds unrolled —
+    per round, current degrees then keep only edges whose BOTH
+    endpoints have degree >= k."""
+    parts = [_COACTIVITY_CTE, """
+    e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    d{r} AS MATERIALIZED (SELECT id, COUNT(*) AS degree FROM (
+        SELECT a AS id FROM e{r - 1}
+        UNION ALL SELECT b AS id FROM e{r - 1}) GROUP BY 1),
+    e{r} AS MATERIALIZED (SELECT p.a, p.b FROM e{r - 1} p
+        JOIN d{r} da ON da.id = p.a AND da.degree >= {k}
+        JOIN d{r} db ON db.id = p.b AND db.degree >= {k})""")
+    return "WITH " + ",".join(parts) + f"""
+    SELECT id, COUNT(*) AS core_degree FROM (
+        SELECT a AS id FROM e{rounds}
+        UNION ALL SELECT b AS id FROM e{rounds})
+    GROUP BY 1 ORDER BY id"""
+
+
+ORACLE["q175_label_communities"] = _lpa_oracle_sql()
+ORACLE["q176_kcore_peel"] = _kcore_oracle_sql()
+ORACLE["q177_partition_modularity"] = _modularity_oracle_sql()
+
 
 # Plan-linter allowlist (dudb_spark/plans/linter.py): every entry is an
 # INTENTIONAL scale exception with its justification — the linter still
@@ -11107,6 +11289,7 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
             "q145_corpus_drift", "q148_hard_negatives",
             "q151_sketch_source_overlap", "q152_cms_meanmin",
             "q157_bigram_lm_score", "q163_kmv_set_overlap",
+            "q177_partition_modularity",
         )
     },
     "q158_stratified_budget": {

@@ -1742,17 +1742,12 @@ def cmd_events_islands(args):
               f"\t{r['min_id']}\t{r['max_id']}")
 
 
-def cmd_events_triangles(args):
-    """Triangle census over the user co-activity graph
-    (pipeline/graph.triangle_counts): users sharing ≥ --min-shared
-    distinct (event_type, hour) slots are connected; per-user triangle
-    count + clustering coefficient via the degree-ordered wedge join
-    (hub-safe: O(√m) oriented out-degrees)."""
+def _coactivity_edges_cli(args, spark):
+    """Shared by the events graph commands: undirected (src < dst)
+    edges between keys sharing ≥ --min-shared distinct (label, hour)
+    slots — one equi-join on the bounded slot key, never all-pairs."""
     from pyspark.sql import functions as F
 
-    from dudb_spark.pipeline.graph import triangle_counts
-
-    spark = _spark()
     df = spark.read.parquet(expand_path(args.input))
     slots = df.select(
         args.key_col, args.label_col,
@@ -1762,7 +1757,7 @@ def cmd_events_triangles(args):
                      args.label_col, "_hr")
     b = slots.select(F.col(args.key_col).alias("dst"),
                      args.label_col, "_hr")
-    edges = (
+    return (
         a.join(b, [args.label_col, "_hr"])
         .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
@@ -1770,15 +1765,53 @@ def cmd_events_triangles(args):
         .where(F.col("_sh") >= args.min_shared)
         .select("src", "dst")
     )
-    res = triangle_counts(edges)
+
+
+def _emit_graph_result(args, res, cols):
     if args.out:
         res.write.mode("overwrite").parquet(expand_path(args.out))
         print(json.dumps({"out": args.out}))
         return
-    print("id\tdegree\tn_tri\tclustering")
-    for r in res.orderBy("id").toLocalIterator():
-        print(f"{r['id']}\t{r['degree']}\t{r['n_tri']}"
-              f"\t{r['clustering']}")
+    print("\t".join(cols))
+    for r in res.orderBy(cols[0]).toLocalIterator():
+        print("\t".join(str(r[c]) for c in cols))
+
+
+def cmd_events_triangles(args):
+    """Triangle census over the user co-activity graph
+    (pipeline/graph.triangle_counts): users sharing ≥ --min-shared
+    distinct (event_type, hour) slots are connected; per-user triangle
+    count + clustering coefficient via the degree-ordered wedge join
+    (hub-safe: O(√m) oriented out-degrees)."""
+    from dudb_spark.pipeline.graph import triangle_counts
+
+    spark = _spark()
+    res = triangle_counts(_coactivity_edges_cli(args, spark))
+    _emit_graph_result(args, res, ["id", "degree", "n_tri", "clustering"])
+
+
+def cmd_events_communities(args):
+    """Deterministic synchronous label propagation over the co-activity
+    graph (pipeline/graph.label_propagation): --rounds synchronous
+    updates, ties to the smallest label."""
+    from dudb_spark.pipeline.graph import label_propagation
+
+    spark = _spark()
+    res = label_propagation(_coactivity_edges_cli(args, spark),
+                            rounds=args.rounds)
+    _emit_graph_result(args, res, ["id", "community", "community_size"])
+
+
+def cmd_events_kcore(args):
+    """k-core peeling over the co-activity graph
+    (pipeline/graph.k_core): --rounds deterministic peel rounds at
+    --k; survivors carry their in-core degree."""
+    from dudb_spark.pipeline.graph import k_core
+
+    spark = _spark()
+    res = k_core(_coactivity_edges_cli(args, spark), k=args.k,
+                 rounds=args.rounds)
+    _emit_graph_result(args, res, ["id", "core_degree"])
 
 
 def _hll_pick_p(args) -> int:
@@ -2732,6 +2765,37 @@ def build_parser():
                          "share to be connected")
     et.add_argument("--out", default=None)
     et.set_defaults(func=cmd_events_triangles)
+    ec = esub.add_parser(
+        "communities",
+        help="label-propagation communities of the co-activity graph",
+    )
+    ec.add_argument("--input", required=True, help="event parquet")
+    ec.add_argument("--key-col", default="user_id")
+    ec.add_argument("--ts-col", default="ts")
+    ec.add_argument("--label-col", default="event_type")
+    ec.add_argument("--min-shared", type=int, default=3,
+                    help="distinct (label, hour) slots two users must "
+                         "share to be connected")
+    ec.add_argument("--rounds", type=int, default=4,
+                    help="synchronous propagation rounds")
+    ec.add_argument("--out", default=None)
+    ec.set_defaults(func=cmd_events_communities)
+    ek = esub.add_parser(
+        "kcore",
+        help="k-core peeling of the co-activity graph",
+    )
+    ek.add_argument("--input", required=True, help="event parquet")
+    ek.add_argument("--key-col", default="user_id")
+    ek.add_argument("--ts-col", default="ts")
+    ek.add_argument("--label-col", default="event_type")
+    ek.add_argument("--min-shared", type=int, default=3)
+    ek.add_argument("--k", type=int, default=3,
+                    help="minimum in-core degree")
+    ek.add_argument("--rounds", type=int, default=6,
+                    help="peel rounds (each strictly shrinks or is a "
+                         "fixpoint)")
+    ek.add_argument("--out", default=None)
+    ek.set_defaults(func=cmd_events_kcore)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

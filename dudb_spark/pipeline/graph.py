@@ -168,3 +168,207 @@ def triangle_counts(
         .select("id", "degree", nt.alias("n_tri"),
                 coeff.alias("clustering"))
     )
+
+
+def _canonical_undirected(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Distinct ``a < b`` pairs: self-loops dropped, reversed
+    duplicates collapsed, NULL endpoints dropped (least/greatest skip
+    NULLs, collapsing such a row to a self-loop)."""
+    s, d = F.col(src_col), F.col(dst_col)
+    return (
+        edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007) with DETERMINISTIC update
+    order: every node starts labeled with its own id; each round every
+    node simultaneously adopts the label most frequent among its
+    neighbors, ties broken by the SMALLEST label.  A fixed round count
+    (instead of convergence detection) keeps the operator
+    deterministic and oracle-restatable — the SQL twin unrolls the
+    same rounds; raising ``rounds`` changes no plan shape.
+
+    Scale shape: per round, ONE equi-join (adjacency ⋈ labels on the
+    neighbor key) and TWO map-side-combining aggregations — the
+    (id, label) count and the per-id argmax, the argmax as
+    ``min(struct(-count, label))`` so no window and no skew-prone
+    global sort; labels are ``localCheckpoint``-ed per round so the
+    lazy plan doesn't stack join trees (the pagerank discipline).
+    Asynchronous/randomized LPA converges faster but is
+    non-reproducible — the wrong trade for a data-curation engine.
+
+    Returns ``(id, community, community_size)`` for every node of the
+    edge set."""
+    und = _canonical_undirected(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .unionByName(
+            und.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+        )
+        .localCheckpoint()
+    )
+    labels = adj.select("id").distinct().withColumn("label", F.col("id"))
+    for _ in range(rounds):
+        nbl = adj.join(
+            labels.select(
+                F.col("id").alias("nb"), F.col("label")
+            ),
+            "nb",
+        ).select("id", "label")
+        cnt = nbl.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("m")
+            )
+            .select("id", F.col("m.l").alias("label"))
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "id",
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The ``k``-core peeling pass (Seidman, Social Networks 1983;
+    distributed peeling as in Montresor et al.): repeatedly delete
+    every node whose CURRENT degree is below ``k`` — what survives is
+    the maximal subgraph with minimum degree ≥ k, the standard "dense
+    cohesive region" primitive for spam-ring and bot-cluster triage
+    over interaction graphs.
+
+    A FIXED number of peeling rounds (default 6) makes the semantics
+    deterministic and SQL-unrollable at any scale: each round is one
+    degree aggregation plus two semi-joins (keep-list against each
+    endpoint), ``localCheckpoint``-ed so the plan doesn't stack.  Each
+    round strictly shrinks the edge set or is a fixpoint; callers
+    needing the true core at adversarial diameters raise ``rounds``
+    without changing the plan shape (peeling converges in O(peel
+    depth) rounds, typically < 10 on social-shaped graphs).
+
+    Returns ``(id, core_degree)`` for surviving nodes — their degree
+    inside the surviving subgraph (≥ k at fixpoint)."""
+    cur = _canonical_undirected(edges, src_col, dst_col).localCheckpoint()
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("id"))
+            .unionByName(cur.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("id")
+        cur = (
+            cur.join(keep.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        cur.select(F.col("a").alias("id"))
+        .unionByName(cur.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a partition (Newman & Girvan, Phys. Rev. E
+    2004), per community: Q = Σ_c [ L_c/m − (d_c/2m)² ] where m is the
+    undirected edge count, L_c the intra-community edges and d_c the
+    degree mass of community c.  The quality gate for q175's label
+    propagation — a curation pipeline that clusters near-dups or user
+    cohorts needs a number saying whether the partition is real
+    (Q ≈ 0.3–0.7) or noise (Q ≈ 0).
+
+    Everything except the final division is integer-exact: per
+    community the row carries (n_nodes, intra_edges, degree_sum) as
+    exact longs plus the contribution (4·m·L_c − d_c²)/(4·m²) rounded
+    to 9 places — numerator and denominator are formed in double IN
+    THE SAME ORDER on both engines, so the rounded quotient is
+    engine-exact.  Scale shape: two aggregations keyed by community
+    plus one broadcast of the single-row edge count — never a window,
+    never all-pairs; nodes missing from ``assign`` contribute degree
+    mass to no community (their edges still count in m).
+
+    Returns ``(community, n_nodes, intra_edges, degree_sum,
+    q_contrib)`` sorted by community."""
+    und = _canonical_undirected(edges, src_col, dst_col)
+    m = und.agg(F.count(F.lit(1)).alias("_m"))
+    lab = assign.select(
+        F.col(id_col).alias("_nid"), F.col(community_col).alias("_c")
+    )
+    intra = (
+        und.join(lab.withColumnRenamed("_nid", "a"), "a")
+        .withColumnRenamed("_c", "_ca")
+        .join(lab.withColumnRenamed("_nid", "b"), "b")
+        .where(F.col("_ca") == F.col("_c"))
+        .groupBy(F.col("_c").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("_nid"))
+        .unionByName(und.select(F.col("b").alias("_nid")))
+        .groupBy("_nid")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    per_c = (
+        deg.join(lab, "_nid")
+        .groupBy(F.col("_c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("_deg").alias("degree_sum"),
+        )
+    )
+    return (
+        per_c.join(intra, "community", "left")
+        .na.fill({"intra_edges": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            F.round(
+                (
+                    4.0 * F.col("_m") * F.col("intra_edges")
+                    - F.col("degree_sum") * F.col("degree_sum")
+                )
+                / (4.0 * F.col("_m") * F.col("_m")),
+                9,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )

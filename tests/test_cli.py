@@ -1423,3 +1423,43 @@ def test_cli_events_triangles(spark, tmp_path, capsys):
     assert set(got) == {"1", "2", "3"}
     for u in ("1", "2", "3"):
         assert got[u][1:] == ["2", "1", "1.0"]
+
+
+def test_cli_events_communities_and_kcore(spark, tmp_path, capsys):
+    """events communities / kcore over the same co-activity fixture:
+    the 1-2-3 triangle forms one community labeled by its smallest id
+    and survives k=2 peeling with in-core degree 2; user 9 is below
+    --min-shared and isolated from both."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for h in range(5):
+        for u in (1, 2, 3):
+            rows.append((eid, f"2024-02-0{1 + h % 3} 0{h}:10:00", u,
+                         "click", 1.0, "{}"))
+            eid += 1
+    for h in range(2):
+        rows.append((eid, f"2024-02-01 0{h}:20:00", 9, "click", 1.0, "{}"))
+        eid += 1
+    inp = str(tmp_path / "comm_ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(inp)
+
+    out = run(capsys, "events", "communities", "--input", inp,
+              "--min-shared", "4", "--rounds", "3")
+    got = {l.split("\t")[0]: l.split("\t")
+           for l in out.strip().splitlines()[1:]}
+    assert set(got) == {"1", "2", "3"}
+    for u in ("1", "2", "3"):
+        assert got[u][1:] == ["1", "3"]
+
+    out = run(capsys, "events", "kcore", "--input", inp,
+              "--min-shared", "4", "--k", "2", "--rounds", "3")
+    got = {l.split("\t")[0]: l.split("\t")
+           for l in out.strip().splitlines()[1:]}
+    assert set(got) == {"1", "2", "3"}
+    for u in ("1", "2", "3"):
+        assert got[u][1] == "2"

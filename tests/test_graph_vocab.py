@@ -114,3 +114,112 @@ def test_triangle_counts_goldens(spark):
     assert res[0] == (5, 1, 0.1)
     assert res[1] == (2, 1, 1.0) and res[2] == (2, 1, 1.0)
     assert res[4] == (1, 0, 0.0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two K4 cliques joined by one bridge edge: 4 synchronous rounds
+    collapse each clique to its smallest id; sizes carried per node.
+    Noisy input (reversed dups, self-loop, NULL endpoint) is ignored."""
+    from dudb_spark.pipeline.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10), (10, 3), (5, 5), (None, 7)]
+    got = {r["id"]: (r["community"], r["community_size"])
+           for r in label_propagation(
+               spark.createDataFrame(edges, "src int, dst int"),
+               rounds=4).collect()}
+    assert {i: got[i][0] for i in range(4)} == {i: 0 for i in range(4)}
+    assert {i: got[i][0] for i in range(10, 14)} == {
+        i: 10 for i in range(10, 14)}
+    assert got[0][1] == 4 and got[10][1] == 4
+    assert 7 not in got  # NULL-edge endpoint contributes no node
+
+
+def test_label_propagation_tie_breaks_smallest(spark):
+    """A node with two equally frequent neighbor labels adopts the
+    smaller one (deterministic argmax via min(struct(-c, label)))."""
+    from dudb_spark.pipeline.graph import label_propagation
+
+    # 2 is equally attached to {0,1} and {5,6}; after round 1 every
+    # neighbor keeps a distinct label so 2 takes the smallest = 0.
+    edges = [(0, 2), (1, 2), (5, 2), (6, 2)]
+    got = {r["id"]: r["community"] for r in label_propagation(
+        spark.createDataFrame(edges, ["src", "dst"]), rounds=1).collect()}
+    assert got[2] == 0
+
+
+def test_k_core_goldens(spark):
+    """K5 plus a pendant path: at k=4 only the clique survives with
+    in-core degree 4; at k=2 a triangle survives but pendant chains
+    peel off over rounds; noisy edges collapse first."""
+    from dudb_spark.pipeline.graph import k_core
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges = k5 + [(4, 7), (7, 8), (8, 9), (7, 4), (9, 9)]
+    got = {r["id"]: r["core_degree"] for r in k_core(
+        spark.createDataFrame(edges, ["src", "dst"]), k=4,
+        rounds=4).collect()}
+    assert got == {i: 4 for i in range(5)}
+
+    tri = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    got = {r["id"]: r["core_degree"] for r in k_core(
+        spark.createDataFrame(tri, ["src", "dst"]), k=2,
+        rounds=4).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_core_empty_when_overpruned(spark):
+    from dudb_spark.pipeline.graph import k_core
+
+    path = [(0, 1), (1, 2)]
+    assert k_core(spark.createDataFrame(path, ["src", "dst"]), k=2,
+                  rounds=3).count() == 0
+
+
+def test_modularity_golden(spark):
+    """Two K4 cliques + one bridge, perfect partition: m = 13,
+    L_c = 6 each, d_c = 13 each, so each community contributes
+    (4*13*6 - 169)/(4*169) = 143/676 and Q = 0.423... — matches the
+    hand computation; merging everything into ONE community gives
+    Q = 0 (L = m, d = 2m)."""
+    from dudb_spark.pipeline.graph import modularity
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], ["src", "dst"])
+    assign = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(i, 1) for i in range(10, 14)],
+        ["id", "community"],
+    )
+    rows = {r["community"]: r for r in modularity(edges, assign).collect()}
+    for c in (0, 1):
+        assert rows[c]["n_nodes"] == 4
+        assert rows[c]["intra_edges"] == 6
+        assert rows[c]["degree_sum"] == 13
+        assert rows[c]["q_contrib"] == pytest.approx(143 / 676, abs=1e-9)
+
+    one = spark.createDataFrame(
+        [(i, 7) for i in list(range(4)) + list(range(10, 14))],
+        ["id", "community"],
+    )
+    tot = modularity(edges, one).collect()
+    assert len(tot) == 1 and tot[0]["q_contrib"] == pytest.approx(0.0)
+
+
+def test_modularity_unassigned_nodes_and_empty_intra(spark):
+    """Nodes absent from the assignment contribute no community row
+    (their edges still count in m); a community with zero intra
+    edges gets intra_edges = 0, negative contribution."""
+    from dudb_spark.pipeline.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assign = spark.createDataFrame(
+        [(0, 5), (2, 5)], ["id", "community"])  # 0-2 not an edge
+    rows = modularity(edges, assign).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # m=3, L=0, d = deg(0)+deg(2) = 1+2 = 3 -> (0 - 9)/36 = -0.25
+    assert (r["n_nodes"], r["intra_edges"], r["degree_sum"]) == (2, 0, 3)
+    assert r["q_contrib"] == pytest.approx(-0.25)
