@@ -6439,6 +6439,22 @@ def q177_partition_modularity(spark, sf_dir):
     return modularity(edges, comm)
 
 
+def q178_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (pipeline/graph.assortativity, Newman
+    2002) of the shared>=3 co-activity graph: Pearson correlation of
+    endpoint degrees over directed stubs — with both orientations the
+    marginals coincide so r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²), every Σ
+    an exact integer stub sum (ONE single-row fold), the ratio formed
+    in double in the same operation order on both engines.  Positive
+    = hubs-link-hubs community shape, negative = hub-and-spoke.
+    Completes the graph-metric family (q172 local clustering, q175
+    communities, q176 cores, q177 partition quality)."""
+    from dudb_spark.pipeline.graph import assortativity
+
+    edges = _coactivity_edges(spark, sf_dir, 3)
+    return assortativity(edges)
+
+
 def q176_kcore_peel(spark, sf_dir):
     """k-core peeling (pipeline/graph.k_core, Seidman 1983): six
     deterministic peel rounds at k=10 over the shared>=3 co-activity
@@ -6632,6 +6648,7 @@ QUERIES: dict[str, Callable] = {
     "q175_label_communities": q175_label_communities,
     "q176_kcore_peel": q176_kcore_peel,
     "q177_partition_modularity": q177_partition_modularity,
+    "q178_degree_assortativity": q178_degree_assortativity,
 }
 
 ORACLE: dict[str, str] = {
@@ -11259,6 +11276,32 @@ def _kcore_oracle_sql(k: int = 10, rounds: int = 6) -> str:
 ORACLE["q175_label_communities"] = _lpa_oracle_sql()
 ORACLE["q176_kcore_peel"] = _kcore_oracle_sql()
 ORACLE["q177_partition_modularity"] = _modularity_oracle_sql()
+
+ORACLE["q178_degree_assortativity"] = "WITH " + _COACTIVITY_CTE + """,
+    deg AS (SELECT id, COUNT(*) AS deg FROM (
+        SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+        GROUP BY 1),
+    stubs AS (SELECT src AS x, dst AS y FROM e
+              UNION ALL SELECT dst AS x, src AS y FROM e),
+    xy AS (SELECT dx.deg AS dxv, dy.deg AS dyv
+           FROM stubs s JOIN deg dx ON dx.id = s.x
+                        JOIN deg dy ON dy.id = s.y),
+    agg AS (SELECT COUNT(*) AS stubs,
+                   CAST(SUM(dxv) AS BIGINT) AS sum_deg,
+                   CAST(SUM(dxv * dxv) AS BIGINT) AS sum_deg_sq,
+                   CAST(SUM(dxv * dyv) AS BIGINT) AS sum_deg_prod
+            FROM xy)
+    SELECT CAST(stubs / 2 AS BIGINT) AS n_edges,
+           sum_deg, sum_deg_sq, sum_deg_prod,
+           CASE WHEN (CAST(stubs AS DOUBLE) * sum_deg_sq
+                      - CAST(sum_deg AS DOUBLE) * sum_deg) <> 0
+                THEN ROUND((CAST(stubs AS DOUBLE) * sum_deg_prod
+                            - CAST(sum_deg AS DOUBLE) * sum_deg)
+                           / (CAST(stubs AS DOUBLE) * sum_deg_sq
+                              - CAST(sum_deg AS DOUBLE) * sum_deg), 9)
+           END AS assortativity
+    FROM agg
+"""
 
 
 # Plan-linter allowlist (dudb_spark/plans/linter.py): every entry is an

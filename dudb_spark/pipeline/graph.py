@@ -372,3 +372,66 @@ def modularity(
         )
         .orderBy("community")
     )
+
+
+def assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, Phys. Rev. Lett.
+    2002): the Pearson correlation of endpoint degrees over all
+    directed edge stubs — positive on social-shaped graphs (hubs link
+    hubs), negative on star/broadcast shapes.  The one-number summary
+    of whether a co-activity graph is community-shaped or hub-and-
+    spoke, complementing q172's local clustering and q177's partition
+    quality.
+
+    Exactness: with both orientations materialized the x and y
+    marginals coincide, so r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²) where
+    every Σ is an integer sum over stubs — ONE aggregation row, every
+    term an exact int64 well under 2^53, the final ratio formed in
+    double in the same operation order on both engines and rounded to
+    9 places.  Scale shape: degree agg, two broadcast-sized joins
+    keyed by node id, one global single-row fold.  Degree-regular
+    graphs (denominator 0) return NULL.
+
+    Returns one row: (n_edges, sum_deg, sum_deg_sq, sum_deg_prod,
+    assortativity)."""
+    und = _canonical_undirected(edges, src_col, dst_col)
+    deg = (
+        und.select(F.col("a").alias("_nid"))
+        .unionByName(und.select(F.col("b").alias("_nid")))
+        .groupBy("_nid")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    stubs = und.select(
+        F.col("a").alias("_x"), F.col("b").alias("_y")
+    ).unionByName(
+        und.select(F.col("b").alias("_x"), F.col("a").alias("_y"))
+    )
+    xy = (
+        stubs.join(deg.withColumnRenamed("_nid", "_x"), "_x")
+        .withColumnRenamed("_deg", "_dx")
+        .join(deg.withColumnRenamed("_nid", "_y"), "_y")
+        .withColumnRenamed("_deg", "_dy")
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("_stubs"),
+        F.sum("_dx").alias("sum_deg"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("sum_deg_sq"),
+        F.sum(F.col("_dx") * F.col("_dy")).alias("sum_deg_prod"),
+    )
+    num = (
+        F.col("_stubs").cast("double") * F.col("sum_deg_prod")
+        - F.col("sum_deg").cast("double") * F.col("sum_deg")
+    )
+    den = (
+        F.col("_stubs").cast("double") * F.col("sum_deg_sq")
+        - F.col("sum_deg").cast("double") * F.col("sum_deg")
+    )
+    return agg.select(
+        (F.col("_stubs") / F.lit(2)).cast("long").alias("n_edges"),
+        "sum_deg",
+        "sum_deg_sq",
+        "sum_deg_prod",
+        F.when(den != 0, F.round(num / den, 9)).alias("assortativity"),
+    )

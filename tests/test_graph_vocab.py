@@ -223,3 +223,25 @@ def test_modularity_unassigned_nodes_and_empty_intra(spark):
     # m=3, L=0, d = deg(0)+deg(2) = 1+2 = 3 -> (0 - 9)/36 = -0.25
     assert (r["n_nodes"], r["intra_edges"], r["degree_sum"]) == (2, 0, 3)
     assert r["q_contrib"] == pytest.approx(-0.25)
+
+
+def test_assortativity_goldens(spark):
+    """A star is perfectly disassortative (r = -1); K4 is degree-
+    regular (denominator 0 -> NULL); a path of 4 gives the
+    hand-computed r = -0.5."""
+    from dudb_spark.pipeline.graph import assortativity
+
+    star = [(0, i) for i in range(1, 5)]
+    r = assortativity(spark.createDataFrame(star, ["src", "dst"])).collect()[0]
+    assert r["n_edges"] == 4 and r["assortativity"] == pytest.approx(-1.0)
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = assortativity(spark.createDataFrame(k4, ["src", "dst"])).collect()[0]
+    assert r["n_edges"] == 6 and r["assortativity"] is None
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    r = assortativity(spark.createDataFrame(path, ["src", "dst"])).collect()[0]
+    # degrees 1,2,2,1; over stubs: sx = Σdeg² = 10, sxx = Σdeg³ = 18,
+    # sxy = 16 -> (6·16 - 100)/(6·18 - 100) = -4/8 = -0.5
+    assert (r["sum_deg"], r["sum_deg_sq"], r["sum_deg_prod"]) == (10, 18, 16)
+    assert r["assortativity"] == pytest.approx(-0.5)
