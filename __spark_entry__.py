@@ -6421,6 +6421,24 @@ def q175_label_communities(spark, sf_dir):
     return label_propagation(edges, rounds=4).orderBy("id")
 
 
+def q179_blocklist_filter(spark, sf_dir):
+    """Token-level blocklist gate (pipeline/text.blocklist_filter —
+    C4's bad-words filter softened to the Gopher/RefinedWeb density
+    form): per doc the token count, hit count against a 4-term demo
+    blocklist, density, and keep = density <= 0.08 AND hits <= 10.
+    The terms enter as a constant-folded literal array; matching is a
+    scan-side higher-order filter — zero joins, zero shuffles, the
+    filter rides the Parquet scan at any corpus size.  Density is
+    hits/tokens in double with identical op order both engines."""
+    from dudb_spark.pipeline.text import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_filter(
+        docs, ["slow", "hash", "big", "merge"],
+        max_density=0.08, max_hits=10,
+    ).orderBy("doc_id")
+
+
 def q177_partition_modularity(spark, sf_dir):
     """Newman modularity of the q175 partition
     (pipeline/graph.modularity, Newman & Girvan 2004): the quality
@@ -6649,6 +6667,7 @@ QUERIES: dict[str, Callable] = {
     "q176_kcore_peel": q176_kcore_peel,
     "q177_partition_modularity": q177_partition_modularity,
     "q178_degree_assortativity": q178_degree_assortativity,
+    "q179_blocklist_filter": q179_blocklist_filter,
 }
 
 ORACLE: dict[str, str] = {
@@ -11276,6 +11295,31 @@ def _kcore_oracle_sql(k: int = 10, rounds: int = 6) -> str:
 ORACLE["q175_label_communities"] = _lpa_oracle_sql()
 ORACLE["q176_kcore_peel"] = _kcore_oracle_sql()
 ORACLE["q177_partition_modularity"] = _modularity_oracle_sql()
+
+ORACLE["q179_blocklist_filter"] = r"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           t -> t <> '') AS tok
+        FROM documents
+    ), sig AS (
+        SELECT doc_id, len(tok) AS n_tokens,
+               len(list_filter(tok, t -> list_contains(
+                   ['big', 'hash', 'merge', 'slow'], lower(t))))
+                   AS n_hits
+        FROM tk
+    ), dens AS (
+        SELECT doc_id, n_tokens, n_hits,
+               CASE WHEN n_tokens > 0
+                    THEN ROUND(CAST(n_hits AS DOUBLE) / n_tokens, 9)
+                    ELSE 0.0 END AS hit_density
+        FROM sig
+    )
+    SELECT doc_id, n_tokens, n_hits, hit_density,
+           (hit_density <= 0.08 AND n_hits <= 10) AS keep
+    FROM dens
+    ORDER BY doc_id
+"""
 
 ORACLE["q178_degree_assortativity"] = "WITH " + _COACTIVITY_CTE + """,
     deg AS (SELECT id, COUNT(*) AS deg FROM (

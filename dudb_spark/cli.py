@@ -1167,6 +1167,45 @@ def cmd_pipeline_quality(args):
                      | {"out": args.out}))
 
 
+def cmd_pipeline_blocklist(args):
+    """Token-level blocklist gate (pipeline/text.blocklist_filter):
+    case-insensitive exact-token hits against --terms (or one term per
+    line in --terms-file), keep = density <= --max-density AND hits <=
+    --max-hits; --out writes the KEPT rows of the input."""
+    from pyspark.sql import functions as F
+
+    from dudb_spark.pipeline.text import blocklist_filter
+
+    terms = [t for t in (args.terms.split(",") if args.terms else [])
+             if t.strip()]
+    if args.terms_file:
+        with open(expand_path(args.terms_file)) as fh:
+            terms += [ln.strip() for ln in fh if ln.strip()]
+    if not terms:
+        raise SystemExit("pipeline blocklist: no terms "
+                         "(--terms or --terms-file)")
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    sig = blocklist_filter(
+        df, terms, max_density=args.max_density, max_hits=args.max_hits,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    if args.out:
+        kept = df.join(
+            sig.where("keep").select(args.id_col), args.id_col, "left_semi"
+        )
+        kept.write.mode("overwrite").parquet(expand_path(args.out))
+    row = sig.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.sum("n_hits").alias("total_hits"),
+    ).first()
+    print(json.dumps({"n_docs": row["n_docs"], "n_kept": row["n_kept"],
+                      "total_hits": row["total_hits"],
+                      "n_terms": len(set(t.lower() for t in terms)),
+                      "out": args.out}))
+
+
 def cmd_pipeline_retrieve(args):
     """Batch BM25 retrieval: score query strings against a parquet
     corpus, print per-query top-k TSV (pipeline/retrieval.py)."""
@@ -2512,6 +2551,22 @@ def build_parser():
     pg.add_argument("--out", default=None,
                     help="write passing docs to this parquet path")
     pg.set_defaults(func=cmd_pipeline_quality)
+    pbl = psub.add_parser(
+        "blocklist",
+        help="token-level blocklist gate (C4 bad-words, density form)",
+    )
+    pbl.add_argument("--input", required=True)
+    pbl.add_argument("--id-col", default="doc_id")
+    pbl.add_argument("--text-col", default="text")
+    pbl.add_argument("--terms", default=None,
+                     help="comma-separated blocklist terms")
+    pbl.add_argument("--terms-file", default=None,
+                     help="file with one term per line")
+    pbl.add_argument("--max-density", type=float, default=0.1)
+    pbl.add_argument("--max-hits", type=int, default=None)
+    pbl.add_argument("--out", default=None,
+                     help="write KEPT input rows to this parquet path")
+    pbl.set_defaults(func=cmd_pipeline_blocklist)
     pb = psub.add_parser(
         "retrieve", help="batch BM25 retrieval over a parquet corpus"
     )

@@ -853,3 +853,50 @@ def entropy_scores(
             .alias("token_entropy"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: list[str],
+    max_density: float = 0.1,
+    max_hits: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level blocklist filtering — the C4-style "bad words"
+    gate (Raffel et al. 2020 drop any page with a blocklist hit;
+    Gopher/RefinedWeb soften it to a density threshold, implemented
+    here): per document the token count, blocklist hit count,
+    hit density and a keep flag (density <= max_density AND, when
+    set, hits <= max_hits).
+
+    Scale shape: the term list enters as a CONSTANT-FOLDED literal
+    array and matching is a scan-side higher-order filter — zero
+    joins, zero shuffles, whole-stage codegen; right for curated
+    lists up to a few thousand terms (O(|terms|) per token).  A
+    100k-term list should instead explode tokens and broadcast-join
+    the term table (the q105 vocab shape) — documented, not needed
+    for curation blocklists.  Matching is case-insensitive exact
+    token equality; NULL text scores 0 tokens / 0 hits and is KEPT
+    (the q173 empty-doc convention).  Density is hits/tokens in
+    double, rounded to 9 places in the same operation order as the
+    SQL restatement."""
+    tok = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    lit_terms = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    hits = F.size(
+        F.filter(tok, lambda t: F.array_contains(lit_terms, F.lower(t)))
+    )
+    n = F.size(tok)
+    density = F.when(
+        n > 0, F.round(hits.cast("double") / n, 9)
+    ).otherwise(F.lit(0.0))
+    keep = density <= F.lit(max_density)
+    if max_hits is not None:
+        keep = keep & (hits <= F.lit(max_hits))
+    return docs.select(
+        id_col,
+        n.alias("n_tokens"),
+        hits.alias("n_hits"),
+        density.alias("hit_density"),
+        keep.alias("keep"),
+    )

@@ -1463,3 +1463,22 @@ def test_cli_events_communities_and_kcore(spark, tmp_path, capsys):
     assert set(got) == {"1", "2", "3"}
     for u in ("1", "2", "3"):
         assert got[u][1] == "2"
+
+
+def test_cli_pipeline_blocklist(spark, tmp_path, capsys):
+    """pipeline blocklist: terms from flag + file merge, JSON summary,
+    --out writes only kept rows."""
+    rows = [(0, "clean text here"), (1, "bad bad bad bad"),
+            (2, "one naughty word in a longer ok doc x y z")]
+    inp = str(tmp_path / "bl_docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    tf = tmp_path / "terms.txt"
+    tf.write_text("naughty\n\n")
+    out = str(tmp_path / "bl_kept")
+    j = json.loads(run(capsys, "pipeline", "blocklist", "--input", inp,
+                       "--terms", "bad", "--terms-file", str(tf),
+                       "--max-density", "0.2", "--out", out))
+    assert j == {"n_docs": 3, "n_kept": 2, "total_hits": 5,
+                 "n_terms": 2, "out": out}
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 2}

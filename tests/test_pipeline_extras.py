@@ -451,3 +451,38 @@ def test_bigram_logprob_hand_model(spark):
         both, F.col("lang") == "en"
     ).collect()}
     assert r2[11] < r2[10]
+
+
+def test_blocklist_filter_goldens(spark):
+    """Hit counting is case-insensitive exact-token; density thresholds
+    gate keep; NULL/empty text scores 0/0 and is KEPT; max_hits caps
+    independently of density."""
+    from dudb_spark.pipeline.text import blocklist_filter
+
+    rows = [
+        (0, "clean words only here"),
+        (1, "BAD bad words bad"),          # 3 hits / 4 tokens
+        (2, None),
+        (3, ""),
+        (4, "bad " * 20),                  # 20 hits, density 1.0
+        (5, "one bad in twenty " + "x " * 16),  # 1/20 = 0.05
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in blocklist_filter(
+        df, ["bad", "evil"], max_density=0.1, max_hits=10).collect()}
+    assert (got[0]["n_hits"], got[0]["keep"]) == (0, True)
+    assert (got[1]["n_tokens"], got[1]["n_hits"]) == (4, 3)
+    assert got[1]["hit_density"] == 0.75 and not got[1]["keep"]
+    for d in (2, 3):
+        assert (got[d]["n_tokens"], got[d]["n_hits"],
+                got[d]["hit_density"], got[d]["keep"]) == (0, 0, 0.0, True)
+    assert not got[4]["keep"]  # both caps exceeded
+    assert got[5]["n_hits"] == 1 and got[5]["hit_density"] == 0.05
+    assert got[5]["keep"]
+
+    # max_hits alone can reject a long doc whose density is tiny
+    long_doc = spark.createDataFrame(
+        [(9, "bad " * 11 + "x " * 989)], "doc_id long, text string")
+    r = blocklist_filter(long_doc, ["bad"], max_density=0.5,
+                         max_hits=10).collect()[0]
+    assert r["n_hits"] == 11 and not r["keep"]
