@@ -6439,6 +6439,24 @@ def q179_blocklist_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q180_centroid_separation(spark, sf_dir):
+    """Embedding-space class-separability audit
+    (pipeline/similarity.centroid_separation): pairwise L2 distances
+    between per-label centroids — did two classes/sources collapse
+    onto each other?  Components quantize by a power-of-two scale
+    (exact on float32), per-label per-dim sums fold as exact int64,
+    each squared centroid difference quantizes to nano-units before
+    the dim sum (the q145/q173 discipline) so the distance is order-
+    and engine-exact.  ONE posexplode scan to a labels×dims frame;
+    the pairwise stage self-joins that bounded frame on the dim key —
+    |labels|²×dims work, corpus-size-independent."""
+    from dudb_spark.pipeline.similarity import centroid_separation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_separation(emb, vec_col="embedding",
+                               group_col="label")
+
+
 def q177_partition_modularity(spark, sf_dir):
     """Newman modularity of the q175 partition
     (pipeline/graph.modularity, Newman & Girvan 2004): the quality
@@ -6668,6 +6686,7 @@ QUERIES: dict[str, Callable] = {
     "q177_partition_modularity": q177_partition_modularity,
     "q178_degree_assortativity": q178_degree_assortativity,
     "q179_blocklist_filter": q179_blocklist_filter,
+    "q180_centroid_separation": q180_centroid_separation,
 }
 
 ORACLE: dict[str, str] = {
@@ -11295,6 +11314,37 @@ def _kcore_oracle_sql(k: int = 10, rounds: int = 6) -> str:
 ORACLE["q175_label_communities"] = _lpa_oracle_sql()
 ORACLE["q176_kcore_peel"] = _kcore_oracle_sql()
 ORACLE["q177_partition_modularity"] = _modularity_oracle_sql()
+
+ORACLE["q180_centroid_separation"] = """
+    WITH base AS (
+        SELECT label AS g, t.i AS dim,
+               CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                    AS BIGINT) AS q
+        FROM embeddings, LATERAL (
+            SELECT unnest(generate_series(1, len(embedding))) AS i) t
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), sums AS (
+        SELECT g, dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s
+        FROM base GROUP BY 1, 2
+    ), diff AS (
+        SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+               CAST(ROUND(
+                   ((CAST(a.s AS DOUBLE) / a.n
+                     - CAST(b.s AS DOUBLE) / b.n) / 1048576.0)
+                   * ((CAST(a.s AS DOUBLE) / a.n
+                       - CAST(b.s AS DOUBLE) / b.n) / 1048576.0)
+                   * 1e9) AS BIGINT) AS term_nano
+        FROM sums a JOIN sums b ON a.dim = b.dim AND a.g < b.g
+    )
+    SELECT group_a, group_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(SUM(term_nano) AS BIGINT) AS dist_sq_nano,
+           ROUND(SQRT(CAST(SUM(term_nano) AS DOUBLE) / 1e9), 6) AS dist
+    FROM diff
+    GROUP BY 1, 2
+    ORDER BY group_a, group_b
+"""
 
 ORACLE["q179_blocklist_filter"] = r"""
     WITH tk AS (

@@ -343,3 +343,84 @@ def label_outliers(
     )
     base.unpersist()
     return out
+
+
+def centroid_separation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Embedding-space class-separability audit: the L2 distance
+    between every pair of group centroids — the first question about
+    a labeled/sourced embedding corpus (are the classes separated at
+    all? did two sources collapse onto each other?), feeding dataset
+    cards and drift review alongside q145's token-space monitor.
+
+    Exactness discipline: components quantize to integers by a
+    POWER-OF-TWO scale (x·2^scale_bits is an exact double op on any
+    float32, so the rounded int is engine-identical), per-group
+    per-dimension sums fold as exact int64, and each squared centroid
+    difference quantizes to nano-units before the dimension sum — so
+    the distance is order- and engine-exact (the q145/q173 nano-int
+    discipline).  Scale shape: ONE posexplode scan folding to a
+    groups×dims frame; the pairwise stage joins that bounded frame to
+    itself on the dimension key (g_a < g_b) — work is
+    |groups|²×dims, corpus-size-independent; nothing all-pairs over
+    rows.  NULL vectors/groups drop.
+
+    Returns (group_a, group_b, n_a, n_b, dist_sq_nano, dist) per
+    unordered pair, dist = sqrt(dist_sq_nano/1e9) rounded to 6."""
+    scale = float(1 << scale_bits)
+    base = (
+        df.where(F.col(vec_col).isNotNull()
+                 & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.posexplode(F.transform(
+                vec_col,
+                lambda x: F.round(x.cast("double") * F.lit(scale))
+                .cast("long"),
+            )).alias("dim", "q"),
+        )
+    )
+    sums = base.groupBy("g", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    )
+    a = sums.select(F.col("g").alias("group_a"), "dim",
+                    F.col("n").alias("n_a"), F.col("s").alias("s_a"))
+    b = sums.select(F.col("g").alias("group_b"), "dim",
+                    F.col("n").alias("n_b"), F.col("s").alias("s_b"))
+    diff = (
+        a.join(b, "dim")
+        .where(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a", "group_b", "n_a", "n_b",
+            # explicit d*d, never pow(d, 2): libm pow is not
+            # guaranteed bit-identical across engines
+            F.round(
+                ((F.col("s_a") / F.col("n_a")
+                  - F.col("s_b") / F.col("n_b")) / F.lit(scale))
+                * ((F.col("s_a") / F.col("n_a")
+                    - F.col("s_b") / F.col("n_b")) / F.lit(scale))
+                * F.lit(1e9)
+            ).cast("long").alias("term_nano"),
+        )
+    )
+    return (
+        diff.groupBy("group_a", "group_b")
+        .agg(
+            # n is constant across dims within a group (fixed-width
+            # vectors); max() just picks that constant
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum("term_nano").alias("dist_sq_nano"),
+        )
+        .select(
+            "group_a", "group_b", "n_a", "n_b", "dist_sq_nano",
+            F.round(
+                F.sqrt(F.col("dist_sq_nano") / F.lit(1e9)), 6
+            ).alias("dist"),
+        )
+        .orderBy("group_a", "group_b")
+    )

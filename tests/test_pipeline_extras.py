@@ -486,3 +486,30 @@ def test_blocklist_filter_goldens(spark):
     r = blocklist_filter(long_doc, ["bad"], max_density=0.5,
                          max_hits=10).collect()[0]
     assert r["n_hits"] == 11 and not r["keep"]
+
+
+def test_centroid_separation_goldens(spark):
+    """Two 2-D point clouds with known centroids: A = {(0,0),(2,0)}
+    -> (1,0); B = {(4,3),(6,3)} -> (5,3); dist = 5.  NULL vectors and
+    NULL groups drop; a third singleton group pairs with both."""
+    from dudb_spark.pipeline.similarity import centroid_separation
+
+    rows = [
+        (0, [0.0, 0.0], "A"), (1, [2.0, 0.0], "A"),
+        (2, [4.0, 3.0], "B"), (3, [6.0, 3.0], "B"),
+        (4, [1.0, 1.0], "C"),
+        (5, None, "A"), (6, [9.0, 9.0], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    got = {(r["group_a"], r["group_b"]): r for r in centroid_separation(
+        df, group_col="label").collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert (ab["n_a"], ab["n_b"]) == (2, 2)
+    assert ab["dist"] == 5.0 and ab["dist_sq_nano"] == 25_000_000_000
+    # A centroid (1,0) -> C (1,1): dist 1; B (5,3) -> C: sqrt(20)
+    assert got[("A", "C")]["dist"] == pytest.approx(1.0, abs=1e-6)
+    bc = got[("B", "C")]
+    assert bc["n_b"] == 1
+    assert bc["dist"] == pytest.approx(20 ** 0.5, abs=1e-6)
