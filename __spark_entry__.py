@@ -6123,6 +6123,27 @@ def q168_exact_similarity_join(spark, sf_dir):
     )
 
 
+def q181_containment_join(spark, sf_dir):
+    """EXACT containment self-join (pipeline/dedup.
+    containment_join_exact): every DIRECTED pair with
+    |A∩B|/|A| ≥ 0.5 over shingle sets — the asymmetric quote/subset
+    detector Jaccard can't express (a paragraph lifted into a long
+    doc has tiny Jaccard but containment ≈ 1), zero false negatives.
+    Prefix filtering adapts asymmetrically: A indexes only its
+    rarest-first prefix (pigeonhole on ⌈t·|A|⌉ intersection
+    elements), B indexes ALL tokens (a huge B can contain all of A);
+    candidates are that equi-join, never all-pairs.  Same integer
+    threshold discipline as q168 (⌈t·1e6⌉/1e6 rational, int64
+    verify).  The oracle replays hashes, frequencies, the asymmetric
+    prefix, and the integer verify."""
+    from dudb_spark.pipeline.dedup import containment_join_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_join_exact(d, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q169_stream_weighted_reservoir(spark, sf_dir):
     """Streaming weighted reservoir
     (streaming/reservoir.stream_weighted_reservoir): keep the 15
@@ -6687,6 +6708,7 @@ QUERIES: dict[str, Callable] = {
     "q178_degree_assortativity": q178_degree_assortativity,
     "q179_blocklist_filter": q179_blocklist_filter,
     "q180_centroid_separation": q180_centroid_separation,
+    "q181_containment_join": q181_containment_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -10843,6 +10865,69 @@ def _exact_similarity_join_oracle_sql(
 
 
 ORACLE["q168_exact_similarity_join"] = _exact_similarity_join_oracle_sql()
+
+
+def _containment_join_oracle_sql(
+    threshold: float = 0.5, shingle_k: int = 3
+) -> str:
+    """DuckDB restatement of q181: q168's hash/frequency/order
+    machinery with the ASYMMETRIC prefix (A-prefix ⋈ B-all) and the
+    containment verify |∩|·1e6 ≥ tn·|A|."""
+    M = (1 << 31) - 1
+    tn = int(-(-threshold * 1_000_000 // 1))
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), tkh AS (
+            SELECT doc_id, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM t
+        ), hsx AS (
+            SELECT doc_id, list_distinct([
+                list_reduce(list_prepend(0::BIGINT, th[i:i+{shingle_k - 1}]),
+                            (a, v) -> (a*257+v) % {M})
+                FOR i IN range(1, greatest(len(th)-{shingle_k - 1}, 1) + 1)]) AS hs
+            FROM tkh
+        ), ex AS (
+            SELECT doc_id, unnest(hs) AS h FROM hsx
+        ), freq AS (
+            SELECT h, COUNT(*) AS dfq FROM ex GROUP BY h
+        ), keyed AS (
+            SELECT e.doc_id, f.dfq * {1 << 31} + e.h AS k
+            FROM ex e JOIN freq f USING (h)
+        ), sets AS (
+            SELECT doc_id, list_sort(list(k)) AS ks
+            FROM keyed GROUP BY doc_id
+        ), pref AS (
+            SELECT doc_id,
+                   unnest(ks[1:greatest(
+                       len(ks) - (len(ks) * {tn} + 999999) // 1000000 + 1,
+                       0)]) AS k
+            FROM sets
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM pref a JOIN keyed b
+              ON a.k = b.k AND a.doc_id <> b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))::DOUBLE
+                     / len(sa.hs), 6) AS containment
+        FROM cand c JOIN hsx sa ON c.id_a = sa.doc_id
+                    JOIN hsx sb ON c.id_b = sb.doc_id
+        WHERE len(sa.hs) > 0
+          AND len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) * 1000000
+              >= {tn} * len(sa.hs)
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLE["q181_containment_join"] = _containment_join_oracle_sql()
 
 
 def _stream_weighted_reservoir_oracle_sql(n: int = 15, salt: int = 21) -> str:

@@ -881,6 +881,14 @@ def cmd_pipeline_dedup(args):
         res = similarity_join_exact(
             df, args.text_col, args.id_col, threshold=args.threshold
         )
+    elif args.method == "containment":
+        # EXACT directed containment join: |A∩B|/|A| >= t — the
+        # asymmetric quote/subset detector (A-prefix ⋈ B-all tokens)
+        from dudb_spark.pipeline.dedup import containment_join_exact
+
+        res = containment_join_exact(
+            df, args.text_col, args.id_col, threshold=args.threshold
+        )
     elif args.method == "simhash":
         from dudb_spark.pipeline.dedup import simhash_near_duplicates
 
@@ -2421,8 +2429,8 @@ def build_parser():
     pd = psub.add_parser("dedup", help="exact/minhash/simhash/semantic dedup")
     pd.add_argument("--input", required=True, help="parquet path")
     pd.add_argument("--method", default="exact",
-                    choices=["exact", "minhash", "jaccard", "simhash",
-                             "semantic", "cluster"])
+                    choices=["exact", "minhash", "jaccard", "containment",
+                             "simhash", "semantic", "cluster"])
     pd.add_argument("--id-col", default="doc_id")
     pd.add_argument("--text-col", default="text")
     pd.add_argument("--vec-col", default="embedding")

@@ -988,3 +988,78 @@ def excise_frequent_lines(
             F.coalesce(F.col("_kept_text"), F.lit("")).alias(text_col),
         )
     )
+
+
+def containment_join_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT containment self-join: every DIRECTED pair with
+    C(A,B) = |A∩B|/|A| ≥ threshold over the hashed-shingle sets —
+    "A is (mostly) quoted inside B", the asymmetric question Jaccard
+    can't ask: a paragraph lifted into a long document has tiny
+    Jaccard but containment ≈ 1.  The quote/boilerplate/subset
+    detector for curation, zero false negatives.
+
+    Prefix filtering adapts asymmetrically (Bayardo et al. WWW 2007):
+    if C(A,B) ≥ t then A∩B has ≥ ⌈t·|A|⌉ elements, so A's first
+    ``|A| − ⌈t·|A|⌉ + 1`` elements in the GLOBAL rarest-first order
+    must hit the intersection (pigeonhole) — but B gets no prefix (a
+    huge B can contain all of A), so the candidate join is A-prefix
+    tokens ⋈ B-ALL tokens.  Rarest-first ordering keeps the indexed
+    A-prefix tokens rare, bounding the equi-join fan-out the same way
+    the symmetric join does.
+
+    Engine-exactness is :func:`similarity_join_exact`'s integer
+    discipline: threshold as the rational ⌈t·1e6⌉/1e6, prefix length
+    and the verification ``|∩|·1e6 ≥ tn·|A|`` pure int64.
+
+    Returns (id_a, id_b, containment) — id_a's shingles ⊆-ish id_b's,
+    id_a ≠ id_b; both directions may appear."""
+    tn = int(-(-threshold * 1_000_000 // 1))  # ceil(t·1e6)
+    if not 0 < tn <= 1_000_000:
+        raise ValueError("threshold must be in (0, 1]")
+    if base is None:
+        base = poly_shingle_base(df, text_col, id_col, shingle_k)
+    ex = base.select("id", F.explode("base").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    keyed = ex.join(freq, "h").select(
+        "id", (F.col("_df") * F.lit(1 << 31) + F.col("h")).alias("k")
+    )
+    sets = keyed.groupBy("id").agg(
+        F.sort_array(F.collect_list("k")).alias("ks")
+    )
+    n = F.size("ks")
+    plen = (
+        n - F.expr(f"(size(ks) * {tn} + 999999) div 1000000").cast("int")
+        + F.lit(1)
+    )
+    pref = sets.select(
+        "id", F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
+        .alias("k"),
+    )
+    cand = (
+        pref.select(F.col("id").alias("id_a"), "k")
+        .join(keyed.select(F.col("id").alias("id_b"), "k"), "k")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("base").alias("b_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("base").alias("b_b"))
+    inter = F.size(F.array_intersect("b_a", "b_b")).cast("long")
+    na = F.size("b_a").cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where((na > 0) & (inter * F.lit(1_000_000) >= F.lit(tn) * na))
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / na.cast("double"), 6)
+            .alias("containment"),
+        )
+    )

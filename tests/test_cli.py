@@ -1482,3 +1482,17 @@ def test_cli_pipeline_blocklist(spark, tmp_path, capsys):
                  "n_terms": 2, "out": out}
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {0, 2}
+
+
+def test_cli_pipeline_dedup_containment(spark, tmp_path, capsys):
+    """pipeline dedup --method containment: the short quote inside the
+    long doc is flagged in one direction only."""
+    rows = [(0, "a b c d"),
+            (1, "a b c d " + " ".join(f"w{i}" for i in range(30))),
+            (2, "q r s t u v")]
+    inp = str(tmp_path / "cont_docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+    j = json.loads(run(capsys, "pipeline", "dedup", "--method",
+                       "containment", "--input", inp,
+                       "--threshold", "0.9"))
+    assert j["rows"] == 1

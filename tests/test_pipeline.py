@@ -732,3 +732,45 @@ def test_entropy_scores_goldens(spark):
     assert got[4]["char_entropy"] == 0.0 and got[4]["n_chars"] == 0
     assert got[5]["char_entropy"] == 0.0 and got[5]["n_chars"] == 0
     assert len(got) == 6  # empty/NULL docs kept, not dropped
+
+
+def test_containment_join_exact_equals_brute_force(spark):
+    """Exact recall for the DIRECTED containment join: prefix-filtered
+    output == all-pairs brute force at every threshold, including the
+    asymmetric case a short quote inside a long doc (containment ~1,
+    Jaccard tiny) that the symmetric join misses."""
+    rows = [
+        (0, "a b c d"),                                  # short quote
+        (1, "a b c d " + " ".join(f"w{i}" for i in range(40))),
+        (2, "a b c d e f g h"),
+        (3, "q r s t u v"),
+        (4, "a b c d"),                                  # dup of 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = dedup.poly_shingle_base(docs, shingle_k=2)
+    sets = {r["id"]: set(r["base"]) for r in base.collect()}
+    for t in (0.4, 0.6, 0.8, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_join_exact(
+                docs, threshold=t, shingle_k=2
+            ).collect()
+        }
+        tn = int(-(-t * 1_000_000 // 1))
+        bf = {}
+        for a in sets:
+            for b in sets:
+                if a != b and sets[a]:
+                    inter = len(sets[a] & sets[b])
+                    if inter * 1_000_000 >= tn * len(sets[a]):
+                        bf[(a, b)] = round(inter / len(sets[a]), 6)
+        assert got == bf, (t, got, bf)
+    # the asymmetric pair: 0 contained in 1 at t=1.0, but never 1 in 0
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.containment_join_exact(
+            docs, threshold=1.0, shingle_k=2
+        ).collect()
+    }
+    assert (0, 1) in full and (1, 0) not in full
+    assert (0, 4) in full and (4, 0) in full  # dups contain each other
