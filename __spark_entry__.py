@@ -6123,6 +6123,21 @@ def q168_exact_similarity_join(spark, sf_dir):
     )
 
 
+def q182_robust_outliers(spark, sf_dir):
+    """Median/MAD outlier audit (operators/checks.robust_outliers,
+    Hampel's rule |x − med| > k·MAD): per event type, the robust gate
+    mean/stddev can't be — extremes drag a z-score threshold toward
+    themselves, but the median and MAD are selection-exact and immune.
+    Both statistics come from the exact grouped-quantile operator (no
+    approximation), so thresholds are engine-reproducible; outlier
+    rate reported as an exact integer ppm.  Two keyed quantile passes
+    + one broadcast-back + one counting agg."""
+    from dudb_spark.operators.checks import robust_outliers
+
+    e = _events(spark, sf_dir)
+    return robust_outliers(e, ["event_type"], "value", k=3.0)
+
+
 def q181_containment_join(spark, sf_dir):
     """EXACT containment self-join (pipeline/dedup.
     containment_join_exact): every DIRECTED pair with
@@ -6709,6 +6724,7 @@ QUERIES: dict[str, Callable] = {
     "q179_blocklist_filter": q179_blocklist_filter,
     "q180_centroid_separation": q180_centroid_separation,
     "q181_containment_join": q181_containment_join,
+    "q182_robust_outliers": q182_robust_outliers,
 }
 
 ORACLE: dict[str, str] = {
@@ -10928,6 +10944,33 @@ def _containment_join_oracle_sql(
 
 
 ORACLE["q181_containment_join"] = _containment_join_oracle_sql()
+
+ORACLE["q182_robust_outliers"] = """
+    WITH v AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT event_type, COUNT(*) AS n_rows,
+               quantile_cont(v, 0.5) AS med
+        FROM v GROUP BY 1
+    ), mad AS (
+        SELECT v.event_type, quantile_cont(abs(v.v - m.med), 0.5) AS mad
+        FROM v JOIN med m USING (event_type) GROUP BY 1
+    ), cnt AS (
+        SELECT v.event_type,
+               COUNT(CASE WHEN abs(v.v - m.med) > 3.0 * d.mad
+                          THEN 1 END) AS n_outliers
+        FROM v JOIN med m USING (event_type)
+               JOIN mad d USING (event_type)
+        GROUP BY 1
+    )
+    SELECT m.event_type, m.n_rows,
+           ROUND(m.med, 6) AS med, ROUND(d.mad, 6) AS mad,
+           c.n_outliers,
+           c.n_outliers * 1000000 // m.n_rows AS outlier_ppm
+    FROM med m JOIN mad d USING (event_type) JOIN cnt c USING (event_type)
+    ORDER BY event_type
+"""
 
 
 def _stream_weighted_reservoir_oracle_sql(n: int = 15, salt: int = 21) -> str:

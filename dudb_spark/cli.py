@@ -1824,6 +1824,22 @@ def _emit_graph_result(args, res, cols):
         print("\t".join(str(r[c]) for c in cols))
 
 
+def cmd_events_outliers(args):
+    """Median/MAD outlier audit (operators/checks.robust_outliers):
+    Hampel's rule |x − med| > --k · MAD per --group-col, both
+    statistics selection-exact from the grouped-quantile operator."""
+    from dudb_spark.operators.checks import robust_outliers
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = robust_outliers(df, [args.group_col], args.value_col, k=args.k)
+    _emit_graph_result(
+        args, res,
+        [args.group_col, "n_rows", "med", "mad", "n_outliers",
+         "outlier_ppm"],
+    )
+
+
 def cmd_events_triangles(args):
     """Triangle census over the user co-activity graph
     (pipeline/graph.triangle_counts): users sharing ≥ --min-shared
@@ -2859,6 +2875,17 @@ def build_parser():
                          "fixpoint)")
     ek.add_argument("--out", default=None)
     ek.set_defaults(func=cmd_events_kcore)
+    eo = esub.add_parser(
+        "outliers",
+        help="median/MAD (Hampel) outlier audit per group",
+    )
+    eo.add_argument("--input", required=True, help="parquet path")
+    eo.add_argument("--group-col", default="event_type")
+    eo.add_argument("--value-col", default="value")
+    eo.add_argument("--k", type=float, default=3.0,
+                    help="MAD multiples beyond the median that flag")
+    eo.add_argument("--out", default=None)
+    eo.set_defaults(func=cmd_events_outliers)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

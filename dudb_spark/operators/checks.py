@@ -324,3 +324,70 @@ def profile_table(
         )
         out = out.unionByName(top)
     return out
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier audit per group — the robust alternative to
+    z-scores (Hampel's rule: |x − median| > k·MAD), immune to the very
+    outliers it hunts, where mean/stddev gates move with every extreme
+    value.  The numeric-column cousin of q112's declarative checks:
+    run it on telemetry values, token counts, or any metric column
+    before trusting aggregate stats.
+
+    Both the median and the MAD come from the exact grouped-quantile
+    operator (operators/quantiles.grouped_quantiles — spillable keyed
+    windows, no approximation), so the thresholds are selection-exact
+    and engine-reproducible: deviations are |v − med| in double (one
+    subtraction per row), counts are integers, and the only rounding
+    is the 6-place display round.  Scale shape: two quantile passes
+    (each one keyed shuffle) + one broadcast-back join + one counting
+    aggregation; nothing driver-side.
+
+    Returns (group cols..., n_rows, med, mad, n_outliers,
+    outlier_ppm) — outlier_ppm an exact integer parts-per-million
+    (n_outliers·1e6 div n_rows)."""
+    from dudb_spark.operators.quantiles import grouped_quantiles
+
+    med = grouped_quantiles(df, group_cols, value_col, [0.5], ["med"])
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("double").alias("_v")
+    )
+    dev = vals.join(F.broadcast(med.select(*group_cols, "med")),
+                    group_cols).select(
+        *group_cols, "med",
+        F.abs(F.col("_v") - F.col("med")).alias("_d"),
+    )
+    mad = grouped_quantiles(dev, group_cols, "_d", [0.5], ["mad"])
+    thr = F.broadcast(
+        med.select(*group_cols, "n_rows", "med")
+        .join(mad.select(*group_cols, "mad"), group_cols)
+    )
+    counted = (
+        vals.join(thr, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col("_v") - F.col("med"))
+                    > F.lit(float(k)) * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )
+    return counted.select(
+        *group_cols,
+        "n_rows",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+        F.expr("n_outliers * 1000000 div n_rows").alias("outlier_ppm"),
+    ).orderBy(*group_cols)

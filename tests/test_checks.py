@@ -186,3 +186,26 @@ def test_tier_estimate_size_path_biases_safe(spark):
     assert "approx_count_distinct" in plan(est * 5)
     # comfortably above: exact
     assert "approx_count_distinct" not in plan(est * 20)
+
+
+def test_robust_outliers_goldens(spark):
+    """Hand-computed median/MAD: values {1..9, 100} per one group ->
+    med 5.5, deviations {4.5,3.5,...,0.5,94.5} -> MAD 2.5; only 100
+    breaks |x-5.5| > 3*2.5.  A constant group has MAD 0 and any
+    deviation flags; NULLs drop."""
+    from dudb_spark.operators.checks import robust_outliers
+
+    rows = [("a", float(i)) for i in range(1, 10)] + [("a", 100.0)]
+    rows += [("b", 7.0)] * 5 + [("b", 8.0)]      # MAD 0, one deviant
+    rows += [("c", None)] + [("c", 1.0), ("c", 2.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r["g"]: r for r in robust_outliers(
+        df, ["g"], "value", k=3.0).collect()}
+    a = got["a"]
+    assert (a["n_rows"], a["med"], a["mad"], a["n_outliers"]) == (
+        10, 5.5, 2.5, 1)
+    assert a["outlier_ppm"] == 100_000
+    b = got["b"]
+    assert (b["med"], b["mad"], b["n_outliers"]) == (7.0, 0.0, 1)
+    c = got["c"]
+    assert (c["n_rows"], c["med"]) == (2, 1.5)

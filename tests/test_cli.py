@@ -1496,3 +1496,18 @@ def test_cli_pipeline_dedup_containment(spark, tmp_path, capsys):
                        "containment", "--input", inp,
                        "--threshold", "0.9"))
     assert j["rows"] == 1
+
+
+def test_cli_events_outliers(spark, tmp_path, capsys):
+    rows = [(i, "click", float(v)) for i, v in enumerate(
+        list(range(1, 10)) + [100])]
+    inp = str(tmp_path / "out_ev")
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).write.parquet(inp)
+    out = run(capsys, "events", "outliers", "--input", inp)
+    lines = out.strip().splitlines()
+    assert lines[0].split("\t") == ["event_type", "n_rows", "med", "mad",
+                                    "n_outliers", "outlier_ppm"]
+    assert lines[1].split("\t") == ["click", "10", "5.5", "2.5", "1",
+                                    "100000"]
