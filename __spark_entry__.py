@@ -6123,6 +6123,32 @@ def q168_exact_similarity_join(spark, sf_dir):
     )
 
 
+def q183_cross_containment(spark, sf_dir):
+    """Quote-level cross-corpus decontamination
+    (pipeline/dedup.cross_containment_join): which benchmark items
+    (here: 12-token snippets of every 20th doc — the held-out-eval
+    stand-in) appear quoted inside the training corpus at shingle
+    containment ≥ 0.8 — the leak q122's corpus-level gram overlap
+    dilutes away and Jaccard can't see (a snippet inside a long doc
+    has tiny Jaccard but containment ≈ 1).  Zero false negatives via
+    the asymmetric prefix filter; shingle frequencies fold over the
+    UNION of both corpora so the rarest-first order is one consistent
+    key.  Every snippet must at minimum hit its own source doc."""
+    from dudb_spark.pipeline.dedup import cross_containment_join
+    from dudb_spark.pipeline.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 12), " ").alias(
+            "text"
+        ),
+    )
+    return cross_containment_join(bench, docs, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q182_robust_outliers(spark, sf_dir):
     """Median/MAD outlier audit (operators/checks.robust_outliers,
     Hampel's rule |x − med| > k·MAD): per event type, the robust gate
@@ -6725,6 +6751,7 @@ QUERIES: dict[str, Callable] = {
     "q180_centroid_separation": q180_centroid_separation,
     "q181_containment_join": q181_containment_join,
     "q182_robust_outliers": q182_robust_outliers,
+    "q183_cross_containment": q183_cross_containment,
 }
 
 ORACLE: dict[str, str] = {
@@ -10944,6 +10971,82 @@ def _containment_join_oracle_sql(
 
 
 ORACLE["q181_containment_join"] = _containment_join_oracle_sql()
+
+def _shingle_hash_block(src: str, suffix: str, shingle_k: int = 3) -> str:
+    """The Horner token-hash → distinct shingle-hash CTE pair over a
+    (doc_id, tk) source CTE — q168's machinery, reusable per corpus."""
+    M = (1 << 31) - 1
+    return f"""
+        tkh{suffix} AS (
+            SELECT doc_id, [
+                list_reduce(
+                    list_prepend(0::BIGINT,
+                        [ord(tk[j][i])::BIGINT FOR i IN range(1, len(tk[j])+1)]),
+                    (a, b) -> (a*257+b) % {M})
+                FOR j IN range(1, len(tk)+1)] AS th
+            FROM {src}
+        ), hsx{suffix} AS (
+            SELECT doc_id, list_distinct([
+                list_reduce(list_prepend(0::BIGINT, th[i:i+{shingle_k - 1}]),
+                            (a, v) -> (a*257+v) % {M})
+                FOR i IN range(1, greatest(len(th)-{shingle_k - 1}, 1) + 1)]) AS hs
+            FROM tkh{suffix}
+        )"""
+
+
+def _cross_containment_oracle_sql(
+    threshold: float = 0.8, shingle_k: int = 3
+) -> str:
+    """DuckDB restatement of q183: benchmark snippets (12-token
+    prefixes of every 20th doc) vs the full corpus, union-frequency
+    rarest-first order, asymmetric prefix, integer containment
+    verify."""
+    tn = int(-(-threshold * 1_000_000 // 1))
+    return f"""
+        WITH tr AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ), bm AS (
+            SELECT doc_id, tk[1:12] AS tk FROM tr WHERE doc_id % 20 = 0
+        ), {_shingle_hash_block('tr', '_b', shingle_k)},
+        {_shingle_hash_block('bm', '_a', shingle_k)},
+        ex_a AS (SELECT doc_id, unnest(hs) AS h FROM hsx_a),
+        ex_b AS (SELECT doc_id, unnest(hs) AS h FROM hsx_b),
+        freq AS (
+            SELECT h, COUNT(*) AS dfq FROM (
+                SELECT * FROM ex_a UNION ALL SELECT * FROM ex_b)
+            GROUP BY h
+        ), keyed_b AS (
+            SELECT e.doc_id, f.dfq * {1 << 31} + e.h AS k
+            FROM ex_b e JOIN freq f USING (h)
+        ), sets_a AS (
+            SELECT e.doc_id, list_sort(list(f.dfq * {1 << 31} + e.h)) AS ks
+            FROM ex_a e JOIN freq f USING (h) GROUP BY e.doc_id
+        ), pref AS (
+            SELECT doc_id,
+                   unnest(ks[1:greatest(
+                       len(ks) - (len(ks) * {tn} + 999999) // 1000000 + 1,
+                       0)]) AS k
+            FROM sets_a
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM pref a JOIN keyed_b b ON a.k = b.k
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))::DOUBLE
+                     / len(sa.hs), 6) AS containment
+        FROM cand c JOIN hsx_a sa ON c.id_a = sa.doc_id
+                    JOIN hsx_b sb ON c.id_b = sb.doc_id
+        WHERE len(sa.hs) > 0
+          AND len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) * 1000000
+              >= {tn} * len(sa.hs)
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLE["q183_cross_containment"] = _cross_containment_oracle_sql()
 
 ORACLE["q182_robust_outliers"] = """
     WITH v AS (

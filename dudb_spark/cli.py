@@ -1365,6 +1365,19 @@ def cmd_pipeline_contam(args):
             .where(F.col("n_maybe") > 0)
         )
         order = [args.id_col]
+    elif args.containment is not None:
+        # quote-level mode: eval docs CONTAINED in corpus docs at
+        # shingle containment >= the threshold — catches a benchmark
+        # item pasted inside a much longer doc, which gram-count
+        # overlap dilutes away (pipeline/dedup.cross_containment_join)
+        from dudb_spark.pipeline.dedup import cross_containment_join
+
+        res = cross_containment_join(
+            ev, corpus, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.containment, shingle_k=args.n,
+        ).withColumnRenamed("id_a", "eval_id") \
+         .withColumnRenamed("id_b", args.id_col)
+        order = ["eval_id", args.id_col]
     else:
         from dudb_spark.pipeline.decontam import ngram_contamination
 
@@ -2654,6 +2667,12 @@ def build_parser():
                           "broadcast, K hashes; prints the "
                           "maybe-contaminated superset (no false "
                           "negatives)")
+    pct.add_argument("--containment", type=float, default=None,
+                     metavar="T",
+                     help="quote-level mode: eval docs contained in "
+                          "corpus docs at shingle containment >= T "
+                          "(exact, zero false negatives; --n is the "
+                          "shingle length)")
     pct.set_defaults(func=cmd_pipeline_contam)
     pol = psub.add_parser(
         "outliers", help="per-label embedding-centroid outliers"

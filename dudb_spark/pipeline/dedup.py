@@ -1063,3 +1063,79 @@ def containment_join_exact(
             .alias("containment"),
         )
     )
+
+
+def cross_containment_join(
+    contained: DataFrame,
+    container: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT cross-corpus containment: every pair (a ∈ contained,
+    b ∈ container) with |A∩B|/|A| ≥ threshold over shingle sets —
+    quote-level decontamination (which benchmark items leaked into the
+    training corpus, even pasted inside much longer documents, where
+    q122's corpus-level gram overlap and Jaccard both dilute away),
+    zero false negatives.
+
+    Same asymmetric prefix filter as
+    :func:`containment_join_exact`: the contained side indexes only
+    its rarest-first pigeonhole prefix, the container side ALL its
+    tokens; shingle document frequencies fold over the UNION of both
+    corpora so the global rarest-first order is one consistent key
+    (any consistent order preserves exactness; union frequencies keep
+    the indexed prefixes rare in BOTH corpora).  Integer threshold
+    discipline throughout.
+
+    Returns (id_a, id_b, containment): id_a from ``contained``, id_b
+    from ``container``; ids may collide across the two frames — they
+    are separate id spaces."""
+    tn = int(-(-threshold * 1_000_000 // 1))  # ceil(t·1e6)
+    if not 0 < tn <= 1_000_000:
+        raise ValueError("threshold must be in (0, 1]")
+    base_a = poly_shingle_base(contained, text_col, id_col, shingle_k)
+    base_b = poly_shingle_base(container, text_col, id_col, shingle_k)
+    ex_a = base_a.select("id", F.explode("base").alias("h"))
+    ex_b = base_b.select("id", F.explode("base").alias("h"))
+    freq = (
+        ex_a.unionByName(ex_b)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    key = (F.col("_df") * F.lit(1 << 31) + F.col("h")).alias("k")
+    keyed_a = ex_a.join(freq, "h").select("id", key)
+    keyed_b = ex_b.join(freq, "h").select("id", key)
+    sets_a = keyed_a.groupBy("id").agg(
+        F.sort_array(F.collect_list("k")).alias("ks")
+    )
+    n = F.size("ks")
+    plen = (
+        n - F.expr(f"(size(ks) * {tn} + 999999) div 1000000").cast("int")
+        + F.lit(1)
+    )
+    pref = sets_a.select(
+        "id", F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
+        .alias("k"),
+    )
+    cand = (
+        pref.select(F.col("id").alias("id_a"), "k")
+        .join(keyed_b.select(F.col("id").alias("id_b"), "k"), "k")
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base_a.select(F.col("id").alias("id_a"), F.col("base").alias("b_a"))
+    b = base_b.select(F.col("id").alias("id_b"), F.col("base").alias("b_b"))
+    inter = F.size(F.array_intersect("b_a", "b_b")).cast("long")
+    na = F.size("b_a").cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where((na > 0) & (inter * F.lit(1_000_000) >= F.lit(tn) * na))
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / na.cast("double"), 6)
+            .alias("containment"),
+        )
+    )

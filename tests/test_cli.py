@@ -1511,3 +1511,23 @@ def test_cli_events_outliers(spark, tmp_path, capsys):
                                     "n_outliers", "outlier_ppm"]
     assert lines[1].split("\t") == ["click", "10", "5.5", "2.5", "1",
                                     "100000"]
+
+
+def test_cli_pipeline_contam_containment(spark, tmp_path, capsys):
+    """pipeline contam --containment: the pasted eval snippet is found
+    inside the long corpus doc at containment 1.0."""
+    ev = str(tmp_path / "ct_eval")
+    co = str(tmp_path / "ct_corpus")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], ["doc_id", "text"]
+    ).write.parquet(ev)
+    spark.createDataFrame(
+        [(7, "lead in alpha beta gamma delta trailing words"),
+         (8, "unrelated text entirely")], ["doc_id", "text"]
+    ).write.parquet(co)
+    out = run(capsys, "pipeline", "contam", "--input", co, "--eval", ev,
+              "--containment", "0.9", "--n", "2")
+    lines = out.strip().splitlines()
+    assert lines[0].split("\t") == ["eval_id", "doc_id", "containment"]
+    assert lines[1].split("\t") == ["0", "7", "1.0"]
+    assert len(lines) == 2

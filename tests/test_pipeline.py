@@ -774,3 +774,39 @@ def test_containment_join_exact_equals_brute_force(spark):
     }
     assert (0, 1) in full and (1, 0) not in full
     assert (0, 4) in full and (4, 0) in full  # dups contain each other
+
+
+def test_cross_containment_join_goldens(spark):
+    """A benchmark snippet pasted inside a long training doc is found
+    at containment 1.0; an unrelated snippet is not; ids are separate
+    spaces (the colliding id 0 on both sides is NOT a self-pair)."""
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "zz yy xx ww vv")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(0, "noise words alpha beta gamma delta more noise tail"),
+         (5, "completely different content here indeed")],
+        ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in dedup.cross_containment_join(
+               bench, train, threshold=0.9, shingle_k=2).collect()}
+    assert got == {(0, 0): 1.0}
+
+    # brute-force parity across thresholds
+    ba = {r["id"]: set(r["base"]) for r in dedup.poly_shingle_base(
+        bench, shingle_k=2).collect()}
+    bb = {r["id"]: set(r["base"]) for r in dedup.poly_shingle_base(
+        train, shingle_k=2).collect()}
+    for t in (0.3, 0.6, 1.0):
+        got = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in dedup.cross_containment_join(
+                   bench, train, threshold=t, shingle_k=2).collect()}
+        tn = int(-(-t * 1_000_000 // 1))
+        bf = {}
+        for a in ba:
+            for b in bb:
+                if ba[a]:
+                    inter = len(ba[a] & bb[b])
+                    if inter * 1_000_000 >= tn * len(ba[a]):
+                        bf[(a, b)] = round(inter / len(ba[a]), 6)
+        assert got == bf, (t, got, bf)
