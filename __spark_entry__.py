@@ -6123,6 +6123,20 @@ def q168_exact_similarity_join(spark, sf_dir):
     )
 
 
+def q184_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix
+    (operators/timeseries.transition_matrix): per-user adjacent
+    event-type pairs ordered by (ts, event_id) — the "what happens
+    next" behavior primitive, q157's bigram idea on event streams.
+    ONE keyed window (lead over user_id, never global) + a pair-keyed
+    count; exact integer counts, row-normalized probability rounded
+    at 9 with identical op order both engines."""
+    from dudb_spark.operators.timeseries import transition_matrix
+
+    e = _events(spark, sf_dir)
+    return transition_matrix(e)
+
+
 def q183_cross_containment(spark, sf_dir):
     """Quote-level cross-corpus decontamination
     (pipeline/dedup.cross_containment_join): which benchmark items
@@ -6752,6 +6766,7 @@ QUERIES: dict[str, Callable] = {
     "q181_containment_join": q181_containment_join,
     "q182_robust_outliers": q182_robust_outliers,
     "q183_cross_containment": q183_cross_containment,
+    "q184_transition_matrix": q184_transition_matrix,
 }
 
 ORACLE: dict[str, str] = {
@@ -11047,6 +11062,27 @@ def _cross_containment_oracle_sql(
 
 
 ORACLE["q183_cross_containment"] = _cross_containment_oracle_sql()
+
+ORACLE["q184_transition_matrix"] = """
+    WITH steps AS (
+        SELECT event_type AS from_label,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_label
+        FROM events
+    ), cnt AS (
+        SELECT from_label, to_label, COUNT(*) AS n_transitions
+        FROM steps WHERE to_label IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT from_label, CAST(SUM(n_transitions) AS BIGINT) AS t
+        FROM cnt GROUP BY 1
+    )
+    SELECT c.from_label, c.to_label, c.n_transitions,
+           ROUND(CAST(c.n_transitions AS DOUBLE) / t.t, 9) AS prob
+    FROM cnt c JOIN tot t USING (from_label)
+    ORDER BY from_label, to_label
+"""
 
 ORACLE["q182_robust_outliers"] = """
     WITH v AS (

@@ -1833,8 +1833,26 @@ def _emit_graph_result(args, res, cols):
         print(json.dumps({"out": args.out}))
         return
     print("\t".join(cols))
-    for r in res.orderBy(cols[0]).toLocalIterator():
+    # all-column order: deterministic even when the first column is
+    # not unique (e.g. the transition matrix's from_label)
+    for r in res.orderBy(*cols).toLocalIterator():
         print("\t".join(str(r[c]) for c in cols))
+
+
+def cmd_events_transitions(args):
+    """First-order Markov transition matrix
+    (operators/timeseries.transition_matrix): per-key adjacent label
+    pairs ordered by (ts, id), exact counts + row-normalized
+    probabilities."""
+    from dudb_spark.operators.timeseries import transition_matrix
+
+    spark = _spark()
+    df = spark.read.parquet(expand_path(args.input))
+    res = transition_matrix(df, key_col=args.key_col,
+                            label_col=args.label_col,
+                            ts_col=args.ts_col, id_col=args.id_col)
+    _emit_graph_result(
+        args, res, ["from_label", "to_label", "n_transitions", "prob"])
 
 
 def cmd_events_outliers(args):
@@ -2905,6 +2923,17 @@ def build_parser():
                     help="MAD multiples beyond the median that flag")
     eo.add_argument("--out", default=None)
     eo.set_defaults(func=cmd_events_outliers)
+    etr = esub.add_parser(
+        "transitions",
+        help="first-order Markov transition matrix of event labels",
+    )
+    etr.add_argument("--input", required=True, help="event parquet")
+    etr.add_argument("--key-col", default="user_id")
+    etr.add_argument("--label-col", default="event_type")
+    etr.add_argument("--ts-col", default="ts")
+    etr.add_argument("--id-col", default="event_id")
+    etr.add_argument("--out", default=None)
+    etr.set_defaults(func=cmd_events_transitions)
 
     p = sub.add_parser("config", help="describe the current configuration")
     p.add_argument("--db", default=None)

@@ -148,3 +148,56 @@ def event_islands(
         .where(F.col("run_len") >= min_len)
         .drop("island")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    label_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each (from_label, to_label) pair, how many ADJACENT
+    event pairs step from one to the other, and the row-normalized
+    transition probability — the product-analytics "what happens
+    next" primitive (and the q157 bigram-LM idea applied to behavior
+    streams instead of tokens).
+
+    Determinism: adjacency is ordered by (ts, id) — the id tiebreak
+    makes simultaneous events a fixed order in any engine.  Counts
+    are exact integers; the probability is count/from_total in double
+    rounded to 9 (identical op order both engines).
+
+    Scale shape: ONE keyed window (lead over user_id — partitioned,
+    never global) + one (from,to)-keyed count + a from-keyed total
+    that rides the same fold re-aggregated; no self-joins, no
+    explode.  Labels×labels output, corpus-size-independent."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    steps = (
+        df.select(
+            key_col,
+            F.col(label_col).alias("from_label"),
+            ts_col,
+            id_col,
+        )
+        .withColumn("to_label", F.lead("from_label").over(w))
+        .where(F.col("to_label").isNotNull())
+        .groupBy("from_label", "to_label")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = steps.groupBy("from_label").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        steps.join(totals, "from_label")
+        .select(
+            "from_label",
+            "to_label",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("_tot"), 9
+            ).alias("prob"),
+        )
+        .orderBy("from_label", "to_label")
+    )

@@ -1531,3 +1531,19 @@ def test_cli_pipeline_contam_containment(spark, tmp_path, capsys):
     assert lines[0].split("\t") == ["eval_id", "doc_id", "containment"]
     assert lines[1].split("\t") == ["0", "7", "1.0"]
     assert len(lines) == 2
+
+
+def test_cli_events_transitions(spark, tmp_path, capsys):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(1, t0, 1, "a"), (2, t0 + dt.timedelta(seconds=5), 1, "b"),
+            (3, t0 + dt.timedelta(seconds=9), 1, "b")]
+    inp = str(tmp_path / "tr_ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string").write.parquet(inp)
+    out = run(capsys, "events", "transitions", "--input", inp)
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    assert lines[1] == ["a", "b", "1", "1.0"]
+    assert lines[2] == ["b", "b", "1", "1.0"]

@@ -126,3 +126,39 @@ def test_rolling_anomaly_null_values_dropped(spark):
     r = res[8]
     assert r["n_prior"] == 5 and r["is_anomaly"]
     assert r["var_n"] == 0 and r["dev_n"] == 5 * (4000 - 500) // 1  # 5*q - s
+
+
+def test_transition_matrix_goldens(spark):
+    """Hand-traced sequences: user 1 walks a->b->a->b (a->b x2,
+    b->a x1), user 2 walks b->b (b->b x1); single-event users
+    contribute nothing; simultaneous events order by the id
+    tiebreak."""
+    import datetime as dt
+
+    from dudb_spark.operators.timeseries import transition_matrix
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, sec):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, typ)
+
+    rows = [
+        ev(1, 1, "a", 0), ev(2, 1, "b", 10),
+        ev(3, 1, "a", 20), ev(4, 1, "b", 30),
+        ev(5, 2, "b", 0), ev(6, 2, "b", 5),
+        ev(7, 3, "a", 0),                      # singleton: no pairs
+        # user 4: two SIMULTANEOUS events -> id order decides c->d
+        ev(8, 4, "c", 0), ev(9, 4, "d", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string")
+    got = {(r["from_label"], r["to_label"]):
+           (r["n_transitions"], r["prob"])
+           for r in transition_matrix(df).collect()}
+    assert got == {
+        ("a", "b"): (2, 1.0),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+        ("c", "d"): (1, 1.0),
+    }
