@@ -6123,6 +6123,71 @@ def q168_exact_similarity_join(spark, sf_dir):
     )
 
 
+def q185_stream_transitions(spark, sf_dir):
+    """The q184 transition matrix as a STATEFUL STREAM
+    (streaming/transitions.stream_transitions): adjacency crosses
+    micro-batch boundaries — the last event of batch k and the first
+    of batch k+1 form a transition no per-batch window can see, and
+    streams have no lag/lead at all.  State is ONE row per user (the
+    last event's label + (ts,id) order key) — O(1) per group forever,
+    the most bounded state in the streaming family.  Four
+    time-ordered micro-batches (the q38/q85 staging); per-batch count
+    DELTAS fold downstream with an exact integer sum, so the streamed
+    matrix equals the batch one value-for-value — certified against
+    the IDENTICAL q184 oracle."""
+    import os
+    import tempfile
+    from glob import glob as _glob
+
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+    from dudb_spark.streaming.transitions import stream_transitions
+
+    ev = _events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="dudb_trans_src_")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    for k, p in enumerate(
+        sorted(_glob(os.path.join(src, "part-*.parquet")))
+    ):
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    with _stream_parts(spark):
+        q = (
+            stream_transitions(
+                spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dudb_q185_trans")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sink = spark.table("dudb_q185_trans")
+    # labels×labels-bounded; localCheckpoint breaks the memory-sink
+    # lineage (a self-join through the streaming relation is refused)
+    cnt = (
+        sink.groupBy("from_label", "to_label")
+        .agg(F.sum("n").alias("n_transitions"))
+        .localCheckpoint()
+    )
+    tot = cnt.groupBy("from_label").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        cnt.join(tot, "from_label")
+        .select(
+            "from_label",
+            "to_label",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("_tot"), 9
+            ).alias("prob"),
+        )
+        .orderBy("from_label", "to_label")
+    )
+
+
 def q184_transition_matrix(spark, sf_dir):
     """First-order Markov transition matrix
     (operators/timeseries.transition_matrix): per-user adjacent
@@ -6767,6 +6832,7 @@ QUERIES: dict[str, Callable] = {
     "q182_robust_outliers": q182_robust_outliers,
     "q183_cross_containment": q183_cross_containment,
     "q184_transition_matrix": q184_transition_matrix,
+    "q185_stream_transitions": q185_stream_transitions,
 }
 
 ORACLE: dict[str, str] = {
@@ -11063,7 +11129,9 @@ def _cross_containment_oracle_sql(
 
 ORACLE["q183_cross_containment"] = _cross_containment_oracle_sql()
 
-ORACLE["q184_transition_matrix"] = """
+# q185 streams the identical semantics; the streamed==batch equality
+# IS the certification, so it shares q184's oracle verbatim
+ORACLE["q184_transition_matrix"] = ORACLE["q185_stream_transitions"] = """
     WITH steps AS (
         SELECT event_type AS from_label,
                LEAD(event_type) OVER (

@@ -1098,3 +1098,58 @@ def test_stream_neardup_flags_equal_batch_candidates(spark, tmp_path):
         .dropDuplicates(["new_id", "old_id"]).collect()
     )
     assert got == want and got, got
+
+
+def test_stream_transitions_equal_batch_matrix(spark, tmp_path):
+    """Streamed transition deltas folded with an integer sum must
+    equal the BATCH transition matrix exactly under time-ordered
+    micro-batches — the cross-batch adjacency (last event of batch k
+    → first of batch k+1) is exactly what the one-row-per-user state
+    exists for."""
+    import os
+    from glob import glob as _glob
+
+    from dudb_spark.operators.timeseries import transition_matrix
+    from dudb_spark.streaming.rollup import EVENTS_STREAM_SCHEMA
+    from dudb_spark.streaming.transitions import stream_transitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    src = str(tmp_path / "trans_stream")
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+    for k, p in enumerate(sorted(_glob(os.path.join(src, "part-*.parquet")))):
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    want = sorted(
+        (r["from_label"], r["to_label"], r["n_transitions"])
+        for r in transition_matrix(spark.read.parquet(src)).collect()
+    )
+
+    q = (
+        stream_transitions(
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_transitions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table("t_transitions")
+    got = sorted(
+        (r["from_label"], r["to_label"], r["n"])
+        for r in sink.groupBy("from_label", "to_label")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    assert got == want and len(got) > 5
+    # multiple micro-batches actually ran: some user emitted in >1
+    # batch only if deltas per (user, pair) appear more than once OR
+    # the per-batch emission count exceeds one distinct frame; assert
+    # the cheap invariant instead: total delta rows > distinct pairs
+    assert sink.count() > len(got)
