@@ -6123,6 +6123,21 @@ def q168_exact_similarity_join(spark, sf_dir):
     )
 
 
+def q186_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics
+    (pipeline/similarity.dim_stats): mean/std/min/max per coordinate —
+    the standardization audit before whitening features or diagnosing
+    a collapsed dimension (std ≈ 0 = wasted coordinate).  q180's
+    exactness discipline: power-of-two quantization, int64 Σq/Σq²
+    folds, mean/std formed in identical double op order, min/max
+    EXACT (power-of-two division).  ONE posexplode scan folding to a
+    64-row frame — zero joins."""
+    from dudb_spark.pipeline.similarity import dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dim_stats(emb)
+
+
 def q185_stream_transitions(spark, sf_dir):
     """The q184 transition matrix as a STATEFUL STREAM
     (streaming/transitions.stream_transitions): adjacency crosses
@@ -6833,6 +6848,7 @@ QUERIES: dict[str, Callable] = {
     "q183_cross_containment": q183_cross_containment,
     "q184_transition_matrix": q184_transition_matrix,
     "q185_stream_transitions": q185_stream_transitions,
+    "q186_embedding_dim_stats": q186_embedding_dim_stats,
 }
 
 ORACLE: dict[str, str] = {
@@ -11150,6 +11166,33 @@ ORACLE["q184_transition_matrix"] = ORACLE["q185_stream_transitions"] = """
            ROUND(CAST(c.n_transitions AS DOUBLE) / t.t, 9) AS prob
     FROM cnt c JOIN tot t USING (from_label)
     ORDER BY from_label, to_label
+"""
+
+ORACLE["q186_embedding_dim_stats"] = """
+    WITH base AS (
+        SELECT t.i - 1 AS dim,
+               CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                    AS BIGINT) AS q
+        FROM embeddings, LATERAL (
+            SELECT unnest(generate_series(1, len(embedding))) AS i) t
+        WHERE embedding IS NOT NULL
+    ), agg AS (
+        SELECT dim, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(SUM(q * q) AS BIGINT) AS ss,
+               MIN(q) AS mn, MAX(q) AS mx
+        FROM base GROUP BY 1
+    )
+    SELECT dim, n,
+           ROUND((CAST(s AS DOUBLE) / n) / 1048576.0, 9) AS mean,
+           ROUND(SQRT(GREATEST(
+               CAST(ss AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+               0.0)) / 1048576.0, 9) AS std,
+           mn / 1048576.0 AS vmin,
+           mx / 1048576.0 AS vmax
+    FROM agg
+    ORDER BY dim
 """
 
 ORACLE["q182_robust_outliers"] = """

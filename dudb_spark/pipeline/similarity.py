@@ -424,3 +424,54 @@ def centroid_separation(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-dimension corpus statistics of an embedding column —
+    (dim, n, mean, std, vmin, vmax) — the standardization audit run
+    before whitening/normalizing features or diagnosing a collapsed
+    dimension (std ≈ 0 means the encoder wasted a coordinate).
+
+    Exactness: the q180 discipline — components quantize by a
+    power-of-two scale (exact on float32), n/Σq/Σq² fold as exact
+    int64 (Σq² stays under 2^53 for corpora up to ~2^15 rows at
+    64 dims and unit-scale values; beyond that the double cast is the
+    same value in both engines but no longer integer-exact —
+    documented, not hit at gate scale), and mean/std/min/max are
+    formed from those integers in the same operation order both
+    engines; min/max divide by a power of two, so they are EXACT
+    doubles.  Scale shape: ONE posexplode scan folding to a dims-row
+    frame — corpus-size-bounded output, no joins at all."""
+    scale = float(1 << scale_bits)
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(
+            F.transform(
+                vec_col,
+                lambda x: F.round(x.cast("double") * F.lit(scale))
+                .cast("long"),
+            )
+        ).alias("dim", "q")
+    )
+    agg = base.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("_s"),
+        F.sum(F.col("q") * F.col("q")).alias("_ss"),
+        F.min("q").alias("_mn"),
+        F.max("q").alias("_mx"),
+    )
+    m = F.col("_s").cast("double") / F.col("n")
+    var_q = F.col("_ss").cast("double") / F.col("n") - m * m
+    return agg.select(
+        "dim",
+        "n",
+        F.round(m / F.lit(scale), 9).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(var_q, F.lit(0.0))) / F.lit(scale), 9
+        ).alias("std"),
+        (F.col("_mn") / F.lit(scale)).alias("vmin"),
+        (F.col("_mx") / F.lit(scale)).alias("vmax"),
+    ).orderBy("dim")

@@ -513,3 +513,20 @@ def test_centroid_separation_goldens(spark):
     bc = got[("B", "C")]
     assert bc["n_b"] == 1
     assert bc["dist"] == pytest.approx(20 ** 0.5, abs=1e-6)
+
+
+def test_dim_stats_goldens(spark):
+    """Hand stats per dim over {(1,0),(3,4)}: dim0 mean 2, std 1,
+    min/max 1/3; dim1 mean 2, std 2, min/max 0/4; NULL vectors drop."""
+    from dudb_spark.pipeline.similarity import dim_stats
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 4.0]), (2, None)],
+        "vec_id long, embedding array<float>")
+    got = {r["dim"]: r for r in dim_stats(df).collect()}
+    assert set(got) == {0, 1}
+    d0, d1 = got[0], got[1]
+    assert (d0["n"], d0["mean"], d0["std"], d0["vmin"], d0["vmax"]) == (
+        2, 2.0, 1.0, 1.0, 3.0)
+    assert (d1["mean"], d1["std"], d1["vmin"], d1["vmax"]) == (
+        2.0, 2.0, 0.0, 4.0)
