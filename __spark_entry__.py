@@ -6123,6 +6123,37 @@ def q168_exact_similarity_join(spark, sf_dir):
     )
 
 
+def q187_frame_energy(spark, sf_dir):
+    """Frame-level audio energy / silence detection
+    (pipeline/multimodal.frame_energy): REAL RIFF/WAVE 16-bit PCM
+    payloads built formulaically (sample t of media i = 0 in every
+    third window — planted silence — else ((i·31+t·7) mod 2048)−1024)
+    are parsed and windowed by the Arrow kernel; each 64-sample frame
+    scores its exact int64 sum of squares, ``silent`` is the integer
+    comparison sumsq ≤ 0, rms the only floating step.  The VAD/trim
+    primitive of an audio curation pipeline, with the q86 discipline:
+    the oracle re-derives every sample from the generator formula in
+    SQL — PCM actually decoded, not digest stubs."""
+    from dudb_spark.pipeline import multimodal as mm
+
+    rows = []
+    for i in range(24):
+        samples = [
+            0 if ((t // 64) + i) % 3 == 0
+            else ((i * 31 + t * 7) % 2048) - 1024
+            for t in range(384)
+        ]
+        payload = mm.synthetic_wav(samples, rate=8000, channels=1)
+        rows.append(
+            (i, bytearray(payload),
+             ("audio", "wav", None, None, None, len(payload)))
+        )
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    return mm.frame_energy(media, frame=64, silence_sumsq=0).orderBy(
+        "media_id", "frame_id"
+    )
+
+
 def q186_embedding_dim_stats(spark, sf_dir):
     """Per-dimension embedding statistics
     (pipeline/similarity.dim_stats): mean/std/min/max per coordinate —
@@ -6849,6 +6880,7 @@ QUERIES: dict[str, Callable] = {
     "q184_transition_matrix": q184_transition_matrix,
     "q185_stream_transitions": q185_stream_transitions,
     "q186_embedding_dim_stats": q186_embedding_dim_stats,
+    "q187_frame_energy": q187_frame_energy,
 }
 
 ORACLE: dict[str, str] = {
@@ -11166,6 +11198,26 @@ ORACLE["q184_transition_matrix"] = ORACLE["q185_stream_transitions"] = """
            ROUND(CAST(c.n_transitions AS DOUBLE) / t.t, 9) AS prob
     FROM cnt c JOIN tot t USING (from_label)
     ORDER BY from_label, to_label
+"""
+
+ORACLE["q187_frame_energy"] = """
+    WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
+    t AS (SELECT i, unnest(generate_series(0, 383)) AS t FROM ids),
+    s AS (
+        SELECT i AS media_id, t // 64 AS frame_id,
+               CASE WHEN ((t // 64) + i) % 3 = 0 THEN 0
+                    ELSE ((i * 31 + t * 7) % 2048) - 1024 END AS v
+        FROM t
+    ), agg AS (
+        SELECT media_id, CAST(frame_id AS INT) AS frame_id,
+               COUNT(*) AS n, CAST(SUM(v * v) AS BIGINT) AS sumsq
+        FROM s GROUP BY 1, 2
+    )
+    SELECT media_id, frame_id, CAST(n AS INT) AS n_samples, sumsq,
+           ROUND(SQRT(CAST(sumsq AS DOUBLE) / n), 6) AS rms,
+           sumsq <= 0 AS silent
+    FROM agg
+    ORDER BY media_id, frame_id
 """
 
 ORACLE["q186_embedding_dim_stats"] = """

@@ -37,6 +37,12 @@ PY_FAMILY = frozenset((
     "q86", "q91", "q95", "q100", "q106", "q118", "q120", "q124",
     "q125", "q126", "q127", "q128", "q133", "q134", "q137", "q139",
     "q149",
+    # round-11 additions: streaming-state gates (q155 CMS, q161
+    # anomaly, q165 quantile, q169 reservoir, q171 neardup, q185
+    # transitions) and the fixed-round driver-loop graph ops (q175
+    # LPA, q176 peeling — localCheckpoint per round, like q106/q44)
+    "q155", "q161", "q165", "q169", "q171", "q175", "q176", "q177",
+    "q185", "q187",
 ))
 
 

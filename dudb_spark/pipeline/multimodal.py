@@ -835,3 +835,79 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sumsq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("silent", T.BooleanType()),
+    ]
+)
+
+
+def frame_energy(
+    media: DataFrame,
+    frame: int = 160,
+    silence_sumsq: int = 0,
+) -> DataFrame:
+    """Frame-level audio energy over REAL WAV payloads — the
+    voice-activity / silence-detection primitive of an audio curation
+    pipeline (trim silence, drop dead segments, window speech for an
+    ASR tokenizer): the interleaved 16-bit PCM stream splits into
+    ``frame``-sample windows, each scored by its exact int64 sum of
+    squares; ``silent`` is the INTEGER comparison
+    ``sumsq <= silence_sumsq``, so the flag is engine-exact by
+    construction and rms (sqrt(sumsq/n), rounded 6) is the only
+    floating step — formed in the same op order as the SQL
+    restatement.
+
+    Same Arrow plumbing contract as :func:`decode_media`: only
+    (media_id, payload) cross the JVM↔Python boundary, numpy does the
+    windowed integer folds per batch.  Non-WAV or malformed payloads
+    yield no frames (the decode family's null-row convention, here
+    row-less because output is per-frame).  Trailing partial windows
+    keep their true ``n_samples``."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, ns, sq = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _ch, _rate, data = _parse_wav(bytes(payload))
+                except Exception:
+                    continue
+                samples = np.frombuffer(
+                    data[: len(data) // 2 * 2], "<i2"
+                ).astype(np.int64)
+                for w in range(0, max(len(samples), 1), frame):
+                    win = samples[w:w + frame]
+                    if win.size == 0:
+                        continue
+                    ids.append(int(mid))
+                    fids.append(w // frame)
+                    ns.append(int(win.size))
+                    sq.append(int(win @ win))
+            ids_a = np.asarray(ids, np.int64)
+            ns_a = np.asarray(ns, np.int64)
+            sq_a = np.asarray(sq, np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_a,
+                    "frame_id": np.asarray(fids, np.int32),
+                    "n_samples": ns_a.astype(np.int32),
+                    "sumsq": sq_a,
+                    "rms": np.round(
+                        np.sqrt(sq_a / np.maximum(ns_a, 1)), 6
+                    ),
+                    "silent": sq_a <= silence_sumsq,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=FRAME_ENERGY_SCHEMA
+    )

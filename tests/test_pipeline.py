@@ -810,3 +810,29 @@ def test_cross_containment_join_goldens(spark):
                     if inter * 1_000_000 >= tn * len(ba[a]):
                         bf[(a, b)] = round(inter / len(ba[a]), 6)
         assert got == bf, (t, got, bf)
+
+
+def test_frame_energy_goldens(spark):
+    """Hand-checked windows over a real WAV payload: constant-4
+    window sums 64*16, the planted zero window is silent, the
+    trailing partial window keeps its true n_samples; a non-WAV
+    payload yields no frames."""
+    from dudb_spark.pipeline import multimodal as mm
+
+    samples = [4] * 64 + [0] * 64 + [3] * 32   # 160 samples, frame=64
+    rows = [
+        (0, bytearray(mm.synthetic_wav(samples)),
+         ("audio", "wav", None, None, None, 0)),
+        (1, bytearray(b"not a wav at all"),
+         ("audio", "wav", None, None, None, 0)),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {(r["media_id"], r["frame_id"]): r
+           for r in mm.frame_energy(media, frame=64).collect()}
+    assert set(got) == {(0, 0), (0, 1), (0, 2)}
+    w0, w1, w2 = got[(0, 0)], got[(0, 1)], got[(0, 2)]
+    assert (w0["n_samples"], w0["sumsq"], w0["silent"]) == (64, 1024, False)
+    assert w0["rms"] == 4.0
+    assert (w1["sumsq"], w1["silent"]) == (0, True)
+    assert (w2["n_samples"], w2["sumsq"]) == (32, 288)
+    assert w2["rms"] == 3.0
