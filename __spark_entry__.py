@@ -6154,6 +6154,25 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q188_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (pipeline/graph.pagerank with seeds —
+    Haveliwala WWW 2002): teleport mass restarts only onto users
+    {0..4}, so the score is proximity-to-the-seed-cohort authority
+    (related-entity expansion, recommendation) instead of global
+    centrality — the same join+agg power iteration as q106, the seed
+    set a constant-folded isin literal, zero plan-shape change.  Over
+    the shared>=3 co-activity graph; 5 rounds; the oracle unrolls the
+    identical iterations with the seeded teleport CASE."""
+    from dudb_spark.pipeline.graph import pagerank
+
+    edges = _coactivity_edges(spark, sf_dir, 3)
+    pr = pagerank(edges, iters=5, damping=0.85,
+                  src_col="src", dst_col="dst", seeds=[0, 1, 2, 3, 4])
+    return pr.select("id", F.round("score", 6).alias("score")).orderBy(
+        "id"
+    )
+
+
 def q186_embedding_dim_stats(spark, sf_dir):
     """Per-dimension embedding statistics
     (pipeline/similarity.dim_stats): mean/std/min/max per coordinate —
@@ -6881,6 +6900,7 @@ QUERIES: dict[str, Callable] = {
     "q185_stream_transitions": q185_stream_transitions,
     "q186_embedding_dim_stats": q186_embedding_dim_stats,
     "q187_frame_energy": q187_frame_energy,
+    "q188_personalized_pagerank": q188_personalized_pagerank,
 }
 
 ORACLE: dict[str, str] = {
@@ -11740,6 +11760,43 @@ def _kcore_oracle_sql(k: int = 10, rounds: int = 6) -> str:
         UNION ALL SELECT b AS id FROM e{rounds})
     GROUP BY 1 ORDER BY id"""
 
+
+def _ppr_oracle_sql(
+    seeds: list[int], iters: int = 5, damping: float = 0.85
+) -> str:
+    """DuckDB restatement of q188: the q106 unrolled power iteration
+    with the seeded teleport CASE, over the co-activity edge CTE."""
+    sl = ", ".join(str(s) for s in sorted(set(seeds)))
+    ns = len(set(seeds))
+    r0 = 1.0 / ns
+    tele = (1.0 - damping) / ns
+    sql = "WITH " + _COACTIVITY_CTE + f""",
+    edges AS (SELECT src, dst FROM e
+              UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    r0 AS (SELECT id, CASE WHEN id IN ({sl})
+                           THEN CAST({r0!r} AS DOUBLE)
+                           ELSE CAST(0 AS DOUBLE) END AS r
+           FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT e.dst AS id,
+             CASE WHEN e.dst IN ({sl})
+                  THEN CAST({tele!r} AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END
+             + CAST({damping!r} AS DOUBLE) * SUM(p.r / d.deg) AS r
+      FROM edges e
+      JOIN r{i - 1} p ON e.src = p.id
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst)"""
+    return sql + f"""
+    SELECT id, ROUND(r, 6) AS score FROM r{iters} ORDER BY id
+"""
+
+
+ORACLE["q188_personalized_pagerank"] = _ppr_oracle_sql([0, 1, 2, 3, 4])
 
 ORACLE["q175_label_communities"] = _lpa_oracle_sql()
 ORACLE["q176_kcore_peel"] = _kcore_oracle_sql()

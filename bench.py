@@ -42,7 +42,7 @@ PY_FAMILY = frozenset((
     # transitions) and the fixed-round driver-loop graph ops (q175
     # LPA, q176 peeling — localCheckpoint per round, like q106/q44)
     "q155", "q161", "q165", "q169", "q171", "q175", "q176", "q177",
-    "q185", "q187",
+    "q185", "q187", "q188",
 ))
 
 

@@ -33,6 +33,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank over the UNDIRECTED graph given as a pair list.
 
@@ -41,7 +42,15 @@ def pagerank(
     appears in an edge, with uniform initialization 1/N.  Undirected
     graphs have no dangling nodes (every node has out-degree ≥ 1), so no
     dangling-mass redistribution is needed.
-    """
+
+    ``seeds`` switches to PERSONALIZED PageRank (topic-sensitive,
+    Haveliwala WWW 2002): the teleport mass (1−d) restarts only onto
+    the seed set (uniformly) instead of all nodes, and ranks
+    initialize 1/|seeds| on seeds, 0 elsewhere — the score becomes
+    proximity-to-the-seeds authority (recommendation / related-entity
+    expansion) rather than global centrality.  The seed set enters as
+    a constant-folded ``isin`` literal — same plan shape, no extra
+    join."""
     edges = (
         pairs.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -57,8 +66,26 @@ def pagerank(
     nodes = edges.select(F.col("src").alias("id")).distinct()
     n = nodes.groupBy().agg(F.count(F.lit(1)).alias("n"))
 
+    if seeds is None:
+        init = F.lit(1.0) / F.col("n")
+
+        def tele():
+            return (1.0 - damping) / F.col("n")
+    else:
+        seed_vals = sorted(set(seeds))
+        is_seed = F.col("id").isin(seed_vals)
+        init = F.when(is_seed, F.lit(1.0 / len(seed_vals))).otherwise(
+            F.lit(0.0)
+        )
+
+        def tele():
+            return F.when(
+                F.col("id").isin(seed_vals),
+                F.lit((1.0 - damping) / len(seed_vals)),
+            ).otherwise(F.lit(0.0))
+
     ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "id", (F.lit(1.0) / F.col("n")).alias("r")
+        "id", init.alias("r")
     ).localCheckpoint()
 
     contrib_src = edges.join(deg, "src")
@@ -72,10 +99,7 @@ def pagerank(
             .crossJoin(F.broadcast(n))
             .select(
                 "id",
-                (
-                    (1.0 - damping) / F.col("n")
-                    + damping * F.col("_in")
-                ).alias("r"),
+                (tele() + damping * F.col("_in")).alias("r"),
             )
             .localCheckpoint()
         )

@@ -245,3 +245,23 @@ def test_assortativity_goldens(spark):
     # sxy = 16 -> (6·16 - 100)/(6·18 - 100) = -4/8 = -0.5
     assert (r["sum_deg"], r["sum_deg_sq"], r["sum_deg_prod"]) == (10, 18, 16)
     assert r["assortativity"] == pytest.approx(-0.5)
+
+
+def test_personalized_pagerank_confines_mass(spark):
+    """Two disconnected triangles, seed in one: the unseeded
+    component scores exactly 0 (no teleport ever reaches it), the
+    seeded component's mass sums to 1, the seed outranks its
+    symmetric peers — and the uniform path is untouched (mass 1)."""
+    from dudb_spark.pipeline.graph import pagerank
+
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(tri, ["id_a", "id_b"])
+    got = {r["id"]: r["score"] for r in pagerank(
+        df, iters=5, seeds=[0]).collect()}
+    assert got[10] == got[11] == got[12] == 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[0] > got[1] == got[2] > 0
+
+    uni = {r["id"]: r["score"] for r in pagerank(df, iters=5).collect()}
+    assert sum(uni.values()) == pytest.approx(1.0, abs=1e-9)
+    assert uni[0] == pytest.approx(uni[10])
