@@ -6154,6 +6154,19 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q189_fd_violations(spark, sf_dir):
+    """Functional-dependency audit (operators/checks.fd_violations):
+    which customers violate o_custkey → o_orderpriority (i.e. order
+    with more than one distinct priority) — the key/FD-discovery
+    profiling primitive generalizing q112's uniqueness check.  One
+    grouped agg with a single exact COUNT(DISTINCT) — two-phase hash
+    aggregate, no Expand (single-distinct only)."""
+    from dudb_spark.operators.checks import fd_violations
+
+    o = _t(spark, sf_dir, "orders")
+    return fd_violations(o, ["o_custkey"], "o_orderpriority")
+
+
 def q188_personalized_pagerank(spark, sf_dir):
     """Personalized PageRank (pipeline/graph.pagerank with seeds —
     Haveliwala WWW 2002): teleport mass restarts only onto users
@@ -6901,6 +6914,7 @@ QUERIES: dict[str, Callable] = {
     "q186_embedding_dim_stats": q186_embedding_dim_stats,
     "q187_frame_energy": q187_frame_energy,
     "q188_personalized_pagerank": q188_personalized_pagerank,
+    "q189_fd_violations": q189_fd_violations,
 }
 
 ORACLE: dict[str, str] = {
@@ -11218,6 +11232,15 @@ ORACLE["q184_transition_matrix"] = ORACLE["q185_stream_transitions"] = """
            ROUND(CAST(c.n_transitions AS DOUBLE) / t.t, 9) AS prob
     FROM cnt c JOIN tot t USING (from_label)
     ORDER BY from_label, to_label
+"""
+
+ORACLE["q189_fd_violations"] = """
+    SELECT o_custkey, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderpriority) AS n_rhs
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) > 1
+    ORDER BY o_custkey
 """
 
 ORACLE["q187_frame_energy"] = """

@@ -391,3 +391,35 @@ def robust_outliers(
         "n_outliers",
         F.expr("n_outliers * 1000000 div n_rows").alias("outlier_ppm"),
     ).orderBy(*group_cols)
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: list[str],
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency audit ``lhs → rhs``: every left-hand-side
+    group carrying MORE than one distinct right-hand value, with its
+    row count and distinct-value count — the key-discovery / schema-
+    inference primitive of a profiling pass (a clean FD means ``rhs``
+    can be normalized out; violations localize the dirty keys), and
+    the generalization of q112's uniqueness check from "is this a
+    key" to "does this key determine that column".
+
+    One grouped aggregation with a single exact COUNT(DISTINCT) —
+    Spark plans a single-distinct agg as the standard two-phase
+    hash aggregate (no Expand, which only multi-distinct aggs pay);
+    NULL rhs values count as a distinct value when mixed with
+    non-NULLs?  No: COUNT(DISTINCT) ignores NULLs in both engines —
+    documented, so an lhs group with {x, NULL} reports n_rhs = 1.
+
+    Returns (lhs..., n_rows, n_rhs) for violating groups only."""
+    return (
+        df.groupBy(*lhs)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(rhs).alias("n_rhs"),
+        )
+        .where(F.col("n_rhs") > 1)
+        .orderBy(*lhs)
+    )

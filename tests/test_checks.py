@@ -209,3 +209,17 @@ def test_robust_outliers_goldens(spark):
     assert (b["med"], b["mad"], b["n_outliers"]) == (7.0, 0.0, 1)
     c = got["c"]
     assert (c["n_rows"], c["med"]) == (2, 1.5)
+
+
+def test_fd_violations_goldens(spark):
+    """a=1 carries {x,y} -> violation (2 distinct over 3 rows); a=2 is
+    clean; a=3 carries {x, NULL} -> NOT a violation (COUNT DISTINCT
+    ignores NULLs, documented)."""
+    from dudb_spark.operators.checks import fd_violations
+
+    rows = [(1, "x"), (1, "y"), (1, "x"), (2, "x"),
+            (3, "x"), (3, None)]
+    df = spark.createDataFrame(rows, "a long, b string")
+    got = {r["a"]: (r["n_rows"], r["n_rhs"])
+           for r in fd_violations(df, ["a"], "b").collect()}
+    assert got == {1: (3, 2)}
