@@ -11936,7 +11936,7 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
             "q145_corpus_drift", "q148_hard_negatives",
             "q151_sketch_source_overlap", "q152_cms_meanmin",
             "q157_bigram_lm_score", "q163_kmv_set_overlap",
-            "q177_partition_modularity",
+            "q174_rrf_hybrid_fusion", "q177_partition_modularity",
         )
     },
     "q158_stratified_budget": {
