@@ -6154,6 +6154,21 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q190_cooccurrence_lift(spark, sf_dir):
+    """Market-basket association over per-user event-type sets
+    (operators/timeseries.cooccurrence_lift): support and lift per
+    unordered type pair — "what goes together", the order-free
+    complement to q184's "what follows".  Baskets are the distinct
+    (user, type) projection; the pair self-join's per-key fan-out is
+    bounded by the label vocabulary, not the event count; totals ride
+    a broadcast single-row frame.  Exact integer counts, support/lift
+    in identical double op order."""
+    from dudb_spark.operators.timeseries import cooccurrence_lift
+
+    e = _events(spark, sf_dir)
+    return cooccurrence_lift(e)
+
+
 def q189_fd_violations(spark, sf_dir):
     """Functional-dependency audit (operators/checks.fd_violations):
     which customers violate o_custkey → o_orderpriority (i.e. order
@@ -6915,6 +6930,7 @@ QUERIES: dict[str, Callable] = {
     "q187_frame_energy": q187_frame_energy,
     "q188_personalized_pagerank": q188_personalized_pagerank,
     "q189_fd_violations": q189_fd_violations,
+    "q190_cooccurrence_lift": q190_cooccurrence_lift,
 }
 
 ORACLE: dict[str, str] = {
@@ -11234,6 +11250,32 @@ ORACLE["q184_transition_matrix"] = ORACLE["q185_stream_transitions"] = """
     ORDER BY from_label, to_label
 """
 
+ORACLE["q190_cooccurrence_lift"] = """
+    WITH basket AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), nk AS (
+        SELECT COUNT(DISTINCT user_id) AS nk FROM basket
+    ), singles AS (
+        SELECT event_type, COUNT(*) AS n FROM basket GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS label_a, b.event_type AS label_b,
+               COUNT(*) AS n_both
+        FROM basket a JOIN basket b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.label_a, p.label_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(p.n_both AS DOUBLE) / nk.nk, 9) AS support,
+           ROUND((CAST(p.n_both AS DOUBLE) * nk.nk)
+                 / (CAST(sa.n AS DOUBLE) * sb.n), 9) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.label_a
+    JOIN singles sb ON sb.event_type = p.label_b
+    CROSS JOIN nk
+    ORDER BY label_a, label_b
+"""
+
 ORACLE["q189_fd_violations"] = """
     SELECT o_custkey, COUNT(*) AS n_rows,
            COUNT(DISTINCT o_orderpriority) AS n_rhs
@@ -11937,6 +11979,7 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
             "q151_sketch_source_overlap", "q152_cms_meanmin",
             "q157_bigram_lm_score", "q163_kmv_set_overlap",
             "q174_rrf_hybrid_fusion", "q177_partition_modularity",
+            "q190_cooccurrence_lift",
         )
     },
     "q158_stratified_budget": {

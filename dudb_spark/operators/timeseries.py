@@ -201,3 +201,73 @@ def transition_matrix(
         )
         .orderBy("from_label", "to_label")
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    key_col: str = "user_id",
+    label_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket association over per-key label sets: for every
+    unordered label pair, how many keys exhibit BOTH, with support
+    and lift — the order-free complement to :func:`transition_matrix`
+    (which asks "what follows", this asks "what goes together"),
+    the classic segmentation/cross-feature signal.
+
+    lift = P(a,b)/(P(a)·P(b)) > 1 means the labels attract; < 1
+    repel.  Exact integer counts throughout; support and lift are
+    formed in double in the same operation order both engines and
+    rounded to 9.
+
+    Scale shape: the basket frame is the DISTINCT (key, label)
+    projection (one shuffle); the pair stage self-joins it on the key
+    — per-key fan-out is |labels per key|², bounded by the LABEL
+    vocabulary (not the event count), the same bounded-key argument
+    as the LSH band join.  Totals ride broadcast single-row/label
+    frames."""
+    basket = df.select(key_col, label_col).distinct()
+    # total-key count rides the plan as a broadcast single-row frame
+    # (no driver-side action; the q106/q177 scalar pattern)
+    nk = basket.select(key_col).distinct().agg(
+        F.count(F.lit(1)).alias("_nk")
+    )
+    singles = basket.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    a = basket.select(
+        F.col(key_col).alias("_k"), F.col(label_col).alias("label_a")
+    )
+    b = basket.select(
+        F.col(key_col).alias("_k"), F.col(label_col).alias("label_b")
+    )
+    pairs = (
+        a.join(b, "_k")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(singles.select(
+        F.col(label_col).alias("label_a"), F.col("_n").alias("n_a")))
+    sb = F.broadcast(singles.select(
+        F.col(label_col).alias("label_b"), F.col("_n").alias("n_b")))
+    return (
+        pairs.join(sa, "label_a")
+        .join(sb, "label_b")
+        .crossJoin(F.broadcast(nk))
+        .select(
+            "label_a",
+            "label_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double") / F.col("_nk"), 9
+            ).alias("support"),
+            F.round(
+                (F.col("n_both").cast("double") * F.col("_nk"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -162,3 +162,28 @@ def test_transition_matrix_goldens(spark):
         ("b", "b"): (1, 0.5),
         ("c", "d"): (1, 1.0),
     }
+
+
+def test_cooccurrence_lift_goldens(spark):
+    """4 users: {a,b} x2, {a} alone, {b,c}: pair (a,b) has
+    support 2/4 and lift (2*4)/(3*3); (b,c) lift (1*4)/(3*1);
+    duplicate events collapse into the basket."""
+    rows = [(1, "a"), (1, "b"), (1, "a"),
+            (2, "a"), (2, "b"),
+            (3, "a"),
+            (4, "b"), (4, "c")]
+    import pytest
+
+    from dudb_spark.operators.timeseries import cooccurrence_lift
+
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+
+    got = {(r["label_a"], r["label_b"]): r
+           for r in cooccurrence_lift(df).collect()}
+    ab = got[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["support"] == 0.5
+    assert ab["lift"] == pytest.approx(8 / 9, abs=1e-9)
+    bc = got[("b", "c")]
+    assert (bc["n_both"], bc["lift"]) == (1, pytest.approx(4 / 3, abs=1e-9))
+    assert ("a", "c") not in got
