@@ -6154,6 +6154,27 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q191_canonical_keep(spark, sf_dir):
+    """Quality-aware canonical selection
+    (pipeline/dedup.canonical_keep): every 25th doc gains a
+    space-doubled copy at a SMALLER id (-doc_id-1) — same normalized
+    fingerprint, lower alpha ratio, so lower quality.  The min-id rule
+    would keep the mangled copy; the quality argmax keeps the clean
+    original — pinned by construction (every kept id of a 2-group is
+    the nonnegative one).  Same plan shape as exact dedup: one
+    fingerprint-keyed agg + a join back, argmax as min(struct) — no
+    window."""
+    from dudb_spark.pipeline.dedup import canonical_keep
+
+    d = _t(spark, sf_dir, "documents")
+    padded = d.where(F.col("doc_id") % 25 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.regexp_replace("text", " ", "  ").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(padded)
+    return canonical_keep(corpus).orderBy("id")
+
+
 def q190_cooccurrence_lift(spark, sf_dir):
     """Market-basket association over per-user event-type sets
     (operators/timeseries.cooccurrence_lift): support and lift per
@@ -6931,6 +6952,7 @@ QUERIES: dict[str, Callable] = {
     "q188_personalized_pagerank": q188_personalized_pagerank,
     "q189_fd_violations": q189_fd_violations,
     "q190_cooccurrence_lift": q190_cooccurrence_lift,
+    "q191_canonical_keep": q191_canonical_keep,
 }
 
 ORACLE: dict[str, str] = {
@@ -11250,6 +11272,46 @@ ORACLE["q184_transition_matrix"] = ORACLE["q185_stream_transitions"] = """
     ORDER BY from_label, to_label
 """
 
+ORACLE["q191_canonical_keep"] = r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id, replace(text, ' ', '  ') AS text
+        FROM documents WHERE doc_id % 25 = 0
+    ), base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS t
+        FROM corpus
+    ), m AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS fp,
+               len(t) AS n_tokens,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / greatest(length(text), 1) AS alpha,
+               CASE WHEN len(t) BETWEEN 20 AND 2000 THEN 1.0
+                    WHEN len(t) < 20 THEN CAST(len(t) AS DOUBLE) / 20
+                    ELSE 0.5 END AS len_band
+        FROM base
+    ), scored AS (
+        SELECT doc_id AS id, fp,
+               CAST(ROUND(ROUND((ttr + alpha + len_band) / 3, 6)
+                          * 1000000) AS BIGINT) AS q_micro
+        FROM m
+    ), win AS (
+        SELECT id AS canonical_id, fp FROM (
+            SELECT id, fp, ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY q_micro DESC, id) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT s.id, w.canonical_id, s.q_micro,
+           s.id = w.canonical_id AS kept
+    FROM scored s JOIN win w ON w.fp = s.fp
+    ORDER BY s.id
+"""
+
 ORACLE["q190_cooccurrence_lift"] = """
     WITH basket AS (
         SELECT DISTINCT user_id, event_type FROM events
@@ -12059,6 +12121,12 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
     "q145_corpus_drift": {
         "nested-loop": _BCAST_SCALAR,
         "unpruned-scan": _TOKENIZER_FILTER,
+    },
+    "q191_canonical_keep": {
+        "unpruned-scan": "the dup-synthesis branch selects every 25th "
+        "doc via a modulo predicate (doc_id % 25 = 0) — computed per "
+        "row, unpushable by construction (the q100/q183 staging "
+        "idiom); the scan reads only the two columns it projects",
     },
 }
 

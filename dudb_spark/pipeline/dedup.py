@@ -1139,3 +1139,52 @@ def cross_containment_join(
             .alias("containment"),
         )
     )
+
+
+def canonical_keep(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-aware canonical selection — the last mile of exact
+    dedup: within each normalized-fingerprint group keep the HIGHEST
+    quality copy (ties to the smallest id), not blindly the smallest
+    id.  Copies of one document routinely differ in formatting
+    (spacing, boilerplate padding), and :func:`exact_duplicates`'s
+    min-id rule can keep the mangled one; this keeps the cleanest.
+
+    The quality ranking is ``pipeline/text.quality_score`` quantized
+    to micro-units (the score is already 6-decimal-rounded, so the
+    int64 is engine-exact) and the argmax is
+    ``min(struct(-q_micro, id))`` — the q175 no-window discipline.
+    One fingerprint-keyed aggregation + one join back; scale shape
+    identical to exact dedup.
+
+    Returns (id, canonical_id, q_micro, kept) for every input row."""
+    from dudb_spark.pipeline.text import fingerprint, quality_score
+
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.round(quality_score(F.col(text_col)) * 1_000_000)
+        .cast("long").alias("q_micro"),
+    )
+    win = (
+        scored.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("q_micro")).alias("nq"),
+                    F.col("id").alias("i"),
+                )
+            ).alias("m")
+        )
+        .select("fp", F.col("m.i").alias("canonical_id"))
+    )
+    return (
+        scored.join(win, "fp")
+        .select(
+            "id",
+            "canonical_id",
+            "q_micro",
+            (F.col("id") == F.col("canonical_id")).alias("kept"),
+        )
+    )

@@ -836,3 +836,23 @@ def test_frame_energy_goldens(spark):
     assert (w1["sumsq"], w1["silent"]) == (0, True)
     assert (w2["n_samples"], w2["sumsq"]) == (32, 288)
     assert w2["rms"] == 3.0
+
+
+def test_canonical_keep_quality_beats_min_id(spark):
+    """A space-mangled copy at a SMALLER id loses to the clean
+    original (quality argmax), while exact-identical copies fall back
+    to the min id; singletons keep themselves."""
+    rows = [
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (-6, "alpha  beta  gamma  delta  epsilon  zeta"),  # mangled
+        (7, "unique content here"),
+        (8, "same exact words"),
+        (9, "same exact words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in dedup.canonical_keep(df).collect()}
+    assert got[5]["kept"] and got[-6]["canonical_id"] == 5
+    assert not got[-6]["kept"]
+    assert got[-6]["q_micro"] < got[5]["q_micro"]
+    assert got[7]["kept"]
+    assert got[8]["kept"] and got[9]["canonical_id"] == 8
