@@ -6154,6 +6154,20 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q192_rolling_active(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness
+    (operators/retention.rolling_active_users): the product-health
+    metric family with NO range join and NO per-day rescan — each
+    distinct (day,user) pair explodes to the ≤7 future days it
+    contributes to (bounded constant fan-out), then one distinct +
+    one count agg keyed by day.  Exact integer counts; stickiness in
+    identical double op order."""
+    from dudb_spark.operators.retention import rolling_active_users
+
+    e = _events(spark, sf_dir)
+    return rolling_active_users(e, window_days=7)
+
+
 def q191_canonical_keep(spark, sf_dir):
     """Quality-aware canonical selection
     (pipeline/dedup.canonical_keep): every 25th doc gains a
@@ -6953,6 +6967,7 @@ QUERIES: dict[str, Callable] = {
     "q189_fd_violations": q189_fd_violations,
     "q190_cooccurrence_lift": q190_cooccurrence_lift,
     "q191_canonical_keep": q191_canonical_keep,
+    "q192_rolling_active": q192_rolling_active,
 }
 
 ORACLE: dict[str, str] = {
@@ -11270,6 +11285,23 @@ ORACLE["q184_transition_matrix"] = ORACLE["q185_stream_transitions"] = """
            ROUND(CAST(c.n_transitions AS DOUBLE) / t.t, 9) AS prob
     FROM cnt c JOIN tot t USING (from_label)
     ORDER BY from_label, to_label
+"""
+
+ORACLE["q192_rolling_active"] = """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS k FROM events
+    ), contrib AS (
+        SELECT DISTINCT d + CAST(t.x AS INTEGER) AS day, k
+        FROM du, LATERAL (SELECT unnest(generate_series(0, 6)) AS x) t
+    ), wau AS (
+        SELECT day, COUNT(*) AS wau FROM contrib GROUP BY 1
+    ), dau AS (
+        SELECT d AS day, COUNT(*) AS dau FROM du GROUP BY 1
+    )
+    SELECT day, dau, wau,
+           ROUND(CAST(dau AS DOUBLE) / wau, 9) AS stickiness
+    FROM dau JOIN wau USING (day)
+    ORDER BY day
 """
 
 ORACLE["q191_canonical_keep"] = r"""

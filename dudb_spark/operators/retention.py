@@ -96,3 +96,56 @@ def decayed_activity(
             ).alias("decayed_score"),
         )
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per day — the product-health
+    metric family: for every day WITH activity, the distinct keys
+    that day (dau), the distinct keys over the trailing
+    ``window_days`` (wau), and dau/wau (stickiness).
+
+    Scale shape: NO range join and NO per-day rescan — each distinct
+    (day, key) pair explodes to the ≤``window_days`` future days it
+    contributes to (a bounded constant fan-out, the sliding-window
+    idiom q121's chunker uses), then ONE distinct + ONE count
+    aggregation keyed by day.  Days without their own activity are
+    not reported (dau = 0 rows carry no product signal; documented).
+    Counts are exact integers; stickiness is formed in double in the
+    same op order both engines and rounded to 9."""
+    # the raw-column null filter is PUSHABLE (the inferred
+    # isnotnull(cast(ts as date)) join-key constraint is not)
+    du = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(F.to_date(ts_col).alias("_d"), F.col(key_col).alias("_k"))
+        .distinct()
+    )
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), window_days - 1),
+            )
+        ).alias("day"),
+        "_k",
+    ).distinct()
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    dau = du.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 9
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -187,3 +187,28 @@ def test_cooccurrence_lift_goldens(spark):
     bc = got[("b", "c")]
     assert (bc["n_both"], bc["lift"]) == (1, pytest.approx(4 / 3, abs=1e-9))
     assert ("a", "c") not in got
+
+
+def test_rolling_active_users_goldens(spark):
+    """Hand-traced 3-day window: users {1,2} on day 1, {2} on day 2,
+    {3} on day 5.  Day-2 WAU covers days 1-2 = {1,2}; day 5 only
+    itself (window expired); days without activity don't report."""
+    import datetime as dt
+
+    from dudb_spark.operators.retention import rolling_active_users
+
+    d = dt.date(2024, 5, 1)
+
+    def at(day, uid):
+        return (uid, dt.datetime(2024, 5, day, 12, 0))
+
+    rows = [at(1, 1), at(1, 2), at(1, 2), at(2, 2), at(5, 3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r["day"]): (r["dau"], r["wau"], r["stickiness"])
+           for r in rolling_active_users(df, window_days=3).collect()}
+    assert got == {
+        "2024-05-01": (2, 2, 1.0),
+        "2024-05-02": (1, 2, 0.5),
+        "2024-05-05": (1, 1, 1.0),
+    }
+    assert str(d) in got  # day key is a real date
