@@ -6154,6 +6154,48 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q193_scd2_history(spark, sf_dir):
+    """SCD Type-2 history merge (operators/ingest.scd2_apply,
+    Kimball): fold a churned customer snapshot into a versioned
+    history — every 10th key changes its balance (close + reopen),
+    every 17th is deleted (close only), every 13th spawns a new key
+    (open only), the rest pass through untouched.  ONE full-outer
+    equi-join on the key between the current slice and the snapshot;
+    change detection a null-safe equality fold; version is
+    caller-supplied so replays are idempotent and the oracle replays
+    the identical algebra."""
+    from dudb_spark.operators.ingest import scd2_apply
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    hist0 = c.select(
+        "*",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    v2 = (
+        c.where(F.col("c_custkey") % 17 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+                "c_acctbal",
+            )
+        )
+    )
+    return scd2_apply(
+        hist0, v2, ["c_custkey"], ["c_name", "c_acctbal"], version=1
+    ).orderBy("c_custkey", "valid_from")
+
+
 def q192_rolling_active(spark, sf_dir):
     """DAU / trailing-7-day WAU / stickiness
     (operators/retention.rolling_active_users): the product-health
@@ -6968,6 +7010,7 @@ QUERIES: dict[str, Callable] = {
     "q190_cooccurrence_lift": q190_cooccurrence_lift,
     "q191_canonical_keep": q191_canonical_keep,
     "q192_rolling_active": q192_rolling_active,
+    "q193_scd2_history": q193_scd2_history,
 }
 
 ORACLE: dict[str, str] = {
@@ -11285,6 +11328,41 @@ ORACLE["q184_transition_matrix"] = ORACLE["q185_stream_transitions"] = """
            ROUND(CAST(c.n_transitions AS DOUBLE) / t.t, 9) AS prob
     FROM cnt c JOIN tot t USING (from_label)
     ORDER BY from_label, to_label
+"""
+
+ORACLE["q193_scd2_history"] = """
+    WITH v1 AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+    ), v2 AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 17 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, concat('new_', c_name), c_acctbal
+        FROM customer WHERE c_custkey % 13 = 0
+    ), j AS (
+        SELECT v1.c_custkey AS k1, v2.c_custkey AS k2,
+               v1.c_name AS n1, v2.c_name AS n2,
+               v1.c_acctbal AS a1, v2.c_acctbal AS a2,
+               (v1.c_name IS NOT DISTINCT FROM v2.c_name
+                AND v1.c_acctbal IS NOT DISTINCT FROM v2.c_acctbal)
+                   AS same
+        FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+    )
+    SELECT k1 AS c_custkey, n1 AS c_name, a1 AS c_acctbal,
+           CAST(0 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to
+    FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND same
+    UNION ALL
+    SELECT k1, n1, a1, CAST(0 AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM j WHERE k1 IS NOT NULL AND (k2 IS NULL OR NOT same)
+    UNION ALL
+    SELECT k2, n2, a2, CAST(1 AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR NOT same)
+    ORDER BY c_custkey, valid_from
 """
 
 ORACLE["q192_rolling_active"] = """

@@ -430,3 +430,82 @@ def resync_feed(prev_entries: DataFrame, resync: DataFrame) -> DataFrame:
     return j.select(
         op.alias("op"), *out_cols, err.alias("error")
     ).where(F.col("op").isNotNull())
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    version: int,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge (Kimball's history
+    table): fold a new snapshot into a versioned history where every
+    key's past states are closed rows ``[valid_from, valid_to)`` and
+    its present state has ``valid_to IS NULL``.  The warehouse-grade
+    sibling of ``merge_scan``'s J1/J2 change classification — there
+    the old state is *replaced*; here it is *closed and kept*, so
+    time-travel queries (state as of version v) stay one range
+    predicate away.
+
+    Per apply: changed keys close their current row at ``version``
+    and open a new one; deleted keys just close; new keys open;
+    unchanged current rows pass through untouched (the incremental
+    no-op contract — cost scales with churn, not history size, given
+    a current-row partition).  Change detection is a null-safe
+    equality fold over ``tracked_cols``.
+
+    Scale shape: ONE full-outer equi-join on the key between the
+    current slice and the snapshot, plus unions; closed history is
+    never read beyond the pass-through.  Deterministic: no
+    wall-clock — ``version`` is caller-supplied (int), so replays are
+    idempotent and the oracle replays the same algebra.
+
+    Returns the new history frame (key + tracked + valid_from +
+    valid_to)."""
+    cur = history.where(F.col("valid_to").isNull())
+    closed = history.where(F.col("valid_to").isNotNull())
+    snap = snapshot.select(
+        *[F.col(c).alias(f"_s_{c}") for c in key_cols + tracked_cols]
+    )
+
+    def _all(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+
+    cond = _all(
+        [F.col(k).eqNullSafe(F.col(f"_s_{k}")) for k in key_cols]
+    )
+    j = cur.join(snap, cond, "full_outer")
+    # presence flags ride the key columns (non-null by contract on
+    # both sides), never nullable payload columns
+    in_cur = _all([F.col(k).isNotNull() for k in key_cols])
+    in_snap = _all([F.col(f"_s_{k}").isNotNull() for k in key_cols])
+    same = _all(
+        [F.col(c).eqNullSafe(F.col(f"_s_{c}")) for c in tracked_cols]
+    )
+
+    # current rows that survive untouched (present both sides, equal)
+    unchanged = j.where(in_cur & in_snap & same).select(
+        *key_cols, *tracked_cols, "valid_from", "valid_to"
+    )
+    # rows to close: changed or deleted
+    closing = j.where(in_cur & (~in_snap | ~same)).select(
+        *key_cols, *tracked_cols, "valid_from",
+        F.lit(version).cast("long").alias("valid_to"),
+    )
+    # rows to open: new or changed
+    opening = j.where(in_snap & (~in_cur | ~same)).select(
+        *[F.col(f"_s_{k}").alias(k) for k in key_cols],
+        *[F.col(f"_s_{c}").alias(c) for c in tracked_cols],
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    return (
+        closed.select(*key_cols, *tracked_cols, "valid_from", "valid_to")
+        .unionByName(unchanged)
+        .unionByName(closing)
+        .unionByName(opening)
+    )

@@ -673,3 +673,41 @@ def test_fswatch_gc_tracks_ondisk_set(tmp_path):
     }
     assert on_disk_real == r._ondisk
     assert len(r._ondisk) <= r.compact_every + 1
+
+
+def test_scd2_apply_classification(spark):
+    """Full change taxonomy in one apply: unchanged passthrough,
+    changed close+reopen, deleted close-only, new open-only; closed
+    history rows ride along untouched; a second apply is idempotent
+    when the snapshot repeats."""
+    from dudb_spark.operators.ingest import scd2_apply
+
+    hist = spark.createDataFrame(
+        [
+            (1, "a", 10.0, 0, None),    # will stay
+            (2, "b", 20.0, 0, None),    # will change value
+            (3, "c", 30.0, 0, None),    # will be deleted
+            (9, "old", 1.0, 0, 5),      # already-closed history row
+        ],
+        "k long, v string, x double, valid_from long, valid_to long",
+    )
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)],
+        "k long, v string, x double",
+    )
+    h1 = scd2_apply(hist, snap, ["k"], ["v", "x"], version=7)
+    rows = {(r["k"], r["valid_from"]): (r["x"], r["valid_to"])
+            for r in h1.collect()}
+    assert rows == {
+        (1, 0): (10.0, None),      # unchanged
+        (2, 0): (20.0, 7),         # closed
+        (2, 7): (25.0, None),      # reopened with new value
+        (3, 0): (30.0, 7),         # deleted -> closed
+        (4, 7): (40.0, None),      # new
+        (9, 0): (1.0, 5),          # old closed row untouched
+    }
+    # idempotence: applying the SAME snapshot again changes nothing
+    h2 = scd2_apply(h1, snap, ["k"], ["v", "x"], version=8)
+    rows2 = {(r["k"], r["valid_from"]): (r["x"], r["valid_to"])
+             for r in h2.collect()}
+    assert rows2 == rows
