@@ -6196,6 +6196,18 @@ def q193_scd2_history(spark, sf_dir):
     ).orderBy("c_custkey", "valid_from")
 
 
+def q194_scd2_time_travel(spark, sf_dir):
+    """Time-travel read (operators/ingest.scd2_as_of): the q193
+    history read back AS OF version 1 must equal the v2 snapshot
+    EXACTLY — the round-trip theorem of the SCD2 pair (apply then
+    as-of is the identity on the snapshot), certified by using the v2
+    snapshot itself as the oracle.  One range predicate, no joins."""
+    from dudb_spark.operators.ingest import scd2_as_of
+
+    hist = q193_scd2_history(spark, sf_dir)
+    return scd2_as_of(hist, 1).orderBy("c_custkey")
+
+
 def q192_rolling_active(spark, sf_dir):
     """DAU / trailing-7-day WAU / stickiness
     (operators/retention.rolling_active_users): the product-health
@@ -7011,6 +7023,7 @@ QUERIES: dict[str, Callable] = {
     "q191_canonical_keep": q191_canonical_keep,
     "q192_rolling_active": q192_rolling_active,
     "q193_scd2_history": q193_scd2_history,
+    "q194_scd2_time_travel": q194_scd2_time_travel,
 }
 
 ORACLE: dict[str, str] = {
@@ -11363,6 +11376,19 @@ ORACLE["q193_scd2_history"] = """
            CAST(NULL AS BIGINT)
     FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR NOT same)
     ORDER BY c_custkey, valid_from
+"""
+
+# q194's oracle IS the v2 snapshot — apply-then-as-of must be the
+# identity on the snapshot (the SCD2 round-trip theorem)
+ORACLE["q194_scd2_time_travel"] = """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer WHERE c_custkey % 17 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000, concat('new_', c_name), c_acctbal
+    FROM customer WHERE c_custkey % 13 = 0
+    ORDER BY c_custkey
 """
 
 ORACLE["q192_rolling_active"] = """

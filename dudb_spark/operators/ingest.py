@@ -509,3 +509,19 @@ def scd2_apply(
         .unionByName(closing)
         .unionByName(opening)
     )
+
+
+def scd2_as_of(history: DataFrame, version: int) -> DataFrame:
+    """Time-travel read of an SCD2 history: the dimension state as of
+    ``version`` — one range predicate (``valid_from <= v`` and
+    ``valid_to`` open or beyond), no joins, prunable by a
+    valid_to-partitioned layout.  The consumer-side contract of
+    :func:`scd2_apply`: ``as_of(v)`` of a history equals the snapshot
+    that was applied at ``v`` exactly."""
+    return history.where(
+        (F.col("valid_from") <= F.lit(version))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.lit(version))
+        )
+    ).drop("valid_from", "valid_to")

@@ -711,3 +711,25 @@ def test_scd2_apply_classification(spark):
     rows2 = {(r["k"], r["valid_from"]): (r["x"], r["valid_to"])
              for r in h2.collect()}
     assert rows2 == rows
+
+
+def test_scd2_as_of_round_trip(spark):
+    """as_of(v) after apply at v returns the applied snapshot exactly;
+    as_of(0) returns the pre-apply state; between-version reads see
+    the closed row."""
+    from dudb_spark.operators.ingest import scd2_apply, scd2_as_of
+
+    hist = spark.createDataFrame(
+        [(1, "a", 0, None), (2, "b", 0, None)],
+        "k long, v string, valid_from long, valid_to long",
+    )
+    snap = spark.createDataFrame(
+        [(1, "a2"), (3, "c")], "k long, v string")
+    h1 = scd2_apply(hist, snap, ["k"], ["v"], version=5)
+
+    as5 = {(r["k"], r["v"]) for r in scd2_as_of(h1, 5).collect()}
+    assert as5 == {(1, "a2"), (3, "c")}
+    as0 = {(r["k"], r["v"]) for r in scd2_as_of(h1, 0).collect()}
+    assert as0 == {(1, "a"), (2, "b")}
+    as3 = {(r["k"], r["v"]) for r in scd2_as_of(h1, 3).collect()}
+    assert as3 == {(1, "a"), (2, "b")}  # still pre-apply at v=3
