@@ -6154,6 +6154,29 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q195_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles
+    (operators/quantiles.weighted_quantiles): per return flag, the
+    quantity-weighted p25/median/p90 of extended price — "the price a
+    unit of quantity sits at", where the unweighted q98 family treats
+    a 1-unit and a 50-unit line the same.  Rows totally ordered by
+    (value, line ids); the running weight sum is a KEYED window in
+    that fixed order, and the group total is the LAST cumulative
+    value — bit-identical sequential additions on both engines, never
+    an unordered double fold.  One keyed sort window + bounded
+    filter-argmins."""
+    from dudb_spark.operators.quantiles import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_lid",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    return weighted_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        [0.25, 0.5, 0.9], id_col="_lid",
+    )
+
+
 def q193_scd2_history(spark, sf_dir):
     """SCD Type-2 history merge (operators/ingest.scd2_apply,
     Kimball): fold a churned customer snapshot into a versioned
@@ -7024,6 +7047,7 @@ QUERIES: dict[str, Callable] = {
     "q192_rolling_active": q192_rolling_active,
     "q193_scd2_history": q193_scd2_history,
     "q194_scd2_time_travel": q194_scd2_time_travel,
+    "q195_weighted_quantiles": q195_weighted_quantiles,
 }
 
 ORACLE: dict[str, str] = {
@@ -11376,6 +11400,40 @@ ORACLE["q193_scd2_history"] = """
            CAST(NULL AS BIGINT)
     FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR NOT same)
     ORDER BY c_custkey, valid_from
+"""
+
+ORACLE["q195_weighted_quantiles"] = """
+    WITH vals AS (
+        SELECT l_returnflag AS g,
+               CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(l_quantity AS DOUBLE) AS w,
+               l_orderkey * 10 + l_linenumber AS id
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_quantity > 0
+    ), cum AS (
+        SELECT g, v, w,
+               SUM(w) OVER (PARTITION BY g ORDER BY v, id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw
+        FROM vals
+    ), totals AS (
+        SELECT g, COUNT(*) AS n_rows, MAX(cw) AS total_weight
+        FROM cum GROUP BY 1
+    ), q25 AS (
+        SELECT c.g, MIN(c.v) AS wq25 FROM cum c JOIN totals t USING (g)
+        WHERE c.cw >= 0.25 * t.total_weight GROUP BY 1
+    ), q50 AS (
+        SELECT c.g, MIN(c.v) AS wq50 FROM cum c JOIN totals t USING (g)
+        WHERE c.cw >= 0.5 * t.total_weight GROUP BY 1
+    ), q90 AS (
+        SELECT c.g, MIN(c.v) AS wq90 FROM cum c JOIN totals t USING (g)
+        WHERE c.cw >= 0.9 * t.total_weight GROUP BY 1
+    )
+    SELECT t.g AS l_returnflag, t.n_rows, t.total_weight,
+           q25.wq25, q50.wq50, q90.wq90
+    FROM totals t JOIN q25 USING (g) JOIN q50 USING (g)
+                  JOIN q90 USING (g)
+    ORDER BY l_returnflag
 """
 
 # q194's oracle IS the v2 snapshot — apply-then-as-of must be the

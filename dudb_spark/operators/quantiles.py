@@ -206,3 +206,69 @@ def grouped_quantiles(
         F.col("n_rows"),
         *[F.col(f"`{i}`").alias(names[i]) for i in range(len(ps))],
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    ps: list[float],
+    names: list[str] | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """EXACT weighted quantiles per group: for each ``p`` the smallest
+    value whose cumulative weight reaches ``p·W`` (the lower weighted
+    quantile, no interpolation) — what "median price weighted by
+    quantity" or "token-budget p90 doc length" actually mean, where
+    the unweighted family treats every row the same.
+
+    Determinism: rows totally ordered by (value, id); the running
+    weight sum is a KEYED window in that order, so the sequential
+    double additions happen in one fixed order on any engine —
+    bit-identical cumulative weights, and the ``cum >= p·W``
+    threshold is formed in the same op order both sides.  NULL and
+    non-positive weights drop (the weighted-sample contract).
+
+    Scale shape: one keyed sort window (spillable) + one ≤|groups|-row
+    totals fold + one bounded filter-argmin per requested quantile —
+    no global windows, no self-joins.
+
+    Returns (group cols..., n_rows, total_weight, <one col per p>)."""
+    names = names or [f"wq{int(round(p * 100))}" for p in ps]
+    wc = F.col(weight_col)
+    vals = df.where(wc.isNotNull() & (wc > 0)).select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("_v"),
+        wc.cast("double").alias("_w"),
+        *( [F.col(id_col).alias("_id")] if id_col else
+           [F.lit(0).alias("_id")] ),
+    )
+    w = (
+        Window.partitionBy(*group_cols).orderBy("_v", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.withColumn("_cw", F.sum("_w").over(w))
+    # total weight = the LAST cumulative value (max of a monotone
+    # column), NOT a separate unordered double fold — the sequential
+    # window order makes it bit-identical on any engine even for
+    # arbitrary double weights
+    totals = cum.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("_cw").alias("total_weight"),
+    )
+    out = totals
+    for p, name in zip(ps, names):
+        hit = (
+            cum.join(
+                F.broadcast(totals.select(*group_cols, "total_weight")),
+                group_cols,
+            )
+            .where(
+                F.col("_cw") >= F.lit(float(p)) * F.col("total_weight")
+            )
+            .groupBy(*group_cols)
+            .agg(F.min("_v").alias(name))
+        )
+        out = out.join(hit, group_cols)
+    return out.orderBy(*group_cols)

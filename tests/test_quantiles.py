@@ -145,3 +145,24 @@ def test_no_group_buffer_in_plan(spark):
     # (group-sized buffer) must NOT appear
     assert "percentile" not in p.lower()
     assert "Window" in p
+
+
+def test_weighted_quantiles_goldens(spark):
+    """Hand-traced: values (1,w1),(2,w1),(10,w8) -> W=10; wq50 crosses
+    at 10 (cum 1,2,10), wq10 at 1, wq20 at 2; zero/NULL weights drop;
+    equal to the unweighted lower quantile when all weights are 1."""
+    from dudb_spark.operators.quantiles import weighted_quantiles
+
+    rows = [("a", 1.0, 1.0, 1), ("a", 2.0, 1.0, 2), ("a", 10.0, 8.0, 3),
+            ("a", 99.0, 0.0, 4), ("a", 77.0, None, 5),
+            ("b", 5.0, 1.0, 6), ("b", 6.0, 1.0, 7)]
+    df = spark.createDataFrame(
+        rows, "g string, v double, w double, i long")
+    got = {r["g"]: r for r in weighted_quantiles(
+        df, ["g"], "v", "w", [0.1, 0.2, 0.5], id_col="i").collect()}
+    a = got["a"]
+    assert (a["n_rows"], a["total_weight"]) == (3, 10.0)
+    assert (a["wq10"], a["wq20"], a["wq50"]) == (1.0, 2.0, 10.0)
+    b = got["b"]
+    # all weights 1: wq50 = the 1st of 2 values (cum 1 >= 0.5*2)
+    assert b["wq50"] == 5.0
