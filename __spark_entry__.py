@@ -6154,6 +6154,24 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q196_activation_latency(spark, sf_dir):
+    """Activation latency (operators/retention.activation_latency):
+    per user, seconds from the FIRST signup to the first purchase at
+    or after it — the funnel q42 counts but doesn't time;
+    never-converting users kept with NULL latency (dropping them
+    silently inflates conversion speed).  Everything integer: epoch
+    seconds, selection mins, one subtraction; two user-keyed
+    filtered min-aggs + one conditional second pass on the same
+    shuffle key — no windows, no as-of join for the first-touch
+    case."""
+    from dudb_spark.operators.retention import activation_latency
+
+    e = _events(spark, sf_dir)
+    return activation_latency(e, "signup", "purchase").withColumnRenamed(
+        "key", "user_id"
+    )
+
+
 def q195_weighted_quantiles(spark, sf_dir):
     """Exact weighted quantiles
     (operators/quantiles.weighted_quantiles): per return flag, the
@@ -7048,6 +7066,7 @@ QUERIES: dict[str, Callable] = {
     "q193_scd2_history": q193_scd2_history,
     "q194_scd2_time_travel": q194_scd2_time_travel,
     "q195_weighted_quantiles": q195_weighted_quantiles,
+    "q196_activation_latency": q196_activation_latency,
 }
 
 ORACLE: dict[str, str] = {
@@ -11400,6 +11419,23 @@ ORACLE["q193_scd2_history"] = """
            CAST(NULL AS BIGINT)
     FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR NOT same)
     ORDER BY c_custkey, valid_from
+"""
+
+ORACLE["q196_activation_latency"] = """
+    WITH fa AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t_from_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), fb AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_to_us
+        FROM events e JOIN fa ON fa.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= fa.t_from_us
+        GROUP BY 1
+    )
+    SELECT fa.user_id, fa.t_from_us, fb.t_to_us,
+           (fb.t_to_us - fa.t_from_us) // 1000000 AS latency_s
+    FROM fa LEFT JOIN fb ON fb.user_id = fa.user_id
+    ORDER BY fa.user_id
 """
 
 ORACLE["q195_weighted_quantiles"] = """

@@ -149,3 +149,65 @@ def rolling_active_users(
         )
         .orderBy("day")
     )
+
+
+def activation_latency(
+    df: DataFrame,
+    from_label: str,
+    to_label: str,
+    key_col: str = "user_id",
+    label_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Activation latency: per key, the seconds from its FIRST
+    ``from_label`` event to its first ``to_label`` event AT OR AFTER
+    it — "signup → first purchase", the funnel metric q42 counts but
+    doesn't time.  Keys that never convert are kept with NULL
+    latency (the denominator matters: dropping them silently inflates
+    conversion speed).
+
+    Exactness: timestamps reduce to integer epoch MICROSECONDS
+    (``unix_micros`` — whole-second reductions silently floor
+    sub-second ordering), mins are selections, the delta an integer
+    subtraction and the seconds column an integer floor-division —
+    nothing floating anywhere.  Scale shape: two label-filtered
+    min-aggregations keyed by user + the conditional second pass for
+    "first B at/after A" — a min over a filtered integer column, one
+    more keyed agg on the same shuffle key; no windows, no as-of
+    join needed for the first-touch case.
+
+    Returns (key, t_from_us, t_to_us, latency_s) — epoch micros,
+    NULLs where the key never converted."""
+    # NTZ-safe: the parquet gate delivers TIMESTAMP_NTZ, which
+    # unix_micros refuses (decayed_activity's same cast)
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lbl = F.col(label_col)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        lbl.alias("_l"),
+        ep.alias("_t"),
+    )
+    first_a = base.where(F.col("_l") == from_label).groupBy("key").agg(
+        F.min("_t").alias("t_from_us")
+    )
+    bs = base.where(F.col("_l") == to_label).select(
+        "key", F.col("_t").alias("_tb")
+    )
+    first_b_after = (
+        bs.join(first_a, "key")
+        .where(F.col("_tb") >= F.col("t_from_us"))
+        .groupBy("key")
+        .agg(F.min("_tb").alias("t_to_us"))
+    )
+    return (
+        first_a.join(first_b_after, "key", "left")
+        .select(
+            "key",
+            "t_from_us",
+            "t_to_us",
+            F.expr("(t_to_us - t_from_us) div 1000000").alias(
+                "latency_s"
+            ),
+        )
+        .orderBy("key")
+    )

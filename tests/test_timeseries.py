@@ -212,3 +212,31 @@ def test_rolling_active_users_goldens(spark):
         "2024-05-05": (1, 1, 1.0),
     }
     assert str(d) in got  # day key is a real date
+
+
+def test_activation_latency_goldens(spark):
+    """User 1 signs up then purchases 90s later (an earlier purchase
+    BEFORE signup must not count); user 2 never purchases -> NULL;
+    user 3 purchases at the same instant -> latency 0; purchase-only
+    users don't report."""
+    import datetime as dt
+
+    from dudb_spark.operators.retention import activation_latency
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def ev(uid, typ, sec):
+        return (uid, typ, t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        ev(1, "purchase", -50), ev(1, "signup", 0), ev(1, "purchase", 90),
+        ev(1, "purchase", 200),
+        ev(2, "signup", 10),
+        ev(3, "signup", 5), ev(3, "purchase", 5),
+        ev(4, "purchase", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    got = {r["key"]: (r["latency_s"], r["t_to_us"] is not None)
+           for r in activation_latency(df, "signup", "purchase").collect()}
+    assert got == {1: (90, True), 2: (None, False), 3: (0, True)}
