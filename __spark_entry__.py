@@ -6154,6 +6154,23 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q197_part_basket_lift(spark, sf_dir):
+    """The q190 association operator at ITEM-vocabulary cardinality
+    (operators/timeseries.cooccurrence_lift over order→part baskets):
+    parts co-purchased in ≥2 orders, with support and lift.  What
+    changes at this scale: pair fan-out is bounded by BASKET size
+    (≤7 lines/order), the min-support threshold prunes the pair
+    frame BEFORE the singles joins, and the vocabulary-sized singles
+    frame carries NO broadcast hint — AQE sizes that join (a
+    200M-item catalog must not OOM the driver)."""
+    from dudb_spark.operators.timeseries import cooccurrence_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_lift(
+        li, key_col="l_orderkey", label_col="l_partkey", min_count=2
+    )
+
+
 def q196_activation_latency(spark, sf_dir):
     """Activation latency (operators/retention.activation_latency):
     per user, seconds from the FIRST signup to the first purchase at
@@ -7067,6 +7084,7 @@ QUERIES: dict[str, Callable] = {
     "q194_scd2_time_travel": q194_scd2_time_travel,
     "q195_weighted_quantiles": q195_weighted_quantiles,
     "q196_activation_latency": q196_activation_latency,
+    "q197_part_basket_lift": q197_part_basket_lift,
 }
 
 ORACLE: dict[str, str] = {
@@ -11421,6 +11439,30 @@ ORACLE["q193_scd2_history"] = """
     ORDER BY c_custkey, valid_from
 """
 
+ORACLE["q197_part_basket_lift"] = """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ), nk AS (
+        SELECT COUNT(DISTINCT k) AS nk FROM basket
+    ), singles AS (
+        SELECT p, COUNT(*) AS n FROM basket GROUP BY 1
+    ), pairs AS (
+        SELECT a.p AS label_a, b.p AS label_b, COUNT(*) AS n_both
+        FROM basket a JOIN basket b ON a.k = b.k AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.label_a, p.label_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(p.n_both AS DOUBLE) / nk.nk, 9) AS support,
+           ROUND((CAST(p.n_both AS DOUBLE) * nk.nk)
+                 / (CAST(sa.n AS DOUBLE) * sb.n), 9) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.p = p.label_a
+    JOIN singles sb ON sb.p = p.label_b
+    CROSS JOIN nk
+    ORDER BY label_a, label_b
+"""
+
 ORACLE["q196_activation_latency"] = """
     WITH fa AS (
         SELECT user_id, MIN(epoch_us(ts)) AS t_from_us
@@ -12271,7 +12313,7 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
             "q151_sketch_source_overlap", "q152_cms_meanmin",
             "q157_bigram_lm_score", "q163_kmv_set_overlap",
             "q174_rrf_hybrid_fusion", "q177_partition_modularity",
-            "q190_cooccurrence_lift",
+            "q190_cooccurrence_lift", "q197_part_basket_lift",
         )
     },
     "q158_stratified_budget": {

@@ -207,6 +207,7 @@ def cooccurrence_lift(
     df: DataFrame,
     key_col: str = "user_id",
     label_col: str = "event_type",
+    min_count: int = 1,
 ) -> DataFrame:
     """Market-basket association over per-key label sets: for every
     unordered label pair, how many keys exhibit BOTH, with support
@@ -221,10 +222,15 @@ def cooccurrence_lift(
 
     Scale shape: the basket frame is the DISTINCT (key, label)
     projection (one shuffle); the pair stage self-joins it on the key
-    — per-key fan-out is |labels per key|², bounded by the LABEL
-    vocabulary (not the event count), the same bounded-key argument
-    as the LSH band join.  Totals ride broadcast single-row/label
-    frames."""
+    — per-key fan-out is |labels per key|² (bounded by basket size),
+    the same bounded-key argument as the LSH band join.
+    ``min_count`` prunes rare pairs BEFORE the singles joins (the
+    association-rule support threshold — without it an items-style
+    vocabulary emits every co-purchase once).  The singles frame is
+    vocabulary-sized, so it carries NO broadcast hint — AQE sizes
+    that join (a 200M-item catalog must not OOM the driver; the
+    round-10 leakage_free_split rule); only the single-row key total
+    is hint-broadcast."""
     basket = df.select(key_col, label_col).distinct()
     # total-key count rides the plan as a broadcast single-row frame
     # (no driver-side action; the q106/q177 scalar pattern)
@@ -245,11 +251,12 @@ def cooccurrence_lift(
         .where(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_count)
     )
-    sa = F.broadcast(singles.select(
-        F.col(label_col).alias("label_a"), F.col("_n").alias("n_a")))
-    sb = F.broadcast(singles.select(
-        F.col(label_col).alias("label_b"), F.col("_n").alias("n_b")))
+    sa = singles.select(
+        F.col(label_col).alias("label_a"), F.col("_n").alias("n_a"))
+    sb = singles.select(
+        F.col(label_col).alias("label_b"), F.col("_n").alias("n_b"))
     return (
         pairs.join(sa, "label_a")
         .join(sb, "label_b")

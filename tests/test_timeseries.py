@@ -240,3 +240,18 @@ def test_activation_latency_goldens(spark):
     got = {r["key"]: (r["latency_s"], r["t_to_us"] is not None)
            for r in activation_latency(df, "signup", "purchase").collect()}
     assert got == {1: (90, True), 2: (None, False), 3: (0, True)}
+
+
+def test_cooccurrence_lift_min_count(spark):
+    """min_count prunes rare pairs before the singles joins; counts
+    and lifts of survivors are unchanged vs the unpruned run."""
+    from dudb_spark.operators.timeseries import cooccurrence_lift
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    full = {(r["label_a"], r["label_b"]): r["n_both"]
+            for r in cooccurrence_lift(df).collect()}
+    pruned = {(r["label_a"], r["label_b"]): r["n_both"]
+              for r in cooccurrence_lift(df, min_count=2).collect()}
+    assert full == {("a", "b"): 2, ("a", "c"): 1}
+    assert pruned == {("a", "b"): 2}
