@@ -6154,6 +6154,29 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q198_rank_blend(spark, sf_dir):
+    """Percentile-rank signal ensembling
+    (operators/quantiles.rank_normalize): quality score (w=2) and
+    token count (w=1) each mapped to its corpus percentile (min-rank:
+    fraction of other docs strictly below) and blended — the
+    RefinedWeb-style combiner robust to any monotone rescaling of
+    any signal.  Per signal one value-frequency fold + the two-phase
+    range-partitioned cumsum (no unpartitioned window anywhere);
+    exact integer count-of-smaller, percentile and blend in one
+    fixed double op order."""
+    from dudb_spark.operators.quantiles import rank_normalize
+    from dudb_spark.pipeline.text import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return rank_normalize(
+        d, ["quality", "n_tokens"], "doc_id", weights=[2.0, 1.0]
+    )
+
+
 def q197_part_basket_lift(spark, sf_dir):
     """The q190 association operator at ITEM-vocabulary cardinality
     (operators/timeseries.cooccurrence_lift over order→part baskets):
@@ -7085,6 +7108,7 @@ QUERIES: dict[str, Callable] = {
     "q195_weighted_quantiles": q195_weighted_quantiles,
     "q196_activation_latency": q196_activation_latency,
     "q197_part_basket_lift": q197_part_basket_lift,
+    "q198_rank_blend": q198_rank_blend,
 }
 
 ORACLE: dict[str, str] = {
@@ -11439,6 +11463,54 @@ ORACLE["q193_scd2_history"] = """
     ORDER BY c_custkey, valid_from
 """
 
+ORACLE["q198_rank_blend"] = r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               ROUND((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                      + CAST(length(regexp_replace(
+                            text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1)
+                      + CASE WHEN len(t) BETWEEN 20 AND 2000 THEN 1.0
+                             WHEN len(t) < 20
+                                 THEN CAST(len(t) AS DOUBLE) / 20
+                             ELSE 0.5 END) / 3, 6) AS quality,
+               len(t) AS n_tokens
+        FROM base
+    ), s2 AS (
+        SELECT * FROM sig
+        WHERE quality IS NOT NULL AND n_tokens IS NOT NULL
+    ), n AS (SELECT COUNT(*) AS n FROM s2),
+    cq AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) - c AS sm FROM (
+            SELECT quality AS v, COUNT(*) AS c FROM s2 GROUP BY 1)
+    ), ct AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) - c AS sm FROM (
+            SELECT n_tokens AS v, COUNT(*) AS c FROM s2 GROUP BY 1)
+    )
+    SELECT s.doc_id,
+           ROUND(CASE WHEN n.n > 1
+                      THEN CAST(cq.sm AS DOUBLE) / (n.n - 1)
+                      ELSE 0.0 END, 9) AS quality_pct,
+           ROUND(CASE WHEN n.n > 1
+                      THEN CAST(ct.sm AS DOUBLE) / (n.n - 1)
+                      ELSE 0.0 END, 9) AS n_tokens_pct,
+           ROUND((CASE WHEN n.n > 1
+                       THEN CAST(cq.sm AS DOUBLE) / (n.n - 1)
+                       ELSE 0.0 END * 2.0
+                  + CASE WHEN n.n > 1
+                         THEN CAST(ct.sm AS DOUBLE) / (n.n - 1)
+                         ELSE 0.0 END * 1.0) / 3.0, 9) AS blended
+    FROM s2 s JOIN cq ON cq.v = s.quality
+              JOIN ct ON ct.v = s.n_tokens
+    CROSS JOIN n
+    ORDER BY s.doc_id
+"""
+
 ORACLE["q197_part_basket_lift"] = """
     WITH basket AS (
         SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
@@ -12314,6 +12386,7 @@ PLAN_LINT_ALLOW: dict[str, dict[str, str]] = {
             "q157_bigram_lm_score", "q163_kmv_set_overlap",
             "q174_rrf_hybrid_fusion", "q177_partition_modularity",
             "q190_cooccurrence_lift", "q197_part_basket_lift",
+            "q198_rank_blend",
         )
     },
     "q158_stratified_budget": {

@@ -272,3 +272,72 @@ def weighted_quantiles(
         )
         out = out.join(hit, group_cols)
     return out.orderBy(*group_cols)
+
+
+def rank_normalize(
+    df: DataFrame,
+    signal_cols: list[str],
+    id_col: str,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Percentile-rank normalization + weighted blend of quality
+    signals — the RefinedWeb-style ensembling move: raw signals live
+    on incomparable scales (a log-prob, a ratio, a token count), so
+    each is mapped to its corpus percentile (min-rank semantics:
+    fraction of OTHER rows strictly below) and the blend is a
+    weighted mean of percentiles, robust to any monotone rescaling of
+    any signal.
+
+    Exactness: per signal ONE value-frequency fold, then the
+    two-phase range-partitioned cumsum (operators/prefix.
+    distributed_cumsum — distinct values are unique, so the order is
+    total) gives each VALUE its exact integer count-of-smaller;
+    percentile = smaller/(n−1) and the blend are formed in one fixed
+    double op order.  Rows with a NULL in any signal drop (document
+    upstream imputation instead of silently ranking NULL).  No
+    unpartitioned windows anywhere; joins back to rows are
+    value-keyed.
+
+    Returns (id, <sig>_pct per signal, blended) sorted by id."""
+    weights = weights or [1.0] * len(signal_cols)
+    if len(weights) != len(signal_cols):
+        raise ValueError("one weight per signal")
+    from dudb_spark.operators.prefix import distributed_cumsum
+
+    # materialize the narrow (id, signals) frame ONCE: every signal's
+    # frequency fold and value-join re-reads it, and when signals are
+    # computed expressions (tokenizer scores) re-evaluating them per
+    # reference would re-scan and re-tokenize the corpus 2·|signals|
+    # times (the BPE localCheckpoint discipline)
+    base = (
+        df.select(id_col, *signal_cols)
+        .na.drop(subset=signal_cols)
+        .localCheckpoint()
+    )
+    nr = base.agg(F.count(F.lit(1)).alias("_n"))
+    out = base
+    for s in signal_cols:
+        freq = base.groupBy(s).agg(F.count(F.lit(1)).alias("_c"))
+        cum = distributed_cumsum(freq, s, "_c", out="_cum")
+        out = out.join(
+            cum.select(
+                s, (F.col("_cum") - F.col("_c")).alias(f"_sm_{s}")
+            ),
+            s,
+        )
+    out = out.crossJoin(F.broadcast(nr))
+    wsum = float(sum(weights))
+    pcts = {
+        s: F.when(F.col("_n") > 1,
+                  F.col(f"_sm_{s}").cast("double") / (F.col("_n") - 1)
+                  ).otherwise(F.lit(0.0))
+        for s in signal_cols
+    }
+    blend = pcts[signal_cols[0]] * F.lit(float(weights[0]))
+    for s, w in zip(signal_cols[1:], weights[1:]):
+        blend = blend + pcts[s] * F.lit(float(w))
+    return out.select(
+        id_col,
+        *[F.round(pcts[s], 9).alias(f"{s}_pct") for s in signal_cols],
+        F.round(blend / F.lit(wsum), 9).alias("blended"),
+    ).orderBy(id_col)

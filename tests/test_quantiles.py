@@ -166,3 +166,33 @@ def test_weighted_quantiles_goldens(spark):
     b = got["b"]
     # all weights 1: wq50 = the 1st of 2 values (cum 1 >= 0.5*2)
     assert b["wq50"] == 5.0
+
+
+def test_rank_normalize_goldens(spark):
+    """Min-rank percentiles with ties: values (10,20,20,30) -> smaller
+    counts (0,1,1,3)/(n-1)=3; blend is the weighted mean; NULL-signal
+    rows drop; monotone rescaling of a signal changes nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dudb_spark.operators.quantiles import rank_normalize
+
+    rows = [(1, 10.0, 5), (2, 20.0, 1), (3, 20.0, 9), (4, 30.0, 3),
+            (5, None, 7)]
+    df = spark.createDataFrame(rows, "id long, a double, b long")
+    got = {r["id"]: (r["a_pct"], r["b_pct"], r["blended"])
+           for r in rank_normalize(df, ["a", "b"], "id",
+                                   weights=[3.0, 1.0]).collect()}
+    assert 5 not in got
+    assert got[1][0] == 0.0 and got[4][0] == 1.0
+    assert got[2][0] == got[3][0] == pytest.approx(1 / 3, abs=1e-9)
+    # b values 5,1,9,3 -> smaller 2,0,3,1 over n-1=3
+    assert got[2][1] == 0.0 and got[3][1] == 1.0
+    assert got[1][2] == pytest.approx(
+        (0.0 * 3 + (2 / 3) * 1) / 4, abs=1e-9)
+
+    # rescale signal a monotonically: percentiles identical
+    df2 = df.withColumn("a", F.col("a") * F.col("a"))
+    got2 = {r["id"]: r["a_pct"] for r in rank_normalize(
+        df2, ["a", "b"], "id", weights=[3.0, 1.0]).collect()}
+    assert {k: v[0] for k, v in got.items()} == got2
