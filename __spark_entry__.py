@@ -6154,6 +6154,20 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q199_volume_trend(spark, sf_dir):
+    """Per-type OLS trend of daily event volume
+    (operators/timeseries.volume_trend): slope/intercept/r² of
+    count-vs-day — the growth/decay monitor complementing q159's
+    spike detector.  x = integer epoch day, y = integer daily count,
+    all six OLS sums exact int64 (the q178 pattern); slope/intercept/
+    r² formed in one fixed double op order, degenerate single-day
+    keys NULL.  Two shuffles, |keys|-bounded output."""
+    from dudb_spark.operators.timeseries import volume_trend
+
+    e = _events(spark, sf_dir)
+    return volume_trend(e).withColumnRenamed("key", "event_type")
+
+
 def q198_rank_blend(spark, sf_dir):
     """Percentile-rank signal ensembling
     (operators/quantiles.rank_normalize): quality score (w=2) and
@@ -7109,6 +7123,7 @@ QUERIES: dict[str, Callable] = {
     "q196_activation_latency": q196_activation_latency,
     "q197_part_basket_lift": q197_part_basket_lift,
     "q198_rank_blend": q198_rank_blend,
+    "q199_volume_trend": q199_volume_trend,
 }
 
 ORACLE: dict[str, str] = {
@@ -11461,6 +11476,56 @@ ORACLE["q193_scd2_history"] = """
            CAST(NULL AS BIGINT)
     FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR NOT same)
     ORDER BY c_custkey, valid_from
+"""
+
+ORACLE["q199_volume_trend"] = """
+    WITH daily AS (
+        SELECT event_type AS key,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS x,
+               COUNT(*) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), s AS (
+        SELECT key, COUNT(*) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM daily GROUP BY 1
+    )
+    SELECT key AS event_type, n_days,
+           CASE WHEN (CAST(n_days AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx) <> 0
+                THEN ROUND((CAST(n_days AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n_days AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx), 9)
+           END AS slope,
+           CASE WHEN (CAST(n_days AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx) <> 0
+                THEN ROUND((CAST(sy AS DOUBLE)
+                            - ((CAST(n_days AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / (CAST(n_days AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx)) * sx)
+                           / CAST(n_days AS DOUBLE), 9)
+           END AS intercept,
+           CASE WHEN (CAST(n_days AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx) <> 0
+                 AND (CAST(n_days AS DOUBLE) * syy
+                      - CAST(sy AS DOUBLE) * sy) <> 0
+                THEN ROUND(((CAST(n_days AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy)
+                            * (CAST(n_days AS DOUBLE) * sxy
+                               - CAST(sx AS DOUBLE) * sy))
+                           / ((CAST(n_days AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n_days AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy)), 9)
+           END AS r2
+    FROM s
+    ORDER BY event_type
 """
 
 ORACLE["q198_rank_blend"] = r"""

@@ -278,3 +278,56 @@ def cooccurrence_lift(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def volume_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key OLS trend of daily event volume: slope (events/day),
+    intercept and r² of count-vs-day — the "is this segment growing
+    or dying" monitor, and the alerting companion to q159's
+    level-anomaly detector (that flags spikes, this flags drifts).
+
+    The q178 exactness pattern: x is the integer epoch-day index and
+    y the integer daily count, so n, Σx, Σy, Σxy, Σx², Σy² all fold
+    as exact int64; slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept and
+    r² are then formed in ONE fixed double op order and rounded to 9.
+    Degenerate keys (a single active day: zero x-variance) report
+    NULL slope/intercept/r².  Scale shape: one (key, day) count fold,
+    one key-keyed sum fold — two shuffles, no windows, output
+    bounded by |keys|."""
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.datediff(
+                F.to_date(ts_col), F.lit("1970-01-01")
+            ).alias("_x"),
+        )
+        .agg(F.count(F.lit(1)).alias("_y"))
+    )
+    s = daily.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_days").cast("double")
+    dx = n * F.col("_sxx") - F.col("_sx").cast("double") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy").cast("double") * F.col("_sy")
+    num = n * F.col("_sxy") - F.col("_sx").cast("double") * F.col("_sy")
+    slope = num / dx
+    intercept = (F.col("_sy").cast("double") - slope * F.col("_sx")) / n
+    return s.select(
+        "key",
+        "n_days",
+        F.when(dx != 0, F.round(slope, 9)).alias("slope"),
+        F.when(dx != 0, F.round(intercept, 9)).alias("intercept"),
+        F.when(
+            (dx != 0) & (dy != 0), F.round(num * num / (dx * dy), 9)
+        ).alias("r2"),
+    ).orderBy("key")

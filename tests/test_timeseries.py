@@ -255,3 +255,29 @@ def test_cooccurrence_lift_min_count(spark):
               for r in cooccurrence_lift(df, min_count=2).collect()}
     assert full == {("a", "b"): 2, ("a", "c"): 1}
     assert pruned == {("a", "b"): 2}
+
+
+def test_volume_trend_goldens(spark):
+    """A perfectly linear ramp (1,2,3 events on days 0,1,2) fits
+    slope 1, intercept 1, r2 1; a constant series fits slope 0 with
+    NULL r2 (zero y-variance); a single-day key is NULL-degenerate."""
+    import datetime as dt
+
+    from dudb_spark.operators.timeseries import volume_trend
+
+    rows = []
+    for day, cnt in ((1, 1), (2, 2), (3, 3)):
+        rows += [("ramp", dt.datetime(1970, 1, day, 8))] * cnt
+    for day in (1, 2, 3):
+        rows += [("flat", dt.datetime(1970, 1, day, 9))] * 2
+    rows += [("one", dt.datetime(1970, 1, 5, 10))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["key"]: r for r in volume_trend(df).collect()}
+    ramp = got["ramp"]
+    assert (ramp["n_days"], ramp["slope"], ramp["intercept"],
+            ramp["r2"]) == (3, 1.0, 1.0, 1.0)
+    flat = got["flat"]
+    assert (flat["slope"], flat["intercept"], flat["r2"]) == (
+        0.0, 2.0, None)
+    one = got["one"]
+    assert (one["n_days"], one["slope"], one["r2"]) == (1, None, None)
