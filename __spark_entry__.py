@@ -6154,6 +6154,40 @@ def q187_frame_energy(spark, sf_dir):
     )
 
 
+def q200_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition — the operators in the order a
+    real pipeline runs them: (1) the q191 dup-synthesized corpus,
+    (2) q179's blocklist gate (density ≤ 0.08, hits ≤ 10), (3)
+    quality-aware canonical dedup (q191) OVER THE SURVIVORS ONLY —
+    order matters: dedup before filtering could crown a copy the
+    blocklist then kills, silently dropping content.  Returns the
+    final kept manifest (doc_id, q_micro).  Each stage keeps its own
+    certified plan shape (scan-side gate; fingerprint agg + join);
+    the oracle replays the whole chain."""
+    from dudb_spark.pipeline.dedup import canonical_keep
+    from dudb_spark.pipeline.text import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    padded = d.where(F.col("doc_id") % 25 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.regexp_replace("text", " ", "  ").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(padded)
+    bl = blocklist_filter(
+        corpus, ["slow", "hash", "big", "merge"],
+        max_density=0.08, max_hits=10,
+    )
+    surv = corpus.join(
+        bl.where("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    return (
+        canonical_keep(surv)
+        .where("kept")
+        .select(F.col("id").alias("doc_id"), "q_micro")
+        .orderBy("doc_id")
+    )
+
+
 def q199_volume_trend(spark, sf_dir):
     """Per-type OLS trend of daily event volume
     (operators/timeseries.volume_trend): slope/intercept/r² of
@@ -7124,6 +7158,7 @@ QUERIES: dict[str, Callable] = {
     "q197_part_basket_lift": q197_part_basket_lift,
     "q198_rank_blend": q198_rank_blend,
     "q199_volume_trend": q199_volume_trend,
+    "q200_curation_pipeline": q200_curation_pipeline,
 }
 
 ORACLE: dict[str, str] = {
@@ -11476,6 +11511,60 @@ ORACLE["q193_scd2_history"] = """
            CAST(NULL AS BIGINT)
     FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR NOT same)
     ORDER BY c_custkey, valid_from
+"""
+
+ORACLE["q200_curation_pipeline"] = r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id, replace(text, ' ', '  ') AS text
+        FROM documents WHERE doc_id % 25 = 0
+    ), tk AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           t -> t <> '') AS tok
+        FROM corpus
+    ), bl AS (
+        SELECT doc_id, text, tok,
+               len(tok) AS n_tokens,
+               len(list_filter(tok, t -> list_contains(
+                   ['big', 'hash', 'merge', 'slow'], lower(t))))
+                   AS n_hits
+        FROM tk
+    ), surv AS (
+        SELECT doc_id, text, tok FROM bl
+        WHERE (CASE WHEN n_tokens > 0
+                    THEN ROUND(CAST(n_hits AS DOUBLE) / n_tokens, 9)
+                    ELSE 0.0 END) <= 0.08
+          AND n_hits <= 10
+    ), m AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS fp,
+               len(tok) AS n_tokens,
+               CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok)
+                   AS ttr,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / greatest(length(text), 1) AS alpha,
+               CASE WHEN len(tok) BETWEEN 20 AND 2000 THEN 1.0
+                    WHEN len(tok) < 20
+                        THEN CAST(len(tok) AS DOUBLE) / 20
+                    ELSE 0.5 END AS len_band
+        FROM surv
+    ), scored AS (
+        SELECT doc_id AS id, fp,
+               CAST(ROUND(ROUND((ttr + alpha + len_band) / 3, 6)
+                          * 1000000) AS BIGINT) AS q_micro
+        FROM m
+    ), win AS (
+        SELECT id AS canonical_id, fp FROM (
+            SELECT id, fp, ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY q_micro DESC, id) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT s.id AS doc_id, s.q_micro
+    FROM scored s JOIN win w ON w.fp = s.fp AND w.canonical_id = s.id
+    ORDER BY doc_id
 """
 
 ORACLE["q199_volume_trend"] = """
