@@ -311,6 +311,25 @@ def _stats_fold_update(cat, prev_stats, touched, opts, churn_threshold,
     t = cat.tables()
     prev_v = prev_stats.meta["snapshot_version"]
     prev_t = cat.tables(prev_v)
+
+    # DELTA-chain versions reconstruct lazily (DeltaTables: base scan +
+    # one apply_changes join stack per delta).  Handing that PLAN to the
+    # fold re-executes the whole reconstruction in EVERY downstream job
+    # — the closure alone runs ~12 sequential jobs, and the plan itself
+    # deepens with chain length, so per-batch cost grows superlinearly
+    # (measured on a 4-file tree: 35 s at chain 1 → ~330 s at chain 2 →
+    # worse at chain 3; the r11 watch-apply gate blow-up).  Materialize
+    # the reconstruction ONCE per fold — localCheckpoint truncates the
+    # growing plan too, which is where the time actually goes.  Full
+    # snapshots stay raw parquet scans (nothing to pin).
+    def _pin_delta(tbl, ver):
+        if ver and cat.is_delta(ver):
+            return (tbl.prefixes.localCheckpoint(),
+                    tbl.entries.localCheckpoint())
+        return tbl.prefixes, tbl.entries
+
+    cur_v = cat.latest_version()
+    t_prefixes, t_entries = _pin_delta(t, cur_v)
     n_touched = touched.count()
     # tree size from snapshot metadata (catalog.prefix_rows): zero jobs,
     # and — critically — no reconstruction of a delta-chain version,
@@ -327,7 +346,7 @@ def _stats_fold_update(cat, prev_stats, touched, opts, churn_threshold,
             "plan (--churn-threshold 0 forces the incremental closure)",
             file=sys.stderr,
         )
-        return compute_stats(t.prefixes, t.entries, opts)
+        return compute_stats(t_prefixes, t_entries, opts)
     # both snapshots stored bucketed with the same width → hand the
     # raw (pb-carrying) scans to the closure so its path probes
     # partition-prune to the churn's buckets
@@ -356,12 +375,13 @@ def _stats_fold_update(cat, prev_stats, touched, opts, churn_threshold,
             " --layout bucketed` to enable pruned probes",
             file=sys.stderr,
         )
+    prev_prefixes, prev_entries = _pin_delta(prev_t, prev_v)
     return incremental_stats(
         prev_stats,
-        prev_t.read_raw("prefixes") if buckets else prev_t.prefixes,
-        prev_t.read_raw("entries") if buckets else prev_t.entries,
-        t.read_raw("prefixes") if buckets else t.prefixes,
-        t.read_raw("entries") if buckets else t.entries,
+        prev_t.read_raw("prefixes") if buckets else prev_prefixes,
+        prev_t.read_raw("entries") if buckets else prev_entries,
+        t.read_raw("prefixes") if buckets else t_prefixes,
+        t.read_raw("entries") if buckets else t_entries,
         touched, opts,
         pin_inputs=False,  # stored snapshot scans — nothing to pin
         path_buckets=buckets,

@@ -785,8 +785,16 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
     # SEEDED semantics pin: batch 0 prints the reconciliation diff
     # (pre.dat), NOT the whole tree (x.log is in the stored snapshot
     # and unchanged — it must never appear in the feed).
+    # Deadlines are CORRECTNESS bounds only (does batch 0 ever emit /
+    # does --max-batches ever stop), not latency pins: a watch batch is
+    # dozens of sequential driver jobs, and job-submission latency
+    # drifts 2-4x across host windows with byte-identical code
+    # (BENCH_NOTES round-10/11 — the calib_jobs_sec anchor exists for
+    # exactly this class).  The r11 window where jobs ran at 4x the
+    # record anchor blew the old 120 s bound with the behavior fully
+    # correct; scale generously, the behavioral asserts are unchanged.
     out = ""
-    deadline = time.time() + 120
+    deadline = time.time() + 480
     while "pre.dat" not in out:
         assert time.time() < deadline, f"no batch-0 reconcile output:\n{out}"
         assert wt.is_alive() or not err, err
@@ -796,7 +804,7 @@ def test_cli_watch_apply_continuous_ingest(spark, real_tree, tmp_path,
     with open(f"{real_tree}/proj/a/new.dat", "w") as f:
         f.write("fresh")
     os.unlink(f"{real_tree}/proj/b/z.log")
-    wt.join(timeout=180)
+    wt.join(timeout=600)
     assert not wt.is_alive(), "watch --apply did not stop at max-batches"
     assert not err, err
     # ≥3 versions: the batch-0 reconciliation landed pre.dat, a later
