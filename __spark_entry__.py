@@ -6851,6 +6851,13 @@ def _coactivity_edges(spark, sf_dir, threshold: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_shared"))
         .where(F.col("_shared") >= threshold)
         .select("src", "dst")
+        # materialize ONCE: the slot self-join is the expensive stage,
+        # and every graph consumer references the edge frame from
+        # several plan branches (modularity 3x, triangle orientation
+        # 3x, degree+stub folds) — without the pin the q177 plan
+        # embedded this join 4 TIMES (8 events scans; r11 plan audit,
+        # plans/r11/q177_before.txt)
+        .localCheckpoint()
     )
 
 

@@ -248,7 +248,11 @@ def weighted_quantiles(
         Window.partitionBy(*group_cols).orderBy("_v", "_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = vals.withColumn("_cw", F.sum("_w").over(w))
+    # pinned: the sorted cumulative frame feeds the totals fold AND the
+    # quantile selection — unpinned, the spillable sort window executed
+    # once per consumer (r11: 4 window sorts of the whole input for 3
+    # quantiles; now exactly one)
+    cum = vals.withColumn("_cw", F.sum("_w").over(w)).localCheckpoint()
     # total weight = the LAST cumulative value (max of a monotone
     # column), NOT a separate unordered double fold — the sequential
     # window order makes it bit-identical on any engine even for
@@ -257,21 +261,30 @@ def weighted_quantiles(
         F.count(F.lit(1)).alias("n_rows"),
         F.max("_cw").alias("total_weight"),
     )
-    out = totals
-    for p, name in zip(ps, names):
-        hit = (
-            cum.join(
-                F.broadcast(totals.select(*group_cols, "total_weight")),
-                group_cols,
-            )
-            .where(
-                F.col("_cw") >= F.lit(float(p)) * F.col("total_weight")
-            )
-            .groupBy(*group_cols)
-            .agg(F.min("_v").alias(name))
+    # ALL requested quantiles fold in ONE pass as conditional argmins
+    # (min over a when-guard ≡ min over the filtered frame): was one
+    # broadcast-join + filter + agg + equi-join PER p — for every p in
+    # (0, 1] the last row of a group satisfies _cw = W ≥ p·W, so each
+    # conditional min is non-NULL and the rewrite is value-identical
+    # to the old per-p inner joins
+    hit = (
+        cum.join(
+            F.broadcast(totals.select(*group_cols, "total_weight")),
+            group_cols,
         )
-        out = out.join(hit, group_cols)
-    return out.orderBy(*group_cols)
+        .groupBy(*group_cols)
+        .agg(*[
+            F.min(
+                F.when(
+                    F.col("_cw")
+                    >= F.lit(float(p)) * F.col("total_weight"),
+                    F.col("_v"),
+                )
+            ).alias(name)
+            for p, name in zip(ps, names)
+        ])
+    )
+    return totals.join(hit, group_cols).orderBy(*group_cols)
 
 
 def rank_normalize(

@@ -559,13 +559,32 @@ def similarity_join_exact(
         + F.lit(1)
     )
     pref = sets.select(
-        "id", F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
+        "id", n.alias("nk"),
+        F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
         .alias("k"),
     )
+    # LENGTH FILTER (All-Pairs/PPJoin): J(x,y) ≥ t forces
+    # min(|x|,|y|) ≥ t·max(|x|,|y|) (|∩| ≤ min, |∪| ≥ max) — a
+    # provably-redundant integer predicate on the candidate pair that
+    # prunes size-mismatched pairs BEFORE the fat shingle arrays are
+    # shuffled through the verification joins (r11: the verify stage
+    # carried 299k candidate pairs × ~52-element int64 arrays and
+    # dominated q168's time; the filter costs one int compare per
+    # candidate row).  Verification below is unchanged, so the result
+    # set is identical by the pigeonhole/length lemmas.
     cand = (
-        pref.select(F.col("id").alias("id_a"), "k")
-        .join(pref.select(F.col("id").alias("id_b"), "k"), "k")
-        .where(F.col("id_a") < F.col("id_b"))
+        pref.select(F.col("id").alias("id_a"), F.col("nk").alias("_na"),
+                    "k")
+        .join(
+            pref.select(F.col("id").alias("id_b"),
+                        F.col("nk").alias("_nb"), "k"),
+            "k",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("_na", "_nb") * F.lit(1_000_000)
+               >= F.lit(tn) * F.greatest("_na", "_nb"))
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1039,13 +1058,31 @@ def containment_join_exact(
         + F.lit(1)
     )
     pref = sets.select(
-        "id", F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
+        "id", n.alias("nk"),
+        F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
         .alias("k"),
     )
+    # LENGTH FILTER (asymmetric): C(A,B) ≥ t forces |B| ≥ t·|A|
+    # (|∩| ≤ |B| and |∩| ≥ t·|A|) — redundant with the verify below,
+    # so the result is identical, but it prunes small-container pairs
+    # BEFORE the fat shingle arrays ship through the verification
+    # joins.  |B| rides the all-token side for free via size(base).
+    keyed_sz = base.select(
+        F.col("id").alias("id_b"), F.size("base").alias("_nb"),
+        F.explode("base").alias("h"),
+    ).join(freq, "h").select(
+        "id_b", "_nb",
+        (F.col("_df") * F.lit(1 << 31) + F.col("h")).alias("k"),
+    )
     cand = (
-        pref.select(F.col("id").alias("id_a"), "k")
-        .join(keyed.select(F.col("id").alias("id_b"), "k"), "k")
-        .where(F.col("id_a") != F.col("id_b"))
+        pref.select(F.col("id").alias("id_a"), F.col("nk").alias("_na"),
+                    "k")
+        .join(keyed_sz, "k")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("_nb") * F.lit(1_000_000)
+               >= F.lit(tn) * F.col("_na"))
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1106,7 +1143,6 @@ def cross_containment_join(
     )
     key = (F.col("_df") * F.lit(1 << 31) + F.col("h")).alias("k")
     keyed_a = ex_a.join(freq, "h").select("id", key)
-    keyed_b = ex_b.join(freq, "h").select("id", key)
     sets_a = keyed_a.groupBy("id").agg(
         F.sort_array(F.collect_list("k")).alias("ks")
     )
@@ -1116,12 +1152,24 @@ def cross_containment_join(
         + F.lit(1)
     )
     pref = sets_a.select(
-        "id", F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
+        "id", n.alias("nk"),
+        F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
         .alias("k"),
     )
+    # asymmetric length filter, as in containment_join_exact: |B| ≥
+    # t·|A| is implied by the verify, pruning BEFORE the array joins
+    keyed_b_sz = base_b.select(
+        F.col("id").alias("id_b"), F.size("base").alias("_nb"),
+        F.explode("base").alias("h"),
+    ).join(freq, "h").select(
+        "id_b", "_nb",
+        (F.col("_df") * F.lit(1 << 31) + F.col("h")).alias("k"),
+    )
     cand = (
-        pref.select(F.col("id").alias("id_a"), "k")
-        .join(keyed_b.select(F.col("id").alias("id_b"), "k"), "k")
+        pref.select(F.col("id").alias("id_a"), F.col("nk").alias("_na"),
+                    "k")
+        .join(keyed_b_sz, "k")
+        .where(F.col("_nb") * F.lit(1_000_000) >= F.lit(tn) * F.col("_na"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -135,10 +135,15 @@ def triangle_counts(
     (least/greatest skip NULLs, collapsing such a row to a
     self-loop)."""
     s, d = F.col(src_col), F.col(dst_col)
-    # canonicalize: self-loops dropped, reversed duplicates collapse
+    # canonicalize: self-loops dropped, reversed duplicates collapse.
+    # Pinned (localCheckpoint): the canonical edge set feeds THREE plan
+    # branches (both degree stubs + the orientation join) — unpinned,
+    # each branch re-executes the upstream edge construction (r11 plan
+    # audit: q172's plan was 760 exchange lines deep, the co-activity
+    # join replicated per branch)
     und = edges.select(
         F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
-    ).where(F.col("a") != F.col("b")).distinct()
+    ).where(F.col("a") != F.col("b")).distinct().localCheckpoint()
     deg = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))
@@ -151,12 +156,15 @@ def triangle_counts(
     a_first = (F.col("_dega") < F.col("_degb")) | (
         (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
     )
+    # pinned: the oriented edge frame is read three times (wedge sides
+    # e1/e2 + the closing join) — one O(m) materialization vs three
+    # executions of the degree-attach join
     o = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("_degb")).otherwise(F.col("_dega"))
         .alias("_degv"),
-    )
+    ).localCheckpoint()
     # wedges at u: ordered out-neighbor pairs ((deg,id) order), closed
     # by the oriented edge (v, w) — which exists iff {v,w} is an edge,
     # since orientation follows the same total order
@@ -349,7 +357,10 @@ def modularity(
 
     Returns ``(community, n_nodes, intra_edges, degree_sum,
     q_contrib)`` sorted by community."""
-    und = _canonical_undirected(edges, src_col, dst_col)
+    # pinned: und feeds three branches (m, intra join, degree fold) —
+    # one materialization vs three executions of the canonicalization
+    # and everything upstream of it
+    und = _canonical_undirected(edges, src_col, dst_col).localCheckpoint()
     m = und.agg(F.count(F.lit(1)).alias("_m"))
     lab = assign.select(
         F.col(id_col).alias("_nid"), F.col(community_col).alias("_c")
@@ -420,7 +431,9 @@ def assortativity(
 
     Returns one row: (n_edges, sum_deg, sum_deg_sq, sum_deg_prod,
     assortativity)."""
-    und = _canonical_undirected(edges, src_col, dst_col)
+    # pinned: und feeds four branches (two degree stubs + two stub
+    # orientations) — one materialization vs four executions
+    und = _canonical_undirected(edges, src_col, dst_col).localCheckpoint()
     deg = (
         und.select(F.col("a").alias("_nid"))
         .unionByName(und.select(F.col("b").alias("_nid")))

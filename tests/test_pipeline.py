@@ -708,6 +708,34 @@ def test_similarity_join_exact_equals_brute_force(spark):
     }
 
 
+def test_exact_join_length_filter_boundary(spark):
+    """The r11 length filter (min·1e6 ≥ tn·max for Jaccard; nb·1e6 ≥
+    tn·na for containment) is provably redundant with the verify —
+    pin the EXACT boundary where the size ratio equals the threshold,
+    the case an off-by-one (> instead of ≥, or a float threshold)
+    would silently drop."""
+    # A ⊂ B with |A| = 2 shingles, |B| = 4: J = 2/4 = 0.5 exactly,
+    # and the length filter's min/max ratio is also exactly 0.5
+    rows = [(0, "a b c"), (1, "a b c d e")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dedup.similarity_join_exact(
+        docs, threshold=0.5, shingle_k=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [
+        (0, 1, 0.5)
+    ]
+    # containment boundary: |B| = t·|A| exactly (B ⊂ A, |B|=2, |A|=4,
+    # C(A,B) = |A∩B|/|A| = 2/4 = 0.5 at threshold 0.5)
+    got_c = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_join_exact(
+            docs, threshold=0.5, shingle_k=2
+        ).collect()
+    }
+    assert got_c[(1, 0)] == 0.5  # the big doc half-contained in small
+    assert got_c[(0, 1)] == 1.0  # the small doc fully contained
+
+
 def test_entropy_scores_goldens(spark):
     """Known entropies: a one-symbol doc scores 0, a uniform 4-char doc
     ln(4), repetition sits below varied text, empty/NULL score 0."""
