@@ -5941,10 +5941,16 @@ def q163_kmv_set_overlap(spark, sf_dir):
     occ = d.select(
         "source", F.explode(poly_token_hash_array(F.col("text"))).alias("h")
     )
-    minima = kmv_minima(occ, ["source"], "h", k=64)
+    # pin the two multi-branch frames (the q177/q172 graph-family rule:
+    # aliased/re-derived branches defeat ReusedExchange).  `minima`
+    # (≤ sources×64 rows) feeds the estimator AND ≥5 branches inside
+    # kmv_pair_set_estimates (θ, pair list, both sample sides) — unpinned,
+    # the corpus explode+WindowGroupLimit fold was embedded 8× (1583-line
+    # plan).  `dist` feeds both sides of the aliased exact self-join.
+    minima = kmv_minima(occ, ["source"], "h", k=64).localCheckpoint()
     per = kmv_estimate(minima, ["source"], 64)
     pair = kmv_pair_set_estimates(minima, "source", k=64)
-    dist = occ.distinct()
+    dist = occ.distinct().localCheckpoint()
     exact = (
         dist.alias("a")
         .join(dist.alias("b"), "h")
@@ -6647,7 +6653,12 @@ def q170_kmv_rollup(spark, sf_dir):
         "source", "lang",
         F.explode(poly_token_hash_array(F.col("text"))).alias("h"),
     )
-    fine = kmv_minima(th, ["source", "lang"], "h", k)
+    # pin the finest-grain sketch: it IS the materialize-once artifact
+    # this query demonstrates, and unpinned every coarser grain's
+    # estimate branch re-ran the corpus fold (est_f once, est_m via mid
+    # twice, est_t via mid→top three times — 487-line plan).  mid/top
+    # re-derive from the pinned ≤ groups×k rows, which is the point.
+    fine = kmv_minima(th, ["source", "lang"], "h", k).localCheckpoint()
     mid = kmv_minima(fine, ["source"], "h", k)
     top = kmv_minima(mid.select(F.lit("all").alias("corpus"), "h"),
                      ["corpus"], "h", k)

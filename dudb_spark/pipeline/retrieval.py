@@ -37,14 +37,21 @@ from dudb_spark.pipeline.text import tokens
 def postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """``(term, doc_id, tf, dl)`` — the inverted index as a frame."""
+    """``(term, doc_id, tf, dl)`` — the inverted index as a frame.
+
+    One corpus pass: doc length is the per-doc sum of term frequencies,
+    folded from the (doc, term) frame by a doc-partitioned window over
+    the REDUCED rows — the old second explode+aggregate re-tokenized
+    the whole corpus just to count tokens per doc (dl = sum(tf) by
+    construction, value-identical)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    return tf.join(dl, "doc_id")
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
 
 
 def bm25_scored(
@@ -58,8 +65,18 @@ def bm25_scored(
     """The pre-ranking scored frame ``(query_id, doc_id, score)`` —
     every corpus document whose posting lists a query term touches,
     scored.  Factored out of :func:`bm25_retrieve` so ranking variants
-    (top-k, exclusion-aware negative mining) share one plan."""
-    post = postings(docs, id_col, text_col)
+    (top-k, exclusion-aware negative mining) share one plan.
+
+    The postings frame is pinned (``localCheckpoint``): its THREE
+    consumers below (corpus constants, per-term df, the scoring join)
+    are separate plan branches, and Spark has no DAG-level common-
+    subexpression reuse — unpinned, each branch re-ran the corpus
+    tokenize+explode+aggregate (measured: q103's plan embedded the
+    postings fold 6×, 42 Exchanges; the q74/bm25_top_terms persist
+    discipline applied here).  One materialization of the REDUCED
+    (doc, term) frame, read three times, beats three corpus passes at
+    any scale."""
+    post = postings(docs, id_col, text_col).localCheckpoint()
 
     qterms = queries.select(
         "query_id", F.explode(tokens(F.col("qtext"))).alias("term")

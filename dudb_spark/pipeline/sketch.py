@@ -809,8 +809,11 @@ def kmv_pair_set_estimates(
     estimates ARE the exact counts.
 
     Work is bounded by pairs × 2k sketch rows — the corpus is never
-    re-scanned; the pair list and per-group θ frames ride as
-    broadcasts.  Returns ``(src_a, src_b, est_union, est_intersection,
+    re-scanned PROVIDED ``minima`` is materialized (localCheckpoint /
+    persisted artifact): the sketch frame feeds ≥5 plan branches here
+    (θ, the pair list, both sample sides), and an unpinned lazy fold
+    would re-run per branch (q163's before-plan embedded it 8×).  The
+    pair list and per-group θ frames ride as broadcasts.  Returns ``(src_a, src_b, est_union, est_intersection,
     est_diff_ab)`` for ``src_a < src_b``."""
     th = kmv_theta(minima, [src_col], k, space)
     srcs = th.select(src_col).distinct()
