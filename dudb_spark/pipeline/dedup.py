@@ -560,8 +560,8 @@ def similarity_join_exact(
     )
     pref = sets.select(
         "id", n.alias("nk"),
-        F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
-        .alias("k"),
+        F.posexplode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
+        .alias("p", "k"),
     )
     # LENGTH FILTER (All-Pairs/PPJoin): J(x,y) ≥ t forces
     # min(|x|,|y|) ≥ t·max(|x|,|y|) (|∩| ≤ min, |∪| ≥ max) — a
@@ -572,12 +572,28 @@ def similarity_join_exact(
     # dominated q168's time; the filter costs one int compare per
     # candidate row).  Verification below is unchanged, so the result
     # set is identical by the pigeonhole/length lemmas.
+    #
+    # POSITIONAL FILTER (PPJoin, Xiao et al. WWW 2008): a shared token
+    # at 0-based sorted positions (pa, pb) bounds the overlap —
+    # common-before ≤ min(pa, pb) (both sides' smaller elements),
+    # common-from-here-on ≤ min(|x|−pa, |y|−pb) — so
+    # O ≤ ub = min(pa,pb) + min(|x|−pa, |y|−pb) for EVERY shared
+    # prefix token, and J ≥ t ⟺ O·(1e6+tn) ≥ tn·(|x|+|y|) forces
+    # min(ub)·(1e6+tn) ≥ tn·(|x|+|y|).  The min-ub aggregation REPLACES
+    # the old dropDuplicates (same one pair-keyed exchange, two extra
+    # grouping ints), so the extra recall-safe pruning is free of new
+    # shuffles; all arithmetic int64 (ub ≤ |x|+|y|, ×(1e6+tn) < 2^62
+    # for sets under ~1e6 shingles).
+    ub = F.least("_pa", "_pb") + F.least(
+        F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+    )
     cand = (
         pref.select(F.col("id").alias("id_a"), F.col("nk").alias("_na"),
-                    "k")
+                    F.col("p").alias("_pa"), "k")
         .join(
             pref.select(F.col("id").alias("id_b"),
-                        F.col("nk").alias("_nb"), "k"),
+                        F.col("nk").alias("_nb"),
+                        F.col("p").alias("_pb"), "k"),
             "k",
         )
         .where(
@@ -585,8 +601,13 @@ def similarity_join_exact(
             & (F.least("_na", "_nb") * F.lit(1_000_000)
                >= F.lit(tn) * F.greatest("_na", "_nb"))
         )
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.min(ub).alias("_ub"))
+        .where(
+            F.col("_ub") * F.lit(1_000_000 + tn)
+            >= F.lit(tn) * (F.col("_na") + F.col("_nb"))
+        )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     a = base.select(F.col("id").alias("id_a"), F.col("base").alias("b_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("base").alias("b_b"))
@@ -1059,32 +1080,46 @@ def containment_join_exact(
     )
     pref = sets.select(
         "id", n.alias("nk"),
-        F.explode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
-        .alias("k"),
+        F.posexplode(F.slice("ks", 1, F.greatest(plen, F.lit(0))))
+        .alias("p", "k"),
     )
     # LENGTH FILTER (asymmetric): C(A,B) ≥ t forces |B| ≥ t·|A|
     # (|∩| ≤ |B| and |∩| ≥ t·|A|) — redundant with the verify below,
     # so the result is identical, but it prunes small-container pairs
     # BEFORE the fat shingle arrays ship through the verification
-    # joins.  |B| rides the all-token side for free via size(base).
-    keyed_sz = base.select(
-        F.col("id").alias("id_b"), F.size("base").alias("_nb"),
-        F.explode("base").alias("h"),
-    ).join(freq, "h").select(
-        "id_b", "_nb",
-        (F.col("_df") * F.lit(1 << 31) + F.col("h")).alias("k"),
+    # joins.  The all-token B side comes from the SAME sorted `sets`
+    # frame as the prefixes (posexplode of the full ks) instead of a
+    # second explode+freq join of the raw base — value-identical (ks is
+    # exactly B's keyed token set, |B| = size(ks)), one less corpus-side
+    # join, and the token POSITION rides along for the positional
+    # filter.
+    allk = sets.select(
+        F.col("id").alias("id_b"), n.alias("_nb"),
+        F.posexplode("ks").alias("_pb", "k"),
+    )
+    # POSITIONAL FILTER (asymmetric PPJoin): a shared token at sorted
+    # 0-based positions (pa, pb) bounds the intersection —
+    # |A∩B| ≤ ub = min(pa,pb) + min(|A|−pa, |B|−pb) — and
+    # C(A,B) ≥ t ⟺ |A∩B|·1e6 ≥ tn·|A| forces min(ub)·1e6 ≥ tn·|A|.
+    # The min-ub aggregation replaces the old dropDuplicates (same
+    # pair-keyed exchange); recall-safe by the same every-shared-token
+    # bound as the symmetric join.
+    ub = F.least("_pa", "_pb") + F.least(
+        F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
     )
     cand = (
         pref.select(F.col("id").alias("id_a"), F.col("nk").alias("_na"),
-                    "k")
-        .join(keyed_sz, "k")
+                    F.col("p").alias("_pa"), "k")
+        .join(allk, "k")
         .where(
             (F.col("id_a") != F.col("id_b"))
             & (F.col("_nb") * F.lit(1_000_000)
                >= F.lit(tn) * F.col("_na"))
         )
+        .groupBy("id_a", "id_b", "_na")
+        .agg(F.min(ub).alias("_ub"))
+        .where(F.col("_ub") * F.lit(1_000_000) >= F.lit(tn) * F.col("_na"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     a = base.select(F.col("id").alias("id_a"), F.col("base").alias("b_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("base").alias("b_b"))

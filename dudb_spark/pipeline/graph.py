@@ -51,26 +51,38 @@ def pagerank(
     expansion) rather than global centrality.  The seed set enters as
     a constant-folded ``isin`` literal — same plan shape, no extra
     join."""
-    edges = (
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
         pairs.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
         )
-        .unionByName(
-            pairs.select(
-                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-            )
-        )
-        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    n = nodes.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # Pin the DEGREE-ANNOTATED edge list, not the bare edges: every
+    # iteration joins exactly this frame, and each per-iteration
+    # localCheckpoint job is a separate action — with only the bare
+    # edges pinned, the degree fold and the edges⋈deg join re-ran once
+    # PER ITERATION (iters+1 edge-list aggregations per query; r12 plan
+    # audit).  One materialization, read `iters` times (guide §2.4).
+    # Size note (spill-aware pin policy): one row per directed edge,
+    # three fixed-width columns — the same order of magnitude as the
+    # edge list itself, which any iterative PageRank must hold; callers
+    # at cluster scale should swap localCheckpoint for a spill-capable
+    # persist if |E| outgrows executor storage.
+    contrib_src = edges.join(deg, "src").localCheckpoint()
+    nodes = contrib_src.select(F.col("src").alias("id")).distinct()
+    # |V| as one driver scalar over the pinned frame (bounded: a count),
+    # replacing the broadcast single-row N frame that was re-aggregated
+    # by the init job AND by every iteration job.  The arithmetic is
+    # unchanged: the same IEEE-double divisions, now constant-folded.
+    n_nodes = nodes.count()
 
     if seeds is None:
-        init = F.lit(1.0) / F.col("n")
+        init = F.lit(1.0 / n_nodes)
 
         def tele():
-            return (1.0 - damping) / F.col("n")
+            return F.lit((1.0 - damping) / n_nodes)
     else:
         seed_vals = sorted(set(seeds))
         is_seed = F.col("id").isin(seed_vals)
@@ -84,11 +96,7 @@ def pagerank(
                 F.lit((1.0 - damping) / len(seed_vals)),
             ).otherwise(F.lit(0.0))
 
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "id", init.alias("r")
-    ).localCheckpoint()
-
-    contrib_src = edges.join(deg, "src")
+    ranks = nodes.select("id", init.alias("r"))
     for _ in range(iters):
         ranks = (
             contrib_src.join(
@@ -96,7 +104,6 @@ def pagerank(
             )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("deg")).alias("_in"))
-            .crossJoin(F.broadcast(n))
             .select(
                 "id",
                 (tele() + damping * F.col("_in")).alias("r"),

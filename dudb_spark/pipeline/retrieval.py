@@ -39,11 +39,14 @@ def postings(
 ) -> DataFrame:
     """``(term, doc_id, tf, dl)`` — the inverted index as a frame.
 
-    One corpus pass: doc length is the per-doc sum of term frequencies,
-    folded from the (doc, term) frame by a doc-partitioned window over
-    the REDUCED rows — the old second explode+aggregate re-tokenized
-    the whole corpus just to count tokens per doc (dl = sum(tf) by
-    construction, value-identical)."""
+    One corpus TOKENIZE pass: doc length is the per-doc sum of term
+    frequencies, folded from the (doc, term) frame by a doc-partitioned
+    window over the REDUCED rows — the old second explode+aggregate
+    re-tokenized the whole corpus just to count tokens per doc (dl =
+    sum(tf) by construction, value-identical).  Exchange accounting:
+    the window adds one REDUCED-frame exchange+sort on doc_id on top of
+    the (doc_id, term) groupBy shuffle — same reduced-frame exchange
+    count as the old join form, minus the corpus re-read."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
@@ -75,8 +78,19 @@ def bm25_scored(
     postings fold 6×, 42 Exchanges; the q74/bm25_top_terms persist
     discipline applied here).  One materialization of the REDUCED
     (doc, term) frame, read three times, beats three corpus passes at
-    any scale."""
-    post = postings(docs, id_col, text_col).localCheckpoint()
+    any scale.
+
+    The checkpoint is LAZY (``eager=False``): the materialization runs
+    inside the first action over the returned frame — the query itself
+    pays it, not DataFrame construction — so plan-only callers (explain,
+    composition) stay free and the r11-observed extra synchronous
+    barrier job ahead of the scoring query is gone; later branches of
+    the same action and later actions read the materialized partitions.
+    Size note (spill-aware pin policy): one row per DISTINCT (doc, term)
+    pair — the inverted index itself, which any BM25 engine must hold;
+    at cluster scale swap for a spill-capable persist (or a reliable
+    checkpoint) if the index outgrows executor storage."""
+    post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
 
     qterms = queries.select(
         "query_id", F.explode(tokens(F.col("qtext"))).alias("term")

@@ -250,9 +250,17 @@ def largest_remainder_quotas(
     counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+    return _lr_quotas_from_counts(counts, budget)
+
+
+def _lr_quotas_from_counts(counts: DataFrame, budget: int) -> DataFrame:
+    """Largest-remainder arithmetic over a pre-folded ``(stratum,
+    n_rows)`` frame — windows over ≤|strata| bounded rows (one
+    partition by construction — see PLAN_LINT single-partition notes);
+    the data-proportional pass is the caller's count aggregation."""
+    from pyspark.sql.window import Window
+
     b = F.lit(int(budget))
-    # windows over the ≤|strata|-row counts frame (bounded, one
-    # partition by construction — see PLAN_LINT single-partition notes)
     w_all = Window.partitionBy()
     w_rank = Window.partitionBy().orderBy(
         F.col("rem").desc(), F.col("n_rows").desc(), F.col("stratum")
@@ -296,14 +304,20 @@ def stratified_exact_sample(
     quota then trims inside it.  Output: input columns + (quota, rn)."""
     from pyspark.sql.window import Window
 
-    quotas = largest_remainder_quotas(df, stratum_col, budget)
+    # ONE data-proportional fold, pinned: previously the quota lineage
+    # was re-evaluated by the scalar-guard job AND the join side (plus
+    # the ranking window's own input scan: 3 full input scans per call,
+    # now 2).  The pin executes only the count aggregation; the quota
+    # arithmetic still first runs inside the guarded scalar job below.
+    # Size note (spill-aware pin policy): one row per stratum, two
+    # fixed-width columns.
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).localCheckpoint()
+    quotas = _lr_quotas_from_counts(counts, budget)
     # bounded driver scalars: ONE row (budget-feasibility + NULL-stratum
     # + overflow checks — the quota ≤ n_rows proof needs budget ≤
-    # n_total — plus the constant group-limit bound).  NOTE: the quota
-    # fold executes twice (this scalar job + the join side re-evaluates
-    # the uncached lineage); at extreme input scale persist df or
-    # pre-compute quotas — kept re-evaluated here so the returned plan
-    # stays the certified shape.
+    # n_total — plus the constant group-limit bound).
     max_q, n_total, null_rows = quotas.agg(
         F.max("quota"),
         F.sum("n_rows"),
@@ -660,15 +674,35 @@ def weighted_mass_quotas(
 
     if budget < 0:
         raise ValueError("budget must be non-negative")
+    return _mass_quotas_from_counts(
+        _mass_counts(df, stratum_col, weight_col), budget
+    )
+
+
+def _mass_counts(
+    df: DataFrame, stratum_col: str, weight_col: str
+) -> DataFrame:
+    """The one data-proportional pass of the mass allocator: per-stratum
+    (n_rows, w_mass, n_nonint) over the positive-weight rows.  Factored
+    out so :func:`weighted_exact_sample` can fold it ONCE (pinned) and
+    feed the guards, the quota arithmetic, and the group-limit bound
+    from the same ≤|strata|-row frame."""
     wc = F.col(weight_col)
     pos = df.where(wc.isNotNull() & (wc > 0))
-    counts = pos.groupBy(F.col(stratum_col).alias("stratum")).agg(
+    return pos.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(wc.cast("long")).alias("w_mass"),
         F.sum(
             F.when(wc != F.floor(wc), F.lit(1)).otherwise(F.lit(0))
         ).alias("n_nonint"),
     )
+
+
+def _mass_quotas_from_counts(counts: DataFrame, budget: int) -> DataFrame:
+    """Hamilton integerization over a pre-folded counts frame — windows
+    over ≤|strata| bounded rows, no data-proportional work."""
+    from pyspark.sql.window import Window
+
     b = F.lit(int(budget))
     w_all = Window.partitionBy()
     w_rank = Window.partitionBy().orderBy(
@@ -727,20 +761,22 @@ def weighted_exact_sample(
     from pyspark.sql.window import Window
 
     wc = F.col(weight_col)
-    pos = df.where(wc.isNotNull() & (wc > 0))
-    # bounded driver scalars, TWO jobs by necessity: the guards must
-    # run BEFORE any quota arithmetic executes — with ANSI on, an
-    # overflowing w_mass×budget in the quota fold throws before a
-    # guard reading the same frame could fire
-    null_rows, nonint, w_total = pos.groupBy(
-        F.col(stratum_col).alias("stratum")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(wc.cast("long")).alias("w_mass"),
-        F.sum(
-            F.when(wc != F.floor(wc), F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_nonint"),
-    ).agg(
+    # ONE data-proportional fold, pinned: the ≤|strata|-row counts frame
+    # feeds the guard scalars, the quota arithmetic, AND (via quotas) the
+    # group-limit bound — previously each of those re-folded the corpus
+    # (4 full input scans per call; r12 plan audit: q167 carried 4
+    # parquet scans of `documents`, now 2 — the pin and the ranking
+    # window).  The eager pin executes ONLY the counts aggregation — no
+    # quota multiplication — so the ANSI-overflow guard ordering below
+    # is preserved.  Size note (spill-aware pin policy): one row per
+    # stratum, four fixed-width columns — bounded by the stratum
+    # vocabulary, never by the corpus.
+    counts = _mass_counts(df, stratum_col, weight_col).localCheckpoint()
+    # bounded driver scalars: the guards must run BEFORE any quota
+    # arithmetic executes — with ANSI on, an overflowing w_mass×budget
+    # in the quota fold throws before a guard reading the same frame
+    # could fire
+    null_rows, nonint, w_total = counts.agg(
         F.sum(F.when(F.col("stratum").isNull(), F.col("n_rows"))),
         F.sum("n_nonint"),
         F.sum("w_mass"),
@@ -763,7 +799,7 @@ def weighted_exact_sample(
             f"budget {budget} × weight mass {w_total} would overflow "
             "the int64 quota arithmetic"
         )
-    quotas = weighted_mass_quotas(df, stratum_col, weight_col, budget)
+    quotas = _mass_quotas_from_counts(counts, budget)
     max_q = quotas.agg(F.max("capped")).collect()[0][0] or 0
     win = Window.partitionBy(stratum_col).orderBy(
         aes_key(F.col(id_col), wc, salt).desc(), F.col(id_col)

@@ -24,6 +24,24 @@ _LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # applied at JVM launch (no effect on an already-running session or on a
 # real cluster submit, which sets its own memory).
 _LOCAL_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+# AQE partition coalescing, sized to DATA not core count (guide §2.2).
+# parallelismFirst=true (Spark's default) coalesces tiny shuffles only
+# down to minPartitionSize (1 MB) chunks "to maximize parallelism" — on
+# the deep sketch/graph/closure plans this keeps dozens of near-empty
+# reducers per exchange, and the r11 driver record showed the heavy tail
+# RUNNING FASTER ON 8 CORES THAN 32 (q166 ratio 0.36, q167 0.25, q188
+# 0.62: pure per-task scheduling overhead).  parallelismFirst=false makes
+# AQE honor advisoryPartitionSizeInBytes — the Spark-documented
+# production recommendation.  The advisory size is the scale knob, sized
+# to DATA-per-partition: 1m locally (tiny SFs: KB-scale choreography
+# exchanges collapse to 1 task — measured A/B q166 −56%, q167 −78%,
+# q188 −51%, q118 −29% — while the MB-scale exchanges feeding CPU-dense
+# verify joins keep their parallelism: 4m/64m advisories serialized
+# q181's array-intersection verify to 2× slower, 1m keeps it flat); a
+# real cluster submit should raise it to the 64m default or beyond
+# (guide §9 uses 256m) where partitions should hold 100 MB–1 GB.
+_PARALLELISM_FIRST = os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "false")
+_ADVISORY_PART = os.environ.get("SPARK_GRAFT_ADVISORY_PART", "1m")
 
 
 def get_spark(
@@ -44,6 +62,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            _PARALLELISM_FIRST,
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            _ADVISORY_PART,
+        )
         # --- shuffle sizing --------------------------------------------
         .config(
             "spark.sql.shuffle.partitions",
