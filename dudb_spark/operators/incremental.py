@@ -321,7 +321,11 @@ def incremental_stats(
     )
     if bucketed:
         # pinned so the flip gate below is one cheap count and the
-        # affected union doesn't recompute the seed round
+        # affected union doesn't recompute the seed round.  (The plain
+        # path deliberately does NOT pin: its via branches run in
+        # parallel inside the single affected job, and a pin serializes
+        # that work into its own job round-trip — measured net-negative,
+        # the q166-pin lesson.)
         via = _tr("via pin", via.localCheckpoint)
     via_records = via.where("is_record").select("path")
 
@@ -342,30 +346,65 @@ def incremental_stats(
     # empty index means no multi-row keys at all — no flip possible.
     run_flip = True
     flip_seed = via_records
+    flip_buckets = None
     if bucketed:
         if spill is not None and spill_empty:
             run_flip = False
-        elif spill is not None:
-            # coalesce(True): an older index without the rec column (or
-            # a mixed-schema union) degrades to the conservative
-            # all-spill-keys gate
-            rec_keys = spill.where(
-                F.coalesce(F.col("rec"), F.lit(True))
-                if "rec" in spill.columns
-                else F.lit(True)
-            ).select(*_KEY)
-            flip_seed = via.where("is_record").join(
-                _bc(rec_keys), _KEY, "left_semi"
-            ).select("path")
-            run_flip = _tr(
-                "flip gate", lambda: flip_seed.limit(1).count() > 0
-            )
         else:
-            run_flip = _tr(
-                "flip gate", lambda: via_records.limit(1).count() > 0
+            if spill is not None:
+                # coalesce(True): an older index without the rec column
+                # (or a mixed-schema union) degrades to the conservative
+                # all-spill-keys gate
+                rec_keys = spill.where(
+                    F.coalesce(F.col("rec"), F.lit(True))
+                    if "rec" in spill.columns
+                    else F.lit(True)
+                ).select(*_KEY)
+                flip_seed = via.where("is_record").join(
+                    _bc(rec_keys), _KEY, "left_semi"
+                ).select("path")
+            # the bucket collect IS the gate: an empty flip seed has no
+            # buckets, so ONE job answers both questions (was: a
+            # limit(1) gate job, then a second bucket-collect job when
+            # the flip ran)
+            flip_buckets = _buckets(flip_seed)
+            run_flip = len(flip_buckets) > 0
+    else:
+        # rec-multi gate, plain layout: only a record whose (device,
+        # inode) group has ≥2 PREFIX-RECORD rows in prev or new can
+        # flip its dir-level dup flag (a singleton record group is
+        # always canonical) — the same argument the bucketed path's
+        # spill-index ``rec`` gate already certifies.  The gate probes
+        # ONLY the prefix frames (O(directories), narrow columns — one
+        # ~0.2 s job), never the entry-side scans: trees without
+        # hardlinked DIRECTORIES — the overwhelming majority — skip the
+        # flip round's full probe + mrows re-scans inside the affected
+        # job.  The ≥2 count runs PER SNAPSHOT SIDE (a record present in
+        # both snapshots is still a singleton group — counting over the
+        # union would double it and fire the gate on every tree).  When
+        # the gate fires, the flip seed is restricted to rec-multi
+        # records — value-identical (singleton-group records cannot
+        # flip) and it prunes the flip round's key probe.
+        def _rec_multi_of(prefixes: DataFrame) -> DataFrame:
+            return (
+                prefixes.select(*_KEY)
+                .groupBy(*_KEY)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") >= 2)
+                .select(*_KEY)
             )
+
+        rec_multi = _rec_multi_of(prev_prefixes).unionByName(
+            _rec_multi_of(new_prefixes)
+        )
+        run_flip = _tr(
+            "flip gate", lambda: rec_multi.limit(1).count() > 0
+        )
+        if run_flip:
+            flip_seed = via.where("is_record").join(
+                _bc(rec_multi), _KEY, "left_semi"
+            ).select("path")
     if run_flip:
-        flip_buckets = _buckets(flip_seed) if bucketed else None
         flip_keys = _keys_of(flip_seed, path_bl=flip_buckets)
         if not spill_empty:
             flip_keys = _tr("flip_keys pin", flip_keys.localCheckpoint)

@@ -480,9 +480,16 @@ def incremental_verified_pairs(
     cand = pairs.select(
         "new_id", "old_id", F.round(est, 6).alias("est_jaccard")
     ).where(F.col("est_jaccard") >= min_est)
-    # verify: shingle ONLY the colliding old docs (candidate-bounded)
+    # verify: shingle ONLY the colliding old docs (candidate-bounded).
+    # The distinct candidate-id build side is explicitly broadcast: it
+    # is bounded by the band collisions that survived the est filter
+    # (near-dup-sized, orders below the corpus), while the probe side is
+    # the OLD CORPUS scan — the static planner picked a SortMergeJoin
+    # here, exchanging + sorting the full old corpus text by doc_id just
+    # to probe a tiny id set (guide §3.1; r12 plan audit: Exchange+Sort
+    # over the documents scan feeding a LeftSemi SMJ).
     old_hit = old_df.join(
-        cand.select(F.col("old_id").alias(id_col)).distinct(),
+        F.broadcast(cand.select(F.col("old_id").alias(id_col)).distinct()),
         id_col, "left_semi",
     )
     ob = poly_shingle_base(old_hit, text_col, id_col, shingle_k,
