@@ -5950,6 +5950,14 @@ def q163_kmv_set_overlap(spark, sf_dir):
     minima = kmv_minima(occ, ["source"], "h", k=64).localCheckpoint()
     per = kmv_estimate(minima, ["source"], 64)
     pair = kmv_pair_set_estimates(minima, "source", k=64)
+    # pin-size note (spill-aware policy, plans/linter.PIN_ALLOW): unlike
+    # `minima` (sketch-bounded, ≤ sources×64 rows), `dist` is VOCABULARY-
+    # cardinality — every distinct (source, token-hash) pair, two int64s
+    # per row, far below the corpus text but unbounded by k.
+    # localCheckpoint stores MEMORY_AND_DISK (spills, doesn't OOM); at
+    # cluster scale the exact-intersection side belongs in a persisted
+    # artifact (persist(DISK_ONLY)+unpersist, or skip the exact column —
+    # it exists here to certify the estimator).
     dist = occ.distinct().localCheckpoint()
     exact = (
         dist.alias("a")

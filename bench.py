@@ -587,6 +587,18 @@ def main():
             if tbl.name.startswith("dudb_q"):
                 spark.catalog.dropTempView(tbl.name)
         spark.catalog.clearCache()
+        # Reset the Python-level suite memos so every query's second is
+        # STANDALONE (r11 verdict item: the pinned documents pair frame
+        # was shared by q37/q44/q55/q58 and the staged events dir by
+        # q30/q49/q50/q59 — the first consumer paid, later ones reused,
+        # making those per-query seconds order-dependent).  clearCache()
+        # cannot see these dicts.  The disk-backed incremental fixture
+        # (_INC_SHARED) stays: its staging is setup recorded on disk
+        # across runs by design, not per-query work.
+        from dudb_spark.pipeline import dedup as _dedup_mod
+
+        _dedup_mod._PIN_CACHE.clear()
+        entry_mod._STAGED_EVENTS_MEMO.clear()
         # Unload state-store providers left by terminated streaming
         # queries (they stay resident in local mode): ten streaming gates
         # in the suite otherwise accumulate heap that later queries pay

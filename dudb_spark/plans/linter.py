@@ -177,10 +177,14 @@ def lint_plan(
     return out
 
 
-def collect_sites(pkg_dir: str | None = None) -> list[tuple[str, str, int]]:
+def collect_sites(
+    pkg_dir: str | None = None,
+    attrs: tuple[str, ...] = ("collect", "toPandas"),
+) -> list[tuple[str, str, int]]:
     """Every ``.collect()`` / ``.toPandas()`` call site in the package
     source: (relpath, enclosing qualname, lineno).  AST-based, so
-    comments and strings never false-positive."""
+    comments and strings never false-positive.  ``attrs`` generalizes
+    the scan (``("localCheckpoint",)`` audits the pin sites)."""
     if pkg_dir is None:
         pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sites: list[tuple[str, str, int]] = []
@@ -204,7 +208,7 @@ def collect_sites(pkg_dir: str | None = None) -> list[tuple[str, str, int]]:
                 if (
                     isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
-                    and node.func.attr in ("collect", "toPandas")
+                    and node.func.attr in attrs
                 ):
                     qual = ".".join(stack) or "<module>"
                     sites.append((rel, qual, node.lineno))
@@ -300,6 +304,118 @@ COLLECT_ALLOW: dict[str, str] = {
     "reports/sinks.py::to_json_lines":
         ".limit(limit) applied before collect",
 }
+
+
+# Spill-aware pin policy (round-11 verdict item 7).  Shared facts, stated
+# once: ``localCheckpoint`` materializes at MEMORY_AND_DISK — an oversized
+# frame SPILLS to executor-local disk rather than OOMing — but the storage
+# is executor-local and NOT fault tolerant (a lost executor fails the job
+# instead of recomputing), there is no unpersist handle (freed when the
+# RDD is GC'd), and an ``eager=True`` pin costs a synchronous job at
+# construction time.  Therefore every pin in the package must state below
+# what bounds the pinned frame's size at 100 TB; frames bounded only by
+# the corpus itself must say so explicitly and name the cluster-scale
+# alternative (persist with a spill-capable level + unpersist, a reliable
+# checkpoint, or a written artifact).  A new ``.localCheckpoint()`` in an
+# unlisted function fails tests/test_plan_lint.py; a stale entry fails it
+# too.  Key: relpath::qualname of the enclosing function.
+PIN_ALLOW: dict[str, str] = {
+    "cli.py::cmd_watch":
+        "per-batch diff frames — churn-bounded (rows that changed since "
+        "the last poll)",
+    "cli.py::_stats_fold_update._pin_delta":
+        "delta-chain reconstruction, bounded by compact-every; pinned "
+        "once per fold so ~12 closure jobs don't each re-execute the "
+        "deepening chain (the r11 superlinear fix)",
+    "cli.py::_watch_stats_update":
+        "touched-path set of one watch batch — churn-bounded",
+    "cli.py::cmd_stats_compute":
+        "per-prefix summary — O(directories), orders below entries",
+    "operators/incremental.py::incremental_stats":
+        "pin_inputs=True only: the caller declares the merged snapshot "
+        "an unwritten merge DAG worth one materialization; the closure "
+        "sets pinned later in the function are churn-bounded",
+    "operators/quantiles.py::weighted_quantiles":
+        "CORPUS-SIZED: the sorted cumulative-weight frame is one row "
+        "per input value by construction — any exact weighted quantile "
+        "must hold it; spills to local disk, and a cluster deployment "
+        "should persist(DISK_ONLY)+unpersist or pre-aggregate "
+        "duplicate values first",
+    "operators/quantiles.py::rank_normalize":
+        "one row per (group, value) AFTER the dedup aggregation — "
+        "bounded by distinct values per group",
+    "operators/stats.py::StatsResult.merged_top":
+        "top-N report frame, bounded by N",
+    "pipeline/bpe.py::bpe_merges":
+        "lazy (eager=False): token-pair counts, bounded by the merge "
+        "vocabulary per round",
+    "pipeline/cluster.py::connected_components":
+        "symmetrized edge list — edge-sized, the frame any CC algorithm "
+        "iterates over; per-round label frames are node-sized",
+    "pipeline/cluster.py::_propagate":
+        "per-round label frame — one row per node",
+    "pipeline/dedup.py::poly_shingle_base":
+        "CORPUS-SIZED: one row per doc with its distinct hashed-shingle "
+        "set — the frame every candidates→verify pipeline reads twice "
+        "(signatures + exact verify); callers that read it once pass "
+        "materialize=False; spills to local disk at scale",
+    "pipeline/dedup.py::minhash_band_index":
+        "one row per doc (the signature aggregate) — corpus-row-bounded "
+        "but num_perm ints wide, orders below the text it replaces",
+    "pipeline/dedup.py::pinned_frame":
+        "REDUCED frames only by contract (candidate pairs, cluster "
+        "labels) — the docstring forbids corpus-sized builders",
+    "pipeline/dedup.py::cached_fingerprint_overlap_pairs":
+        "post-aggregation pair frame — candidate-bounded",
+    "pipeline/graph.py::pagerank":
+        "degree-annotated edge list (edge-sized, what any iterative "
+        "PageRank holds) + per-iteration rank frames (node-sized)",
+    "pipeline/graph.py::triangle_counts":
+        "canonical + oriented edge frames — edge-sized ×2; the "
+        "orientation bounds downstream wedges at O(m^1.5)",
+    "pipeline/graph.py::label_propagation":
+        "adjacency (edge-sized) + per-round labels (node-sized)",
+    "pipeline/graph.py::k_core":
+        "shrinking edge subgraph per peel round — ≤ edge-sized, "
+        "monotonically decreasing",
+    "pipeline/graph.py::modularity":
+        "canonical undirected edge set — edge-sized",
+    "pipeline/graph.py::assortativity":
+        "canonical undirected edge set — edge-sized",
+    "pipeline/pq.py::pq_encode":
+        "one row per vector with M uint8 codes — the PQ index itself, "
+        "~M bytes/vector",
+    "pipeline/pq.py::pq_residual_encode":
+        "same as pq_encode: the two-level code frame",
+    "pipeline/retrieval.py::bm25_scored":
+        "lazy (eager=False): the (doc, term) inverted index — "
+        "corpus-vocabulary-bounded, what any BM25 engine holds; see the "
+        "function docstring for the cluster-scale swap",
+    "pipeline/sampling.py::weighted_exact_sample":
+        "≤|strata| counts rows",
+    "pipeline/sampling.py::stratified_exact_sample":
+        "≤|strata| counts rows",
+    "pipeline/similarity.py::label_outliers":
+        "per-label centroid frame — one row per label",
+    "streaming/dedup.py::online_dedup._batch":
+        "one micro-batch's new-signature frame — trigger-bounded",
+}
+
+
+def lint_pin_sites(
+    pkg_dir: str | None = None,
+) -> tuple[dict[str, list[int]], set[str]]:
+    """(unallowed, stale) for ``.localCheckpoint()`` sites vs
+    :data:`PIN_ALLOW` — the spill-aware pin policy audit."""
+    sites = collect_sites(pkg_dir, attrs=("localCheckpoint",))
+    seen = {f"{rel}::{qual}" for rel, qual, _ in sites}
+    unallowed: dict[str, list[int]] = {}
+    for rel, qual, lineno in sites:
+        key = f"{rel}::{qual}"
+        if key not in PIN_ALLOW:
+            unallowed.setdefault(key, []).append(lineno)
+    stale = set(PIN_ALLOW) - seen
+    return unallowed, stale
 
 
 def lint_collect_sites(

@@ -736,6 +736,48 @@ def test_exact_join_length_filter_boundary(spark):
     assert got_c[(0, 1)] == 1.0  # the small doc fully contained
 
 
+def test_exact_join_positional_filter_boundary(spark):
+    """The r12 positional filter drops a pair only when EVERY shared
+    prefix token's overlap upper bound min(pa,pb)+min(na−pa,nb−pb)
+    falls below the required overlap.  Pin the boundary where the
+    bound EQUALS the requirement for a qualifying pair (ub == O == α):
+    an off-by-one (strict >, or 1-based positions fed to the 0-based
+    formula) would silently drop a correct result — recall, not value,
+    is what the filter can break, so the assert is exact membership.
+
+    Construction: identical docs ⇒ every shared token has pa == pb,
+    ub = min(p,p) + min(n−p, n−p) = n = O exactly, and J = 1 ≥ any t —
+    the tightest possible bound at every matched position.  The
+    near-boundary pair (J exactly = t with size-mismatched sets) rides
+    the same corpus."""
+    rows = [
+        (0, "x y z w"),   # identical pair: ub == O at every position
+        (1, "x y z w"),
+        (2, "a b c"),     # J(2,3) = 2/4 = 0.5 exactly at t=0.5
+        (3, "a b c d e"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.similarity_join_exact(
+            docs, threshold=0.5, shingle_k=2
+        ).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(2, 3)] == 0.5
+    assert len(got) == 2
+    # containment: identical pair again bounds ub == O == |A|; the
+    # subset pair (3 ⊃ 2) sits exactly at C = 0.5
+    got_c = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_join_exact(
+            docs, threshold=0.5, shingle_k=2
+        ).collect()
+    }
+    assert got_c[(0, 1)] == 1.0 and got_c[(1, 0)] == 1.0
+    assert got_c[(2, 3)] == 1.0 and got_c[(3, 2)] == 0.5
+
+
 def test_entropy_scores_goldens(spark):
     """Known entropies: a one-symbol doc scores 0, a uniform 4-char doc
     ln(4), repetition sits below varied text, empty/NULL score 0."""

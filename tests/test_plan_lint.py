@@ -128,6 +128,20 @@ def test_collect_site_audit_has_no_unallowed_or_stale():
     assert stale == set(), stale
 
 
+def test_pin_site_audit_has_no_unallowed_or_stale():
+    """Round-11 verdict item 7 (spill-aware pin policy): every
+    .localCheckpoint() in the package must carry a written size/storage
+    rationale in linter.PIN_ALLOW — what bounds the pinned frame at
+    100 TB, or an explicit corpus-sized warning naming the
+    cluster-scale alternative — and every rationale must still match a
+    live site."""
+    from dudb_spark.plans.linter import lint_pin_sites
+
+    unallowed, stale = lint_pin_sites()
+    assert unallowed == {}, unallowed
+    assert stale == set(), stale
+
+
 def test_collect_site_scanner_sees_through_nesting(tmp_path):
     """The AST scanner attributes sites to their nested qualname and
     ignores comments/strings."""
